@@ -1,0 +1,271 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline extensions beyond the reference surface (the
+reference is batch SQL only; dedup is the op a 100-TB corpus pipeline needs
+most).  Four families, cheapest first:
+
+* exact / fingerprint dedup -- one hash-aggregate, fully parallel.
+* MinHash + LSH banding -- shingle -> signature -> band-bucket join;
+  the scale path for near-dup at 100 TB (candidate pairs only, never all
+  pairs).
+* n-gram Jaccard -- exact verification, inverted-index join on shingles
+  (used standalone at small scale and as the verify stage after LSH).
+* SimHash -- bit-signature Hamming dedup (Spark-only hash; no SQL oracle).
+
+Design: all built-ins (split / explode / min / md5 / array ops).  The only
+shuffles are on (doc, seed) and on shingle/bucket keys -- all combinable
+map-side.  md5-string MinHash is used instead of murmur3 so the DuckDB
+oracle can reproduce signatures exactly (md5 is identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import distinct_tokens, fingerprint_md5, word_ngrams
+
+
+def exact_dedup_groups(docs: DataFrame, key_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct ``key_col`` with keeper + dupe count.
+
+    ``keep_id`` is the smallest doc_id of the group (deterministic keeper
+    policy).  Single hash-aggregate on the key -- at scale, dedup on a long
+    text column should prefer :func:`fingerprint_dedup_groups` so the
+    shuffle key is a 32-byte hash, not the document body.
+    """
+    return docs.groupBy(F.col(key_col)).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def fingerprint_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup on md5(normalized text) -- constant-width shuffle key."""
+    return (
+        docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: rows (doc_id, seed, minhash).
+
+    Shingles are word n-grams; hash family is ``md5(seed || ':' || shingle)``
+    and the signature component is the *lexicographic minimum* of the hex
+    digests -- equivalent to a numeric min of the 128-bit values, and exactly
+    reproducible in any engine with md5.
+
+    Scale: explode(shingles) x n_hashes rows, reduced by a partial min
+    aggregate before the (doc_id, seed) shuffle -- per-task state is
+    O(docs_in_task * n_hashes).
+    """
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    shingled = docs.select(
+        "doc_id", F.explode(word_ngrams("text", shingle_n)).alias("shingle")
+    )
+    return (
+        shingled.select(
+            "doc_id", F.explode(seeds).alias("seed"), F.col("shingle")
+        )
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_band_buckets(
+    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """LSH banding: rows (doc_id, band, bucket) with bucket = joined band rows."""
+    rows_per_band = n_hashes // n_bands
+    return (
+        signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                    ),
+                    lambda s: s.minhash,
+                ),
+                "|",
+            ).alias("bucket")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    candidate generation: self-join of band buckets (collides only docs
+    sharing a full band -- never an all-pairs product); verification: exact
+    shingle-set Jaccard on candidates only.  Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    buckets = minhash_band_buckets(
+        minhash_signatures(docs, n_hashes, shingle_n), n_hashes, n_bands
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(word_ngrams("text", shingle_n))).alias("sh"),
+    )
+    sa = shingle_sets.alias("sa")
+    sb = shingle_sets.alias("sb")
+    jac = (
+        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
+    )
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted-index join.
+
+    explode distinct shingles -> self-join on shingle (doc_a < doc_b) ->
+    common-shingle count per pair -> jaccard = common / (|A| + |B| - common).
+    No all-pairs product: pairs sharing zero shingles never materialise.
+    Skewed shingles (stop-gram hot keys) are the scale risk -- AQE skew-join
+    splitting handles moderate skew; heavy-hitter shingles can be dropped
+    upstream (they carry no near-dup signal) if needed.
+    """
+    sets = docs.select(
+        "doc_id", F.array_distinct(word_ngrams("text", shingle_n)).alias("sh")
+    )
+    sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("common") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: (doc_id, simhash).
+
+    Tokens hashed with Spark's xxhash64; each of the 64 bit positions
+    accumulates +1/-1 over tokens; the sign vector packs into a BIGINT.
+    Spark-only hash function, so this operator carries a rows-only
+    correctness check (no SQL oracle) -- its quality gate is the pytest
+    property test (similar docs -> small Hamming distance).
+    """
+    tok = docs.select("doc_id", F.explode(distinct_tokens(text_col)).alias("t"))
+    h = tok.withColumn("h", F.xxhash64("t"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = h.groupBy("doc_id").agg(*bit_cols)
+    packed = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Candidate generation blocks on the 4 x 16-bit chunks of the signature
+    (pigeonhole: distance <= 3 over 4 chunks -> at least one chunk equal),
+    so the join is bucket-local, not all-pairs.
+    """
+    sh = simhash_64(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

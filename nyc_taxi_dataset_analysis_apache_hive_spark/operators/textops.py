@@ -1,0 +1,82 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+fingerprinting -- the per-document featurisation stage of a training-data
+pipeline.  All narrow (no shuffle): scan -> project, perfectly parallel at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    punct_ratio,
+    stopword_hits,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score per document.
+
+    Features: char length, token count, mean token length, punctuation
+    ratio, English-stopword ratio.  The composite is a simple bounded sum --
+    a placeholder for a learned quality model, but the *shape* (narrow
+    projection producing a float score column) is the production shape.
+    """
+    n_tok = token_count_ws("text")
+    n_chars = F.length("text").cast("double")
+    mean_tok_len = n_chars / F.nullif(n_tok.cast("double"), F.lit(0.0))
+    sw_ratio = stopword_hits("text", "en") / F.nullif(
+        n_tok.cast("double"), F.lit(0.0)
+    )
+    pr = F.coalesce(punct_ratio("text"), F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(pr * 10, F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(pr, 4).alias("punct_ratio"),
+        F.round(F.coalesce(sw_ratio, F.lit(0.0)), 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: argmax stopword hits.
+
+    Computes a hit count per candidate language and takes the argmax with a
+    deterministic tie-break (language code ascending, 'und' when no hits).
+    """
+    langs = sorted(STOPWORDS)
+    hit_cols = [stopword_hits("text", lang).alias(f"hits_{lang}") for lang in langs]
+    scored = docs.select("doc_id", F.col("lang").alias("lang_true"), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.when(best == 0, "und")
+    for lang in langs:  # first (ascending) language achieving the max wins
+        pred = pred.when(F.col(f"hits_{lang}") == best, lang)
+    return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """md5 fingerprint of normalized text per document."""
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))

@@ -1,0 +1,17 @@
+from .events import (
+    dedup_events_stream,
+    read_events_stream,
+    sessionized_counts_stream,
+    sliding_value_stats_stream,
+    tumbling_counts_batch,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "dedup_events_stream",
+    "read_events_stream",
+    "sessionized_counts_stream",
+    "sliding_value_stats_stream",
+    "tumbling_counts_batch",
+    "tumbling_counts_stream",
+]
