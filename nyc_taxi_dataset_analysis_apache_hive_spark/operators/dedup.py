@@ -20,7 +20,7 @@ oracle can reproduce signatures exactly (md5 is identical everywhere).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, fingerprint_md5, word_ngrams
@@ -48,56 +48,83 @@ def fingerprint_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus.  h and a,b < p, so
+#: a*h+b < 2^62 -- no int64 overflow in Spark (wrap-free) or DuckDB (checked).
+MINHASH_P = 2147483647
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants, identical in the SQL
+    oracle (generated from the same formula, embedded as literals)."""
+    out = []
+    for i in range(n_hashes):
+        a = (i * 2654435761 + 105) % MINHASH_P or 1
+        b = (i * 40503 + 17) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """Portable 60-bit base hash: first 15 hex chars of md5, mod p.
+
+    One md5 per shingle (codegen'd JVM-side); the n_hashes permutations are
+    integer ops on this value.  ``conv(hex,16,10)`` == DuckDB
+    ``CAST('0x'||substr(...) AS BIGINT)``.
+    """
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: rows (doc_id, seed, minhash).
+    """MinHash signature per document: (doc_id, sig_0 .. sig_{n-1}).
 
-    Shingles are word n-grams; hash family is ``md5(seed || ':' || shingle)``
-    and the signature component is the *lexicographic minimum* of the hex
-    digests -- equivalent to a numeric min of the 128-bit values, and exactly
-    reproducible in any engine with md5.
+    Shingles are word 3-grams; signature component i is
+    ``min((a_i * h + b_i) mod p)`` over shingle base-hashes h -- the
+    classic universal-hash MinHash, engine-portable by construction.
 
-    Scale: explode(shingles) x n_hashes rows, reduced by a partial min
-    aggregate before the (doc_id, seed) shuffle -- per-task state is
-    O(docs_in_task * n_hashes).
+    Scale: explode(shingles) -> 1 md5 + n_hashes long-ops per shingle ->
+    n_hashes parallel min-aggregates in ONE groupBy(doc_id).  Partial
+    aggregation collapses everything map-side; the shuffle carries
+    n_hashes longs per document.
     """
-    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
-    shingled = docs.select(
-        "doc_id", F.explode(word_ngrams("text", shingle_n)).alias("shingle")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams("text", shingle_n))).alias("s")
     )
-    return (
-        shingled.select(
-            "doc_id", F.explode(seeds).alias("seed"), F.col("shingle")
-        )
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("minhash")
-        )
-    )
+    rows = sh.select("doc_id", shingle_base_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return rows.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_buckets(
     signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
-    """LSH banding: rows (doc_id, band, bucket) with bucket = joined band rows."""
+    """LSH banding: rows (doc_id, band, bucket), bucket = '|'-joined band
+    signature components -- n_bands rows per doc via one explode."""
     rows_per_band = n_hashes // n_bands
-    return (
-        signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                    ),
-                    lambda s: s.minhash,
-                ),
-                "|",
-            ).alias("bucket")
-        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
