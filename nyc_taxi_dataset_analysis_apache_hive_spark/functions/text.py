@@ -50,21 +50,35 @@ def token_count_bpe(text: str | Column = "text") -> Column:
     )
 
 
-def word_ngrams(text: str | Column = "text", n: int = 3) -> Column:
-    """Array of word n-grams (space-joined), for shingle-based dedup.
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) from a token-array column.
 
-    1-based ``element_at`` over a ``sequence(1, len-n+1)`` of start indices;
-    empty array when the document has fewer than ``n`` tokens (guarded with
+    1-based ``slice`` over a ``sequence(1, len-n+1)`` of start indices; empty
+    array when the document has fewer than ``n`` tokens (guarded with
     ``when`` -- Spark's ``sequence(1, 0)`` would count *down*).
+
+    PERF: pass a *materialized* token array column (``df.select(tokens(...)
+    .alias("toks"))`` first, then call this on ``col("toks")``).  Inlining the
+    tokenizer expression here makes every lambda reference re-evaluate the
+    split+filter, turning an O(grams) projection into O(tokens x grams) --
+    measured 23x slower at sf0.1.  Spark's CollapseProject will not merge the
+    two projections precisely because the token expression is non-cheap and
+    multiply-referenced.
     """
-    toks = tokens(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text: str | Column = "text", n: int = 3) -> Column:
+    """Inline convenience form of :func:`ngrams_from_tokens` (tokenizes and
+    shingles in one expression).  Prefer the two-step form in hot paths --
+    see the PERF note above."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def normalized_text(text: str | Column = "text") -> Column:
@@ -85,8 +99,16 @@ def punct_ratio(text: str | Column = "text") -> Column:
     return F.length(stripped) / F.nullif(F.length(t).cast("double"), F.lit(0.0))
 
 
-def stopword_hits(text: str | Column = "text", lang: str = "en") -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
-    toks = tokens(text)
+def stopword_hits_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """Number of tokens in ``toks`` that are stopwords of ``lang``.
+
+    Pass a materialized token-array column in hot paths (same PERF note as
+    ngrams_from_tokens: the filter lambda re-evaluates inline tokenizers).
+    """
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
+
+
+def stopword_hits(text: str | Column = "text", lang: str = "en") -> Column:
+    """Inline convenience form of :func:`stopword_hits_from_tokens`."""
+    return stopword_hits_from_tokens(tokens(text), lang)

@@ -23,7 +23,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import distinct_tokens, fingerprint_md5, word_ngrams
+from ..functions.text import (
+    distinct_tokens,
+    fingerprint_md5,
+    ngrams_from_tokens,
+    tokens,
+)
+
+
+def _shingle_sets(docs: DataFrame, shingle_n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh: array<string>) distinct word n-gram sets.
+
+    Two projections on purpose: the token array materializes first so the
+    n-gram lambda reads a concrete array instead of re-running the tokenizer
+    per element (see PERF note on ngrams_from_tokens -- 23x at sf0.1).
+    """
+    return docs.select("doc_id", tokens(text_col).alias("toks")).select(
+        "doc_id",
+        F.array_distinct(ngrams_from_tokens(F.col("toks"), shingle_n)).alias("sh"),
+    )
 
 
 def exact_dedup_groups(docs: DataFrame, key_col: str = "text") -> DataFrame:
@@ -91,8 +109,8 @@ def minhash_signatures(
     aggregation collapses everything map-side; the shuffle carries
     n_hashes longs per document.
     """
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_ngrams("text", shingle_n))).alias("s")
+    sh = _shingle_sets(docs, shingle_n).select(
+        "doc_id", F.explode("sh").alias("s")
     )
     rows = sh.select("doc_id", shingle_base_hash(F.col("s")).alias("h"))
     aggs = [
@@ -156,9 +174,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shingle_sets = docs.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(word_ngrams("text", shingle_n))).alias("sh"),
+    shingle_sets = _shingle_sets(docs, shingle_n).select(
+        "doc_id", F.array_sort("sh").alias("sh")
     )
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
@@ -186,9 +203,7 @@ def ngram_jaccard_pairs(
     splitting handles moderate skew; heavy-hitter shingles can be dropped
     upstream (they carry no near-dup signal) if needed.
     """
-    sets = docs.select(
-        "doc_id", F.array_distinct(word_ngrams("text", shingle_n)).alias("sh")
-    )
+    sets = _shingle_sets(docs, shingle_n)
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")

@@ -15,9 +15,10 @@ from ..functions.text import (
     STOPWORDS,
     fingerprint_md5,
     punct_ratio,
-    stopword_hits,
+    stopword_hits_from_tokens,
     token_count_bpe,
     token_count_ws,
+    tokens,
 )
 
 
@@ -39,10 +40,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     a placeholder for a learned quality model, but the *shape* (narrow
     projection producing a float score column) is the production shape.
     """
-    n_tok = token_count_ws("text")
+    # Tokenize ONCE in its own projection (PERF note on ngrams_from_tokens);
+    # every feature below reads the materialized array/counts.
+    toked = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    n_tok = F.size("toks").cast("long")
     n_chars = F.length("text").cast("double")
     mean_tok_len = n_chars / F.nullif(n_tok.cast("double"), F.lit(0.0))
-    sw_ratio = stopword_hits("text", "en") / F.nullif(
+    sw_ratio = stopword_hits_from_tokens(F.col("toks"), "en") / F.nullif(
         n_tok.cast("double"), F.lit(0.0)
     )
     pr = F.coalesce(punct_ratio("text"), F.lit(0.0))
@@ -51,7 +55,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
         + (1 - F.least(pr * 10, F.lit(1.0))) * 0.3
     )
-    return docs.select(
+    return toked.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),
@@ -68,8 +72,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     deterministic tie-break (language code ascending, 'und' when no hits).
     """
     langs = sorted(STOPWORDS)
-    hit_cols = [stopword_hits("text", lang).alias(f"hits_{lang}") for lang in langs]
-    scored = docs.select("doc_id", F.col("lang").alias("lang_true"), *hit_cols)
+    toked = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    hit_cols = [
+        stopword_hits_from_tokens(F.col("toks"), lang).alias(f"hits_{lang}")
+        for lang in langs
+    ]
+    scored = toked.select("doc_id", F.col("lang").alias("lang_true"), *hit_cols)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     pred = F.when(best == 0, "und")
     for lang in langs:  # first (ascending) language achieving the max wins

@@ -35,6 +35,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # reader rejects; read as epoch-nanos long and convert in the reader
     # (lossless: values are microsecond-aligned; verified in testdata).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes size(x)>0 under explode() and
+    # PushDownPredicates then inlines the generator-input expression into the
+    # pushed filter.  With higher-order-function inputs (shingling: tokenize
+    # -> transform -> array_distinct) that re-evaluates the whole pipeline
+    # per row, interpreted (HOFs never codegen) -- measured 2-4x slowdown on
+    # the dedup operators.  The filter only skips empty arrays, which our
+    # explodes handle anyway.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
