@@ -35,6 +35,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # reader rejects; read as epoch-nanos long and convert in the reader
     # (lossless: values are microsecond-aligned; verified in testdata).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read parquet naive timestamps as TimestampType (session-TZ UTC), not
+    # TIMESTAMP_NTZ, so parquet and schema'd CSV scans of the same data get
+    # identical schemas (values agree because the session TZ is pinned UTC).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # InferFiltersFromGenerate synthesizes size(x)>0 under explode() and
     # PushDownPredicates then inlines the generator-input expression into the
     # pushed filter.  With higher-order-function inputs (shingling: tokenize
