@@ -1,0 +1,207 @@
+"""Structured Streaming tests (SURVEY.md §2.9 extension surface).
+
+Each test runs a REAL stream: file source (multiple files, so multiple
+micro-batches under maxFilesPerTrigger=1) -> watermarked stateful transform
+-> memory sink with availableNow trigger.  Correctness oracle is the batch
+analog of the same expressions over the same rows -- Spark guarantees
+batch/stream agreement for windowed aggregations once all data is ingested
+and the stream is drained.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
+
+#: sentinel event type: closes every real window/session before the stream
+#: drains (append mode only emits windows the watermark has passed).
+SENTINEL = "zz_sentinel"
+
+
+def _write_time_sliced(pdf: pd.DataFrame, out: str, n_slices: int = 4) -> None:
+    """Write ``pdf`` as n time-ordered parquet files + a far-future sentinel
+    file, named so both path order and mtime order equal event-time order.
+
+    A real file drop-zone delivers roughly time-ordered files; interleaved
+    time ranges would make the watermark drop later files as late data --
+    that behaviour is itself covered by the batch/stream agreement being
+    conditional on ordered input.
+    """
+    os.makedirs(out)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    for i in range(n_slices):
+        chunk = pdf.iloc[n * i // n_slices : n * (i + 1) // n_slices]
+        chunk.to_parquet(os.path.join(out, f"{i:02d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["event_id"] = 10**9
+    # scalar assignment would silently re-coerce to datetime64[ns] (parquet
+    # TIMESTAMP(NANOS), a different physical type); keep micros
+    sent["ts"] = pd.Series(
+        [pdf["ts"].max() + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent["user_id"] = -1
+    sent["event_type"] = SENTINEL
+    sent["value"] = 0.0
+    sent.to_parquet(os.path.join(out, "zz_sentinel.parquet"), index=False)
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def events_dir(events_pdf, tmp_path_factory):
+    """Events sf0.001 as 4 time-ordered files + sentinel (5 micro-batches)."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    _write_time_sliced(events_pdf, out, 4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    """Batch view of the streamed rows, sentinel excluded."""
+    return spark.read.parquet(events_dir).filter(F.col("event_type") != SENTINEL)
+
+
+def _drain(stream_df, name):
+    q = sev.run_to_memory_sink(stream_df, name, mode="append")
+    q.awaitTermination(120)
+    return q
+
+
+def _rows_map(df, key_cols, val_cols):
+    return {
+        tuple(r[k] for k in key_cols): tuple(r[v] for v in val_cols)
+        for r in df.collect()
+    }
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_dir, events_batch):
+    stream = sev.tumbling_counts_stream(
+        sev.read_events_stream(spark, events_dir), "1 hour", "10 minutes"
+    )
+    _drain(stream, "tumbling_sink")
+    got = _rows_map(
+        spark.table("tumbling_sink"),
+        ["window_start", "event_type"],
+        ["window_end", "n_events", "sum_value"],
+    )
+    expected_df = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    expected = _rows_map(
+        expected_df,
+        ["window_start", "event_type"],
+        ["window_end", "n_events", "sum_value"],
+    )
+    assert set(got) == set(expected)
+    for k, (wend, n, s) in expected.items():
+        g_wend, g_n, g_s = got[k]
+        assert (g_wend, g_n) == (wend, n)
+        assert g_s == pytest.approx(s, rel=1e-12)
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir, events_batch):
+    stream = sev.sessionized_counts_stream(
+        sev.read_events_stream(spark, events_dir), "5 minutes", "10 minutes"
+    )
+    _drain(stream, "session_sink")
+    got = _rows_map(
+        spark.table("session_sink"),
+        ["user_id", "session_start"],
+        ["session_end", "n_events"],
+    )
+    expected_df = (
+        events_batch.groupBy(
+            F.session_window("ts", "5 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    expected = _rows_map(
+        expected_df, ["user_id", "session_start"], ["session_end", "n_events"]
+    )
+    assert got == expected
+
+
+def test_sliding_window_stream(spark, events_dir):
+    stream = sev.sliding_value_stats_stream(
+        sev.read_events_stream(spark, events_dir),
+        "30 minutes",
+        "10 minutes",
+        "15 minutes",
+    )
+    _drain(stream, "sliding_sink")
+    out = spark.table("sliding_sink")
+    assert out.count() > 0
+    # every window is exactly 30 minutes and slide-aligned
+    bad = out.filter(
+        (F.unix_timestamp("window_end") - F.unix_timestamp("window_start"))
+        != 30 * 60
+    ).count()
+    assert bad == 0
+    misaligned = out.filter(
+        F.unix_timestamp("window_start") % (10 * 60) != 0
+    ).count()
+    assert misaligned == 0
+
+
+def test_dedup_stream_drops_duplicate_event_ids(
+    spark, events_pdf, events_dir, events_batch, tmp_path_factory
+):
+    # duplicate every slice file (01a/01b pairs, still time-ordered) so each
+    # event_id arrives twice in adjacent micro-batches
+    dup_dir = str(tmp_path_factory.mktemp("events_dup") / "events")
+    os.makedirs(dup_dir)
+    pdf = events_pdf.sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[n * i // 4 : n * (i + 1) // 4]
+        for tag in ("a", "b"):
+            chunk.to_parquet(os.path.join(dup_dir, f"{i:02d}{tag}.parquet"))
+    stream = sev.dedup_events_stream(
+        sev.read_events_stream(spark, dup_dir), "10 minutes"
+    )
+    _drain(stream, "dedup_sink")
+    n_unique = events_batch.select("event_id").distinct().count()
+    assert spark.table("dedup_sink").count() == n_unique
+    assert (
+        spark.table("dedup_sink").select("event_id").distinct().count() == n_unique
+    )
+
+
+def test_stream_is_incremental(spark, events_dir):
+    """The file source really runs multiple micro-batches (one per file)."""
+    q = sev.run_to_memory_sink(
+        sev.tumbling_counts_stream(
+            sev.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        ),
+        "progress_sink",
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 4
