@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import BPE_TOKEN_REGEX, STOPWORDS, TOKEN_SPLIT_REGEX
-from .operators import dedup, similarity, textops
+from .operators import dedup, multimodal, similarity, textops
 from .session import apply_runtime_confs
 from .sources.readers import load_table
 from .streaming.events import tumbling_counts_batch
@@ -1130,3 +1130,66 @@ def t3_lang_id(spark, sf):
 def t2_quality_scores(spark, sf):
     """Heuristic document quality features + composite score."""
     return textops.quality_scores(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; operators/multimodal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_media_catalog",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_media,
+           sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(max(64 + (doc_id % 16) * 32) AS INT) AS max_width
+    FROM documents GROUP BY kind
+    """,
+)
+def m1_media_catalog(spark, sf):
+    """Media catalog rollup: binary payload + typed meta are first-class
+    columns; the aggregate proves payload bytes and meta derivations stay
+    JVM-side (octet_length of utf-8 == Spark length(binary))."""
+    media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+        )
+    )
+
+
+@register("m2_media_features", None)  # crc32/entropy are engine-side Python
+def m2_media_features(spark, sf):
+    """Arrow-batched mapInPandas decode/feature stage over binary payloads
+    (stubbed codecs -- deterministic fake features; plumbing is real).
+    Rows-only check; value determinism is pytest-gated
+    (tests/test_multimodal.py)."""
+    media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
+    return multimodal.media_features(media)
+
+
+@register(
+    "m3_frame_sample",
+    """
+    WITH videos AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(n * (i + 1) // 4 - n * i // 4 AS BIGINT) AS n_bytes
+    FROM videos, (SELECT unnest(range(0, 4)) AS i)
+    """,
+)
+def m3_frame_sample(spark, sf):
+    """One-to-many frame sampling via mapInPandas (video -> 4 byte-slice
+    frames); the oracle reproduces the slice-length arithmetic, proving the
+    explode shape and byte accounting without shipping payloads."""
+    media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
+    return multimodal.sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "n_bytes"
+    )
