@@ -1,0 +1,111 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the scale contract.
+
+Correctness tests prove the answers; these prove the *plans* are the ones
+that survive 100 TB -- filters reach the parquet scan, column pruning holds,
+small sides broadcast, sort+limit plans as top-k, aggregates are
+partial+final, and the percent-share window runs above (never below) the
+aggregation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from nyc_taxi_dataset_analysis_apache_hive_spark import registry
+from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+    explain_str,
+    has_pushed_filters,
+    join_strategies,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(spark, name):
+    return registry.QUERIES[name](spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q(spark, "p3_filter_compare")
+    assert has_pushed_filters(df, "LessThan(l_discount")
+
+
+def test_etl_sargable_conjuncts_pushed(spark):
+    """The clean-filter's simple comparisons must reach the scan even though
+    the derived date-part terms cannot."""
+    df = _q(spark, "s3_etl_clean_derive")
+    assert has_pushed_filters(df, "l_quantity", "l_extendedprice", "l_discount")
+
+
+def test_column_pruning(spark):
+    """A 2-column aggregate over the 16-column lineitem must scan 2 columns."""
+    df = _q(spark, "a1_group_count")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", explain_str(df))
+    assert m, "no parquet scan in plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_returnflag"}
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = _q(spark, "p7_derived_duration_join")
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies)
+
+
+def test_knn_broadcasts_queries_never_shuffles_corpus(spark):
+    df = _q(spark, "k1_knn_bruteforce")
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only Exchange allowed is the tiny post-scoring rank partitioning
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all("hashpartitioning" in e or "SinglePartition" in e for e in exchanges)
+
+
+def test_sort_limit_plans_as_topk(spark):
+    assert "TakeOrderedAndProject" in explain_str(_q(spark, "o3_topk_multi_sort"))
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = explain_str(_q(spark, "a1_group_count"), "simple")
+    assert re.search(r"partial_count", plan), "no map-side partial aggregate"
+    # exactly one shuffle for a single group-by
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pct_share_window_runs_after_aggregation(spark):
+    """W1's empty-frame window must consume the aggregated rows (O(groups)),
+    not the raw rows (O(n) on one partition)."""
+    plan = explain_str(_q(spark, "w1_pct_share"), "simple")
+    win = plan.index("Window")
+    agg = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    # plans print top-down: Window above (= before) the aggregates
+    assert win < min(agg)
+
+
+def test_scalar_cross_join_is_single_row_broadcast(spark):
+    plan = explain_str(_q(spark, "j1_scalar_cross_ratio"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs"]
+)
+def test_dedup_never_plans_cartesian(spark, name):
+    """LSH banding / inverted-index joins must be equi-joins, never an
+    all-pairs product."""
+    assert "CartesianProduct" not in explain_str(_q(spark, name))
+
+
+def test_no_python_udf_in_reference_surface(spark):
+    """SURVEY §2.10: reference parity needs zero Python row crossings --
+    every reference-derived query stays fully JVM-side."""
+    reference_queries = [
+        n
+        for n in registry.QUERIES
+        if n[0] in "apswofju" and not n.startswith("m")
+    ]
+    for name in reference_queries:
+        plan = explain_str(_q(spark, name), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

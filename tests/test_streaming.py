@@ -205,3 +205,51 @@ def test_stream_is_incremental(spark, events_dir):
     )
     q.awaitTermination(120)
     assert len(q.recentProgress) >= 4
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir, events_batch):
+    """applyInPandasWithState: last emitted row per user equals the batch
+    lifetime aggregate, and state accumulates across micro-batches."""
+    from pyspark.sql.window import Window
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import stateful
+
+    stream = stateful.running_user_totals_stream(
+        sev.read_events_stream(spark, events_dir).filter(
+            F.col("event_type") != SENTINEL
+        ),
+        anomaly_threshold=190.0,
+    )
+    q = stateful.run_stateful_to_memory_sink(stream, "stateful_sink")
+    q.awaitTermination(120)
+    sink = spark.table("stateful_sink")
+    # >1 update row per user proves cross-batch state accumulation
+    assert sink.groupBy("user_id").count().filter("count > 1").count() > 0
+    final = {
+        r["user_id"]: r
+        for r in sink.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    expected = {
+        r["user_id"]: r
+        for r in events_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, exp in expected.items():
+        got = final[uid]
+        assert got["n_events"] == exp["n_events"], uid
+        assert got["sum_value"] == pytest.approx(exp["sum_value"], abs=1e-6)
+        assert got["max_value"] == exp["max_value"]
+        assert got["anomaly"] == (exp["max_value"] >= 190.0)
