@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import BPE_TOKEN_REGEX, STOPWORDS, TOKEN_SPLIT_REGEX
-from .operators import dedup, multimodal, similarity, textops
+from .operators import asof, dedup, multimodal, similarity, skew, textops
 from .session import apply_runtime_confs
 from .sources.readers import load_table
 from .streaming.events import tumbling_counts_batch
@@ -1192,4 +1192,149 @@ def m3_frame_sample(spark, sf):
     media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
     return multimodal.sample_frames(media, n_frames=4).select(
         "media_id", "frame_idx", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series as-of join + skew-mitigation operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.ts, p.event_id,
+           round(p.value, 2) AS purchase_value,
+           round(c.click_value, 2) AS click_value_asof
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def x1_asof_join(spark, sf):
+    """As-of join: each purchase gets the user's latest strictly-preceding
+    click value.  Spark has no built-in ASOF; implemented as union +
+    carry-forward window (operators/asof.py) -- one shuffle, no per-key
+    pair explosion.  DuckDB's native ASOF JOIN is the oracle."""
+    ev = _t(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_value"],
+        strict=True,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value_asof", 2).alias("click_value_asof"),
+    )
+
+
+@register(
+    "x2_salted_agg",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def x2_salted_agg(spark, sf):
+    """Two-phase salted aggregation over the 5-hot-key event_type column:
+    identical answers to the plain GROUP BY oracle, skew-proof shuffle
+    (hot keys fan out over 8 salt reducers before the tiny final agg)."""
+    return skew.salted_group_count_sum(
+        _t(spark, sf, "events"),
+        key="event_type",
+        value="value",
+        salt_from="event_id",
+        n_salts=8,
+    )
+
+
+@register(
+    "x3_salted_join",
+    """
+    SELECT l.event_id, l.event_type, round(l.value, 2) AS value,
+           r.type_rank
+    FROM events l JOIN (
+      SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+             AS type_rank
+      FROM (SELECT DISTINCT event_type FROM events)
+    ) r USING (event_type)
+    """,
+)
+def x3_salted_join(spark, sf):
+    """Salted inner join on the skewed event_type key: left salts, right
+    replicates 8x; result set equals the plain join oracle."""
+    ev = _t(spark, sf, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("long")
+            .alias("type_rank"),
+        )
+    )
+    joined = skew.salted_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        on="event_type",
+        salt_from="event_id",
+        n_salts=8,
+    )
+    return joined.select(
+        "event_id", "event_type", F.round("value", 2).alias("value"), "type_rank"
+    )
+
+
+@register(
+    "a10_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_count_distinct(spark, sf):
+    """Exact multi-column COUNT(DISTINCT) by key (expand + two-phase agg
+    under the hood -- Catalyst's RewriteDistinctAggregates)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register("a11_approx_distinct", None)  # HLL sketch: engine-specific values
+def a11_approx_distinct(spark, sf):
+    """approx_count_distinct (HyperLogLog++): the mergeable single-pass
+    100-TB path for distinct counts; rows-only check (sketch estimates are
+    engine-specific), accuracy property gated in pytest."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx")
     )

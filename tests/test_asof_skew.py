@@ -1,0 +1,118 @@
+"""Unit tests for the as-of join (tie semantics, null handling) and the
+skew-mitigation operators (result equivalence, HLL accuracy)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import asof, skew
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "L1"),
+            (1, _ts("2024-01-01T12:00:00"), "L2"),
+            (2, _ts("2024-01-01T09:00:00"), "L3"),  # no preceding right row
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),  # ties L1 exactly
+            (1, _ts("2024-01-01T11:30:00"), 200.0),
+            (2, _ts("2024-01-01T09:30:00"), 300.0),  # after L3
+        ],
+        "k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def _result_map(df):
+    return {r["tag"]: r["v_asof"] for r in df.collect()}
+
+
+def test_asof_strict_excludes_equal_timestamps(tiny):
+    left, right = tiny
+    out = _result_map(
+        asof.asof_join(left, right, "k", "ts", "ts", ["v"], strict=True)
+    )
+    assert out == {"L1": None, "L2": 200.0, "L3": None}
+
+
+def test_asof_nonstrict_includes_equal_timestamps(tiny):
+    left, right = tiny
+    out = _result_map(
+        asof.asof_join(left, right, "k", "ts", "ts", ["v"], strict=False)
+    )
+    assert out == {"L1": 100.0, "L2": 200.0, "L3": None}
+
+
+def test_asof_no_pair_explosion(spark, tiny):
+    """The plan must contain no join at all -- only the window carry-forward."""
+    left, right = tiny
+    plan = (
+        asof.asof_join(left, right, "k", "ts", "ts", ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = load_table(spark, SF, "events")
+    salted = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in skew.salted_group_count_sum(
+            ev, "event_type", "value", "event_id", n_salts=8
+        ).collect()
+    }
+    plain = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    dim = ev.select("event_type").distinct().withColumn(
+        "flag", F.lit(1)
+    )
+    salted = skew.salted_join(ev, dim, "event_type", "event_id", n_salts=4)
+    assert salted.count() == ev.count()
+    assert set(salted.columns) == {"event_id", "event_type", "flag"}
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n_exact in exact.items():
+        assert approx[k] == pytest.approx(n_exact, rel=0.06)  # 3 sigma
