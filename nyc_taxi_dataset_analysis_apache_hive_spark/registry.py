@@ -1338,3 +1338,68 @@ def a11_approx_distinct(spark, sf):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx")
     )
+
+
+_IVF_COS_VC = (
+    "round(list_dot_product(v.emb, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+_IVF_COS_QC = _IVF_COS_VC.replace("v.emb", "q.emb")
+_IVF_COS_PA = (
+    "round(list_dot_product(p.q_emb, a.c_emb) /"
+    " nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))"
+    " * sqrt(list_dot_product(a.c_emb, a.c_emb)), 0), 6)"
+)
+
+
+@register(
+    "k4_knn_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+      SELECT neighbor_id, c_emb, cent_id FROM (
+        SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e v CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, q_emb, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS_QC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cents c
+      ) WHERE crank <= 3
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id, {_IVF_COS_PA} AS cosine
+      FROM probes p JOIN assigned a USING (cent_id)
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+        AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def k4_knn_ivf(spark, sf):
+    """IVF list-probing ANN: corpus assigned to 16 fixed centroids (narrow
+    broadcast pass), queries probe their 3 nearest lists -- candidate
+    generation scans ~3/16 of the corpus via an equi-join instead of the
+    brute-force cross product.  Recall vs k1 is pytest-gated."""
+    return similarity.cosine_topk_ivf(
+        _t(spark, sf, "embeddings"),
+        k=5,
+        n_queries=8,
+        n_centroids=16,
+        n_probe=3,
+        centroid_offset=100,
+    )

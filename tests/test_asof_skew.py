@@ -116,3 +116,42 @@ def test_approx_distinct_within_rsd(spark):
     }
     for k, n_exact in exact.items():
         assert approx[k] == pytest.approx(n_exact, rel=0.06)  # 3 sigma
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF quality gate.  The synthetic embeddings are near-random (little
+    cluster structure), where IVF recall is bounded by ~n_probe/n_centroids
+    by construction -- so the honest properties are: recall beats the probed
+    fraction, improves monotonically with more probes, and every returned
+    cosine is exact (verified against the brute-force score)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = similarity.cosine_topk_bruteforce(emb, k=5, n_queries=8).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(s) for s in exact_sets.values())
+
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk_bruteforce(emb, k=499, n_queries=8).collect()
+    }
+
+    recalls = {}
+    for probe in (3, 8):
+        rows = similarity.cosine_topk_ivf(
+            emb, 5, 8, n_centroids=16, n_probe=probe, centroid_offset=100
+        ).collect()
+        ivf_sets: dict[int, set] = {}
+        for r in rows:
+            ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            # scored cosines are exact, never approximated
+            assert r["cosine"] == exact_all[(r["query_id"], r["neighbor_id"])]
+        recalls[probe] = (
+            sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
+            / total
+        )
+    assert recalls[3] > 3 / 16  # beats the probed-fraction chance floor
+    assert recalls[8] > recalls[3]  # probing more lists helps
+    assert recalls[8] >= 0.6
