@@ -1403,3 +1403,98 @@ def k4_knn_ivf(spark, sf):
         n_probe=3,
         centroid_offset=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-family breadth (Spark exposes the full family; J1 was the only
+# reference-mandated join -- these are the free extensions SURVEY §2.3 notes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def j2_semi_join(spark, sf):
+    """Left-semi join: customers with at least one large order.  Plans as a
+    build-side-deduped hash join -- no row multiplication, no second scan."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j3_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti_join(spark, sf):
+    """Left-anti join: customers with no orders at all (the orphan check
+    every ETL pipeline needs)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j4_outer_join",
+    """
+    SELECT n_name, CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers
+    FROM nation n LEFT JOIN (
+      SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def j4_outer_join(spark, sf):
+    """Left-outer join with NULL-fill: every nation, zero-filled customer
+    counts.  Aggregate-then-join keeps the outer side's multiplicity 1."""
+    n = _t(spark, sf, "nation")
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return n.join(c, n.n_nationkey == c.c_nationkey, "left").select(
+        "n_name", F.coalesce("n_customers", F.lit(0)).alias("n_customers")
+    )
+
+
+@register(
+    "r2_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def r2_cube(spark, sf):
+    """CUBE over two keys: all 4 grouping-set combinations in one pass
+    (Expand + single aggregate -- one shuffle for the whole lattice)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "sum_qty",
+        )
+    )

@@ -253,3 +253,39 @@ def test_stateful_running_totals_match_batch(spark, events_dir, events_batch):
         assert got["sum_value"] == pytest.approx(exp["sum_value"], abs=1e-6)
         assert got["max_value"] == exp["max_value"]
         assert got["anomaly"] == (exp["max_value"] >= 190.0)
+
+
+def test_stream_to_partitioned_parquet_sink_exactly_once(
+    spark, events_dir, events_batch, tmp_path_factory
+):
+    """Production sink shape: stream -> date-partitioned parquet with a
+    checkpoint.  Restarting the drained query from the same checkpoint must
+    write nothing new (exactly-once via the sink's commit log)."""
+    base = tmp_path_factory.mktemp("stream_sink")
+    out, ckpt = str(base / "data"), str(base / "ckpt")
+
+    def run_once():
+        q = (
+            sev.read_events_stream(spark, events_dir)
+            .filter(F.col("event_type") != SENTINEL)
+            .withColumn("dt", F.to_date("ts"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("dt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == events_batch.count()
+    assert back.select("event_id").distinct().count() == events_batch.count()
+    # partition layout is dt=YYYY-MM-DD directories
+    import os as _os
+
+    assert any(d.startswith("dt=") for d in _os.listdir(out))
+
+    run_once()  # replay from checkpoint: no new output
+    assert spark.read.parquet(out).count() == events_batch.count()
