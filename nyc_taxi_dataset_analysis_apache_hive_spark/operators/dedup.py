@@ -311,3 +311,75 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cands.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (doc_id, cluster_id)
+    with cluster_id = min doc_id reachable in the pair graph.
+
+    Min-label propagation: every vertex starts as its own label; each
+    iteration sends labels across edges (both directions) and keeps the
+    minimum; converges in O(component diameter) iterations.  Near-dup
+    graphs are dense clique-ish clusters, so diameter is tiny in practice.
+
+    Scale notes: per iteration, one equi-join (labels x edges) + one
+    min-aggregate -- both shuffle on vertex id, so AQE coalesces and
+    co-partitions; ``localCheckpoint`` truncates the growing lineage each
+    round (the classic iterative-DataFrame trap); the convergence probe is
+    a count(), not a collect of the labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Canonical-document selection: every doc mapped to its cluster's
+    keeper (min doc_id).  Docs in no near-dup pair keep themselves.  The
+    drop set is ``keep = false`` -- exactly what a 100-TB dedup pass feeds
+    to the filter stage."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(doc_id)
+        .join(comp, on=doc_id, how="left")
+        .select(
+            doc_id,
+            F.coalesce("cluster_id", F.col(doc_id)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(doc_id) == F.col("cluster_id"))
+    )

@@ -1498,3 +1498,35 @@ def r2_cube(spark, sf):
             "sum_qty",
         )
     )
+
+
+@register(
+    "d6_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({ORACLES["d4_ngram_jaccard_pairs"]})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def d6_dup_clusters(spark, sf):
+    """Near-dup clustering: connected components (min-label propagation,
+    lineage-checkpointed iterative joins) over the exact n-gram-Jaccard
+    pair graph -- pairs -> clusters -> canonical keeper, the stage that
+    turns pairwise dedup into an actionable drop-list.  Oracle: DuckDB
+    recursive CTE computing min reachable id per vertex."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), shingle_n=3, threshold=0.2
+    )
+    return dedup.connected_components(pairs)

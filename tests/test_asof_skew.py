@@ -155,3 +155,36 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recalls[3] > 3 / 16  # beats the probed-fraction chance floor
     assert recalls[8] > recalls[3]  # probing more lists helps
     assert recalls[8] >= 0.6
+
+
+def test_connected_components_hand_graph(spark):
+    """Two chains and an isolated pair: labels converge to the min id of
+    each component even across multi-hop chains."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 31), (31, 32)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_dedup_keep_list_covers_all_docs(spark):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 7), (7, 9)], "doc_a long, doc_b long")
+    kl = dedup.dedup_keep_list(docs, pairs).collect()
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in kl}
+    assert len(rows) == 10
+    # the cluster {2,7,9} keeps only 2; singletons keep themselves
+    assert rows[2] == (2, True)
+    assert rows[7] == (2, False)
+    assert rows[9] == (2, False)
+    assert all(rows[i] == (i, True) for i in (0, 1, 3, 4, 5, 6, 8))
