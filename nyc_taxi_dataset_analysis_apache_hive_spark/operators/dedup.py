@@ -160,6 +160,10 @@ def minhash_lsh_pairs(
     shingle-set Jaccard on candidates only.  Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
+    # The shingle sets feed both the signature pass and the Jaccard verify.
+    # Deliberately recomputed, not checkpointed: materializing 260k string
+    # arrays (sf0.1) costs more than re-running the tokenize+shingle
+    # projection, which is cheap after the ngrams_from_tokens fix.
     buckets = minhash_band_buckets(
         minhash_signatures(docs, n_hashes, shingle_n), n_hashes, n_bands
     )

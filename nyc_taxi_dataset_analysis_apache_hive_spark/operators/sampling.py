@@ -1,0 +1,64 @@
+"""Sampling operators for training-data pipelines.
+
+Corpus construction constantly samples: uniform subsets for ablations,
+per-class (stratified) rates for rebalancing, and hash-based splits for
+deterministic train/val/test partitions that survive reruns AND data
+appends.  All three are narrow, shuffle-free maps.
+
+Seeded ``sample()``/``sampleBy()`` are deterministic for a fixed
+partitioning but re-roll if the upstream partitioning changes; the
+hash-split is row-content-deterministic (same row -> same split, always),
+which is the property a reproducible pipeline actually wants -- so the
+split operator is hash-based, and the rate samplers are the Spark
+built-ins exposed with pinned seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Bernoulli row sample at ``fraction`` with a pinned seed."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (class rebalancing).  Strata absent from
+    ``fractions`` default to 0.0 (dropped) -- Spark's sampleBy contract."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``split_id`` from the md5 of
+    (salt || id) against cumulative weight boundaries.
+
+    Row-content-deterministic: the same id lands in the same split across
+    reruns, engines, partitionings, and appends (new rows never move old
+    ones -- unlike fraction-based sampling where the RNG stream shifts).
+    md5 (not xxhash64) so an external system can reproduce the assignment.
+    """
+    total = sum(weights)
+    bounds = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(acc)
+    # uniform in [0,1): first 15 hex chars of md5 / 16^15
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**15))
+    split = F.lit(len(weights) - 1)
+    for i in reversed(range(len(bounds))):
+        split = F.when(u < bounds[i], i).otherwise(split)
+    return df.withColumn("split_id", split.cast("int"))

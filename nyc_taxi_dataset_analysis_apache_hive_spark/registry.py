@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import BPE_TOKEN_REGEX, STOPWORDS, TOKEN_SPLIT_REGEX
-from .operators import asof, dedup, multimodal, similarity, skew, textops
+from .operators import asof, dedup, multimodal, sampling, similarity, skew, textops
 from .session import apply_runtime_confs
 from .sources.readers import load_table
 from .streaming.events import tumbling_counts_batch
@@ -1530,3 +1530,56 @@ def d6_dup_clusters(spark, sf):
         _t(spark, sf, "documents"), shingle_n=3, threshold=0.2
     )
     return dedup.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Sampling / dataset splitting
+# ---------------------------------------------------------------------------
+
+_SPLIT_BOUNDS = []
+_acc = 0.0
+for _w in (0.8, 0.1):  # first n-1 of (0.8, 0.1, 0.1), cumulative
+    _acc += _w
+    _SPLIT_BOUNDS.append(_acc)
+# embed the float-exact python cumulative bounds so Spark and the oracle
+# compare u against bit-identical literals
+_SPLIT_CASE = (
+    f"CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 0 "
+    f"WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 1 ELSE 2 END"
+)
+
+
+@register(
+    "s6_hash_split",
+    f"""
+    SELECT doc_id, CAST({_SPLIT_CASE} AS INT) AS split_id
+    FROM (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    """,
+)
+def s6_hash_split(spark, sf):
+    """Deterministic hash-based train/val/test split (80/10/10): same id ->
+    same split across reruns, engines, partitionings, and appends.  The
+    oracle reproduces the md5-uniform and the exact float boundaries."""
+    return sampling.hash_split(
+        _t(spark, sf, "documents").select("doc_id"),
+        id_col="doc_id",
+        weights=(0.8, 0.1, 0.1),
+        salt="split-v1",
+    )
+
+
+@register("s7_stratified_sample", None)  # engine RNG -> rows-only
+def s7_stratified_sample(spark, sf):
+    """Per-language stratified sample (class rebalancing); engine RNG so
+    rows-only here, per-stratum rate accuracy is pytest-gated."""
+    return sampling.stratified_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        "lang",
+        {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1},
+        seed=42,
+    )

@@ -188,3 +188,46 @@ def test_dedup_keep_list_covers_all_docs(spark):
     assert rows[7] == (2, False)
     assert rows[9] == (2, False)
     assert all(rows[i] == (i, True) for i in (0, 1, 3, 4, 5, 6, 8))
+
+
+def test_hash_split_fractions_and_stability(spark):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    s1 = {
+        r["doc_id"]: r["split_id"]
+        for r in sampling.hash_split(docs.repartition(3), "doc_id").collect()
+    }
+    s2 = {
+        r["doc_id"]: r["split_id"]
+        for r in sampling.hash_split(docs.repartition(11), "doc_id").collect()
+    }
+    assert s1 == s2  # partitioning-independent
+    n = len(s1)
+    fr = [sum(1 for v in s1.values() if v == i) / n for i in (0, 1, 2)]
+    assert fr[0] == pytest.approx(0.8, abs=0.06)
+    assert fr[1] == pytest.approx(0.1, abs=0.04)
+    assert fr[2] == pytest.approx(0.1, abs=0.04)
+    # appends never move existing rows: a subset gets identical assignments
+    subset = {
+        r["doc_id"]: r["split_id"]
+        for r in sampling.hash_split(
+            docs.filter(F.col("doc_id") < 100), "doc_id"
+        ).collect()
+    }
+    assert all(s1[k] == v for k, v in subset.items())
+
+
+def test_stratified_sample_rates(spark):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1}
+    sampled = sampling.stratified_sample(docs, "lang", fractions, seed=42)
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) >= 50:
+            assert got.get(lang, 0) / totals[lang] == pytest.approx(
+                frac, abs=0.15
+            ), lang
