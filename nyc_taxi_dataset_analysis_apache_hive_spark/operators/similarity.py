@@ -98,27 +98,55 @@ def cosine_topk_lsh(
     return _ranked_topk(scored, k)
 
 
+def normalized_with_bucket(embeddings: DataFrame, n_bits: int = 4) -> DataFrame:
+    """(vec_id, emb_n, bucket): unit-normalized vectors + sign-LSH bucket.
+
+    PERF: norms are computed once per VECTOR here so pair scoring is a
+    single dot-product fold, instead of dot + two norms per PAIR (3x the
+    folds, recomputed across every candidate).  Two projections so the
+    norm is a materialized attribute when the divide-lambda reads it (the
+    multiply-referenced-expression trap, see functions/text.py).
+    """
+    from ..functions.vectors import as_double_array, l2_norm
+
+    step1 = embeddings.select(
+        "vec_id",
+        as_double_array("embedding").alias("emb"),
+        l2_norm("embedding").alias("nrm"),
+        sign_bucket("embedding", n_bits).alias("bucket"),
+    )
+    return step1.select(
+        "vec_id",
+        F.transform(
+            "emb", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0))
+        ).alias("emb_n"),
+        "bucket",
+    )
+
+
 def pairwise_above(
     embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 4
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup use-case).
 
-    Bucketed self-join (sign LSH) then exact cosine filter -- the embedding
-    analog of MinHash LSH + Jaccard verify.
+    Bucketed self-join (sign LSH) of pre-normalized vectors, then exact
+    cosine (= dot of unit vectors) filter -- the embedding analog of
+    MinHash LSH + Jaccard verify.  Zero-norm vectors yield NULL cosines
+    and drop out, matching the unnormalized nullif semantics.
     """
-    with_bucket = embeddings.withColumn("bucket", sign_bucket("embedding", n_bits))
-    a = with_bucket.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
-    ).alias("a")
-    b = with_bucket.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
-    ).alias("b")
+    from ..functions.vectors import dot
+
+    nb = normalized_with_bucket(embeddings, n_bits)
+    a = nb.select(
+        F.col("vec_id").alias("id_a"), F.col("emb_n").alias("emb_a"), "bucket"
+    )
+    b = nb.select(
+        F.col("vec_id").alias("id_b"), F.col("emb_n").alias("emb_b"), "bucket"
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 6).alias("cosine")
-        )
+        .select("id_a", "id_b", F.round(dot("emb_a", "emb_b"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

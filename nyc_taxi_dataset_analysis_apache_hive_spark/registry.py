@@ -1012,18 +1012,24 @@ def k2_knn_lsh(spark, sf):
 
 @register(
     "k3_embedding_near_pairs",
-    f"""
-    WITH e AS (
+    """
+    WITH e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
              concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
       FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n, bucket
+      FROM e0
     )
-    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS cosine
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(q.emb_n, c.emb_n), 6) AS cosine
     FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
-    WHERE {_COS} >= 0.35
+    WHERE round(list_dot_product(q.emb_n, c.emb_n), 6) >= 0.35
     """,
 )
 def k3_embedding_near_pairs(spark, sf):
