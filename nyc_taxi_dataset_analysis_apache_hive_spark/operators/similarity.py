@@ -46,11 +46,14 @@ def cosine_topk_bruteforce(
     streams through map tasks computing the fold-based cosine; ranking is a
     per-query window over k-bounded groups.
     """
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    from ..functions.vectors import dot
+
+    normed = normalized_with_bucket(embeddings)
+    queries = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_n").alias("q_emb")
     )
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = normed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb_n").alias("c_emb")
     )
     scored = (
         F.broadcast(queries)
@@ -59,7 +62,7 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_emb", "c_emb"), 6).alias("cosine"),
+            F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)
@@ -74,15 +77,17 @@ def cosine_topk_lsh(
     brute-force baseline is measured in tests (property: every returned
     neighbour's cosine matches the exact cosine; recall reported, not 1.0).
     """
-    with_bucket = embeddings.withColumn("bucket", sign_bucket("embedding", n_bits))
+    from ..functions.vectors import dot
+
+    with_bucket = normalized_with_bucket(embeddings, n_bits)
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb_n").alias("q_emb"),
         "bucket",
     )
     corpus = with_bucket.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+        F.col("emb_n").alias("c_emb"),
         "bucket",
     )
     scored = (
@@ -92,7 +97,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_emb", "c_emb"), 6).alias("cosine"),
+            F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)

@@ -944,17 +944,26 @@ def d5_simhash_pairs(spark, sf):
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
-_COS = (
-    "round(list_dot_product(q.emb, c.emb) /"
-    " nullif(sqrt(list_dot_product(q.emb, q.emb))"
-    " * sqrt(list_dot_product(c.emb, c.emb)), 0), 6)"
-)
+#: normalize-then-dot (matches the Spark side, which pre-normalizes each
+#: vector once instead of recomputing norms per pair)
+_COS = "round(list_dot_product(q.emb_n, c.emb_n), 6)"
+
+_NORM_CTE = """e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    )"""
 
 
 @register(
     "k1_knn_bruteforce",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH {_NORM_CTE},
+    e AS (
+      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n
+      FROM e0
+    ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_COS} AS cosine
@@ -980,13 +989,14 @@ def k1_knn_bruteforce(spark, sf):
 @register(
     "k2_knn_lsh",
     f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
-             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      FROM embeddings
+    WITH {_NORM_CTE},
+    e AS (
+      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n,
+             concat(CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM e0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
