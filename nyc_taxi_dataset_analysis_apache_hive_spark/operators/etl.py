@@ -81,8 +81,32 @@ def removed_row_counts(trips: DataFrame) -> DataFrame:
 
 __all__ = [
     "clean_trips",
+    "upsert",
     "validate_clean",
     "clean_vendor_counts",
     "removed_row_counts",
     "dirty_predicate",
 ]
+
+
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD-1 merge: updates win on key collision, unmatched updates insert,
+    unmatched base rows carry forward (MERGE INTO semantics on plain
+    DataFrames).
+
+    Full-outer join on the keys + per-column coalesce(update, base).  At
+    scale: join shuffles both sides once on the keys; pair with the
+    dynamic-partition writer so only partitions containing touched keys
+    rewrite.  Null-safe key equality so NULL keys merge rather than
+    duplicate.
+    """
+    cols = base.columns
+    b, u = base.alias("b"), updates.alias("u")
+    cond = None
+    for k in keys:
+        term = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = term if cond is None else (cond & term)
+    joined = b.join(u, on=cond, how="full_outer")
+    return joined.select(
+        *[F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c) for c in cols]
+    )

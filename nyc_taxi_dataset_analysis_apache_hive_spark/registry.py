@@ -1599,3 +1599,48 @@ def s7_stratified_sample(spark, sf):
         {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1},
         seed=42,
     )
+
+
+@register(
+    "s8_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey, 'UPDATED' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'NEW' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+           coalesce(u.price, b.price) AS price
+    FROM base b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def s8_upsert(spark, sf):
+    """SCD-1 merge (MERGE INTO semantics): updated rows win, new keys
+    insert, untouched rows carry forward -- full-outer join + coalesce,
+    one shuffle on the key."""
+    from .operators.etl import upsert
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("price")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderpriority", F.lit("UPDATED"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("NEW").alias("o_orderpriority"),
+                "price",
+            )
+        )
+    )
+    return upsert(o, updates, ["o_orderkey"])

@@ -231,3 +231,18 @@ def test_stratified_sample_rates(spark):
             assert got.get(lang, 0) / totals[lang] == pytest.approx(
                 frac, abs=0.15
             ), lang
+
+
+def test_upsert_semantics(spark):
+    """SCD-1 merge: update wins, insert lands, untouched carries forward."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.etl import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, tag string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0), (9, "z", 90.0)], "id long, tag string, v double"
+    )
+    out = {r["id"]: (r["tag"], r["v"]) for r in upsert(base, updates, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 9: ("z", 90.0)}
