@@ -209,7 +209,13 @@ def ngram_jaccard_pairs(
     """
     sets = _shingle_sets(docs, shingle_n)
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    # join key is the portable 60-bit md5 hash, not the shingle string: the
+    # shuffle carries 8-byte longs instead of ~20-char strings, and the
+    # oracle applies the identical hash so even collisions (which would
+    # merge two shingles' postings) are bit-identical across engines
+    inv = sets.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", shingle_base_hash(F.col("s")).alias("shingle")
+    )
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

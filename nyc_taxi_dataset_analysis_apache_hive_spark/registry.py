@@ -910,7 +910,12 @@ def d3_minhash_lsh_pairs(spark, sf):
     WITH {_TOKS_CTE},
     sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams),
     sizes AS (SELECT doc_id, len(s) AS n_sh FROM sets),
-    inv AS (SELECT doc_id, unnest(s) AS shingle FROM sets),
+    inv AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh_str), 1, 15) AS BIGINT) % 2147483647
+               AS shingle
+      FROM (SELECT doc_id, unnest(s) AS sh_str FROM sets)
+    ),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
       FROM inv a JOIN inv b
@@ -1644,3 +1649,39 @@ def s8_upsert(spark, sf):
         )
     )
     return upsert(o, updates, ["o_orderkey"])
+
+
+@register(
+    "p9_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+             AS qty_f,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+             AS qty_o,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def p9_pivot(spark, sf):
+    """Pivot (wide crosstab): one row per returnflag, one column pair per
+    linestatus.  Explicit value list so the plan is a single pass (no
+    distinct-values pre-query) -- Catalyst rewrites to conditional
+    aggregation, exactly the oracle's CASE form."""
+    li = _t(spark, sf, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+    )
