@@ -252,21 +252,21 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     tok = docs.select("doc_id", F.explode(distinct_tokens(text_col)).alias("t"))
     h = tok.withColumn("h", F.xxhash64("t"))
+    # sum the raw bit (0/1) per position instead of a +/-1 CASE: the
+    # conditional forced 64 branchy when-exprs per row (measured 4x slower);
+    # the +1/-1 majority sign is recovered as 2*ones > n_tokens.
     bit_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(64)
     ]
-    sums = h.groupBy("doc_id").agg(*bit_cols)
+    sums = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_cols)
     packed = sums.select(
         "doc_id",
         sum(
             [
                 F.when(
-                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                    F.col(f"s{i}") * 2 > F.col("n"),
+                    F.shiftleft(F.lit(1).cast("long"), i),
                 ).otherwise(F.lit(0).cast("long"))
                 for i in range(64)
             ],
