@@ -1685,3 +1685,76 @@ def p9_pivot(spark, sf):
         F.col("F_cnt").alias("cnt_f"),
         F.col("O_cnt").alias("cnt_o"),
     )
+
+
+@register(
+    "f_string_scalars",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderpriority, ':', CAST(o_orderkey % 7 AS VARCHAR))
+             AS tagged,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           replace(o_orderpriority, '-', '_') AS prio_snake,
+           CAST(regexp_extract(o_orderpriority, '[0-9]+', 0) AS BIGINT)
+             AS prio_num
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+)
+def f_string_scalars(spark, sf):
+    """String-function surface (extension; REF uses none): upper, substr,
+    concat, length, replace, regexp_extract -- all JVM scalar expressions."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("", F.col("o_orderpriority"), F.lit(":"),
+                    (F.col("o_orderkey") % 7).cast("string")).alias("tagged"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "prio_snake"
+        ),
+        F.regexp_extract("o_orderpriority", "[0-9]+", 0)
+        .cast("long")
+        .alias("prio_num"),
+    )
+
+
+@register(
+    "f_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(emb, x -> x > 0)) AS INT) AS n_pos,
+           round(list_aggregate(list_transform(emb, x -> x * x), 'sum'), 6)
+             AS sum_sq,
+           round(list_aggregate(emb, 'max'), 6) AS max_dim,
+           round(list_aggregate(list_transform(emb, x -> abs(x)), 'sum'), 6)
+             AS l1_norm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    WHERE vec_id % 100 = 0
+    """,
+)
+def f_array_hof(spark, sf):
+    """Array higher-order functions (filter/transform/aggregate) over the
+    embedding column -- the JVM-side vector-math building blocks."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.round(F.array_max(arr), 6).alias("max_dim"),
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("l1_norm"),
+    )

@@ -246,3 +246,21 @@ def test_upsert_semantics(spark):
     )
     out = {r["id"]: (r["tag"], r["v"]) for r in upsert(base, updates, ["id"]).collect()}
     assert out == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 9: ("z", 90.0)}
+
+
+def test_percentile_approx_close_to_exact(spark):
+    """A9 approx (the 100-TB path) must track the exact interpolated
+    percentile within the sketch's accuracy on a 600k-value column."""
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    [exact] = li.select(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+        ).alias("p")
+    ).collect()
+    [approx] = li.select(
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.25D, 0.50D, 0.75D), 10000)"
+        ).alias("p")
+    ).collect()
+    for e, a in zip(exact["p"], approx["p"]):
+        assert a == pytest.approx(e, rel=0.01), (e, a)
