@@ -716,9 +716,12 @@ def e1_tumbling_window_counts(spark, sf):
            min(ts) AS session_start, max(ts) AS session_end
     FROM (
       SELECT user_id, ts,
-             sum(is_new) OVER (
+             -- CAST: DuckDB window SUM over ints yields HUGEINT (int128);
+             -- Spark emits BIGINT, and the driver hash is type-sensitive
+             CAST(sum(is_new) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -1164,7 +1167,7 @@ def t2_quality_scores(spark, sf):
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*) AS n_media,
-           sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            CAST(max(64 + (doc_id % 16) * 32) AS INT) AS max_width
     FROM documents GROUP BY kind
     """,
