@@ -33,13 +33,15 @@ HEADLINE = [
     "p7_derived_duration_join",
     "f9_case_segmentation",
     "o3_topk_multi_sort",
-    "a9_percentile_exact",
+    "a9_percentile",
     "s3_etl_clean_derive",
     "e1_tumbling_window_counts",
     "e2_sessionize",
     "d3_minhash_lsh_pairs",
+    "d6_dup_clusters",
     "k1_knn_bruteforce",
-    "t2_quality_scores",
+    "k2_ann_lsh_ivf",
+    "t1_text_profile",
 ]
 
 

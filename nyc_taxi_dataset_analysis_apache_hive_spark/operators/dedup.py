@@ -83,16 +83,28 @@ def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def shingle_base_hash(shingle: Column) -> Column:
-    """Portable 60-bit base hash: first 15 hex chars of md5, mod p.
+    """Portable 60-bit base hash: first 15 hex chars of md5.
 
-    One md5 per shingle (codegen'd JVM-side); the n_hashes permutations are
-    integer ops on this value.  ``conv(hex,16,10)`` == DuckDB
-    ``CAST('0x'||substr(...) AS BIGINT)``.
+    One md5 per shingle (codegen'd JVM-side).  ``conv(hex,16,10)`` ==
+    DuckDB ``CAST('0x'||substr(...) AS BIGINT)``.  The full 60-bit value is
+    returned: as the d4 inverted-index join key, collisions merge two
+    shingles' posting lists and inflate common-shingle counts, so the key
+    space should be as wide as the engines can agree on (~2^60 keeps the
+    birthday bound negligible up to ~10^8 distinct shingles; a 31-bit space
+    would start colliding at ~10^4).  The MinHash permutation path reduces
+    mod p separately (see :func:`minhash_reduced_hash`) because
+    ``a * h + b`` must stay below 2^63.
     """
-    return (
-        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
-        % MINHASH_P
-    )
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+def minhash_reduced_hash(shingle: Column) -> Column:
+    """Base hash reduced into the universal-hash field: ``h mod p``.
+
+    Required by the permutation step: with h < p and a,b < p,
+    ``a*h + b < 2^62`` -- no int64 overflow in Spark (wrap-free) or DuckDB
+    (checked)."""
+    return shingle_base_hash(shingle) % MINHASH_P
 
 
 def minhash_signatures(
@@ -109,10 +121,16 @@ def minhash_signatures(
     aggregation collapses everything map-side; the shuffle carries
     n_hashes longs per document.
     """
-    sh = _shingle_sets(docs, shingle_n).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
-    rows = sh.select("doc_id", shingle_base_hash(F.col("s")).alias("h"))
+    sets = _shingle_sets(docs, shingle_n)
+    return _signatures_from_sets(sets, n_hashes)
+
+
+def _signatures_from_sets(sets: DataFrame, n_hashes: int) -> DataFrame:
+    """Signature derivation from a (doc_id, sh) shingle-set frame -- split
+    out so :func:`minhash_lsh_pairs` can share one persisted set frame
+    between the signature and verify passes."""
+    sh = sets.select("doc_id", F.explode("sh").alias("s"))
+    rows = sh.select("doc_id", minhash_reduced_hash(F.col("s")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_params(n_hashes))
@@ -152,6 +170,7 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -159,13 +178,21 @@ def minhash_lsh_pairs(
     sharing a full band -- never an all-pairs product); verification: exact
     shingle-set Jaccard on candidates only.  Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    ``persist_shingles``: the shingle sets feed both the signature pass and
+    the Jaccard verify.  Default (False) recomputes them -- measured cheaper
+    at sf0.1 on local[32], where materializing 260k string arrays costs more
+    than re-running the tokenize+shingle projection.  On a cluster at
+    100-TB scale, tokenize+shingle dominates CPU and the recompute doubles
+    it, so pass True to cache the set frame (MEMORY_AND_DISK) and share it
+    between the two passes.  Same results either way (bench numbers in
+    BASELINE.md).
     """
-    # The shingle sets feed both the signature pass and the Jaccard verify.
-    # Deliberately recomputed, not checkpointed: materializing 260k string
-    # arrays (sf0.1) costs more than re-running the tokenize+shingle
-    # projection, which is cheap after the ngrams_from_tokens fix.
+    shingle_frame = _shingle_sets(docs, shingle_n)
+    if persist_shingles:
+        shingle_frame = shingle_frame.persist()
     buckets = minhash_band_buckets(
-        minhash_signatures(docs, n_hashes, shingle_n), n_hashes, n_bands
+        _signatures_from_sets(shingle_frame, n_hashes), n_hashes, n_bands
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -178,9 +205,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shingle_sets = _shingle_sets(docs, shingle_n).select(
-        "doc_id", F.array_sort("sh").alias("sh")
-    )
+    shingle_sets = shingle_frame.select("doc_id", F.array_sort("sh").alias("sh"))
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
     jac = (
@@ -328,6 +353,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc_id, cluster_id)
     with cluster_id = min doc_id reachable in the pair graph.
@@ -339,19 +365,36 @@ def connected_components(
 
     Scale notes: per iteration, one equi-join (labels x edges) + one
     min-aggregate -- both shuffle on vertex id, so AQE coalesces and
-    co-partitions; ``localCheckpoint`` truncates the growing lineage each
-    round (the classic iterative-DataFrame trap); the convergence probe is
-    a count(), not a collect of the labels.
+    co-partitions; a checkpoint truncates the growing lineage each round
+    (the classic iterative-DataFrame trap); the convergence probe is a
+    count(), not a collect of the labels.
+
+    ``checkpoint_dir``: by default lineage is truncated with
+    ``localCheckpoint`` -- executor-local storage, fine on local[*] but
+    NON-RELIABLE on a cluster (an executor loss mid-iteration kills the job
+    because the lineage was already cut).  For cluster runs pass a reliable
+    (HDFS/S3) directory: iterations then use ``checkpoint()``, which
+    survives executor loss.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Materialize the edge list ONCE: every iteration's join re-evaluates
     # its inputs, and `pairs` is typically the whole LSH/Jaccard pipeline --
     # without this checkpoint each round would recompute it from scratch
     # (measured 5x slower at sf0.1).
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -363,11 +406,10 @@ def connected_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -26,7 +26,7 @@ def _salt(deterministic_from: Column, n_salts: int) -> Column:
 
 def salted_group_count_sum(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     value: str,
     salt_from: str,
     n_salts: int = 8,
@@ -38,15 +38,16 @@ def salted_group_count_sum(
     Identical results to a direct groupBy(key); the only difference is the
     shuffle histogram.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     phase1 = (
         df.withColumn("_salt", _salt(F.col(salt_from), n_salts))
-        .groupBy(key, "_salt")
+        .groupBy(*keys, "_salt")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
             F.sum(value).alias("_sum"),
         )
     )
-    return phase1.groupBy(key).agg(
+    return phase1.groupBy(*keys).agg(
         F.sum("_cnt").alias("n_rows"),
         F.round(F.sum("_sum"), 2).alias("sum_value"),
     )

@@ -88,3 +88,62 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """md5 fingerprint of normalized text per document."""
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """The full per-document featurisation stage in ONE scan: token counts,
+    fingerprint, quality features + composite score, and language ID.
+
+    At 100 TB this is the shape that matters: each of the four featurisers
+    above re-reads (and re-tokenizes) the corpus; a training-data pipeline
+    runs them together, so the fused operator tokenizes once and computes
+    every feature from the materialized token array.  Still a narrow
+    projection -- no shuffle, perfectly parallel.
+    """
+    langs = sorted(STOPWORDS)
+    toked = docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
+    # Materialize the per-language hit counts (and the token count) in their
+    # own projection: each is re-referenced below, and CollapseProject would
+    # otherwise inline the non-cheap array filters once per reference.
+    base = toked.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("toks").cast("long").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+        fingerprint_md5("text").alias("fingerprint"),
+        F.coalesce(punct_ratio("text"), F.lit(0.0)).alias("pr"),
+        *[
+            stopword_hits_from_tokens(F.col("toks"), lang).alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    )
+    n_tok_d = F.col("n_tokens_ws").cast("double")
+    sw_ratio = F.coalesce(
+        F.col("hits_en") / F.nullif(n_tok_d, F.lit(0.0)), F.lit(0.0)
+    )
+    score = (
+        F.least(n_tok_d / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(sw_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("pr") * 10, F.lit(1.0))) * 0.3
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.when(best == 0, "und")
+    for lang in langs:  # first (ascending) language achieving the max wins
+        pred = pred.when(F.col(f"hits_{lang}") == best, lang)
+    return base.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "n_chars",
+        "fingerprint",
+        F.round(
+            F.col("n_chars").cast("double") / F.nullif(n_tok_d, F.lit(0.0)), 4
+        ).alias("mean_token_len"),
+        F.round("pr", 4).alias("punct_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+        F.col("lang").alias("lang_true"),
+        pred.alias("lang_pred"),
+    )

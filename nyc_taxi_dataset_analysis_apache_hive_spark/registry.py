@@ -65,23 +65,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "p1_limit_peek",
-    "SELECT * FROM region ORDER BY r_regionkey LIMIT 3",
+    """
+    SELECT *, r_name AS region_name, r_regionkey AS region_id
+    FROM region ORDER BY r_regionkey LIMIT 3
+    """,
 )
 def p1_limit_peek(spark, sf):
-    """P1 (REF:58): deterministic peek -- sort added so LIMIT is stable."""
-    return _t(spark, sf, "region").orderBy("r_regionkey").limit(3)
-
-
-@register(
-    "p2_projection_alias",
-    "SELECT o_orderkey AS order_id, o_totalprice AS price, o_orderpriority AS priority FROM orders",
-)
-def p2_projection_alias(spark, sf):
-    """P2 (REF:65): column projection with aliasing."""
-    return _t(spark, sf, "orders").select(
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderpriority").alias("priority"),
+    """P1+P2+O5 (REF:58, REF:65): star projection + column aliasing +
+    deterministic sort + LIMIT peek.  One registry slot covers both peek and
+    aliasing: the driver evaluates at most 50 queries, so related reference
+    operators share an entry (see COVERAGE.md)."""
+    return (
+        _t(spark, sf, "region")
+        .select(
+            "*",
+            F.col("r_name").alias("region_name"),
+            F.col("r_regionkey").alias("region_id"),
+        )
+        .orderBy("r_regionkey")
+        .limit(3)
     )
 
 
@@ -251,37 +253,24 @@ def a1_group_count(spark, sf):
 
 
 @register(
-    "a2_count_nonnull",
-    """
-    SELECT l_returnflag, count(*) AS cnt_star, count(l_quantity) AS cnt_qty
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a2_count_nonnull(spark, sf):
-    """A2 (REF:114-116): COUNT(col) (non-null) vs COUNT(*)."""
-    return (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("cnt_star"),
-            F.count("l_quantity").alias("cnt_qty"),
-        )
-    )
-
-
-@register(
     "a3_two_key_count",
     """
-    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           count(l_quantity) AS cnt_qty
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
 def a3_two_key_count(spark, sf):
-    """A3 (REF:123-126 etc.): COUNT(*) by two keys (distribution table)."""
+    """A2+A3 (REF:114-116, REF:123-126): COUNT(*) by two keys (distribution
+    table) alongside COUNT(col) -- non-null semantics differ under NULLs,
+    both preserved in one distribution query."""
     return (
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("l_quantity").alias("cnt_qty"),
+        )
     )
 
 
@@ -366,42 +355,51 @@ def a8_corr(spark, sf):
 
 
 @register(
-    "a9_percentile_exact",
+    "a9_percentile",
     """
     SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
            round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           true AS approx_ok
     FROM lineitem
     """,
 )
-def a9_percentile_exact(spark, sf):
-    """A9 (REF:318), exact variant: interpolated percentiles (Spark
-    ``percentile`` == DuckDB ``quantile_cont``, both index = p*(n-1))."""
+def a9_percentile(spark, sf):
+    """A9 (REF:318), both variants in one gated entry.
+
+    Exact: Spark ``percentile`` == DuckDB ``quantile_cont`` (index p*(n-1))
+    -- value-hashed against the oracle.  Approx: ``percentile_approx``
+    (GK sketch, REF:318's own function) is not bit-stable across engines, so
+    the query validates it IN-PLANE: ``approx_ok`` asserts every approx
+    quantile lands within 1% of the exact one, and the oracle expects
+    ``true``.  The sketch's accuracy is thereby driver-gated, not just
+    pytest-gated.  At 100 TB the approx variant is the default path:
+    mergeable one-pass sketch, no global sort, bounded memory -- the exact
+    variant buffers all values per group and exists as the gate/baseline.
+    """
     li = _t(spark, sf, "lineitem")
     # One percentile aggregate with an array argument -> a single sorted
     # state instead of three (3x less agg memory/time).
-    return li.agg(
-        F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").alias("ps")
-    ).select(
+    both = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").alias(
+            "ps"
+        ),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("pa"),
+    )
+    within = [
+        (
+            F.abs(F.element_at("pa", i) - F.element_at("ps", i))
+            <= 0.01 * F.abs(F.element_at("ps", i))
+        )
+        for i in (1, 2, 3)
+    ]
+    return both.select(
         F.round(F.element_at("ps", 1), 4).alias("p25"),
         F.round(F.element_at("ps", 2), 4).alias("p50"),
         F.round(F.element_at("ps", 3), 4).alias("p75"),
-    )
-
-
-@register("a9_percentile_approx", None)  # sketch output is engine-specific
-def a9_percentile_approx(spark, sf):
-    """A9 (REF:318), Hive-semantics variant: percentile_approx multi-quantile.
-
-    The GK-sketch result is not bit-stable across engines, so this entry has
-    no SQL oracle (rows-only check); the exact twin above is the value gate.
-    At 100 TB the approx variant is the right default: mergeable one-pass
-    sketch, no sort, bounded memory.
-    """
-    return _t(spark, sf, "lineitem").select(
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-        ).alias("price_percentiles")
+        (within[0] & within[1] & within[2]).alias("approx_ok"),
     )
 
 
@@ -541,66 +539,80 @@ def w2_rank_per_group(spark, sf):
 
 
 @register(
-    "u1_union_distinct",
+    "u1_set_ops",
     """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    UNION
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'union' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
 )
-def u1_union_distinct(spark, sf):
-    """U (extension, §2.7): UNION DISTINCT."""
+def u1_set_ops(spark, sf):
+    """U (extension, §2.7): the whole set-operation family -- UNION
+    DISTINCT, INTERSECT, EXCEPT -- tagged and stacked so each op's full
+    result set is value-verified in one registry slot.  Each branch is an
+    independent distinct/anti hash-aggregate; Spark unions them without an
+    extra shuffle."""
     o = _t(spark, sf, "orders")
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.union(op).distinct()
 
+    def tag(df: DataFrame, label: str) -> DataFrame:
+        return df.select(F.lit(label).alias("op"), "o_custkey")
 
-@register(
-    "u2_intersect",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def u2_intersect(spark, sf):
-    """U (extension, §2.7): INTERSECT (distinct)."""
-    o = _t(spark, sf, "orders")
-    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(op)
-
-
-@register(
-    "u3_except",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def u3_except(spark, sf):
-    """U (extension, §2.7): EXCEPT (distinct) via DataFrame.subtract."""
-    o = _t(spark, sf, "orders")
-    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.subtract(op)
-
-
-@register(
-    "r1_rollup",
-    """
-    SELECT l_returnflag, l_linestatus, count(*) AS cnt
-    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
-def r1_rollup(spark, sf):
-    """R (extension): ROLLUP grouping sets -- subtotals + grand total."""
     return (
-        _t(spark, sf, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        tag(f.union(op).distinct(), "union")
+        .unionByName(tag(f.intersect(op), "intersect"))
+        .unionByName(tag(f.subtract(op), "except"))
+    )
+
+
+@register(
+    "r1_rollup_cube",
+    """
+    SELECT 'rollup' AS op, l_returnflag AS flag, l_linestatus AS status,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS op, l_returnflag AS flag, l_linestatus AS status,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def r1_rollup_cube(spark, sf):
+    """R (extension): grouping-set lattices -- ROLLUP (subtotals + grand
+    total) and CUBE (all 4 combinations), tagged and stacked.  Each runs as
+    Expand + ONE hash aggregate (one shuffle per lattice, not one per
+    grouping set)."""
+    li = _t(spark, sf, "lineitem")
+
+    def agg(grouped, label: str) -> DataFrame:
+        return grouped.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        ).select(
+            F.lit(label).alias("op"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            "cnt",
+            "sum_qty",
+        )
+
+    return agg(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
+        agg(li.cube("l_returnflag", "l_linestatus"), "cube")
     )
 
 
@@ -649,29 +661,51 @@ def s3_etl_clean_derive(spark, sf):
 
 
 @register(
-    "f_datetime_scalars",
+    "f_scalar_surface",
     """
-    SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
-           CAST(month(l_shipdate) AS BIGINT) AS mn,
-           CAST(day(l_shipdate) AS BIGINT) AS dy,
-           CAST(l_shipdate AS DATE) AS ship_date,
-           count(*) AS cnt
-    FROM lineitem
-    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 6
-    GROUP BY yr, mn, dy, ship_date
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mn,
+           CAST(day(o_orderdate) AS BIGINT) AS dy,
+           CAST(o_orderdate AS DATE) AS order_date,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderpriority, ':', CAST(o_orderkey % 7 AS VARCHAR))
+             AS tagged,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           replace(o_orderpriority, '-', '_') AS prio_snake,
+           CAST(regexp_extract(o_orderpriority, '[0-9]+', 0) AS BIGINT)
+             AS prio_num
+    FROM orders WHERE o_orderkey % 500 = 0
     """,
 )
-def f_datetime_scalars(spark, sf):
-    """F1-F5 (REF:89,241,383-386): year/month/day/date scalar family."""
-    li = _t(spark, sf, "lineitem").filter(
-        (F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 6)
+def f_scalar_surface(spark, sf):
+    """F1-F5 (REF:89,241,383-386) + the string-scalar extension surface in
+    one projection: year/month/day/date date-part family alongside
+    upper/substr/concat/length/replace/regexp_extract (REF uses no string
+    functions -- SURVEY §2.8 -- so these ride the same slot).  All JVM
+    scalar expressions inside whole-stage codegen."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mn"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws(
+            "", F.col("o_orderpriority"), F.lit(":"),
+            (F.col("o_orderkey") % 7).cast("string"),
+        ).alias("tagged"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "prio_snake"
+        ),
+        F.regexp_extract("o_orderpriority", "[0-9]+", 0)
+        .cast("long")
+        .alias("prio_num"),
     )
-    return li.groupBy(
-        F.year("l_shipdate").cast("long").alias("yr"),
-        F.month("l_shipdate").cast("long").alias("mn"),
-        F.dayofmonth("l_shipdate").cast("long").alias("dy"),
-        F.to_date("l_shipdate").alias("ship_date"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @register(
@@ -809,28 +843,35 @@ _TOKS_CTE = f"""
 
 
 @register(
-    "d1_dedup_exact",
-    """
-    SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents GROUP BY text
-    """,
-)
-def d1_dedup_exact(spark, sf):
-    """Exact dedup groups: hash-aggregate on the full text."""
-    return dedup.exact_dedup_groups(_t(spark, sf, "documents"))
-
-
-@register(
-    "d2_fingerprint_dedup",
+    "d1_dedup_groups",
     r"""
-    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+    SELECT 'exact' AS method, text AS grp,
            min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents GROUP BY fp
+    FROM documents GROUP BY text
+    UNION ALL
+    SELECT 'fp' AS method,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS grp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY grp
     """,
 )
-def d2_fingerprint_dedup(spark, sf):
-    """Fingerprint dedup: md5(normalized text) -- constant-width shuffle key."""
-    return dedup.fingerprint_dedup_groups(_t(spark, sf, "documents"))
+def d1_dedup_groups(spark, sf):
+    """Exact dedup (hash-aggregate on the full text) and fingerprint dedup
+    (md5 of normalized text -- constant-width shuffle key, the 100-TB
+    variant) tagged and stacked in one slot.  Both group structures are
+    value-verified: group key, deterministic keeper (min doc_id), and copy
+    count."""
+    docs = _t(spark, sf, "documents")
+    exact = dedup.exact_dedup_groups(docs).select(
+        F.lit("exact").alias("method"),
+        F.col("text").alias("grp"),
+        "keep_id",
+        "n_copies",
+    )
+    fp = dedup.fingerprint_dedup_groups(docs).select(
+        F.lit("fp").alias("method"), F.col("fp").alias("grp"), "keep_id", "n_copies"
+    )
+    return exact.unionByName(fp)
 
 
 def _minhash_sql_parts() -> tuple[str, str]:
@@ -914,9 +955,11 @@ def d3_minhash_lsh_pairs(spark, sf):
     sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams),
     sizes AS (SELECT doc_id, len(s) AS n_sh FROM sets),
     inv AS (
+      -- full 60-bit md5-prefix key (no mod-p reduction): collisions on the
+      -- join key would merge two shingles' posting lists, so the key space
+      -- stays as wide as both engines can represent
       SELECT doc_id,
-             CAST('0x' || substr(md5(sh_str), 1, 15) AS BIGINT) % 2147483647
-               AS shingle
+             CAST('0x' || substr(md5(sh_str), 1, 15) AS BIGINT) AS shingle
       FROM (SELECT doc_id, unnest(s) AS sh_str FROM sets)
     ),
     common AS (
@@ -944,7 +987,10 @@ def d4_ngram_jaccard_pairs(spark, sf):
 @register("d5_simhash_pairs", None)  # engine hash (xxhash64) -> rows-only
 def d5_simhash_pairs(spark, sf):
     """SimHash near-dup pairs (Hamming <= 3, 16-bit-chunk blocking).  Uses
-    Spark's xxhash64, so no SQL oracle; quality gate in tests/test_dedup.py."""
+    Spark's xxhash64, so no SQL oracle; quality gates: Hamming-distance
+    property tests in tests/test_text_properties.py (near-identical docs ->
+    small distance, unrelated -> large, exact dup -> 0) and the no-cartesian
+    plan assertion in tests/test_plans.py."""
     return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
@@ -994,9 +1040,7 @@ def k1_knn_bruteforce(spark, sf):
     )
 
 
-@register(
-    "k2_knn_lsh",
-    f"""
+_K2_LSH_SQL = f"""
     WITH {_NORM_CTE},
     e AS (
       SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n,
@@ -1018,14 +1062,89 @@ def k1_knn_bruteforce(spark, sf):
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
       FROM scored
     ) WHERE rank <= 5
+"""
+
+_IVF_COS_VC = (
+    "round(list_dot_product(v.emb, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+_IVF_COS_QC = _IVF_COS_VC.replace("v.emb", "q.emb")
+_IVF_COS_PA = (
+    "round(list_dot_product(p.q_emb, a.c_emb) /"
+    " nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))"
+    " * sqrt(list_dot_product(a.c_emb, a.c_emb)), 0), 6)"
+)
+
+_K4_IVF_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+      SELECT neighbor_id, c_emb, cent_id FROM (
+        SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e v CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, q_emb, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS_QC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cents c
+      ) WHERE crank <= 3
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id, {_IVF_COS_PA} AS cosine
+      FROM probes p JOIN assigned a USING (cent_id)
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+        AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "k2_ann_lsh_ivf",
+    f"""
+    SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_K2_LSH_SQL})
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_K4_IVF_SQL})
     """,
 )
-def k2_knn_lsh(spark, sf):
-    """Sign-bucket LSH top-5: bucket equi-join replaces the cross join --
-    the 100-TB scale path (recall vs k1 measured in tests)."""
-    return similarity.cosine_topk_lsh(
-        _t(spark, sf, "embeddings"), k=5, n_queries=8, n_bits=4
+def k2_ann_lsh_ivf(spark, sf):
+    """The two scale-path ANN variants, tagged and stacked in one slot
+    (k1 above stays the exact baseline):
+
+    * ``lsh`` -- sign-bucket LSH top-5: bucket equi-join replaces the
+      cross join.
+    * ``ivf`` -- IVF list-probing: corpus assigned to 16 fixed centroids
+      (narrow broadcast pass), queries probe their 3 nearest lists, so
+      candidate generation scans ~3/16 of the corpus via an equi-join.
+
+    IVF recall vs the k1 exact baseline is pytest-gated
+    (tests/test_asof_skew.py::test_ivf_recall_vs_bruteforce); both methods'
+    full top-k result sets are value-verified against the DuckDB oracle
+    here."""
+    emb = _t(spark, sf, "embeddings")
+    lsh = similarity.cosine_topk_lsh(emb, k=5, n_queries=8, n_bits=4)
+    ivf = similarity.cosine_topk_ivf(
+        emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
     )
+    tag = lambda df, label: df.select(  # noqa: E731
+        F.lit(label).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return tag(lsh, "lsh").unionByName(tag(ivf, "ivf"))
 
 
 @register(
@@ -1064,96 +1183,65 @@ def k3_embedding_near_pairs(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "t1_token_counts",
-    f"""
-    SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
-                                x -> x <> '')) AS BIGINT) AS n_tokens_ws,
-           CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_REGEX}')) AS BIGINT)
-             AS n_tokens_bpe,
-           CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents
-    """,
-)
-def t1_token_counts(spark, sf):
-    """Whitespace + BPE-ish token counting per document."""
-    return textops.token_counts(_t(spark, sf, "documents"))
-
-
-@register(
-    "t4_fingerprints",
-    r"""
-    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-           AS fingerprint
-    FROM documents
-    """,
-)
-def t4_fingerprints(spark, sf):
-    """Deterministic md5 fingerprint of normalized text."""
-    return textops.fingerprints(_t(spark, sf, "documents"))
-
-
-def _lang_hits_sql(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return (
-        f"len(list_filter(list_filter(string_split_regex(lower(text), "
-        f"'{TOKEN_SPLIT_REGEX}'), x -> x <> ''), "
-        f"x -> list_contains([{words}], x)))"
-    )
-
-
 _LANGS = sorted(STOPWORDS)
-_LANG_CASE = " ".join(
-    f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS
-)
+
+
+def _hits_from_t_sql(lang: str) -> str:
+    """Stopword-hit count computed from the materialized token list ``t``."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(t, x -> list_contains([{words}], x)))"
+
+
+_LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS)
 
 
 @register(
-    "t3_lang_id",
-    f"""
-    SELECT doc_id, lang_true,
+    "t1_text_profile",
+    rf"""
+    WITH toked AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(t) AS BIGINT) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_REGEX}'))
+               AS BIGINT) AS n_tokens_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint,
+             coalesce(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                 AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr,
+             {", ".join(f"CAST({_hits_from_t_sql(lang)} AS BIGINT) AS hits_{lang}" for lang in _LANGS)}
+      FROM toked
+    )
+    SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars, fingerprint,
+           round(CAST(n_chars AS DOUBLE) / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 4)
+             AS mean_token_len,
+           round(pr, 4) AS punct_ratio,
+           round(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0), 4)
+             AS stopword_ratio,
+           round(least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
+                 + (1 - least(pr * 10, 1.0)) * 0.3, 4) AS quality_score,
+           lang AS lang_true,
            CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred
     FROM (
-      SELECT doc_id, lang AS lang_true,
-             {", ".join(f"CAST({_lang_hits_sql(lang)} AS BIGINT) AS hits_{lang}" for lang in _LANGS)},
-             greatest({", ".join(f"CAST({_lang_hits_sql(lang)} AS BIGINT)" for lang in _LANGS)}) AS best
-      FROM documents
+      SELECT *, greatest({", ".join(f"hits_{lang}" for lang in _LANGS)}) AS best
+      FROM feat
     )
     """,
 )
-def t3_lang_id(spark, sf):
-    """Stopword-heuristic language ID with deterministic argmax tie-break."""
-    return textops.lang_id(_t(spark, sf, "documents"))
-
-
-@register(
-    "t2_quality_scores",
-    rf"""
-    WITH feat AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
-                                  x -> x <> '')) AS BIGINT) AS n_tokens,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-               / nullif(CAST(length(text) AS DOUBLE), 0) AS pr,
-             CAST({_lang_hits_sql("en")} AS DOUBLE) AS en_hits
-      FROM documents
-    )
-    SELECT doc_id, n_tokens,
-           round(n_chars / nullif(CAST(n_tokens AS DOUBLE), 0), 4) AS mean_token_len,
-           round(coalesce(pr, 0), 4) AS punct_ratio,
-           round(coalesce(en_hits / nullif(CAST(n_tokens AS DOUBLE), 0), 0), 4)
-             AS stopword_ratio,
-           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-                 + least(coalesce(en_hits / nullif(CAST(n_tokens AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
-                 + (1 - least(coalesce(pr, 0) * 10, 1.0)) * 0.3, 4) AS quality_score
-    FROM feat
-    """,
-)
-def t2_quality_scores(spark, sf):
-    """Heuristic document quality features + composite score."""
-    return textops.quality_scores(_t(spark, sf, "documents"))
+def t1_text_profile(spark, sf):
+    """The per-document text-analysis stage, fused: whitespace + BPE-ish
+    token counts, md5 fingerprint, quality features + composite score, and
+    stopword-heuristic language ID (deterministic argmax tie-break) -- all
+    from ONE tokenize pass (operators/textops.text_profile).  The individual
+    featurisers remain available as separate operators; the registry entry
+    runs the fused production shape."""
+    return textops.text_profile(_t(spark, sf, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1275,41 +1363,26 @@ def x1_asof_join(spark, sf):
 
 
 @register(
-    "x2_salted_agg",
+    "x2_salted_join_agg",
     """
-    SELECT event_type, count(*) AS n_rows,
-           round(sum(value), 2) AS sum_value
-    FROM events GROUP BY event_type
-    """,
-)
-def x2_salted_agg(spark, sf):
-    """Two-phase salted aggregation over the 5-hot-key event_type column:
-    identical answers to the plain GROUP BY oracle, skew-proof shuffle
-    (hot keys fan out over 8 salt reducers before the tiny final agg)."""
-    return skew.salted_group_count_sum(
-        _t(spark, sf, "events"),
-        key="event_type",
-        value="value",
-        salt_from="event_id",
-        n_salts=8,
-    )
-
-
-@register(
-    "x3_salted_join",
-    """
-    SELECT l.event_id, l.event_type, round(l.value, 2) AS value,
-           r.type_rank
+    SELECT l.event_type, r.type_rank, count(*) AS n_rows,
+           round(sum(l.value), 2) AS sum_value
     FROM events l JOIN (
       SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
              AS type_rank
       FROM (SELECT DISTINCT event_type FROM events)
     ) r USING (event_type)
+    GROUP BY l.event_type, r.type_rank
     """,
 )
-def x3_salted_join(spark, sf):
-    """Salted inner join on the skewed event_type key: left salts, right
-    replicates 8x; result set equals the plain join oracle."""
+def x2_salted_join_agg(spark, sf):
+    """The skew-mitigation pipeline on the 5-hot-key event_type column:
+    salted inner join (left salts via hash(event_id), right dim replicates
+    8x) feeding a two-phase salted aggregation (hot keys fan out over 8
+    salt reducers before the tiny final agg).  Bit-identical to the plain
+    join + GROUP BY oracle -- the salt only reshapes the shuffle
+    histogram.  Salted-vs-unsalted equality for each operator alone is
+    pytest-gated (tests/test_asof_skew.py)."""
     ev = _t(spark, sf, "events")
     dim = (
         ev.select("event_type")
@@ -1329,104 +1402,44 @@ def x3_salted_join(spark, sf):
         salt_from="event_id",
         n_salts=8,
     )
-    return joined.select(
-        "event_id", "event_type", F.round("value", 2).alias("value"), "type_rank"
+    return skew.salted_group_count_sum(
+        joined,
+        key=["event_type", "type_rank"],
+        value="value",
+        salt_from="event_id",
+        n_salts=8,
     )
 
 
 @register(
-    "a10_count_distinct",
+    "a10_distinct_counts",
     """
     SELECT l_returnflag,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           true AS approx_ok
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def a10_count_distinct(spark, sf):
-    """Exact multi-column COUNT(DISTINCT) by key (expand + two-phase agg
-    under the hood -- Catalyst's RewriteDistinctAggregates)."""
+def a10_distinct_counts(spark, sf):
+    """Exact multi-column COUNT(DISTINCT) by key (expand + two-phase agg --
+    Catalyst's RewriteDistinctAggregates) alongside the 100-TB path:
+    approx_count_distinct (HyperLogLog++, mergeable single-pass sketch).
+
+    The HLL estimate is engine-specific, so it is validated IN-PLANE:
+    ``approx_ok`` asserts the estimate lands within max(5%, 2) of the exact
+    count per group and the oracle expects ``true`` -- the sketch accuracy
+    is driver-gated, not just pytest-gated."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx"),
     )
-
-
-@register("a11_approx_distinct", None)  # HLL sketch: engine-specific values
-def a11_approx_distinct(spark, sf):
-    """approx_count_distinct (HyperLogLog++): the mergeable single-pass
-    100-TB path for distinct counts; rows-only check (sketch estimates are
-    engine-specific), accuracy property gated in pytest."""
-    li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx")
+    ok = F.abs(F.col("n_supp_approx") - F.col("n_supp")) <= F.greatest(
+        0.05 * F.col("n_supp"), F.lit(2)
     )
-
-
-_IVF_COS_VC = (
-    "round(list_dot_product(v.emb, c.cent_emb) /"
-    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
-    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
-)
-_IVF_COS_QC = _IVF_COS_VC.replace("v.emb", "q.emb")
-_IVF_COS_PA = (
-    "round(list_dot_product(p.q_emb, a.c_emb) /"
-    " nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))"
-    " * sqrt(list_dot_product(a.c_emb, a.c_emb)), 0), 6)"
-)
-
-
-@register(
-    "k4_knn_ivf",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    cents AS (
-      SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-      WHERE vec_id >= 100 AND vec_id < 116
-    ),
-    assigned AS (
-      SELECT neighbor_id, c_emb, cent_id FROM (
-        SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_IVF_COS_VC} DESC, c.cent_id ASC) AS crank
-        FROM e v CROSS JOIN cents c
-      ) WHERE crank = 1
-    ),
-    probes AS (
-      SELECT query_id, q_emb, cent_id FROM (
-        SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY {_IVF_COS_QC} DESC, c.cent_id ASC) AS crank
-        FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cents c
-      ) WHERE crank <= 3
-    ),
-    scored AS (
-      SELECT DISTINCT p.query_id, a.neighbor_id, {_IVF_COS_PA} AS cosine
-      FROM probes p JOIN assigned a USING (cent_id)
-      WHERE p.query_id <> a.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
-        AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-)
-def k4_knn_ivf(spark, sf):
-    """IVF list-probing ANN: corpus assigned to 16 fixed centroids (narrow
-    broadcast pass), queries probe their 3 nearest lists -- candidate
-    generation scans ~3/16 of the corpus via an equi-join instead of the
-    brute-force cross product.  Recall vs k1 is pytest-gated."""
-    return similarity.cosine_topk_ivf(
-        _t(spark, sf, "embeddings"),
-        k=5,
-        n_queries=8,
-        n_centroids=16,
-        n_probe=3,
-        centroid_offset=100,
-    )
+    return agg.select("l_returnflag", "n_supp", "n_part", ok.alias("approx_ok"))
 
 
 # ---------------------------------------------------------------------------
@@ -1436,40 +1449,34 @@ def k4_knn_ivf(spark, sf):
 
 
 @register(
-    "j2_semi_join",
+    "j2_semi_anti_join",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'has_big_order' AS segment, c_custkey, c_name FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
     )
-    """,
-)
-def j2_semi_join(spark, sf):
-    """Left-semi join: customers with at least one large order.  Plans as a
-    build-side-deduped hash join -- no row multiplication, no second scan."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "j3_anti_join",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'no_orders' AS segment, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def j3_anti_join(spark, sf):
-    """Left-anti join: customers with no orders at all (the orphan check
-    every ETL pipeline needs)."""
+def j2_semi_anti_join(spark, sf):
+    """Customer segmentation via the semi/anti join pair, tagged and
+    stacked: ``has_big_order`` = left-semi join against large orders (plans
+    as a build-side-deduped hash join -- no row multiplication, no second
+    scan); ``no_orders`` = left-anti join (the orphan check every ETL
+    pipeline needs)."""
     c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
     o = _t(spark, sf, "orders")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("has_big_order").alias("segment"), "c_custkey", "c_name"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("segment"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -1492,35 +1499,6 @@ def j4_outer_join(spark, sf):
     )
     return n.join(c, n.n_nationkey == c.c_nationkey, "left").select(
         "n_name", F.coalesce("n_customers", F.lit(0)).alias("n_customers")
-    )
-
-
-@register(
-    "r2_cube",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS flag,
-           coalesce(l_linestatus, 'ALL') AS status,
-           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def r2_cube(spark, sf):
-    """CUBE over two keys: all 4 grouping-set combinations in one pass
-    (Expand + single aggregate -- one shuffle for the whole lattice)."""
-    li = _t(spark, sf, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
-            "cnt",
-            "sum_qty",
-        )
     )
 
 
@@ -1597,16 +1575,51 @@ def s6_hash_split(spark, sf):
     )
 
 
-@register("s7_stratified_sample", None)  # engine RNG -> rows-only
-def s7_stratified_sample(spark, sf):
-    """Per-language stratified sample (class rebalancing); engine RNG so
-    rows-only here, per-stratum rate accuracy is pytest-gated."""
-    return sampling.stratified_sample(
-        _t(spark, sf, "documents").select("doc_id", "lang"),
-        "lang",
-        {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1},
-        seed=42,
+#: s7 per-stratum target rates + the absolute tolerance the gate asserts.
+#: |realised - target| <= 0.15 absolute: loose enough for the smallest
+#: stratum (~70 docs at the pytest/driver sfs, where seeded Bernoulli rates
+#: deviate up to ~0.08), tight enough that a wrong fraction wiring (e.g.
+#: swapped strata, double sampling) trips it.
+_S7_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1}
+_S7_TOL = 0.15
+
+
+@register(
+    "s7_stratified_rates",
+    f"""
+    SELECT DISTINCT lang, true AS rate_ok FROM documents
+    WHERE lang IN ({", ".join(f"'{k}'" for k in sorted(_S7_FRACTIONS))})
+    """,
+)
+def s7_stratified_rates(spark, sf):
+    """Per-language stratified sample (class rebalancing) with an IN-PLANE
+    rate gate: the query samples via seeded ``sampleBy``, then checks the
+    realised per-stratum rate against its target.  The sampled row set is
+    engine-RNG-specific, but ``rate_ok`` is deterministic for a fixed seed
+    and dataset -- the oracle expects ``true`` per stratum, so the sampler
+    is driver-gated instead of rows-only."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    in_strata = docs.filter(F.col("lang").isin(*_S7_FRACTIONS))
+    totals = in_strata.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = (
+        sampling.stratified_sample(in_strata, "lang", _S7_FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
     )
+    target = F.create_map(
+        *[F.lit(x) for kv in _S7_FRACTIONS.items() for x in kv]
+    )
+    joined = totals.join(sampled, "lang", "left").select(
+        "lang",
+        (
+            F.abs(
+                F.coalesce("n_samp", F.lit(0)) / F.col("n_total").cast("double")
+                - target[F.col("lang")]
+            )
+            <= _S7_TOL
+        ).alias("rate_ok"),
+    )
+    return joined
 
 
 @register(
@@ -1687,41 +1700,6 @@ def p9_pivot(spark, sf):
         F.col("O_qty").alias("qty_o"),
         F.col("F_cnt").alias("cnt_f"),
         F.col("O_cnt").alias("cnt_o"),
-    )
-
-
-@register(
-    "f_string_scalars",
-    """
-    SELECT o_orderkey,
-           upper(o_orderpriority) AS prio_upper,
-           substr(o_orderpriority, 1, 1) AS prio_code,
-           concat(o_orderpriority, ':', CAST(o_orderkey % 7 AS VARCHAR))
-             AS tagged,
-           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
-           replace(o_orderpriority, '-', '_') AS prio_snake,
-           CAST(regexp_extract(o_orderpriority, '[0-9]+', 0) AS BIGINT)
-             AS prio_num
-    FROM orders WHERE o_orderkey % 1000 = 0
-    """,
-)
-def f_string_scalars(spark, sf):
-    """String-function surface (extension; REF uses none): upper, substr,
-    concat, length, replace, regexp_extract -- all JVM scalar expressions."""
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 1000 == 0)
-    return o.select(
-        "o_orderkey",
-        F.upper("o_orderpriority").alias("prio_upper"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.concat_ws("", F.col("o_orderpriority"), F.lit(":"),
-                    (F.col("o_orderkey") % 7).cast("string")).alias("tagged"),
-        F.length("o_orderpriority").cast("long").alias("prio_len"),
-        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
-            "prio_snake"
-        ),
-        F.regexp_extract("o_orderpriority", "[0-9]+", 0)
-        .cast("long")
-        .alias("prio_num"),
     )
 
 

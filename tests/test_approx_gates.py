@@ -1,0 +1,89 @@
+"""Quantitative accuracy gates for the approximate 100-TB paths.
+
+The registry's self-validating queries (a9_percentile / a10_distinct_counts
+/ s7_stratified_rates) assert tolerance booleans inside the driver gate;
+these tests assert the underlying NUMERIC errors at sf0.01 so a sketch
+regression is visible as a measured epsilon, not just a flipped flag.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+
+def test_percentile_approx_within_epsilon(spark, sf001_dir):
+    """A9 approx path (REF:318): GK-sketch quantiles within 1% relative of
+    the exact interpolated percentiles."""
+    li = load_table(spark, sf001_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").alias(
+            "exact"
+        ),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) <= 0.01 * abs(e), (e, a)
+
+
+def test_approx_count_distinct_within_epsilon(spark, sf001_dir):
+    """HLL++ estimates within max(5%, 2) of exact distinct counts per group
+    (rsd=0.02; small cardinalities resolve exactly via the sparse path)."""
+    li = load_table(spark, sf001_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("exact"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 2), r
+
+
+def test_stratified_sample_rates(spark, sf001_dir):
+    """Realised per-stratum rates land within 0.15 absolute of target (the
+    s7 in-plane gate's tolerance) for the fixed seed and dataset."""
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1}
+    docs = (
+        load_table(spark, sf001_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("lang").isin(*fractions))
+    )
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    sampled = {
+        r["lang"]: r["count"]
+        for r in sampling.stratified_sample(docs, "lang", fractions, seed=42)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for lang, target in fractions.items():
+        rate = sampled.get(lang, 0) / totals[lang]
+        assert rate == pytest.approx(target, abs=0.15), (lang, rate, target)
+
+
+def test_minhash_persist_flag_same_results(spark, sf0001_dir):
+    """persist_shingles=True (the cluster-scale path: one tokenize+shingle
+    pass shared between signatures and verify) returns the identical pair
+    set as the default recompute path."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    docs = load_table(spark, sf0001_dir, "documents")
+    kw = dict(n_hashes=16, n_bands=4, shingle_n=3, jaccard_threshold=0.5)
+    plain = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, **kw).collect()
+    }
+    persisted = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, persist_shingles=True, **kw).collect()
+    }
+    assert plain == persisted and plain

@@ -173,6 +173,26 @@ def test_connected_components_hand_graph(spark):
     assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Cluster-durable mode: a reliable checkpoint dir swaps localCheckpoint
+    for checkpoint() (survives executor loss); results are identical and
+    checkpoint files actually land in the directory."""
+    import os
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21)], "doc_a long, doc_b long"
+    )
+    ckdir = str(tmp_path / "ck")
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files"
+
+
 def test_dedup_keep_list_covers_all_docs(spark):
     from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
 

@@ -90,11 +90,12 @@ def test_scalar_cross_join_is_single_row_broadcast(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs"]
+    "name",
+    ["d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs", "d5_simhash_pairs"],
 )
 def test_dedup_never_plans_cartesian(spark, name):
-    """LSH banding / inverted-index joins must be equi-joins, never an
-    all-pairs product."""
+    """LSH banding / inverted-index / simhash-chunk-blocking joins must be
+    equi-joins, never an all-pairs product."""
     assert "CartesianProduct" not in explain_str(_q(spark, name))
 
 

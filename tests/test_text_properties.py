@@ -121,18 +121,84 @@ def test_fingerprint_matches_python_md5(spark, texts):
 
 
 def test_minhash_portable_base_hash(spark):
-    """The 60-bit md5-prefix base hash (dedup signatures) matches a Python
-    recompute -- the property that makes the DuckDB oracle exact."""
+    """The 60-bit md5-prefix base hash (d4 inverted-index join key) and its
+    mod-p reduction (MinHash permutation field) both match a Python
+    recompute -- the property that makes the DuckDB oracles exact."""
     from nyc_taxi_dataset_analysis_apache_hive_spark.operators.dedup import (
         MINHASH_P,
+        minhash_reduced_hash,
         shingle_base_hash,
     )
 
     samples = ["alpha beta gamma", "x", "", "déjà vu", "0 1 2 3"]
     df = spark.createDataFrame([(s,) for s in samples], "s string")
-    got = [r["h"] for r in df.select(shingle_base_hash(F.col("s")).alias("h")).collect()]
-    expected = [
-        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
-        for s in samples
-    ]
-    assert got == expected
+    rows = df.select(
+        shingle_base_hash(F.col("s")).alias("h"),
+        minhash_reduced_hash(F.col("s")).alias("hr"),
+    ).collect()
+    base = [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in samples]
+    assert [r["h"] for r in rows] == base
+    assert [r["hr"] for r in rows] == [h % MINHASH_P for h in base]
+    # the join-key hash keeps the full 60-bit width (collision resistance
+    # for the inverted index); at least one sample must exceed 31 bits
+    assert any(h >= 2**31 for h in base)
+
+
+def _simhash_map(spark, docs):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.dedup import simhash_64
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r["doc_id"]: r["simhash"] for r in simhash_64(df).collect()}
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_simhash_hamming_quality(spark):
+    """The d5 quality gate: near-identical documents land at small Hamming
+    distance, unrelated documents far apart, exact duplicates at 0."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy birds "
+        "watch from the old oak tree near the river bank in autumn light"
+    )
+    near = base.replace("autumn", "winter")  # one token changed
+    unrelated = (
+        "quantum flux capacitors require routine calibration against "
+        "spurious harmonic interference measured in decibel units daily"
+    )
+    sh = _simhash_map(
+        spark,
+        [(1, base), (2, base), (3, near), (4, unrelated)],
+    )
+    assert _hamming(sh[1], sh[2]) == 0  # exact dup
+    near_d = _hamming(sh[1], sh[3])
+    far_d = _hamming(sh[1], sh[4])
+    assert near_d <= 8, near_d  # one-token edit moves few bits
+    assert far_d >= 16, far_d  # unrelated text ~ random half of 64 bits
+    assert near_d < far_d
+
+
+def test_simhash_near_pairs_finds_dups_only(spark):
+    """simhash_near_pairs surfaces the exact-dup pair (Hamming 0) and does
+    not pair unrelated docs at max_hamming=3."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy birds "
+        "watch from the old oak tree near the river bank in autumn light"
+    )
+    unrelated = (
+        "quantum flux capacitors require routine calibration against "
+        "spurious harmonic interference measured in decibel units daily"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 0}
