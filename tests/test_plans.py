@@ -99,6 +99,25 @@ def test_dedup_never_plans_cartesian(spark, name):
     assert "CartesianProduct" not in explain_str(_q(spark, name))
 
 
+def test_text_profile_scans_documents_once(spark):
+    """The fused t1 entry must read the documents parquet ONCE (the whole
+    point of fusing four featurisers); four separate scans would read the
+    corpus 4x at 100 TB."""
+    plan = explain_str(_q(spark, "t1_text_profile"))
+    # formatted explain prints each node in the tree AND in the detail
+    # listing -- count the numbered detail entries only
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+
+
+def test_ann_suite_has_no_cartesian_on_scale_paths(spark):
+    """The merged LSH+IVF entry: candidate generation is equi-joins (LSH
+    buckets / IVF list ids); the only allowed nested-loop joins are the
+    broadcast centroid/query passes (tiny side broadcast)."""
+    plan = explain_str(_q(spark, "k2_ann_lsh_ivf"))
+    assert "CartesianProduct" not in plan
+
+
 def test_no_python_udf_in_reference_surface(spark):
     """SURVEY §2.10: reference parity needs zero Python row crossings --
     every reference-derived query stays fully JVM-side."""
