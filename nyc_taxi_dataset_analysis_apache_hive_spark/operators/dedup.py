@@ -221,16 +221,28 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, shingle_n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via an inverted-index join.
 
     explode distinct shingles -> self-join on shingle (doc_a < doc_b) ->
     common-shingle count per pair -> jaccard = common / (|A| + |B| - common).
     No all-pairs product: pairs sharing zero shingles never materialise.
-    Skewed shingles (stop-gram hot keys) are the scale risk -- AQE skew-join
-    splitting handles moderate skew; heavy-hitter shingles can be dropped
-    upstream (they carry no near-dup signal) if needed.
+
+    ``max_doc_freq`` is the heavy-hitter control for 100-TB corpora: a
+    shingle appearing in d documents contributes O(d^2) candidate rows to
+    the self-join, and boilerplate stop-grams ("all rights reserved") can
+    have d in the millions while carrying no near-dup signal.  When set,
+    shingles with document frequency > max_doc_freq are dropped from the
+    inverted index via a broadcast anti-join (the hot set is tiny by
+    definition).  This is a documented approximation: dropped shingles no
+    longer count toward ``common``, so reported jaccard becomes a lower
+    bound and pairs overlapping ONLY in boilerplate fall away -- which is
+    the desired behaviour.  Default None = exact (the oracle-parity path);
+    AQE skew-join splitting covers moderate skew either way.
     """
     sets = _shingle_sets(docs, shingle_n)
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
@@ -241,6 +253,14 @@ def ngram_jaccard_pairs(
     inv = sets.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", shingle_base_hash(F.col("s")).alias("shingle")
     )
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

@@ -90,6 +90,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
 
 
+def vocabulary(
+    docs: DataFrame, min_count: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: (token, count, doc_freq) sorted by count desc.
+
+    One explode + one hash-aggregate on the token -- the shuffle key is the
+    token string and partial aggregation collapses counts map-side, so the
+    shuffled volume is O(distinct tokens per partition), not O(corpus
+    tokens).  ``doc_freq`` (documents containing the token) is computed in
+    the same aggregate from per-doc distinct tokens.  This is the upstream
+    stats pass for stop-token lists and the ``max_doc_freq`` heavy-hitter
+    cap in dedup.ngram_jaccard_pairs.
+    """
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("n_in_doc").alias("count"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+    )
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """The full per-document featurisation stage in ONE scan: token counts,
     fingerprint, quality features + composite score, and language ID.

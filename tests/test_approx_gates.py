@@ -70,6 +70,67 @@ def test_stratified_sample_rates(spark, sf001_dir):
         assert rate == pytest.approx(target, abs=0.15), (lang, rate, target)
 
 
+def test_ngram_doc_freq_cap_drops_boilerplate_pairs(spark):
+    """The heavy-hitter control: docs overlapping ONLY in a universal
+    boilerplate phrase stop pairing once the hot shingles are capped, while
+    true near-dups (distinctive overlap) survive with jaccard reported as a
+    lower bound."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    boiler = "all rights reserved by the original publisher of record"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+            (2, f"{boiler} alpha beta gamma delta epsilon zeta eta iota"),
+            (3, f"{boiler} one two three four five six seven eight"),
+            (4, f"{boiler} red orange yellow green blue indigo violet pink"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_n=3, threshold=0.05)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, **kw).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, max_doc_freq=2, **kw).collect()
+    }
+    # every pair shares the boilerplate shingles -> all 6 pairs uncapped
+    assert set(exact) == {(a, b) for a in (1, 2, 3) for b in (2, 3, 4) if a < b}
+    # capped: only the true near-dup pair (distinctive alpha..eta overlap)
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] <= exact[(1, 2)]  # jaccard is now a lower bound
+
+
+def test_vocabulary_counts_match_python(spark):
+    """vocabulary() totals and doc-freqs match a Python recompute."""
+    import collections
+    import re
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
+
+    texts = ["the cat and the hat", "a cat sat", "the end"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["token"]: (r["count"], r["doc_freq"])
+        for r in textops.vocabulary(docs).collect()
+    }
+    counts: collections.Counter = collections.Counter()
+    dfreq: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+        counts.update(toks)
+        dfreq.update(set(toks))
+    assert got == {t: (counts[t], dfreq[t]) for t in counts}
+    # min_count filters the tail
+    top = textops.vocabulary(docs, min_count=2).collect()
+    assert {r["token"] for r in top} == {t for t, c in counts.items() if c >= 2}
+    assert top[0]["token"] == "the"  # count-desc ordering
+
+
 def test_minhash_persist_flag_same_results(spark, sf0001_dir):
     """persist_shingles=True (the cluster-scale path: one tokenize+shingle
     pass shared between signatures and verify) returns the identical pair
