@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     distinct_tokens,
@@ -186,7 +187,11 @@ def minhash_lsh_pairs(
     100-TB scale, tokenize+shingle dominates CPU and the recompute doubles
     it, so pass True to cache the set frame (MEMORY_AND_DISK) and share it
     between the two passes.  Same results either way (bench numbers in
-    BASELINE.md).
+    BASELINE.md).  Cache-lifetime caveat: the cached frame is function-local
+    and stays registered after the caller's action completes; a long-lived
+    application running many corpora per session should
+    ``spark.catalog.clearCache()`` between batches (or keep the default
+    recompute path).
     """
     shingle_frame = _shingle_sets(docs, shingle_n)
     if persist_shingles:
@@ -236,9 +241,12 @@ def ngram_jaccard_pairs(
     shingle appearing in d documents contributes O(d^2) candidate rows to
     the self-join, and boilerplate stop-grams ("all rights reserved") can
     have d in the millions while carrying no near-dup signal.  When set,
-    shingles with document frequency > max_doc_freq are dropped from the
-    inverted index via a broadcast anti-join (the hot set is tiny by
-    definition).  This is a documented approximation: dropped shingles no
+    shingles with document frequency > max_doc_freq are dropped via a
+    count-over-window on the shingle key: ONE pass over the index (no
+    second tokenize+shingle lineage, no driver-side collect of the hot
+    set), linear per-shingle counting even for the hottest key, and the
+    filter's shuffle-by-shingle is the same partitioning the self-join
+    needs next.  This is a documented approximation: dropped shingles no
     longer count toward ``common``, so reported jaccard becomes a lower
     bound and pairs overlapping ONLY in boilerplate fall away -- which is
     the desired behaviour.  Default None = exact (the oracle-parity path);
@@ -254,13 +262,12 @@ def ngram_jaccard_pairs(
         "doc_id", shingle_base_hash(F.col("s")).alias("shingle")
     )
     if max_doc_freq is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
+        w = Window.partitionBy("shingle")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -394,13 +401,67 @@ def connected_components(
     NON-RELIABLE on a cluster (an executor loss mid-iteration kills the job
     because the lineage was already cut).  For cluster runs pass a reliable
     (HDFS/S3) directory: iterations then use ``checkpoint()``, which
-    survives executor loss.
+    survives executor loss.  Each iteration's reliable checkpoint is
+    best-effort deleted once the next one has materialized (Spark's own
+    cleaner, ``spark.cleaner.referenceTracking.cleanCheckpoints``, is off
+    by default and GC-driven), so at most ~2 label snapshots + the edge
+    list live in the directory instead of max_iter copies.  Note
+    ``setCheckpointDir`` is SparkContext-global: the directory stays the
+    app-wide checkpoint location after this call.
     """
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _hadoop_fs():
+            hpath = sc._jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+            return hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
+
+        def _list_rdd_dirs() -> set[str]:
+            """rdd-* checkpoint dirs under checkpoint_dir/<uuid>/."""
+            try:
+                fs, base = _hadoop_fs()
+                out = set()
+                for st in fs.listStatus(base):
+                    if st.isDirectory():
+                        for sub in fs.listStatus(st.getPath()):
+                            out.add(str(sub.getPath()))
+                return out
+            except Exception:
+                return set()
+
+        # Deletion lags TWO checkpoints behind: at iteration N the loop
+        # still joins labels_{N-1} (for messages and the convergence count)
+        # after new_labels_N is checkpointed, so labels_{N-1} must survive
+        # call N and is deleted at call N+1.  The edge-list checkpoint
+        # (first call) is joined every iteration and is never deleted.
+        pinned: set[str] = set()
+        pending: list[list[str]] = []  # [..., dirs(call N-1)] newest last
+        first_call = True
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            nonlocal first_call
+            before = _list_rdd_dirs()
+            out = df.checkpoint(eager=True)
+            created = sorted(_list_rdd_dirs() - before)
+            if first_call:
+                pinned.update(created)
+                first_call = False
+                return out
+            pending.append(created)
+            if len(pending) > 2:
+                # best-effort delete (Spark's own cleaner is off by default
+                # and GC-driven)
+                try:
+                    fs, _ = _hadoop_fs()
+                    for path in pending.pop(0):
+                        if path not in pinned:
+                            fs.delete(
+                                sc._jvm.org.apache.hadoop.fs.Path(path), True
+                            )
+                except Exception:
+                    pass  # cleanup only; never fail the job over it
+            return out
 
     else:
 

@@ -22,6 +22,29 @@ from ..functions.text import (
 )
 
 
+def _composite_quality(n_tok_d, sw_ratio, pr):
+    """The one definition of the composite quality score (bounded weighted
+    sum of length, stopword, and punctuation signals) -- shared by the
+    standalone ``quality_scores`` and the fused ``text_profile`` so the two
+    can never drift (equivalence-tested in tests/test_approx_gates.py)."""
+    return (
+        F.least(n_tok_d / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(sw_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(pr * 10, F.lit(1.0))) * 0.3
+    )
+
+
+def _lang_pred(langs: list[str], hits: dict):
+    """The one definition of the language-ID argmax with deterministic
+    tie-break (ascending language code; 'und' on zero hits) -- shared by
+    ``lang_id`` and ``text_profile``."""
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.when(best == 0, "und")
+    for lang in langs:  # first (ascending) language achieving the max wins
+        pred = pred.when(hits[lang] == best, lang)
+    return pred
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace and BPE-ish token counts per document."""
     return docs.select(
@@ -50,10 +73,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         n_tok.cast("double"), F.lit(0.0)
     )
     pr = F.coalesce(punct_ratio("text"), F.lit(0.0))
-    score = (
-        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
-        + (1 - F.least(pr * 10, F.lit(1.0))) * 0.3
+    score = _composite_quality(
+        n_tok.cast("double"), F.coalesce(sw_ratio, F.lit(0.0)), pr
     )
     return toked.select(
         "doc_id",
@@ -78,10 +99,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for lang in langs
     ]
     scored = toked.select("doc_id", F.col("lang").alias("lang_true"), *hit_cols)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.when(best == 0, "und")
-    for lang in langs:  # first (ascending) language achieving the max wins
-        pred = pred.when(F.col(f"hits_{lang}") == best, lang)
+    pred = _lang_pred(langs, {lang: F.col(f"hits_{lang}") for lang in langs})
     return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
 
 
@@ -95,13 +113,13 @@ def vocabulary(
 ) -> DataFrame:
     """Corpus vocabulary: (token, count, doc_freq) sorted by count desc.
 
-    One explode + one hash-aggregate on the token -- the shuffle key is the
-    token string and partial aggregation collapses counts map-side, so the
-    shuffled volume is O(distinct tokens per partition), not O(corpus
-    tokens).  ``doc_freq`` (documents containing the token) is computed in
-    the same aggregate from per-doc distinct tokens.  This is the upstream
-    stats pass for stop-token lists and the ``max_doc_freq`` heavy-hitter
-    cap in dedup.ngram_jaccard_pairs.
+    Two hash-aggregates because doc_freq needs per-document distinctness:
+    stage 1 groups by (doc_id, token) -- partial aggregation collapses
+    within-document repeats map-side, so the shuffle carries O(distinct
+    (doc, token) pairs), the same volume a countDistinct(doc_id) rewrite
+    would shuffle; stage 2 re-aggregates by token alone (tiny).  This is
+    the upstream stats pass for stop-token lists and the ``max_doc_freq``
+    heavy-hitter cap in dedup.ngram_jaccard_pairs.
     """
     tok = docs.select(
         F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
@@ -153,15 +171,8 @@ def text_profile(docs: DataFrame) -> DataFrame:
     sw_ratio = F.coalesce(
         F.col("hits_en") / F.nullif(n_tok_d, F.lit(0.0)), F.lit(0.0)
     )
-    score = (
-        F.least(n_tok_d / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(sw_ratio * 5, F.lit(1.0)) * 0.3
-        + (1 - F.least(F.col("pr") * 10, F.lit(1.0))) * 0.3
-    )
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.when(best == 0, "und")
-    for lang in langs:  # first (ascending) language achieving the max wins
-        pred = pred.when(F.col(f"hits_{lang}") == best, lang)
+    score = _composite_quality(n_tok_d, sw_ratio, F.col("pr"))
+    pred = _lang_pred(langs, {lang: F.col(f"hits_{lang}") for lang in langs})
     return base.select(
         "doc_id",
         "n_tokens_ws",

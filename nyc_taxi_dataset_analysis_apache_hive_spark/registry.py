@@ -1578,8 +1578,11 @@ def s6_hash_split(spark, sf):
 #: s7 per-stratum target rates + the absolute tolerance the gate asserts.
 #: |realised - target| <= 0.15 absolute: loose enough for the smallest
 #: stratum (~70 docs at the pytest/driver sfs, where seeded Bernoulli rates
-#: deviate up to ~0.08), tight enough that a wrong fraction wiring (e.g.
-#: swapped strata, double sampling) trips it.
+#: deviate up to ~0.08), tight enough that a grossly wrong fraction wiring
+#: (e.g. rates applied to the wrong strata at scale, double sampling)
+#: trips it.  The band alone cannot see a DROPPED stratum whose target is
+#: below the tolerance (|0 - 0.1| < 0.15), so the gate additionally
+#: requires n_samp >= 1 per stratum.
 _S7_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1}
 _S7_TOL = 0.15
 
@@ -1609,14 +1612,18 @@ def s7_stratified_rates(spark, sf):
     target = F.create_map(
         *[F.lit(x) for kv in _S7_FRACTIONS.items() for x in kv]
     )
+    n_samp = F.coalesce("n_samp", F.lit(0))
     joined = totals.join(sampled, "lang", "left").select(
         "lang",
         (
-            F.abs(
-                F.coalesce("n_samp", F.lit(0)) / F.col("n_total").cast("double")
-                - target[F.col("lang")]
+            (n_samp >= 1)  # a silently dropped stratum must trip the gate
+            & (
+                F.abs(
+                    n_samp / F.col("n_total").cast("double")
+                    - target[F.col("lang")]
+                )
+                <= _S7_TOL
             )
-            <= _S7_TOL
         ).alias("rate_ok"),
     )
     return joined

@@ -103,6 +103,30 @@ def test_ngram_doc_freq_cap_drops_boilerplate_pairs(spark):
     assert capped[(1, 2)] <= exact[(1, 2)]  # jaccard is now a lower bound
 
 
+def test_text_profile_matches_standalone_featurisers(spark, sf0001_dir):
+    """The fused t1 operator and the four standalone featurisers must agree
+    column-for-column -- the drift gate for the shared score/argmax
+    helpers."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
+
+    docs = load_table(spark, sf0001_dir, "documents")
+    fused = {r["doc_id"]: r.asDict() for r in textops.text_profile(docs).collect()}
+    tok = {r["doc_id"]: r.asDict() for r in textops.token_counts(docs).collect()}
+    qual = {r["doc_id"]: r.asDict() for r in textops.quality_scores(docs).collect()}
+    lang = {r["doc_id"]: r.asDict() for r in textops.lang_id(docs).collect()}
+    fp = {r["doc_id"]: r.asDict() for r in textops.fingerprints(docs).collect()}
+    assert set(fused) == set(tok)
+    for d, f in fused.items():
+        assert f["n_tokens_ws"] == tok[d]["n_tokens_ws"]
+        assert f["n_tokens_bpe"] == tok[d]["n_tokens_bpe"]
+        assert f["n_chars"] == tok[d]["n_chars"]
+        assert f["fingerprint"] == fp[d]["fingerprint"]
+        for c in ("mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"):
+            assert f[c] == qual[d][c], (d, c)
+        assert f["lang_pred"] == lang[d]["lang_pred"]
+        assert f["lang_true"] == lang[d]["lang_true"]
+
+
 def test_vocabulary_counts_match_python(spark):
     """vocabulary() totals and doc-freqs match a Python recompute."""
     import collections

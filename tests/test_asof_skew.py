@@ -219,6 +219,13 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files"
+    # storage is bounded: superseded label snapshots are deleted, so at most
+    # the pinned edge list + 2 pending label snapshots remain even though
+    # the 3-hop chain takes several iterations
+    rdd_dirs = [
+        d for _, dirs, _ in os.walk(ckdir) for d in dirs if d.startswith("rdd-")
+    ]
+    assert 1 <= len(rdd_dirs) <= 3, rdd_dirs
 
 
 def test_dedup_keep_list_covers_all_docs(spark):
