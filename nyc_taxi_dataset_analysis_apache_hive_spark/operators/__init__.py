@@ -1,3 +1,27 @@
-from . import analysis, dedup, etl, quality, similarity, textops
+from . import (
+    analysis,
+    asof,
+    dedup,
+    etl,
+    multimodal,
+    packing,
+    quality,
+    sampling,
+    similarity,
+    skew,
+    textops,
+)
 
-__all__ = ["analysis", "dedup", "etl", "quality", "similarity", "textops"]
+__all__ = [
+    "analysis",
+    "asof",
+    "dedup",
+    "etl",
+    "multimodal",
+    "packing",
+    "quality",
+    "sampling",
+    "similarity",
+    "skew",
+    "textops",
+]

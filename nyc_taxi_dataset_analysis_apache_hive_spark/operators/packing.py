@@ -1,0 +1,100 @@
+"""Sequence packing: assign documents to fixed-token-budget training bins.
+
+The last batch stage of an LLM data pipeline: concatenate documents into
+training sequences without splitting a document across bins.  Greedy
+first-fit-by-order packing is inherently a stateful scan (the running
+budget resets when a bin closes), which plain window cumsums cannot
+express -- so this is one of the few sanctioned Python-path operators:
+``applyInPandas`` over hash shards (SURVEY §7.0's rule: built-ins first,
+Arrow-batched Pandas only where semantics demand it).
+
+Scale design: documents shard by a portable md5 hash of the id
+(deterministic across reruns/engines/partitionings, same construction as
+sampling.hash_split), each shard packs independently in one Arrow batch,
+and the output keys bins by (shard, bin_in_shard) so no global coordination
+or driver-side state exists.  Cross-shard packing efficiency loss is the
+usual trade: with budget B and mean doc length L, expected waste per bin is
+O(L/B) regardless of shard count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..functions.text import token_count_ws
+
+
+def _shard_col(id_col: str, n_shards: int):
+    """Portable deterministic shard: md5-uniform of the id, mod n_shards
+    (same hash family as sampling.hash_split -- NOT partitioning-dependent
+    engine RNG)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack-v1:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Greedy first-fit packing of documents into token-budget bins.
+
+    Returns (id_col, n_tokens, shard, bin_id, offset):
+
+    * ``shard``   -- md5-hash shard the document packs within;
+    * ``bin_id``  -- bin index within the shard (greedy, ascending id_col
+      order: a bin closes when the next document would overflow
+      ``budget``);
+    * ``offset``  -- token offset of this document inside its bin.
+
+    Documents longer than ``budget`` get a bin of their own (they are the
+    caller's truncation problem; the operator never splits or drops).
+    ``token_col`` supplies a precomputed token count; default counts
+    whitespace tokens JVM-side before the Python stage, so the Arrow batch
+    carries (id, n_tokens) only -- never the text.
+    """
+    if token_col is None:
+        sized = docs.select(
+            F.col(id_col), token_count_ws("text").alias("n_tokens")
+        )
+    else:
+        sized = docs.select(
+            F.col(id_col), F.col(token_col).cast("long").alias("n_tokens")
+        )
+    sized = sized.withColumn("shard", _shard_col(id_col, n_shards))
+
+    out_schema = StructType.fromDDL(
+        f"{id_col} long, n_tokens long, shard int, bin_id long, offset long"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, offsets = [], []
+        bin_id, used = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                bin_id += 1
+                used = 0
+            bins.append(bin_id)
+            offsets.append(used)
+            used += n
+        pdf["bin_id"] = bins
+        pdf["offset"] = offsets
+        return pdf[[id_col, "n_tokens", "shard", "bin_id", "offset"]]
+
+    return sized.groupBy("shard").applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,108 @@
+"""Sequence-packing gates: python-recompute oracle + packing invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import packing
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 256
+N_SHARDS = 8
+
+
+def _expected(rows):
+    """Greedy first-fit recompute in plain Python."""
+    by_shard: dict[int, list] = {}
+    for doc_id, n in rows:
+        shard = (
+            int(
+                hashlib.md5(f"pack-v1:{doc_id}".encode()).hexdigest()[:15], 16
+            )
+            % N_SHARDS
+        )
+        by_shard.setdefault(shard, []).append((doc_id, n))
+    out = {}
+    for shard, docs in by_shard.items():
+        bin_id, used = 0, 0
+        for doc_id, n in sorted(docs):
+            if used > 0 and used + n > BUDGET:
+                bin_id, used = bin_id + 1, 0
+            out[doc_id] = (n, shard, bin_id, used)
+            used += n
+    return out
+
+
+def test_pack_sequences_matches_python_recompute(spark):
+    docs = load_table(spark, SF, "documents")
+    sized = [
+        (r["doc_id"], r["n"])
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+                )
+            ).cast("long").alias("n"),
+        ).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"], r["bin_id"], r["offset"])
+        for r in packing.pack_sequences(
+            docs, budget=BUDGET, n_shards=N_SHARDS
+        ).collect()
+    }
+    assert got == _expected(sized)
+
+
+def test_pack_sequences_invariants(spark):
+    docs = load_table(spark, SF, "documents")
+    packed = packing.pack_sequences(docs, budget=BUDGET, n_shards=N_SHARDS)
+    # no document split, none dropped
+    assert packed.count() == docs.count()
+    per_bin = (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("offset").alias("min_off"),
+        )
+        .collect()
+    )
+    for r in per_bin:
+        # a bin exceeds the budget only if it holds a single oversized doc
+        assert r["total"] <= BUDGET or r["n_docs"] == 1, r
+        assert r["min_off"] == 0  # offsets start at 0 per bin
+    # offsets are consistent: offset + n_tokens never exceeds the next
+    # document's offset within a bin (contiguous packing)
+    rows = packed.orderBy("shard", "bin_id", "offset").collect()
+    prev = {}
+    for r in rows:
+        key = (r["shard"], r["bin_id"])
+        if key in prev:
+            assert r["offset"] == prev[key], r
+        else:
+            assert r["offset"] == 0
+        prev[key] = r["offset"] + r["n_tokens"]
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    """Same assignments regardless of input partitioning (the md5 shard is
+    content-deterministic, and packing order is pinned by doc_id)."""
+    docs = load_table(spark, SF, "documents")
+    a = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["offset"])
+        for r in packing.pack_sequences(
+            docs.repartition(3), budget=BUDGET, n_shards=N_SHARDS
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["offset"])
+        for r in packing.pack_sequences(
+            docs.repartition(13), budget=BUDGET, n_shards=N_SHARDS
+        ).collect()
+    }
+    assert a == b
