@@ -10,7 +10,8 @@ most).  Four families, cheapest first:
   pairs).
 * n-gram Jaccard -- exact verification, inverted-index join on shingles
   (used standalone at small scale and as the verify stage after LSH).
-* SimHash -- bit-signature Hamming dedup (Spark-only hash; no SQL oracle).
+* SimHash -- bit-signature Hamming dedup (portable 60-bit md5 signature,
+  full SQL oracle).
 
 Design: all built-ins (split / explode / min / md5 / array ops).  The only
 shuffles are on (doc, seed) and on shingle/bucket keys -- all combinable
@@ -293,23 +294,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: (doc_id, simhash).
+#: SimHash signature width.  60 bits = the md5-prefix hash width both
+#: engines can represent as a signed BIGINT -- portable, so the operator
+#: carries a full DuckDB value oracle (the round-1 xxhash64 variant was
+#: rows-only).  4 chunks x 15 bits for the pigeonhole blocking.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
 
-    Tokens hashed with Spark's xxhash64; each of the 64 bit positions
-    accumulates +1/-1 over tokens; the sign vector packs into a BIGINT.
-    Spark-only hash function, so this operator carries a rows-only
-    correctness check (no SQL oracle) -- its quality gate is the pytest
-    property test (similar docs -> small Hamming distance).
+
+def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document: (doc_id, simhash).
+
+    Tokens hashed with the portable 60-bit md5-prefix hash
+    (:func:`shingle_base_hash` -- identical in DuckDB, which is what makes
+    the d5 oracle exact); each bit position accumulates the token-hash bit
+    and the majority sign packs into a BIGINT.
     """
     tok = docs.select("doc_id", F.explode(distinct_tokens(text_col)).alias("t"))
-    h = tok.withColumn("h", F.xxhash64("t"))
+    h = tok.select("doc_id", shingle_base_hash(F.col("t")).alias("h"))
     # sum the raw bit (0/1) per position instead of a +/-1 CASE: the
-    # conditional forced 64 branchy when-exprs per row (measured 4x slower);
+    # conditional forced branchy when-exprs per row (measured 4x slower);
     # the +1/-1 majority sign is recovered as 2*ones > n_tokens.
     bit_cols = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     sums = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_cols)
     packed = sums.select(
@@ -320,7 +328,7 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     F.col(f"s{i}") * 2 > F.col("n"),
                     F.shiftleft(F.lit(1).cast("long"), i),
                 ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -331,10 +339,12 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
-    Candidate generation blocks on the 4 x 16-bit chunks of the signature
+    Candidate generation blocks on the 4 x 15-bit chunks of the signature
     (pigeonhole: distance <= 3 over 4 chunks -> at least one chunk equal),
     so the join is bucket-local, not all-pairs.
     """
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_mask = (1 << chunk_bits) - 1
     sh = simhash_64(docs)
     chunks = sh.select(
         "doc_id",
@@ -344,11 +354,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), chunk_bits * i)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("c"),

@@ -984,10 +984,64 @@ def d4_ngram_jaccard_pairs(spark, sf):
     )
 
 
-@register("d5_simhash_pairs", None)  # engine hash (xxhash64) -> rows-only
+def _simhash_sql_parts() -> tuple[str, str, str]:
+    from .operators.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
+
+    bit_sums = ", ".join(
+        f"sum((h >> {i}) & 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN 2 * s{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_mask = (1 << chunk_bits) - 1
+    chunks = (
+        f"SELECT doc_id, simhash, c AS chunk, "
+        f"(simhash >> ({chunk_bits} * c)) & {chunk_mask} AS val "
+        f"FROM sh, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS c)"
+    )
+    return bit_sums, f"CAST({pack} AS BIGINT)", chunks
+
+
+_SIMHASH_BIT_SUMS, _SIMHASH_PACK, _SIMHASH_CHUNKS_SQL = _simhash_sql_parts()
+
+
+@register(
+    "d5_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(t) AS tk FROM toks)
+    ),
+    sums AS (
+      SELECT doc_id, count(*) AS n, {_SIMHASH_BIT_SUMS}
+      FROM h GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM sums),
+    chunks AS ({_SIMHASH_CHUNKS_SQL}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cands WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
 def d5_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs (Hamming <= 3, 16-bit-chunk blocking).  Uses
-    Spark's xxhash64, so no SQL oracle; quality gates: Hamming-distance
+    """SimHash near-dup pairs (Hamming <= 3, 15-bit-chunk pigeonhole
+    blocking).  The signature is a portable 60-bit md5-prefix SimHash, so
+    the DuckDB oracle reproduces it bit-for-bit (round 1 used xxhash64 and
+    was rows-only).  Quality gates beyond the oracle: Hamming-distance
     property tests in tests/test_text_properties.py (near-identical docs ->
     small distance, unrelated -> large, exact dup -> 0) and the no-cartesian
     plan assertion in tests/test_plans.py."""
