@@ -1329,14 +1329,44 @@ def m1_media_catalog(spark, sf):
     )
 
 
-@register("m2_media_features", None)  # crc32/entropy are engine-side Python
+@register(
+    "m2_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           true AS recompute_ok
+    FROM documents
+    """,
+)
 def m2_media_features(spark, sf):
     """Arrow-batched mapInPandas decode/feature stage over binary payloads
     (stubbed codecs -- deterministic fake features; plumbing is real).
-    Rows-only check; value determinism is pytest-gated
-    (tests/test_multimodal.py)."""
+
+    The feature VALUES (crc32, byte entropy, first byte) are computed in
+    Python and cannot be expressed in SQL; their correctness is pytest-gated
+    by a python-recompute (tests/test_multimodal.py).  What the driver gate
+    verifies here: the row universe (one feature row per media row), the
+    byte accounting (n_bytes matches the payload length the oracle derives
+    JVM-side), and an IN-PLANE determinism check -- the stage runs twice as
+    two independent mapInPandas subtrees and ``recompute_ok`` asserts every
+    feature column agrees, with the oracle expecting ``true``."""
     media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
-    return multimodal.media_features(media)
+    a = multimodal.media_features(media).alias("a")
+    b = multimodal.media_features(media).alias("b")
+    ok = (
+        (F.col("a.n_bytes") == F.col("b.n_bytes"))
+        & (F.col("a.crc32") == F.col("b.crc32"))
+        & (F.col("a.byte_entropy") == F.col("b.byte_entropy"))
+        & (F.col("a.first_byte") == F.col("b.first_byte"))
+    )
+    return a.join(b, F.col("a.media_id") == F.col("b.media_id")).select(
+        F.col("a.media_id").alias("media_id"),
+        F.col("a.kind").alias("kind"),
+        F.col("a.n_bytes").alias("n_bytes"),
+        ok.alias("recompute_ok"),
+    )
 
 
 @register(
