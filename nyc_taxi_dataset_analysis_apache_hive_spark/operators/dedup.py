@@ -336,16 +336,29 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return packed
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, persist_signatures: bool = True
+) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
     Candidate generation blocks on the 4 x 15-bit chunks of the signature
     (pigeonhole: distance <= 3 over 4 chunks -> at least one chunk equal),
     so the join is bucket-local, not all-pairs.
+
+    ``persist_signatures`` (default True): the chunk self-join references
+    the signature table twice, and recomputing it re-runs the whole
+    tokenize+hash+bit-sum pipeline (measured ~half of d5's runtime at
+    sf0.1).  The signature frame is tiny -- (doc_id, long) per document --
+    so it persists MEMORY_AND_DISK with lineage kept (unlike a checkpoint,
+    an executor loss just recomputes).  Same cache-lifetime caveat as
+    ``minhash_lsh_pairs(persist_shingles=True)``: long-lived sessions
+    running many corpora should clearCache between batches.
     """
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     chunk_mask = (1 << chunk_bits) - 1
     sh = simhash_64(docs)
+    if persist_signatures:
+        sh = sh.persist()
     chunks = sh.select(
         "doc_id",
         "simhash",
