@@ -226,6 +226,62 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_corpus_minhash_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Decontamination: near-duplicate pairs ACROSS two corpora (e.g. does
+    any training document match an eval/benchmark document?).
+
+    Same banded-LSH shape as :func:`minhash_lsh_pairs` but the bucket join
+    is corpus x probes instead of a self-join: candidates are generated
+    only where a full band collides across the two sides, then verified
+    with exact shingle-set Jaccard.  Returns (corpus_id, probe_id, jaccard)
+    with jaccard >= threshold.
+
+    Scale: the probe side (benchmarks) is typically tiny next to the
+    training corpus -- its band table broadcasts, so the corpus is never
+    shuffled; with a large probe side Catalyst falls back to a shuffled
+    equi-join on (band, bucket), still never an all-pairs product.
+    """
+    c_sets = _shingle_sets(corpus, shingle_n)
+    p_sets = _shingle_sets(probes, shingle_n)
+    c_buckets = minhash_band_buckets(
+        _signatures_from_sets(c_sets, n_hashes), n_hashes, n_bands
+    ).alias("c")
+    p_buckets = minhash_band_buckets(
+        _signatures_from_sets(p_sets, n_hashes), n_hashes, n_bands
+    ).alias("p")
+    cands = (
+        c_buckets.join(
+            p_buckets,
+            (F.col("c.band") == F.col("p.band"))
+            & (F.col("c.bucket") == F.col("p.bucket")),
+        )
+        .select(
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("p.doc_id").alias("probe_id"),
+        )
+        .distinct()
+    )
+    ca = c_sets.select("doc_id", F.array_sort("sh").alias("sh")).alias("ca")
+    pa = p_sets.select("doc_id", F.array_sort("sh").alias("sh")).alias("pa")
+    jac = (
+        F.size(F.array_intersect(F.col("ca.sh"), F.col("pa.sh")))
+        / F.size(F.array_union(F.col("ca.sh"), F.col("pa.sh"))).cast("double")
+    )
+    return (
+        cands.join(ca, F.col("corpus_id") == F.col("ca.doc_id"))
+        .join(pa, F.col("probe_id") == F.col("pa.doc_id"))
+        .select("corpus_id", "probe_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_n: int = 3,

@@ -127,6 +127,34 @@ def test_text_profile_matches_standalone_featurisers(spark, sf0001_dir):
         assert f["lang_true"] == lang[d]["lang_true"]
 
 
+def test_cross_corpus_decontamination(spark, sf0001_dir):
+    """Cross-corpus near-dup detection: probes that are exact or
+    near-duplicates of corpus docs are found; novel probes are not.
+    Compared against the self-join operator as ground truth: splitting the
+    corpus odd/even and probing one half with the other must reproduce
+    exactly the cross-parity subset of the self-join's pairs."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    docs = load_table(spark, sf0001_dir, "documents")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    kw = dict(n_hashes=16, n_bands=4, shingle_n=3, jaccard_threshold=0.5)
+    cross = {
+        (r["corpus_id"], r["probe_id"], r["jaccard"])
+        for r in dedup.cross_corpus_minhash_pairs(odd, even, **kw).collect()
+    }
+    self_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, **kw).collect()
+    }
+    expected = {
+        (a, b, j) if a % 2 == 1 else (b, a, j)
+        for a, b, j in self_pairs
+        if (a % 2) != (b % 2)
+    }
+    assert cross == expected and cross
+
+
 def test_vocabulary_counts_match_python(spark):
     """vocabulary() totals and doc-freqs match a Python recompute."""
     import collections
