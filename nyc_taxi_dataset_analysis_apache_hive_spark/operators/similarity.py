@@ -156,6 +156,93 @@ def pairwise_above(
     )
 
 
+def vector_mean_by_key(
+    df: DataFrame, key_col: str, vec_col: str = "v"
+) -> DataFrame:
+    """Element-wise mean vector per key: (key_col, centroid array<double>).
+
+    posexplode -> avg by (key, position) -> sorted re-assembly.  The
+    shuffle carries O(rows x dim) scalar rows on (key, pos), combined
+    map-side by partial aggregation -- the distributed shape for centroid
+    computation (no per-key array buffering on one executor).
+    """
+    exploded = df.select(
+        key_col, F.posexplode(vec_col).alias("pos", "x")
+    )
+    means = exploded.groupBy(key_col, "pos").agg(F.avg("x").alias("m"))
+    return means.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid")
+    )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) on DataFrames: (cent_id, cent_emb).
+
+    Trains the centroids :func:`cosine_topk_ivf` probes, replacing its
+    fixed seed slice.  Deterministic init (the ``n_centroids`` smallest
+    ids); per iteration: broadcast the tiny centroid set, assign every
+    vector to its max-cosine centroid (narrow pass, corpus never
+    shuffled), recompute element-wise means per cluster
+    (:func:`vector_mean_by_key`).  Cosine ranking is invariant to centroid
+    norm, so plain means implement the spherical variant.  Empty clusters
+    keep their previous centroid.  The centroid frame is tiny, so each
+    iteration ends in an eager ``localCheckpoint`` to cut the growing
+    lineage (recomputable-on-loss is irrelevant at n_centroids rows).
+    """
+    from ..functions.vectors import as_double_array
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    )
+    cents = (
+        emb.orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vid"))
+            .cast("long")
+            .alias("cent_id"),
+            F.col("v").alias("cent_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        w = Window.partitionBy("vid").orderBy(
+            F.col("sim").desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .select(
+                "vid",
+                "v",
+                "cent_id",
+                F.round(cosine("v", "cent_emb"), 9).alias("sim"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("cent_id", "v")
+        )
+        means = vector_mean_by_key(assigned, "cent_id", "v")
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce("centroid", "cent_emb").alias("cent_emb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     k: int = 5,
@@ -163,25 +250,33 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 3,
     centroid_offset: int = 100,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the list-probing scale path.
 
-    Index build: ``n_centroids`` fixed seed vectors (deterministic slice of
-    the corpus -- a k-means iteration would refine them, same plan shape);
-    every corpus vector is assigned to its nearest centroid via a broadcast
-    of the tiny centroid set (narrow pass, no corpus shuffle).  Search: each
-    query probes its ``n_probe`` nearest centroids and scores only those
-    centroids' members -- candidate generation is an equi-join on cent_id,
-    scanning ~n_probe/n_centroids of the corpus instead of all of it.
+    Index build: ``n_centroids`` fixed seed vectors by default (a
+    deterministic slice of the corpus -- the oracle-parity path), or pass
+    ``centroids`` = (cent_id, cent_emb) from :func:`kmeans_train` for a
+    trained index (better recall, pytest-gated); every corpus vector is
+    assigned to its nearest centroid via a broadcast of the tiny centroid
+    set (narrow pass, no corpus shuffle).  Search: each query probes its
+    ``n_probe`` nearest centroids and scores only those centroids'
+    members -- candidate generation is an equi-join on cent_id, scanning
+    ~n_probe/n_centroids of the corpus instead of all of it.
 
     Probed-list recall vs the exact baseline is pytest-gated; returned
     cosines are exact for the scored candidates.
     """
     emb = embeddings.select("vec_id", "embedding")
-    cents = emb.filter(
-        (F.col("vec_id") >= centroid_offset)
-        & (F.col("vec_id") < centroid_offset + n_centroids)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_emb")
+    else:
+        cents = emb.filter(
+            (F.col("vec_id") >= centroid_offset)
+            & (F.col("vec_id") < centroid_offset + n_centroids)
+        ).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
 
     def nearest_centroids(side: DataFrame, id_col: str, emb_col: str, top: int):
         w = Window.partitionBy(id_col).orderBy(

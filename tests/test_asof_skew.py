@@ -161,6 +161,78 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recalls[8] >= 0.6
 
 
+def test_vector_mean_by_key_matches_python(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (1, [3.0, 4.0, 5.0]),
+        (2, [10.0, 0.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "k long, v array<double>")
+    got = {
+        r["k"]: r["centroid"]
+        for r in similarity.vector_mean_by_key(df, "k", "v").collect()
+    }
+    assert got == {1: [2.0, 3.0, 4.0], 2: [10.0, 0.0, -2.0]}
+
+
+def test_kmeans_train_separates_obvious_clusters(spark):
+    """Two well-separated direction clusters: after a few Lloyd iterations
+    the two centroids point into opposite clusters and every vector is
+    nearest its own cluster's centroid."""
+    import math
+
+    rows = []
+    for i in range(10):  # cluster A: around +x
+        rows.append((i, [1.0, 0.01 * i, 0.0]))
+    for i in range(10, 20):  # cluster B: around -y
+        rows.append((i, [0.0, -1.0, 0.01 * (i - 10)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {
+        r["cent_id"]: r["cent_emb"]
+        for r in similarity.kmeans_train(
+            emb, n_centroids=2, n_iter=4
+        ).collect()
+    }
+    assert len(cents) == 2
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    # one centroid aligned with +x, the other with -y
+    aligned_x = [c for c in cents.values() if cos(c, [1, 0, 0]) > 0.95]
+    aligned_y = [c for c in cents.values() if cos(c, [0, -1, 0]) > 0.95]
+    assert len(aligned_x) == 1 and len(aligned_y) == 1
+
+
+def test_ivf_with_trained_centroids_beats_seed_slice(spark):
+    """kmeans-trained centroids plugged into cosine_topk_ivf keep (or beat)
+    the fixed-seed index's recall at the same probe budget."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, k=5, n_queries=8).collect()
+    }
+
+    def recall(ivf_df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in ivf_df.collect()}
+        return len(exact & got) / len(exact)
+
+    seed_recall = recall(
+        similarity.cosine_topk_ivf(emb, k=5, n_queries=8, n_probe=3)
+    )
+    trained = similarity.kmeans_train(emb, n_centroids=16, n_iter=3)
+    trained_recall = recall(
+        similarity.cosine_topk_ivf(
+            emb, k=5, n_queries=8, n_probe=3, centroids=trained
+        )
+    )
+    assert trained_recall >= seed_recall - 0.05  # never meaningfully worse
+    assert trained_recall > 3 / 16  # beats the probed-fraction floor
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     """Sign-LSH honesty gate (mirrors the IVF one): a single 4-bit table
     probes ~1/16 of the corpus, so its recall must beat that chance floor;
