@@ -637,7 +637,9 @@ def r1_rollup_cube(spark, sf):
 def s3_etl_clean_derive(spark, sf):
     """S3 (REF:261-269): conjunctive clean filter + yr/mnth partition-column
     derivation -- the transform half of the dynamic-partition ETL (the write
-    half is exercised in tests/test_etl.py with an actual partitioned sink)."""
+    half is exercised in tests/test_taxi_golden.py with an actual
+    partitioned sink: test_partitioned_write_roundtrip and the
+    dynamic-overwrite test)."""
     li = _t(spark, sf, "lineitem")
     clean = (
         (F.col("l_quantity") > 0)
