@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import (
     distinct_tokens,
@@ -166,6 +165,54 @@ def minhash_band_buckets(
     )
 
 
+def _band_candidates(
+    left: DataFrame, right: DataFrame, left_out: str, right_out: str,
+    ordered: bool = False,
+) -> DataFrame:
+    """Distinct candidate id pairs from two band-bucket frames: collide
+    only where a full band matches (never an all-pairs product).
+    ``ordered=True`` adds the self-join dedup condition left_id < right_id.
+    One definition shared by the self-join and cross-corpus operators."""
+    a, b = left.alias("a"), right.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bucket") == F.col("b.bucket")
+    )
+    if ordered:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias(left_out), F.col("b.doc_id").alias(right_out)
+        )
+        .distinct()
+    )
+
+
+def _jaccard_verified(
+    cands: DataFrame,
+    left_sets: DataFrame,
+    right_sets: DataFrame,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-set Jaccard verification of candidate pairs -- the one
+    definition of the verify stage (rounding, NULL semantics, threshold)
+    shared by the self-join and cross-corpus operators."""
+    sa = left_sets.select("doc_id", F.array_sort("sh").alias("sh")).alias("sa")
+    sb = right_sets.select("doc_id", F.array_sort("sh").alias("sh")).alias("sb")
+    jac = (
+        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
+    )
+    return (
+        cands.join(sa, F.col(left_id) == F.col("sa.doc_id"))
+        .join(sb, F.col(right_id) == F.col("sb.doc_id"))
+        .select(left_id, right_id, F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -200,29 +247,9 @@ def minhash_lsh_pairs(
     buckets = minhash_band_buckets(
         _signatures_from_sets(shingle_frame, n_hashes), n_hashes, n_bands
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    shingle_sets = shingle_frame.select("doc_id", F.array_sort("sh").alias("sh"))
-    sa = shingle_sets.alias("sa")
-    sb = shingle_sets.alias("sb")
-    jac = (
-        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-        / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
-    )
-    return (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+    cands = _band_candidates(buckets, buckets, "doc_a", "doc_b", ordered=True)
+    return _jaccard_verified(
+        cands, shingle_frame, shingle_frame, "doc_a", "doc_b", jaccard_threshold
     )
 
 
@@ -252,33 +279,13 @@ def cross_corpus_minhash_pairs(
     p_sets = _shingle_sets(probes, shingle_n)
     c_buckets = minhash_band_buckets(
         _signatures_from_sets(c_sets, n_hashes), n_hashes, n_bands
-    ).alias("c")
+    )
     p_buckets = minhash_band_buckets(
         _signatures_from_sets(p_sets, n_hashes), n_hashes, n_bands
-    ).alias("p")
-    cands = (
-        c_buckets.join(
-            p_buckets,
-            (F.col("c.band") == F.col("p.band"))
-            & (F.col("c.bucket") == F.col("p.bucket")),
-        )
-        .select(
-            F.col("c.doc_id").alias("corpus_id"),
-            F.col("p.doc_id").alias("probe_id"),
-        )
-        .distinct()
     )
-    ca = c_sets.select("doc_id", F.array_sort("sh").alias("sh")).alias("ca")
-    pa = p_sets.select("doc_id", F.array_sort("sh").alias("sh")).alias("pa")
-    jac = (
-        F.size(F.array_intersect(F.col("ca.sh"), F.col("pa.sh")))
-        / F.size(F.array_union(F.col("ca.sh"), F.col("pa.sh"))).cast("double")
-    )
-    return (
-        cands.join(ca, F.col("corpus_id") == F.col("ca.doc_id"))
-        .join(pa, F.col("probe_id") == F.col("pa.doc_id"))
-        .select("corpus_id", "probe_id", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+    cands = _band_candidates(c_buckets, p_buckets, "corpus_id", "probe_id")
+    return _jaccard_verified(
+        cands, c_sets, p_sets, "corpus_id", "probe_id", jaccard_threshold
     )
 
 
@@ -319,12 +326,25 @@ def ngram_jaccard_pairs(
         "doc_id", shingle_base_hash(F.col("s")).alias("shingle")
     )
     if max_doc_freq is not None:
-        w = Window.partitionBy("shingle")
-        inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
+        # Two-phase: aggregate document frequencies (partial aggregation
+        # combines a hot shingle map-side -- ~1 row per partition reaches
+        # the shuffle even for a 5M-doc boilerplate shingle), then anti-join
+        # the index against the hot set.  NOT a window count: a
+        # count-over-window would hash-partition every row of the hot key
+        # onto one task and buffer/sort them there -- recreating exactly
+        # the straggler this cap removes.  No broadcast hint: the hot set
+        # is usually tiny and AQE sees its actual size at runtime, but a
+        # pathological cap (most shingles hot) degrades to a shuffled
+        # anti-join instead of a driver OOM.  The index lineage is
+        # evaluated twice (counts + join input); that recompute is linear
+        # and cheap next to the O(d^2) join rows it prevents.
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
         )
+        inv = inv.join(hot, "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -397,21 +417,33 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
-    Candidate generation blocks on the 4 x 15-bit chunks of the signature
-    (pigeonhole: distance <= 3 over 4 chunks -> at least one chunk equal),
-    so the join is bucket-local, not all-pairs.
+    Candidate generation blocks on ``max_hamming + 1`` near-equal-width
+    chunks of the signature (pigeonhole: distance <= h over h+1 chunks ->
+    at least one chunk equal), so the join is bucket-local, not all-pairs,
+    and recall is exact for ANY max_hamming (with the default 3: the
+    4 x 15-bit chunking the DuckDB oracle mirrors).  Larger max_hamming
+    means more, narrower chunks -- wider buckets, more candidates: the
+    usual recall/cost dial.
 
     ``persist_signatures`` (default True): the chunk self-join references
     the signature table twice, and recomputing it re-runs the whole
     tokenize+hash+bit-sum pipeline (measured ~half of d5's runtime at
-    sf0.1).  The signature frame is tiny -- (doc_id, long) per document --
-    so it persists MEMORY_AND_DISK with lineage kept (unlike a checkpoint,
-    an executor loss just recomputes).  Same cache-lifetime caveat as
-    ``minhash_lsh_pairs(persist_shingles=True)``: long-lived sessions
-    running many corpora should clearCache between batches.
+    sf0.1).  The signature frame is tiny -- (doc_id, long) per document,
+    ~16 bytes/doc -- so it persists MEMORY_AND_DISK with lineage kept
+    (unlike a checkpoint, an executor loss just recomputes) and the cache
+    footprint stays negligible even if a long-lived session never calls
+    clearCache between corpora.
     """
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunk_mask = (1 << chunk_bits) - 1
+    n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"signature has only {SIMHASH_BITS} bits"
+        )
+    # near-equal widths summing to SIMHASH_BITS, e.g. 60/4 -> [15,15,15,15]
+    base_w, extra = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash_64(docs)
     if persist_signatures:
         sh = sh.persist()
@@ -423,11 +455,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), chunk_bits * i)
-                        .bitwiseAND(F.lit(chunk_mask))
+                        F.shiftright(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
-                    for i in range(SIMHASH_CHUNKS)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -481,19 +513,29 @@ def connected_components(
     because the lineage was already cut).  For cluster runs pass a reliable
     (HDFS/S3) directory: iterations then use ``checkpoint()``, which
     survives executor loss.  Each iteration's reliable checkpoint is
-    best-effort deleted once the next one has materialized (Spark's own
+    best-effort deleted once it is two checkpoints stale (Spark's own
     cleaner, ``spark.cleaner.referenceTracking.cleanCheckpoints``, is off
     by default and GC-driven), so at most ~2 label snapshots + the edge
-    list live in the directory instead of max_iter copies.  Note
-    ``setCheckpointDir`` is SparkContext-global: the directory stays the
-    app-wide checkpoint location after this call.
+    list live on disk instead of max_iter copies.  The loop checkpoints
+    into a UNIQUE per-call subdirectory of ``checkpoint_dir``, so its
+    directory-diff bookkeeping (and deletions) can never touch checkpoints
+    written by other users of the SparkContext.  Note ``setCheckpointDir``
+    is SparkContext-global: concurrent checkpoint() callers in the same
+    app will also write into this subdirectory while the loop runs (their
+    files are left alone -- only dirs this loop observed being created by
+    its own eager checkpoints are ever deleted, and the race window of a
+    foreign checkpoint landing inside one of this loop's before/after
+    snapshots is the known sharp edge of a global checkpoint location).
     """
     if checkpoint_dir is not None:
+        import uuid
+
         sc = pairs.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        ck_sub = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        sc.setCheckpointDir(ck_sub)
 
         def _hadoop_fs():
-            hpath = sc._jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+            hpath = sc._jvm.org.apache.hadoop.fs.Path(ck_sub)
             return hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
 
         def _list_rdd_dirs() -> set[str]:

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ..functions.text import token_count_ws
 
@@ -68,17 +73,27 @@ def pack_sequences(
     carries (id, n_tokens) only -- never the text.
     """
     if token_col is None:
-        sized = docs.select(
-            F.col(id_col), token_count_ws("text").alias("n_tokens")
-        )
+        raw_n = token_count_ws("text")
     else:
-        sized = docs.select(
-            F.col(id_col), F.col(token_col).cast("long").alias("n_tokens")
-        )
-    sized = sized.withColumn("shard", _shard_col(id_col, n_shards))
+        raw_n = F.col(token_col).cast("long")
+    # NULL text / NULL counts pack as 0-token docs (still atomic rows);
+    # greatest() also guards legacy sizeOfNull=-1 semantics, which would
+    # otherwise corrupt every later offset in the shard.
+    sized = docs.select(
+        F.col(id_col),
+        F.greatest(F.coalesce(raw_n, F.lit(0)), F.lit(0)).alias("n_tokens"),
+    ).withColumn("shard", _shard_col(id_col, n_shards))
 
-    out_schema = StructType.fromDDL(
-        f"{id_col} long, n_tokens long, shard int, bin_id long, offset long"
+    # output id column keeps the input's type (ids are not always longs)
+    id_field = StructField(id_col, docs.schema[id_col].dataType)
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("n_tokens", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("bin_id", LongType()),
+            StructField("offset", LongType()),
+        ]
     )
 
     def pack(pdf):

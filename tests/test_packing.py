@@ -89,6 +89,23 @@ def test_pack_sequences_invariants(spark):
         prev[key] = r["offset"] + r["n_tokens"]
 
 
+def test_pack_sequences_string_ids_and_null_text(spark):
+    """Non-long id columns keep their type in the output schema, and NULL
+    text packs as a 0-token atomic row instead of crashing the worker."""
+    docs = spark.createDataFrame(
+        [("u1", "three little words here"), ("u2", None), ("u3", "more text")],
+        "url string, text string",
+    )
+    rows = {
+        r["url"]: (r["n_tokens"], r["bin_id"], r["offset"])
+        for r in packing.pack_sequences(
+            docs, budget=10, n_shards=1, id_col="url"
+        ).collect()
+    }
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u2"][0] == 0  # null text -> zero tokens, still packed
+
+
 def test_pack_sequences_partitioning_independent(spark):
     """Same assignments regardless of input partitioning (the md5 shard is
     content-deterministic, and packing order is pinned by doc_id)."""

@@ -179,6 +179,36 @@ def test_simhash_hamming_quality(spark):
     assert near_d < far_d
 
 
+def test_simhash_near_pairs_exact_recall_any_hamming(spark):
+    """Dynamic pigeonhole blocking: for max_hamming beyond the default 3
+    (more, narrower chunks), the operator returns EXACTLY the brute-force
+    Hamming-filter pair set -- no candidate is silently missed."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.dedup import (
+        simhash_64,
+        simhash_near_pairs,
+    )
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 120
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_64(docs).collect()}
+    for h in (4, 6):
+        expected = {
+            (a, b, _hamming(sigs[a], sigs[b]))
+            for a in sigs
+            for b in sigs
+            if a < b and _hamming(sigs[a], sigs[b]) <= h
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_pairs(docs, max_hamming=h).collect()
+        }
+        assert got == expected, h
+
+
 def test_simhash_near_pairs_finds_dups_only(spark):
     """simhash_near_pairs surfaces the exact-dup pair (Hamming 0) and does
     not pair unrelated docs at max_hamming=3."""
