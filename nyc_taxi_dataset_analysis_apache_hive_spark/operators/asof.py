@@ -77,3 +77,55 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, left_ts)],
         *[F.col(f"_rv_{c}").alias(f"{c}_asof") for c in right_cols],
     )
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 3600,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval (range) join: each event row paired with every interval row
+    whose ``[start_ts, end_ts]`` contains it (optionally also matching on
+    equi ``keys``).
+
+    Spark plans a bare ``l.ts BETWEEN r.s AND r.e`` as a nested-loop /
+    cartesian filter -- quadratic and non-startable at scale.  This
+    operator bins the time axis: intervals explode to the bins they cover
+    (``sequence`` of bin ids -- one row per covered bin), events map to
+    their single bin, and the join becomes an EQUI-join on (keys..., bin)
+    with the exact BETWEEN predicate re-applied as a post-filter.  Each
+    event belongs to exactly one bin, so no dedup is needed.  Cost:
+    interval replication x (duration / bin_seconds) rows -- pick
+    bin_seconds near the typical interval length so replication stays
+    O(1) per interval while each bin's candidate set stays small.
+    """
+    keys = keys or []
+    ev_bin = (F.unix_timestamp(F.col(event_ts)) / bin_seconds).cast("long")
+    iv_bins = F.sequence(
+        (F.unix_timestamp(F.col(start_ts)) / bin_seconds).cast("long"),
+        (F.unix_timestamp(F.col(end_ts)) / bin_seconds).cast("long"),
+    )
+    e = events.withColumn("_bin", ev_bin).alias("e")
+    i = (
+        # degenerate intervals (start > end) match nothing under BETWEEN;
+        # drop them BEFORE sequence(), which would otherwise step backwards
+        intervals.filter(F.col(start_ts) <= F.col(end_ts))
+        .withColumn("_bin", F.explode(iv_bins))
+        .alias("i")
+    )
+    cond = F.col("e._bin") == F.col("i._bin")
+    for k in keys:
+        cond = cond & (F.col(f"e.{k}") == F.col(f"i.{k}"))
+    joined = e.join(i, cond).filter(
+        F.col(f"e.{event_ts}").between(
+            F.col(f"i.{start_ts}"), F.col(f"i.{end_ts}")
+        )
+    )
+    out_cols = [F.col(f"e.{c}") for c in events.columns] + [
+        F.col(f"i.{c}") for c in intervals.columns if c not in events.columns
+    ]
+    return joined.select(*out_cols)

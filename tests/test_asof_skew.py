@@ -161,6 +161,44 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recalls[8] >= 0.6
 
 
+def test_range_join_matches_naive_between(spark):
+    """Binned range join == the naive BETWEEN theta-join, including
+    intervals spanning multiple bins, boundary-inclusive matches, events
+    matching several overlapping intervals, and degenerate intervals."""
+    evs = [(i, _ts(f"2024-01-01T{h:02d}:{m:02d}:00"), i * 1.0)
+           for i, (h, m) in enumerate([(0, 30), (1, 0), (2, 15), (5, 0), (9, 59)])]
+    ivs = [
+        (100, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T02:15:00")),  # 3 bins
+        (101, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T01:00:00")),  # point
+        (102, _ts("2024-01-01T04:00:00"), _ts("2024-01-01T03:00:00")),  # degenerate
+        (103, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T23:00:00")),  # wide
+    ]
+    events = spark.createDataFrame(evs, "event_id long, ts timestamp, value double")
+    intervals = spark.createDataFrame(
+        ivs, "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in asof.range_join(
+            events, intervals, "ts", "start_ts", "end_ts", bin_seconds=3600
+        ).collect()
+    }
+    expected = {
+        (e_id, i_id)
+        for e_id, ts, _ in evs
+        for i_id, s, t in ivs
+        if s <= ts <= t
+    }
+    assert got == expected and got
+    # the plan is an equi-join on the bin, never a cartesian/NL product
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import explain_str
+
+    plan = explain_str(
+        asof.range_join(events, intervals, "ts", "start_ts", "end_ts", 3600)
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_vector_mean_by_key_matches_python(spark):
     rows = [
         (1, [1.0, 2.0, 3.0]),
