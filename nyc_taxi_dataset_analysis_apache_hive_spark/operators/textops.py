@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     STOPWORDS,
@@ -135,6 +136,44 @@ def vocabulary(
         )
         .filter(F.col("count") >= min_count)
         .orderBy(F.col("count").desc(), F.col("token").asc())
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    (doc_id, token, tf, tfidf, rank).
+
+    tf = in-document count; idf = ln(N / doc_freq); ranking by rounded
+    tfidf desc with token tie-break for cross-run determinism.  All
+    distributed: the corpus size N arrives via a broadcast 1-row cross
+    join (never a driver-side collect), doc-frequencies by one token
+    aggregate, and the top-k by a per-document window.  The token-keyed
+    join is linear in corpus tokens -- stop-token skew degrades to a large
+    (AQE-splittable) hash join, never a product.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("doc_freq").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
     )
 
 

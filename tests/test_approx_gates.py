@@ -183,6 +183,49 @@ def test_vocabulary_counts_match_python(spark):
     assert top[0]["token"] == "the"  # count-desc ordering
 
 
+def test_tfidf_top_terms_match_python(spark):
+    """tfidf_top_terms matches a full python recompute (tf, ln(N/df)
+    weighting, rounded ranking with token tie-break)."""
+    import collections
+    import math
+    import re
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple date egg egg egg",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["tfidf"])
+        for r in textops.tfidf_top_terms(docs, k=2).collect()
+    }
+    n_docs = len(texts)
+    toks = [
+        [x for x in re.split("[^a-z0-9]+", t.lower()) if x] for t in texts
+    ]
+    dfreq = collections.Counter()
+    for ts in toks:
+        dfreq.update(set(ts))
+    expected = {}
+    for d, ts in enumerate(toks):
+        tf = collections.Counter(ts)
+        scored = sorted(
+            (
+                (round(c * math.log(n_docs / dfreq[t]), 6), t, c)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (w, t, c) in enumerate(scored[:2], start=1):
+            expected[(d, rank)] = (t, c, w)
+    assert got == expected
+
+
 def test_minhash_persist_flag_same_results(spark, sf0001_dir):
     """persist_shingles=True (the cluster-scale path: one tokenize+shingle
     pass shared between signatures and verify) returns the identical pair
