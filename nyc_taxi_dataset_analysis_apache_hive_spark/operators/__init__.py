@@ -1,6 +1,7 @@
 from . import (
     analysis,
     asof,
+    cohorts,
     dedup,
     etl,
     multimodal,
@@ -15,6 +16,7 @@ from . import (
 __all__ = [
     "analysis",
     "asof",
+    "cohorts",
     "dedup",
     "etl",
     "multimodal",

@@ -1,0 +1,71 @@
+"""Cohort / retention analytics over an event stream.
+
+The classic product-analytics triangle: users grouped by their first-seen
+period (the cohort), counted as active in each subsequent period.  Pure
+DataFrame composition -- two aggregates and one equi-join on the user key:
+
+    first-seen per user  (groupBy user, min ts)        -- 1 shuffle
+    distinct active periods per user (groupBy user, p) -- 1 shuffle
+    join on user + count distinct users per cell       -- co-keyed
+
+At 100 TB the user-keyed shuffles dominate and are the minimum any cohort
+computation needs; no window over raw events, no per-user state beyond the
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: seconds per supported period
+_PERIOD_SECONDS = {"day": 86_400, "week": 7 * 86_400}
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Retention triangle: (cohort_start, periods_since, n_active_users).
+
+    ``cohort_start`` is the Unix-aligned start of the user's first-event
+    period; ``periods_since`` counts whole periods between the cohort
+    start and each period the user was active in (0 = the cohort period
+    itself).  Periods are fixed-width windows aligned to the Unix epoch
+    (``day``/``week``), which keeps the arithmetic engine-portable --
+    calendar months are deliberately out (engines disagree on month
+    boundaries across timezones).
+    """
+    if period not in _PERIOD_SECONDS:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
+    width = _PERIOD_SECONDS[period]
+
+    def period_start(col):
+        return (F.unix_timestamp(col) / width).cast("long") * width
+
+    firsts = (
+        events.groupBy(user_col)
+        .agg(F.min(ts_col).alias("first_ts"))
+        .select(user_col, period_start(F.col("first_ts")).alias("cohort_p"))
+    )
+    active = events.select(
+        user_col, period_start(F.col(ts_col)).alias("act_p")
+    ).distinct()
+    cells = active.join(firsts, user_col).select(
+        user_col,
+        "cohort_p",
+        ((F.col("act_p") - F.col("cohort_p")) / width).cast("long").alias(
+            "periods_since"
+        ),
+    )
+    return (
+        cells.groupBy("cohort_p", "periods_since")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_active_users"))
+        .select(
+            F.timestamp_seconds(F.col("cohort_p")).alias("cohort_start"),
+            "periods_since",
+            "n_active_users",
+        )
+    )
