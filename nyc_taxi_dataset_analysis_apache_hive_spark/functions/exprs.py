@@ -13,6 +13,17 @@ from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
 
+def epoch_bin(ts: str | Column, width_seconds: int) -> Column:
+    """Epoch-aligned bin start (seconds) for a timestamp column: the ONE
+    definition of fixed-width time binning shared by the range join and
+    cohort operators.  ``unix_timestamp`` truncates to whole seconds and
+    the long cast truncates toward zero -- a monotone mapping both engines
+    reproduce (the DuckDB oracles use all-BIGINT ``epoch_us`` arithmetic;
+    see tests/test_cohorts.py for why DOUBLE ``//`` must be avoided)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return (F.unix_timestamp(c) / width_seconds).cast("long") * width_seconds
+
+
 def hour_diff(
     pickup: str | Column = "tpep_pickup_datetime",
     dropoff: str | Column = "tpep_dropoff_datetime",

@@ -103,13 +103,19 @@ def range_join(
     bin_seconds near the typical interval length so replication stays
     O(1) per interval while each bin's candidate set stays small.
     """
+    from ..functions.exprs import epoch_bin
+
+    if bin_seconds <= 0:
+        raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+    if "_bin" in events.columns or "_bin" in intervals.columns:
+        raise ValueError("inputs must not carry a column named '_bin'")
     keys = keys or []
-    ev_bin = (F.unix_timestamp(F.col(event_ts)) / bin_seconds).cast("long")
     iv_bins = F.sequence(
-        (F.unix_timestamp(F.col(start_ts)) / bin_seconds).cast("long"),
-        (F.unix_timestamp(F.col(end_ts)) / bin_seconds).cast("long"),
+        epoch_bin(start_ts, bin_seconds),
+        epoch_bin(end_ts, bin_seconds),
+        F.lit(bin_seconds).cast("long"),
     )
-    e = events.withColumn("_bin", ev_bin).alias("e")
+    e = events.withColumn("_bin", epoch_bin(event_ts, bin_seconds)).alias("e")
     i = (
         # degenerate intervals (start > end) match nothing under BETWEEN;
         # drop them BEFORE sequence(), which would otherwise step backwards
@@ -125,7 +131,15 @@ def range_join(
             F.col(f"i.{start_ts}"), F.col(f"i.{end_ts}")
         )
     )
-    out_cols = [F.col(f"e.{c}") for c in events.columns] + [
-        F.col(f"i.{c}") for c in intervals.columns if c not in events.columns
-    ]
+    # interval columns whose names collide with event columns (beyond the
+    # equi-matched keys, where both sides are equal) are kept under a
+    # `_interval` suffix -- never silently dropped
+    out_cols = [F.col(f"e.{c}") for c in events.columns]
+    for c in intervals.columns:
+        if c in keys:
+            continue
+        if c in events.columns:
+            out_cols.append(F.col(f"i.{c}").alias(f"{c}_interval"))
+        else:
+            out_cols.append(F.col(f"i.{c}"))
     return joined.select(*out_cols)

@@ -38,20 +38,19 @@ def cohort_retention(
     calendar months are deliberately out (engines disagree on month
     boundaries across timezones).
     """
+    from ..functions.exprs import epoch_bin
+
     if period not in _PERIOD_SECONDS:
         raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
     width = _PERIOD_SECONDS[period]
 
-    def period_start(col):
-        return (F.unix_timestamp(col) / width).cast("long") * width
-
     firsts = (
         events.groupBy(user_col)
         .agg(F.min(ts_col).alias("first_ts"))
-        .select(user_col, period_start(F.col("first_ts")).alias("cohort_p"))
+        .select(user_col, epoch_bin(F.col("first_ts"), width).alias("cohort_p"))
     )
     active = events.select(
-        user_col, period_start(F.col(ts_col)).alias("act_p")
+        user_col, epoch_bin(F.col(ts_col), width).alias("act_p")
     ).distinct()
     cells = active.join(firsts, user_col).select(
         user_col,
@@ -60,9 +59,13 @@ def cohort_retention(
             "periods_since"
         ),
     )
+    # count(*), not countDistinct: `active` is already distinct on
+    # (user, act_p) and act_p -> periods_since is injective per cohort, so
+    # each (cohort, period, user) cell holds exactly one row -- a distinct
+    # aggregate would add a whole extra shuffle for nothing.
     return (
         cells.groupBy("cohort_p", "periods_since")
-        .agg(F.countDistinct(user_col).cast("long").alias("n_active_users"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
         .select(
             F.timestamp_seconds(F.col("cohort_p")).alias("cohort_start"),
             "periods_since",

@@ -139,7 +139,9 @@ def vocabulary(
     )
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, persist_tf: bool = True
+) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF:
     (doc_id, token, tf, tfidf, rank).
 
@@ -150,9 +152,19 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     aggregate, and the top-k by a per-document window.  The token-keyed
     join is linear in corpus tokens -- stop-token skew degrades to a large
     (AQE-splittable) hash join, never a product.
+
+    ``persist_tf`` (default True): doc-frequencies derive from the tf
+    frame, so the join would otherwise re-run the dominant tokenize +
+    explode + (doc, token) aggregation a second time (column pruning makes
+    the two subtrees non-identical, so exchange reuse does not apply).
+    The tf frame is the compact (doc, token, count) relation -- far
+    smaller than the corpus text.  Usual cache-lifetime caveat for
+    long-lived many-corpora sessions.
     """
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        tf = tf.persist()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
