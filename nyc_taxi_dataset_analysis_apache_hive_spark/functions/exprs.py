@@ -16,12 +16,20 @@ from pyspark.sql.window import Window
 def epoch_bin(ts: str | Column, width_seconds: int) -> Column:
     """Epoch-aligned bin start (seconds) for a timestamp column: the ONE
     definition of fixed-width time binning shared by the range join and
-    cohort operators.  ``unix_timestamp`` truncates to whole seconds and
-    the long cast truncates toward zero -- a monotone mapping both engines
-    reproduce (the DuckDB oracles use all-BIGINT ``epoch_us`` arithmetic;
-    see tests/test_cohorts.py for why DOUBLE ``//`` must be avoided)."""
+    cohort operators.
+
+    TRUE FLOOR semantics via ``sec - pmod(sec, width)``: every bin is
+    exactly ``width_seconds`` wide, including across epoch 0 (a
+    truncate-toward-zero cast would produce one double-width bin straddling
+    1970 and misplace every pre-1970 bin start).  All-integer arithmetic --
+    no double division, so no precision cliff at large epochs.  The DuckDB
+    oracles mirror it with the portable BIGINT identity
+    ``e - ((e % w) + w) % w`` (DuckDB's ``//`` truncates toward zero on
+    BIGINT and is NOT floor division -- verified: ``-5 // 2 = -2``; see
+    tests/test_cohorts.py)."""
     c = F.col(ts) if isinstance(ts, str) else ts
-    return (F.unix_timestamp(c) / width_seconds).cast("long") * width_seconds
+    sec = F.unix_timestamp(c)
+    return sec - F.pmod(sec, F.lit(width_seconds).cast("long"))
 
 
 def hour_diff(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, maybe_persist
 from ..functions.text import (
     distinct_tokens,
     fingerprint_md5,
@@ -220,6 +221,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     persist_shingles: bool = False,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -235,15 +237,16 @@ def minhash_lsh_pairs(
     100-TB scale, tokenize+shingle dominates CPU and the recompute doubles
     it, so pass True to cache the set frame (MEMORY_AND_DISK) and share it
     between the two passes.  Same results either way (bench numbers in
-    BASELINE.md).  Cache-lifetime caveat: the cached frame is function-local
-    and stays registered after the caller's action completes; a long-lived
-    application running many corpora per session should
-    ``spark.catalog.clearCache()`` between batches (or keep the default
+    BASELINE.md).  Cache lifetime: pass a :class:`~..caching.CacheScope` as
+    ``cache`` and the shingle frame unpersists when the scope exits (after
+    the caller's terminal action); without a scope the frame stays cached
+    for the session -- fine for one-shot jobs, but a long-lived
+    many-corpora application should use the scope (or the default
     recompute path).
     """
-    shingle_frame = _shingle_sets(docs, shingle_n)
-    if persist_shingles:
-        shingle_frame = shingle_frame.persist()
+    shingle_frame = maybe_persist(
+        _shingle_sets(docs, shingle_n), persist_shingles, cache
+    )
     buckets = minhash_band_buckets(
         _signatures_from_sets(shingle_frame, n_hashes), n_hashes, n_bands
     )
@@ -305,12 +308,13 @@ def ngram_jaccard_pairs(
     shingle appearing in d documents contributes O(d^2) candidate rows to
     the self-join, and boilerplate stop-grams ("all rights reserved") can
     have d in the millions while carrying no near-dup signal.  When set,
-    shingles with document frequency > max_doc_freq are dropped via a
-    count-over-window on the shingle key: ONE pass over the index (no
-    second tokenize+shingle lineage, no driver-side collect of the hot
-    set), linear per-shingle counting even for the hottest key, and the
-    filter's shuffle-by-shingle is the same partitioning the self-join
-    needs next.  This is a documented approximation: dropped shingles no
+    shingles with document frequency > max_doc_freq are dropped by an
+    AGGREGATE + LEFT-ANTI join: document frequencies come from one
+    groupBy(shingle) count (partial aggregation collapses a hot shingle
+    map-side), and the index anti-joins against the over-threshold set --
+    never a count-over-window on the shingle key, which would buffer/sort
+    every row of the hot key on one task (see the inline comment below).
+    This is a documented approximation: dropped shingles no
     longer count toward ``common``, so reported jaccard becomes a lower
     bound and pairs overlapping ONLY in boilerplate fall away -- which is
     the desired behaviour.  Default None = exact (the oracle-parity path);
@@ -413,7 +417,10 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, persist_signatures: bool = True
+    docs: DataFrame,
+    max_hamming: int = 3,
+    persist_signatures: bool = True,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
@@ -431,8 +438,9 @@ def simhash_near_pairs(
     sf0.1).  The signature frame is tiny -- (doc_id, long) per document,
     ~16 bytes/doc -- so it persists MEMORY_AND_DISK with lineage kept
     (unlike a checkpoint, an executor loss just recomputes) and the cache
-    footprint stays negligible even if a long-lived session never calls
-    clearCache between corpora.
+    footprint stays negligible even unmanaged.  Pass a
+    :class:`~..caching.CacheScope` as ``cache`` to unpersist it
+    deterministically when the caller's scope exits.
     """
     n_chunks = max_hamming + 1
     if n_chunks > SIMHASH_BITS:
@@ -444,9 +452,7 @@ def simhash_near_pairs(
     base_w, extra = divmod(SIMHASH_BITS, n_chunks)
     widths = [base_w + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash_64(docs)
-    if persist_signatures:
-        sh = sh.persist()
+    sh = maybe_persist(simhash_64(docs), persist_signatures, cache)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -520,19 +526,32 @@ def connected_components(
     into a UNIQUE per-call subdirectory of ``checkpoint_dir``, so its
     directory-diff bookkeeping (and deletions) can never touch checkpoints
     written by other users of the SparkContext.  Note ``setCheckpointDir``
-    is SparkContext-global: concurrent checkpoint() callers in the same
-    app will also write into this subdirectory while the loop runs (their
-    files are left alone -- only dirs this loop observed being created by
-    its own eager checkpoints are ever deleted, and the race window of a
-    foreign checkpoint landing inside one of this loop's before/after
-    snapshots is the known sharp edge of a global checkpoint location).
+    is SparkContext-global: the PREVIOUS checkpoint directory (set or
+    unset) is restored in a ``finally`` once the loop finishes, so later
+    ``checkpoint()`` users in the same app land back in their own
+    location; callers concurrent WITH the loop still write into this
+    subdirectory (their files are left alone -- only dirs this loop
+    observed being created by its own eager checkpoints are ever deleted,
+    and the race window of a foreign checkpoint landing inside one of this
+    loop's before/after snapshots is the known sharp edge of a global
+    checkpoint location).
     """
-    if checkpoint_dir is not None:
-        import uuid
+    if checkpoint_dir is None:
+        return _propagate_min_labels(
+            pairs, a_col, b_col, max_iter,
+            lambda df: df.localCheckpoint(eager=True),
+        )
 
-        sc = pairs.sparkSession.sparkContext
-        ck_sub = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
-        sc.setCheckpointDir(ck_sub)
+    import uuid
+
+    sc = pairs.sparkSession.sparkContext
+    # getCheckpointDir() returns None when unset; Scala's setCheckpointDir
+    # wraps its argument in Option(...), so passing the saved value back
+    # restores "unset" as faithfully as a real directory.
+    prev_ck = sc.getCheckpointDir()
+    ck_sub = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+    sc.setCheckpointDir(ck_sub)
+    try:
 
         def _hadoop_fs():
             hpath = sc._jvm.org.apache.hadoop.fs.Path(ck_sub)
@@ -584,11 +603,22 @@ def connected_components(
                     pass  # cleanup only; never fail the job over it
             return out
 
-    else:
+        # The loop materializes every checkpoint eagerly (and the returned
+        # labels frame is itself checkpointed), so nothing still needs
+        # ck_sub after this returns.
+        return _propagate_min_labels(pairs, a_col, b_col, max_iter, _ckpt)
+    finally:
+        try:
+            sc.setCheckpointDir(prev_ck)
+        except Exception:
+            pass  # restore is best-effort; never mask the real result/error
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
 
+def _propagate_min_labels(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int, _ckpt
+) -> DataFrame:
+    """Min-label-propagation loop shared by the local- and
+    reliable-checkpoint paths of :func:`connected_components`."""
     # Materialize the edge list ONCE: every iteration's join re-evaluates
     # its inputs, and `pairs` is typically the whole LSH/Jaccard pipeline --
     # without this checkpoint each round would recompute it from scratch

@@ -72,6 +72,13 @@ def pack_sequences(
     whitespace tokens JVM-side before the Python stage, so the Arrow batch
     carries (id, n_tokens) only -- never the text.
     """
+    if budget < 1:
+        # fail fast: a zero/negative budget would silently pack every
+        # nonzero-token document into its own bin (the used>0 guard always
+        # fires) -- same validation posture as asof.range_join(bin_seconds)
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if token_col is None:
         raw_n = token_count_ws("text")
     else:

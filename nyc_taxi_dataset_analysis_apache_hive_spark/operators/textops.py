@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import CacheScope, maybe_persist
 from ..functions.text import (
     STOPWORDS,
     fingerprint_md5,
@@ -140,7 +141,10 @@ def vocabulary(
 
 
 def tfidf_top_terms(
-    docs: DataFrame, k: int = 5, persist_tf: bool = True
+    docs: DataFrame,
+    k: int = 5,
+    persist_tf: bool = True,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF:
     (doc_id, token, tf, tfidf, rank).
@@ -158,13 +162,16 @@ def tfidf_top_terms(
     explode + (doc, token) aggregation a second time (column pruning makes
     the two subtrees non-identical, so exchange reuse does not apply).
     The tf frame is the compact (doc, token, count) relation -- far
-    smaller than the corpus text.  Usual cache-lifetime caveat for
-    long-lived many-corpora sessions.
+    smaller than the corpus text.  Pass a :class:`~..caching.CacheScope`
+    as ``cache`` to unpersist it when the caller's scope exits; without a
+    scope the cache lives for the session.
     """
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    if persist_tf:
-        tf = tf.persist()
+    tf = maybe_persist(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
+        persist_tf,
+        cache,
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -11,21 +11,21 @@ from tests.parity import compare, duckdb_conn
 def _oracle(width: int) -> str:
     # All-BIGINT arithmetic: DuckDB's `//` on DOUBLE/DECIMAL is NOT floor
     # division (1706657176.22 // 86400 -> 19752.976..., and a later CAST
-    # ROUNDS it up) -- epoch_us() returns BIGINT where // is true integer
-    # division.  make_timestamp() (not to_timestamp) keeps the result a
-    # naive TIMESTAMP matching Spark's session-UTC TimestampType.
+    # ROUNDS it up) -- and even on BIGINT `//` TRUNCATES toward zero
+    # (-5 // 2 = -2), so the floor bin uses the portable integer identity
+    # ``e - ((e % w) + w) % w``, the exact mirror of Spark's
+    # ``sec - pmod(sec, w)`` in functions.exprs.epoch_bin.
+    # make_timestamp() (not to_timestamp) keeps the result a naive
+    # TIMESTAMP matching Spark's session-UTC TimestampType.
     width_us = width * 1_000_000
+    fb = f"(e - (((e % {width_us}) + {width_us}) % {width_us}))"
     return f"""
-    WITH firsts AS (
-      SELECT user_id,
-             (epoch_us(min(ts)) // {width_us}) * {width_us} AS cohort_us
-      FROM events GROUP BY user_id
+    WITH f0 AS (
+      SELECT user_id, epoch_us(min(ts)) AS e FROM events GROUP BY user_id
     ),
-    active AS (
-      SELECT DISTINCT user_id,
-             (epoch_us(ts) // {width_us}) * {width_us} AS act_us
-      FROM events
-    )
+    firsts AS (SELECT user_id, {fb} AS cohort_us FROM f0),
+    a0 AS (SELECT DISTINCT user_id, epoch_us(ts) AS e FROM events),
+    active AS (SELECT DISTINCT user_id, {fb} AS act_us FROM a0)
     SELECT make_timestamp(cohort_us) AS cohort_start,
            CAST((act_us - cohort_us) // {width_us} AS BIGINT) AS periods_since,
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
@@ -42,6 +42,29 @@ def test_cohort_retention_matches_duckdb(spark, sf0001_dir):
         probs = compare(df, con, _oracle(width), f"cohorts_{period}")
         assert not probs, probs
     con.close()
+
+
+def test_epoch_bin_true_floor_across_epoch_zero(spark):
+    """epoch_bin must floor (uniform-width bins), not truncate toward zero:
+    truncation would make one double-width bin straddling 1970 and shift
+    every pre-1970 bin start by +width."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.functions.exprs import (
+        epoch_bin,
+    )
+
+    secs = [-7 * 86_400, -129_601, -86_400, -43_200, -1, 0, 1, 43_200, 90_000]
+    df = spark.createDataFrame([(s,) for s in secs], "s long").select(
+        "s", F.timestamp_seconds("s").alias("ts")
+    )
+    for width in (86_400, 7 * 86_400):
+        rows = df.select("s", epoch_bin("ts", width).alias("b")).collect()
+        for r in rows:
+            assert r["b"] == math.floor(r["s"] / width) * width, (r, width)
+            assert 0 <= r["s"] - r["b"] < width, (r, width)
 
 
 def test_cohort_retention_invariants(spark, sf0001_dir):

@@ -123,3 +123,14 @@ def test_pack_sequences_partitioning_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="budget"):
+            packing.pack_sequences(docs, budget=bad)
+    with pytest.raises(ValueError, match="n_shards"):
+        packing.pack_sequences(docs, budget=10, n_shards=0)
