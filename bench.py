@@ -37,7 +37,10 @@ HEADLINE = [
     "s3_etl_clean_derive",
     "e1_tumbling_window_counts",
     "e2_sessionize",
+    "a10_distinct_counts",
     "d3_minhash_lsh_pairs",
+    "d4_ngram_jaccard_pairs",
+    "d5_simhash_pairs",
     "d6_dup_clusters",
     "k1_knn_bruteforce",
     "k2_ann_lsh_ivf",

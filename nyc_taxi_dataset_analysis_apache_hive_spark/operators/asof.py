@@ -11,7 +11,12 @@ explodes quadratically on hot keys.
 At 100 TB this is the only shape that survives: state per row is O(1)
 (carry-forward of the latest right-side row), the per-key window never
 materializes pairs, and skewed keys degrade to a large sort, not a cross
-product.
+product.  For the pathological hot key (one key holding most of the left
+rows), ``n_salts`` sub-partitions the window: left rows fan out over
+``n_salts`` salt buckets while the key's (typically far smaller) right
+timeline replicates into every bucket -- each bucket still sees the full
+right history, so results are bit-identical and the hot key's sort spreads
+over ``n_salts`` tasks instead of one.
 """
 
 from __future__ import annotations
@@ -29,6 +34,8 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     strict: bool = True,
+    n_salts: int | None = None,
+    salt_from: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key.
@@ -37,7 +44,22 @@ def asof_join(
     precedes).  Ties on equal timestamps: right rows sort before left rows
     when strict (so an equal-time right row is NOT matched), after when
     non-strict (it IS matched) -- deterministic either way.
+
+    ``n_salts`` is the hot-key treatment (same deterministic-salt family
+    as ``skew.salted_join``): left rows take ``salt =
+    hash(salt_from) % n_salts`` (default ``salt_from=left_ts`` -- within a
+    hot key the timestamps vary, so its rows spread ~uniformly) and every
+    right row replicates to ALL ``n_salts`` buckets, so the carry-forward
+    window -- now partitioned by ``(on, salt)`` -- still sees the key's
+    complete right timeline in every bucket.  Results are bit-identical to
+    the unsalted form (equivalence-tested on a 90%-one-key fixture); the
+    cost is an ``n_salts``-fold right-side replication, the right trade
+    when the left side is events (huge, skewed) and the right side is
+    state changes (small).  Default None keeps the single-window plan.
     """
+    if n_salts is not None and n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    salted = n_salts is not None and n_salts > 1
     lcols = left.columns
     # Tie order at equal _ts decides strictness: the carry-forward window
     # ends at the current row, so a right row sorting BEFORE the left row is
@@ -59,8 +81,31 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
         *[F.col(c).alias(f"_l_{c}") for c in lcols if c != on],
     )
+    part_keys = [on]
+    if salted:
+        from .skew import _salt
+
+        src = salt_from if salt_from is not None else left_ts
+        # salt computed on the PRE-union left frame (salt_from is a left
+        # column); right rows explode to every bucket so each bucket holds
+        # the key's full right timeline
+        tagged_l = left.select(
+            F.col(on),
+            F.col(left_ts).alias("_ts"),
+            F.lit(side_left).alias("_side"),
+            _salt(F.col(src), n_salts).alias("_asof_salt"),
+            *[
+                F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+                for c in right_cols
+            ],
+            *[F.col(c).alias(f"_l_{c}") for c in lcols if c != on],
+        )
+        tagged_r = tagged_r.withColumn(
+            "_asof_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        part_keys.append("_asof_salt")
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part_keys)
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

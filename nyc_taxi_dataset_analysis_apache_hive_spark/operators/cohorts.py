@@ -30,18 +30,27 @@ def cohort_retention(
 ) -> DataFrame:
     """Retention triangle: (cohort_start, periods_since, n_active_users).
 
-    ``cohort_start`` is the Unix-aligned start of the user's first-event
-    period; ``periods_since`` counts whole periods between the cohort
-    start and each period the user was active in (0 = the cohort period
-    itself).  Periods are fixed-width windows aligned to the Unix epoch
-    (``day``/``week``), which keeps the arithmetic engine-portable --
-    calendar months are deliberately out (engines disagree on month
-    boundaries across timezones).
+    ``cohort_start`` is the start of the user's first-event period;
+    ``periods_since`` counts whole periods between the cohort start and
+    each period the user was active in (0 = the cohort period itself).
+    ``day``/``week`` periods are fixed-width windows aligned to the Unix
+    epoch (true floor binning -- engine-portable, DuckDB-oracled in
+    tests/test_cohorts.py).  ``month`` uses CALENDAR months
+    (``date_trunc('month')`` + ``months_between`` in the session
+    timezone): the shape real product analytics wants, but deliberately
+    Spark-side-only -- engines disagree on month arithmetic across
+    timezones, so its gate is a python recompute of the same UTC-session
+    semantics, not the cross-engine oracle.
     """
+    if period == "month":
+        return _cohort_retention_calendar_month(events, user_col, ts_col)
+
     from ..functions.exprs import epoch_bin
 
     if period not in _PERIOD_SECONDS:
-        raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
+        raise ValueError(
+            f"period must be one of {sorted(_PERIOD_SECONDS) + ['month']}"
+        )
     width = _PERIOD_SECONDS[period]
 
     firsts = (
@@ -68,6 +77,45 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .select(
             F.timestamp_seconds(F.col("cohort_p")).alias("cohort_start"),
+            "periods_since",
+            "n_active_users",
+        )
+    )
+
+
+def _cohort_retention_calendar_month(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Calendar-month retention triangle: identical plan shape to the
+    fixed-width path (two user-keyed aggs + one co-keyed join), with
+    ``date_trunc('month')`` as the period function.  ``months_between`` on
+    two month-starts is always a whole number, so the long cast is exact.
+    """
+    firsts = (
+        events.groupBy(user_col)
+        .agg(F.min(ts_col).alias("first_ts"))
+        .select(
+            user_col, F.date_trunc("month", F.col("first_ts")).alias("cohort_p")
+        )
+    )
+    active = events.select(
+        user_col, F.date_trunc("month", F.col(ts_col)).alias("act_p")
+    ).distinct()
+    cells = active.join(firsts, user_col).select(
+        user_col,
+        "cohort_p",
+        F.months_between(F.col("act_p"), F.col("cohort_p"))
+        .cast("long")
+        .alias("periods_since"),
+    )
+    # count(*) for the same reason as the fixed-width path: `active` is
+    # distinct on (user, act_p) and act_p -> periods_since is injective
+    # per cohort, so each cell holds one row per user.
+    return (
+        cells.groupBy("cohort_p", "periods_since")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .select(
+            F.col("cohort_p").alias("cohort_start"),
             "periods_since",
             "n_active_users",
         )

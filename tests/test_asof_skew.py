@@ -77,6 +77,78 @@ def test_asof_no_pair_explosion(spark, tiny):
     assert "Window" in plan
 
 
+@pytest.fixture(scope="module")
+def hot_key_frames(spark):
+    """One key holds 90% of the left rows (the as-of hot-key failure mode);
+    right side is a small state-change timeline per key."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    left_rows = [
+        (1, base + datetime.timedelta(minutes=i), i) for i in range(900)
+    ] + [
+        (k, base + datetime.timedelta(minutes=7 * i), 1000 * k + i)
+        for k in range(2, 12)
+        for i in range(10)
+    ]
+    right_rows = [
+        (k, base + datetime.timedelta(hours=h), float(100 * k + h))
+        for k in range(1, 12)
+        for h in range(8)
+    ]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, row_id long")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    return left, right
+
+
+def test_asof_salted_equals_unsalted_on_hot_key(spark, hot_key_frames):
+    """The n_salts fan-out must be invisible in the results -- bit-identical
+    to the single-window plan, for both tie semantics."""
+    left, right = hot_key_frames
+    for strict in (True, False):
+        plain = {
+            r["row_id"]: r["v_asof"]
+            for r in asof.asof_join(
+                left, right, "k", "ts", "ts", ["v"], strict=strict
+            ).collect()
+        }
+        salted = {
+            r["row_id"]: r["v_asof"]
+            for r in asof.asof_join(
+                left, right, "k", "ts", "ts", ["v"], strict=strict, n_salts=8
+            ).collect()
+        }
+        assert salted == plain and len(plain) == left.count()
+
+
+def test_asof_salted_hot_key_fans_out(spark, hot_key_frames):
+    """The hot key's left rows must actually spread over many salt buckets
+    (same deterministic salt formula the operator applies), and the salted
+    plan must window on the salt column."""
+    left, right = hot_key_frames
+    n_buckets = (
+        left.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("ts"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8  # 900 timestamps -> every bucket hit
+    plan = (
+        asof.asof_join(left, right, "k", "ts", "ts", ["v"], n_salts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_asof_salt" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_salted_rejects_bad_n_salts(spark, hot_key_frames):
+    left, right = hot_key_frames
+    with pytest.raises(ValueError, match="n_salts"):
+        asof.asof_join(left, right, "k", "ts", "ts", ["v"], n_salts=0)
+
+
 def test_salted_agg_equals_plain_agg(spark):
     ev = load_table(spark, SF, "events")
     salted = {

@@ -44,6 +44,45 @@ def test_cohort_retention_matches_duckdb(spark, sf0001_dir):
     con.close()
 
 
+def test_cohort_retention_calendar_month_matches_python(spark, sf0001_dir):
+    """Calendar-month gate: python recompute of the same UTC-session
+    semantics (deliberately not the DuckDB oracle -- engines disagree on
+    month arithmetic across timezones, see the operator docstring)."""
+    ev = load_table(spark, sf0001_dir, "events")
+    got = {
+        (r["cohort_start"], r["periods_since"]): r["n_active_users"]
+        for r in cohorts.cohort_retention(ev, period="month").collect()
+    }
+
+    raw = ev.select("user_id", "ts").collect()
+    month_of = {}
+    active = set()
+    for r in raw:
+        ym = (r["ts"].year, r["ts"].month)
+        u = r["user_id"]
+        active.add((u, ym))
+        if u not in month_of or ym < month_of[u]:
+            month_of[u] = ym
+    import datetime
+
+    expected: dict = {}
+    for u, ym in active:
+        cy, cm = month_of[u]
+        periods = (ym[0] - cy) * 12 + (ym[1] - cm)
+        key = (datetime.datetime(cy, cm, 1), periods)
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected and got
+    assert all(p >= 0 for (_, p) in got)
+
+
+def test_cohort_retention_rejects_unknown_period(spark, sf0001_dir):
+    import pytest
+
+    ev = load_table(spark, sf0001_dir, "events")
+    with pytest.raises(ValueError, match="period"):
+        cohorts.cohort_retention(ev, period="fortnight")
+
+
 def test_epoch_bin_true_floor_across_epoch_zero(spark):
     """epoch_bin must floor (uniform-width bins), not truncate toward zero:
     truncation would make one double-width bin straddling 1970 and shift

@@ -111,3 +111,25 @@ def test_embeddings_stable_and_normalized(media):
 def test_real_codec_path_is_marked_not_implemented(media):
     with pytest.raises(Exception, match="codec integration point"):
         multimodal.media_features(media, use_real_codecs=True).collect()
+
+
+def test_real_codec_contract_all_stages(media):
+    """Wiring real codecs must be a drop-in: every Python stage exposes the
+    same marked integration point, and flipping the flag cannot change the
+    Spark-side plumbing (schema, filtered input kind, batch shape)."""
+    stages = [
+        (lambda m, real: multimodal.media_features(m, use_real_codecs=real)),
+        (lambda m, real: multimodal.resize_images(m, 8, 8, use_real_codecs=real)),
+        (lambda m, real: multimodal.sample_frames(m, 2, use_real_codecs=real)),
+    ]
+    for stage in stages:
+        fake_df = stage(media, False)
+        real_df = stage(media, True)
+        # plumbing invariant: identical schema either way (analysis-time,
+        # no execution needed)
+        assert real_df.schema == fake_df.schema
+        # the integration point raises with its wiring instructions
+        with pytest.raises(Exception, match="codec integration point"):
+            real_df.collect()
+        with pytest.raises(Exception, match="mapInPandas plumbing"):
+            stage(media, True).collect()

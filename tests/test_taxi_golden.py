@@ -351,10 +351,16 @@ def test_tip_percentiles_exact_parity(clean, taxi_con):
     assert not problems, "\n".join(problems)
 
 
-def test_tip_percentiles_approx_runs(clean):
-    [row] = analysis.tip_percentiles(clean, exact=False).collect()
-    p25, p50, p75 = row["tip_percentiles"]
+def test_tip_percentiles_default_is_approx_and_tracks_exact(clean):
+    """The no-arg call takes the sketch path (the 100-TB default: mergeable
+    one-pass percentile_approx, no global sort) and must track the exact
+    interpolated percentile within the sketch's accuracy."""
+    [d] = analysis.tip_percentiles(clean).collect()  # default = approx
+    [e] = analysis.tip_percentiles(clean, exact=True).collect()
+    p25, p50, p75 = d["tip_percentiles"]
     assert 0 <= p25 <= p50 <= p75
+    for a, x in zip(d["tip_percentiles"], e["tip_percentiles"]):
+        assert a == pytest.approx(x, rel=0.02, abs=0.05), (a, x)
 
 
 # ---------------------------------------------------------------------------
