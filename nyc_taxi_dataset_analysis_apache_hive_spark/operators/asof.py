@@ -67,6 +67,17 @@ def asof_join(
     side_right = 1 if strict else 0
     side_left = 1 - side_right
 
+    # ONE projection list serves both the plain and salted paths (the salt
+    # is the only difference): left rows carry their deterministic salt,
+    # right rows explode to every bucket so each bucket holds the key's
+    # full right timeline.
+    l_salt_cols, part_keys = [], [on]
+    if salted:
+        from .skew import _salt
+
+        src = salt_from if salt_from is not None else left_ts
+        l_salt_cols = [_salt(F.col(src), n_salts).alias("_asof_salt")]
+        part_keys.append("_asof_salt")
     tagged_r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
@@ -78,32 +89,14 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(side_left).alias("_side"),
+        *l_salt_cols,
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
         *[F.col(c).alias(f"_l_{c}") for c in lcols if c != on],
     )
-    part_keys = [on]
     if salted:
-        from .skew import _salt
-
-        src = salt_from if salt_from is not None else left_ts
-        # salt computed on the PRE-union left frame (salt_from is a left
-        # column); right rows explode to every bucket so each bucket holds
-        # the key's full right timeline
-        tagged_l = left.select(
-            F.col(on),
-            F.col(left_ts).alias("_ts"),
-            F.lit(side_left).alias("_side"),
-            _salt(F.col(src), n_salts).alias("_asof_salt"),
-            *[
-                F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-                for c in right_cols
-            ],
-            *[F.col(c).alias(f"_l_{c}") for c in lcols if c != on],
-        )
         tagged_r = tagged_r.withColumn(
             "_asof_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
         )
-        part_keys.append("_asof_salt")
     w = (
         Window.partitionBy(*part_keys)
         .orderBy("_ts", "_side")

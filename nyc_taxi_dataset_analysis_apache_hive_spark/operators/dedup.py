@@ -545,9 +545,13 @@ def connected_components(
     import uuid
 
     sc = pairs.sparkSession.sparkContext
-    # getCheckpointDir() returns None when unset; Scala's setCheckpointDir
-    # wraps its argument in Option(...), so passing the saved value back
-    # restores "unset" as faithfully as a real directory.
+    # getCheckpointDir() returns the RESOLVED location (Spark's
+    # setCheckpointDir appends its own random-UUID subdirectory), so
+    # restoring through the public setter would wrap the saved value in a
+    # fresh UUID level on every call -- the app-global checkpoint location
+    # would nest one directory deeper per invocation.  The faithful restore
+    # writes the Scala var directly (checkpointDir_$eq with the saved
+    # Option); the public-setter fallback below is lossy-but-safe.
     prev_ck = sc.getCheckpointDir()
     ck_sub = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
     sc.setCheckpointDir(ck_sub)
@@ -609,9 +613,19 @@ def connected_components(
         return _propagate_min_labels(pairs, a_col, b_col, max_iter, _ckpt)
     finally:
         try:
-            sc.setCheckpointDir(prev_ck)
+            # scala.Option.apply(null) is None, so this restores "unset"
+            # exactly as well as a previously-resolved directory
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(prev_ck)
+            )
         except Exception:
-            pass  # restore is best-effort; never mask the real result/error
+            try:
+                if prev_ck is not None:
+                    # lossy fallback: re-resolves one extra UUID level, but
+                    # later checkpoints still land under the user's tree
+                    sc.setCheckpointDir(prev_ck)
+            except Exception:
+                pass  # best-effort; never mask the real result/error
 
 
 def _propagate_min_labels(

@@ -126,9 +126,11 @@ def test_asof_salted_hot_key_fans_out(spark, hot_key_frames):
     (same deterministic salt formula the operator applies), and the salted
     plan must window on the salt column."""
     left, right = hot_key_frames
+    # the operator's OWN salt builder -- if skew._salt changes, this test
+    # keeps measuring the real bucket assignment
     n_buckets = (
         left.filter(F.col("k") == 1)
-        .select(F.pmod(F.xxhash64("ts"), F.lit(8)).alias("s"))
+        .select(skew._salt(F.col("ts"), 8).alias("s"))
         .distinct()
         .count()
     )
@@ -395,10 +397,14 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         [(1, 5), (5, 9), (9, 12), (20, 21)], "doc_a long, doc_b long"
     )
     ckdir = str(tmp_path / "ck")
+    prev_ck = spark.sparkContext.getCheckpointDir()
     comp = {
         r["doc_id"]: r["cluster_id"]
         for r in dedup.connected_components(pairs, checkpoint_dir=ckdir).collect()
     }
+    # the app-global checkpoint dir is restored EXACTLY (not re-resolved
+    # through setCheckpointDir, which would nest a fresh UUID level)
+    assert spark.sparkContext.getCheckpointDir() == prev_ck
     assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files"
     # storage is bounded: superseded label snapshots are deleted, so at most

@@ -128,8 +128,8 @@ def test_real_codec_contract_all_stages(media):
         # plumbing invariant: identical schema either way (analysis-time,
         # no execution needed)
         assert real_df.schema == fake_df.schema
-        # the integration point raises with its wiring instructions
-        with pytest.raises(Exception, match="codec integration point"):
+        # the integration point raises ONE message carrying both the marker
+        # and the wiring instructions (single job launch per stage)
+        with pytest.raises(Exception, match="codec integration point") as ei:
             real_df.collect()
-        with pytest.raises(Exception, match="mapInPandas plumbing"):
-            stage(media, True).collect()
+        assert "mapInPandas plumbing" in str(ei.value)

@@ -11,18 +11,13 @@ from __future__ import annotations
 import pytest
 
 from nyc_taxi_dataset_analysis_apache_hive_spark import registry, registry_sql
-
-
-def _canon(df):
-    schema = [(f.name, f.dataType.simpleString()) for f in df.schema]
-    rows = sorted(tuple(repr(v) for v in row) for row in df.collect())
-    return schema, rows
+from tests.parity import canon
 
 
 @pytest.mark.parametrize("name", sorted(registry_sql.SQL_QUERIES))
 def test_sql_mode_matches_dataframe_mode(spark, sf0001_dir, name):
-    sql_schema, sql_rows = _canon(registry_sql.run_sql(spark, sf0001_dir, name))
-    api_schema, api_rows = _canon(registry.QUERIES[name](spark, sf0001_dir))
+    sql_schema, sql_rows = canon(registry_sql.run_sql(spark, sf0001_dir, name))
+    api_schema, api_rows = canon(registry.QUERIES[name](spark, sf0001_dir))
     assert sql_schema == api_schema, f"{name}: schema drift SQL vs DataFrame"
     assert sql_rows == api_rows, f"{name}: value drift SQL vs DataFrame"
     assert len(sql_rows) > 0, f"{name}: empty result proves nothing"

@@ -16,6 +16,7 @@ from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
 from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import (
     read_trips_parquet,
 )
+from tests.parity import canon
 from tests.taxi_fixture import write_fixture
 
 
@@ -49,18 +50,12 @@ def _df_op(name, trips, clean):
     return analysis.ALL_ANALYSES[name](clean)
 
 
-def _canon(df):
-    schema = [(f.name, f.dataType.simpleString()) for f in df.schema]
-    rows = sorted(tuple(repr(v) for v in row) for row in df.collect())
-    return schema, rows
-
-
 @pytest.mark.parametrize("name", sorted(taxi_sql.ALL_TAXI_SQL))
 def test_ref_sql_matches_dataframe_operator(spark, trips, clean, name):
     sql_df = taxi_sql.run_taxi_sql(spark, name)
     api_df = _df_op(name, trips, clean)
-    s_schema, s_rows = _canon(sql_df)
-    a_schema, a_rows = _canon(api_df)
+    s_schema, s_rows = canon(sql_df)
+    a_schema, a_rows = canon(api_df)
     assert s_schema == a_schema, f"{name}: schema drift"
     if name in taxi_sql.NONDETERMINISTIC_SAMPLES:
         # REF writes LIMIT without ORDER BY: engine picks the rows, so the
@@ -110,14 +105,10 @@ def test_clean_view_equals_etl_transform(spark, trips, clean):
     must equal etl.clean_trips row-for-row -- the declarative form of the
     ETL transform itself."""
     view = spark.sql("SELECT * FROM trips_clean")
-    v_schema, v_rows = [
-        (f.name, f.dataType.simpleString()) for f in view.schema
-    ], None
-    assert v_schema == [(f.name, f.dataType.simpleString()) for f in clean.schema]
-    key = lambda df: sorted(  # noqa: E731
-        tuple(repr(v) for v in row) for row in df.collect()
-    )
-    assert key(view) == key(clean)
+    v_schema, v_rows = canon(view)
+    c_schema, c_rows = canon(clean)
+    assert v_schema == c_schema
+    assert v_rows == c_rows and v_rows
 
 
 def test_sql_surface_covers_whole_reference_workload():
