@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame, SparkSession
 from .session import apply_runtime_confs
 from .sources.readers import load_testdata
 
+
+def _s6_split_case() -> str:
+    """CASE arm with the EXACT float boundaries sampling.hash_split
+    computes (acc += w / total over (0.8, 0.1, 0.1)) -- embedded as reprs
+    so the SQL path compares u against bit-identical literals."""
+    weights = (0.8, 0.1, 0.1)
+    total = sum(weights)
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(acc)
+    return (
+        f"CASE WHEN u < {bounds[0]!r}D THEN 0 "
+        f"WHEN u < {bounds[1]!r}D THEN 1 ELSE 2 END"
+    )
+
+
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
     "p1_limit_peek": """
@@ -119,6 +136,18 @@ SQL_QUERIES: dict[str, str] = {
         SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
         FROM lineitem
     """,
+    "a10_distinct_counts": """
+        SELECT l_returnflag, n_supp, n_part,
+               abs(n_supp_approx - n_supp)
+                 <= greatest(0.05D * n_supp, 2) AS approx_ok
+        FROM (
+          SELECT l_returnflag,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT l_partkey) AS n_part,
+                 approx_count_distinct(l_suppkey, 0.02) AS n_supp_approx
+          FROM lineitem GROUP BY l_returnflag
+        )
+    """,
     "a9_percentile": """
         SELECT round(ps[0], 4) AS p25,
                round(ps[1], 4) AS p50,
@@ -152,6 +181,25 @@ SQL_QUERIES: dict[str, str] = {
         SELECT round(flagged / total, 2) AS discounted_fraction
         FROM (SELECT count(*) AS flagged FROM lineitem WHERE l_discount > 0)
         CROSS JOIN (SELECT count(*) AS total FROM lineitem)
+    """,
+    "j2_semi_anti_join": """
+        SELECT 'has_big_order' AS segment, c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+        )
+        UNION ALL
+        SELECT 'no_orders' AS segment, c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "j4_outer_join": """
+        SELECT n_name, CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers
+        FROM nation n LEFT JOIN (
+          SELECT c_nationkey, count(*) AS n_customers
+          FROM customer GROUP BY c_nationkey
+        ) c ON n.n_nationkey = c.c_nationkey
     """,
     "f9_case_segmentation": """
         SELECT price_segment, count(*) AS cnt,
@@ -234,6 +282,28 @@ SQL_QUERIES: dict[str, str] = {
         SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val,
                count(*) AS cnt
         FROM events GROUP BY k_val
+    """,
+    # -- dedup + splits (the SQL-expressible scale extensions) -------------
+    "d1_dedup_groups": r"""
+        SELECT 'exact' AS method, text AS grp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+        UNION ALL
+        SELECT 'fp' AS method,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' '))) AS grp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY grp
+    """,
+    "s6_hash_split": f"""
+        SELECT doc_id, CAST({_s6_split_case()} AS INT) AS split_id
+        FROM (
+          SELECT doc_id,
+                 CAST(conv(substr(md5(concat('split-v1', ':',
+                                             CAST(doc_id AS STRING))), 1, 15),
+                           16, 10) AS DOUBLE)
+                   / CAST(1152921504606846976 AS DOUBLE) AS u
+          FROM documents
+        )
     """,
     # -- streaming batch analogs / event ops -------------------------------
     "e1_tumbling_window_counts": """
