@@ -283,6 +283,34 @@ SQL_QUERIES: dict[str, str] = {
                count(*) AS cnt
         FROM events GROUP BY k_val
     """,
+    "p9_pivot": """
+        SELECT l_returnflag,
+               `F_qty` AS qty_f, `O_qty` AS qty_o,
+               `F_cnt` AS cnt_f, `O_cnt` AS cnt_o
+        FROM (
+          SELECT * FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+          )
+          PIVOT (
+            round(sum(l_quantity), 2) AS qty, count(1) AS cnt
+            FOR l_linestatus IN ('F' AS `F`, 'O' AS `O`)
+          )
+        )
+    """,
+    "f_array_hof": """
+        SELECT vec_id,
+               size(filter(emb, x -> x > 0)) AS n_pos,
+               round(aggregate(transform(emb, x -> x * x),
+                               0.0D, (a, x) -> a + x), 6) AS sum_sq,
+               round(array_max(emb), 6) AS max_dim,
+               round(aggregate(transform(emb, x -> abs(x)),
+                               0.0D, (a, x) -> a + x), 6) AS l1_norm
+        FROM (
+          SELECT vec_id, CAST(embedding AS array<double>) AS emb
+          FROM embeddings
+        )
+        WHERE vec_id % 100 = 0
+    """,
     # -- dedup + splits (the SQL-expressible scale extensions) -------------
     "d1_dedup_groups": r"""
         SELECT 'exact' AS method, text AS grp,
