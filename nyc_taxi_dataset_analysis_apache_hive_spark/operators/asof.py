@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
@@ -38,7 +38,9 @@ def asof_join(
     salt_from: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key.
+    ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key
+    (a single column name or a composite-key list -- e.g. ``["symbol",
+    "exchange"]`` for market data; both sides must carry every key).
 
     Returns the left rows plus ``right_cols`` (NULL when no right row
     precedes).  Ties on equal timestamps: right rows sort before left rows
@@ -60,6 +62,7 @@ def asof_join(
     if n_salts is not None and n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salted = n_salts is not None and n_salts > 1
+    keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
     # Tie order at equal _ts decides strictness: the carry-forward window
     # ends at the current row, so a right row sorting BEFORE the left row is
@@ -71,7 +74,7 @@ def asof_join(
     # is the only difference): left rows carry their deterministic salt,
     # right rows explode to every bucket so each bucket holds the key's
     # full right timeline.
-    l_salt_cols, part_keys = [], [on]
+    l_salt_cols, part_keys = [], list(keys)
     if salted:
         from .skew import _salt
 
@@ -79,19 +82,19 @@ def asof_join(
         l_salt_cols = [_salt(F.col(src), n_salts).alias("_asof_salt")]
         part_keys.append("_asof_salt")
     tagged_r = right.select(
-        F.col(on).alias(on),
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(side_right).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c != on],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols if c not in keys],
     )
     tagged_l = left.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(side_left).alias("_side"),
         *l_salt_cols,
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
-        *[F.col(c).alias(f"_l_{c}") for c in lcols if c != on],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in keys],
     )
     if salted:
         tagged_r = tagged_r.withColumn(
@@ -103,16 +106,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).select(
-        on,
+        *keys,
         "_ts",
         "_side",
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in right_cols],
-        *[F.col(f"_l_{c}") for c in lcols if c != on],
+        *[F.col(f"_l_{c}") for c in lcols if c not in keys],
     )
     return carried.filter(F.col("_side") == side_left).select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col("_ts").alias(left_ts),
-        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (on, left_ts)],
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (*keys, left_ts)],
         *[F.col(f"_rv_{c}").alias(f"{c}_asof") for c in right_cols],
     )
 

@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: seconds per supported period
-_PERIOD_SECONDS = {"day": 86_400, "week": 7 * 86_400}
+#: seconds per supported fixed-width period
+_PERIOD_SECONDS = {"hour": 3_600, "day": 86_400, "week": 7 * 86_400}
 
 
 def cohort_retention(
@@ -33,9 +33,9 @@ def cohort_retention(
     ``cohort_start`` is the start of the user's first-event period;
     ``periods_since`` counts whole periods between the cohort start and
     each period the user was active in (0 = the cohort period itself).
-    ``day``/``week`` periods are fixed-width windows aligned to the Unix
-    epoch (true floor binning -- engine-portable, DuckDB-oracled in
-    tests/test_cohorts.py).  ``month`` uses CALENDAR months
+    ``hour``/``day``/``week`` periods are fixed-width windows aligned to
+    the Unix epoch (true floor binning -- engine-portable, DuckDB-oracled
+    in tests/test_cohorts.py; hourly is the launch-day/incident shape).  ``month`` uses CALENDAR months
     (``date_trunc('month')`` + ``months_between`` in the session
     timezone): the shape real product analytics wants, but deliberately
     Spark-side-only -- engines disagree on month arithmetic across

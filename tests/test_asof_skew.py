@@ -507,3 +507,41 @@ def test_percentile_approx_close_to_exact(spark):
     ).collect()
     for e, a in zip(exact["p"], approx["p"]):
         assert a == pytest.approx(e, rel=0.01), (e, a)
+
+
+def test_asof_composite_key(spark):
+    """Multi-column `on` (the market-data (symbol, exchange) shape): matches
+    must respect EVERY key, and the salted path stays bit-identical."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    td = datetime.timedelta
+    left = spark.createDataFrame(
+        [
+            ("AAPL", "N", base + td(minutes=10), 10),
+            ("AAPL", "N", base + td(minutes=40), 40),
+            ("AAPL", "Q", base + td(minutes=30), 99),  # other exchange
+            ("MSFT", "N", base + td(minutes=30), 77),  # no right rows at all
+        ],
+        "sym string, exch string, ts timestamp, row_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("AAPL", "N", base + td(minutes=5), 1.0),
+            ("AAPL", "N", base + td(minutes=35), 2.0),
+            ("AAPL", "Q", base + td(minutes=25), 9.0),
+        ],
+        "sym string, exch string, ts timestamp, px double",
+    )
+    expected = {10: 1.0, 40: 2.0, 99: 9.0, 77: None}
+    for kwargs in ({}, {"n_salts": 4}):
+        out = {
+            r["row_id"]: r["px_asof"]
+            for r in asof.asof_join(
+                left, right, ["sym", "exch"], "ts", "ts", ["px"], **kwargs
+            ).collect()
+        }
+        assert out == expected, kwargs
+    # output schema keeps all keys
+    cols = asof.asof_join(left, right, ["sym", "exch"], "ts", "ts", ["px"]).columns
+    assert cols == ["sym", "exch", "ts", "row_id", "px_asof"]

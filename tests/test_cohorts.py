@@ -37,7 +37,7 @@ def _oracle(width: int) -> str:
 def test_cohort_retention_matches_duckdb(spark, sf0001_dir):
     ev = load_table(spark, sf0001_dir, "events")
     con = duckdb_conn(sf0001_dir)
-    for period, width in (("day", 86_400), ("week", 7 * 86_400)):
+    for period, width in (("hour", 3_600), ("day", 86_400), ("week", 7 * 86_400)):
         df = cohorts.cohort_retention(ev, period=period)
         probs = compare(df, con, _oracle(width), f"cohorts_{period}")
         assert not probs, probs
@@ -95,11 +95,15 @@ def test_epoch_bin_true_floor_across_epoch_zero(spark):
         epoch_bin,
     )
 
+    import random
+
+    rng = random.Random(20260813)
     secs = [-7 * 86_400, -129_601, -86_400, -43_200, -1, 0, 1, 43_200, 90_000]
+    secs += [rng.randint(-2_000_000_000, 2_000_000_000) for _ in range(200)]
     df = spark.createDataFrame([(s,) for s in secs], "s long").select(
         "s", F.timestamp_seconds("s").alias("ts")
     )
-    for width in (86_400, 7 * 86_400):
+    for width in (3_600, 86_400, 7 * 86_400):
         rows = df.select("s", epoch_bin("ts", width).alias("b")).collect()
         for r in rows:
             assert r["b"] == math.floor(r["s"] / width) * width, (r, width)
