@@ -156,6 +156,45 @@ def pairwise_above(
     )
 
 
+def cross_corpus_near_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: near-duplicate pairs ACROSS two
+    embedding tables (does any training vector sit next to an eval/benchmark
+    vector?) -- the embedding-modality counterpart of
+    ``dedup.cross_corpus_minhash_pairs``.
+
+    Same sign-LSH bucketing as :func:`pairwise_above`, but the bucket join
+    is corpus x probes instead of a self-join, and BOTH ids survive (no
+    ``id_a < id_b`` dedup -- the tables are distinct).  Returns
+    (corpus_id, probe_id, cosine) with cosine >= threshold.
+
+    Scale: the probe side (benchmarks) is tiny next to the training corpus
+    -- it broadcasts, so the corpus is never shuffled; a big probe side
+    degrades to a shuffled equi-join on the bucket, never an all-pairs
+    product.  Recall follows the single-table LSH recall measured in
+    tests (wider buckets = fewer bits -> higher recall, more candidates).
+    """
+    from ..functions.vectors import dot
+
+    c = normalized_with_bucket(corpus, n_bits).select(
+        F.col("vec_id").alias("corpus_id"), F.col("emb_n").alias("emb_c"), "bucket"
+    )
+    p = normalized_with_bucket(probes, n_bits).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb_n").alias("emb_p"), "bucket"
+    )
+    return (
+        c.join(F.broadcast(p), "bucket")
+        .select(
+            "corpus_id", "probe_id", F.round(dot("emb_c", "emb_p"), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def vector_mean_by_key(
     df: DataFrame, key_col: str, vec_col: str = "v"
 ) -> DataFrame:

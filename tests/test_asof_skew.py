@@ -545,3 +545,23 @@ def test_asof_composite_key(spark):
     # output schema keeps all keys
     cols = asof.asof_join(left, right, ["sym", "exch"], "ts", "ts", ["px"]).columns
     assert cols == ["sym", "exch", "ts", "row_id", "px_asof"]
+
+
+def test_cross_corpus_near_pairs_finds_planted_contamination(spark):
+    """Embedding decontamination: planted duplicates of corpus vectors in
+    the probe table must surface (identical vector -> same LSH bucket ->
+    cosine 1.0), and the plan must stay an equi-join on the bucket."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+        explain_str,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.cross_corpus_near_pairs(emb, probes, threshold=0.999)
+    got = {(r["corpus_id"], r["probe_id"]): r["cosine"] for r in pairs.collect()}
+    for i in range(8):
+        assert got.get((i, 1000 + i)) == 1.0, i  # the planted contamination
+    assert all(c >= 0.999 for c in got.values())
+    assert "CartesianProduct" not in explain_str(pairs)
