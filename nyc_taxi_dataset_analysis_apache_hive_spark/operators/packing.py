@@ -120,3 +120,39 @@ def pack_sequences(
         return pdf[[id_col, "n_tokens", "shard", "bin_id", "offset"]]
 
     return sized.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Utilization report over a :func:`pack_sequences` result: one global
+    row (n_bins, n_docs, total_tokens, fill_rate, p50_fill, p90_fill,
+    oversize_bins).
+
+    The number a pipeline owner actually tunes ``budget`` with: fill_rate =
+    packed tokens / (bins x budget); ``oversize_bins`` counts
+    single-document bins exceeding the budget (the caller's truncation
+    debt).  Two hash-aggregates -- per-(shard, bin) then global -- both
+    map-side combinable; the quantiles run on the per-bin frame
+    (O(bins), not O(docs)).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("bin_docs"),
+    )
+    fill = F.col("bin_tokens") / F.lit(float(budget))
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("bin_docs").alias("n_docs"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("bin_tokens") / (F.count(F.lit(1)) * budget), 4
+        ).alias("fill_rate"),
+        F.round(F.expr(f"percentile_approx(bin_tokens / {budget}.0D, 0.5)"), 4).alias(
+            "p50_fill"
+        ),
+        F.round(F.expr(f"percentile_approx(bin_tokens / {budget}.0D, 0.9)"), 4).alias(
+            "p90_fill"
+        ),
+        F.sum((fill > 1.0).cast("long")).alias("oversize_bins"),
+    )

@@ -134,3 +134,28 @@ def test_pack_sequences_rejects_nonpositive_budget(spark):
             packing.pack_sequences(docs, budget=bad)
     with pytest.raises(ValueError, match="n_shards"):
         packing.pack_sequences(docs, budget=10, n_shards=0)
+
+
+def test_packing_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # 4 tokens
+            (2, "a b c d"),          # 4 tokens -> joins bin 0 (8 <= 10)
+            (3, "a b c d"),          # 4 tokens -> overflows, bin 1
+            (4, " ".join(["t"] * 15)),  # 15 tokens -> its own oversize bin
+        ],
+        "doc_id long, text string",
+    )
+    packed = packing.pack_sequences(docs, budget=10, n_shards=1)
+    [row] = packing.packing_stats(packed, budget=10).collect()
+    assert row["n_bins"] == 3
+    assert row["n_docs"] == 4
+    assert row["total_tokens"] == 27
+    assert row["fill_rate"] == round(27 / 30, 4)
+    assert row["oversize_bins"] == 1
+    assert 0 < row["p50_fill"] <= row["p90_fill"] <= 1.5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        packing.packing_stats(packed, budget=0)
