@@ -196,6 +196,92 @@ def tfidf_top_terms(
     )
 
 
+#: PII patterns (Java regex, JVM-side).  Deliberately simple/auditable:
+#: recall-oriented screens, not a compliance system -- the docstring owns
+#: the caveat.  Order matters: emails first (they contain dots/digits that
+#: the later patterns could half-match), then IPs, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"(?<![\d.])\+?\d[\d\-\s().]{7,}\d(?![\d.])", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing stage: (doc_id, text_redacted, n_email, n_ip, n_phone).
+
+    Emails, IPv4 addresses, and phone-number-shaped digit runs are replaced
+    by typed placeholder tokens; per-document match counts ride along so the
+    pipeline can route heavy-PII documents to review instead of silently
+    scrubbing them.  All JVM-side (``regexp_extract_all`` for counts,
+    chained ``regexp_replace`` for the rewrite) -- a narrow map, no shuffle,
+    same 100-TB posture as the other featurisers.
+
+    Scope caveat: these are auditable recall-oriented screens (the standard
+    pre-training hygiene pass), NOT a compliance-grade PII system -- names,
+    addresses, and exotic formats need a learned tagger at the marked
+    pattern list.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        *counts,
+    )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style structural repetition + formatting signals per
+    document: (doc_id, n_lines, dup_line_frac, terminal_punct_line_frac,
+    bullet_line_frac, ellipsis_line_frac).
+
+    The standard public corpus-filter rules (C4 drops lines without
+    terminal punctuation and pages with boilerplate repetition; Gopher
+    bounds duplicate-line fractions).  Everything derives from ONE split
+    of the text into trimmed non-empty lines, materialized in its own
+    projection (the multiply-referenced-non-cheap-expression rule), then
+    array HOFs -- narrow, shuffle-free, JVM-side.
+    """
+    lines_raw = F.split(F.col(text_col), "\n")
+    lined = docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(lines_raw, lambda x: F.trim(x)), lambda x: x != ""
+        ).alias("lines"),
+    )
+    n_lines = F.size("lines")
+    nd = n_lines.cast("double")
+    dup_frac = F.when(n_lines > 0,
+                      1.0 - F.size(F.array_distinct("lines")) / nd).otherwise(0.0)
+
+    def line_frac(pred):
+        return F.when(
+            n_lines > 0, F.size(F.filter(F.col("lines"), pred)) / nd
+        ).otherwise(0.0)
+
+    return lined.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_frac, 4).alias("dup_line_frac"),
+        F.round(
+            line_frac(lambda x: x.rlike('[.!?"”]$')), 4
+        ).alias("terminal_punct_line_frac"),
+        F.round(
+            line_frac(lambda x: x.rlike(r"^[-*•]")), 4
+        ).alias("bullet_line_frac"),
+        F.round(
+            line_frac(lambda x: x.rlike(r"\.\.\.$")), 4
+        ).alias("ellipsis_line_frac"),
+    )
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """The full per-document featurisation stage in ONE scan: token counts,
     fingerprint, quality features + composite score, and language ID.
