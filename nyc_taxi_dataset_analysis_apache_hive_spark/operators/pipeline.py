@@ -1,21 +1,29 @@
 """End-to-end corpus curation: the composition a 100-TB training-data run
 actually executes, built from this package's stages.
 
-    profile (1 scan)  ->  hygiene filters (C4/Gopher rules + PII counts)
-    ->  near-dup keep-list (MinHash LSH -> connected components)
+    profile (1 scan)  ->  hygiene features (1 fused scan: C4/Gopher rules
+    + staged PII counts)  ->  near-dup clusters (MinHash LSH -> connected
+    components)  ->  canonical election AMONG HYGIENE SURVIVORS
     ->  deterministic train/val/test split (md5 hash)
 
 ``curate_corpus`` returns ONE row per input document with every feature,
-the per-rule drop flags, the dedup keeper decision, and the split -- the
-audit table a data curator filters on (``WHERE keep``) and reports from.
+the per-rule drop flags, the dedup decision, and the split -- the audit
+table a data curator filters on (``WHERE keep``) and reports from.
 Materializing decisions instead of dropping rows is deliberate: at scale
 the audit table is the artifact reviews and ablations need, and the final
 filter is one cheap predicate over it.
 
-Plan shape: the feature stages are narrow single-scan projections; the
-only shuffles are the dedup pipeline's (banded LSH equi-joins -- never
-all-pairs) and the final doc_id joins, all AQE-managed.  Nothing touches
-the driver.
+Canonical election order matters: hygiene runs FIRST, and each near-dup
+cluster keeps its lowest-id document among the rows that PASSED hygiene --
+electing before hygiene would silently lose a whole cluster's content
+whenever its min-id copy happened to be the dirty one.
+
+Plan shape: two corpus text scans (the fused profile and the fused
+hygiene featuriser -- their feature sets need different materialized
+intermediates, token arrays vs line arrays + redaction stages); the only
+shuffles are the dedup pipeline's (banded LSH equi-joins -- never
+all-pairs), the doc_id joins, and one tiny cluster-keyed aggregate for
+the election, all AQE-managed.  Nothing touches the driver.
 """
 
 from __future__ import annotations
@@ -45,15 +53,25 @@ def curate_corpus(
     """Per-document curation decisions over the whole corpus.
 
     Returns (doc_id, n_tokens_ws, quality_score, lang_pred, dup_line_frac,
-    n_pii_hits, cluster_id, is_canonical, drop_short, drop_repetitive,
-    drop_low_quality, drop_pii_heavy, keep, split_id): every signal that
-    produced the decision plus the decision itself.
+    n_pii_hits, cluster_id, hygiene_ok, is_canonical, drop_short,
+    drop_repetitive, drop_low_quality, drop_pii_heavy, keep, split_id):
+    every signal that produced the decision plus the decision itself.
 
-    ``keep`` = passes every hygiene rule AND is its near-dup cluster's
-    canonical document (min doc_id; singletons keep themselves).  Rules
-    come from :data:`DEFAULT_RULES` overridden by ``rules``.
+    ``hygiene_ok`` = passes every rule in :data:`DEFAULT_RULES` (overridden
+    by ``rules`` -- unknown rule names raise, a typo must not silently
+    curate with defaults).  ``is_canonical`` = this doc is its near-dup
+    cluster's elected keeper: the MIN doc_id among the cluster's
+    hygiene-passing members (so a cluster whose lowest-id copy is dirty
+    still keeps its cleanest duplicate).  ``keep = hygiene_ok AND
+    is_canonical``.
     """
     r = {**DEFAULT_RULES, **(rules or {})}
+    unknown = set(r) - set(DEFAULT_RULES)
+    if unknown:
+        raise ValueError(
+            f"unknown curation rules {sorted(unknown)}; "
+            f"valid: {sorted(DEFAULT_RULES)}"
+        )
 
     # text_profile carries lang_true for evaluation corpora; raw corpora
     # often have no lang column, so synthesize a NULL one for that stage
@@ -65,56 +83,87 @@ def curate_corpus(
     profile = textops.text_profile(with_lang).select(
         "doc_id", "n_tokens_ws", "quality_score", "lang_pred"
     )
-    rep = textops.repetition_features(docs).select("doc_id", "dup_line_frac")
-    pii = textops.redact_pii(docs).select(
+    hygiene = textops.hygiene_features(docs).select(
         "doc_id",
+        "dup_line_frac",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii_hits"),
     )
     pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
-    keepers = dedup.dedup_keep_list(docs, pairs).select(
-        "doc_id", "cluster_id", F.col("keep").alias("is_canonical")
-    )
+    clusters = dedup.dedup_keep_list(docs, pairs).select("doc_id", "cluster_id")
     split = sampling.hash_split(
         docs.select("doc_id"), "doc_id", weights=split_weights
     )
 
-    out = (
-        profile.join(rep, "doc_id")
-        .join(pii, "doc_id")
-        .join(keepers, "doc_id")
-        .join(split, "doc_id")
-    )
     drop_short = F.col("n_tokens_ws") < r["min_tokens"]
     drop_rep = F.col("dup_line_frac") > r["max_dup_line_frac"]
     drop_quality = F.col("quality_score") < r["min_quality_score"]
     drop_pii = F.col("n_pii_hits") > r["max_pii_hits"]
-    return out.select(
-        "*",
-        drop_short.alias("drop_short"),
-        drop_rep.alias("drop_repetitive"),
-        drop_quality.alias("drop_low_quality"),
-        drop_pii.alias("drop_pii_heavy"),
-        (
-            ~drop_short
-            & ~drop_rep
-            & ~drop_quality
-            & ~drop_pii
-            & F.col("is_canonical")
-        ).alias("keep"),
+
+    flagged = (
+        profile.join(hygiene, "doc_id")
+        .join(clusters, "doc_id")
+        .join(split, "doc_id")
+        .select(
+            "*",
+            drop_short.alias("drop_short"),
+            drop_rep.alias("drop_repetitive"),
+            drop_quality.alias("drop_low_quality"),
+            drop_pii.alias("drop_pii_heavy"),
+            (~drop_short & ~drop_rep & ~drop_quality & ~drop_pii).alias(
+                "hygiene_ok"
+            ),
+        )
+    )
+    # canonical election among hygiene survivors: one tiny cluster-keyed
+    # aggregate (O(docs) in, O(clusters) out) + a co-keyed join
+    keepers = (
+        flagged.filter(F.col("hygiene_ok"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_keeper_id"))
+    )
+    return (
+        flagged.join(keepers, "cluster_id", "left")
+        .select(
+            "*",
+            (F.col("doc_id") == F.col("_keeper_id")).alias("_is_keeper"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens_ws",
+            "quality_score",
+            "lang_pred",
+            "dup_line_frac",
+            "n_pii_hits",
+            "cluster_id",
+            "hygiene_ok",
+            F.coalesce("_is_keeper", F.lit(False)).alias("is_canonical"),
+            "drop_short",
+            "drop_repetitive",
+            "drop_low_quality",
+            "drop_pii_heavy",
+            (F.col("hygiene_ok") & F.coalesce("_is_keeper", F.lit(False))).alias(
+                "keep"
+            ),
+            "split_id",
+        )
     )
 
 
 def curation_report(curated: DataFrame) -> DataFrame:
     """One-row funnel over a :func:`curate_corpus` result: how many
     documents each rule removed and what survives per split.  The numbers a
-    curation run is judged by."""
+    curation run is judged by.  ``n_dedup_dropped`` counts hygiene-passing
+    documents that lost the canonical election (true near-dup removals,
+    not double-counting hygiene drops)."""
     return curated.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("drop_short").cast("long")).alias("n_short"),
         F.sum(F.col("drop_repetitive").cast("long")).alias("n_repetitive"),
         F.sum(F.col("drop_low_quality").cast("long")).alias("n_low_quality"),
         F.sum(F.col("drop_pii_heavy").cast("long")).alias("n_pii_heavy"),
-        F.sum((~F.col("is_canonical")).cast("long")).alias("n_near_dups"),
+        F.sum(
+            (F.col("hygiene_ok") & ~F.col("is_canonical")).cast("long")
+        ).alias("n_dedup_dropped"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((F.col("keep") & (F.col("split_id") == 0)).cast("long")).alias(
             "n_kept_train"

@@ -32,6 +32,22 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def cumulative_split_bounds(weights: tuple[float, ...]) -> list[float]:
+    """The EXACT float boundaries :func:`hash_split` compares ``u`` against
+    (``acc += w / total`` over all but the last weight) -- THE single
+    definition, also formatted into the registry's DuckDB oracle and the
+    SQL-mode statement so all three stay bit-identical.  Float-exactness
+    matters: two independently-derived 0.9-ish bounds can differ in the
+    last ulp and flip a document's split across surfaces."""
+    total = sum(weights)
+    bounds: list[float] = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(acc)
+    return bounds
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -46,12 +62,7 @@ def hash_split(
     ones -- unlike fraction-based sampling where the RNG stream shifts).
     md5 (not xxhash64) so an external system can reproduce the assignment.
     """
-    total = sum(weights)
-    bounds = []
-    acc = 0.0
-    for w in weights[:-1]:
-        acc += w / total
-        bounds.append(acc)
+    bounds = cumulative_split_bounds(weights)
     # uniform in [0,1): first 15 hex chars of md5 / 16^15
     u = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 15),

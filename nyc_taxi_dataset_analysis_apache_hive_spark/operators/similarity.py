@@ -129,6 +129,38 @@ def normalized_with_bucket(embeddings: DataFrame, n_bits: int = 4) -> DataFrame:
     )
 
 
+def _bucket_scored_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+    n_bits: int,
+    self_join: bool,
+) -> DataFrame:
+    """The ONE sign-LSH pair-scoring pipeline (normalize -> bucket
+    equi-join -> exact unit-vector dot -> round(6) -> threshold filter),
+    shared by the self-join dedup and the cross-corpus decontamination so
+    rounding/threshold/zero-norm-NULL semantics can never diverge (the
+    dedup module shares _jaccard_verified the same way).  Self-join dedups
+    with ``left_id < right_id``; the two-table form broadcasts the right
+    (probe) side instead, keeping the corpus unshuffled."""
+    from ..functions.vectors import dot
+
+    a = normalized_with_bucket(left, n_bits).select(
+        F.col("vec_id").alias(left_id), F.col("emb_n").alias("_emb_a"), "bucket"
+    )
+    b = normalized_with_bucket(right, n_bits).select(
+        F.col("vec_id").alias(right_id), F.col("emb_n").alias("_emb_b"), "bucket"
+    )
+    joined = a.join(b if self_join else F.broadcast(b), "bucket")
+    if self_join:
+        joined = joined.filter(F.col(left_id) < F.col(right_id))
+    return joined.select(
+        left_id, right_id, F.round(dot("_emb_a", "_emb_b"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def pairwise_above(
     embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 4
 ) -> DataFrame:
@@ -139,20 +171,8 @@ def pairwise_above(
     MinHash LSH + Jaccard verify.  Zero-norm vectors yield NULL cosines
     and drop out, matching the unnormalized nullif semantics.
     """
-    from ..functions.vectors import dot
-
-    nb = normalized_with_bucket(embeddings, n_bits)
-    a = nb.select(
-        F.col("vec_id").alias("id_a"), F.col("emb_n").alias("emb_a"), "bucket"
-    )
-    b = nb.select(
-        F.col("vec_id").alias("id_b"), F.col("emb_n").alias("emb_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot("emb_a", "emb_b"), 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    return _bucket_scored_pairs(
+        embeddings, embeddings, "id_a", "id_b", threshold, n_bits, self_join=True
     )
 
 
@@ -178,20 +198,8 @@ def cross_corpus_near_pairs(
     product.  Recall follows the single-table LSH recall measured in
     tests (wider buckets = fewer bits -> higher recall, more candidates).
     """
-    from ..functions.vectors import dot
-
-    c = normalized_with_bucket(corpus, n_bits).select(
-        F.col("vec_id").alias("corpus_id"), F.col("emb_n").alias("emb_c"), "bucket"
-    )
-    p = normalized_with_bucket(probes, n_bits).select(
-        F.col("vec_id").alias("probe_id"), F.col("emb_n").alias("emb_p"), "bucket"
-    )
-    return (
-        c.join(F.broadcast(p), "bucket")
-        .select(
-            "corpus_id", "probe_id", F.round(dot("emb_c", "emb_p"), 6).alias("cosine")
-        )
-        .filter(F.col("cosine") >= threshold)
+    return _bucket_scored_pairs(
+        corpus, probes, "corpus_id", "probe_id", threshold, n_bits, self_join=False
     )
 
 

@@ -198,13 +198,52 @@ def tfidf_top_terms(
 
 #: PII patterns (Java regex, JVM-side).  Deliberately simple/auditable:
 #: recall-oriented screens, not a compliance system -- the docstring owns
-#: the caveat.  Order matters: emails first (they contain dots/digits that
-#: the later patterns could half-match), then IPs, then phones.
+#: the caveat.  Order matters TWICE: emails redact first so their
+#: dots/digits can't half-match the later patterns, and each stage COUNTS
+#: on the previous stage's output, so a span only ever counts as the first
+#: pattern that claims it (an IPv4 is n_ip=1, never also n_phone=1).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("phone", r"(?<![\d.])\+?\d[\d\-\s().]{7,}\d(?![\d.])", "<PHONE>"),
 ]
+
+
+def _count0(col: Column, pat: str) -> Column:
+    """Match count with NULL text counting as 0 (never the legacy -1
+    sentinel size() can emit for NULL arrays under non-ANSI confs)."""
+    return F.greatest(
+        F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pat), 0)), F.lit(0)),
+        F.lit(0),
+    ).cast("long")
+
+
+def _pii_staged(base: DataFrame, text_attr: str) -> DataFrame:
+    """Chained redaction stages over a materialized text attribute: stage i
+    counts pattern i on the (i-1)-times-redacted text, then redacts it.
+    Each stage reads the previous stage's ATTRIBUTE (not a re-inlined
+    expression), so counts reflect exactly what the redaction saw.
+    Adds n_<name> columns and ``_t<n>`` (the fully redacted text)."""
+    staged = base.withColumnRenamed(text_attr, "_t0")
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        staged = staged.select(
+            "*",
+            _count0(F.col(f"_t{i}"), pat).alias(f"n_{name}"),
+            F.regexp_replace(F.col(f"_t{i}"), pat, token).alias(f"_t{i + 1}"),
+        ).drop(f"_t{i}")
+    return staged
+
+
+def _lines_col(text: Column) -> Column:
+    """Trimmed non-empty lines array.  Splits on ``\\r?\\n`` (CRLF-safe --
+    Spark ``trim`` strips spaces only, so a bare ``\\r`` would survive and
+    count as a non-empty line) and treats NULL text as no lines."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), r"\r?\n"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -213,28 +252,55 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Emails, IPv4 addresses, and phone-number-shaped digit runs are replaced
     by typed placeholder tokens; per-document match counts ride along so the
     pipeline can route heavy-PII documents to review instead of silently
-    scrubbing them.  All JVM-side (``regexp_extract_all`` for counts,
-    chained ``regexp_replace`` for the rewrite) -- a narrow map, no shuffle,
-    same 100-TB posture as the other featurisers.
+    scrubbing them.  Counts are PER STAGE on the progressively redacted
+    text, so each span counts once under the first pattern that claims it;
+    NULL text yields NULL ``text_redacted`` with zero counts.  All JVM-side
+    (``regexp_extract_all`` for counts, chained ``regexp_replace`` for the
+    rewrite) -- a narrow map, no shuffle.
 
     Scope caveat: these are auditable recall-oriented screens (the standard
     pre-training hygiene pass), NOT a compliance-grade PII system -- names,
     addresses, and exotic formats need a learned tagger at the marked
     pattern list.
     """
-    t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    red = t
-    for _, pat, token in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, token)
-    return docs.select(
-        "doc_id",
-        red.alias("text_redacted"),
-        *counts,
+    staged = _pii_staged(
+        docs.select("doc_id", F.col(text_col).alias("_raw")), "_raw"
     )
+    n = len(PII_PATTERNS)
+    return staged.select(
+        "doc_id",
+        F.col(f"_t{n}").alias("text_redacted"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+    )
+
+
+def _repetition_cols() -> list[Column]:
+    """The C4/Gopher fraction columns over a materialized ``lines``
+    attribute -- shared by the standalone and fused featurisers."""
+    n_lines = F.size("lines")
+    nd = n_lines.cast("double")
+    dup_frac = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct("lines")) / nd
+    ).otherwise(0.0)
+
+    def line_frac(pred):
+        return F.when(
+            n_lines > 0, F.size(F.filter(F.col("lines"), pred)) / nd
+        ).otherwise(0.0)
+
+    return [
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_frac, 4).alias("dup_line_frac"),
+        F.round(line_frac(lambda x: x.rlike('[.!?"”]$')), 4).alias(
+            "terminal_punct_line_frac"
+        ),
+        F.round(line_frac(lambda x: x.rlike(r"^[-*•]")), 4).alias(
+            "bullet_line_frac"
+        ),
+        F.round(line_frac(lambda x: x.rlike(r"\.\.\.$")), 4).alias(
+            "ellipsis_line_frac"
+        ),
+    ]
 
 
 def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -244,41 +310,39 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The standard public corpus-filter rules (C4 drops lines without
     terminal punctuation and pages with boilerplate repetition; Gopher
-    bounds duplicate-line fractions).  Everything derives from ONE split
-    of the text into trimmed non-empty lines, materialized in its own
+    bounds duplicate-line fractions).  Everything derives from ONE CRLF-safe
+    split of the text into trimmed non-empty lines, materialized in its own
     projection (the multiply-referenced-non-cheap-expression rule), then
-    array HOFs -- narrow, shuffle-free, JVM-side.
+    array HOFs -- narrow, shuffle-free, JVM-side.  NULL text = zero lines.
     """
-    lines_raw = F.split(F.col(text_col), "\n")
-    lined = docs.select(
+    lined = docs.select("doc_id", _lines_col(F.col(text_col)).alias("lines"))
+    return lined.select("doc_id", *_repetition_cols())
+
+
+def hygiene_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition + PII signals fused into ONE corpus scan:
+    (doc_id, n_lines, dup_line_frac, terminal_punct_line_frac,
+    bullet_line_frac, ellipsis_line_frac, n_email, n_ip, n_phone,
+    text_redacted).
+
+    The same fusion argument as :func:`text_profile`: the curation pipeline
+    wants both signal families, and separately they re-read (and re-split)
+    the corpus.  Equivalent to joining :func:`repetition_features` and
+    :func:`redact_pii` (equivalence-tested), minus one scan and one
+    doc_id shuffle join.
+    """
+    base = docs.select(
         "doc_id",
-        F.filter(
-            F.transform(lines_raw, lambda x: F.trim(x)), lambda x: x != ""
-        ).alias("lines"),
+        F.col(text_col).alias("_raw"),
+        _lines_col(F.col(text_col)).alias("lines"),
     )
-    n_lines = F.size("lines")
-    nd = n_lines.cast("double")
-    dup_frac = F.when(n_lines > 0,
-                      1.0 - F.size(F.array_distinct("lines")) / nd).otherwise(0.0)
-
-    def line_frac(pred):
-        return F.when(
-            n_lines > 0, F.size(F.filter(F.col("lines"), pred)) / nd
-        ).otherwise(0.0)
-
-    return lined.select(
+    staged = _pii_staged(base, "_raw")
+    n = len(PII_PATTERNS)
+    return staged.select(
         "doc_id",
-        n_lines.cast("long").alias("n_lines"),
-        F.round(dup_frac, 4).alias("dup_line_frac"),
-        F.round(
-            line_frac(lambda x: x.rlike('[.!?"”]$')), 4
-        ).alias("terminal_punct_line_frac"),
-        F.round(
-            line_frac(lambda x: x.rlike(r"^[-*•]")), 4
-        ).alias("bullet_line_frac"),
-        F.round(
-            line_frac(lambda x: x.rlike(r"\.\.\.$")), 4
-        ).alias("ellipsis_line_frac"),
+        *_repetition_cols(),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        F.col(f"_t{n}").alias("text_redacted"),
     )
 
 

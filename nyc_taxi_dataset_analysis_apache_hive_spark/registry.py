@@ -1624,13 +1624,10 @@ def d6_dup_clusters(spark, sf):
 # Sampling / dataset splitting
 # ---------------------------------------------------------------------------
 
-_SPLIT_BOUNDS = []
-_acc = 0.0
-for _w in (0.8, 0.1):  # first n-1 of (0.8, 0.1, 0.1), cumulative
-    _acc += _w
-    _SPLIT_BOUNDS.append(_acc)
-# embed the float-exact python cumulative bounds so Spark and the oracle
-# compare u against bit-identical literals
+# embed hash_split's OWN float-exact cumulative bounds (one definition in
+# sampling.cumulative_split_bounds) so Spark and the oracle compare u
+# against bit-identical literals
+_SPLIT_BOUNDS = sampling.cumulative_split_bounds((0.8, 0.1, 0.1))
 _SPLIT_CASE = (
     f"CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 0 "
     f"WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 1 ELSE 2 END"

@@ -32,15 +32,12 @@ from .sources.readers import load_testdata
 
 
 def _s6_split_case() -> str:
-    """CASE arm with the EXACT float boundaries sampling.hash_split
-    computes (acc += w / total over (0.8, 0.1, 0.1)) -- embedded as reprs
-    so the SQL path compares u against bit-identical literals."""
-    weights = (0.8, 0.1, 0.1)
-    total = sum(weights)
-    bounds, acc = [], 0.0
-    for w in weights[:-1]:
-        acc += w / total
-        bounds.append(acc)
+    """CASE arm embedding sampling.hash_split's OWN float-exact boundaries
+    (one definition in sampling.cumulative_split_bounds) as repr literals,
+    so the SQL path compares u bit-identically."""
+    from .operators.sampling import cumulative_split_bounds
+
+    bounds = cumulative_split_bounds((0.8, 0.1, 0.1))
     return (
         f"CASE WHEN u < {bounds[0]!r}D THEN 0 "
         f"WHEN u < {bounds[1]!r}D THEN 1 ELSE 2 END"

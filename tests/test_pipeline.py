@@ -1,7 +1,11 @@
 """End-to-end curation gate: the composed pipeline's decisions must be
-consistent with its constituent operators and internally coherent."""
+consistent with its constituent operators and internally coherent, and the
+canonical election must prefer CLEAN duplicates (round-3 review finding:
+electing before hygiene loses a cluster whose min-id copy is dirty)."""
 
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -15,31 +19,63 @@ def test_curate_corpus_coherent(spark, sf0001_dir):
     rows = cur.collect()
     # row universe: exactly one decision row per input document
     assert len(rows) == docs.count()
-    by_id = {r["doc_id"]: r for r in rows}
+    by_cluster: dict = {}
     for r in rows:
-        # keep implies every rule passed AND canonical
-        if r["keep"]:
-            assert not (
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+        # keep decomposes exactly
+        assert r["keep"] == (r["hygiene_ok"] and r["is_canonical"])
+        assert r["hygiene_ok"] == (
+            not (
                 r["drop_short"]
                 or r["drop_repetitive"]
                 or r["drop_low_quality"]
                 or r["drop_pii_heavy"]
             )
-            assert r["is_canonical"]
+        )
         # flags recompute from the carried features (decision is auditable)
         assert r["drop_short"] == (r["n_tokens_ws"] < 5)
         assert r["drop_repetitive"] == (r["dup_line_frac"] > 0.3)
         assert r["drop_pii_heavy"] == (r["n_pii_hits"] > 10)
         assert r["split_id"] in (0, 1, 2)
-        # canonical doc of each cluster is its min doc_id
-        if r["is_canonical"]:
-            assert r["cluster_id"] == r["doc_id"]
+    for cluster_id, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        survivors = [m["doc_id"] for m in members if m["hygiene_ok"]]
+        if survivors:
+            # exactly one canonical: the min-id hygiene survivor
+            assert len(canon) == 1
+            assert canon[0]["doc_id"] == min(survivors)
         else:
-            assert r["cluster_id"] < r["doc_id"]
-    # near-dup decisions agree with the standalone keep-list
+            assert not canon
+    # cluster structure agrees with the standalone dedup pipeline
     pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
-    kl = {r["doc_id"]: r["keep"] for r in dedup.dedup_keep_list(docs, pairs).collect()}
-    assert all(by_id[d]["is_canonical"] == k for d, k in kl.items())
+    kl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_keep_list(docs, pairs).collect()
+    }
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert got == kl
+
+
+def test_dirty_canonical_does_not_lose_cluster(spark):
+    """A near-dup cluster whose MIN-id copy fails hygiene must still keep
+    its clean duplicate (the data-loss trap the election-order fix closes)."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    pii = " ".join(f"user{i}@mail.com" for i in range(12))  # 12 emails
+    docs = spark.createDataFrame(
+        [
+            (1, base + " " + pii),  # near-dup of 2, PII-heavy -> fails hygiene
+            (2, base),              # clean duplicate, higher id
+            (3, "completely different text " * 30),
+        ],
+        "doc_id long, text string",
+    )
+    cur = {r["doc_id"]: r for r in pipeline.curate_corpus(docs).collect()}
+    assert cur[1]["cluster_id"] == cur[2]["cluster_id"] == 1  # same cluster
+    assert not cur[1]["hygiene_ok"] and cur[1]["drop_pii_heavy"]
+    assert not cur[1]["keep"] and not cur[1]["is_canonical"]
+    # the clean copy is elected and kept -- the content survives
+    assert cur[2]["hygiene_ok"] and cur[2]["is_canonical"] and cur[2]["keep"]
+    assert cur[3]["keep"]
 
 
 def test_curation_report_funnel(spark, sf0001_dir):
@@ -51,11 +87,13 @@ def test_curation_report_funnel(spark, sf0001_dir):
         rep["n_kept_train"] + rep["n_kept_val"] + rep["n_kept_test"]
     )
     assert 0 < rep["n_kept"] <= rep["n_docs"]
-    # the corpus has planted near-dups -> some non-canonical rows exist
-    assert rep["n_near_dups"] > 0
+    # the corpus has planted near-dups -> some election losers exist
+    assert rep["n_dedup_dropped"] > 0
 
 
-def test_curate_rules_overridable(spark, sf0001_dir):
+def test_curate_rules_overridable_and_validated(spark, sf0001_dir):
     docs = load_table(spark, sf0001_dir, "documents").select("doc_id", "text")
     strict = pipeline.curate_corpus(docs, rules={"min_tokens": 10_000})
     assert strict.filter(F.col("keep")).count() == 0  # everything is short now
+    with pytest.raises(ValueError, match="unknown curation rules"):
+        pipeline.curate_corpus(docs, rules={"max_pii": 0})  # typo must raise

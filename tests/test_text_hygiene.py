@@ -1,5 +1,6 @@
 """PII redaction + repetition-feature gates: hand-crafted goldens, a
-no-residual-match property over the corpus, and python recomputes."""
+no-residual-match property over the corpus, python recomputes, and the
+staged-count / CRLF / NULL-text regressions the round-3 review caught."""
 
 from __future__ import annotations
 
@@ -25,13 +26,22 @@ def test_redact_pii_hand_golden(spark):
     rows = {r["doc_id"]: r for r in textops.redact_pii(docs).collect()}
     assert rows[1]["n_email"] == 2 and rows[1]["n_ip"] == 0
     assert rows[1]["text_redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
-    assert rows[2]["n_ip"] == 2
+    # staged counting: IPs must NOT also count as phones (review finding)
+    assert rows[2]["n_ip"] == 2 and rows[2]["n_phone"] == 0
     assert rows[2]["text_redacted"] == "server <IP> and <IP> rebooted"
+    # and a digit-run email local-part counts only as an email
+    extra = spark.createDataFrame(
+        [(9, "reach 123456789@qq.com now")], "doc_id long, text string"
+    )
+    [r9] = textops.redact_pii(extra).collect()
+    assert (r9["n_email"], r9["n_ip"], r9["n_phone"]) == (1, 0, 0)
     assert rows[3]["n_phone"] == 1
     assert rows[3]["text_redacted"] == "call <PHONE> today"
     assert rows[4]["text_redacted"] == "no pii here at all"
     assert (rows[4]["n_email"], rows[4]["n_ip"], rows[4]["n_phone"]) == (0, 0, 0)
+    # NULL text: NULL redacted output, ZERO counts (never a -1 sentinel)
     assert rows[5]["text_redacted"] is None
+    assert (rows[5]["n_email"], rows[5]["n_ip"], rows[5]["n_phone"]) == (0, 0, 0)
 
 
 def test_redact_pii_no_residual_matches(spark, sf0001_dir):
@@ -61,7 +71,13 @@ def test_redact_pii_no_residual_matches(spark, sf0001_dir):
 def test_repetition_features_hand_golden(spark):
     text_rep = "Same line.\nSame line.\nOther line!\n\n   \n- bullet one\nTrailing...\n"
     docs = spark.createDataFrame(
-        [(1, text_rep), (2, "one line no punct"), (3, "")],
+        [
+            (1, text_rep),
+            (2, "one line no punct"),
+            (3, ""),
+            (4, "A.\r\nA.\r\n\r\nB.\r\n"),  # CRLF (review finding)
+            (5, None),
+        ],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in textops.repetition_features(docs).collect()}
@@ -76,6 +92,13 @@ def test_repetition_features_hand_golden(spark):
     assert rows[2]["n_lines"] == 1 and rows[2]["dup_line_frac"] == 0.0
     assert rows[2]["terminal_punct_line_frac"] == 0.0
     assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
+    # CRLF text: \r stripped, blank CRLF line dropped
+    r4 = rows[4]
+    assert r4["n_lines"] == 3
+    assert r4["dup_line_frac"] == round(1 - 2 / 3, 4)
+    assert r4["terminal_punct_line_frac"] == 1.0
+    # NULL text behaves as empty, not a -1 sentinel
+    assert rows[5]["n_lines"] == 0 and rows[5]["dup_line_frac"] == 0.0
 
 
 def test_repetition_features_python_recompute(spark, sf0001_dir):
@@ -84,7 +107,7 @@ def test_repetition_features_python_recompute(spark, sf0001_dir):
     raw = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert set(got) == set(raw)
     for doc_id, text in list(raw.items())[:200]:
-        lines = [ln.strip() for ln in (text or "").split("\n") if ln.strip()]
+        lines = [ln.strip() for ln in re.split(r"\r?\n", text or "") if ln.strip()]
         n = len(lines)
         r = got[doc_id]
         assert r["n_lines"] == n, doc_id
@@ -95,3 +118,24 @@ def test_repetition_features_python_recompute(spark, sf0001_dir):
                 sum(1 for ln in lines if re.search(r'[.!?"”]$', ln)) / n, 4
             )
             assert abs(r["terminal_punct_line_frac"] - exp_tp) < 1e-9, doc_id
+
+
+def test_hygiene_features_fused_equals_standalone(spark, sf0001_dir):
+    """The fused one-scan featuriser must equal the join of the two
+    standalone operators -- and actually scan the corpus ONCE."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+        explain_str,
+    )
+
+    docs = load_table(spark, sf0001_dir, "documents").select("doc_id", "text")
+    fused = textops.hygiene_features(docs)
+    joined = textops.repetition_features(docs).join(
+        textops.redact_pii(docs), "doc_id"
+    )
+    f_rows = sorted(tuple(r) for r in fused.select(*sorted(fused.columns)).collect())
+    j_rows = sorted(
+        tuple(r) for r in joined.select(*sorted(fused.columns)).collect()
+    )
+    assert f_rows == j_rows
+    scans = re.findall(r"\(\d+\) Scan parquet", explain_str(fused))
+    assert len(scans) == 1
