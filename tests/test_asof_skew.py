@@ -565,3 +565,15 @@ def test_cross_corpus_near_pairs_finds_planted_contamination(spark):
         assert got.get((i, 1000 + i)) == 1.0, i  # the planted contamination
     assert all(c >= 0.999 for c in got.values())
     assert "CartesianProduct" not in explain_str(pairs)
+
+
+def test_uniform_sample_seeded_and_bounded(spark):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    n = docs.count()
+    a = {r["doc_id"] for r in sampling.uniform_sample(docs, 0.2, seed=7).collect()}
+    b = {r["doc_id"] for r in sampling.uniform_sample(docs, 0.2, seed=7).collect()}
+    assert a == b  # pinned seed + unchanged partitioning -> reproducible
+    assert 0.1 * n < len(a) < 0.3 * n  # Bernoulli rate in a generous band
+    assert a <= {r["doc_id"] for r in docs.collect()}
