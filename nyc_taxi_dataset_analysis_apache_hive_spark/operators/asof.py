@@ -62,6 +62,11 @@ def asof_join(
     if n_salts is not None and n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salted = n_salts is not None and n_salts > 1
+    if salt_from is not None and not salted:
+        raise ValueError(
+            "salt_from requires n_salts > 1 -- passing it alone would "
+            "silently run the unsalted plan"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
     # Tie order at equal _ts decides strictness: the carry-forward window

@@ -49,7 +49,7 @@ def cohort_retention(
 
     if period not in _PERIOD_SECONDS:
         raise ValueError(
-            f"period must be one of {sorted(_PERIOD_SECONDS) + ['month']}"
+            f"period must be one of {sorted([*_PERIOD_SECONDS, 'month'])}"
         )
     width = _PERIOD_SECONDS[period]
 

@@ -498,6 +498,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc_id, cluster_id)
     with cluster_id = min doc_id reachable in the pair graph.
@@ -535,11 +536,25 @@ def connected_components(
     and the race window of a foreign checkpoint landing inside one of this
     loop's before/after snapshots is the known sharp edge of a global
     checkpoint location).
+
+    ``on_nonconvergence``: labels converge in O(component diameter)
+    rounds, so a graph whose diameter exceeds ``max_iter`` (e.g. a long
+    chain of sliding-window shingle overlaps across a document family)
+    would exit the loop with PARTIALLY-merged labels that look final.
+    That state is never returned silently: ``"raise"`` (default) raises
+    RuntimeError telling the caller to raise ``max_iter``; ``"warn"``
+    emits a RuntimeWarning and returns the partial labels (the triage
+    escape hatch).
     """
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconvergence must be 'raise' or 'warn', got {on_nonconvergence!r}"
+        )
     if checkpoint_dir is None:
         return _propagate_min_labels(
             pairs, a_col, b_col, max_iter,
             lambda df: df.localCheckpoint(eager=True),
+            on_nonconvergence,
         )
 
     import uuid
@@ -610,11 +625,18 @@ def connected_components(
         # The loop materializes every checkpoint eagerly (and the returned
         # labels frame is itself checkpointed), so nothing still needs
         # ck_sub after this returns.
-        return _propagate_min_labels(pairs, a_col, b_col, max_iter, _ckpt)
+        return _propagate_min_labels(
+            pairs, a_col, b_col, max_iter, _ckpt, on_nonconvergence
+        )
     finally:
         try:
             # scala.Option.apply(null) is None, so this restores "unset"
-            # exactly as well as a previously-resolved directory
+            # exactly as well as a previously-resolved directory.
+            # checkpointDir_$eq is the Scala-generated setter of
+            # SparkContext's private[spark] var -- internal API, present in
+            # Spark 3.x-4.x but unguaranteed; if a future Spark drops it we
+            # fall through to the lossy-but-safe public setter below (and
+            # the pytest exact-restore assertion is gated on availability).
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(
                 sc._jvm.scala.Option.apply(prev_ck)
             )
@@ -629,7 +651,12 @@ def connected_components(
 
 
 def _propagate_min_labels(
-    pairs: DataFrame, a_col: str, b_col: str, max_iter: int, _ckpt
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+    _ckpt,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Min-label-propagation loop shared by the local- and
     reliable-checkpoint paths of :func:`connected_components`."""
@@ -647,6 +674,7 @@ def _propagate_min_labels(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.id)
@@ -666,6 +694,20 @@ def _propagate_min_labels(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # The last round still moved labels: components wider than
+        # max_iter hops are split and the result LOOKS final -- never
+        # return that silently.
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the pair graph has "
+            f"a component of diameter > {max_iter} -- raise max_iter"
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -8,11 +8,17 @@ North-star extension: the reference is tabular-only (whole of REF), but a
 * decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages (the sanctioned Python hot path: per *batch*, never
   per row, ~10-100x over row UDFs);
-* the actual codec calls are STUBBED: this container has no image/audio
-  libraries, so ``use_real_codecs=True`` raises ``NotImplementedError`` at
-  the clearly-marked integration point, and the default is a deterministic
-  fake (zlib.crc32-seeded) -- the Spark-side plumbing (schemas, batch
-  iteration, one-to-many frame explode, partitioning) is real and tested.
+* the actual codec calls are OPTIONAL-IMPORT: ``use_real_codecs=True``
+  probes for the real library at the marked integration point (Pillow for
+  images, soundfile for audio; video has no wired lib yet) and uses it when
+  importable; when the library is absent it raises ``NotImplementedError``
+  with wiring instructions.  The default (``False``) is a deterministic
+  fake (zlib.crc32-seeded) either way -- this container ships no media
+  libraries, so the fake is what every driver-gated entry runs, and the
+  Spark-side plumbing (schemas, batch iteration, one-to-many frame
+  explode, partitioning) is identical and tested on both paths.  The
+  import probe runs INSIDE each batch generator (executor-side) -- on a
+  cluster the driver's site-packages prove nothing about the executors'.
 
 Scale notes: every stage is a narrow map -- no shuffle, embarrassingly
 parallel, Arrow-vectorized transfer.  Payload bytes stay in the executor;
@@ -73,12 +79,49 @@ RESIZED_SCHEMA = (
 )
 
 
-def _not_implemented_codec(kind: str):  # pragma: no cover - integration point
+def _not_implemented_codec(kind: str):
     raise NotImplementedError(
-        f"real {kind} codec integration point: this environment ships no "
-        "image/audio/video libraries; wire Pillow/librosa/pyav here and the "
-        "surrounding mapInPandas plumbing is unchanged"
+        f"real {kind} codec integration point: the required library is not "
+        "importable in this environment; install Pillow (image) / soundfile "
+        "(audio) or wire pyav (video) here and the surrounding mapInPandas "
+        "plumbing is unchanged"
     )
+
+
+def codec_support() -> dict[str, bool]:
+    """Which real codec libraries are importable HERE (this interpreter).
+
+    Driver-side callers use it to pick fake vs real; the stages re-probe
+    inside each executor batch regardless, because cluster executors can
+    have different site-packages than the driver.  ``video`` is always
+    False: no container-format library is wired yet (the integration
+    point raises with instructions).
+    """
+    support = {}
+    try:
+        from PIL import Image  # noqa: F401
+
+        support["image"] = True
+    except ImportError:
+        support["image"] = False
+    try:
+        import soundfile  # noqa: F401
+
+        support["audio"] = True
+    except ImportError:
+        support["audio"] = False
+    support["video"] = False
+    return support
+
+
+def _require_image_codec():
+    """Executor-side probe: PIL.Image or the marked NotImplementedError."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        _not_implemented_codec("image")
 
 
 def synth_media_from_docs(docs: DataFrame) -> DataFrame:
@@ -116,32 +159,49 @@ def media_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
     """Decode/feature-extract stage: (media_id, kind, n_bytes, crc32,
     byte_entropy, first_byte) via Arrow-batched mapInPandas.
 
-    ``byte_entropy`` is a cheap byte-histogram Shannon entropy -- the
-    deterministic stand-in for real decoded-content features.
+    ``byte_entropy`` is a byte-histogram Shannon entropy.  Default (fake)
+    path: computed over the raw payload bytes -- the deterministic
+    stand-in for decoded-content features.  ``use_real_codecs=True``:
+    image rows are DECODED with Pillow and entropy/first_byte come from
+    the decoded pixel bytes (container-level n_bytes/crc32 stay
+    payload-facts); kinds without a wired library raise the marked
+    ``NotImplementedError`` -- filter to ``kind == 'image'`` first when
+    only Pillow is installed.
     """
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
         import math
 
         import pandas as pd
 
+        image_mod = None
+
+        def entropy(b: bytes) -> float:
+            if not b:
+                return 0.0
+            counts: dict[int, int] = {}
+            for x in b:
+                counts[x] = counts.get(x, 0) + 1
+            n = len(b)
+            return round(
+                -sum(c / n * math.log2(c / n) for c in counts.values()), 6
+            )
+
         for pdf in batches:
-            if use_real_codecs:
-                _not_implemented_codec("decode")
             payloads = pdf["payload"]
-            ent = []
-            for p in payloads:
+            ent, first = [], []
+            for p, kind in zip(payloads, pdf["kind"]):
                 b = bytes(p)
-                if not b:
-                    ent.append(0.0)
-                    continue
-                counts: dict[int, int] = {}
-                for x in b:
-                    counts[x] = counts.get(x, 0) + 1
-                n = len(b)
-                ent.append(
-                    round(-sum(c / n * math.log2(c / n) for c in counts.values()), 6)
-                )
+                if use_real_codecs:
+                    if kind != "image":
+                        _not_implemented_codec(kind)
+                    if image_mod is None:
+                        image_mod = _require_image_codec()
+                    with image_mod.open(io.BytesIO(b)) as img:
+                        b = img.convert("RGB").tobytes()
+                ent.append(entropy(b))
+                first.append(b[0] if b else -1)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -151,9 +211,7 @@ def media_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
                         lambda p: zlib.crc32(bytes(p)) & 0xFFFFFFFF
                     ).astype("int64"),
                     "byte_entropy": ent,
-                    "first_byte": payloads.map(
-                        lambda p: bytes(p)[0] if len(p) else -1
-                    ).astype("int32"),
+                    "first_byte": pd.Series(first, dtype="int32"),
                 }
             )
 
@@ -163,26 +221,45 @@ def media_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
 def resize_images(
     media: DataFrame, width: int, height: int, use_real_codecs: bool = False
 ) -> DataFrame:
-    """Resize stage for image rows: payload -> width*height bytes.
+    """Resize stage for image rows.
 
-    The fake 'resampler' tiles/truncates the payload to exactly
-    ``width*height`` bytes (deterministic); a real implementation swaps the
-    body at the marked point.  Non-image rows are filtered JVM-side, so the
-    Python stage only ever sees image batches.
+    Default (fake) 'resampler' tiles/truncates the payload to exactly
+    ``width*height`` bytes (deterministic).  ``use_real_codecs=True``
+    decodes with Pillow, bilinear-resizes to (width, height), and
+    re-encodes as PNG (so output payload length is the compressed size,
+    not width*height); Pillow absent -> the marked NotImplementedError.
+    Non-image rows are filtered JVM-side either way, so the Python stage
+    only ever sees image batches.
     """
     target = width * height
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+
         import pandas as pd
 
+        image_mod = None
         for pdf in batches:
-            if use_real_codecs:
-                _not_implemented_codec("image resize")
             out_payload = []
-            for p in pdf["payload"]:
-                b = bytes(p) or b"\x00"
-                reps = -(-target // len(b))  # ceil
-                out_payload.append((b * reps)[:target])
+            if use_real_codecs:
+                if image_mod is None:
+                    image_mod = _require_image_codec()
+                for p in pdf["payload"]:
+                    with image_mod.open(io.BytesIO(bytes(p))) as img:
+                        resample = getattr(
+                            image_mod, "Resampling", image_mod
+                        ).BILINEAR
+                        resized = img.convert("RGB").resize(
+                            (width, height), resample
+                        )
+                    buf = io.BytesIO()
+                    resized.save(buf, format="PNG")
+                    out_payload.append(buf.getvalue())
+            else:
+                for p in pdf["payload"]:
+                    b = bytes(p) or b"\x00"
+                    reps = -(-target // len(b))  # ceil
+                    out_payload.append((b * reps)[:target])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -204,6 +281,9 @@ def sample_frames(
 
     Demonstrates the one-to-many mapInPandas shape (a video decoder emits
     frame batches); the fake splits the payload into n contiguous slices.
+    No video container library is wired (``codec_support()['video']`` is
+    False), so ``use_real_codecs=True`` always raises the marked
+    NotImplementedError -- pyav slots in here.
     """
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -211,7 +291,7 @@ def sample_frames(
 
         for pdf in batches:
             if use_real_codecs:
-                _not_implemented_codec("video frame sampling")
+                _not_implemented_codec("video")
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)

@@ -137,14 +137,17 @@ def _bucket_scored_pairs(
     threshold: float,
     n_bits: int,
     self_join: bool,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """The ONE sign-LSH pair-scoring pipeline (normalize -> bucket
     equi-join -> exact unit-vector dot -> round(6) -> threshold filter),
     shared by the self-join dedup and the cross-corpus decontamination so
     rounding/threshold/zero-norm-NULL semantics can never diverge (the
     dedup module shares _jaccard_verified the same way).  Self-join dedups
-    with ``left_id < right_id``; the two-table form broadcasts the right
-    (probe) side instead, keeping the corpus unshuffled."""
+    with ``left_id < right_id``; the two-table form may broadcast the
+    right (probe) side when the caller knows it is small, keeping the
+    corpus unshuffled -- a broadcast HINT overrides AQE's size check, so
+    it must stay opt-in rather than unconditional."""
     from ..functions.vectors import dot
 
     a = normalized_with_bucket(left, n_bits).select(
@@ -153,7 +156,7 @@ def _bucket_scored_pairs(
     b = normalized_with_bucket(right, n_bits).select(
         F.col("vec_id").alias(right_id), F.col("emb_n").alias("_emb_b"), "bucket"
     )
-    joined = a.join(b if self_join else F.broadcast(b), "bucket")
+    joined = a.join(F.broadcast(b) if broadcast_right else b, "bucket")
     if self_join:
         joined = joined.filter(F.col(left_id) < F.col(right_id))
     return joined.select(
@@ -181,6 +184,7 @@ def cross_corpus_near_pairs(
     probes: DataFrame,
     threshold: float = 0.95,
     n_bits: int = 4,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Embedding-space decontamination: near-duplicate pairs ACROSS two
     embedding tables (does any training vector sit next to an eval/benchmark
@@ -193,13 +197,24 @@ def cross_corpus_near_pairs(
     (corpus_id, probe_id, cosine) with cosine >= threshold.
 
     Scale: the probe side (benchmarks) is tiny next to the training corpus
-    -- it broadcasts, so the corpus is never shuffled; a big probe side
-    degrades to a shuffled equi-join on the bucket, never an all-pairs
-    product.  Recall follows the single-table LSH recall measured in
-    tests (wider buckets = fewer bits -> higher recall, more candidates).
+    -- with ``broadcast_probes=True`` (default) it broadcasts, so the
+    corpus is never shuffled.  For a LARGE probe table pass
+    ``broadcast_probes=False``: the hint would override AQE's size check
+    and attempt a driver-side broadcast (OOM / broadcast-limit failure),
+    whereas without it the plan degrades to a shuffled equi-join on the
+    bucket -- never an all-pairs product either way.  Recall follows the
+    single-table LSH recall measured in tests (wider buckets = fewer bits
+    -> higher recall, more candidates).
     """
     return _bucket_scored_pairs(
-        corpus, probes, "corpus_id", "probe_id", threshold, n_bits, self_join=False
+        corpus,
+        probes,
+        "corpus_id",
+        "probe_id",
+        threshold,
+        n_bits,
+        self_join=False,
+        broadcast_right=broadcast_probes,
     )
 
 

@@ -205,7 +205,10 @@ def tfidf_top_terms(
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"(?<![\d.])\+?\d[\d\-\s().]{7,}\d(?![\d.])", "<PHONE>"),
+    # Intra-number whitespace is HORIZONTAL only ([ \t], not \s): \s would
+    # match newlines, so digit runs on consecutive lines (numeric tables)
+    # would collapse into one cross-line <PHONE> redaction.
+    ("phone", r"(?<![\d.])\+?\d[\d\- \t().]{7,}\d(?![\d.])", "<PHONE>"),
 ]
 
 

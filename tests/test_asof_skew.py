@@ -385,6 +385,56 @@ def test_connected_components_hand_graph(spark):
     assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_connected_components_nonconvergence_surfaced(spark):
+    """A path graph of diameter > max_iter cannot converge: the partial
+    labels are never returned silently -- raise by default, RuntimeWarning
+    with partial labels under on_nonconvergence='warn', and correct once
+    max_iter covers the diameter."""
+    import pytest
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    # 0-1-2-...-8: one component, diameter 8 -> needs ~log-free min-label
+    # propagation of up to 8 rounds; max_iter=2 must fail loudly.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2).collect()
+
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = dedup.connected_components(
+            pairs, max_iter=2, on_nonconvergence="warn"
+        ).collect()
+    labels = {r["doc_id"]: r["cluster_id"] for r in partial}
+    assert labels[8] != 0  # visibly partial: far end not yet merged to min
+
+    # raising max_iter past the diameter fixes the clustering (and no
+    # warning/raise fires)
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, max_iter=10).collect()
+    }
+    assert comp == {i: 0 for i in range(9)}
+
+    with pytest.raises(ValueError, match="on_nonconvergence"):
+        dedup.connected_components(pairs, on_nonconvergence="ignore")
+
+
+def test_asof_salt_from_without_n_salts_raises(spark):
+    """salt_from alone must not silently run the unsalted plan."""
+    import pytest
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame(
+        [(1, 1.0)], "k long, ts double"
+    )
+    with pytest.raises(ValueError, match="salt_from requires n_salts"):
+        asof_join(df, df, on="k", left_ts="ts", right_ts="ts",
+                  right_cols=[], salt_from="ts")
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """Cluster-durable mode: a reliable checkpoint dir swaps localCheckpoint
     for checkpoint() (survives executor loss); results are identical and
@@ -403,8 +453,17 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in dedup.connected_components(pairs, checkpoint_dir=ckdir).collect()
     }
     # the app-global checkpoint dir is restored EXACTLY (not re-resolved
-    # through setCheckpointDir, which would nest a fresh UUID level)
-    assert spark.sparkContext.getCheckpointDir() == prev_ck
+    # through setCheckpointDir, which would nest a fresh UUID level).
+    # The exact restore rides the Spark-internal Scala setter
+    # (checkpointDir_$eq); if a future Spark drops it, the operator falls
+    # back to the lossy public setter -- so the exact-equality assertion
+    # is gated on the private API being present (the fallback still keeps
+    # later checkpoints under the user's tree).
+    exact_restore_available = "checkpointDir_$eq" in dir(
+        spark.sparkContext._jsc.sc()
+    )
+    if exact_restore_available:
+        assert spark.sparkContext.getCheckpointDir() == prev_ck
     assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files"
     # storage is bounded: superseded label snapshots are deleted, so at most

@@ -109,27 +109,84 @@ def test_embeddings_stable_and_normalized(media):
 
 
 def test_real_codec_path_is_marked_not_implemented(media):
+    """Kinds without a wired/importable library raise the marked
+    integration-point error.  'video' has no wired library by design, so
+    this contract holds in EVERY environment (incl. one with Pillow)."""
     with pytest.raises(Exception, match="codec integration point"):
-        multimodal.media_features(media, use_real_codecs=True).collect()
+        multimodal.sample_frames(media, use_real_codecs=True).collect()
+    if not multimodal.codec_support()["image"]:
+        with pytest.raises(Exception, match="codec integration point"):
+            multimodal.media_features(
+                media.filter(F.col("kind") == "image"), use_real_codecs=True
+            ).collect()
 
 
 def test_real_codec_contract_all_stages(media):
     """Wiring real codecs must be a drop-in: every Python stage exposes the
     same marked integration point, and flipping the flag cannot change the
-    Spark-side plumbing (schema, filtered input kind, batch shape)."""
+    Spark-side plumbing (schema, filtered input kind, batch shape).  The
+    raise-assertion is gated per stage on the required library being
+    ABSENT -- with Pillow installed the image stages run for real instead
+    (covered by the feature tests below)."""
+    support = multimodal.codec_support()
     stages = [
-        (lambda m, real: multimodal.media_features(m, use_real_codecs=real)),
-        (lambda m, real: multimodal.resize_images(m, 8, 8, use_real_codecs=real)),
-        (lambda m, real: multimodal.sample_frames(m, 2, use_real_codecs=real)),
+        ("image", lambda m, real: multimodal.media_features(m, use_real_codecs=real)),
+        ("image", lambda m, real: multimodal.resize_images(m, 8, 8, use_real_codecs=real)),
+        ("video", lambda m, real: multimodal.sample_frames(m, 2, use_real_codecs=real)),
     ]
-    for stage in stages:
+    for needs, stage in stages:
         fake_df = stage(media, False)
         real_df = stage(media, True)
         # plumbing invariant: identical schema either way (analysis-time,
         # no execution needed)
         assert real_df.schema == fake_df.schema
+        if support[needs]:
+            continue
         # the integration point raises ONE message carrying both the marker
         # and the wiring instructions (single job launch per stage)
         with pytest.raises(Exception, match="codec integration point") as ei:
             real_df.collect()
         assert "mapInPandas plumbing" in str(ei.value)
+
+
+@pytest.mark.skipif(
+    not multimodal.codec_support()["image"], reason="Pillow not installed"
+)
+def test_real_image_codecs_feature(spark):
+    """Runs only where Pillow imports: real PNG payloads decode, resize to
+    the requested pixel dims, and feature-extract over DECODED pixel bytes
+    (not the compressed container)."""
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", bytearray(png_bytes(16, 8, (255, 0, 0))), None),
+        (2, "image", bytearray(png_bytes(4, 4, (0, 128, 255))), None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.media_features(media, use_real_codecs=True).collect()
+    }
+    # solid-color image -> decoded pixel stream has <=3 distinct byte
+    # values -> entropy <= log2(3); the PNG container bytes would not
+    assert feats[1]["byte_entropy"] <= 1.585
+    assert feats[1]["first_byte"] == 255  # first decoded byte: R of red
+    assert feats[1]["n_bytes"] == len(bytes(rows[0][2]))  # container fact
+
+    resized = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            media, 6, 5, use_real_codecs=True
+        ).collect()
+    }
+    for mid, r in resized.items():
+        with Image.open(io.BytesIO(bytes(r["payload"]))) as img:
+            assert img.size == (6, 5)

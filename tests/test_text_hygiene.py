@@ -44,6 +44,18 @@ def test_redact_pii_hand_golden(spark):
     assert (rows[5]["n_email"], rows[5]["n_ip"], rows[5]["n_phone"]) == (0, 0, 0)
 
 
+def test_phone_pattern_never_crosses_lines(spark):
+    """Digit runs on consecutive lines (numeric tables, IDs) must redact
+    per-line, never collapse into one cross-line <PHONE> (the \\s-in-class
+    over-redaction the round-3 advice flagged)."""
+    table = "row totals:\n415 555 0199\n415 555 0142\n2024 2025 2026"
+    docs = spark.createDataFrame([(1, table)], "doc_id long, text string")
+    [r] = textops.redact_pii(docs).collect()
+    # three separate per-line matches, and every newline survives
+    assert r["n_phone"] == 3
+    assert r["text_redacted"] == "row totals:\n<PHONE>\n<PHONE>\n<PHONE>"
+
+
 def test_redact_pii_no_residual_matches(spark, sf0001_dir):
     """Property over the real corpus + planted rows: after redaction, no
     pattern matches remain (the screens are idempotent/complete)."""
