@@ -4,12 +4,26 @@
 
 Prints ONE JSON line:
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...},            # 19 headline queries at sf
+   "sweep": {name: sec, ...},              # ALL registry entries at sf
+   "scale_curve": {"0.001": {...}, "0.01": {...}, "0.1": {...}},
+   "sf": 0.1}
 
-Each query is timed end-to-end (plan + execute + collect).  The headline set
-spans the engine's surface: scan/agg, window %, join+derive, CASE+window,
-top-k, exact percentile, ETL clean+derive, sessionization, minhash LSH,
-brute-force KNN, text quality -- so a regression anywhere shows up here.
+Three sections, three jobs:
+
+* ``queries`` -- the headline set, timed first in a fixed order after one
+  warm-up query (comparable round-over-round; ``value`` is its sum).
+* ``sweep`` -- every registry entry, so a regression in any of the
+  non-headline entries shows up in the per-round JSON diff instead of
+  living only in BASELINE.md prose.  Headline timings are reused (each
+  query runs once per bench invocation).
+* ``scale_curve`` -- the headline set re-timed at every available
+  /root/testdata/sf* decade: the empirical sec-vs-sf curve backing the
+  100-TB story.  Plan-shape tests pin the ASYMPTOTICS (no cartesians, no
+  all-pairs); this measures the CONSTANTS actually scaling ~linearly
+  across 100x of data (tests/test_scale_curve.py gates the growth bound).
+
+Each query is timed end-to-end (plan + execute + collect).
 """
 
 from __future__ import annotations
@@ -47,11 +61,25 @@ HEADLINE = [
     "t1_text_profile",
 ]
 
+#: testdata decades probed for the scale curve (smallest first so the
+#: expensive sf is measured last, after the JVM is thoroughly warm)
+CURVE_SFS = ["0.001", "0.01", "0.1"]
+
+
+def time_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    testdata_root = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -59,17 +87,32 @@ def main() -> None:
     # not session startup.
     registry.QUERIES["a1_group_count"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        registry.QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # 1) headline set, fixed order -- the round-over-round comparable block
+    timings = time_queries(spark, HEADLINE, sf_dir)
+
+    # 2) the remaining registry entries -> full sweep (headline reused)
+    rest = [n for n in registry.QUERIES if n not in timings]
+    sweep = {**timings, **time_queries(spark, rest, sf_dir)}
+
+    # 3) sec-vs-sf curve for the headline set across available decades
+    scale_curve: dict[str, dict[str, float]] = {}
+    for dec in CURVE_SFS:
+        ddir = os.path.join(testdata_root, f"sf{dec}")
+        if not os.path.isdir(ddir):
+            continue
+        if sf is not None and float(dec) == sf:
+            scale_curve[dec] = dict(timings)
+            continue
+        registry.QUERIES["a1_group_count"](spark, ddir).collect()  # warm dir
+        scale_curve[dec] = time_queries(spark, HEADLINE, ddir)
 
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "sweep": sweep,
+        "scale_curve": scale_curve,
         "sf": sf,
     }
     print(json.dumps(out))
