@@ -1,10 +1,36 @@
 """Skew-mitigation operators: salted aggregation and salted joins.
 
 Hot keys are the classic 100-TB failure mode: one reducer gets a whole
-key's rows while the rest idle.  AQE's skew-join splitting handles the
-join case at runtime; these operators are the *declarative* mitigation for
-when AQE can't help (first-stage aggregation fan-in, deliberate two-phase
-rollups) or when the salt factor should be a planned constant.
+key's rows while the rest idle.  Spark has a RUNTIME mitigation -- AQE
+skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``, on by
+default) -- and these operators are the DECLARATIVE one.  When to use
+which:
+
+* **AQE covers**: sort-merge / shuffled-hash JOIN skew.  At runtime AQE
+  reads the shuffle's map statistics, detects reduce partitions larger
+  than ``skewedPartitionFactor x median`` (and above
+  ``skewedPartitionThresholdInBytes``), splits them, and duplicates the
+  matching partition on the other side -- the final plan shows
+  ``SortMergeJoin(skew=true)``.  Zero code, exact results: prefer it for
+  plain joins (``tests/test_asof_skew.py`` proves result-equivalence
+  with :func:`salted_join` on a 90%-hot-key fixture).
+* **AQE cannot cover** (use these operators):
+  - first-stage AGGREGATION fan-in: a hot groupBy key is one reduce
+    group -- unsplittable at runtime because correctness needs all rows
+    of a key in one task.  :func:`salted_group_count_sum` plans the
+    two-phase shape instead (partial per (key, salt), then tiny final).
+  - WINDOW functions over a hot partition key: same single-task
+    constraint; ``asof.asof_join(n_salts=...)`` sub-partitions the
+    carry-forward window declaratively.
+  - deterministic/planned fan-out: AQE's split depends on runtime byte
+    statistics (can vary run to run, and stays off below its size
+    thresholds); a planned ``n_salts`` is stable across runs -- what you
+    want for regression-benchmarked pipelines and exactly-once sinks.
+  - joins whose skewed side doesn't sit DIRECTLY on its shuffle:
+    OptimizeSkewedJoin pattern-matches ``SMJ(Sort(Shuffle),
+    Sort(Shuffle)))`` -- an operator between them (e.g. the
+    HashAggregate of a ``distinct()`` dim, measured in the test) makes
+    AQE silently skip the split while the UI still shows a plain SMJ.
 
 Results are bit-identical to the unsalted forms -- the salt only changes
 the shuffle distribution -- so every salted operator shares its oracle with

@@ -178,6 +178,55 @@ def test_salted_join_equals_plain_join(spark):
     assert set(salted.columns) == {"event_id", "event_type", "flag"}
 
 
+def test_aqe_skew_join_equals_salted_join(spark, hot_key_frames):
+    """AQE's runtime skew split and the declarative salted join must agree
+    bit-for-bit on the 90%-hot-key fixture, and AQE must actually SPLIT the
+    hot partition (the plan marks the sort-merge join skew=true) -- proving
+    plain joins can lean on AQE while salting stays for the cases AQE can't
+    touch (aggregation fan-in, windows; see skew.py module docstring)."""
+    left, _ = hot_key_frames
+    # an INDEPENDENT dim table: deriving it from `left` (e.g. via distinct)
+    # would put a HashAggregate between the join's Sort and its shuffle
+    # stage, breaking the SMJ(Sort(Shuffle), Sort(Shuffle)) pattern
+    # OptimizeSkewedJoin matches -- AQE would silently not split
+    dim = left.sparkSession.createDataFrame(
+        [(k, f"key-{k}") for k in range(1, 12)], "k long, k_name string"
+    )
+    confs = {
+        # force a sort-merge join (no broadcast escape hatch) and make the
+        # tiny fixture's hot partition cross AQE's skew thresholds
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        aqe_df = left.join(dim, "k")
+        aqe = {(r["row_id"], r["k_name"]) for r in aqe_df.collect()}
+        # the ADAPTIVE final plan (post-execution) records the skew split
+        final_plan = aqe_df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    salted = {
+        (r["row_id"], r["k_name"])
+        for r in skew.salted_join(
+            left, dim, on="k", salt_from="row_id", n_salts=8
+        ).collect()
+    }
+    assert aqe == salted and len(aqe) == left.count()
+
+
 def test_approx_distinct_within_rsd(spark):
     li = load_table(spark, SF, "lineitem")
     exact = {
