@@ -17,10 +17,15 @@ for ``epoch``/``epoch_us``, ``get_json_object`` for
 windows, percentiles -- is shared ANSI that Spark's Hive-heritage parser
 accepts verbatim.
 
-Entries NOT here are the ones whose semantics are not a single SQL
-statement (multi-step dedup pipelines, iterative clustering, mapInPandas
-media stages, salted-plan variants): their declarative form IS the
-DataFrame program, and their value parity is driver-oracled instead.
+Entries NOT here are the ones whose semantics genuinely cannot be one SQL
+statement: the multi-step hash-chain dedup pipelines (d3/d4/d5 -- their
+portable md5 signature loops are DataFrame programs), iterative label
+propagation (d6), and the mapInPandas media stages whose feature values
+are computed in Python (m2/m3).  Their declarative form IS the DataFrame
+program, and their value parity is driver-oracled instead.  Everything
+else -- including the windowed as-of join, the salted two-phase plan, the
+fused text profile, brute-force KNN and sign-LSH near-pairs -- runs here
+as SQL text with a pairwise equality gate.
 """
 
 from __future__ import annotations
@@ -29,6 +34,100 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .session import apply_runtime_confs
 from .sources.readers import load_testdata
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Spark-SQL spelling of functions.vectors.dot (zip_with product fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(v: str) -> str:
+    """Spark-SQL spelling of functions.vectors.l2_norm."""
+    return (
+        f"sqrt(aggregate(transform({v}, x -> x * x), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """Spark-SQL spelling of functions.vectors.cosine (NULL on zero norm)."""
+    return (
+        f"{_sql_dot(a, b)} / nullif({_sql_norm(a)} * {_sql_norm(b)}, 0.0D)"
+    )
+
+
+#: shared first stages of every shingle pipeline (tokens -> distinct 3-gram
+#: sets) -- the Spark-SQL spelling of dedup._shingle_sets
+_SHINGLE_SETS_CTE = """
+    toked AS (
+      SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')
+               AS toks
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             array_distinct(CASE WHEN size(toks) >= 3 THEN
+               transform(sequence(1, size(toks) - 2),
+                         i -> array_join(slice(toks, i, 3), ' '))
+             ELSE CAST(array() AS array<string>) END) AS sh
+      FROM toked
+    )
+"""
+
+#: Spark-SQL spelling of dedup.shingle_base_hash (portable 60-bit md5 prefix)
+_SQL_BASE_HASH = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _minhash_sql_columns() -> tuple[str, str]:
+    """(signature aggregate list, band-rows UNION ALL) in Spark SQL from the
+    same minhash_params the DataFrame operator and DuckDB oracle use."""
+    from .operators.dedup import MINHASH_P, minhash_params
+
+    sig_cols = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(16))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS bucket "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig_{j} AS STRING)" for j in range(b * 4, b * 4 + 4)
+            ),
+        )
+        for b in range(4)
+    )
+    return sig_cols, band_rows
+
+
+def _simhash_sql_columns() -> tuple[str, str, str]:
+    """(bit sums, majority pack, chunk explode) in Spark SQL, mirroring
+    dedup.simhash_64 / simhash_near_pairs (60 bits, 4 x 15-bit chunks)."""
+    from .operators.dedup import SIMHASH_BITS, SIMHASH_CHUNKS
+
+    bit_sums = ", ".join(
+        f"sum(shiftright(h, {i}) & 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{i} * 2 > n THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for i in range(SIMHASH_BITS)
+    )
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_mask = (1 << chunk_bits) - 1
+    chunk_structs = ", ".join(
+        f"struct({c} AS chunk, "
+        f"shiftright(simhash, {chunk_bits * c}) & {chunk_mask} AS val)"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return bit_sums, pack, chunk_structs
+
+
+_MINHASH_SIG_COLS, _MINHASH_BAND_ROWS = _minhash_sql_columns()
+_SIMHASH_BIT_SUMS, _SIMHASH_PACK, _SIMHASH_CHUNK_STRUCTS = _simhash_sql_columns()
 
 
 def _s6_split_case() -> str:
@@ -329,6 +428,416 @@ SQL_QUERIES: dict[str, str] = {
                    / CAST(1152921504606846976 AS DOUBLE) AS u
           FROM documents
         )
+    """,
+    # -- dedup scale paths as SQL text (shared shingle CTE) ----------------
+    "d3_minhash_lsh_pairs": f"""
+        WITH {_SHINGLE_SETS_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 {_SQL_BASE_HASH.format(col="s")} % 2147483647 AS h
+          FROM (SELECT doc_id, explode(sh) AS s FROM sets)
+        ),
+        sigs AS (
+          SELECT doc_id, {_MINHASH_SIG_COLS} FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+          {_MINHASH_BAND_ROWS}
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+        ),
+        ss AS (SELECT doc_id, array_sort(sh) AS sh FROM sets)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(size(array_intersect(sa.sh, sb.sh))
+                   / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE), 6)
+                   AS jaccard
+          FROM cands
+          JOIN ss sa ON cands.doc_a = sa.doc_id
+          JOIN ss sb ON cands.doc_b = sb.doc_id
+        ) WHERE jaccard >= 0.5D
+    """,
+    "d4_ngram_jaccard_pairs": f"""
+        WITH {_SHINGLE_SETS_CTE},
+        sizes AS (SELECT doc_id, size(sh) AS n_sh FROM sets),
+        inv AS (
+          SELECT doc_id, {_SQL_BASE_HASH.format(col="s")} AS shingle
+          FROM (SELECT doc_id, explode(sh) AS s FROM sets)
+        ),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(common / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6)
+                   AS jaccard
+          FROM common
+          JOIN sizes za ON common.doc_a = za.doc_id
+          JOIN sizes zb ON common.doc_b = zb.doc_id
+        ) WHERE jaccard >= 0.2D
+    """,
+    "d5_simhash_pairs": f"""
+        WITH toked AS (
+          SELECT doc_id,
+                 array_sort(array_distinct(
+                   filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')))
+                   AS toks
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, {_SQL_BASE_HASH.format(col="t")} AS h
+          FROM (SELECT doc_id, explode(toks) AS t FROM toked)
+        ),
+        sums AS (
+          SELECT doc_id, count(*) AS n, {_SIMHASH_BIT_SUMS}
+          FROM h GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM sums
+        ),
+        chunks AS (
+          SELECT doc_id, simhash, c.chunk AS chunk, c.val AS val
+          FROM (
+            SELECT doc_id, simhash,
+                   explode(array({_SIMHASH_CHUNK_STRUCTS})) AS c
+            FROM sh
+          )
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM chunks a JOIN chunks b
+            ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(ha ^ hb) AS INT) AS hamming
+          FROM cands
+        ) WHERE hamming <= 3
+    """,
+    # -- similarity search (normalize -> bucket/cross -> fold dot) ---------
+    "k1_knn_bruteforce": """
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS array<double>) AS emb
+          FROM embeddings
+        ),
+        e1 AS (
+          SELECT vec_id, emb,
+                 sqrt(aggregate(transform(emb, x -> x * x),
+                                0.0D, (acc, x) -> acc + x)) AS nrm
+          FROM e0
+        ),
+        e AS (
+          SELECT vec_id, transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n
+          FROM e1
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(aggregate(zip_with(q.emb_n, c.emb_n, (x, y) -> x * y),
+                                 0.0D, (acc, x) -> acc + x), 6) AS cosine
+          FROM (SELECT * FROM e WHERE vec_id < 8) q
+          CROSS JOIN e c
+          WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "k2_ann_lsh_ivf": f"""
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS array<double>) AS emb
+          FROM embeddings
+        ),
+        n1 AS (
+          SELECT vec_id, emb, {_sql_norm("emb")} AS nrm,
+                 concat(
+                   CASE WHEN element_at(emb, 1) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 2) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 3) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 4) >= 0 THEN '1' ELSE '0' END
+                 ) AS bucket
+          FROM e0
+        ),
+        n AS (
+          SELECT vec_id, transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n,
+                 bucket
+          FROM n1
+        ),
+        lsh_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_sql_dot("q.emb_n", "c.emb_n")}, 6) AS cosine
+          FROM (SELECT * FROM n WHERE vec_id < 8) q
+          JOIN n c ON q.bucket = c.bucket
+          WHERE q.vec_id <> c.vec_id
+        ),
+        lsh AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM lsh_scored
+          ) WHERE rank <= 5
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
+          WHERE vec_id >= 100 AND vec_id < 116
+        ),
+        assigned AS (
+          SELECT neighbor_id, c_emb, cent_id FROM (
+            SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM e0 v CROSS JOIN cents c
+          ) WHERE crank = 1
+        ),
+        probes AS (
+          SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round({_sql_cosine("q.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM (SELECT * FROM e0 WHERE vec_id < 8) q CROSS JOIN cents c
+          ) WHERE crank <= 3
+        ),
+        ivf_scored AS (
+          SELECT DISTINCT p.query_id, a.neighbor_id,
+                 round({_sql_cosine("p.q_emb", "a.c_emb")}, 6) AS cosine
+          FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+          WHERE p.query_id <> a.neighbor_id
+        ),
+        ivf AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM ivf_scored
+          ) WHERE rank <= 5
+        )
+        SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
+        UNION ALL
+        SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
+    """,
+    "k3_embedding_near_pairs": """
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS array<double>) AS emb
+          FROM embeddings
+        ),
+        e1 AS (
+          SELECT vec_id, emb,
+                 sqrt(aggregate(transform(emb, x -> x * x),
+                                0.0D, (acc, x) -> acc + x)) AS nrm,
+                 concat(
+                   CASE WHEN element_at(emb, 1) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 2) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 3) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 4) >= 0 THEN '1' ELSE '0' END
+                 ) AS bucket
+          FROM e0
+        ),
+        e AS (
+          SELECT vec_id,
+                 transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n, bucket
+          FROM e1
+        )
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(aggregate(zip_with(a.emb_n, b.emb_n, (x, y) -> x * y),
+                                 0.0D, (acc, x) -> acc + x), 6) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.35D
+    """,
+    # -- fused text profile (ONE tokenize pass, all features) --------------
+    "t1_text_profile": r"""
+        WITH toked AS (
+          SELECT doc_id, lang, text,
+                 filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, lang,
+                 CAST(size(toks) AS BIGINT) AS n_tokens_ws,
+                 CAST(size(regexp_extract_all(
+                   lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)
+                   AS n_tokens_bpe,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ')))
+                   AS fingerprint,
+                 coalesce(length(regexp_replace(text, '[a-zA-Z0-9\\s]', ''))
+                     / nullif(CAST(length(text) AS DOUBLE), 0.0D), 0.0D) AS pr,
+                 CAST(size(filter(toks, x -> array_contains(
+                   array('der','die','und','das','ist','ein','mit','von','auf','zu'),
+                   x))) AS BIGINT) AS hits_de,
+                 CAST(size(filter(toks, x -> array_contains(
+                   array('the','and','of','to','a','in','is','it','for','on'),
+                   x))) AS BIGINT) AS hits_en,
+                 CAST(size(filter(toks, x -> array_contains(
+                   array('el','la','de','que','y','en','un','es','por','con'),
+                   x))) AS BIGINT) AS hits_es,
+                 CAST(size(filter(toks, x -> array_contains(
+                   array('le','la','de','et','un','est','pour','que','dans','sur'),
+                   x))) AS BIGINT) AS hits_fr
+          FROM toked
+        )
+        SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars, fingerprint,
+               round(CAST(n_chars AS DOUBLE)
+                 / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0D), 4)
+                 AS mean_token_len,
+               round(pr, 4) AS punct_ratio,
+               round(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0D),
+                              0.0D), 4) AS stopword_ratio,
+               round(least(CAST(n_tokens_ws AS DOUBLE) / 100.0D, 1.0D) * 0.4D
+                     + least(coalesce(hits_en
+                         / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0D), 0.0D) * 5,
+                         1.0D) * 0.3D
+                     + (1 - least(pr * 10, 1.0D)) * 0.3D, 4) AS quality_score,
+               lang AS lang_true,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN hits_de = best THEN 'de'
+                    WHEN hits_en = best THEN 'en'
+                    WHEN hits_es = best THEN 'es'
+                    WHEN hits_fr = best THEN 'fr' END AS lang_pred
+        FROM (
+          SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS best
+          FROM base
+        )
+    """,
+    # -- multimodal catalog rollup (payload/meta derivations JVM-side) -----
+    "m1_media_catalog": """
+        SELECT kind, count(*) AS n_media,
+               sum(CAST(length(payload) AS BIGINT)) AS total_bytes,
+               max(width) AS max_width
+        FROM (
+          SELECT element_at(array('image', 'audio', 'video'),
+                            CAST(doc_id % 3 + 1 AS INT)) AS kind,
+                 encode(text, 'utf-8') AS payload,
+                 CAST(64 + (doc_id % 16) * 32 AS INT) AS width
+          FROM documents
+        ) GROUP BY kind
+    """,
+    # -- as-of join as SQL text (union + IGNORE NULLS carry-forward) -------
+    "x1_asof_join": """
+        WITH clicks AS (
+          SELECT user_id, ts, max_by(value, event_id) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ),
+        purchases AS (
+          SELECT user_id, ts, event_id, value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        tagged AS (
+          SELECT user_id, ts AS _ts, 1 AS _side, click_value,
+                 CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+          FROM clicks
+          UNION ALL
+          SELECT user_id, ts, 0, CAST(NULL AS DOUBLE), event_id, value
+          FROM purchases
+        ),
+        carried AS (
+          SELECT user_id, _ts, _side, event_id, value,
+                 last(click_value) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY _ts, _side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS click_value_asof
+          FROM tagged
+        )
+        SELECT user_id, _ts AS ts, event_id,
+               round(value, 2) AS purchase_value,
+               round(click_value_asof, 2) AS click_value_asof
+        FROM carried WHERE _side = 0
+    """,
+    # -- salted two-phase plan as SQL text ---------------------------------
+    "x2_salted_join_agg": """
+        WITH dim AS (
+          SELECT event_type,
+                 CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+                   AS type_rank
+          FROM (SELECT DISTINCT event_type FROM events)
+        ),
+        l AS (
+          SELECT event_id, event_type, value,
+                 CAST(pmod(xxhash64(event_id), 8) AS INT) AS _salt
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, type_rank, explode(sequence(0, 7)) AS _salt
+          FROM dim
+        ),
+        joined AS (
+          SELECT l.event_type, l.event_id, l.value, r.type_rank
+          FROM l JOIN r ON l.event_type = r.event_type AND l._salt = r._salt
+        ),
+        phase1 AS (
+          SELECT event_type, type_rank, _salt2,
+                 count(*) AS _cnt, sum(value) AS _sum
+          FROM (
+            SELECT event_type, type_rank, value,
+                   CAST(pmod(xxhash64(event_id), 8) AS INT) AS _salt2
+            FROM joined
+          ) GROUP BY event_type, type_rank, _salt2
+        )
+        SELECT event_type, type_rank, sum(_cnt) AS n_rows,
+               round(sum(_sum), 2) AS sum_value
+        FROM phase1 GROUP BY event_type, type_rank
+    """,
+    # -- stratified-rate gate (rand-based sample; same in-plane gate) ------
+    "s7_stratified_rates": """
+        WITH in_strata AS (
+          SELECT doc_id, lang FROM documents
+          WHERE lang IN ('de', 'en', 'es', 'fr')
+        ),
+        totals AS (
+          SELECT lang, count(*) AS n_total FROM in_strata GROUP BY lang
+        ),
+        sampled AS (
+          SELECT lang, count(*) AS n_samp FROM (
+            SELECT lang FROM in_strata
+            WHERE rand(42) < CASE lang
+              WHEN 'en' THEN 0.5D WHEN 'es' THEN 0.25D
+              WHEN 'fr' THEN 0.25D WHEN 'de' THEN 0.1D ELSE 0.0D END
+          ) GROUP BY lang
+        )
+        SELECT t.lang,
+               coalesce(n_samp, 0) >= 1
+               AND abs(coalesce(n_samp, 0) / CAST(n_total AS DOUBLE)
+                       - CASE t.lang
+                           WHEN 'en' THEN 0.5D WHEN 'es' THEN 0.25D
+                           WHEN 'fr' THEN 0.25D WHEN 'de' THEN 0.1D END)
+                   <= 0.15D AS rate_ok
+        FROM totals t LEFT JOIN sampled s ON t.lang = s.lang
+    """,
+    # -- SCD-1 upsert (full-outer merge) -----------------------------------
+    "s8_upsert": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+          FROM orders
+        ),
+        updates AS (
+          SELECT o_orderkey, 'UPDATED' AS o_orderpriority,
+                 round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'NEW' AS o_orderpriority,
+                 round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 17 = 0
+        )
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               coalesce(u.o_orderpriority, b.o_orderpriority)
+                 AS o_orderpriority,
+               coalesce(u.price, b.price) AS price
+        FROM base b FULL OUTER JOIN updates u
+          ON b.o_orderkey <=> u.o_orderkey
     """,
     # -- streaming batch analogs / event ops -------------------------------
     "e1_tumbling_window_counts": """
