@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Streaming microbenchmark: rows/s + micro-batch latency per stream operator.
+
+Feeds the ``events`` table (default ``$SPARK_GRAFT_SF_DIR`` or sf0.01) as a
+time-sliced file drop-zone (N parquet files + a far-future sentinel, same
+shape as ``tests/test_streaming.py``) through each streaming operator with
+``maxFilesPerTrigger=1`` and an ``availableNow`` trigger, then reads Spark's
+own ``StreamingQuery.recentProgress`` for per-batch trigger latency and
+throughput.  Prints ONE JSON line::
+
+    {"sf": "...", "rows": N, "slices": K,
+     "streams": {"tumbling": {"wall_sec": ..., "batches": ...,
+                              "rows_per_sec": ..., "median_batch_ms": ...,
+                              "max_batch_ms": ..., "out_rows": ...}, ...}}
+
+``rows_per_sec`` is total input rows / summed triggerExecution time -- the
+sustained per-batch processing rate, independent of file-listing idle time.
+Numbers are recorded as the streaming regression anchor in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+#: closes every open window/session before the drain (append-mode windows
+#: only emit once the watermark passes them) -- mirrors tests/test_streaming.
+SENTINEL = "zz_sentinel"
+
+
+def write_time_sliced(pdf, out: str, n_slices: int) -> None:
+    """``events`` rows as time-ordered parquet slices + sentinel file."""
+    import pandas as pd
+
+    os.makedirs(out)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    for i in range(n_slices):
+        chunk = pdf.iloc[n * i // n_slices : n * (i + 1) // n_slices]
+        chunk.to_parquet(os.path.join(out, f"{i:03d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["event_id"] = 10**9
+    # keep micros: scalar assignment re-coerces to datetime64[ns] (a
+    # different parquet physical type than the sliced files)
+    sent["ts"] = pd.Series(
+        [pdf["ts"].max() + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent["user_id"] = -1
+    sent["event_type"] = SENTINEL
+    sent["value"] = 0.0
+    sent.to_parquet(os.path.join(out, "zzz_sentinel.parquet"), index=False)
+
+
+def drain_and_measure(spark, make_stream, events_dir: str, name: str, mode: str):
+    """Run one stream to a memory sink; return wall time + progress stats."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
+
+    src = sev.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    t0 = time.monotonic()
+    q = (
+        make_stream(src)
+        .writeStream.format("memory")
+        .queryName(f"bench_{name}")
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    wall = time.monotonic() - t0
+    prog = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
+    trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
+    in_rows = sum(p["numInputRows"] for p in prog)
+    out_rows = spark.table(f"bench_{name}").count()
+    q.stop()
+    return {
+        "wall_sec": round(wall, 3),
+        "batches": len(trig_ms),
+        "rows_per_sec": round(in_rows / (sum(trig_ms) / 1000.0), 1)
+        if trig_ms
+        else None,
+        "median_batch_ms": trig_ms[len(trig_ms) // 2] if trig_ms else None,
+        "max_batch_ms": trig_ms[-1] if trig_ms else None,
+        "out_rows": out_rows,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_slices = int(os.environ.get("SPARK_GRAFT_STREAM_SLICES", "8"))
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.session import get_spark
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import stateful
+
+    spark = get_spark(app_name="bench_streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pdf = load_table(spark, sf_dir, "events").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    events_dir = os.path.join(tmp, "events")
+    write_time_sliced(pdf, events_dir, n_slices)
+
+    streams = {
+        "tumbling": (sev.tumbling_counts_stream, "append"),
+        "sliding": (sev.sliding_value_stats_stream, "append"),
+        "session": (sev.sessionized_counts_stream, "append"),
+        "dedup": (sev.dedup_events_stream, "append"),
+        "stateful_totals": (stateful.running_user_totals_stream, "update"),
+    }
+    results = {}
+    try:
+        # warm the JVM/codegen paths once so measured batches are steady-state
+        drain_and_measure(spark, sev.tumbling_counts_stream, events_dir, "warmup", "append")
+        for name, (fn, mode) in streams.items():
+            results[name] = drain_and_measure(spark, fn, events_dir, name, mode)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_microbench",
+                "sf": sf_dir,
+                "rows": int(len(pdf)),
+                "slices": n_slices,
+                "streams": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
