@@ -29,7 +29,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import BPE_TOKEN_REGEX, STOPWORDS, TOKEN_SPLIT_REGEX
-from .operators import asof, dedup, multimodal, sampling, similarity, skew, textops
+from .operators import (
+    asof,
+    cohorts,
+    dedup,
+    multimodal,
+    pipeline,
+    sampling,
+    similarity,
+    skew,
+    textops,
+)
 from .session import apply_runtime_confs
 from .sources.readers import load_table
 from .streaming.events import tumbling_counts_batch
@@ -1828,4 +1838,263 @@ def f_array_hof(spark, sf):
             ),
             6,
         ).alias("l1_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 driver widening: previously pytest-only operators get first-class
+# registry entries (cohorts, range join, text hygiene, TF-IDF, vocabulary,
+# cross-corpus decontamination, the end-to-end curation funnel).
+# ---------------------------------------------------------------------------
+
+#: day-width epoch bin in portable BIGINT arithmetic -- the exact DuckDB
+#: mirror of functions.exprs.epoch_bin (see tests/test_cohorts.py for why
+#: `//` floor-division is NOT usable here).
+_DAY_US = 86_400 * 1_000_000
+_DAY_FLOOR = f"(e - (((e % {_DAY_US}) + {_DAY_US}) % {_DAY_US}))"
+
+
+@register(
+    "c1_cohort_retention",
+    f"""
+    WITH f0 AS (
+      SELECT user_id, epoch_us(min(ts)) AS e FROM events GROUP BY user_id
+    ),
+    firsts AS (SELECT user_id, {_DAY_FLOOR} AS cohort_us FROM f0),
+    a0 AS (SELECT DISTINCT user_id, epoch_us(ts) AS e FROM events),
+    active AS (SELECT DISTINCT user_id, {_DAY_FLOOR} AS act_us FROM a0)
+    SELECT make_timestamp(cohort_us) AS cohort_start,
+           CAST((act_us - cohort_us) // {_DAY_US} AS BIGINT) AS periods_since,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY cohort_us, periods_since
+    """,
+)
+def c1_cohort_retention(spark, sf):
+    """Daily cohort-retention triangle (first-seen day x days-since x active
+    users): two user-keyed aggregates + one co-keyed join, epoch-aligned
+    true-floor day bins.  hour/week/month variants share the operator and
+    are pytest-gated (tests/test_cohorts.py)."""
+    return cohorts.cohort_retention(_t(spark, sf, "events"), period="day")
+
+
+@register(
+    "x3_range_join",
+    """
+    WITH iv AS (
+      SELECT user_id, min(ts) AS start_ts,
+             min(ts) + INTERVAL 4 HOUR AS end_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.ts, iv.start_ts, iv.end_ts
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+    WHERE e.ts BETWEEN iv.start_ts AND iv.end_ts
+    """,
+)
+def x3_range_join(spark, sf):
+    """Interval (range) join via time-bin equi-join: each event matched to
+    its user's first-4-hours activity window.  The operator bins the time
+    axis so the BETWEEN predicate becomes an equi-join on (user, bin) with
+    an exact post-filter -- never Spark's default nested-loop plan (the
+    no-cartesian property is plan-tested in tests/test_asof_skew.py)."""
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    return asof.range_join(
+        ev, iv, "ts", "start_ts", "end_ts", bin_seconds=3600, keys=["user_id"]
+    )
+
+
+#: PII patterns shared with the operator (ONE pattern source); the phone
+#: pattern needs lookarounds, which DuckDB's RE2 lacks -- so the oracle
+#: covers the email/ip stages and the phone stage stays python-recompute
+#: gated (tests/test_text_hygiene.py).
+_EMAIL_PAT = textops.PII_PATTERNS[0][1]
+_IP_PAT = textops.PII_PATTERNS[1][1]
+
+#: trimmed non-empty lines -- DuckDB mirror of textops._lines_col
+_LINES_SQL = (
+    "list_filter(list_transform(string_split_regex(coalesce(text, ''),"
+    " '\\r?\\n'), x -> trim(x)), x -> x <> '')"
+)
+
+
+def _line_frac_sql(pat: str) -> str:
+    return (
+        "CASE WHEN len(lines) > 0 THEN "
+        f"round(len(list_filter(lines, x -> regexp_matches(x, '{pat}')))"
+        " / CAST(len(lines) AS DOUBLE), 4) ELSE 0.0 END"
+    )
+
+
+_TERMINAL_FRAC = _line_frac_sql('[.!?"”]$')
+_BULLET_FRAC = _line_frac_sql("^[-*•]")
+_ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
+
+
+@register(
+    "t2_hygiene_features",
+    f"""
+    WITH lined AS (
+      SELECT doc_id, {_LINES_SQL} AS lines, coalesce(text, '') AS t0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CASE WHEN len(lines) > 0 THEN
+             round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+           ELSE 0.0 END AS dup_line_frac,
+           {_TERMINAL_FRAC} AS terminal_punct_line_frac,
+           {_BULLET_FRAC} AS bullet_line_frac,
+           {_ELLIPSIS_FRAC} AS ellipsis_line_frac,
+           CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(
+                  regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                  '{_IP_PAT}')) AS BIGINT) AS n_ip
+    FROM lined
+    """,
+)
+def t2_hygiene_features(spark, sf):
+    """Fused hygiene scan (C4/Gopher repetition + staged PII counts) --
+    ONE corpus read for both signal families (fusion equivalence
+    pytest-gated).  The driver-oracled projection excludes ``n_phone`` and
+    ``text_redacted``: the phone pattern requires lookbehind/lookahead,
+    which DuckDB's RE2 regex engine does not support, so that stage's gate
+    is a python-``re`` recompute (tests/test_text_hygiene.py) instead of
+    the cross-engine oracle."""
+    return textops.hygiene_features(_t(spark, sf, "documents")).select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "terminal_punct_line_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "n_email",
+        "n_ip",
+    )
+
+
+#: shared tokenize + per-doc term-frequency CTE (DuckDB mirror of
+#: functions.text.tokens + the tf aggregate in textops)
+_TF_CTE = f"""
+  toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+  tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
+"""
+
+
+@register(
+    "t3_tfidf_top_terms",
+    f"""
+    WITH {_TF_CTE},
+    dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+             round(tf * ln(n_docs / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def t3_tfidf_top_terms(spark, sf):
+    """Top-3 characteristic terms per document by TF-IDF: corpus size via a
+    broadcast 1-row cross join (never a collect), doc-frequencies from the
+    persisted tf relation, per-document window for the top-k.  Ranking is
+    on the ROUNDED tfidf with a token tie-break, so both engines produce
+    the identical row set."""
+    return textops.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+@register(
+    "v1_vocabulary",
+    f"""
+    WITH {_TF_CTE}
+    SELECT token, CAST(sum(tf) AS BIGINT) AS count,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM tf GROUP BY token HAVING sum(tf) >= 20
+    """,
+)
+def v1_vocabulary(spark, sf):
+    """Corpus vocabulary (token, total count, document frequency) at
+    min_count=20: the two-stage aggregate whose first stage collapses
+    within-document repeats map-side, so the shuffle carries distinct
+    (doc, token) pairs only -- the upstream stats pass for stop-token
+    lists and d4's heavy-hitter cap."""
+    return textops.vocabulary(_t(spark, sf, "documents"), min_count=20)
+
+
+@register(
+    "d7_cross_corpus_decontam",
+    f"""
+    WITH {_TOKS_CTE},
+    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM grams),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+      FROM exploded
+    ),
+    sigs AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    bands AS ({_BAND_ROWS}),
+    cands AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
+      FROM bands c JOIN bands p
+        ON c.band = p.band AND c.bucket = p.bucket
+       AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
+    ),
+    sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams)
+    SELECT corpus_id, probe_id,
+           round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6)
+             AS jaccard
+    FROM cands
+    JOIN sets sa ON cands.corpus_id = sa.doc_id
+    JOIN sets sb ON cands.probe_id = sb.doc_id
+    WHERE round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) >= 0.5
+    """,
+)
+def d7_cross_corpus_decontam(spark, sf):
+    """Cross-corpus decontamination: banded-MinHash candidates generated
+    only where a full band collides ACROSS the two sides (corpus = even
+    doc_ids, probes = odd -- a split the sf0.01 near-dup families straddle),
+    then exact-Jaccard verified.  The corpus side is never self-joined and
+    never shuffled when the probe side broadcasts
+    (similarity/dedup cross-corpus plan tests)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.cross_corpus_minhash_pairs(
+        corpus=docs.filter(F.col("doc_id") % 2 == 0),
+        probes=docs.filter(F.col("doc_id") % 2 == 1),
+        jaccard_threshold=0.5,
+    )
+
+
+@register("pl1_curation_funnel", None)
+def pl1_curation_funnel(spark, sf):
+    """End-to-end corpus curation funnel (the flagship pipeline):
+    profile + hygiene + LSH dedup + canonical election + split, reported
+    as the one-row audit funnel (docs in, per-rule drops, near-dup drops,
+    kept per split).  NOT single-statement SQL (iterative connected
+    components + the phone-PII stage's lookaround regex), so the driver
+    records the weaker rows-only check; value coherence is pytest-gated
+    (tests/test_pipeline.py)."""
+    return pipeline.curation_report(
+        pipeline.curate_corpus(_t(spark, sf, "documents"))
     )
