@@ -2,19 +2,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver's round-over-round artifact --
+kept small on purpose: round 4's full-detail line overflowed the driver's
+stdout capture and the round lost perf tracking):
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
    "queries": {name: sec, ...},            # 19 headline queries at sf
-   "sweep": {name: sec, ...},              # ALL registry entries at sf
-   "scale_curve": {"0.001": {...}, "0.01": {...}, "0.1": {...}},
-   "sf": 0.1}
+   "sf": 0.1, "detail": "BENCH_DETAIL.json"}
 
-Three sections, three jobs:
+The full measurement set -- the all-entry sweep and the sec-vs-sf scale
+curve -- is written to BENCH_DETAIL.json next to this script:
 
-* ``queries`` -- the headline set, timed first in a fixed order after one
-  warm-up query (comparable round-over-round; ``value`` is its sum).
 * ``sweep`` -- every registry entry, so a regression in any of the
-  non-headline entries shows up in the per-round JSON diff instead of
+  non-headline entries shows up in the per-round file diff instead of
   living only in BASELINE.md prose.  Headline timings are reused (each
   query runs once per bench invocation).
 * ``scale_curve`` -- the headline set re-timed at every available
@@ -43,7 +42,7 @@ HEADLINE = [
     "a1_group_count",
     "a3_two_key_count",
     "w1_pct_share",
-    "p5_dirty_or_predicate",
+    "p456_predicate_surface",
     "p7_derived_duration_join",
     "f9_case_segmentation",
     "o3_topk_multi_sort",
@@ -106,14 +105,26 @@ def main() -> None:
         registry.QUERIES["a1_group_count"](spark, ddir).collect()  # warm dir
         scale_curve[dec] = time_queries(spark, HEADLINE, ddir)
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = {
+        "queries": timings,
+        "sweep": sweep,
+        "scale_curve": scale_curve,
+        "sf": sf,
+    }
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Final stdout line stays compact and parseable: headline only.
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sweep": sweep,
-        "scale_curve": scale_curve,
         "sf": sf,
+        "detail": os.path.basename(detail_path),
     }
     print(json.dumps(out))
 

@@ -8,7 +8,7 @@ any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -349,7 +349,7 @@ def hygiene_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def text_profile(docs: DataFrame) -> DataFrame:
+def text_profile(docs: DataFrame, include_hygiene: bool = False) -> DataFrame:
     """The full per-document featurisation stage in ONE scan: token counts,
     fingerprint, quality features + composite score, and language ID.
 
@@ -358,9 +358,30 @@ def text_profile(docs: DataFrame) -> DataFrame:
     runs them together, so the fused operator tokenizes once and computes
     every feature from the materialized token array.  Still a narrow
     projection -- no shuffle, perfectly parallel.
+
+    ``include_hygiene=True`` fuses :func:`hygiene_features`'s columns
+    (C4/Gopher repetition fractions + staged PII counts + the redacted
+    text) into the SAME scan -- the curation pipeline wants every
+    per-document signal family, and separately-run featurisers re-read the
+    corpus once each.  Equivalence with the standalone operators is
+    pytest-gated (tests/test_text_hygiene.py).
     """
     langs = sorted(STOPWORDS)
-    toked = docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
+    head = ["doc_id", "lang", "text", tokens("text").alias("toks")]
+    if include_hygiene:
+        head += [
+            _lines_col(F.col("text")).alias("lines"),
+            F.col("text").alias("_raw"),
+        ]
+    toked = docs.select(*head)
+    hygiene_cols: list[Column] = []
+    if include_hygiene:
+        toked = _pii_staged(toked, "_raw")
+        hygiene_cols = [
+            *_repetition_cols(),
+            *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+            F.col(f"_t{len(PII_PATTERNS)}").alias("text_redacted"),
+        ]
     # Materialize the per-language hit counts (and the token count) in their
     # own projection: each is re-referenced below, and CollapseProject would
     # otherwise inline the non-cheap array filters once per reference.
@@ -377,6 +398,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
             stopword_hits_from_tokens(F.col("toks"), lang).alias(f"hits_{lang}")
             for lang in langs
         ],
+        *hygiene_cols,
     )
     n_tok_d = F.col("n_tokens_ws").cast("double")
     sw_ratio = F.coalesce(
@@ -398,4 +420,17 @@ def text_profile(docs: DataFrame) -> DataFrame:
         F.round(score, 4).alias("quality_score"),
         F.col("lang").alias("lang_true"),
         pred.alias("lang_pred"),
+        *(
+            [
+                "n_lines",
+                "dup_line_frac",
+                "terminal_punct_line_frac",
+                "bullet_line_frac",
+                "ellipsis_line_frac",
+                *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+                "text_redacted",
+            ]
+            if include_hygiene
+            else []
+        ),
     )

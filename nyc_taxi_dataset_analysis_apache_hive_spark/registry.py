@@ -74,30 +74,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @register(
-    "p1_limit_peek",
-    """
-    SELECT *, r_name AS region_name, r_regionkey AS region_id
-    FROM region ORDER BY r_regionkey LIMIT 3
-    """,
-)
-def p1_limit_peek(spark, sf):
-    """P1+P2+O5 (REF:58, REF:65): star projection + column aliasing +
-    deterministic sort + LIMIT peek.  One registry slot covers both peek and
-    aliasing: the driver evaluates at most 50 queries, so related reference
-    operators share an entry (see COVERAGE.md)."""
-    return (
-        _t(spark, sf, "region")
-        .select(
-            "*",
-            F.col("r_name").alias("region_name"),
-            F.col("r_regionkey").alias("region_id"),
-        )
-        .orderBy("r_regionkey")
-        .limit(3)
-    )
-
-
-@register(
     "p3_filter_compare",
     "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE l_discount < 0.02",
 )
@@ -111,28 +87,14 @@ def p3_filter_compare(spark, sf):
 
 
 @register(
-    "p4_not_in_set",
+    "p456_predicate_surface",
     """
-    SELECT l_returnflag, count(*) AS cnt
+    SELECT 'not_in_set' AS op, l_returnflag, count(*) AS cnt
     FROM lineitem
     WHERE l_quantity NOT IN (1.0, 2.0, 3.0)
     GROUP BY l_returnflag
-    """,
-)
-def p4_not_in_set(spark, sf):
-    """P4 (REF:123-126): conjunctive not-in-set predicate on doubles."""
-    return (
-        _t(spark, sf, "lineitem")
-        .filter(~F.col("l_quantity").isin(1.0, 2.0, 3.0))
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-@register(
-    "p5_dirty_or_predicate",
-    """
-    SELECT l_returnflag, count(*) AS cnt
+    UNION ALL
+    SELECT 'dirty_or' AS op, l_returnflag, count(*) AS cnt
     FROM (
       SELECT l_returnflag, l_quantity, l_discount, l_tax, l_shipdate,
              l_extendedprice * (1 - l_discount) AS profit
@@ -142,41 +104,43 @@ def p4_not_in_set(spark, sf):
        OR profit > 90000 OR year(l_shipdate) = 1995
        OR month(l_shipdate) NOT IN (2,3,4,5,6,7,8,9,10,11,12)
     GROUP BY l_returnflag
-    """,
-)
-def p5_dirty_or_predicate(spark, sf):
-    """P5 (REF:235-243): multi-term OR dirty-row predicate over a derived
-    projection, then group-count -- the reference's hardest DQ query shape."""
-    li = _t(spark, sf, "lineitem").withColumn(
-        "profit", F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    )
-    dirty = (
-        (F.col("l_quantity") <= 2)
-        | (F.col("l_discount") > 0.09)
-        | (F.col("l_tax") < 0.01)
-        | (F.col("profit") > 90000)
-        | (F.year("l_shipdate") == 1995)
-        | ~F.month("l_shipdate").isin(*range(2, 13))
-    )
-    return li.filter(dirty).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@register(
-    "p6_in_list",
-    """
-    SELECT l_returnflag, count(*) AS cnt
+    UNION ALL
+    SELECT 'in_list' AS op, l_returnflag, count(*) AS cnt
     FROM lineitem
     WHERE month(l_shipdate) IN (11, 12)
     GROUP BY l_returnflag
     """,
 )
-def p6_in_list(spark, sf):
-    """P6 (REF:241,385): IN-list predicate on a date part."""
+def p456_predicate_surface(spark, sf):
+    """P4+P5+P6 (REF:123-126, REF:235-243, REF:241,385) tagged and stacked
+    (the u1/r1 tagged-union precedent -- the driver evaluates at most 50
+    queries, so the three predicate shapes share one slot and each branch's
+    full result set stays value-verified): ``not_in_set`` = conjunctive
+    not-in-set on doubles; ``dirty_or`` = the reference's hardest DQ shape,
+    a 6-term OR dirty-row predicate over a derived projection; ``in_list``
+    = IN-list on a date part.  Each branch is an independent scan -> filter
+    -> partial-agg; the union adds no shuffle."""
+    li = _t(spark, sf, "lineitem")
+
+    def branch(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(label).alias("op"), "l_returnflag", "cnt")
+        )
+
+    dirty = (
+        (F.col("l_quantity") <= 2)
+        | (F.col("l_discount") > 0.09)
+        | (F.col("l_tax") < 0.01)
+        | ((F.col("l_extendedprice") * (1 - F.col("l_discount"))) > 90000)
+        | (F.year("l_shipdate") == 1995)
+        | ~F.month("l_shipdate").isin(*range(2, 13))
+    )
     return (
-        _t(spark, sf, "lineitem")
-        .filter(F.month("l_shipdate").isin(11, 12))
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        branch(li.filter(~F.col("l_quantity").isin(1.0, 2.0, 3.0)), "not_in_set")
+        .unionByName(branch(li.filter(dirty), "dirty_or"))
+        .unionByName(branch(li.filter(F.month("l_shipdate").isin(11, 12)), "in_list"))
     )
 
 
@@ -1260,6 +1224,32 @@ def _hits_from_t_sql(lang: str) -> str:
 
 _LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS)
 
+#: PII patterns shared with the operator (ONE pattern source); the phone
+#: pattern needs lookarounds, which DuckDB's RE2 lacks -- so the oracle
+#: covers the email/ip stages and the phone stage stays python-recompute
+#: gated (tests/test_text_hygiene.py).
+_EMAIL_PAT = textops.PII_PATTERNS[0][1]
+_IP_PAT = textops.PII_PATTERNS[1][1]
+
+#: trimmed non-empty lines -- DuckDB mirror of textops._lines_col
+_LINES_SQL = (
+    "list_filter(list_transform(string_split_regex(coalesce(text, ''),"
+    " '\\r?\\n'), x -> trim(x)), x -> x <> '')"
+)
+
+
+def _line_frac_sql(pat: str) -> str:
+    return (
+        "CASE WHEN len(lines) > 0 THEN "
+        f"round(len(list_filter(lines, x -> regexp_matches(x, '{pat}')))"
+        " / CAST(len(lines) AS DOUBLE), 4) ELSE 0.0 END"
+    )
+
+
+_TERMINAL_FRAC = _line_frac_sql('[.!?"”]$')
+_BULLET_FRAC = _line_frac_sql("^[-*•]")
+_ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
+
 
 @register(
     "t1_text_profile",
@@ -1267,7 +1257,8 @@ _LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANG
     WITH toked AS (
       SELECT doc_id, lang, text,
              list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
-                         x -> x <> '') AS t
+                         x -> x <> '') AS t,
+             {_LINES_SQL} AS lines, coalesce(text, '') AS t0
       FROM documents
     ),
     feat AS (
@@ -1280,7 +1271,19 @@ _LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANG
                AS fingerprint,
              coalesce(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
                  AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr,
-             {", ".join(f"CAST({_hits_from_t_sql(lang)} AS BIGINT) AS hits_{lang}" for lang in _LANGS)}
+             {", ".join(f"CAST({_hits_from_t_sql(lang)} AS BIGINT) AS hits_{lang}" for lang in _LANGS)},
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CASE WHEN len(lines) > 0 THEN
+               round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+             ELSE 0.0 END AS dup_line_frac,
+             {_TERMINAL_FRAC} AS terminal_punct_line_frac,
+             {_BULLET_FRAC} AS bullet_line_frac,
+             {_ELLIPSIS_FRAC} AS ellipsis_line_frac,
+             CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(
+                    regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                    '{_IP_PAT}')) AS BIGINT) AS n_ip
       FROM toked
     )
     SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars, fingerprint,
@@ -1293,7 +1296,9 @@ _LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANG
                  + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
                  + (1 - least(pr * 10, 1.0)) * 0.3, 4) AS quality_score,
            lang AS lang_true,
-           CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred
+           CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred,
+           n_lines, dup_line_frac, terminal_punct_line_frac,
+           bullet_line_frac, ellipsis_line_frac, n_email, n_ip
     FROM (
       SELECT *, greatest({", ".join(f"hits_{lang}" for lang in _LANGS)}) AS best
       FROM feat
@@ -1302,12 +1307,39 @@ _LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANG
 )
 def t1_text_profile(spark, sf):
     """The per-document text-analysis stage, fused: whitespace + BPE-ish
-    token counts, md5 fingerprint, quality features + composite score, and
-    stopword-heuristic language ID (deterministic argmax tie-break) -- all
-    from ONE tokenize pass (operators/textops.text_profile).  The individual
-    featurisers remain available as separate operators; the registry entry
-    runs the fused production shape."""
-    return textops.text_profile(_t(spark, sf, "documents"))
+    token counts, md5 fingerprint, quality features + composite score,
+    stopword-heuristic language ID (deterministic argmax tie-break), AND
+    the hygiene family (C4/Gopher repetition fractions + staged PII
+    counts) -- all from ONE corpus scan
+    (operators/textops.text_profile(include_hygiene=True)).  The
+    driver-oracled projection excludes ``n_phone`` and ``text_redacted``:
+    the phone pattern requires lookbehind/lookahead, which DuckDB's RE2
+    regex engine does not support, so that stage's gate is a python-``re``
+    recompute (tests/test_text_hygiene.py) instead of the cross-engine
+    oracle.  The individual featurisers remain available as separate
+    operators; the registry entry runs the fused production shape."""
+    return textops.text_profile(
+        _t(spark, sf, "documents"), include_hygiene=True
+    ).select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "n_chars",
+        "fingerprint",
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_true",
+        "lang_pred",
+        "n_lines",
+        "dup_line_frac",
+        "terminal_punct_line_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "n_email",
+        "n_ip",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1545,57 +1577,62 @@ def a10_distinct_counts(spark, sf):
 
 
 @register(
-    "j2_semi_anti_join",
+    "j5_join_surface",
     """
-    SELECT 'has_big_order' AS segment, c_custkey, c_name FROM customer c
+    SELECT 'semi_big_order' AS op, CAST(c_custkey AS BIGINT) AS key,
+           c_name AS name, CAST(NULL AS BIGINT) AS val
+    FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
     )
     UNION ALL
-    SELECT 'no_orders' AS segment, c_custkey, c_name FROM customer c
+    SELECT 'anti_no_orders' AS op, CAST(c_custkey AS BIGINT) AS key,
+           c_name AS name, CAST(NULL AS BIGINT) AS val
+    FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def j2_semi_anti_join(spark, sf):
-    """Customer segmentation via the semi/anti join pair, tagged and
-    stacked: ``has_big_order`` = left-semi join against large orders (plans
-    as a build-side-deduped hash join -- no row multiplication, no second
-    scan); ``no_orders`` = left-anti join (the orphan check every ETL
-    pipeline needs)."""
-    c = _t(spark, sf, "customer")
-    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
-    o = _t(spark, sf, "orders")
-    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
-        F.lit("has_big_order").alias("segment"), "c_custkey", "c_name"
-    )
-    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        F.lit("no_orders").alias("segment"), "c_custkey", "c_name"
-    )
-    return semi.unionByName(anti)
-
-
-@register(
-    "j4_outer_join",
-    """
-    SELECT n_name, CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers
+    UNION ALL
+    SELECT 'outer_nation_counts' AS op, CAST(n_nationkey AS BIGINT) AS key,
+           n_name AS name, CAST(coalesce(n_customers, 0) AS BIGINT) AS val
     FROM nation n LEFT JOIN (
       SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey
     ) c ON n.n_nationkey = c.c_nationkey
     """,
 )
-def j4_outer_join(spark, sf):
-    """Left-outer join with NULL-fill: every nation, zero-filled customer
-    counts.  Aggregate-then-join keeps the outer side's multiplicity 1."""
+def j5_join_surface(spark, sf):
+    """The non-inner join family, tagged and stacked (u1/r1 precedent, one
+    driver slot): ``semi_big_order`` = left-semi against large orders
+    (build-side-deduped hash join -- no row multiplication, no second
+    scan); ``anti_no_orders`` = left-anti (the orphan check every ETL
+    pipeline needs); ``outer_nation_counts`` = left-outer with NULL-fill
+    where aggregate-then-join keeps the outer side's multiplicity 1.  Each
+    branch plans independently (broadcast under AQE's threshold); the
+    union adds no shuffle."""
+    c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    o = _t(spark, sf, "orders")
+    nullv = F.lit(None).cast("long").alias("val")
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi_big_order").alias("op"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        nullv,
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti_no_orders").alias("op"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        nullv,
+    )
     n = _t(spark, sf, "nation")
-    c = (
-        _t(spark, sf, "customer")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+    cagg = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    outer = n.join(cagg, n.n_nationkey == cagg.c_nationkey, "left").select(
+        F.lit("outer_nation_counts").alias("op"),
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.col("n_name").alias("name"),
+        F.coalesce("n_customers", F.lit(0)).alias("val"),
     )
-    return n.join(c, n.n_nationkey == c.c_nationkey, "left").select(
-        "n_name", F.coalesce("n_customers", F.lit(0)).alias("n_customers")
-    )
+    return semi.unionByName(anti).unionByName(outer)
 
 
 @register(
@@ -1855,127 +1892,74 @@ _DAY_FLOOR = f"(e - (((e % {_DAY_US}) + {_DAY_US}) % {_DAY_US}))"
 
 
 @register(
-    "c1_cohort_retention",
+    "cx1_time_ops",
     f"""
     WITH f0 AS (
       SELECT user_id, epoch_us(min(ts)) AS e FROM events GROUP BY user_id
     ),
     firsts AS (SELECT user_id, {_DAY_FLOOR} AS cohort_us FROM f0),
     a0 AS (SELECT DISTINCT user_id, epoch_us(ts) AS e FROM events),
-    active AS (SELECT DISTINCT user_id, {_DAY_FLOOR} AS act_us FROM a0)
-    SELECT make_timestamp(cohort_us) AS cohort_start,
-           CAST((act_us - cohort_us) // {_DAY_US} AS BIGINT) AS periods_since,
-           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
-    FROM active a JOIN firsts f USING (user_id)
-    GROUP BY cohort_us, periods_since
-    """,
-)
-def c1_cohort_retention(spark, sf):
-    """Daily cohort-retention triangle (first-seen day x days-since x active
-    users): two user-keyed aggregates + one co-keyed join, epoch-aligned
-    true-floor day bins.  hour/week/month variants share the operator and
-    are pytest-gated (tests/test_cohorts.py)."""
-    return cohorts.cohort_retention(_t(spark, sf, "events"), period="day")
-
-
-@register(
-    "x3_range_join",
-    """
-    WITH iv AS (
+    active AS (SELECT DISTINCT user_id, {_DAY_FLOOR} AS act_us FROM a0),
+    iv AS (
       SELECT user_id, min(ts) AS start_ts,
              min(ts) + INTERVAL 4 HOUR AS end_ts
       FROM events GROUP BY user_id
     )
-    SELECT e.user_id, e.event_id, e.ts, iv.start_ts, iv.end_ts
+    SELECT 'cohort' AS op, CAST(NULL AS BIGINT) AS k1,
+           CAST((act_us - cohort_us) // {_DAY_US} AS BIGINT) AS k2,
+           make_timestamp(cohort_us) AS ts1,
+           CAST(NULL AS TIMESTAMP) AS ts2, CAST(NULL AS TIMESTAMP) AS ts3,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY cohort_us, k2
+    UNION ALL
+    SELECT 'range' AS op, e.user_id AS k1, e.event_id AS k2,
+           e.ts AS ts1, iv.start_ts AS ts2, iv.end_ts AS ts3,
+           CAST(NULL AS BIGINT) AS n
     FROM events e JOIN iv ON e.user_id = iv.user_id
     WHERE e.ts BETWEEN iv.start_ts AND iv.end_ts
     """,
 )
-def x3_range_join(spark, sf):
-    """Interval (range) join via time-bin equi-join: each event matched to
-    its user's first-4-hours activity window.  The operator bins the time
-    axis so the BETWEEN predicate becomes an equi-join on (user, bin) with
-    an exact post-filter -- never Spark's default nested-loop plan (the
-    no-cartesian property is plan-tested in tests/test_asof_skew.py)."""
-    ev = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+def cx1_time_ops(spark, sf):
+    """The two time-axis relational extensions, tagged and stacked (u1/r1
+    precedent, one driver slot).  ``cohort`` = the daily cohort-retention
+    triangle (first-seen day x days-since x active users): two user-keyed
+    aggregates + one co-keyed join over epoch-aligned true-floor day bins
+    (hour/week/month variants share the operator; tests/test_cohorts.py).
+    ``range`` = interval join via time-bin equi-join: each event matched to
+    its user's first-4-hours window -- the BETWEEN predicate becomes an
+    equi-join on (user, bin) with an exact post-filter, never Spark's
+    default nested-loop plan (no-cartesian plan-tested in
+    tests/test_asof_skew.py)."""
+    ev = _t(spark, sf, "events")
+    nullts = F.lit(None).cast("timestamp")
+    cohort = cohorts.cohort_retention(ev, period="day").select(
+        F.lit("cohort").alias("op"),
+        F.lit(None).cast("long").alias("k1"),
+        F.col("periods_since").alias("k2"),
+        F.col("cohort_start").alias("ts1"),
+        nullts.alias("ts2"),
+        nullts.alias("ts3"),
+        F.col("n_active_users").alias("n"),
+    )
+    evs = ev.select("user_id", "event_id", "ts")
     iv = (
-        ev.groupBy("user_id")
+        evs.groupBy("user_id")
         .agg(F.min("ts").alias("start_ts"))
         .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 4 HOURS"))
     )
-    return asof.range_join(
-        ev, iv, "ts", "start_ts", "end_ts", bin_seconds=3600, keys=["user_id"]
+    rng = asof.range_join(
+        evs, iv, "ts", "start_ts", "end_ts", bin_seconds=3600, keys=["user_id"]
+    ).select(
+        F.lit("range").alias("op"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.col("ts").alias("ts1"),
+        F.col("start_ts").alias("ts2"),
+        F.col("end_ts").alias("ts3"),
+        F.lit(None).cast("long").alias("n"),
     )
-
-
-#: PII patterns shared with the operator (ONE pattern source); the phone
-#: pattern needs lookarounds, which DuckDB's RE2 lacks -- so the oracle
-#: covers the email/ip stages and the phone stage stays python-recompute
-#: gated (tests/test_text_hygiene.py).
-_EMAIL_PAT = textops.PII_PATTERNS[0][1]
-_IP_PAT = textops.PII_PATTERNS[1][1]
-
-#: trimmed non-empty lines -- DuckDB mirror of textops._lines_col
-_LINES_SQL = (
-    "list_filter(list_transform(string_split_regex(coalesce(text, ''),"
-    " '\\r?\\n'), x -> trim(x)), x -> x <> '')"
-)
-
-
-def _line_frac_sql(pat: str) -> str:
-    return (
-        "CASE WHEN len(lines) > 0 THEN "
-        f"round(len(list_filter(lines, x -> regexp_matches(x, '{pat}')))"
-        " / CAST(len(lines) AS DOUBLE), 4) ELSE 0.0 END"
-    )
-
-
-_TERMINAL_FRAC = _line_frac_sql('[.!?"”]$')
-_BULLET_FRAC = _line_frac_sql("^[-*•]")
-_ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
-
-
-@register(
-    "t2_hygiene_features",
-    f"""
-    WITH lined AS (
-      SELECT doc_id, {_LINES_SQL} AS lines, coalesce(text, '') AS t0
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(lines) AS BIGINT) AS n_lines,
-           CASE WHEN len(lines) > 0 THEN
-             round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
-           ELSE 0.0 END AS dup_line_frac,
-           {_TERMINAL_FRAC} AS terminal_punct_line_frac,
-           {_BULLET_FRAC} AS bullet_line_frac,
-           {_ELLIPSIS_FRAC} AS ellipsis_line_frac,
-           CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT)
-             AS n_email,
-           CAST(len(regexp_extract_all(
-                  regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
-                  '{_IP_PAT}')) AS BIGINT) AS n_ip
-    FROM lined
-    """,
-)
-def t2_hygiene_features(spark, sf):
-    """Fused hygiene scan (C4/Gopher repetition + staged PII counts) --
-    ONE corpus read for both signal families (fusion equivalence
-    pytest-gated).  The driver-oracled projection excludes ``n_phone`` and
-    ``text_redacted``: the phone pattern requires lookbehind/lookahead,
-    which DuckDB's RE2 regex engine does not support, so that stage's gate
-    is a python-``re`` recompute (tests/test_text_hygiene.py) instead of
-    the cross-engine oracle."""
-    return textops.hygiene_features(_t(spark, sf, "documents")).select(
-        "doc_id",
-        "n_lines",
-        "dup_line_frac",
-        "terminal_punct_line_frac",
-        "bullet_line_frac",
-        "ellipsis_line_frac",
-        "n_email",
-        "n_ip",
-    )
+    return cohort.unionByName(rng)
 
 
 #: shared tokenize + per-doc term-frequency CTE (DuckDB mirror of
@@ -1993,7 +1977,7 @@ _TF_CTE = f"""
 
 
 @register(
-    "t3_tfidf_top_terms",
+    "tv1_text_stats",
     f"""
     WITH {_TF_CTE},
     dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
@@ -2009,34 +1993,45 @@ _TF_CTE = f"""
              ) AS BIGINT) AS rank
       FROM scored
     )
-    SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= 3
-    """,
-)
-def t3_tfidf_top_terms(spark, sf):
-    """Top-3 characteristic terms per document by TF-IDF: corpus size via a
-    broadcast 1-row cross join (never a collect), doc-frequencies from the
-    persisted tf relation, per-document window for the top-k.  Ranking is
-    on the ROUNDED tfidf with a token tie-break, so both engines produce
-    the identical row set."""
-    return textops.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
-
-
-@register(
-    "v1_vocabulary",
-    f"""
-    WITH {_TF_CTE}
-    SELECT token, CAST(sum(tf) AS BIGINT) AS count,
-           CAST(count(*) AS BIGINT) AS doc_freq
+    SELECT 'tfidf' AS op, doc_id, token, tf AS n, rank AS m, tfidf AS score
+    FROM ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'vocab' AS op, CAST(NULL AS BIGINT) AS doc_id, token,
+           CAST(sum(tf) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m,
+           CAST(NULL AS DOUBLE) AS score
     FROM tf GROUP BY token HAVING sum(tf) >= 20
     """,
 )
-def v1_vocabulary(spark, sf):
-    """Corpus vocabulary (token, total count, document frequency) at
-    min_count=20: the two-stage aggregate whose first stage collapses
-    within-document repeats map-side, so the shuffle carries distinct
-    (doc, token) pairs only -- the upstream stats pass for stop-token
-    lists and d4's heavy-hitter cap."""
-    return textops.vocabulary(_t(spark, sf, "documents"), min_count=20)
+def tv1_text_stats(spark, sf):
+    """Corpus token statistics, tagged and stacked (u1/r1 precedent, one
+    driver slot).  ``tfidf`` = top-3 characteristic terms per document:
+    corpus size via a broadcast 1-row cross join (never a collect),
+    doc-frequencies from the persisted tf relation, per-document window
+    for the top-k, ranked on the ROUNDED tfidf with a token tie-break so
+    both engines produce the identical row set.  ``vocab`` = the corpus
+    vocabulary at min_count=20 -- the two-stage aggregate whose first
+    stage collapses within-document repeats map-side, so the shuffle
+    carries distinct (doc, token) pairs only (the upstream stats pass for
+    stop-token lists and d4's heavy-hitter cap)."""
+    docs = _t(spark, sf, "documents")
+    nulll = F.lit(None).cast("long")
+    tfidf = textops.tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("op"),
+        "doc_id",
+        "token",
+        F.col("tf").alias("n"),
+        F.col("rank").alias("m"),
+        F.col("tfidf").alias("score"),
+    )
+    vocab = textops.vocabulary(docs, min_count=20).select(
+        F.lit("vocab").alias("op"),
+        nulll.alias("doc_id"),
+        "token",
+        F.col("count").alias("n"),
+        F.col("doc_freq").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return tfidf.unionByName(vocab)
 
 
 @register(

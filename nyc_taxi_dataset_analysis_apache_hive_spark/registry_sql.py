@@ -145,22 +145,17 @@ def _s6_split_case() -> str:
 
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
-    "p1_limit_peek": """
-        SELECT *, r_name AS region_name, r_regionkey AS region_id
-        FROM region ORDER BY r_regionkey LIMIT 3
-    """,
     "p3_filter_compare": """
         SELECT l_orderkey, l_linenumber, l_discount
         FROM lineitem WHERE l_discount < 0.02
     """,
-    "p4_not_in_set": """
-        SELECT l_returnflag, count(*) AS cnt
+    "p456_predicate_surface": """
+        SELECT 'not_in_set' AS op, l_returnflag, count(*) AS cnt
         FROM lineitem
         WHERE l_quantity NOT IN (1.0, 2.0, 3.0)
         GROUP BY l_returnflag
-    """,
-    "p5_dirty_or_predicate": """
-        SELECT l_returnflag, count(*) AS cnt
+        UNION ALL
+        SELECT 'dirty_or' AS op, l_returnflag, count(*) AS cnt
         FROM (
           SELECT l_returnflag, l_quantity, l_discount, l_tax, l_shipdate,
                  l_extendedprice * (1 - l_discount) AS profit
@@ -170,9 +165,8 @@ SQL_QUERIES: dict[str, str] = {
            OR profit > 90000 OR year(l_shipdate) = 1995
            OR month(l_shipdate) NOT IN (2,3,4,5,6,7,8,9,10,11,12)
         GROUP BY l_returnflag
-    """,
-    "p6_in_list": """
-        SELECT l_returnflag, count(*) AS cnt
+        UNION ALL
+        SELECT 'in_list' AS op, l_returnflag, count(*) AS cnt
         FROM lineitem
         WHERE month(l_shipdate) IN (11, 12)
         GROUP BY l_returnflag
@@ -278,20 +272,24 @@ SQL_QUERIES: dict[str, str] = {
         FROM (SELECT count(*) AS flagged FROM lineitem WHERE l_discount > 0)
         CROSS JOIN (SELECT count(*) AS total FROM lineitem)
     """,
-    "j2_semi_anti_join": """
-        SELECT 'has_big_order' AS segment, c_custkey, c_name FROM customer c
+    "j5_join_surface": """
+        SELECT 'semi_big_order' AS op, CAST(c_custkey AS BIGINT) AS key,
+               c_name AS name, CAST(NULL AS BIGINT) AS val
+        FROM customer c
         WHERE EXISTS (
           SELECT 1 FROM orders o
           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
         )
         UNION ALL
-        SELECT 'no_orders' AS segment, c_custkey, c_name FROM customer c
+        SELECT 'anti_no_orders' AS op, CAST(c_custkey AS BIGINT) AS key,
+               c_name AS name, CAST(NULL AS BIGINT) AS val
+        FROM customer c
         WHERE NOT EXISTS (
           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         )
-    """,
-    "j4_outer_join": """
-        SELECT n_name, CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers
+        UNION ALL
+        SELECT 'outer_nation_counts' AS op, CAST(n_nationkey AS BIGINT) AS key,
+               n_name AS name, CAST(coalesce(n_customers, 0) AS BIGINT) AS val
         FROM nation n LEFT JOIN (
           SELECT c_nationkey, count(*) AS n_customers
           FROM customer GROUP BY c_nationkey
@@ -662,11 +660,39 @@ SQL_QUERIES: dict[str, str] = {
     "t1_text_profile": r"""
         WITH toked AS (
           SELECT doc_id, lang, text,
-                 filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+                 filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks,
+                 filter(transform(split(coalesce(text, ''), '\\r?\\n'),
+                        x -> trim(x)), x -> x != '') AS lines
           FROM documents
         ),
         base AS (
           SELECT doc_id, lang,
+                 CAST(size(lines) AS BIGINT) AS n_lines,
+                 round(CASE WHEN size(lines) > 0 THEN
+                   1.0D - size(array_distinct(lines))
+                     / CAST(size(lines) AS DOUBLE)
+                 ELSE 0.0D END, 4) AS dup_line_frac,
+                 round(CASE WHEN size(lines) > 0 THEN
+                   size(filter(lines, x -> x rlike '[.!?"”]$'))
+                     / CAST(size(lines) AS DOUBLE)
+                 ELSE 0.0D END, 4) AS terminal_punct_line_frac,
+                 round(CASE WHEN size(lines) > 0 THEN
+                   size(filter(lines, x -> x rlike '^[-*•]'))
+                     / CAST(size(lines) AS DOUBLE)
+                 ELSE 0.0D END, 4) AS bullet_line_frac,
+                 round(CASE WHEN size(lines) > 0 THEN
+                   size(filter(lines, x -> x rlike '\\.\\.\\.$'))
+                     / CAST(size(lines) AS DOUBLE)
+                 ELSE 0.0D END, 4) AS ellipsis_line_frac,
+                 CAST(greatest(coalesce(size(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)),
+                   0), 0) AS BIGINT) AS n_email,
+                 CAST(greatest(coalesce(size(regexp_extract_all(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', 0)), 0), 0)
+                   AS BIGINT) AS n_ip,
                  CAST(size(toks) AS BIGINT) AS n_tokens_ws,
                  CAST(size(regexp_extract_all(
                    lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)
@@ -707,11 +733,74 @@ SQL_QUERIES: dict[str, str] = {
                     WHEN hits_de = best THEN 'de'
                     WHEN hits_en = best THEN 'en'
                     WHEN hits_es = best THEN 'es'
-                    WHEN hits_fr = best THEN 'fr' END AS lang_pred
+                    WHEN hits_fr = best THEN 'fr' END AS lang_pred,
+               n_lines, dup_line_frac, terminal_punct_line_frac,
+               bullet_line_frac, ellipsis_line_frac, n_email, n_ip
         FROM (
           SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS best
           FROM base
         )
+    """,
+    "tv1_text_stats": """
+        WITH tok AS (
+          SELECT doc_id,
+                 explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tok GROUP BY doc_id, token
+        ),
+        dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+          SELECT doc_id, token, tf,
+                 round(tf * ln(n_docs / CAST(doc_freq AS DOUBLE)), 6) AS tfidf,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY round(tf * ln(n_docs / CAST(doc_freq AS DOUBLE)), 6)
+                     DESC, token ASC) AS BIGINT) AS rank
+          FROM tf JOIN dfreq USING (token) CROSS JOIN total
+        )
+        SELECT 'tfidf' AS op, doc_id, token, tf AS n, rank AS m,
+               tfidf AS score
+        FROM ranked WHERE rank <= 3
+        UNION ALL
+        SELECT 'vocab' AS op, CAST(NULL AS BIGINT) AS doc_id, token,
+               sum(tf) AS n, count(*) AS m, CAST(NULL AS DOUBLE) AS score
+        FROM tf GROUP BY token HAVING sum(tf) >= 20
+    """,
+    "cx1_time_ops": """
+        WITH firsts AS (
+          SELECT user_id,
+                 unix_timestamp(min(ts))
+                   - pmod(unix_timestamp(min(ts)), 86400) AS cohort_p
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id,
+                 unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400) AS act_p
+          FROM events
+        ),
+        iv AS (
+          SELECT user_id, min(ts) AS start_ts,
+                 min(ts) + INTERVAL 4 HOURS AS end_ts
+          FROM events GROUP BY user_id
+        )
+        SELECT 'cohort' AS op, CAST(NULL AS BIGINT) AS k1,
+               CAST((act_p - cohort_p) / 86400 AS BIGINT) AS k2,
+               timestamp_seconds(cohort_p) AS ts1,
+               CAST(NULL AS TIMESTAMP) AS ts2, CAST(NULL AS TIMESTAMP) AS ts3,
+               count(*) AS n
+        FROM active JOIN firsts USING (user_id)
+        GROUP BY cohort_p, k2
+        UNION ALL
+        SELECT 'range' AS op, e.user_id AS k1, e.event_id AS k2,
+               e.ts AS ts1, iv.start_ts AS ts2, iv.end_ts AS ts3,
+               CAST(NULL AS BIGINT) AS n
+        FROM events e JOIN iv ON e.user_id = iv.user_id
+        WHERE e.ts BETWEEN iv.start_ts AND iv.end_ts
     """,
     # -- multimodal catalog rollup (payload/meta derivations JVM-side) -----
     "m1_media_catalog": """

@@ -159,6 +159,6 @@ def test_sql_mode_keeps_scale_safe_plans(spark):
     win = plan.index("Window")
     assert win < min(m.start() for m in re.finditer(r"HashAggregate", plan))
     # zero Python row crossings anywhere in SQL mode
-    for name in ("p5_dirty_or_predicate", "f9_case_segmentation", "a9_percentile"):
+    for name in ("p456_predicate_surface", "f9_case_segmentation", "a9_percentile"):
         p = explain_str(sq(name), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name

@@ -34,8 +34,11 @@ SCALE_PATHS = [
     "d4_ngram_jaccard_pairs",
     "d5_simhash_pairs",
     "d6_dup_clusters",
+    "d7_cross_corpus_decontam",
     "k2_ann_lsh_ivf",
     "t1_text_profile",
+    "tv1_text_stats",
+    "pl1_curation_funnel",
 ]
 
 SF_DIRS = {

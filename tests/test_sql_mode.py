@@ -28,7 +28,7 @@ def test_sql_surface_covers_reference_signature_shapes():
     query shapes (VERDICT r2 'do this' item 1) and only name real
     registry entries."""
     for must in (
-        "p5_dirty_or_predicate",
+        "p456_predicate_surface",
         "w1_pct_share",
         "f9_case_segmentation",
         "j1_scalar_cross_ratio",
