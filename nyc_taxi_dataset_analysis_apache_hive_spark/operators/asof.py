@@ -125,13 +125,30 @@ def asof_join(
     )
 
 
+def _derive_bin_seconds(
+    intervals: DataFrame, start_ts: str, end_ts: str
+) -> int:
+    """Median interval length in whole seconds (>= 1), via the distributed
+    Greenwald-Khanna sketch -- one small aggregate job, no full collect.
+    Falls back to 3600 on an empty/degenerate interval set."""
+    dur = intervals.select(
+        (F.unix_timestamp(end_ts) - F.unix_timestamp(start_ts))
+        .cast("double")
+        .alias("_dur")
+    ).filter(F.col("_dur") >= 0)
+    med = dur.approxQuantile("_dur", [0.5], 0.01)
+    if not med or med[0] <= 0:
+        return 3600
+    return max(1, int(med[0]))
+
+
 def range_join(
     events: DataFrame,
     intervals: DataFrame,
     event_ts: str,
     start_ts: str,
     end_ts: str,
-    bin_seconds: int = 3600,
+    bin_seconds: int | None = None,
     keys: list[str] | None = None,
 ) -> DataFrame:
     """Interval (range) join: each event row paired with every interval row
@@ -148,9 +165,19 @@ def range_join(
     interval replication x (duration / bin_seconds) rows -- pick
     bin_seconds near the typical interval length so replication stays
     O(1) per interval while each bin's candidate set stays small.
+
+    ``bin_seconds=None`` (the default) derives the bin width from the
+    MEDIAN interval length (one small approxQuantile job): a fixed
+    default degrades badly when interval lengths are far from it
+    (replication factor = duration / bin), while the median pins the
+    typical interval's replication at ~1-2 rows regardless of whether
+    intervals span minutes or months (bounded-replication pytest:
+    tests/test_asof_skew.py).
     """
     from ..functions.exprs import epoch_bin
 
+    if bin_seconds is None:
+        bin_seconds = _derive_bin_seconds(intervals, start_ts, end_ts)
     if bin_seconds <= 0:
         raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
     if "_bin" in events.columns or "_bin" in intervals.columns:

@@ -3,7 +3,7 @@ skew-mitigation operators (result equivalence, HLL accuracy)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 import pytest
 
@@ -21,6 +21,10 @@ SF = "/root/testdata/sf0.01"
 
 def _ts(s):
     return datetime.fromisoformat(s)
+
+
+def _ts_epoch(sec: int) -> datetime:
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
 
 
 @pytest.fixture(scope="module")
@@ -320,6 +324,52 @@ def test_range_join_matches_naive_between(spark):
         asof.range_join(events, intervals, "ts", "start_ts", "end_ts", 3600)
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize("dur_s", [120, 30 * 86_400])
+def test_range_join_autobin_bounds_replication(spark, dur_s):
+    """bin_seconds=None derives the bin from the median interval length,
+    so replication (sequence length = duration/bin + 1) stays O(1) per
+    interval whether intervals span 2 minutes or a month -- the fixed
+    3600 s default would replicate a month-long interval ~720x and give a
+    2-minute workload 30x-too-coarse candidate bins."""
+    base = 1_700_000_000
+    ivs = [
+        (i, _ts_epoch(base + i * 4 * dur_s), _ts_epoch(base + i * 4 * dur_s + dur_s))
+        for i in range(40)
+    ]
+    evs = [
+        (i, _ts_epoch(base + i * 4 * dur_s + off))
+        for i in range(40)
+        for off in (0, dur_s // 2, 2 * dur_s)  # in-window x2, gap x1
+    ]
+    events = spark.createDataFrame(evs, "event_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    derived = asof._derive_bin_seconds(intervals, "start_ts", "end_ts")
+    # median-length bins: each interval covers at most 2-3 bins
+    assert dur_s / 2 <= derived <= 2 * dur_s
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in asof.range_join(
+            events, intervals, "ts", "start_ts", "end_ts"
+        ).collect()
+    }
+    expected = {
+        (e_id, i_id)
+        for e_id, ts in evs
+        for i_id, s, t in ivs
+        if s <= ts <= t
+    }
+    assert got == expected and got
+
+
+def test_range_join_autobin_empty_intervals_falls_back(spark):
+    intervals = spark.createDataFrame(
+        [], "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    assert asof._derive_bin_seconds(intervals, "start_ts", "end_ts") == 3600
 
 
 def test_vector_mean_by_key_matches_python(spark):
