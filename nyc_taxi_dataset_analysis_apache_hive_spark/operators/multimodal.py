@@ -10,7 +10,7 @@ North-star extension: the reference is tabular-only (whole of REF), but a
   per row, ~10-100x over row UDFs);
 * the actual codec calls are OPTIONAL-IMPORT: ``use_real_codecs=True``
   probes for the real library at the marked integration point (Pillow for
-  images, soundfile for audio; video has no wired lib yet) and uses it when
+  images, soundfile for audio, PyAV for video) and uses it when
   importable; when the library is absent it raises ``NotImplementedError``
   with wiring instructions.  The default (``False``) is a deterministic
   fake (zlib.crc32-seeded) either way -- this container ships no media
@@ -83,8 +83,8 @@ def _not_implemented_codec(kind: str):
     raise NotImplementedError(
         f"real {kind} codec integration point: the required library is not "
         "importable in this environment; install Pillow (image) / soundfile "
-        "(audio) or wire pyav (video) here and the surrounding mapInPandas "
-        "plumbing is unchanged"
+        "(audio) / av (video) and the surrounding mapInPandas plumbing is "
+        "unchanged"
     )
 
 
@@ -93,9 +93,7 @@ def codec_support() -> dict[str, bool]:
 
     Driver-side callers use it to pick fake vs real; the stages re-probe
     inside each executor batch regardless, because cluster executors can
-    have different site-packages than the driver.  ``video`` is always
-    False: no container-format library is wired yet (the integration
-    point raises with instructions).
+    have different site-packages than the driver.
     """
     support = {}
     try:
@@ -110,7 +108,12 @@ def codec_support() -> dict[str, bool]:
         support["audio"] = True
     except ImportError:
         support["audio"] = False
-    support["video"] = False
+    try:
+        import av  # noqa: F401
+
+        support["video"] = True
+    except ImportError:
+        support["video"] = False
     return support
 
 
@@ -122,6 +125,17 @@ def _require_image_codec():
         return Image
     except ImportError:
         _not_implemented_codec("image")
+
+
+def _require_video_codec():
+    """Executor-side probe: the PyAV module or the marked
+    NotImplementedError."""
+    try:
+        import av
+
+        return av
+    except ImportError:
+        _not_implemented_codec("video")
 
 
 def synth_media_from_docs(docs: DataFrame) -> DataFrame:
@@ -281,25 +295,50 @@ def sample_frames(
 
     Demonstrates the one-to-many mapInPandas shape (a video decoder emits
     frame batches); the fake splits the payload into n contiguous slices.
-    No video container library is wired (``codec_support()['video']`` is
-    False), so ``use_real_codecs=True`` always raises the marked
-    NotImplementedError -- pyav slots in here.
+    ``use_real_codecs=True`` decodes the payload as a media container with
+    PyAV and emits ``n_frames`` evenly-spaced frames as raw rgb24 bytes
+    (decode-all-then-pick -- a production cut would keyframe-seek instead
+    of decoding every frame, but the Spark-side plumbing is identical);
+    PyAV absent -> the marked NotImplementedError.
     """
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+
         import pandas as pd
 
+        av_mod = None
         for pdf in batches:
-            if use_real_codecs:
-                _not_implemented_codec("video")
             ids, idxs, frames = [], [], []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p)
-                n = len(b)
-                for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(b[n * i // n_frames : n * (i + 1) // n_frames])
+            if use_real_codecs:
+                if av_mod is None:
+                    av_mod = _require_video_codec()
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    with av_mod.open(io.BytesIO(bytes(p))) as container:
+                        decoded = [
+                            fr.to_ndarray(format="rgb24").tobytes()
+                            for fr in container.decode(video=0)
+                        ]
+                    if not decoded:  # container with no decodable frames
+                        decoded = [b""]
+                    n = len(decoded)
+                    # evenly-spaced sample (repeat-pad when the clip is
+                    # shorter than n_frames so the 1->n_frames row contract
+                    # holds for every input row)
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(decoded[min(i * n // n_frames, n - 1)])
+            else:
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    b = bytes(p)
+                    n = len(b)
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(
+                            b[n * i // n_frames : n * (i + 1) // n_frames]
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -109,11 +109,12 @@ def test_embeddings_stable_and_normalized(media):
 
 
 def test_real_codec_path_is_marked_not_implemented(media):
-    """Kinds without a wired/importable library raise the marked
-    integration-point error.  'video' has no wired library by design, so
-    this contract holds in EVERY environment (incl. one with Pillow)."""
-    with pytest.raises(Exception, match="codec integration point"):
-        multimodal.sample_frames(media, use_real_codecs=True).collect()
+    """Kinds whose library is not importable raise the marked
+    integration-point error (every stage is optional-import wired:
+    Pillow/image, soundfile/audio, PyAV/video)."""
+    if not multimodal.codec_support()["video"]:
+        with pytest.raises(Exception, match="codec integration point"):
+            multimodal.sample_frames(media, use_real_codecs=True).collect()
     if not multimodal.codec_support()["image"]:
         with pytest.raises(Exception, match="codec integration point"):
             multimodal.media_features(
@@ -190,3 +191,38 @@ def test_real_image_codecs_feature(spark):
     for mid, r in resized.items():
         with Image.open(io.BytesIO(bytes(r["payload"]))) as img:
             assert img.size == (6, 5)
+
+
+@pytest.mark.skipif(
+    not multimodal.codec_support()["video"], reason="PyAV not installed"
+)
+def test_real_video_codec_feature(spark):
+    """Runs only where PyAV imports: a real encoded container decodes and
+    frame-samples to n_frames rgb24 payloads of w*h*3 bytes each."""
+    import io
+
+    import av
+    import numpy as np
+
+    w, h, total = 8, 6, 10
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height, stream.pix_fmt = w, h, "yuv420p"
+        for i in range(total):
+            arr = np.full((h, w, 3), i * 20, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(buf.getvalue()), None)], multimodal.MEDIA_SCHEMA
+    )
+    frames = multimodal.sample_frames(media, n_frames=4, use_real_codecs=True)
+    rows = frames.collect()
+    assert len(rows) == 4
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+    for r in rows:
+        assert r["n_bytes"] == w * h * 3  # decoded rgb24, not container bytes
