@@ -18,14 +18,18 @@ windows, percentiles -- is shared ANSI that Spark's Hive-heritage parser
 accepts verbatim.
 
 Entries NOT here are the ones whose semantics genuinely cannot be one SQL
-statement: the multi-step hash-chain dedup pipelines (d3/d4/d5 -- their
-portable md5 signature loops are DataFrame programs), iterative label
-propagation (d6), and the mapInPandas media stages whose feature values
-are computed in Python (m2/m3).  Their declarative form IS the DataFrame
-program, and their value parity is driver-oracled instead.  Everything
-else -- including the windowed as-of join, the salted two-phase plan, the
-fused text profile, brute-force KNN and sign-LSH near-pairs -- runs here
-as SQL text with a pairwise equality gate.
+statement: iterative label propagation (d6 -- Spark 4's recursive CTEs
+accept only UNION ALL, which cannot reach a fixpoint on cyclic dup-graphs,
+so min-label propagation stays a checkpointed DataFrame loop; verified
+against a 3-cycle in this environment), the mapInPandas media stages whose
+feature values are computed in Python (m2/m3), and the multi-stage
+curation funnel (pl1 -- d6-style clustering is one of its stages).  Their
+declarative form IS the DataFrame program, and their value parity is
+driver-oracled instead.  Everything else -- including the banded-MinHash
+dedup and cross-corpus decontamination, SimHash, the windowed as-of join,
+the salted two-phase plan, the fused text profile, brute-force KNN and
+sign-LSH near-pairs -- runs here as SQL text with a pairwise equality
+gate.
 """
 
 from __future__ import annotations
@@ -479,6 +483,36 @@ SQL_QUERIES: dict[str, str] = {
           JOIN sizes za ON common.doc_a = za.doc_id
           JOIN sizes zb ON common.doc_b = zb.doc_id
         ) WHERE jaccard >= 0.2D
+    """,
+    "d7_cross_corpus_decontam": f"""
+        WITH {_SHINGLE_SETS_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 {_SQL_BASE_HASH.format(col="s")} % 2147483647 AS h
+          FROM (SELECT doc_id, explode(sh) AS s FROM sets)
+        ),
+        sigs AS (
+          SELECT doc_id, {_MINHASH_SIG_COLS} FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+          {_MINHASH_BAND_ROWS}
+        ),
+        cands AS (
+          SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
+          FROM bands c JOIN bands p
+            ON c.band = p.band AND c.bucket = p.bucket
+               AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
+        ),
+        ss AS (SELECT doc_id, array_sort(sh) AS sh FROM sets)
+        SELECT corpus_id, probe_id, jaccard FROM (
+          SELECT corpus_id, probe_id,
+                 round(size(array_intersect(sa.sh, sb.sh))
+                   / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE), 6)
+                   AS jaccard
+          FROM cands
+          JOIN ss sa ON cands.corpus_id = sa.doc_id
+          JOIN ss sb ON cands.probe_id = sb.doc_id
+        ) WHERE jaccard >= 0.5D
     """,
     "d5_simhash_pairs": f"""
         WITH toked AS (
