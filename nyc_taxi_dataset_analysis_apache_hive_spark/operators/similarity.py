@@ -382,3 +382,107 @@ def cosine_topk_ivf(
         .distinct()
     )
     return _ranked_topk(scored, k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    centroid_offset: int = 100,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): drop documents whose EMBEDDINGS are
+    near-identical, restricting the quadratic pair search to cluster
+    cells so it never goes all-pairs.
+
+    Stages: (1) assign every vector to its max-cosine centroid via a
+    broadcast of the tiny centroid table (narrow pass -- the corpus is
+    never shuffled for assignment); (2) near-pair self-join WITHIN a cell
+    only (ONE shuffle, on cent_id), exact unit-vector dot >= threshold;
+    (3) connected components over the near-pair graph
+    (:func:`..operators.dedup.connected_components` -- the checkpointed
+    min-label loop); (4) keep-list election: the min vec_id per component
+    survives.
+
+    Returns (vec_id, sem_cluster, keep) for EVERY input vector; vectors
+    in no near-pair are their own singleton cluster and keep themselves.
+
+    Centroids: pass ``centroids`` = (cent_id, cent_emb) from
+    :func:`kmeans_train` for a trained index; the default is the same
+    deterministic corpus slice as :func:`cosine_topk_ivf`, which a SQL
+    oracle can replay exactly (tests/test_asof_skew.py pairs it with a
+    DuckDB recursive-CTE oracle).
+
+    Scale: the paper's operating point is n_centroids ~ N / target cell
+    size, keeping the within-cell join bounded-quadratic per cell; the
+    cell key is one long, so AQE's skew-join split applies if a cell runs
+    hot.  Assignment + pairing + CC are all equi-joins -- no stage is
+    all-pairs.
+    """
+    from ..functions.vectors import dot
+
+    from . import dedup as _dedup
+
+    emb = embeddings.select("vec_id", "embedding")
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_emb")
+    else:
+        cents = emb.filter(
+            (F.col("vec_id") >= centroid_offset)
+            & (F.col("vec_id") < centroid_offset + n_centroids)
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id").asc()
+    )
+    normed = normalized_with_bucket(emb).select("vec_id", "emb_n")
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .join(normed, "vec_id")
+        .select("vec_id", "cent_id", "emb_n")
+    )
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cent_id").alias("cell"),
+        F.col("emb_n").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cent_id").alias("cell"),
+        F.col("emb_n").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("ea", "eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+    comp = _dedup.connected_components(pairs, a_col="id_a", b_col="id_b")
+    return (
+        emb.select("vec_id")
+        .join(comp, emb.vec_id == comp.doc_id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("sem_cluster"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias(
+                "keep"
+            ),
+        )
+    )
