@@ -128,6 +128,110 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    STATIC dim table (re-read per trigger if the source supports it).
+
+    Stream-static joins are stateless -- no watermark needed, no state
+    store: the static side is planned like any batch join, so a small dim
+    broadcasts (Catalyst's size estimate; the stream side is never
+    shuffled then).  Left join keeps stream rows with no dim match --
+    enrichment must not drop events.
+    """
+    return events.join(dim, on=key, how="left")
+
+
+def matched_events_stream(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``type_a`` event with the
+    same user's ``type_b`` events that follow within ``max_delay``
+    (click-to-purchase attribution).
+
+    Both sides carry a watermark and the join predicate bounds event time
+    on BOTH ends, so Spark can evict a-side state once no future b-row can
+    land in its window -- the textbook bounded-state stream-stream join.
+    ``watermark`` must be >= ``max_delay``: state evicted at the watermark
+    horizon must never have been able to produce a future match.
+
+    Returns (user_id, a_event_id, a_ts, b_event_id, b_ts) -- the batch
+    analog is :func:`matched_events_batch`, equality-gated in tests.
+    """
+    a = (
+        events.filter(F.col("event_type") == type_a)
+        .select(
+            F.col(key).alias("a_key"),
+            F.col("event_id").alias("a_event_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == type_b)
+        .select(
+            F.col(key).alias("b_key"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    return a.join(
+        b,
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("a_key").alias(key),
+        "a_event_id",
+        "a_ts",
+        "b_event_id",
+        "b_ts",
+    )
+
+
+def matched_events_batch(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Batch analog of :func:`matched_events_stream` (same expressions,
+    no watermark) -- powers the stream/batch agreement test and is itself
+    a plain interval self-join usable on the static table."""
+    a = events.filter(F.col("event_type") == type_a).select(
+        F.col(key).alias("a_key"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = events.filter(F.col("event_type") == type_b).select(
+        F.col(key).alias("b_key"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return a.join(
+        b,
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("a_key").alias(key),
+        "a_event_id",
+        "a_ts",
+        "b_event_id",
+        "b_ts",
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> "object":

@@ -289,3 +289,74 @@ def test_stream_to_partitioned_parquet_sink_exactly_once(
 
     run_once()  # replay from checkpoint: no new output
     assert spark.read.parquet(out).count() == events_batch.count()
+
+
+def test_enrich_stream_matches_batch_join(spark, events_dir, events_batch):
+    """Stream-static enrichment: per-micro-batch left join against a static
+    dim equals the batch join, and no stream row is dropped."""
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("long"))
+    )
+    stream = sev.enrich_stream(
+        sev.read_events_stream(spark, events_dir).filter(
+            F.col("event_type") != SENTINEL
+        ),
+        dim,
+    )
+    _drain(stream, "enriched_stream")
+    got = _rows_map(
+        spark.table("enriched_stream"), ["event_id"], ["user_id", "segment"]
+    )
+    want = _rows_map(
+        sev.enrich_stream(events_batch, dim), ["event_id"], ["user_id", "segment"]
+    )
+    assert got == want
+    assert len(got) == events_batch.count()
+
+
+def test_matched_events_stream_matches_batch(spark, events_dir, events_batch):
+    """Stream-stream interval join (click -> purchase within 12h, both
+    sides watermarked) emits exactly the batch interval join's pairs."""
+    stream = sev.matched_events_stream(
+        sev.read_events_stream(spark, events_dir),
+        max_delay="12 hours",
+        watermark="12 hours",
+    )
+    _drain(stream, "matched_stream")
+    keys = ["a_event_id", "b_event_id"]
+    vals = ["user_id", "a_ts", "b_ts"]
+    got = _rows_map(spark.table("matched_stream"), keys, vals)
+    want = _rows_map(
+        sev.matched_events_batch(events_batch, max_delay="12 hours"), keys, vals
+    )
+    assert got == want
+    assert len(want) > 10  # non-trivial at sf0.001
+
+
+def test_matched_events_batch_oracle(spark, events_batch, events_dir):
+    """The batch analog against an independent DuckDB interval join."""
+    import duckdb
+
+    pdf = spark.read.parquet(events_dir).toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        (a, b): (u,)
+        for u, a, b in con.execute(
+            """
+            SELECT a.user_id, a.event_id, b.event_id
+            FROM ev a JOIN ev b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 12 HOURS
+            """
+        ).fetchall()
+    }
+    got = _rows_map(
+        sev.matched_events_batch(events_batch, max_delay="12 hours"),
+        ["a_event_id", "b_event_id"],
+        ["user_id"],
+    )
+    assert got == want
