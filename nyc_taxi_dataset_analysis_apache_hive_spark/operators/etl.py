@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.exprs import clean_predicate, dirty_predicate
 from ..schema import CLEAN_COLUMN_ORDER
@@ -110,3 +111,102 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     return joined.select(
         *[F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c) for c in cols]
     )
+
+
+def scd2_upsert(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str = "effective_ts",
+    compare_cols: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD type-2 merge: attribute changes CLOSE the current version and
+    append a new one, preserving full history (the companion of the
+    type-1 :func:`upsert`, which overwrites in place).
+
+    ``dim`` is the history table -- key + attribute columns plus
+    (``valid_from``, ``valid_to`` NULL-for-open, ``is_current``).
+    ``updates`` carries key + attribute columns plus ``effective_col``.
+    Per batch the LATEST update per key wins (earlier ones are
+    intra-batch churn; feed batches in order for multi-step history).
+
+    Semantics per key:
+    * attrs differ from the current version (null-safe) -> current row
+      gets ``valid_to = effective``, ``is_current = false``; a new open
+      version is appended;
+    * brand-new key -> new open version;
+    * update identical to current -> no-op (idempotent re-feeds);
+    * keys with no update carry forward untouched.
+
+    Scale: one window over the updates (latest-per-key), ONE full-outer
+    shuffle of current-vs-updates on the keys (closed rows already
+    co-partitioned), and the closed-history side streams through
+    untouched via union -- the same single-shuffle budget as the type-1
+    merge.  Pair with the dynamic-partition writer so only partitions
+    holding touched keys rewrite.
+    """
+    attr_cols = [
+        c
+        for c in dim.columns
+        if c not in (*keys, valid_from, valid_to, is_current)
+    ]
+    compare_cols = compare_cols or attr_cols
+
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col).desc())
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    current = dim.filter(F.col(is_current))
+    history = dim.filter(~F.col(is_current))
+
+    cond = None
+    for k in keys:
+        term = F.col(f"c.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = term if cond is None else (cond & term)
+    j = current.alias("c").join(latest.alias("u"), on=cond, how="full_outer")
+
+    has_update = F.col(f"u.{effective_col}").isNotNull()
+    has_current = F.col(f"c.{valid_from}").isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"c.{c}").eqNullSafe(F.col(f"u.{c}"))
+    changed = has_update & has_current & differs
+    inserted = has_update & ~has_current
+
+    dim_cols = dim.columns
+
+    def _version(side: str, vf, vt, cur) -> list:
+        key_side = "c" if side == "c" else "u"
+        out = []
+        for col in dim_cols:
+            if col == valid_from:
+                out.append(vf.alias(col))
+            elif col == valid_to:
+                out.append(vt.alias(col))
+            elif col == is_current:
+                out.append(cur.alias(col))
+            else:
+                out.append(F.col(f"{key_side}.{col}").alias(col))
+        return out
+
+    eff = F.col(f"u.{effective_col}")
+    # current rows: closed when changed, carried forward otherwise
+    kept_current = j.filter(has_current).select(
+        *_version(
+            "c",
+            F.col(f"c.{valid_from}"),
+            F.when(changed, eff).otherwise(F.col(f"c.{valid_to}")),
+            ~changed,
+        )
+    )
+    # new open versions: changed keys + brand-new keys
+    new_versions = j.filter(changed | inserted).select(
+        *_version("u", eff, F.lit(None).cast(dim.schema[valid_to].dataType), F.lit(True))
+    )
+    return history.unionByName(kept_current).unionByName(new_versions)
