@@ -73,3 +73,65 @@ def hash_split(
     for i in reversed(range(len(bounds))):
         split = F.when(u < bounds[i], i).otherwise(split)
     return df.withColumn("split_id", split.cast("int"))
+
+
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain reweighting (the data-mixture step of corpus construction):
+    up/down-sample each domain so the output hits ``target_rows`` with the
+    relative ``weights`` shares, deterministically.
+
+    Domain ``d``'s target is ``target_rows * w_d / sum(w)``; each of its
+    rows is emitted ``floor(ratio)`` times plus one more when the row's
+    md5-uniform draw falls under ``frac(ratio)`` (``ratio = target /
+    current size``).  ``ratio > 1`` up-samples by replication -- the
+    ``epoch`` output column (0-based copy index) lets downstream shuffle
+    or decontaminate repeats; ``ratio < 1`` down-samples; domains absent
+    from ``weights`` drop.  Expected output size is exact; realized size
+    concentrates around it (per-row Bernoulli on the fractional part).
+
+    Deterministic the way :func:`hash_split` is: the draw hashes
+    (salt || id), so the same row gets the same copy count across reruns,
+    partitionings, and appends -- and appends only add rows, never
+    re-roll existing ones (the RNG-stream property ``sample()`` lacks).
+
+    Scale: one tiny per-domain count aggregate joined back as a broadcast
+    (the corpus is NEVER shuffled), then a narrow explode -- the whole mix
+    is map-side.
+    """
+    total_w = float(sum(weights.values()))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], kv[1] / total_w)]
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
+    ratio = (
+        F.element_at(wmap, F.col(domain_col)) * F.lit(float(target_rows))
+        / F.col("_dom_n")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**15))
+    n_copies = (
+        F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .withColumn("_n_copies", F.coalesce(n_copies, F.lit(0)))
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_dom_n", "_n_copies")
+    )
