@@ -37,6 +37,7 @@ from .operators import (
     pipeline,
     sampling,
     similarity,
+    sketches,
     skew,
     textops,
 )
@@ -1542,32 +1543,70 @@ def x2_salted_join_agg(spark, sf):
 @register(
     "a10_distinct_counts",
     """
-    SELECT l_returnflag,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+    SELECT 'exact_by_flag' AS op, l_returnflag AS key,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_exact,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
            true AS approx_ok
     FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'sketch_rollup' AS op,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(NULL AS BIGINT) AS n_part,
+           true AS approx_ok
+    FROM events GROUP BY 2
     """,
 )
 def a10_distinct_counts(spark, sf):
-    """Exact multi-column COUNT(DISTINCT) by key (expand + two-phase agg --
-    Catalyst's RewriteDistinctAggregates) alongside the 100-TB path:
-    approx_count_distinct (HyperLogLog++, mergeable single-pass sketch).
+    """Distinct-count surface, tagged union of the two 100-TB strategies:
 
-    The HLL estimate is engine-specific, so it is validated IN-PLANE:
-    ``approx_ok`` asserts the estimate lands within max(5%, 2) of the exact
-    count per group and the oracle expects ``true`` -- the sketch accuracy
-    is driver-gated, not just pytest-gated."""
+    - ``op='exact_by_flag'``: exact multi-column COUNT(DISTINCT) by key
+      (expand + two-phase agg -- Catalyst's RewriteDistinctAggregates)
+      alongside approx_count_distinct (HyperLogLog++, single-pass).
+    - ``op='sketch_rollup'``: the incremental-OLAP path
+      (operators/sketches.py) -- persistable per-day DataSketches HLL
+      sketches whose estimates answer distinct-counts without rescanning
+      raw data; mergeable across arbitrary period ranges.
+
+    Estimates are engine-specific, so both are validated IN-PLANE:
+    ``approx_ok`` asserts each estimate lands within max(5%, 2) of the
+    exact count and the oracle expects ``true`` -- sketch accuracy is
+    driver-gated, not just pytest-gated."""
     li = _t(spark, sf, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_suppkey").alias("n_exact"),
         F.countDistinct("l_partkey").alias("n_part"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_approx"),
     )
-    ok = F.abs(F.col("n_supp_approx") - F.col("n_supp")) <= F.greatest(
-        0.05 * F.col("n_supp"), F.lit(2)
+    ok = F.abs(F.col("n_approx") - F.col("n_exact")) <= F.greatest(
+        0.05 * F.col("n_exact"), F.lit(2)
     )
-    return agg.select("l_returnflag", "n_supp", "n_part", ok.alias("approx_ok"))
+    exact_leg = agg.select(
+        F.lit("exact_by_flag").alias("op"),
+        F.col("l_returnflag").alias("key"),
+        "n_exact",
+        "n_part",
+        ok.alias("approx_ok"),
+    )
+
+    ev = _t(spark, sf, "events")
+    est = sketches.distinct_by_period(
+        sketches.sketch_rollup(ev, "ts", "user_id", grain="day")
+    )
+    exact_day = ev.groupBy(F.date_trunc("day", "ts").alias("period")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    ok_day = F.abs(F.col("n_distinct_est") - F.col("n_exact")) <= F.greatest(
+        0.05 * F.col("n_exact"), F.lit(2)
+    )
+    rollup_leg = est.join(exact_day, "period").select(
+        F.lit("sketch_rollup").alias("op"),
+        F.date_format("period", "yyyy-MM-dd").alias("key"),
+        "n_exact",
+        F.lit(None).cast("long").alias("n_part"),
+        ok_day.alias("approx_ok"),
+    )
+    return exact_leg.unionByName(rollup_leg)
 
 
 # ---------------------------------------------------------------------------

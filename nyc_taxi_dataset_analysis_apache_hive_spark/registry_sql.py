@@ -231,15 +231,27 @@ SQL_QUERIES: dict[str, str] = {
         FROM lineitem
     """,
     "a10_distinct_counts": """
-        SELECT l_returnflag, n_supp, n_part,
-               abs(n_supp_approx - n_supp)
-                 <= greatest(0.05D * n_supp, 2) AS approx_ok
+        SELECT 'exact_by_flag' AS op, l_returnflag AS key, n_exact, n_part,
+               abs(n_approx - n_exact)
+                 <= greatest(0.05D * n_exact, 2) AS approx_ok
         FROM (
           SELECT l_returnflag,
-                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT l_suppkey) AS n_exact,
                  count(DISTINCT l_partkey) AS n_part,
-                 approx_count_distinct(l_suppkey, 0.02) AS n_supp_approx
+                 approx_count_distinct(l_suppkey, 0.02) AS n_approx
           FROM lineitem GROUP BY l_returnflag
+        )
+        UNION ALL
+        SELECT 'sketch_rollup' AS op,
+               date_format(period, 'yyyy-MM-dd') AS key, n_exact,
+               CAST(NULL AS BIGINT) AS n_part,
+               abs(n_est - n_exact)
+                 <= greatest(0.05D * n_exact, 2) AS approx_ok
+        FROM (
+          SELECT date_trunc('day', ts) AS period,
+                 count(DISTINCT user_id) AS n_exact,
+                 hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS n_est
+          FROM events GROUP BY 1
         )
     """,
     "a9_percentile": """
