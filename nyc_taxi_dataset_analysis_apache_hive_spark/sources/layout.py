@@ -1,0 +1,160 @@
+"""Multi-dimensional data layout (Z-order clustering) for file skipping.
+
+At 100 TB the cheapest query is the one that never opens most files:
+parquet footers carry per-column min/max, and both Spark's scan and any
+lakehouse table format (Delta/Iceberg ``OPTIMIZE ZORDER``) prune files
+whose stats can't match the predicate.  A range-sort on ONE column gives
+perfect skipping on that column and none on the others; interleaving the
+bits of several columns' quantile-bucket indexes (a Morton / Z-curve)
+gives useful skipping on ALL of them at once, because nearby Z-values are
+nearby in every dimension -- each output file covers a small bounding box.
+
+Scale shape: one ``approxQuantile`` pass computes per-column cut points
+(a tiny driver-side array, NOT a global sort), the Z-value is a single
+whole-stage-codegen expression (HOF bucket lookup + shift/or interleave,
+no Python), and the only shuffle is the ``repartitionByRange`` that any
+layout job needs.  This is a write-amortized pattern: you pay it once per
+compaction, every subsequent selective scan skips files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_index(col: Column, cut_points: list[float]) -> Column:
+    """Quantile-bucket index in [0, len(cut_points)]: the number of cut
+    points <= value, via an array HOF (JVM-side, O(n_buckets) per row).
+    NULLs land in bucket 0, i.e. sort first -- same convention as a
+    NULLS FIRST range sort."""
+    bnds = F.lit(cut_points)
+    return F.size(F.filter(bnds, lambda x: x <= col.cast("double")))
+
+
+def _interleave_bits(bucket_cols: list[Column], bits: int) -> Column:
+    """Morton code: bit i of column j lands at position i*n_cols + j.
+    Stays a single codegen'd long expression -- no UDF."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits_per_col: int = 8
+) -> tuple[Column, dict[str, list[float]]]:
+    """Build the Z-value expression for ``cols`` over ``df``.
+
+    Cut points come from ``approxQuantile`` (relative error 1e-3) so
+    buckets are equi-populated even under skew -- a linear min/max split
+    would put all of a hot key's rows in one bucket.  Returns the column
+    expression plus the per-column cut points (tiny; persist them if you
+    want to bucket later increments identically).
+    """
+    if len(cols) < 1:
+        raise ValueError("zorder_value needs at least one column")
+    if len(cols) * bits_per_col > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits_per_col} bits = "
+            f"{len(cols) * bits_per_col} bits > 63 (long overflow); "
+            "lower bits_per_col"
+        )
+    n_buckets = 1 << bits_per_col
+    probs = [k / n_buckets for k in range(1, n_buckets)]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    cuts: dict[str, list[float]] = {}
+    for c in cols:
+        qs = casted.stat.approxQuantile(c, probs, 1e-3)
+        # skewed columns repeat quantiles; duplicate cut points would
+        # waste bucket codes without changing the ordering
+        cuts[c] = sorted(set(qs))
+    zcol = _interleave_bits(
+        [_bucket_index(F.col(c), cuts[c]) for c in cols], bits_per_col
+    )
+    return zcol, cuts
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits_per_col: int = 8,
+) -> DataFrame:
+    """Rows range-partitioned + sorted by Z-value, ready to write: each
+    output file covers one contiguous Z-range, i.e. a small bounding box
+    in every clustered dimension.  One shuffle (the range exchange that
+    any layout rewrite pays); the Z expression itself is map-side."""
+    zcol, _ = zorder_value(df, cols, bits_per_col)
+    tagged = df.withColumn("__zval", zcol)
+    return (
+        tagged.repartitionByRange(n_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits_per_col: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Compaction job: rewrite ``df`` as ``n_files`` Z-clustered parquet
+    files at ``path``.  Parquet min/max footer stats then prune files for
+    predicates on ANY of ``cols`` -- no table format required."""
+    cluster_by_zorder(df, cols, n_files, bits_per_col).write.mode(
+        mode
+    ).parquet(path)
+
+
+def file_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from parquet footers (pyarrow,
+    driver-side, metadata only) -- what a skipping scan consults.  One
+    dict per data file: ``{"file": ..., col: (min, max), ...}``."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rec: dict = {"file": os.path.basename(f)}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[c] = (lo, hi)
+        out.append(rec)
+    return out
+
+
+def candidate_files(
+    stats: list[dict], predicate: dict[str, tuple]
+) -> list[str]:
+    """Files a stats-pruning scan must open for a conjunctive box
+    predicate ``{col: (lo, hi)}``: footer range intersects every queried
+    interval.  Mirrors the pruning both Spark's parquet scan (row-group
+    level) and lakehouse manifests (file level) perform."""
+    hits = []
+    for rec in stats:
+        ok = True
+        for c, (qlo, qhi) in predicate.items():
+            flo, fhi = rec[c]
+            if flo is None or fhi < qlo or flo > qhi:
+                ok = False
+                break
+        if ok:
+            hits.append(rec["file"])
+    return hits

@@ -1,0 +1,123 @@
+"""Z-order layout: Morton-code parity vs a python recompute, row
+preservation through the rewrite, and the point of it all -- measured
+footer-stats file skipping on BOTH clustered columns vs a single-column
+range sort, which can only skip on one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources import layout
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+N_FILES = 8
+BITS = 6
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf0001_dir):
+    return load_table(spark, sf0001_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+@pytest.fixture(scope="module")
+def zpath(lineitem, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("layout") / "li_zorder")
+    layout.write_zordered(
+        lineitem, p, ["l_orderkey", "l_partkey"], n_files=N_FILES, bits_per_col=BITS
+    )
+    return p
+
+
+@pytest.fixture(scope="module")
+def rangepath(lineitem, tmp_path_factory):
+    """The contrast layout: same file count, range-sorted on the FIRST
+    column only (what a naive ORDER BY compaction gives you)."""
+    p = str(tmp_path_factory.mktemp("layout") / "li_range")
+    (
+        lineitem.repartitionByRange(N_FILES, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def test_morton_code_matches_python_recompute(spark, lineitem):
+    """The codegen'd shift/or expression is a real Morton code: recompute
+    bucket indexes + bit interleave in python from the same cut points."""
+    zcol, cuts = layout.zorder_value(lineitem, ["l_partkey", "l_suppkey"], BITS)
+    rows = (
+        lineitem.select("l_partkey", "l_suppkey", zcol.alias("z"))
+        .limit(500)
+        .collect()
+    )
+
+    def bucket(v, cps):
+        return sum(1 for c in cps if c <= v)
+
+    def morton(b1, b2):
+        z = 0
+        for i in range(BITS):
+            z |= ((b1 >> i) & 1) << (2 * i)
+            z |= ((b2 >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        expect = morton(
+            bucket(r["l_partkey"], cuts["l_partkey"]),
+            bucket(r["l_suppkey"], cuts["l_suppkey"]),
+        )
+        assert r["z"] == expect, r
+
+
+def test_rewrite_preserves_rows_exactly(spark, lineitem, zpath):
+    back = spark.read.parquet(zpath)
+    assert back.count() == lineitem.count()
+    key = F.concat_ws("|", "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    a = lineitem.select(F.sum(F.crc32(key)).alias("s"), F.count("*").alias("n"))
+    b = back.select(F.sum(F.crc32(key)).alias("s"), F.count("*").alias("n"))
+    assert a.first() == b.first()
+
+
+def test_zorder_skips_files_on_second_dimension(spark, zpath, rangepath, lineitem):
+    """The clustering payoff: a mid-range predicate on the SECOND
+    clustered column must open fewer files under Z-order than under a
+    first-column-only range sort, which cannot skip on it at all."""
+    cols = ["l_orderkey", "l_partkey"]
+    zstats = layout.file_stats(zpath, cols)
+    rstats = layout.file_stats(rangepath, cols)
+    assert len(zstats) == N_FILES and len(rstats) == N_FILES
+
+    plo, phi = lineitem.stat.approxQuantile("l_partkey", [0.45, 0.55], 0.0)
+    part_box = {"l_partkey": (plo, phi)}
+    z_hits = layout.candidate_files(zstats, part_box)
+    r_hits = layout.candidate_files(rstats, part_box)
+    # range layout sorted on l_orderkey spreads every l_partkey value
+    # across all files -> no skipping on the second dimension
+    assert len(r_hits) == N_FILES
+    assert len(z_hits) < N_FILES
+
+    olo, ohi = lineitem.stat.approxQuantile("l_orderkey", [0.45, 0.55], 0.0)
+    box = {"l_orderkey": (olo, ohi), "l_partkey": (plo, phi)}
+    z_box = layout.candidate_files(zstats, box)
+    assert len(z_box) <= len(z_hits)
+    assert len(z_box) < N_FILES
+
+
+def test_single_column_zorder_is_a_range_sort(spark, lineitem, tmp_path):
+    """Degenerate case: one column's Z-value is just its bucket index, so
+    files tile the value range -- point predicates hit ~1 file."""
+    p = str(tmp_path / "li_z1")
+    layout.write_zordered(lineitem, p, ["l_partkey"], n_files=4, bits_per_col=8)
+    stats = layout.file_stats(p, ["l_partkey"])
+    med = lineitem.stat.approxQuantile("l_partkey", [0.5], 0.0)[0]
+    hits = layout.candidate_files(stats, {"l_partkey": (med, med)})
+    assert len(hits) <= 2
+
+
+def test_bits_overflow_guard(lineitem):
+    with pytest.raises(ValueError, match="63"):
+        layout.zorder_value(lineitem, ["l_partkey", "l_suppkey"], 32)
