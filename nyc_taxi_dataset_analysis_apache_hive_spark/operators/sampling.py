@@ -135,3 +135,53 @@ def mix_domains(
         )
         .drop("_dom_n", "_n_copies")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, chosen uniformly and
+    deterministically (the "max N documents per domain" cap every corpus
+    pipeline applies before mixing).
+
+    Selection ranks rows inside each key by md5(salt || id) -- an
+    unbiased uniform draw that is stable across reruns, partitionings,
+    and engines, and append-monotone in the keep-set sense: a row's rank
+    only grows as rows arrive, so a capped key never readmits a dropped
+    row.
+
+    Scale: one shuffle on the key for the rank window.  A hot key makes
+    that window's sort wide, so ``n_salts`` enables the two-phase form:
+    first cap each (key, hash-salt) shard at ``n`` (bounding any shard's
+    sort at shard size), then rank the <= n_salts * n survivors exactly.
+    Same result set as the unsalted form by construction -- the global
+    top-n by hash is inside every shard's top-n -- asserted in tests.
+    """
+    from pyspark.sql.window import Window
+
+    rank_key = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    if n_salts:
+        shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), n_salts)
+        pre = Window.partitionBy(key_col, "_shard").orderBy("_rank_key")
+        df = (
+            df.withColumn("_rank_key", rank_key)
+            .withColumn("_shard", shard)
+            .withColumn("_pre_rn", F.row_number().over(pre))
+            .filter(F.col("_pre_rn") <= n)
+            .drop("_shard", "_pre_rn")
+        )
+    else:
+        df = df.withColumn("_rank_key", rank_key)
+    w = Window.partitionBy(key_col).orderBy("_rank_key")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rank_key", "_rn")
+    )
