@@ -4,10 +4,23 @@
 winning pattern is to never re-scan raw data at query time at all:
 materialize a tiny (period, sketch) table once per ingest, then answer ANY
 period-range distinct-count by merging sketches -- seconds over kilobytes
-instead of a full scan.  Spark 4 ships Apache DataSketches HLL natively
-(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``), so the
-whole pattern stays JVM-side and the sketch column is a plain BINARY that
-parquet round-trips.
+instead of a full scan.  Spark 4 ships Apache DataSketches natively, so the
+whole pattern stays JVM-side and every sketch column is a plain BINARY that
+parquet round-trips.  Three sketch families, one persisted-rollup pattern:
+
+* **HLL** (``hll_sketch_agg`` / ``hll_union_agg``): distinct counts.
+  Union-only -- can answer "how many distinct over any period range" but
+  not intersections.
+* **Theta** (``theta_sketch_agg`` / ``theta_union`` / ``theta_intersection``
+  / ``theta_difference``): full set algebra.  The 100-TB win: corpus-overlap
+  questions ("how many shingles/users/urls appear in BOTH corpus A and B")
+  answered from two kilobyte sketches with NO join and NO co-shuffle of the
+  raw keys -- the only scan is the one that built the per-partition rollup.
+  Below the sketch's nominal entry count (2^lg_k) a theta sketch is in
+  exact mode, so small-set estimates are not estimates at all.
+* **KLL** (``kll_sketch_agg_double`` / ``kll_merge_agg_double``): quantiles
+  and ranks.  Mergeable across periods, so "p99 of value over weeks 3-7"
+  never re-scans raw events; normalized rank error ~1.65% at k=200.
 
 Set union is associative, so daily sketches compose into weekly/monthly/
 arbitrary ranges losslessly -- union-then-estimate equals
@@ -15,6 +28,8 @@ estimate-of-union by construction (asserted in tests, not assumed).
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,4 +83,165 @@ def distinct_over_range(
         F.hll_sketch_estimate(
             F.hll_union_agg(F.col("sketch"), F.lit(False))
         ).alias("n_distinct_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta: set algebra over persisted sketches (overlap without a join)
+# ---------------------------------------------------------------------------
+
+
+def theta_rollup(
+    df: DataFrame, part_col: str, key_col: str, lg_k: int = 12
+) -> DataFrame:
+    """(part, n_rows, sketch): one theta sketch of ``key_col`` per value of
+    ``part_col`` (a corpus/source/day/shard label) -- the persisted table
+    that answers every pairwise set question later.  One shuffle on the
+    part key; sketch state is bounded (~2^lg_k entries) regardless of row
+    count."""
+    return df.groupBy(F.col(part_col).alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.theta_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"),
+    )
+
+
+def _overlap_exprs():
+    # built lazily: Column construction needs an active SparkSession
+    return [
+        F.theta_sketch_estimate("sk_a").alias("n_a"),
+        F.theta_sketch_estimate("sk_b").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias(
+            "n_intersection"
+        ),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+            "n_union"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")).alias(
+            "n_a_only"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_b", "sk_a")).alias(
+            "n_b_only"
+        ),
+    ]
+
+
+def set_overlap(sketches: DataFrame, part_a, part_b) -> DataFrame:
+    """One-row |A|, |B|, |A∩B|, |A∪B|, |A\\B|, |B\\A|, Jaccard estimates for
+    two parts of a :func:`theta_rollup` table.  Both sides are single rows,
+    so the cross join is a trivial broadcast -- the raw keys are never
+    touched, joined, or shuffled."""
+    a = sketches.filter(F.col("part") == part_a).select(
+        F.col("sketch").alias("sk_a")
+    )
+    b = sketches.filter(F.col("part") == part_b).select(
+        F.col("sketch").alias("sk_b")
+    )
+    return a.crossJoin(b).select(
+        F.lit(str(part_a)).alias("part_a"),
+        F.lit(str(part_b)).alias("part_b"),
+        *_overlap_exprs(),
+        (
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+            / F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+        ).alias("jaccard_est"),
+    )
+
+
+def overlap_matrix(sketches: DataFrame) -> DataFrame:
+    """All-pairs overlap estimates (part_a < part_b) from a theta rollup:
+    the M×M corpus-contamination matrix from M kilobyte sketches.  The
+    self-join is over the tiny rollup table (M rows), never the raw data;
+    for M corpora that is M²/2 sketch intersections -- milliseconds, where
+    the exact answer would be M²/2 distinct-joins over the full corpus."""
+    a = sketches.select(
+        F.col("part").alias("part_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("part").alias("part_b"), F.col("sketch").alias("sk_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b", *_overlap_exprs())
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL: mergeable quantiles/ranks (percentiles over any range, no rescan)
+# ---------------------------------------------------------------------------
+
+
+def quantile_rollup(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    grain: str = "day",
+    k: int = 200,
+) -> DataFrame:
+    """(period, n_rows, sketch): one KLL(double) sketch of ``value_col``
+    per time grain.  Same persistence contract as :func:`sketch_rollup`:
+    BINARY column, parquet round-trips, merges losslessly."""
+    return (
+        df.groupBy(F.date_trunc(grain, F.col(time_col)).alias("period"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("sketch"),
+        )
+    )
+
+
+def _merged_kll(sketches: DataFrame, start, end):
+    s = sketches
+    if start is not None:
+        s = s.filter(F.col("period") >= start)
+    if end is not None:
+        s = s.filter(F.col("period") < end)
+    return s.agg(F.kll_merge_agg_double("sketch").alias("merged"))
+
+
+def quantiles_over_range(
+    sketches: DataFrame,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    start=None,
+    end=None,
+) -> DataFrame:
+    """(prob, value_est) rows for [start, end): merge the range's KLL
+    sketches and read all requested quantiles from the single merged
+    sketch -- kilobytes scanned, raw events untouched."""
+    merged = _merged_kll(sketches, start, end)
+    qs = merged.select(
+        F.kll_sketch_get_quantile_double(
+            "merged", F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("q")
+    )
+    return qs.select(
+        F.posexplode("q").alias("i", "value_est")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(float(p)) for p in probs]), F.col("i") + 1
+        ).alias("prob"),
+        "value_est",
+    )
+
+
+def rank_over_range(
+    sketches: DataFrame, value: float, start=None, end=None
+) -> DataFrame:
+    """One row (n, rank_est, n_le_est) for [start, end): the estimated
+    fraction (and count) of values ≤ ``value``.  ``n`` is exact -- KLL
+    tracks the true item count -- so ``n_le_est = round(rank*n)`` is
+    directly comparable to an exact filter-count."""
+    merged = _merged_kll(sketches, start, end)
+    return merged.select(
+        F.kll_sketch_get_n_double("merged").alias("n"),
+        F.kll_sketch_get_rank_double("merged", F.lit(float(value))).alias(
+            "rank_est"
+        ),
+        F.round(
+            F.kll_sketch_get_rank_double("merged", F.lit(float(value)))
+            * F.kll_sketch_get_n_double("merged")
+        )
+        .cast("long")
+        .alias("n_le_est"),
     )

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.text import BPE_TOKEN_REGEX, STOPWORDS, TOKEN_SPLIT_REGEX
+from .functions.text import (
+    BPE_TOKEN_REGEX,
+    STOPWORDS,
+    TOKEN_SPLIT_REGEX,
+    ngrams_from_tokens,
+    tokens,
+)
 from .operators import (
     asof,
     cohorts,
@@ -801,6 +807,26 @@ def e3_dedup_latest_per_key(spark, sf):
 # Dedup extensions over documents
 # ---------------------------------------------------------------------------
 
+#: Same tokenizer/shingler, scoped to the src0/src1 pair with the source
+#: label kept (the a10 theta-overlap oracle).
+_TOKS_SRC_CTE = f"""
+      toksrc AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents WHERE source IN ('src0', 'src1')
+      ),
+      gsrc AS (
+        SELECT source,
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS sh
+        FROM toksrc
+      )
+"""
+
 _TOKS_CTE = f"""
   toks AS (
     SELECT doc_id,
@@ -1542,7 +1568,7 @@ def x2_salted_join_agg(spark, sf):
 
 @register(
     "a10_distinct_counts",
-    """
+    f"""
     SELECT 'exact_by_flag' AS op, l_returnflag AS key,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_exact,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
@@ -1555,23 +1581,65 @@ def x2_salted_join_agg(spark, sf):
            CAST(NULL AS BIGINT) AS n_part,
            true AS approx_ok
     FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'theta_overlap' AS op, k.key,
+           CASE k.key WHEN 'src0' THEN s.n_a WHEN 'src1' THEN s.n_b
+                      WHEN 'src0&src1' THEN s.n_inter
+                      ELSE s.n_union END AS n_exact,
+           CAST(NULL AS BIGINT) AS n_part, true AS approx_ok
+    FROM (
+      WITH {_TOKS_SRC_CTE},
+      shx AS (SELECT DISTINCT source, unnest(sh) AS s FROM gsrc),
+      flags AS (
+        SELECT s, max(source = 'src0') AS in_a, max(source = 'src1') AS in_b
+        FROM shx GROUP BY s
+      )
+      SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inter,
+             CAST(count(*) AS BIGINT) AS n_union
+      FROM flags
+    ) s
+    CROSS JOIN (VALUES ('src0'), ('src1'), ('src0&src1'), ('src0|src1'))
+      AS k(key)
+    UNION ALL
+    SELECT 'kll_rank' AS op, k.key,
+           CASE k.key WHEN 'n' THEN s.n ELSE s.n_le END AS n_exact,
+           CAST(NULL AS BIGINT) AS n_part, true AS approx_ok
+    FROM (
+      SELECT CAST(count(value) AS BIGINT) AS n,
+             CAST(count(*) FILTER (value <= 35.0) AS BIGINT) AS n_le
+      FROM events
+    ) s
+    CROSS JOIN (VALUES ('n'), ('value<=35')) AS k(key)
     """,
 )
 def a10_distinct_counts(spark, sf):
-    """Distinct-count surface, tagged union of the two 100-TB strategies:
+    """Distinct-count / sketch surface, tagged union of the 100-TB
+    strategies (operators/sketches.py):
 
     - ``op='exact_by_flag'``: exact multi-column COUNT(DISTINCT) by key
       (expand + two-phase agg -- Catalyst's RewriteDistinctAggregates)
       alongside approx_count_distinct (HyperLogLog++, single-pass).
-    - ``op='sketch_rollup'``: the incremental-OLAP path
-      (operators/sketches.py) -- persistable per-day DataSketches HLL
-      sketches whose estimates answer distinct-counts without rescanning
-      raw data; mergeable across arbitrary period ranges.
+    - ``op='sketch_rollup'``: the incremental-OLAP path -- persistable
+      per-day DataSketches HLL sketches whose estimates answer
+      distinct-counts without rescanning raw data; mergeable across
+      arbitrary period ranges.
+    - ``op='theta_overlap'``: theta-sketch set algebra -- per-source
+      3-gram-shingle sketches answer |A|, |B|, |A∩B|, |A∪B| for the
+      src0/src1 corpus pair with no join over the shingle universe (the
+      corpus-contamination question at 100 TB).  ``n_exact`` is the exact
+      relational answer (one shuffle on the shingle key); ``approx_ok``
+      gates the theta estimate against it in-plane.
+    - ``op='kll_rank'``: mergeable KLL quantile sketches -- per-day
+      rollups merged to answer "how many values ≤ 35" and the exact item
+      count; gated against the exact filter count in-plane.
 
-    Estimates are engine-specific, so both are validated IN-PLANE:
-    ``approx_ok`` asserts each estimate lands within max(5%, 2) of the
-    exact count and the oracle expects ``true`` -- sketch accuracy is
-    driver-gated, not just pytest-gated."""
+    Estimates are engine-specific, so every sketch is validated IN-PLANE:
+    ``approx_ok`` asserts each estimate lands within tolerance (5% HLL,
+    2% theta/KLL) of the exact count and the oracle expects ``true`` --
+    sketch accuracy is driver-gated, not just pytest-gated."""
     li = _t(spark, sf, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_exact"),
@@ -1606,7 +1674,89 @@ def a10_distinct_counts(spark, sf):
         F.lit(None).cast("long").alias("n_part"),
         ok_day.alias("approx_ok"),
     )
-    return exact_leg.unionByName(rollup_leg)
+
+    # theta set-algebra leg: per-source shingle sketches vs the exact
+    # relational answer (one shuffle on the shingle key; both single-row
+    # sides of the final combine are trivial broadcasts)
+    docs = _t(spark, sf, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    shx = (
+        docs.select("source", tokens("text").alias("toks"))
+        .select(
+            "source",
+            F.explode(ngrams_from_tokens(F.col("toks"), 3)).alias("s"),
+        )
+        .distinct()
+    )
+    flags = shx.groupBy("s").agg(
+        F.max(F.col("source") == "src0").alias("in_a"),
+        F.max(F.col("source") == "src1").alias("in_b"),
+    )
+    exact_sets = flags.agg(
+        F.sum(F.col("in_a").cast("long")).alias("x_a"),
+        F.sum(F.col("in_b").cast("long")).alias("x_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("x_inter"),
+        F.count(F.lit(1)).alias("x_union"),
+    )
+    est_sets = sketches.set_overlap(
+        sketches.theta_rollup(shx, "source", "s"), "src0", "src1"
+    )
+    both = exact_sets.crossJoin(est_sets)
+    theta_legs = []
+    for key, x_col, e_col in (
+        ("src0", "x_a", "n_a"),
+        ("src1", "x_b", "n_b"),
+        ("src0&src1", "x_inter", "n_intersection"),
+        ("src0|src1", "x_union", "n_union"),
+    ):
+        ok_t = F.abs(F.col(e_col) - F.col(x_col)) <= F.greatest(
+            0.02 * F.col(x_col), F.lit(2)
+        )
+        theta_legs.append(
+            both.select(
+                F.lit("theta_overlap").alias("op"),
+                F.lit(key).alias("key"),
+                F.col(x_col).cast("long").alias("n_exact"),
+                F.lit(None).cast("long").alias("n_part"),
+                ok_t.alias("approx_ok"),
+            )
+        )
+
+    # KLL leg: per-day quantile sketches merged to answer an exact-count
+    # question (n) and a rank question (#values <= 35) -- gated in-plane
+    kll = sketches.rank_over_range(
+        sketches.quantile_rollup(ev, "ts", "value", grain="day"), 35.0
+    )
+    ev_exact = ev.agg(
+        F.count("value").alias("x_n"),
+        F.count(F.when(F.col("value") <= 35.0, 1)).alias("x_le"),
+    )
+    kboth = ev_exact.crossJoin(kll)
+    kll_legs = [
+        kboth.select(
+            F.lit("kll_rank").alias("op"),
+            F.lit("n").alias("key"),
+            F.col("x_n").cast("long").alias("n_exact"),
+            F.lit(None).cast("long").alias("n_part"),
+            (F.col("n") == F.col("x_n")).alias("approx_ok"),
+        ),
+        kboth.select(
+            F.lit("kll_rank").alias("op"),
+            F.lit("value<=35").alias("key"),
+            F.col("x_le").cast("long").alias("n_exact"),
+            F.lit(None).cast("long").alias("n_part"),
+            (
+                F.abs(F.col("n_le_est") - F.col("x_le"))
+                <= F.greatest(0.02 * F.col("n"), F.lit(5))
+            ).alias("approx_ok"),
+        ),
+    ]
+
+    out = exact_leg.unionByName(rollup_leg)
+    for leg in theta_legs + kll_legs:
+        out = out.unionByName(leg)
+    return out
 
 
 # ---------------------------------------------------------------------------

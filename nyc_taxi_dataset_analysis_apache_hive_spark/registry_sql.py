@@ -231,6 +231,60 @@ SQL_QUERIES: dict[str, str] = {
         FROM lineitem
     """,
     "a10_distinct_counts": """
+        WITH shx AS (
+          SELECT DISTINCT source, s FROM (
+            SELECT source,
+                   explode(CASE WHEN size(toks) >= 3 THEN
+                     transform(sequence(1, size(toks) - 2),
+                               i -> concat_ws(' ', slice(toks, i, 3)))
+                   ELSE CAST(array() AS array<string>) END) AS s
+            FROM (
+              SELECT source,
+                     filter(split(lower(text), '[^a-z0-9]+'),
+                            x -> x != '') AS toks
+              FROM documents WHERE source IN ('src0', 'src1')
+            )
+          )
+        ),
+        set_exact AS (
+          SELECT CAST(sum(CAST(in_a AS INT)) AS BIGINT) AS x_a,
+                 CAST(sum(CAST(in_b AS INT)) AS BIGINT) AS x_b,
+                 CAST(sum(CAST(in_a AND in_b AS INT)) AS BIGINT) AS x_inter,
+                 count(*) AS x_union
+          FROM (
+            SELECT s, max(source = 'src0') AS in_a,
+                   max(source = 'src1') AS in_b
+            FROM shx GROUP BY s
+          )
+        ),
+        set_est AS (
+          SELECT theta_sketch_estimate(a.sk) AS n_a,
+                 theta_sketch_estimate(b.sk) AS n_b,
+                 theta_sketch_estimate(theta_intersection(a.sk, b.sk))
+                   AS n_inter,
+                 theta_sketch_estimate(theta_union(a.sk, b.sk)) AS n_union
+          FROM (SELECT theta_sketch_agg(s, 12) AS sk FROM shx
+                WHERE source = 'src0') a
+          CROSS JOIN (SELECT theta_sketch_agg(s, 12) AS sk FROM shx
+                      WHERE source = 'src1') b
+        ),
+        kll AS (
+          SELECT kll_sketch_get_n_double(ms) AS n,
+                 CAST(round(kll_sketch_get_rank_double(ms, 35.0D)
+                            * kll_sketch_get_n_double(ms)) AS BIGINT)
+                   AS n_le_est
+          FROM (
+            SELECT kll_merge_agg_double(sk) AS ms FROM (
+              SELECT kll_sketch_agg_double(CAST(value AS DOUBLE), 200) AS sk
+              FROM events GROUP BY date_trunc('day', ts)
+            )
+          )
+        ),
+        ev_exact AS (
+          SELECT count(value) AS x_n,
+                 count(CASE WHEN value <= 35.0D THEN 1 END) AS x_le
+          FROM events
+        )
         SELECT 'exact_by_flag' AS op, l_returnflag AS key, n_exact, n_part,
                abs(n_approx - n_exact)
                  <= greatest(0.05D * n_exact, 2) AS approx_ok
@@ -253,6 +307,37 @@ SQL_QUERIES: dict[str, str] = {
                  hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS n_est
           FROM events GROUP BY 1
         )
+        UNION ALL
+        SELECT 'theta_overlap' AS op, t.key,
+               CASE t.key WHEN 'src0' THEN x.x_a WHEN 'src1' THEN x.x_b
+                          WHEN 'src0&src1' THEN x.x_inter
+                          ELSE x.x_union END AS n_exact,
+               CAST(NULL AS BIGINT) AS n_part,
+               abs(CASE t.key WHEN 'src0' THEN e.n_a WHEN 'src1' THEN e.n_b
+                              WHEN 'src0&src1' THEN e.n_inter
+                              ELSE e.n_union END
+                   - CASE t.key WHEN 'src0' THEN x.x_a
+                                WHEN 'src1' THEN x.x_b
+                                WHEN 'src0&src1' THEN x.x_inter
+                                ELSE x.x_union END)
+                 <= greatest(0.02D * CASE t.key WHEN 'src0' THEN x.x_a
+                                                WHEN 'src1' THEN x.x_b
+                                                WHEN 'src0&src1'
+                                                  THEN x.x_inter
+                                                ELSE x.x_union END, 2)
+                 AS approx_ok
+        FROM set_exact x CROSS JOIN set_est e
+        CROSS JOIN (SELECT explode(array('src0', 'src1', 'src0&src1',
+                                         'src0|src1')) AS key) t
+        UNION ALL
+        SELECT 'kll_rank' AS op, t.key,
+               CASE t.key WHEN 'n' THEN x.x_n ELSE x.x_le END AS n_exact,
+               CAST(NULL AS BIGINT) AS n_part,
+               CASE t.key WHEN 'n' THEN k.n = x.x_n
+                    ELSE abs(k.n_le_est - x.x_le)
+                           <= greatest(0.02D * k.n, 5) END AS approx_ok
+        FROM ev_exact x CROSS JOIN kll k
+        CROSS JOIN (SELECT explode(array('n', 'value<=35')) AS key) t
     """,
     "a9_percentile": """
         SELECT round(ps[0], 4) AS p25,
