@@ -1,0 +1,147 @@
+"""Incremental ingest: fold a new batch into persisted derived state
+without rescanning history.
+
+At 100 TB the corpus is append-only and every full recompute is a
+multi-hour scan, so each derived table must be maintainable from (old
+state, new batch) alone:
+
+* **Sketch rollups** (operators/sketches.py): HLL / theta / KLL states are
+  mergeable by construction, so ``merge_*_rollup(existing, delta)`` is a
+  tiny groupBy over two kilobyte-per-period tables -- the new batch is the
+  only raw data ever scanned.  Merged state answers within the sketch's
+  own error bounds of a from-scratch rebuild (equal outright while the
+  sketches are still in exact/sparse mode; a one-shot sketch that has
+  crossed into estimation mode may differ from a merge of exact halves by
+  its normal error -- the tests gate both paths against exact truth, not
+  against each other).
+* **Dedup admission** (:func:`admit_batch`): the membership question "is
+  this fingerprint already in the corpus" is a left-anti join of the SMALL
+  batch against the fingerprint history.  The scale posture is the layout,
+  not the operator: persist the history bucketed (``write_clean_table``'s
+  ``bucketBy`` on the fingerprint) or fingerprint-sorted
+  (operators/layout.py) so the join co-locates without shuffling history
+  and parquet footer min/max prune the untouched files.  Spark's runtime
+  bloom-filter join (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+  on in session.py) additionally semi-join-reduces the probe side at
+  runtime when the batch side is selective.
+
+The pieces compose into :func:`ingest_batch`: one pass over the new batch
+feeds admission AND every sketch rollup; history is touched only through
+its (tiny) derived tables and the fingerprint anti-join.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_hll_rollup(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new (period, n_rows, sketch) HLL rollup into the persisted
+    one.  Periods present on both sides union their sketches losslessly
+    (set union is associative); n_rows adds.  Cost: a groupBy over
+    2×periods rows of kilobytes."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("period")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_union_agg(F.col("sketch"), F.lit(False)).alias("sketch"),
+        )
+    )
+
+
+def merge_theta_rollup(
+    existing: DataFrame, delta: DataFrame, lg_k: int = 12
+) -> DataFrame:
+    """Same maintenance for (part, n_rows, sketch) theta rollups: parts in
+    both sides merge via ``theta_union_agg`` at the rollup's own lg_k."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("part")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.theta_union_agg(F.col("sketch"), F.lit(lg_k)).alias("sketch"),
+        )
+    )
+
+
+def merge_kll_rollup(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Same maintenance for (period, n_rows, sketch) KLL quantile rollups
+    via ``kll_merge_agg_double``."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("period")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.kll_merge_agg_double("sketch").alias("sketch"),
+        )
+    )
+
+
+def admit_batch(
+    history_fps: DataFrame, batch: DataFrame, fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Rows of ``batch`` that are genuinely new: not already in
+    ``history_fps`` (one ``fp_col`` column) and not duplicated within the
+    batch itself (first-by-doc_id wins, deterministic).
+
+    Plan shape: the within-batch dedup is a window over the SMALL batch;
+    the history check is ONE left-anti join probing the batch against the
+    fingerprint history.  History is never widened (one 32-byte hash
+    column) and never shuffled when it is persisted bucketed/sorted on
+    the fingerprint."""
+    w_rank = F.row_number().over(
+        Window.partitionBy(fp_col).orderBy("doc_id")
+    )
+    batch_unique = (
+        batch.withColumn("_rn", w_rank).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return batch_unique.join(
+        history_fps.select(fp_col), on=fp_col, how="left_anti"
+    )
+
+
+class IngestResult(NamedTuple):
+    accepted: DataFrame  # new, non-duplicate batch rows
+    fingerprints: DataFrame  # updated fingerprint history
+    hll_rollup: DataFrame | None  # updated per-period distinct state
+    kll_rollup: DataFrame | None  # updated per-period quantile state
+
+
+def ingest_batch(
+    history_fps: DataFrame,
+    batch: DataFrame,
+    fp_col: str = "fingerprint",
+    hll_state: DataFrame | None = None,
+    kll_state: DataFrame | None = None,
+    time_col: str = "ts",
+    hll_key_col: str | None = None,
+    kll_value_col: str | None = None,
+    grain: str = "day",
+) -> IngestResult:
+    """One ingest step: admit the batch's new rows, extend the fingerprint
+    history, and fold the accepted rows into any provided sketch states.
+    Only the batch is scanned at raw granularity; history participates as
+    (a) the one-column fingerprint table and (b) kilobyte sketch rows."""
+    from . import sketches
+
+    accepted = admit_batch(history_fps, batch, fp_col)
+    new_fps = history_fps.unionByName(accepted.select(fp_col))
+
+    hll_out = None
+    if hll_state is not None and hll_key_col is not None:
+        delta = sketches.sketch_rollup(accepted, time_col, hll_key_col, grain)
+        hll_out = merge_hll_rollup(hll_state, delta)
+
+    kll_out = None
+    if kll_state is not None and kll_value_col is not None:
+        delta = sketches.quantile_rollup(
+            accepted, time_col, kll_value_col, grain
+        )
+        kll_out = merge_kll_rollup(kll_state, delta)
+
+    return IngestResult(accepted, new_fps, hll_out, kll_out)

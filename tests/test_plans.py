@@ -162,3 +162,47 @@ def test_sql_mode_keeps_scale_safe_plans(spark):
     for name in ("p456_predicate_surface", "f9_case_segmentation", "a9_percentile"):
         p = explain_str(sq(name), "simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_runtime_bloom_filter_semi_join_reduces_probe_side(spark):
+    """Spark's runtime bloom-filter join (default-on in 4.x) builds a
+    DISTRIBUTED bloom over a selectively-filtered creation side and
+    injects ``might_contain`` into the probe side's scan filter -- the
+    runtime semi-join reduction that makes "probe a huge fact with a
+    filtered dim" (e.g. incremental.admit_batch against a filtered
+    corpus slice) cheap at 100 TB.  With default thresholds it fires only
+    when the probe side scans > 10 GB, so this test lowers the
+    application-side threshold to prove injection at test scale, then
+    proves the answer is bloom-invariant."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    def build():
+        # fresh frame each time: queryExecution is memoized per DataFrame,
+        # so conf changes only show in plans planned after them
+        big = spark.read.parquet(f"{SF}/lineitem.parquet")
+        dim = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_totalprice > 400000"
+        )
+        return big.join(dim, big.l_orderkey == dim.o_orderkey)
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = build()
+        plan = explain_str(joined, "simple")
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        n_bloom = joined.count()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    plain = build()
+    assert "might_contain" not in explain_str(plain, "simple")
+    assert plain.count() == n_bloom
