@@ -140,6 +140,119 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction (bin-pack a dataset's files to a target size)
+# ---------------------------------------------------------------------------
+
+
+def partition_file_report(path: str) -> list[dict]:
+    """Driver-side walk of a (possibly hive-partitioned) parquet dataset:
+    one dict per partition directory -- ``{"partition": rel_dir ('' for
+    flat), "n_files": int, "bytes": int}``.  Metadata listing only; at
+    cloud scale this is the object-store LIST a table format's manifest
+    replaces."""
+    import os
+
+    groups: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, path)
+            key = "" if rel == "." else rel
+            g = groups.setdefault(key, {"n_files": 0, "bytes": 0})
+            g["n_files"] += 1
+            g["bytes"] += os.path.getsize(os.path.join(root, f))
+    return [
+        {"partition": k, **v} for k, v in sorted(groups.items())
+    ]
+
+
+def compact_plan(
+    report: list[dict], target_bytes: int = 128 * 1024 * 1024
+) -> dict[str, int]:
+    """Per-partition output file counts: ceil(bytes / target), min 1.
+    128 MB default target -- the conventional parquet sweet spot (row
+    groups stay scannable, file count stays listable)."""
+    return {
+        r["partition"]: max(1, -(-r["bytes"] // target_bytes))
+        for r in report
+    }
+
+
+def compact_dataset(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+    key_col: str = None,
+) -> dict:
+    """Rewrite a small-file-fragmented dataset with ~target-size files,
+    preserving hive partitioning.  Returns ``{"before": report,
+    "plan": plan, "after": report}``.
+
+    Plan shape: ONE read + ONE hash shuffle + ONE write -- the shuffle
+    key is (partition cols, bucket) where ``bucket =
+    pmod(xxhash64(key_col), n_buckets(partition))`` and the per-partition
+    bucket counts come from the driver-side size report (tiny; broadcast
+    into the plan as a literal MAP lookup).  Each (partition, bucket)
+    group lands in one task, and the partitioned write emits one file per
+    partition per task, so every partition dir ends up with at most its
+    planned file count (hash collisions between buckets can only MERGE
+    files, never fragment).  Flat datasets take the same path with a
+    single global bucket count."""
+    before = partition_file_report(in_path)
+    plan = compact_plan(before, target_bytes)
+    df = spark.read.parquet(in_path)
+
+    if not partition_cols:
+        n = plan.get("", 1)
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
+    else:
+        if key_col is None:
+            raise ValueError(
+                "partitioned compaction needs key_col (a stable row key "
+                "to hash into per-partition buckets)"
+            )
+        # rel-dir plan keys ('a=1/b=x') -> a literal partition-string ->
+        # bucket-count MAP, looked up map-side (no join, no collect of data)
+        part_expr = F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in partition_cols
+            ],
+        )
+        mapping = F.create_map(
+            *[
+                lit
+                for k, n in plan.items()
+                for lit in (F.lit(k), F.lit(n))
+            ]
+        )
+        buckets = F.element_at(mapping, part_expr)
+        bucketed = df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(F.col(key_col)), F.coalesce(buckets, F.lit(1))),
+        )
+        n_tasks = max(sum(plan.values()) * 2, 1)
+        (
+            bucketed.repartition(
+                n_tasks, *[F.col(c) for c in partition_cols], F.col("__bucket")
+            )
+            .drop("__bucket")
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(out_path)
+        )
+    return {
+        "before": before,
+        "plan": plan,
+        "after": partition_file_report(out_path),
+    }
+
+
 def candidate_files(
     stats: list[dict], predicate: dict[str, tuple]
 ) -> list[str]:

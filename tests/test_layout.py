@@ -121,3 +121,91 @@ def test_single_column_zorder_is_a_range_sort(spark, lineitem, tmp_path):
 def test_bits_overflow_guard(lineitem):
     with pytest.raises(ValueError, match="63"):
         layout.zorder_value(lineitem, ["l_partkey", "l_suppkey"], 32)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_plan_bin_packing():
+    report = [
+        {"partition": "", "n_files": 64, "bytes": 300 * 1024 * 1024},
+    ]
+    # ceil(300MB / 128MB) = 3; tiny partitions floor at 1 file
+    assert layout.compact_plan(report) == {"": 3}
+    assert layout.compact_plan(
+        [{"partition": "d=1", "n_files": 40, "bytes": 10}]
+    ) == {"d=1": 1}
+
+
+def _crc_sum(df, cols):
+    return (
+        df.select(
+            F.sum(
+                F.crc32(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+            ).alias("s")
+        ).first()["s"]
+    )
+
+
+def test_compact_flat_dataset(spark, lineitem, tmp_path):
+    """64 tiny files -> exactly the planned file count, zero rows lost."""
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    lineitem.repartition(64).write.parquet(frag)
+    before = layout.partition_file_report(frag)
+    assert before[0]["n_files"] == 64
+    target = max(1, before[0]["bytes"] // 4)
+    res = layout.compact_dataset(spark, frag, out, target_bytes=target)
+    want = res["plan"][""]
+    assert res["after"][0]["n_files"] == want <= 8
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    cols = a.columns
+    assert b.count() == a.count()
+    assert _crc_sum(a, cols) == _crc_sum(b, cols)
+
+
+def test_compact_partitioned_dataset(spark, sf0001_dir, tmp_path):
+    """Hive-partitioned fragmentation: every partition dir compacts to at
+    most its planned bucket count (collisions only merge), partition
+    values and rows survive bit-exactly."""
+    orders = load_table(spark, sf0001_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    frag = str(tmp_path / "frag_part")
+    out = str(tmp_path / "compact_part")
+    (
+        orders.repartition(12)
+        .write.partitionBy("o_orderpriority")
+        .parquet(frag)
+    )
+    before = layout.partition_file_report(frag)
+    assert all(r["n_files"] > 2 for r in before)
+    res = layout.compact_dataset(
+        spark,
+        frag,
+        out,
+        target_bytes=max(r["bytes"] for r in before),
+        partition_cols=["o_orderpriority"],
+        key_col="o_orderkey",
+    )
+    after = {r["partition"]: r["n_files"] for r in res["after"]}
+    assert set(after) == {r["partition"] for r in before}
+    for part, n in after.items():
+        assert 1 <= n <= res["plan"][part], part
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    assert b.count() == a.count()
+    assert _crc_sum(a, cols) == _crc_sum(b, cols)
+
+
+def test_compact_partitioned_requires_key_col(spark, tmp_path, lineitem):
+    frag = str(tmp_path / "x")
+    lineitem.limit(10).write.partitionBy("l_suppkey").parquet(frag)
+    with pytest.raises(ValueError, match="key_col"):
+        layout.compact_dataset(
+            spark, frag, str(tmp_path / "y"), partition_cols=["l_suppkey"]
+        )
