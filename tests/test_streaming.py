@@ -17,6 +17,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sketches as sk
 from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
 from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
 
@@ -360,3 +361,66 @@ def test_matched_events_batch_oracle(spark, events_batch, events_dir):
         ["user_id"],
     )
     assert got == want
+
+
+def test_hll_maintenance_stream_and_replay(spark, events_dir, tmp_path):
+    """Continuous sketch maintenance: after draining the stream, the
+    versioned state answers per-day distincts exactly like a batch rollup
+    over everything streamed; replaying the last micro-batch (foreachBatch
+    is at-least-once) leaves the state unchanged."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = sev.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        mnt.hll_maintenance_stream(stream, state, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_df = mnt.read_sketch_state(spark, state)
+    assert got_df is not None
+    got = {
+        r["period"]: (r["n_rows"], r["n_distinct_est"])
+        for r in sk.distinct_by_period(got_df).collect()
+    }
+    everything = spark.read.parquet(events_dir)
+    want = {
+        r["period"]: (r["n_rows"], r["n_distinct_est"])
+        for r in sk.distinct_by_period(
+            sk.sketch_rollup(everything, "ts", "user_id")
+        ).collect()
+    }
+    assert got == want  # per-day cardinality is in HLL exact mode here
+
+
+def test_hll_maintenance_replay_is_idempotent(spark, events_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running a fold under the same
+    batch_id must rebuild the same version from pre-batch state, never
+    double-count."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "state_replay")
+    half_a = spark.read.parquet(events_dir).filter(F.col("event_id") % 2 == 0)
+    half_b = spark.read.parquet(events_dir).filter(F.col("event_id") % 2 == 1)
+    mnt.fold_batch_into_hll(half_a, 0, state)
+    mnt.fold_batch_into_hll(half_b, 1, state)
+
+    def snap():
+        return {
+            r["period"]: (r["n_rows"], r["n_distinct_est"])
+            for r in sk.distinct_by_period(
+                mnt.read_sketch_state(spark, state)
+            ).collect()
+        }
+
+    before = snap()
+    mnt.fold_batch_into_hll(half_b, 1, state)  # replay the last batch
+    assert snap() == before
+    assert mnt._versions(state) == [0, 1]
