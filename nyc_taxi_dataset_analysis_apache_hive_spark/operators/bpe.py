@@ -1,0 +1,154 @@
+"""BPE tokenizer training over a corpus (byte-pair encoding, Sennrich et
+al. 2016) -- the scale-correct split of work:
+
+* **Distributed**: ONE tokenize+count pass over the corpus
+  (:func:`word_counts` -- explode + hash agg, the same shuffle shape as
+  ``tv1_text_stats``).  At 100 TB this is the only full scan; its output
+  is the compressed training representation (unique words × counts --
+  bounded by vocabulary, not corpus size; a few hundred MB at web scale
+  after the ``min_count`` floor).
+* **Driver-local**: the merge loop (:func:`bpe_train`) runs on that count
+  table, exactly how production tokenizer trainers work (corpus-parallel
+  counting, local training on the frequency dictionary).  Training cost
+  depends on unique-word count only, never on corpus rows.
+* **Distributed again**: applying the learned merges
+  (:func:`encode_tokens`) is an Arrow-batched pandas UDF over documents
+  with the (tiny) merge list broadcast in the closure -- embarrassingly
+  parallel, no shuffle.
+
+Determinism: merge selection is (max pair count, lexicographically
+smallest pair) so training is reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokens
+
+#: End-of-word sentinel (the classic </w>): keeps merges from crossing
+#: word boundaries and makes decoding unambiguous.
+EOW = "</w>"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, n) distinct-word frequencies -- the one distributed pass.
+    ``min_count`` floors away hapax noise, which is also what bounds the
+    driver-side table at web scale."""
+    wc = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= min_count)
+    return wc
+
+
+def _pair_counts(seqs: dict[tuple[str, ...], int]) -> Counter:
+    pc: Counter = Counter()
+    for seq, n in seqs.items():
+        for i in range(len(seq) - 1):
+            pc[(seq[i], seq[i + 1])] += n
+    return pc
+
+
+def _merge_seq(
+    seq: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+            out.append(seq[i] + seq[i + 1])
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    wc: DataFrame, n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a :func:`word_counts` table.
+
+    Driver-local by design (see module docstring); the input here is the
+    compressed frequency table, not the corpus.  Returns merges in
+    application order."""
+    seqs: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + (EOW,): r["n"] for r in wc.collect()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc = _pair_counts(seqs)
+        if not pc:
+            break
+        # deterministic: highest count, ties to the lexicographically
+        # smallest pair
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for seq, n in seqs.items():
+            m = _merge_seq(seq, best)
+            new_seqs[m] = new_seqs.get(m, 0) + n
+        seqs = new_seqs
+    return merges
+
+
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    seq = list(word) + [EOW]
+    while len(seq) > 1:
+        pairs = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(seq, seq[1:]))
+            if (a, b) in ranks
+        ]
+        if not pairs:
+            break
+        rank, i = min(pairs)
+        seq[i : i + 2] = [seq[i] + seq[i + 1]]
+    return seq
+
+
+def encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Documents + an ``array<string>`` column of learned-BPE tokens.
+
+    Arrow-batched ``pandas_udf``; the merge table rides the closure as a
+    rank dict (tiny -- ``n_merges`` entries), so encoding is map-only and
+    shuffles nothing.  Python is justified here: the greedy rank-priority
+    merge loop is data-dependent iteration that neither built-in
+    higher-order functions nor SQL express."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    tokenize = tokens(text_col)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _enc(words: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(ws):
+            out: list[str] = []
+            for w in ws if ws is not None else []:
+                if w not in cache:
+                    cache[w] = _encode_word(w, ranks)
+                out.extend(cache[w])
+            return out
+
+        return words.map(enc_doc)
+
+    return docs.withColumn(out_col, _enc(tokenize))
