@@ -53,6 +53,15 @@ def word_counts(
     return wc
 
 
+def top_words(wc: DataFrame, max_words: int) -> DataFrame:
+    """Deterministic top-N of a :func:`word_counts` table by (count desc,
+    word asc) -- the max-vocab cap that bounds the driver-side training
+    table when ``min_count`` alone cannot (web-scale text's distinct-"word"
+    long tail of typos/URLs/unicode junk).  TakeOrdered plan: no full
+    sort, the N survivors stream to one task."""
+    return wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_words)
+
+
 def _pair_counts(seqs: dict[tuple[str, ...], int]) -> Counter:
     pc: Counter = Counter()
     for seq, n in seqs.items():
@@ -77,13 +86,27 @@ def _merge_seq(
 
 
 def bpe_train(
-    wc: DataFrame, n_merges: int = 200
+    wc: DataFrame, n_merges: int = 200, max_words: int = 1_000_000
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a :func:`word_counts` table.
 
     Driver-local by design (see module docstring); the input here is the
     compressed frequency table, not the corpus.  Returns merges in
-    application order."""
+    application order.
+
+    ``max_words`` guards the one driver-side collect: the distinct-word
+    table of web-scale text can reach 10^8 rows (typos, URLs, unicode
+    junk) and OOM the driver, so the size is checked BEFORE collecting
+    and training raises with the two bounded fix paths -- floor with
+    ``word_counts(min_count=...)`` or cap with :func:`top_words`."""
+    n_words = wc.count()
+    if n_words > max_words:
+        raise ValueError(
+            f"bpe_train: word-count table has {n_words} rows > "
+            f"max_words={max_words}; bound it before training with "
+            "word_counts(min_count=...) or top_words(wc, max_words) "
+            "(or raise max_words if the driver really has the memory)"
+        )
     seqs: dict[tuple[str, ...], int] = {
         tuple(r["word"]) + (EOW,): r["n"] for r in wc.collect()
     }

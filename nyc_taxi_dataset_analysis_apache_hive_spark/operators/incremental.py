@@ -22,8 +22,10 @@ state, new batch) alone:
   (operators/layout.py) so the join co-locates without shuffling history
   and parquet footer min/max prune the untouched files.  Spark's runtime
   bloom-filter join (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
-  on in session.py) additionally semi-join-reduces the probe side at
-  runtime when the batch side is selective.
+  default-on in Spark 4 -- session.py does not set it; the plan test
+  asserts the default, tests/test_plans.py) additionally
+  semi-join-reduces the probe side at runtime when the batch side is
+  selective.
 
 The pieces compose into :func:`ingest_batch`: one pass over the new batch
 feeds admission AND every sketch rollup; history is touched only through
@@ -83,19 +85,29 @@ def merge_kll_rollup(existing: DataFrame, delta: DataFrame) -> DataFrame:
 
 
 def admit_batch(
-    history_fps: DataFrame, batch: DataFrame, fp_col: str = "fingerprint"
+    history_fps: DataFrame,
+    batch: DataFrame,
+    fp_col: str = "fingerprint",
+    order_col: str = "doc_id",
 ) -> DataFrame:
     """Rows of ``batch`` that are genuinely new: not already in
     ``history_fps`` (one ``fp_col`` column) and not duplicated within the
-    batch itself (first-by-doc_id wins, deterministic).
+    batch itself (first-by-``order_col`` wins, deterministic --
+    parameterized alongside ``fp_col`` so batches without a ``doc_id``
+    column can name their own stable tiebreak).
 
     Plan shape: the within-batch dedup is a window over the SMALL batch;
     the history check is ONE left-anti join probing the batch against the
     fingerprint history.  History is never widened (one 32-byte hash
     column) and never shuffled when it is persisted bucketed/sorted on
     the fingerprint."""
+    if order_col not in batch.columns:
+        raise ValueError(
+            f"admit_batch: order_col {order_col!r} not in batch columns "
+            f"{batch.columns}; pass the batch's stable tiebreak column"
+        )
     w_rank = F.row_number().over(
-        Window.partitionBy(fp_col).orderBy("doc_id")
+        Window.partitionBy(fp_col).orderBy(order_col)
     )
     batch_unique = (
         batch.withColumn("_rn", w_rank).filter(F.col("_rn") == 1).drop("_rn")
@@ -116,6 +128,7 @@ def ingest_batch(
     history_fps: DataFrame,
     batch: DataFrame,
     fp_col: str = "fingerprint",
+    order_col: str = "doc_id",
     hll_state: DataFrame | None = None,
     kll_state: DataFrame | None = None,
     time_col: str = "ts",
@@ -129,7 +142,7 @@ def ingest_batch(
     (a) the one-column fingerprint table and (b) kilobyte sketch rows."""
     from . import sketches
 
-    accepted = admit_batch(history_fps, batch, fp_col)
+    accepted = admit_batch(history_fps, batch, fp_col, order_col)
     new_fps = history_fps.unionByName(accepted.select(fp_col))
 
     hll_out = None

@@ -1704,14 +1704,22 @@ def a10_distinct_counts(spark, sf):
     )
     both = exact_sets.crossJoin(est_sets)
     theta_legs = []
-    for key, x_col, e_col in (
-        ("src0", "x_a", "n_a"),
-        ("src1", "x_b", "n_b"),
-        ("src0&src1", "x_inter", "n_intersection"),
-        ("src0|src1", "x_union", "n_union"),
+    # Tolerance base: theta set-algebra error scales with the size of the
+    # LARGEST sketch involved, not the result -- intersection error in
+    # estimation mode is proportional to the UNION size (the sketches'
+    # shared sampling universe), so gating |A∩B| at 2%*|A∩B| would go
+    # flaky once either source passes ~2^lg_k distinct shingles.  Each
+    # leg's band is therefore 2% of the union for the intersection, 2% of
+    # the measured set itself elsewhere (where error IS proportional to
+    # that set).
+    for key, x_col, e_col, tol_col in (
+        ("src0", "x_a", "n_a", "x_a"),
+        ("src1", "x_b", "n_b", "x_b"),
+        ("src0&src1", "x_inter", "n_intersection", "x_union"),
+        ("src0|src1", "x_union", "n_union", "x_union"),
     ):
         ok_t = F.abs(F.col(e_col) - F.col(x_col)) <= F.greatest(
-            0.02 * F.col(x_col), F.lit(2)
+            0.02 * F.col(tol_col), F.lit(2)
         )
         theta_legs.append(
             both.select(

@@ -215,12 +215,33 @@ def compact_dataset(
                 "partitioned compaction needs key_col (a stable row key "
                 "to hash into per-partition buckets)"
             )
-        # rel-dir plan keys ('a=1/b=x') -> a literal partition-string ->
-        # bucket-count MAP, looked up map-side (no join, no collect of data)
+        # Plan keys are directory names; the DataFrame carries partition
+        # VALUES.  Re-encoding values into dir strings would have to
+        # replicate Hive's escaping (URL-escaped specials,
+        # __HIVE_DEFAULT_PARTITION__ for NULL -- and a plain concat NULLs
+        # out the whole expression), so instead DECODE each dir key into
+        # its value tuple (percent-unescape, NULL sentinel) and match on a
+        # sentinel-joined value string both sides build identically.
+        from urllib.parse import unquote
+
+        NULL_TOKEN = "\x00__NULL__\x00"
+        SEP = "\x01"
+
+        def _dir_key_values(rel_dir: str) -> str:
+            vals: dict[str, str] = {}
+            for piece in rel_dir.split("/"):
+                c, _, v = piece.partition("=")
+                vals[c] = (
+                    NULL_TOKEN
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(v)
+                )
+            return SEP.join(vals[c] for c in partition_cols)
+
         part_expr = F.concat_ws(
-            "/",
+            SEP,
             *[
-                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN))
                 for c in partition_cols
             ],
         )
@@ -228,7 +249,7 @@ def compact_dataset(
             *[
                 lit
                 for k, n in plan.items()
-                for lit in (F.lit(k), F.lit(n))
+                for lit in (F.lit(_dir_key_values(k)), F.lit(n))
             ]
         )
         buckets = F.element_at(mapping, part_expr)

@@ -65,10 +65,35 @@ def fold_batch_into_hll(
     the pre-batch state, commit to ``v=<batch_id>``.  Safe to re-run for
     the same batch id (reads only versions below itself, overwrite write).
     Old versions beyond ``keep_versions`` are pruned -- they exist only to
-    serve replays of recent batches."""
+    serve replays of recent batches.
+
+    Safety invariants (the exactly-once property depends on both):
+
+    * ``keep_versions >= 2`` -- v=batch_id-1 is the input a replay of this
+      very batch must re-read, so it may never be pruned; enforced, not
+      advisory.
+    * A non-initial batch whose predecessor state is MISSING while the
+      ledger still holds versions raises instead of silently committing
+      the batch delta alone -- that case means a replay reached past the
+      pruned window and "merging with empty state" would wipe the whole
+      accumulated rollup."""
+    if keep_versions < 2:
+        raise ValueError(
+            f"keep_versions={keep_versions} < 2: v=<batch_id-1> must "
+            "survive pruning or a replay of the newest batch rebuilds "
+            "its state from nothing"
+        )
     spark = batch_df.sparkSession
     delta = sketches.sketch_rollup(batch_df, time_col, key_col, grain)
     prev = read_sketch_state(spark, state_path, before=batch_id)
+    if prev is None and batch_id > 0 and _versions(state_path):
+        raise RuntimeError(
+            f"sketch-state ledger at {state_path} has versions "
+            f"{_versions(state_path)} but none below replaying "
+            f"batch_id={batch_id}: the predecessor state was pruned; "
+            "raise keep_versions (>= max replay depth) instead of "
+            "silently re-basing the rollup on one batch"
+        )
     merged = delta if prev is None else merge_hll_rollup(prev, delta)
     merged.write.mode("overwrite").parquet(
         os.path.join(state_path, f"v={batch_id}")
@@ -76,7 +101,9 @@ def fold_batch_into_hll(
     import shutil
 
     for v in _versions(state_path)[:-keep_versions]:
-        if v < batch_id:
+        # belt-and-braces: whatever the list slicing says, the direct
+        # predecessor (and anything newer) is never pruned
+        if v < batch_id - 1:
             shutil.rmtree(
                 os.path.join(state_path, f"v={v}"), ignore_errors=True
             )

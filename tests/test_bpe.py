@@ -140,3 +140,25 @@ def test_min_count_floors_rare_words(docs):
     floored = bpe.word_counts(docs, min_count=5)
     assert floored.count() <= all_words
     assert floored.filter(F.col("n") < 5).count() == 0
+
+
+def test_bpe_train_guards_oversized_collect(wc):
+    """The one driver-side collect is size-checked BEFORE it happens: a
+    word table above max_words raises with the bounded fix paths instead
+    of OOMing the driver."""
+    with pytest.raises(ValueError, match="max_words"):
+        bpe.bpe_train(wc, n_merges=5, max_words=10)
+
+
+def test_top_words_caps_deterministically(docs, wc):
+    """top_words keeps exactly the N highest-count words (ties broken
+    lexicographically) so a capped training table is reproducible."""
+    capped = bpe.top_words(wc, 50)
+    got = [(r["word"], r["n"]) for r in capped.collect()]
+    want = sorted(
+        [(r["word"], r["n"]) for r in wc.collect()],
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == want
+    # a capped table trains without tripping the guard
+    assert bpe.bpe_train(capped, n_merges=5, max_words=50)

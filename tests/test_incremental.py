@@ -163,3 +163,29 @@ def test_ingest_twice_equals_once_and_is_idempotent(spark, corpus):
 
     refeed = inc.ingest_batch(r2.fingerprints, a)
     assert refeed.accepted.count() == 0
+
+
+def test_admit_batch_order_col_parameterized(spark):
+    """Batches without a doc_id column name their own deterministic
+    tiebreak; a missing order_col raises instead of AnalysisException
+    deep in the plan."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.incremental import (
+        admit_batch,
+    )
+
+    history = spark.createDataFrame([("h1",)], "fingerprint string")
+    batch = spark.createDataFrame(
+        [("f1", 30), ("f1", 10), ("f2", 20), ("h1", 5)],
+        "fingerprint string, item_id int",
+    )
+    got = {
+        (r["fingerprint"], r["item_id"])
+        for r in admit_batch(
+            history, batch, order_col="item_id"
+        ).collect()
+    }
+    assert got == {("f1", 10), ("f2", 20)}  # first-by-item_id, history dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_col"):
+        admit_batch(history, batch, order_col="doc_id")

@@ -209,3 +209,41 @@ def test_compact_partitioned_requires_key_col(spark, tmp_path, lineitem):
         layout.compact_dataset(
             spark, frag, str(tmp_path / "y"), partition_cols=["l_suppkey"]
         )
+
+
+def test_compact_partitioned_nulls_and_special_chars(spark, tmp_path):
+    """Partition values Hive dir-encodes (NULL ->
+    __HIVE_DEFAULT_PARTITION__, specials URL-escaped) must still hit the
+    bucket plan: the planner decodes dir names into VALUES instead of
+    re-encoding values into dir strings, so every partition compacts to
+    its planned count instead of silently coalescing to one file."""
+    df = spark.createDataFrame(
+        [(i, v) for i in range(400) for v in ("a b", "c:d", None)],
+        "k int, part string",
+    )
+    frag = str(tmp_path / "frag_special")
+    out = str(tmp_path / "out_special")
+    df.repartition(8).write.partitionBy("part").parquet(frag)
+    before = layout.partition_file_report(frag)
+    assert any("__HIVE_DEFAULT_PARTITION__" in r["partition"] for r in before)
+    res = layout.compact_dataset(
+        spark,
+        frag,
+        out,
+        # force a >=4-file plan per partition so a silent 1-file coalesce
+        # (the old dir-string mismatch) is unambiguous: task-hash
+        # collisions can merge SOME buckets, but collapsing 4 to 1 has
+        # ~1e-3 probability while the bug produces exactly 1 every time
+        target_bytes=max(1, max(r["bytes"] for r in before) // 4),
+        partition_cols=["part"],
+        key_col="k",
+    )
+    assert all(n >= 4 for n in res["plan"].values())
+    after = {r["partition"]: r["n_files"] for r in res["after"]}
+    assert set(after) == {r["partition"] for r in before}
+    for part, n in after.items():
+        assert 2 <= n <= res["plan"][part], (part, n)
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count()
+    assert _crc_sum(a, ["k", "part"]) == _crc_sum(b, ["k", "part"])

@@ -424,3 +424,42 @@ def test_hll_maintenance_replay_is_idempotent(spark, events_dir, tmp_path):
     mnt.fold_batch_into_hll(half_b, 1, state)  # replay the last batch
     assert snap() == before
     assert mnt._versions(state) == [0, 1]
+
+
+def test_hll_maintenance_keep_versions_floor(spark, events_dir, tmp_path):
+    """keep_versions < 2 would let pruning remove v=batch_id-1 -- the very
+    state a replay of the newest batch must re-read -- so it is rejected
+    outright."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    ev = spark.read.parquet(events_dir).limit(10)
+    with pytest.raises(ValueError, match="keep_versions"):
+        mnt.fold_batch_into_hll(ev, 0, str(tmp_path / "s"), keep_versions=1)
+
+
+def test_hll_maintenance_raises_past_pruned_window(spark, events_dir, tmp_path):
+    """A replay that reaches past the pruned version window must raise, not
+    silently commit the batch delta as the whole state (which would wipe
+    the accumulated rollup)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "state_prune")
+    ev = spark.read.parquet(events_dir)
+    for bid in range(4):
+        mnt.fold_batch_into_hll(
+            ev.filter(F.col("event_id") % 4 == bid), bid, state, keep_versions=2
+        )
+    assert mnt._versions(state) == [2, 3]  # 0 and 1 pruned
+    with pytest.raises(RuntimeError, match="pruned"):
+        mnt.fold_batch_into_hll(
+            ev.filter(F.col("event_id") % 4 == 1), 1, state, keep_versions=2
+        )
+    # in-window replay still fine and idempotent
+    mnt.fold_batch_into_hll(
+        ev.filter(F.col("event_id") % 4 == 3), 3, state, keep_versions=2
+    )
+    assert mnt._versions(state) == [2, 3]
