@@ -80,17 +80,101 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: p3's DQ-gate leg: rule name -> GOOD-row predicate (strict-null: False
+#: OR NULL quarantines).  One definition; the oracle mirrors each
+#: predicate textually below.
+_P3_DQ_RULES_SQL: list[tuple[str, str]] = [
+    ("discount_le_09", "l_discount <= 0.09"),
+    ("qty_under_45", "l_quantity < 45"),
+    ("tax_nonneg", "l_tax >= 0"),
+]
+
+_P3_VIOL_SQL = (
+    "list_sort(list_filter(["
+    + ", ".join(
+        f"CASE WHEN NOT coalesce({expr}, FALSE) THEN '{name}' END"
+        for name, expr in _P3_DQ_RULES_SQL
+    )
+    + "], x -> x IS NOT NULL))"
+)
+
+
 @register(
     "p3_filter_compare",
-    "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE l_discount < 0.02",
+    f"""
+    WITH tagged AS (
+      SELECT l_orderkey, l_linenumber, {_P3_VIOL_SQL} AS viol FROM lineitem
+    )
+    SELECT 'filter' AS op, CAST(NULL AS VARCHAR) AS rule,
+           CAST(l_orderkey AS BIGINT) AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+           l_discount AS val
+    FROM lineitem WHERE l_discount < 0.02
+    UNION ALL
+    SELECT 'dq_report' AS op, r.rule,
+           CAST(sum(CASE WHEN list_contains(t.viol, r.rule) THEN 1 ELSE 0 END)
+             AS BIGINT) AS k1,
+           CAST(count(*) AS BIGINT) AS k2,
+           round(sum(CASE WHEN list_contains(t.viol, r.rule) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS val
+    FROM tagged t
+    CROSS JOIN (VALUES {", ".join(f"('{n}')" for n, _ in _P3_DQ_RULES_SQL)})
+      AS r(rule)
+    GROUP BY r.rule
+    UNION ALL
+    SELECT 'quarantine' AS op, array_to_string(viol, ',') AS rule,
+           CAST(l_orderkey AS BIGINT) AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+           CAST(NULL AS DOUBLE) AS val
+    FROM tagged WHERE len(viol) > 0
+    """,
 )
 def p3_filter_compare(spark, sf):
-    """P3 (REF:102-110): comparison filter on a numeric column."""
-    return (
-        _t(spark, sf, "lineitem")
-        .filter(F.col("l_discount") < 0.02)
-        .select("l_orderkey", "l_linenumber", "l_discount")
+    """P3 (REF:102-110) + the generic row-level DQ gate
+    (operators/expectations.py), tagged and stacked (u1/r1 precedent):
+
+    - ``op='filter'``: the reference's comparison filter on a numeric
+      column -- full matching row set value-verified.
+    - ``op='dq_report'``: ``expectation_report`` -- N rules evaluated in
+      ONE scan (vs the reference's N-SELECT audit, REF:74-224), per-rule
+      violation counts + rates.
+    - ``op='quarantine'``: ``apply_expectations``'s per-row tagging -- the
+      dead-letter rows with their sorted violation lists, exactly the
+      quarantine side of ``quarantine_split``.
+
+    Strict-NULL semantics (False OR NULL violates) mirrored in the oracle
+    via ``NOT coalesce(rule, FALSE)``; NULL-bearing inputs are exercised in
+    tests/test_expectations.py."""
+    from .operators import expectations
+
+    li = _t(spark, sf, "lineitem")
+    rules = {
+        name: F.expr(expr) for name, expr in _P3_DQ_RULES_SQL
+    }
+    filt = li.filter(F.col("l_discount") < 0.02).select(
+        F.lit("filter").alias("op"),
+        F.lit(None).cast("string").alias("rule"),
+        F.col("l_orderkey").cast("long").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        F.col("l_discount").alias("val"),
     )
+    rep = expectations.expectation_report(li, rules).select(
+        F.lit("dq_report").alias("op"),
+        "rule",
+        F.col("n_violations").cast("long").alias("k1"),
+        F.col("n_rows").cast("long").alias("k2"),
+        F.col("violation_rate").alias("val"),
+    )
+    quar = (
+        expectations.apply_expectations(li, rules)
+        .filter(~F.col("passed"))
+        .select(
+            F.lit("quarantine").alias("op"),
+            F.array_join("violations", ",").alias("rule"),
+            F.col("l_orderkey").cast("long").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+    return filt.unionByName(rep).unionByName(quar)
 
 
 @register(
@@ -1914,21 +1998,85 @@ _S7_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1}
 _S7_TOL = 0.15
 
 
+#: s7 mix leg: relative domain weights + the exact output size target.
+#: Spark normalizes weights in Python (w / sum); the oracle embeds the
+#: same normalized literals so the ratio arithmetic is bit-identical.
+_S7_MIX_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+_S7_MIX_TARGET = 120
+_S7_CAP_N = 40
+
+_S7_MIX_WN = {
+    k: v / sum(_S7_MIX_WEIGHTS.values()) for k, v in _S7_MIX_WEIGHTS.items()
+}
+_S7_U15 = float(16**15)  # md5 15-hex-char uniform denominator
+
+
 @register(
     "s7_stratified_rates",
     f"""
-    SELECT DISTINCT lang, true AS rate_ok FROM documents
-    WHERE lang IN ({", ".join(f"'{k}'" for k in sorted(_S7_FRACTIONS))})
+    SELECT 'rate' AS op, lang AS key, true AS rate_ok,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS id_sum
+    FROM (SELECT DISTINCT lang FROM documents
+          WHERE lang IN ({", ".join(f"'{k}'" for k in sorted(_S7_FRACTIONS))}))
+    UNION ALL
+    SELECT 'mix' AS op, source || ':' || epoch AS key,
+           CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id, source,
+             unnest(range(n_copies)) AS epoch
+      FROM (
+        SELECT d.doc_id, d.source,
+               CAST(floor(ratio)
+                    + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
+                 AS INT) AS n_copies
+        FROM (
+          SELECT doc_id, source,
+                 (CASE source
+                    {" ".join(f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_S7_MIX_WN.items()))}
+                  END * {float(_S7_MIX_TARGET)!r})
+                 / (count(*) OVER (PARTITION BY source)) AS ratio,
+                 CAST(CAST('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS DOUBLE) / {_S7_U15!r} AS u
+          FROM documents
+          WHERE source IN ({", ".join(f"'{k}'" for k in sorted(_S7_MIX_WEIGHTS))})
+        ) d
+      )
+      WHERE n_copies > 0
+    )
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'cap' AS op, lang AS key, CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('cap-v1:' || CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_S7_CAP_N}
+    GROUP BY lang
     """,
 )
 def s7_stratified_rates(spark, sf):
-    """Per-language stratified sample (class rebalancing) with an IN-PLANE
-    rate gate: the query samples via seeded ``sampleBy``, then checks the
-    realised per-stratum rate against its target.  The sampled row set is
-    engine-RNG-specific, but ``rate_ok`` is deterministic for a fixed seed
-    and dataset -- the oracle expects ``true`` per stratum, so the sampler
-    is driver-gated instead of rows-only."""
-    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    """The sampling/reweighting surface, tagged and stacked (u1/r1
+    precedent, one driver slot):
+
+    - ``op='rate'``: per-language stratified sample (seeded ``sampleBy``)
+      with an IN-PLANE rate gate -- the sampled row set is
+      engine-RNG-specific, but ``rate_ok`` is deterministic for a fixed
+      seed and dataset, so the oracle expects ``true`` per stratum.
+    - ``op='mix'``: domain reweighting (``sampling.mix_domains``) --
+      md5-deterministic copy counts, so the per-(domain, epoch) sizes AND
+      the exact membership (id_sum) replay in the oracle bit-for-bit.
+    - ``op='cap'``: deterministic per-key cap (``sampling.cap_per_key``)
+      run in its SALTED two-phase form (n_salts=4); the oracle computes
+      the plain unsalted rank -- equality driver-gates the salted ≡
+      unsalted property on top of the pytest gate
+      (tests/test_cap_per_key.py)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
     in_strata = docs.filter(F.col("lang").isin(*_S7_FRACTIONS))
     totals = in_strata.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     sampled = (
@@ -1940,8 +2088,9 @@ def s7_stratified_rates(spark, sf):
         *[F.lit(x) for kv in _S7_FRACTIONS.items() for x in kv]
     )
     n_samp = F.coalesce("n_samp", F.lit(0))
-    joined = totals.join(sampled, "lang", "left").select(
-        "lang",
+    rate = totals.join(sampled, "lang", "left").select(
+        F.lit("rate").alias("op"),
+        F.col("lang").alias("key"),
         (
             (n_samp >= 1)  # a silently dropped stratum must trip the gate
             & (
@@ -1952,13 +2101,54 @@ def s7_stratified_rates(spark, sf):
                 <= _S7_TOL
             )
         ).alias("rate_ok"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("id_sum"),
     )
-    return joined
+    mixed = sampling.mix_domains(
+        docs.filter(F.col("source").isin(*_S7_MIX_WEIGHTS)),
+        domain_col="source",
+        weights=_S7_MIX_WEIGHTS,
+        target_rows=_S7_MIX_TARGET,
+        id_col="doc_id",
+        salt="mix-v1",
+    )
+    mix = mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    ).select(
+        F.lit("mix").alias("op"),
+        F.concat_ws(":", "source", "epoch").alias("key"),
+        F.lit(None).cast("boolean").alias("rate_ok"),
+        F.col("n").cast("long"),
+        F.col("id_sum").cast("long"),
+    )
+    capped = sampling.cap_per_key(
+        docs.select("doc_id", "lang"),
+        key_col="lang",
+        n=_S7_CAP_N,
+        id_col="doc_id",
+        salt="cap-v1",
+        n_salts=4,
+    )
+    cap = capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    ).select(
+        F.lit("cap").alias("op"),
+        F.col("lang").alias("key"),
+        F.lit(None).cast("boolean").alias("rate_ok"),
+        F.col("n").cast("long"),
+        F.col("id_sum").cast("long"),
+    )
+    return rate.unionByName(mix).unionByName(cap)
+
+
+#: s8 scd2 leg: one fixed effective timestamp for the whole update batch
+#: (literal on both sides, so timestamp parity is trivial).
+_S8_EFF = "1999-01-01 00:00:00"
 
 
 @register(
     "s8_upsert",
-    """
+    f"""
     WITH base AS (
       SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
       FROM orders
@@ -1971,18 +2161,68 @@ def s7_stratified_rates(spark, sf):
       SELECT o_orderkey + 100000000, 'NEW' AS o_orderpriority,
              round(o_totalprice, 2) AS price
       FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    dim AS (
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+             CAST(o_orderdate AS TIMESTAMP) AS valid_from
+      FROM orders
+    ),
+    upd2 AS (
+      SELECT o_orderkey, 'CHANGED' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, 'NEW2' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    j AS (
+      SELECT d.o_orderkey AS dk, d.o_orderpriority AS dp, d.price AS dprice,
+             d.valid_from AS dvf, u.o_orderkey AS uk,
+             u.o_orderpriority AS up, u.price AS uprice,
+             (u.o_orderkey IS NOT NULL AND d.o_orderkey IS NOT NULL
+              AND (u.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+                   OR u.price IS DISTINCT FROM d.price)) AS changed
+      FROM dim d FULL JOIN upd2 u ON d.o_orderkey = u.o_orderkey
     )
-    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+    SELECT 'scd1' AS op,
+           coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
            coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
-           coalesce(u.price, b.price) AS price
+           coalesce(u.price, b.price) AS price,
+           CAST(NULL AS TIMESTAMP) AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(NULL AS BOOLEAN) AS is_current
     FROM base b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT 'scd2' AS op, dk AS o_orderkey, dp AS o_orderpriority,
+           dprice AS price, dvf AS valid_from,
+           CASE WHEN changed THEN TIMESTAMP '{_S8_EFF}' END AS valid_to,
+           NOT changed AS is_current
+    FROM j WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT 'scd2' AS op, uk AS o_orderkey, up AS o_orderpriority,
+           uprice AS price, TIMESTAMP '{_S8_EFF}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+    FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
     """,
 )
 def s8_upsert(spark, sf):
-    """SCD-1 merge (MERGE INTO semantics): updated rows win, new keys
-    insert, untouched rows carry forward -- full-outer join + coalesce,
-    one shuffle on the key."""
-    from .operators.etl import upsert
+    """The merge surface, tagged and stacked (u1/r1 precedent):
+
+    - ``op='scd1'``: type-1 merge (MERGE INTO semantics) -- updated rows
+      win, new keys insert, untouched rows carry forward; full-outer join
+      + coalesce, one shuffle on the key (``etl.upsert``).
+    - ``op='scd2'``: type-2 history merge (``etl.scd2_upsert``) over the
+      same orders dim: changed keys (%10, new priority) CLOSE the current
+      version (valid_to = effective, is_current = false) and append an
+      open one; no-op updates (%13, attributes unchanged) carry forward
+      untouched -- the idempotency case; brand-new keys (%17 + 2e8) open
+      their first version.  The oracle replays close/append/no-op with a
+      full-outer join + null-safe DISTINCT FROM comparisons."""
+    from .operators.etl import scd2_upsert, upsert
 
     o = _t(spark, sf, "orders").select(
         "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("price")
@@ -1998,7 +2238,53 @@ def s8_upsert(spark, sf):
             )
         )
     )
-    return upsert(o, updates, ["o_orderkey"])
+    nullts = F.lit(None).cast("timestamp")
+    scd1 = upsert(o, updates, ["o_orderkey"]).select(
+        F.lit("scd1").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
+        nullts.alias("valid_from"),
+        nullts.alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
+    eff = F.lit(_S8_EFF).cast("timestamp")
+    dim = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        nullts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd2 = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderpriority", F.lit("CHANGED"))
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 10 != 0)
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                F.lit("NEW2").alias("o_orderpriority"),
+                "price",
+            )
+        )
+        .withColumn("effective_ts", eff)
+    )
+    scd2 = scd2_upsert(dim, upd2, ["o_orderkey"]).select(
+        F.lit("scd2").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    return scd1.unionByName(scd2)
 
 
 @register(

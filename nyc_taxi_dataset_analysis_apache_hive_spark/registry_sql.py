@@ -150,8 +150,40 @@ def _s6_split_case() -> str:
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
     "p3_filter_compare": """
-        SELECT l_orderkey, l_linenumber, l_discount
+        WITH tagged AS (
+          SELECT l_orderkey, l_linenumber,
+                 array_sort(filter(array(
+                   CASE WHEN NOT ((l_discount <= 0.09) <=> TRUE)
+                        THEN 'discount_le_09' END,
+                   CASE WHEN NOT ((l_quantity < 45) <=> TRUE)
+                        THEN 'qty_under_45' END,
+                   CASE WHEN NOT ((l_tax >= 0) <=> TRUE)
+                        THEN 'tax_nonneg' END
+                 ), x -> x IS NOT NULL)) AS viol
+          FROM lineitem
+        )
+        SELECT 'filter' AS op, CAST(NULL AS STRING) AS rule,
+               CAST(l_orderkey AS BIGINT) AS k1,
+               CAST(l_linenumber AS BIGINT) AS k2, l_discount AS val
         FROM lineitem WHERE l_discount < 0.02
+        UNION ALL
+        SELECT 'dq_report' AS op, r.rule,
+               CAST(sum(CASE WHEN array_contains(t.viol, r.rule)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(count(*) AS BIGINT) AS k2,
+               round(sum(CASE WHEN array_contains(t.viol, r.rule)
+                         THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS val
+        FROM tagged t
+        CROSS JOIN (SELECT explode(array('discount_le_09', 'qty_under_45',
+                                         'tax_nonneg')) AS rule) r
+        GROUP BY r.rule
+        UNION ALL
+        SELECT 'quarantine' AS op, array_join(viol, ',') AS rule,
+               CAST(l_orderkey AS BIGINT) AS k1,
+               CAST(l_linenumber AS BIGINT) AS k2,
+               CAST(NULL AS DOUBLE) AS val
+        FROM tagged WHERE size(viol) > 0
     """,
     "p456_predicate_surface": """
         SELECT 'not_in_set' AS op, l_returnflag, count(*) AS cnt
@@ -320,10 +352,10 @@ SQL_QUERIES: dict[str, str] = {
                                 WHEN 'src1' THEN x.x_b
                                 WHEN 'src0&src1' THEN x.x_inter
                                 ELSE x.x_union END)
+                 -- intersection tolerance scales with the UNION (theta
+                 -- estimation-mode error is proportional to the union)
                  <= greatest(0.02D * CASE t.key WHEN 'src0' THEN x.x_a
                                                 WHEN 'src1' THEN x.x_b
-                                                WHEN 'src0&src1'
-                                                  THEN x.x_inter
                                                 ELSE x.x_union END, 2)
                  AS approx_ok
         FROM set_exact x CROSS JOIN set_est e
@@ -1011,7 +1043,7 @@ SQL_QUERIES: dict[str, str] = {
                round(sum(_sum), 2) AS sum_value
         FROM phase1 GROUP BY event_type, type_rank
     """,
-    # -- stratified-rate gate (rand-based sample; same in-plane gate) ------
+    # -- sampling surface: rand-based rate gate + md5-deterministic mix/cap
     "s7_stratified_rates": """
         WITH in_strata AS (
           SELECT doc_id, lang FROM documents
@@ -1027,17 +1059,56 @@ SQL_QUERIES: dict[str, str] = {
               WHEN 'en' THEN 0.5D WHEN 'es' THEN 0.25D
               WHEN 'fr' THEN 0.25D WHEN 'de' THEN 0.1D ELSE 0.0D END
           ) GROUP BY lang
+        ),
+        mix_base AS (
+          SELECT doc_id, source,
+                 (CASE source WHEN 'src0' THEN 0.5D
+                              WHEN 'src1' THEN 0.25D
+                              WHEN 'src2' THEN 0.25D END * 120.0D)
+                 / (count(*) OVER (PARTITION BY source)) AS ratio,
+                 CAST(conv(substr(md5(concat('mix-v1:',
+                        CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DOUBLE)
+                 / 1152921504606846976.0D AS u
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ),
+        mixed AS (
+          SELECT doc_id, source,
+                 explode(sequence(0, CAST(floor(ratio)
+                   + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
+                   AS INT) - 1)) AS epoch
+          FROM mix_base
+        ),
+        capped AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(concat('cap-v1:',
+                       CAST(doc_id AS STRING)))) AS rn
+            FROM documents
+          ) WHERE rn <= 40
         )
-        SELECT t.lang,
+        SELECT 'rate' AS op, t.lang AS key,
                coalesce(n_samp, 0) >= 1
                AND abs(coalesce(n_samp, 0) / CAST(n_total AS DOUBLE)
                        - CASE t.lang
                            WHEN 'en' THEN 0.5D WHEN 'es' THEN 0.25D
                            WHEN 'fr' THEN 0.25D WHEN 'de' THEN 0.1D END)
-                   <= 0.15D AS rate_ok
+                   <= 0.15D AS rate_ok,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS id_sum
         FROM totals t LEFT JOIN sampled s ON t.lang = s.lang
+        UNION ALL
+        SELECT 'mix' AS op, concat_ws(':', source, epoch) AS key,
+               CAST(NULL AS BOOLEAN) AS rate_ok,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM mixed GROUP BY source, epoch
+        UNION ALL
+        SELECT 'cap' AS op, lang AS key, CAST(NULL AS BOOLEAN) AS rate_ok,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM capped GROUP BY lang
     """,
-    # -- SCD-1 upsert (full-outer merge) -----------------------------------
+    # -- merge surface: SCD-1 full-outer coalesce + SCD-2 close/append -----
     "s8_upsert": """
         WITH base AS (
           SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
@@ -1051,13 +1122,56 @@ SQL_QUERIES: dict[str, str] = {
           SELECT o_orderkey + 100000000, 'NEW' AS o_orderpriority,
                  round(o_totalprice, 2) AS price
           FROM orders WHERE o_orderkey % 17 = 0
+        ),
+        dim AS (
+          SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+                 CAST(o_orderdate AS TIMESTAMP) AS valid_from
+          FROM orders
+        ),
+        upd2 AS (
+          SELECT o_orderkey, 'CHANGED' AS o_orderpriority,
+                 round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+          UNION ALL
+          SELECT o_orderkey + 200000000, 'NEW2' AS o_orderpriority,
+                 round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 17 = 0
+        ),
+        j AS (
+          SELECT d.o_orderkey AS dk, d.o_orderpriority AS dp,
+                 d.price AS dprice, d.valid_from AS dvf,
+                 u.o_orderkey AS uk, u.o_orderpriority AS up,
+                 u.price AS uprice,
+                 (u.o_orderkey IS NOT NULL AND d.o_orderkey IS NOT NULL
+                  AND (NOT (u.o_orderpriority <=> d.o_orderpriority)
+                       OR NOT (u.price <=> d.price))) AS changed
+          FROM dim d FULL OUTER JOIN upd2 u ON d.o_orderkey = u.o_orderkey
         )
-        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        SELECT 'scd1' AS op,
+               coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
                coalesce(u.o_orderpriority, b.o_orderpriority)
                  AS o_orderpriority,
-               coalesce(u.price, b.price) AS price
+               coalesce(u.price, b.price) AS price,
+               CAST(NULL AS TIMESTAMP) AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               CAST(NULL AS BOOLEAN) AS is_current
         FROM base b FULL OUTER JOIN updates u
           ON b.o_orderkey <=> u.o_orderkey
+        UNION ALL
+        SELECT 'scd2' AS op, dk AS o_orderkey, dp AS o_orderpriority,
+               dprice AS price, dvf AS valid_from,
+               CASE WHEN changed THEN TIMESTAMP '1999-01-01 00:00:00' END
+                 AS valid_to,
+               NOT changed AS is_current
+        FROM j WHERE dk IS NOT NULL
+        UNION ALL
+        SELECT 'scd2' AS op, uk AS o_orderkey, up AS o_orderpriority,
+               uprice AS price, TIMESTAMP '1999-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
     """,
     # -- streaming batch analogs / event ops -------------------------------
     "e1_tumbling_window_counts": """
