@@ -39,6 +39,7 @@ from .operators import (
     asof,
     cohorts,
     dedup,
+    incremental,
     multimodal,
     pipeline,
     sampling,
@@ -1288,10 +1289,17 @@ def k2_ann_lsh_ivf(spark, sf):
     return tag(lsh, "lsh").unionByName(tag(ivf, "ivf"))
 
 
+_K3_COS_VC = (
+    "round(list_dot_product(v.emb, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+
+
 @register(
     "k3_embedding_near_pairs",
-    """
-    WITH e0 AS (
+    f"""
+    WITH RECURSIVE e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
              concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
@@ -1303,20 +1311,82 @@ def k2_ann_lsh_ivf(spark, sf):
     e AS (
       SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n, bucket
       FROM e0
-    )
-    SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-           round(list_dot_product(q.emb_n, c.emb_n), 6) AS cosine
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_K3_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e0 v CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    cell_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.emb_n, eb.emb_n), 6) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cell_pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM cell_pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.v = e2.b
+    ),
+    comp AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT 'near_pairs' AS op, q.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(q.emb_n, c.emb_n), 6) AS cosine,
+           CAST(NULL AS BOOLEAN) AS keep
     FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
     WHERE round(list_dot_product(q.emb_n, c.emb_n), 6) >= 0.35
+    UNION ALL
+    SELECT 'semdedup' AS op, e0.vec_id AS id_a,
+           coalesce(comp.cluster_id, e0.vec_id) AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine,
+           coalesce(comp.cluster_id, e0.vec_id) = e0.vec_id AS keep
+    FROM e0 LEFT JOIN comp ON e0.vec_id = comp.vec_id
     """,
 )
 def k3_embedding_near_pairs(spark, sf):
-    """Embedding-cosine near-duplicate pairs (bucketed self-join, cosine >=
-    0.35 -- chosen below the corpus' max pairwise cosine so the operator
-    returns a non-trivial set) -- the embedding-space dedup operator."""
-    return similarity.pairwise_above(
-        _t(spark, sf, "embeddings"), threshold=0.35, n_bits=4
+    """The embedding-space dedup surface, tagged and stacked:
+
+    - ``op='near_pairs'``: embedding-cosine near-duplicate pairs
+      (sign-bucketed self-join, cosine >= 0.35 -- chosen below the
+      corpus' max pairwise cosine so the operator returns a non-trivial
+      set).
+    - ``op='semdedup'``: SemDeDup-style semantic dedup
+      (``similarity.semantic_dedup``, arXiv:2303.09540) at the same
+      threshold: broadcast centroid assignment (fixed corpus-slice
+      centroids the oracle replays) -> within-cell exact pairs ->
+      connected components -> min-id keep-list.  ``id_b`` carries the
+      elected cluster; the oracle recomputes the components with a
+      recursive CTE (the d6 precedent)."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = similarity.pairwise_above(emb, threshold=0.35, n_bits=4).select(
+        F.lit("near_pairs").alias("op"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("boolean").alias("keep"),
     )
+    sem = similarity.semantic_dedup(emb, threshold=0.35).select(
+        F.lit("semdedup").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.col("sem_cluster").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        "keep",
+    )
+    return pairs.unionByName(sem)
 
 
 # ---------------------------------------------------------------------------
@@ -1697,6 +1767,13 @@ def x2_salted_join_agg(spark, sf):
       FROM events
     ) s
     CROSS JOIN (VALUES ('n'), ('value<=35')) AS k(key)
+    UNION ALL
+    SELECT 'incremental' AS op,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(NULL AS BIGINT) AS n_part,
+           true AS approx_ok
+    FROM events GROUP BY 2
     """,
 )
 def a10_distinct_counts(spark, sf):
@@ -1719,6 +1796,11 @@ def a10_distinct_counts(spark, sf):
     - ``op='kll_rank'``: mergeable KLL quantile sketches -- per-day
       rollups merged to answer "how many values ≤ 35" and the exact item
       count; gated against the exact filter count in-plane.
+    - ``op='incremental'``: the incremental-ingest maintenance property
+      (operators/incremental.merge_hll_rollup) -- two disjoint
+      half-batches rolled up independently then MERGED must estimate
+      exactly like the one-shot rebuild and inside the exact count's
+      band (merge ≡ rebuild, the 100-TB never-rescan-history invariant).
 
     Estimates are engine-specific, so every sketch is validated IN-PLANE:
     ``approx_ok`` asserts each estimate lands within tolerance (5% HLL,
@@ -1845,8 +1927,41 @@ def a10_distinct_counts(spark, sf):
         ),
     ]
 
+    # incremental-ingest leg: the events table rolled up as two disjoint
+    # half-batches, folded via merge_hll_rollup (operators/incremental.py)
+    # -- gated in-plane BOTH ways: the merged estimate must equal the
+    # one-shot rebuild (HLL union at one lg_k is register-lossless, the
+    # merge ≡ rebuild maintenance property) AND land inside the exact
+    # count's 5% band.  The oracle expects true, so incremental state
+    # maintenance is driver-gated, not just pytest-gated.
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = incremental.merge_hll_rollup(
+        sketches.sketch_rollup(b0, "ts", "user_id", grain="day"),
+        sketches.sketch_rollup(b1, "ts", "user_id", grain="day"),
+    )
+    inc = sketches.distinct_by_period(merged).select(
+        "period", F.col("n_distinct_est").alias("n_inc")
+    )
+    reb = est.select("period", F.col("n_distinct_est").alias("n_reb"))
+    ok_inc = (F.col("n_inc") == F.col("n_reb")) & (
+        F.abs(F.col("n_inc") - F.col("n_exact"))
+        <= F.greatest(0.05 * F.col("n_exact"), F.lit(2))
+    )
+    inc_leg = (
+        inc.join(reb, "period")
+        .join(exact_day, "period")
+        .select(
+            F.lit("incremental").alias("op"),
+            F.date_format("period", "yyyy-MM-dd").alias("key"),
+            "n_exact",
+            F.lit(None).cast("long").alias("n_part"),
+            ok_inc.alias("approx_ok"),
+        )
+    )
+
     out = exact_leg.unionByName(rollup_leg)
-    for leg in theta_legs + kll_legs:
+    for leg in theta_legs + kll_legs + [inc_leg]:
         out = out.unionByName(leg)
     return out
 

@@ -21,15 +21,16 @@ Entries NOT here are the ones whose semantics genuinely cannot be one SQL
 statement: iterative label propagation (d6 -- Spark 4's recursive CTEs
 accept only UNION ALL, which cannot reach a fixpoint on cyclic dup-graphs,
 so min-label propagation stays a checkpointed DataFrame loop; verified
-against a 3-cycle in this environment), the mapInPandas media stages whose
-feature values are computed in Python (m2/m3), and the multi-stage
-curation funnel (pl1 -- d6-style clustering is one of its stages).  Their
-declarative form IS the DataFrame program, and their value parity is
-driver-oracled instead.  Everything else -- including the banded-MinHash
-dedup and cross-corpus decontamination, SimHash, the windowed as-of join,
-the salted two-phase plan, the fused text profile, brute-force KNN and
-sign-LSH near-pairs -- runs here as SQL text with a pairwise equality
-gate.
+against a 3-cycle in this environment), k3 since its round-6 semdedup
+fold (connected components is one of its stages), the mapInPandas media
+stages whose feature values are computed in Python (m2/m3), and the
+multi-stage curation funnel (pl1 -- d6-style clustering is one of its
+stages).  Their declarative form IS the DataFrame program, and their
+value parity is driver-oracled instead.  Everything else -- including
+the banded-MinHash dedup and cross-corpus decontamination, SimHash, the
+windowed as-of join, the salted two-phase plan, the fused text profile,
+brute-force KNN and sign-LSH near-pairs -- runs here as SQL text with a
+pairwise equality gate.
 """
 
 from __future__ import annotations
@@ -370,6 +371,27 @@ SQL_QUERIES: dict[str, str] = {
                            <= greatest(0.02D * k.n, 5) END AS approx_ok
         FROM ev_exact x CROSS JOIN kll k
         CROSS JOIN (SELECT explode(array('n', 'value<=35')) AS key) t
+        UNION ALL
+        SELECT 'incremental' AS op, date_format(m.period, 'yyyy-MM-dd') AS key,
+               r.n_exact, CAST(NULL AS BIGINT) AS n_part,
+               m.inc_est = r.reb_est
+               AND abs(m.inc_est - r.n_exact)
+                     <= greatest(0.05D * r.n_exact, 2) AS approx_ok
+        FROM (
+          SELECT period, hll_sketch_estimate(hll_union_agg(sk, false))
+                   AS inc_est
+          FROM (
+            SELECT date_trunc('day', ts) AS period,
+                   hll_sketch_agg(user_id, 12) AS sk
+            FROM events GROUP BY date_trunc('day', ts), event_id % 2
+          ) GROUP BY period
+        ) m
+        JOIN (
+          SELECT date_trunc('day', ts) AS period,
+                 count(DISTINCT user_id) AS n_exact,
+                 hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS reb_est
+          FROM events GROUP BY 1
+        ) r ON m.period = r.period
     """,
     "a9_percentile": """
         SELECT round(ps[0], 4) AS p25,
@@ -790,35 +812,14 @@ SQL_QUERIES: dict[str, str] = {
         UNION ALL
         SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
     """,
-    "k3_embedding_near_pairs": """
-        WITH e0 AS (
-          SELECT vec_id, CAST(embedding AS array<double>) AS emb
-          FROM embeddings
-        ),
-        e1 AS (
-          SELECT vec_id, emb,
-                 sqrt(aggregate(transform(emb, x -> x * x),
-                                0.0D, (acc, x) -> acc + x)) AS nrm,
-                 concat(
-                   CASE WHEN element_at(emb, 1) >= 0 THEN '1' ELSE '0' END,
-                   CASE WHEN element_at(emb, 2) >= 0 THEN '1' ELSE '0' END,
-                   CASE WHEN element_at(emb, 3) >= 0 THEN '1' ELSE '0' END,
-                   CASE WHEN element_at(emb, 4) >= 0 THEN '1' ELSE '0' END
-                 ) AS bucket
-          FROM e0
-        ),
-        e AS (
-          SELECT vec_id,
-                 transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n, bucket
-          FROM e1
-        )
-        SELECT id_a, id_b, cosine FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(aggregate(zip_with(a.emb_n, b.emb_n, (x, y) -> x * y),
-                                 0.0D, (acc, x) -> acc + x), 6) AS cosine
-          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        ) WHERE cosine >= 0.35D
-    """,
+    # k3_embedding_near_pairs left OUT of the SQL-text surface since the
+    # round-6 fold: its semdedup leg needs connected components, and
+    # Spark's recursive CTEs (4.x) support only UNION ALL -- cyclic
+    # reachability cannot terminate without UNION-distinct, so the leg
+    # is not single-statement-expressible in Spark SQL.  The DuckDB
+    # oracle (recursive UNION CTE) still value-gates the DataFrame
+    # program; the near-pair cosine HOF shapes stay covered here by
+    # k1/k2.
     # -- fused text profile (ONE tokenize pass, all features) --------------
     "t1_text_profile": r"""
         WITH toked AS (

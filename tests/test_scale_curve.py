@@ -39,6 +39,9 @@ SCALE_PATHS = [
     "t1_text_profile",
     "tv1_text_stats",
     "pl1_curation_funnel",
+    # r6: the sketch surface carries a shingle-explode exact-verification
+    # path (theta legs) that must stay growth-gated like d3-d6
+    "a10_distinct_counts",
 ]
 
 SF_DIRS = {
