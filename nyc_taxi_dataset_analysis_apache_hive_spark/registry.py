@@ -2679,15 +2679,123 @@ def d7_cross_corpus_decontam(spark, sf):
     )
 
 
-@register("pl1_curation_funnel", None)
+#: pl1 split bounds: the funnel's (0.98, 0.01, 0.01) split, float-exact
+#: from the ONE definition in sampling.cumulative_split_bounds.
+_PL1_BOUNDS = sampling.cumulative_split_bounds((0.98, 0.01, 0.01))
+_PL1_R = pipeline.DEFAULT_RULES
+
+_PL1_ORACLE = rf"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({{d3}})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    ftoked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                         x -> x <> '') AS t,
+             {_LINES_SQL} AS lines, text
+      FROM documents
+    ),
+    feat0 AS (
+      SELECT doc_id, lines,
+             CAST(len(t) AS BIGINT) AS n_tokens_ws,
+             CAST({_hits_from_t_sql("en")} AS BIGINT) AS hits_en,
+             coalesce(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                 AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr
+      FROM ftoked
+    ),
+    feat AS (
+      SELECT doc_id, n_tokens_ws,
+             round(least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
+                   + (1 - least(pr * 10, 1.0)) * 0.3, 4) AS quality_score,
+             CASE WHEN len(lines) > 0 THEN
+               round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+             ELSE 0.0 END AS dup_line_frac
+      FROM feat0
+    ),
+    flagged AS (
+      SELECT f.doc_id, coalesce(c.cluster_id, f.doc_id) AS cluster_id,
+             CAST(CASE WHEN u < {_PL1_BOUNDS[0]!r} THEN 0
+                       WHEN u < {_PL1_BOUNDS[1]!r} THEN 1 ELSE 2 END AS INT)
+               AS split_id,
+             (f.n_tokens_ws < {_PL1_R["min_tokens"]}) AS drop_short,
+             (f.dup_line_frac > {_PL1_R["max_dup_line_frac"]!r}) AS drop_repetitive,
+             (f.quality_score < {_PL1_R["min_quality_score"]!r}) AS drop_low_quality,
+             (NOT (f.n_tokens_ws < {_PL1_R["min_tokens"]})
+              AND NOT (f.dup_line_frac > {_PL1_R["max_dup_line_frac"]!r})
+              AND NOT (f.quality_score < {_PL1_R["min_quality_score"]!r}))
+               AS hygiene_ok
+      FROM feat f
+      LEFT JOIN comp c ON f.doc_id = c.doc_id
+      JOIN (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM documents
+      ) s ON f.doc_id = s.doc_id
+    ),
+    keepers AS (
+      SELECT cluster_id, min(doc_id) AS keeper FROM flagged
+      WHERE hygiene_ok GROUP BY cluster_id
+    ),
+    final AS (
+      SELECT fl.*, coalesce(fl.doc_id = k.keeper, FALSE) AS is_canonical
+      FROM flagged fl LEFT JOIN keepers k ON fl.cluster_id = k.cluster_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN drop_short THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(sum(CASE WHEN drop_repetitive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive,
+           CAST(sum(CASE WHEN drop_low_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(0 AS BIGINT) AS n_pii_heavy,
+           CAST(sum(CASE WHEN hygiene_ok AND NOT is_canonical THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dedup_dropped,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_train,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_val,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_test
+    FROM final
+""".format(d3=ORACLES["d3_minhash_lsh_pairs"])
+
+
+@register("pl1_curation_funnel", _PL1_ORACLE)
 def pl1_curation_funnel(spark, sf):
     """End-to-end corpus curation funnel (the flagship pipeline):
     profile + hygiene + LSH dedup + canonical election + split, reported
     as the one-row audit funnel (docs in, per-rule drops, near-dup drops,
-    kept per split).  NOT single-statement SQL (iterative connected
-    components + the phone-PII stage's lookaround regex), so the driver
-    records the weaker rows-only check; value coherence is pytest-gated
-    (tests/test_pipeline.py)."""
+    kept per split).
+
+    Driver-oracled since r6: the oracle replays the WHOLE funnel --
+    banded-MinHash pairs (the d3 oracle as a subquery), connected
+    components via recursive CTE (the d6 precedent), the t1 feature
+    formulas, hygiene flags, canonical election among survivors, and the
+    md5 split -- as one DuckDB statement.  The one stage the oracle
+    cannot express is the phone-PII counter (lookbehind/lookahead, which
+    DuckDB's RE2 lacks), so THIS entry runs with the PII rule disabled
+    (``max_pii_hits=inf`` -> ``n_pii_heavy`` deterministically 0 on both
+    sides); the full-default funnel including the PII leg stays
+    value-gated in pytest (tests/test_pipeline.py,
+    tests/test_text_hygiene.py)."""
     return pipeline.curation_report(
-        pipeline.curate_corpus(_t(spark, sf, "documents"))
+        pipeline.curate_corpus(
+            _t(spark, sf, "documents"), rules={"max_pii_hits": float("inf")}
+        )
     )
