@@ -25,6 +25,7 @@ before writing to avoid small files.  maxRecordsPerFile guards huge files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_clean_partitioned(
@@ -34,8 +35,33 @@ def write_clean_partitioned(
     partition_cols: tuple[str, ...] = ("yr", "mnth"),
     compression: str = "snappy",
     max_records_per_file: int = 5_000_000,
+    zorder_cols: list[str] | None = None,
+    n_files: int = 32,
+    bits_per_col: int = 8,
 ) -> None:
-    """S3: dynamic-partition overwrite of the cleaned table to ``path``."""
+    """S3: dynamic-partition overwrite of the cleaned table to ``path``.
+
+    ``zorder_cols`` opts the reference's write path into the
+    skipping-optimal layout (sources/layout.py): rows are range-exchanged
+    on (partition cols, Z-value) and sorted within tasks, so each
+    partition directory's files cover small bounding boxes in every
+    clustered dimension and parquet footer min/max prune them for
+    predicates on ANY of ``zorder_cols``.  Same single-shuffle budget a
+    layout-aware rewrite always pays (the range exchange replaces the
+    caller's repartition-before-write); ``n_files`` bounds total task
+    count, partition dirs get files proportional to their row share."""
+    if zorder_cols:
+        from .layout import zorder_value
+
+        zcol, _ = zorder_value(df, zorder_cols, bits_per_col)
+        df = (
+            df.withColumn("__zval", zcol)
+            .repartitionByRange(
+                n_files, *[F.col(c) for c in partition_cols], F.col("__zval")
+            )
+            .sortWithinPartitions(*partition_cols, "__zval")
+            .drop("__zval")
+        )
     (
         df.write.mode("overwrite")
         .format(fmt)

@@ -247,3 +247,53 @@ def test_compact_partitioned_nulls_and_special_chars(spark, tmp_path):
     b = spark.read.parquet(out)
     assert b.count() == a.count()
     assert _crc_sum(a, ["k", "part"]) == _crc_sum(b, ["k", "part"])
+
+
+def test_zordered_etl_sink_prunes_files(spark, tmp_path):
+    """End-to-end opt-in layout on the reference's S3 write path: the
+    cleaned taxi table written with zorder_cols prunes at BOTH levels --
+    mnth via hive partition dirs, tip_amount via parquet footer stats
+    inside a partition -- and the rows survive the rewrite bit-exactly."""
+    import os
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import etl
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import (
+        read_trips_parquet,
+    )
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.writers import (
+        write_clean_partitioned,
+    )
+    from tests.taxi_fixture import write_fixture
+
+    paths = write_fixture(str(tmp_path / "taxi"))
+    clean = etl.clean_trips(read_trips_parquet(spark, paths["parquet"]))
+    out = str(tmp_path / "clean_z")
+    write_clean_partitioned(
+        clean, out, zorder_cols=["tip_amount", "trip_distance"], n_files=16
+    )
+
+    # level 1: the month predicate prunes whole directories
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(out, "yr=2017"))
+        if d.startswith("mnth=")
+    )
+    assert dirs == ["mnth=11", "mnth=12"]
+
+    # level 2: footer min/max prune files inside a partition
+    part_dir = os.path.join(out, "yr=2017", "mnth=11")
+    stats = layout.file_stats(part_dir, ["tip_amount", "trip_distance"])
+    assert len(stats) >= 4, "need several files for skipping to mean anything"
+    lo = min(r["tip_amount"][0] for r in stats)
+    hi = max(r["tip_amount"][1] for r in stats)
+    band = (lo, lo + (hi - lo) * 0.05)
+    hits = layout.candidate_files(stats, {"tip_amount": band})
+    assert 0 < len(hits) < len(stats), (
+        f"5% tip_amount slice opened {len(hits)}/{len(stats)} files -- "
+        "no measured skipping"
+    )
+
+    # fidelity: same rows before and after the layout rewrite
+    b = spark.read.parquet(out)
+    cols = clean.columns
+    assert b.count() == clean.count()
+    assert _crc_sum(clean, cols) == _crc_sum(b.select(cols), cols)
