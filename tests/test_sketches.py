@@ -215,9 +215,15 @@ def test_kll_range_merge_matches_subrange(events, kll_daily):
 
 
 def test_kll_sketch_parquet_roundtrip(spark, kll_daily, tmp_path):
+    # Pin ONE materialization first: kll_daily is lazy and KLL level
+    # compaction is randomized, so "write" and "before" would otherwise
+    # each re-run the aggregation and could serialize two different (both
+    # valid) sketches.  The property under test is parquet BYTE fidelity,
+    # not aggregation determinism.
+    pinned = kll_daily.localCheckpoint()
     out = str(tmp_path / "kll_sketches")
-    kll_daily.write.mode("overwrite").parquet(out)
+    pinned.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    before = sk.rank_over_range(kll_daily, 35.0).first().asDict()
+    before = sk.rank_over_range(pinned, 35.0).first().asDict()
     after = sk.rank_over_range(back, 35.0).first().asDict()
     assert before == after
