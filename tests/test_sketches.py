@@ -215,15 +215,29 @@ def test_kll_range_merge_matches_subrange(events, kll_daily):
 
 
 def test_kll_sketch_parquet_roundtrip(spark, kll_daily, tmp_path):
-    # Pin ONE materialization first: kll_daily is lazy and KLL level
-    # compaction is randomized, so "write" and "before" would otherwise
-    # each re-run the aggregation and could serialize two different (both
-    # valid) sketches.  The property under test is parquet BYTE fidelity,
-    # not aggregation determinism.
+    # The property under test is parquet BYTE fidelity of the persisted
+    # sketch column, so compare serialized bytes per period -- NOT merged
+    # estimates: kll_daily is lazy and both the aggregation and the
+    # rank_over_range merge use randomized level compaction, so two
+    # evaluations can legitimately produce slightly different (both
+    # valid) sketches.  localCheckpoint pins one materialization; the
+    # md5-per-period comparison then proves the write/read is lossless.
     pinned = kll_daily.localCheckpoint()
     out = str(tmp_path / "kll_sketches")
     pinned.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    before = sk.rank_over_range(pinned, 35.0).first().asDict()
-    after = sk.rank_over_range(back, 35.0).first().asDict()
-    assert before == after
+
+    def snap(df):
+        return sorted(
+            (str(r["period"]), r["n_rows"], r["h"])
+            for r in df.select(
+                "period", "n_rows", F.md5("sketch").alias("h")
+            ).collect()
+        )
+
+    assert snap(back) == snap(pinned)
+    # and the roundtripped state still answers the rank query coherently
+    got = sk.rank_over_range(back, 35.0).first()
+    want = sk.rank_over_range(pinned, 35.0).first()
+    assert got["n"] == want["n"]
+    assert abs(got["n_le_est"] - want["n_le_est"]) <= max(0.02 * got["n"], 2)
