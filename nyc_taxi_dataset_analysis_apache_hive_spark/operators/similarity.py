@@ -436,9 +436,12 @@ def semantic_dedup(
             F.col("embedding").alias("cent_emb"),
         )
 
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_sim").desc(), F.col("cent_id").asc()
-    )
+    # Max-cosine assignment via max_by over the broadcast cross product:
+    # the aggregate gets a map-side partial combine, so the shuffle
+    # carries ONE row per vector -- a row_number window here would
+    # instead sort-shuffle all n_centroids x N candidate rows.  Ordering
+    # struct (cent_sim, -cent_id) = highest cosine, ties to the lowest
+    # centroid id -- the same deterministic pick the oracle replays.
     normed = normalized_with_bucket(emb).select("vec_id", "emb_n")
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -447,8 +450,13 @@ def semantic_dedup(
             "cent_id",
             F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
         )
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nc")),
+            ).alias("cent_id")
+        )
         .join(normed, "vec_id")
         .select("vec_id", "cent_id", "emb_n")
     )
