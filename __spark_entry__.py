@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; entries without an oracle (engine-
-    specific hashes / sketches) are intentionally absent -> rows-only check."""
+    """DuckDB-equivalent SQL per query -- since round 6 every one of the
+    50 entries carries an oracle (engine-specific estimates self-validate
+    in-plane via approx_ok booleans the oracle expects to be true)."""
     return dict(registry.ORACLES)
