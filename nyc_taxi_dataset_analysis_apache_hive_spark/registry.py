@@ -1799,8 +1799,14 @@ def a10_distinct_counts(spark, sf):
     - ``op='incremental'``: the incremental-ingest maintenance property
       (operators/incremental.merge_hll_rollup) -- two disjoint
       half-batches rolled up independently then MERGED must estimate
-      exactly like the one-shot rebuild and inside the exact count's
-      band (merge ≡ rebuild, the 100-TB never-rescan-history invariant).
+      inside the exact count's band (the 100-TB never-rescan-history
+      invariant: maintained state answers as accurately as a rebuild).
+      The gate is deliberately NOT merged == rebuilt: once a sketch
+      crosses out of exact/sparse mode the union may differ from a
+      one-shot sketch by its normal error (both stay inside the band --
+      observed at sf0.1's ~1.3k/day cardinality); exact-mode merge
+      equality is pytest-gated at the cardinalities where it holds
+      (tests/test_incremental.py).
 
     Estimates are engine-specific, so every sketch is validated IN-PLANE:
     ``approx_ok`` asserts each estimate lands within tolerance (5% HLL,
@@ -1929,11 +1935,12 @@ def a10_distinct_counts(spark, sf):
 
     # incremental-ingest leg: the events table rolled up as two disjoint
     # half-batches, folded via merge_hll_rollup (operators/incremental.py)
-    # -- gated in-plane BOTH ways: the merged estimate must equal the
-    # one-shot rebuild (HLL union at one lg_k is register-lossless, the
-    # merge ≡ rebuild maintenance property) AND land inside the exact
-    # count's 5% band.  The oracle expects true, so incremental state
-    # maintenance is driver-gated, not just pytest-gated.
+    # -- the MERGED estimate gated in-plane against the exact count's 5%
+    # band.  NOT merged == rebuilt: past exact/sparse mode a union can
+    # differ from a one-shot sketch by its normal error (both in-band;
+    # the equality holds and is pytest-gated at exact-mode cardinality).
+    # The oracle expects true, so incremental state maintenance is
+    # driver-gated, not just pytest-gated.
     b0 = ev.filter(F.col("event_id") % 2 == 0)
     b1 = ev.filter(F.col("event_id") % 2 == 1)
     merged = incremental.merge_hll_rollup(
@@ -1943,14 +1950,12 @@ def a10_distinct_counts(spark, sf):
     inc = sketches.distinct_by_period(merged).select(
         "period", F.col("n_distinct_est").alias("n_inc")
     )
-    reb = est.select("period", F.col("n_distinct_est").alias("n_reb"))
-    ok_inc = (F.col("n_inc") == F.col("n_reb")) & (
+    ok_inc = (
         F.abs(F.col("n_inc") - F.col("n_exact"))
         <= F.greatest(0.05 * F.col("n_exact"), F.lit(2))
     )
     inc_leg = (
-        inc.join(reb, "period")
-        .join(exact_day, "period")
+        inc.join(exact_day, "period")
         .select(
             F.lit("incremental").alias("op"),
             F.date_format("period", "yyyy-MM-dd").alias("key"),
