@@ -196,17 +196,36 @@ def scd2_upsert(
         return out
 
     eff = F.col(f"u.{effective_col}")
-    # current rows: closed when changed, carried forward otherwise
-    kept_current = j.filter(has_current).select(
-        *_version(
-            "c",
-            F.col(f"c.{valid_from}"),
-            F.when(changed, eff).otherwise(F.col(f"c.{valid_to}")),
-            ~changed,
-        )
+    # ONE pass over the joined rows: each emits its surviving current
+    # version (closed when changed, carried forward otherwise) and/or a
+    # new open version (changed + brand-new keys) as a conditional
+    # struct array -> explode.  Selecting the two outputs as separate
+    # union branches would instead reference the join twice and plan the
+    # full-outer merge twice (ReusedExchange can share the shuffles, but
+    # the join + comparison work itself still runs per branch).
+    current_out = F.when(
+        has_current,
+        F.struct(
+            *_version(
+                "c",
+                F.col(f"c.{valid_from}"),
+                F.when(changed, eff).otherwise(F.col(f"c.{valid_to}")),
+                ~changed,
+            )
+        ),
     )
-    # new open versions: changed keys + brand-new keys
-    new_versions = j.filter(changed | inserted).select(
-        *_version("u", eff, F.lit(None).cast(dim.schema[valid_to].dataType), F.lit(True))
+    new_out = F.when(
+        changed | inserted,
+        F.struct(
+            *_version(
+                "u",
+                eff,
+                F.lit(None).cast(dim.schema[valid_to].dataType),
+                F.lit(True),
+            )
+        ),
     )
-    return history.unionByName(kept_current).unionByName(new_versions)
+    merged = j.select(
+        F.explode(F.array_compact(F.array(current_out, new_out))).alias("_v")
+    ).select("_v.*")
+    return history.unionByName(merged)

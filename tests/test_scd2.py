@@ -132,3 +132,30 @@ def test_scd2_invariants_on_supplier(spark, sf0001_dir):
         .count()
     )
     assert gaps == 0
+
+
+def test_scd2_plans_one_full_outer_join(spark, sf0001_dir):
+    """The merge must stay a single full-outer join: emitting the kept/
+    closed current version and the new open version as two union branches
+    would plan the join twice -- the conditional-struct explode keeps it
+    at one."""
+    o = load_table(spark, sf0001_dir, "orders")
+    dim = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = o.select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderpriority"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    plan = (
+        etl.scd2_upsert(dim, upd, ["o_orderkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FullOuter") == 1, plan[:2000]
