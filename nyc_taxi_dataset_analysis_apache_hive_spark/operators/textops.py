@@ -36,6 +36,22 @@ def _composite_quality(n_tok_d, sw_ratio, pr):
     )
 
 
+def _trunc4(col):
+    """4-decimal TRUNCATION via pure IEEE arithmetic: floor(x*1e4)/1e4.
+
+    Used for ``quality_score`` instead of ``round(x, 4)`` because the
+    0.4/0.3/0.3 weights over nice token counts synthesize values sitting
+    EXACTLY on a decimal half boundary (e.g. n_tokens=96, 10 stopword
+    hits -> 0.384 + 5/32 + 0.3 = 0.84025), where decimal-rounding
+    functions legitimately diverge across engines: Spark's round() works
+    on the exact binary expansion (0.84024999...), DuckDB's on the
+    shortest decimal representation (0.84025) -- observed 0.8402 vs
+    0.8403 at sf0.1.  floor(x*1e4)/1e4 is the same IEEE multiply/floor/
+    divide everywhere, so identical input doubles give identical output
+    in every engine."""
+    return F.floor(col * 10000.0) / 10000.0
+
+
 def _lang_pred(langs: list[str], hits: dict):
     """The one definition of the language-ID argmax with deterministic
     tie-break (ascending language code; 'und' on zero hits) -- shared by
@@ -84,7 +100,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         F.round(pr, 4).alias("punct_ratio"),
         F.round(F.coalesce(sw_ratio, F.lit(0.0)), 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        _trunc4(score).alias("quality_score"),
     )
 
 
@@ -417,7 +433,7 @@ def text_profile(docs: DataFrame, include_hygiene: bool = False) -> DataFrame:
         ).alias("mean_token_len"),
         F.round("pr", 4).alias("punct_ratio"),
         F.round(sw_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        _trunc4(score).alias("quality_score"),
         F.col("lang").alias("lang_true"),
         pred.alias("lang_pred"),
         *(

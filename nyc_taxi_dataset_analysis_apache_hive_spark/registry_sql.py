@@ -887,11 +887,13 @@ SQL_QUERIES: dict[str, str] = {
                round(pr, 4) AS punct_ratio,
                round(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0D),
                               0.0D), 4) AS stopword_ratio,
-               round(least(CAST(n_tokens_ws AS DOUBLE) / 100.0D, 1.0D) * 0.4D
+               -- trunc4, not round: see textops._trunc4 (engine-agnostic)
+               floor((least(CAST(n_tokens_ws AS DOUBLE) / 100.0D, 1.0D) * 0.4D
                      + least(coalesce(hits_en
                          / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0D), 0.0D) * 5,
                          1.0D) * 0.3D
-                     + (1 - least(pr * 10, 1.0D)) * 0.3D, 4) AS quality_score,
+                     + (1 - least(pr * 10, 1.0D)) * 0.3D) * 10000.0D)
+                 / 10000.0D AS quality_score,
                lang AS lang_true,
                CASE WHEN best = 0 THEN 'und'
                     WHEN hits_de = best THEN 'de'
