@@ -1,0 +1,47 @@
+"""Scale-robustness oracle gate: the entries whose gates or formulas
+proved scale-sensitive, verified at sf0.1 -- 10x the driver's sf0.01
+correctness scale.
+
+This exists because an sf0.1 sweep in round 6 caught two latent defects
+the sf0.01 gate could not see: the incremental-HLL leg's merged ==
+rebuilt equality (only holds while sketches stay in exact/sparse mode)
+and a cross-engine decimal-rounding divergence in quality_score at exact
+half boundaries.  These entries stay pinned at the bigger decade so the
+same defect class cannot silently return.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.parity import compare, duckdb_conn
+
+SF01 = "/root/testdata/sf0.1"
+
+#: the scale-sensitive set: every round-6 fold + the two r6 fixes' hosts
+SCALE_SENSITIVE = [
+    "a10_distinct_counts",  # sketch gates: estimation-mode behavior
+    "t1_text_profile",  # quality_score truncation boundary
+    "pl1_curation_funnel",  # funnel composes both of the above classes
+    "p3_filter_compare",
+    "s7_stratified_rates",
+    "s8_upsert",
+    "k3_embedding_near_pairs",
+]
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF01)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+def test_query_matches_oracle_at_sf01(name, spark, con):
+    problems = compare(QUERIES[name](spark, SF01), con, ORACLES[name], name)
+    assert not problems, "\n".join(problems)
