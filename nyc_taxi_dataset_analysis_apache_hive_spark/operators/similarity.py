@@ -411,8 +411,9 @@ def semantic_dedup(
     Centroids: pass ``centroids`` = (cent_id, cent_emb) from
     :func:`kmeans_train` for a trained index; the default is the same
     deterministic corpus slice as :func:`cosine_topk_ivf`, which a SQL
-    oracle can replay exactly (tests/test_asof_skew.py pairs it with a
-    DuckDB recursive-CTE oracle).
+    oracle can replay exactly (tests/test_semantic_dedup.py pairs it
+    with a DuckDB recursive-CTE oracle, and the k3 registry fold
+    driver-gates the same pipeline).
 
     Scale: the paper's operating point is n_centroids ~ N / target cell
     size, keeping the within-cell join bounded-quadratic per cell; the

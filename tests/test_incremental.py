@@ -185,7 +185,5 @@ def test_admit_batch_order_col_parameterized(spark):
         ).collect()
     }
     assert got == {("f1", 10), ("f2", 20)}  # first-by-item_id, history dropped
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="order_col"):
+    with pytest.raises(ValueError, match="order_col"):
         admit_batch(history, batch, order_col="doc_id")

@@ -42,6 +42,9 @@ SCALE_PATHS = [
     # r6: the sketch surface carries a shingle-explode exact-verification
     # path (theta legs) that must stay growth-gated like d3-d6
     "a10_distinct_counts",
+    # r6: the embedding-dedup surface (sign-bucket near-pairs + the
+    # semdedup fold's cell-bounded pair search + CC) is a scale path too
+    "k3_embedding_near_pairs",
 ]
 
 SF_DIRS = {
