@@ -117,6 +117,45 @@ def admit_batch(
     )
 
 
+def write_fingerprint_history(
+    fps: DataFrame,
+    path: str,
+    fp_col: str = "fingerprint",
+    n_files: int = 32,
+    expected_ndv: int = 10_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the fingerprint history in the layout the admission
+    anti-join wants: range-partitioned + sorted on the fingerprint, with
+    a parquet BLOOM FILTER on the fingerprint column.
+
+    Why both: fingerprints are uniform random hex, so an UNSORTED layout
+    gives every row group min/max spanning the whole key range -- footer
+    stats prune nothing.  Range-sorting makes each FILE cover a narrow
+    hex slice (file-level pruning for a probe key); the bloom filter
+    answers "fingerprint absent" at ROW-GROUP level without decoding
+    pages for the probes that do land in a file's range.  At 100 TB the
+    anti-join probe side is a small batch, so nearly every history file
+    is skipped by range, and nearly every surviving row group by bloom.
+
+    ``expected_ndv`` sizes the bloom bitset (parquet-mr's
+    ``parquet.bloom.filter.expected.ndv``) -- set it to the rough
+    history cardinality per file batch; too low inflates the false-
+    positive rate, too high wastes footer bytes.
+    """
+    (
+        fps.select(fp_col)
+        .repartitionByRange(n_files, F.col(fp_col))
+        .sortWithinPartitions(fp_col)
+        .write.mode(mode)
+        .option(f"parquet.bloom.filter.enabled#{fp_col}", "true")
+        .option(
+            f"parquet.bloom.filter.expected.ndv#{fp_col}", str(expected_ndv)
+        )
+        .parquet(path)
+    )
+
+
 class IngestResult(NamedTuple):
     accepted: DataFrame  # new, non-duplicate batch rows
     fingerprints: DataFrame  # updated fingerprint history

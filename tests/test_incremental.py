@@ -187,3 +187,63 @@ def test_admit_batch_order_col_parameterized(spark):
     assert got == {("f1", 10), ("f2", 20)}  # first-by-item_id, history dropped
     with pytest.raises(ValueError, match="order_col"):
         admit_batch(history, batch, order_col="doc_id")
+
+
+def test_fingerprint_history_layout(spark, tmp_path):
+    """The persisted fingerprint history is range-sorted (files cover
+    narrow disjoint hex slices -> footer min/max prune probes) and
+    carries a parquet bloom filter on the fingerprint (file bytes grow
+    vs the same data written without one); admission against the
+    read-back history equals admission against the in-memory frame."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators.incremental import (
+        admit_batch,
+        write_fingerprint_history,
+    )
+
+    fps = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("fingerprint")
+    )
+    with_bloom = str(tmp_path / "hist_bloom")
+    write_fingerprint_history(fps, with_bloom, n_files=4, expected_ndv=5000)
+    no_bloom = str(tmp_path / "hist_plain")
+    (
+        fps.repartitionByRange(4, "fingerprint")
+        .sortWithinPartitions("fingerprint")
+        .write.parquet(no_bloom)
+    )
+
+    def total_bytes(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+
+    assert total_bytes(with_bloom) > total_bytes(no_bloom)
+
+    # range layout: per-file hex slices are disjoint (sorted files)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(with_bloom, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        lo = st.min
+        hi = md.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, "files must cover disjoint sorted slices"
+
+    # admission parity: read-back history behaves like the in-memory one
+    back = spark.read.parquet(with_bloom)
+    batch = spark.range(4990, 5010).select(
+        F.md5(F.col("id").cast("string")).alias("fingerprint"),
+        F.col("id").alias("doc_id"),
+    )
+    got = {r["doc_id"] for r in admit_batch(back, batch).collect()}
+    want = {r["doc_id"] for r in admit_batch(fps, batch).collect()}
+    assert got == want == set(range(5000, 5010))
