@@ -1853,6 +1853,17 @@ def a10_distinct_counts(spark, sf):
     docs = _t(spark, sf, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
+    # shx feeds BOTH the exact flags side and the theta rollup; their
+    # aggregate keys differ (s vs (source, s)) so exchange reuse cannot
+    # share the tokenize -> explode -> distinct subtree and it plans
+    # twice.  Measured verdict: leave it -- the two subtrees are
+    # independent stages of ONE job, so the scheduler runs them
+    # concurrently on the underutilized local[32] and the redundancy
+    # costs no wall-clock (an eager materialization measured SLOWER,
+    # 4.1 vs 3.6 s single-shot, by serializing them + paying the write).
+    # On a saturated 1000-executor cluster the duplicate pass is real
+    # cost: persist() the subtree there (the dedup persist_shingles
+    # precedent -- a wash locally, exists for cluster runs).
     shx = (
         docs.select("source", tokens("text").alias("toks"))
         .select(
@@ -1860,15 +1871,6 @@ def a10_distinct_counts(spark, sf):
             F.explode(ngrams_from_tokens(F.col("toks"), 3)).alias("s"),
         )
         .distinct()
-        # Materialize ONCE: the exact flags side and the theta rollup
-        # both consume shx, and their aggregate keys differ (s vs
-        # (source, s)) so exchange reuse cannot share the tokenize ->
-        # explode -> distinct subtree -- without this the corpus shingle
-        # pass runs twice (measured 5.6 -> 1.3 s at sf0.1 for the theta
-        # portion).  Same localCheckpoint idiom as the CC loop; at
-        # cluster scale this is the persist() any shared corpus-wide
-        # subtree gets.
-        .localCheckpoint(eager=True)
     )
     flags = shx.groupBy("s").agg(
         F.max(F.col("source") == "src0").alias("in_a"),
