@@ -2009,17 +2009,38 @@ def a10_distinct_counts(spark, sf):
     FROM nation n LEFT JOIN (
       SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey
     ) c ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'chain_region_orders' AS op, CAST(r.r_regionkey AS BIGINT) AS key,
+           r.r_name AS name, CAST(count(*) AS BIGINT) AS val
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY r.r_regionkey, r.r_name
+    UNION ALL
+    SELECT 'brand_nation_counts' AS op, CAST(s.s_nationkey AS BIGINT) AS key,
+           p.p_brand AS name, CAST(count(*) AS BIGINT) AS val
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey, p.p_brand
     """,
 )
 def j5_join_surface(spark, sf):
-    """The non-inner join family, tagged and stacked (u1/r1 precedent, one
-    driver slot): ``semi_big_order`` = left-semi against large orders
-    (build-side-deduped hash join -- no row multiplication, no second
-    scan); ``anti_no_orders`` = left-anti (the orphan check every ETL
-    pipeline needs); ``outer_nation_counts`` = left-outer with NULL-fill
-    where aggregate-then-join keeps the outer side's multiplicity 1.  Each
-    branch plans independently (broadcast under AQE's threshold); the
-    union adds no shuffle."""
+    """The non-inner join family + multi-way inner shapes, tagged and
+    stacked (u1/r1 precedent, one driver slot): ``semi_big_order`` =
+    left-semi against large orders (build-side-deduped hash join -- no
+    row multiplication, no second scan); ``anti_no_orders`` = left-anti
+    (the orphan check every ETL pipeline needs); ``outer_nation_counts``
+    = left-outer with NULL-fill where aggregate-then-join keeps the
+    outer side's multiplicity 1; ``chain_region_orders`` (r6) = the
+    4-table snowflake chain region -> nation -> customer -> orders with
+    every dim under the broadcast threshold -- Catalyst orders the
+    chain, no shuffle joins; ``brand_nation_counts`` (r6) = the star
+    shape (lineitem fact + part/supplier dims) feeding a two-key
+    aggregate -- the TPC-H altitude every warehouse join reorderer is
+    judged on.  Each branch plans independently; the union adds no
+    shuffle."""
     c = _t(spark, sf, "customer")
     big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
     o = _t(spark, sf, "orders")
@@ -2044,7 +2065,41 @@ def j5_join_surface(spark, sf):
         F.col("n_name").alias("name"),
         F.coalesce("n_customers", F.lit(0)).alias("val"),
     )
-    return semi.unionByName(anti).unionByName(outer)
+    r = _t(spark, sf, "region")
+    chain = (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.lit("chain_region_orders").alias("op"),
+            F.col("r_regionkey").cast("long").alias("key"),
+            F.col("r_name").alias("name"),
+            F.col("n_orders").cast("long").alias("val"),
+        )
+    )
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    sup = _t(spark, sf, "supplier")
+    star = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.lit("brand_nation_counts").alias("op"),
+            F.col("s_nationkey").cast("long").alias("key"),
+            F.col("p_brand").alias("name"),
+            F.col("n_items").cast("long").alias("val"),
+        )
+    )
+    return (
+        semi.unionByName(anti)
+        .unionByName(outer)
+        .unionByName(chain)
+        .unionByName(star)
+    )
 
 
 @register(

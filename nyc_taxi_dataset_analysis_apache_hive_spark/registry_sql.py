@@ -449,6 +449,23 @@ SQL_QUERIES: dict[str, str] = {
           SELECT c_nationkey, count(*) AS n_customers
           FROM customer GROUP BY c_nationkey
         ) c ON n.n_nationkey = c.c_nationkey
+        UNION ALL
+        SELECT 'chain_region_orders' AS op,
+               CAST(r.r_regionkey AS BIGINT) AS key, r.r_name AS name,
+               CAST(count(*) AS BIGINT) AS val
+        FROM region r
+        JOIN nation n ON r.r_regionkey = n.n_regionkey
+        JOIN customer c ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY r.r_regionkey, r.r_name
+        UNION ALL
+        SELECT 'brand_nation_counts' AS op,
+               CAST(s.s_nationkey AS BIGINT) AS key, p.p_brand AS name,
+               CAST(count(*) AS BIGINT) AS val
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, p.p_brand
     """,
     "f9_case_segmentation": """
         SELECT price_segment, count(*) AS cnt,
