@@ -28,6 +28,7 @@ SCALE_SENSITIVE = [
     "s7_stratified_rates",
     "s8_upsert",
     "k3_embedding_near_pairs",
+    "j5_join_surface",  # r6 chain/star legs join the pinned set
 ]
 
 QUERIES = entry_mod.queries()
