@@ -91,12 +91,38 @@ def test_scalar_cross_join_is_single_row_broadcast(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs", "d5_simhash_pairs"],
+    [
+        "d3_minhash_lsh_pairs",
+        "d4_ngram_jaccard_pairs",
+        "d5_simhash_pairs",
+        # r6 folds: the semdedup leg's cell-bounded pair search and the
+        # sampling surface's mix/cap legs must stay equi-join shaped
+        "k3_embedding_near_pairs",
+        "s7_stratified_rates",
+    ],
 )
 def test_dedup_never_plans_cartesian(spark, name):
-    """LSH banding / inverted-index / simhash-chunk-blocking joins must be
-    equi-joins, never an all-pairs product."""
+    """LSH banding / inverted-index / simhash-chunk-blocking / semdedup
+    cell joins must be equi-joins, never an all-pairs product."""
     assert "CartesianProduct" not in explain_str(_q(spark, name))
+
+
+def test_j5_multiway_legs_broadcast_dims(spark):
+    """The r6 chain (region->nation->customer->orders) and star
+    (lineitem + part/supplier) legs: every dim side is under the
+    broadcast threshold at this sf, so the whole join family must plan
+    broadcast-side -- a sort-merge here would mean a dim got shuffled."""
+    plan = explain_str(_q(spark, "j5_join_surface"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:1500]
+
+
+def test_s7_mix_leg_broadcasts_domain_counts(spark):
+    """mix_domains' per-domain count table must ride a broadcast join --
+    shuffling the corpus to meet a 3-row aggregate would invert the
+    operator's whole scale design (corpus never shuffles for the mix)."""
+    plan = explain_str(_q(spark, "s7_stratified_rates"))
+    assert "BroadcastHashJoin" in plan
 
 
 def test_text_profile_scans_documents_once(spark):
