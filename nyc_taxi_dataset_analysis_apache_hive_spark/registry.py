@@ -1036,9 +1036,9 @@ def d3_minhash_lsh_pairs(spark, sf):
     )
 
 
-@register(
-    "d4_ngram_jaccard_pairs",
-    f"""
+#: the ngram-only d4 statement, shared verbatim by d6's oracle (whose
+#: Spark side clusters ngram pairs, not the winnow leg)
+_D4_NGRAM_SQL = f"""
     WITH {_TOKS_CTE},
     sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams),
     sizes AS (SELECT doc_id, len(s) AS n_sh FROM sets),
@@ -1062,14 +1062,81 @@ def d3_minhash_lsh_pairs(spark, sf):
     JOIN sizes za ON common.doc_a = za.doc_id
     JOIN sizes zb ON common.doc_b = zb.doc_id
     WHERE round(CAST(common AS DOUBLE) / (za.n_sh + zb.n_sh - common), 6) >= 0.2
+"""
+
+#: winnowed rolling-hash fingerprint pairs (Schleimer et al. 2003) --
+#: k=8-char gram md5-prefix hashes, window-4 minima, prints in > 50 docs
+#: dropped before the metric (rare-print jaccard), inverted-index join
+_D4_WINNOW_SQL = """
+    WITH wdocs AS (
+      SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+    ),
+    wgh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(s) - 7, 0) + 1),
+               i -> CAST('0x' || substr(md5(substr(s, i, 8)), 1, 15)
+                    AS BIGINT)) AS hs
+      FROM wdocs
+    ),
+    wp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 0) + 1),
+               j -> list_aggregate(hs[j:j+3], 'min'))) AS prints
+      FROM wgh
+    ),
+    winv0 AS (SELECT doc_id, unnest(prints) AS p FROM wp),
+    whot AS (SELECT p FROM winv0 GROUP BY p HAVING count(*) > 50),
+    winv AS (
+      SELECT doc_id, p FROM winv0
+      WHERE p NOT IN (SELECT p FROM whot)
+    ),
+    wsizes AS (SELECT doc_id, count(*) AS n_p FROM winv GROUP BY doc_id),
+    wcommon AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM winv a JOIN winv b ON a.p = b.p AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(common AS DOUBLE) / (za.n_p + zb.n_p - common), 6)
+             AS jaccard
+    FROM wcommon
+    JOIN wsizes za ON wcommon.doc_a = za.doc_id
+    JOIN wsizes zb ON wcommon.doc_b = zb.doc_id
+    WHERE round(CAST(common AS DOUBLE) / (za.n_p + zb.n_p - common), 6)
+          >= 0.35
+"""
+
+
+@register(
+    "d4_ngram_jaccard_pairs",
+    f"""
+    SELECT 'ngram' AS op, doc_a, doc_b, jaccard FROM ({_D4_NGRAM_SQL})
+    UNION ALL
+    SELECT 'winnow' AS op, doc_a, doc_b, jaccard FROM ({_D4_WINNOW_SQL})
     """,
 )
 def d4_ngram_jaccard_pairs(spark, sf):
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index join, no
-    all-pairs product); threshold 0.2."""
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), shingle_n=3, threshold=0.2
+    """The exact near-dup pair surface, tagged and stacked:
+
+    - ``op='ngram'``: exact word-3-gram-Jaccard pairs (inverted-index
+      join, no all-pairs product); threshold 0.2.
+    - ``op='winnow'`` (r6): rolling-hash winnowing fingerprints
+      (Schleimer/Wilkerson/Aiken SIGMOD'03 -- the brief's "document
+      fingerprinting (rolling hash)" item): 8-char-gram hashes,
+      window-4 minima, same inverted-index shape; threshold 0.35.
+      Character-level, so it is robust to tokenization differences and
+      guarantees a shared print for any common substring of length >=
+      k + w - 1 = 11 -- the local-sampling property shingle MinHash
+      lacks."""
+    docs = _t(spark, sf, "documents")
+    ngram = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+        F.lit("ngram").alias("op"), "doc_a", "doc_b", "jaccard"
     )
+    winnow = dedup.winnow_near_pairs(docs, threshold=0.35).select(
+        F.lit("winnow").alias("op"), "doc_a", "doc_b", "jaccard"
+    )
+    return ngram.unionByName(winnow)
 
 
 def _simhash_sql_parts() -> tuple[str, str, str]:
@@ -2106,7 +2173,7 @@ def j5_join_surface(spark, sf):
     "d6_dup_clusters",
     f"""
     WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({ORACLES["d4_ngram_jaccard_pairs"]})
+      SELECT doc_a, doc_b FROM ({_D4_NGRAM_SQL})
     ),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs

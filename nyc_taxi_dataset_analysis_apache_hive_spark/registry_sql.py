@@ -642,8 +642,39 @@ SQL_QUERIES: dict[str, str] = {
           FROM inv a JOIN inv b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
+        ),
+        wdocs AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+        ),
+        wgh AS (
+          SELECT doc_id,
+                 CASE WHEN length(s) - 7 >= 1 THEN
+                   transform(sequence(1, length(s) - 7),
+                     i -> {_SQL_BASE_HASH.format(col="substring(s, i, 8)")})
+                 ELSE CAST(array() AS array<bigint>) END AS hs
+          FROM wdocs
+        ),
+        wp AS (
+          SELECT doc_id,
+                 array_distinct(CASE WHEN size(hs) - 3 >= 1 THEN
+                   transform(sequence(1, size(hs) - 3),
+                             j -> array_min(slice(hs, j, 4)))
+                 ELSE CAST(array() AS array<bigint>) END) AS prints
+          FROM wgh
+        ),
+        winv0 AS (SELECT doc_id, explode(prints) AS p FROM wp),
+        whot AS (SELECT p FROM winv0 GROUP BY p HAVING count(*) > 50),
+        winv AS (
+          SELECT i.doc_id, i.p FROM winv0 i
+          LEFT ANTI JOIN whot h ON i.p = h.p
+        ),
+        wsizes AS (SELECT doc_id, count(*) AS n_p FROM winv GROUP BY doc_id),
+        wcommon AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM winv a JOIN winv b ON a.p = b.p AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
         )
-        SELECT doc_a, doc_b, jaccard FROM (
+        SELECT 'ngram' AS op, doc_a, doc_b, jaccard FROM (
           SELECT doc_a, doc_b,
                  round(common / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6)
                    AS jaccard
@@ -651,6 +682,15 @@ SQL_QUERIES: dict[str, str] = {
           JOIN sizes za ON common.doc_a = za.doc_id
           JOIN sizes zb ON common.doc_b = zb.doc_id
         ) WHERE jaccard >= 0.2D
+        UNION ALL
+        SELECT 'winnow' AS op, doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(common / CAST(za.n_p + zb.n_p - common AS DOUBLE), 6)
+                   AS jaccard
+          FROM wcommon
+          JOIN wsizes za ON wcommon.doc_a = za.doc_id
+          JOIN wsizes zb ON wcommon.doc_b = zb.doc_id
+        ) WHERE jaccard >= 0.35D
     """,
     "d7_cross_corpus_decontam": f"""
         WITH {_SHINGLE_SETS_CTE},

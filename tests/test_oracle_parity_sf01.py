@@ -29,6 +29,7 @@ SCALE_SENSITIVE = [
     "s8_upsert",
     "k3_embedding_near_pairs",
     "j5_join_surface",  # r6 chain/star legs join the pinned set
+    "d4_ngram_jaccard_pairs",  # r6 winnow leg: hot-print cap is sf-sensitive
 ]
 
 QUERIES = entry_mod.queries()

@@ -1,0 +1,78 @@
+"""Winnowing rolling-hash fingerprints (Schleimer et al. 2003): python
+recompute parity, the scheme's substring-match guarantee, and the
+short-document edges (Spark's sequence(1, 0) pitfall)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+K, W = dedup.WINNOW_K, dedup.WINNOW_W
+
+
+def _py_prints(text: str) -> list[int]:
+    s = (text or "").lower()
+    hs = [
+        int(hashlib.md5(s[i : i + K].encode()).hexdigest()[:15], 16)
+        for i in range(len(s) - K + 1)
+    ]
+    if len(hs) < W:
+        return []
+    return sorted({min(hs[j : j + W]) for j in range(len(hs) - W + 1)})
+
+
+def test_winnow_prints_match_python_recompute(spark, sf0001_dir):
+    docs = load_table(spark, sf0001_dir, "documents").limit(40)
+    got = {
+        r["doc_id"]: sorted(r["prints"])
+        for r in dedup.winnow_prints(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _py_prints(r["text"]), r["doc_id"]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any common substring of length >= k + w - 1 must yield at least one
+    shared print -- the local-sampling guarantee the scheme exists for."""
+    common = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + common + " suffix alpha"),
+            (2, "other start " + common + " different end"),
+            (3, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ps = {r["doc_id"]: set(r["prints"]) for r in dedup.winnow_prints(df).collect()}
+    assert ps[1] & ps[2], "shared 43-char substring must share a print"
+    assert not (ps[1] & ps[3]) and not (ps[2] & ps[3])
+
+
+def test_winnow_short_and_empty_docs_are_empty_not_garbage(spark):
+    """Docs shorter than k (no full gram) or with fewer than w grams must
+    produce EMPTY print sets -- Spark's sequence(1, 0) yields [1, 0]
+    (inferred step -1), so the guard matters."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "tiny"), (4, "elevenchars"), (5, "x" * 30)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: list(r["prints"]) for r in dedup.winnow_prints(df).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    # "elevenchars" = 11 chars -> 4 grams -> exactly one window
+    assert got[4] == _py_prints("elevenchars") and len(got[4]) == 1
+    assert got[5] == _py_prints("x" * 30) == [
+        _py_prints("x" * 30)[0]
+    ]  # constant text: one distinct gram hash -> one print
+
+
+def test_winnow_near_pairs_finds_planted_near_dups(spark, sf0001_dir):
+    """The pair operator surfaces the corpus' planted near-dup families at
+    high overlap, and never pairs a doc with itself."""
+    docs = load_table(spark, sf0001_dir, "documents")
+    rows = dedup.winnow_near_pairs(docs, threshold=0.35).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.35 <= r["jaccard"] <= 1.0
