@@ -76,3 +76,34 @@ def test_winnow_near_pairs_finds_planted_near_dups(spark, sf0001_dir):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0.35 <= r["jaccard"] <= 1.0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_LOWER = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=30
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    common=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=K + W - 1,
+        max_size=60,
+    ),
+    pre1=_LOWER,
+    suf1=_LOWER,
+    pre2=_LOWER,
+    suf2=_LOWER,
+)
+def test_winnow_guarantee_holds_for_arbitrary_strings(
+    common, pre1, suf1, pre2, suf2
+):
+    """Schleimer et al.'s theorem, property-tested: two strings sharing
+    ANY substring of length >= k + w - 1 share at least one winnowed
+    print (a full window of gram hashes lies inside the common region,
+    and its minimum is selected on both sides)."""
+    a = _py_prints(pre1 + common + suf1)
+    b = _py_prints(pre2 + common + suf2)
+    assert set(a) & set(b), (pre1, common, suf1, pre2, suf2)
