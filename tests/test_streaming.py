@@ -463,3 +463,95 @@ def test_hll_maintenance_raises_past_pruned_window(spark, events_dir, tmp_path):
         ev.filter(F.col("event_id") % 4 == 3), 3, state, keep_versions=2
     )
     assert mnt._versions(state) == [2, 3]
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "nyc_taxi_dataset_analysis_apache_hive_spark.streaming.stateful",
+        fromlist=["tws_available"],
+    ).tws_available(),
+    reason="transformWithStateInPandas worker protocol needs protobuf, "
+    "not shipped in this container (same optional-dep posture as the "
+    "multimodal codecs)",
+)
+def test_tws_running_totals_match_batch(spark, events_dir, events_batch):
+    """transformWithStateInPandas parity: the modern-API operator's final
+    per-user rows equal the batch lifetime aggregates, exactly like its
+    applyInPandasWithState sibling."""
+    from pyspark.sql.window import Window
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import stateful
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful.running_user_totals_tws(
+            sev.read_events_stream(spark, events_dir).filter(
+                F.col("event_type") != SENTINEL
+            ),
+            anomaly_threshold=190.0,
+        )
+        q = stateful.run_stateful_to_memory_sink(stream, "tws_totals_sink")
+        q.awaitTermination(120)
+        sink = spark.table("tws_totals_sink")
+        final = {
+            r["user_id"]: r
+            for r in sink.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("n_events").desc()
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .collect()
+        }
+        expected = {
+            r["user_id"]: r
+            for r in events_batch.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        }
+        assert set(final) == set(expected)
+        for uid, exp in expected.items():
+            got = final[uid]
+            assert got["n_events"] == exp["n_events"], uid
+            assert got["sum_value"] == pytest.approx(
+                exp["sum_value"], abs=1e-6
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_tws_operator_builds_with_expected_schema(spark, events_dir):
+    """The transformWithStateInPandas plumbing (plan construction, state
+    schema, output schema) is container-independent even though worker
+    EXECUTION needs protobuf -- mirror of the multimodal stub posture:
+    plumbing tested always, runtime gated."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import stateful
+
+    stream = stateful.running_user_totals_tws(
+        sev.read_events_stream(spark, events_dir)
+    )
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "user_id",
+        "n_events",
+        "sum_value",
+        "max_value",
+        "anomaly",
+    ]
