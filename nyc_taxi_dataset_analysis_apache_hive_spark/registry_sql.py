@@ -1131,12 +1131,25 @@ SQL_QUERIES: dict[str, str] = {
                  / 1152921504606846976.0D AS u
           FROM documents WHERE source IN ('src0', 'src1', 'src2')
         ),
+        -- n_copies = 0 must yield ZERO rows, not sequence(0, -1) = [0, -1]:
+        -- Spark's sequence() infers step -1 when start > stop, so the
+        -- unguarded form emits two phantom epochs per dropped doc whenever a
+        -- domain's count exceeds its weighted target (ratio < 1, the common
+        -- case at scale). Guard exactly like sampling.mix_domains and the
+        -- DuckDB oracle do.
+        mix_copies AS (
+          SELECT doc_id, source,
+                 CAST(floor(ratio)
+                   + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
+                   AS INT) AS n_copies
+          FROM mix_base
+        ),
         mixed AS (
           SELECT doc_id, source,
-                 explode(sequence(0, CAST(floor(ratio)
-                   + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
-                   AS INT) - 1)) AS epoch
-          FROM mix_base
+                 explode(CASE WHEN n_copies > 0
+                              THEN sequence(0, n_copies - 1)
+                              ELSE CAST(array() AS ARRAY<INT>) END) AS epoch
+          FROM mix_copies
         ),
         capped AS (
           SELECT doc_id, lang FROM (
