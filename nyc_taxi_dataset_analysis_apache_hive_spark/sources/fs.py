@@ -1,0 +1,95 @@
+"""Filesystem metadata ops through the Hadoop FileSystem API.
+
+Driver-side listing/deletion for state ledgers and layout reports.  Going
+through ``org.apache.hadoop.fs.FileSystem`` (the same abstraction every
+Spark read/write already uses, reached over the live JVM gateway) instead
+of ``os``/``shutil``/``glob`` means a ``state_path`` or dataset path can
+be ANY URI the cluster's Hadoop conf can resolve -- ``hdfs://``,
+``s3a://``, ``abfss://``, ``file://``, or a bare local path -- not just a
+driver-local POSIX directory.  On object stores each call maps to the
+LIST/DELETE the store actually serves; there is no POSIX emulation layer
+to lie about atomicity.
+
+Everything here is metadata-scale (names + lengths, never file contents),
+so a driver-side loop is the right shape: a ledger holds a handful of
+versions and a partition report is one LIST per dataset -- the same
+driver-side manifest walk a lakehouse table format performs at commit
+time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def jpath(spark: SparkSession, path: str):
+    """A ``org.apache.hadoop.fs.Path`` for ``path`` (URI or local)."""
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def filesystem(spark: SparkSession, path: str):
+    """The FileSystem that owns ``path``, resolved against the session's
+    Hadoop configuration (so ``s3a://`` credentials, ``fs.defaultFS``
+    etc. all apply exactly as they do for ``spark.read``)."""
+    return jpath(spark, path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+
+def qualified(spark: SparkSession, path: str) -> str:
+    """``path`` as the filesystem's fully-qualified URI string (e.g.
+    ``/tmp/x`` -> ``file:/tmp/x``) -- the stable base for computing
+    relative child paths."""
+    fs = filesystem(spark, path)
+    return fs.makeQualified(jpath(spark, path)).toString()
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    return filesystem(spark, path).exists(jpath(spark, path))
+
+
+def child_dir_names(spark: SparkSession, path: str) -> list[str]:
+    """Names (not paths) of the immediate sub-directories of ``path``;
+    [] when ``path`` does not exist.  One LIST call."""
+    fs = filesystem(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+    ]
+
+
+def delete_recursive(spark: SparkSession, path: str) -> bool:
+    """Recursive delete; False when the path was already absent."""
+    fs = filesystem(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return False
+    return fs.delete(p, True)
+
+
+def list_files(
+    spark: SparkSession, path: str, suffix: str = ""
+) -> list[tuple[str, int]]:
+    """All regular files under ``path`` (recursive), as sorted
+    ``(relative_path, size_bytes)`` pairs.  Uses ``FileSystem.listFiles``
+    -- on HDFS a streamed recursive listing, on S3A a flat keyspace LIST,
+    both without one RPC per directory."""
+    fs = filesystem(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    base = fs.makeQualified(p).toString().rstrip("/")
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(base) + 1 :] if full.startswith(base + "/") else full
+        if suffix and not rel.endswith(suffix):
+            continue
+        out.append((rel, st.getLen()))
+    return sorted(out)

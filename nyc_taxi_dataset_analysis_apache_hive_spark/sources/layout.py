@@ -118,23 +118,39 @@ def write_zordered(
 def file_stats(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max for ``cols`` from parquet footers (pyarrow,
     driver-side, metadata only) -- what a skipping scan consults.  One
-    dict per data file: ``{"file": ..., col: (min, max), ...}``."""
+    dict per data file, RECURSIVE over hive-partition subdirectories:
+    ``{"file": <path relative to the dataset root>, col: (min, max)}``.
+
+    Diagnostic tool: footer decoding needs byte access, so this reads
+    through the local filesystem (pyarrow); point it at a locally
+    mounted copy when auditing object-store data.  The production-path
+    listings (:func:`partition_file_report`) go through the Hadoop
+    FileSystem API instead and accept any URI."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    for f in sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        rec: dict = {"file": os.path.basename(f)}
+        rec: dict = {"file": os.path.relpath(f, path)}
         for c in cols:
             lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+            # hive-partition columns live in directory names, not footers:
+            # report (None, None) = "no stats", which candidate_files must
+            # treat as unprunable, never as prunable
+            if c in idx:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = None, None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
             rec[c] = (lo, hi)
         out.append(rec)
     return out
@@ -145,24 +161,22 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def partition_file_report(path: str) -> list[dict]:
-    """Driver-side walk of a (possibly hive-partitioned) parquet dataset:
-    one dict per partition directory -- ``{"partition": rel_dir ('' for
-    flat), "n_files": int, "bytes": int}``.  Metadata listing only; at
-    cloud scale this is the object-store LIST a table format's manifest
-    replaces."""
-    import os
+def partition_file_report(spark, path: str) -> list[dict]:
+    """Listing of a (possibly hive-partitioned) parquet dataset: one dict
+    per partition directory -- ``{"partition": rel_dir ('' for flat),
+    "n_files": int, "bytes": int}``.  Goes through the Hadoop FileSystem
+    API (``sources.fs``), so ``path`` can be ``hdfs://``/``s3a://``/any
+    configured scheme; on an object store this is exactly the LIST a
+    table format's manifest would replace.  Metadata only -- names and
+    lengths, never file contents."""
+    from . import fs as hfs
 
     groups: dict[str, dict] = {}
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(root, path)
-            key = "" if rel == "." else rel
-            g = groups.setdefault(key, {"n_files": 0, "bytes": 0})
-            g["n_files"] += 1
-            g["bytes"] += os.path.getsize(os.path.join(root, f))
+    for rel, size in hfs.list_files(spark, path, suffix=".parquet"):
+        key = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        g = groups.setdefault(key, {"n_files": 0, "bytes": 0})
+        g["n_files"] += 1
+        g["bytes"] += size
     return [
         {"partition": k, **v} for k, v in sorted(groups.items())
     ]
@@ -202,7 +216,7 @@ def compact_dataset(
     planned file count (hash collisions between buckets can only MERGE
     files, never fragment).  Flat datasets take the same path with a
     single global bucket count."""
-    before = partition_file_report(in_path)
+    before = partition_file_report(spark, in_path)
     plan = compact_plan(before, target_bytes)
     df = spark.read.parquet(in_path)
 
@@ -270,7 +284,7 @@ def compact_dataset(
     return {
         "before": before,
         "plan": plan,
-        "after": partition_file_report(out_path),
+        "after": partition_file_report(spark, out_path),
     }
 
 
@@ -285,8 +299,13 @@ def candidate_files(
     for rec in stats:
         ok = True
         for c, (qlo, qhi) in predicate.items():
-            flo, fhi = rec[c]
-            if flo is None or fhi < qlo or flo > qhi:
+            flo, fhi = rec.get(c, (None, None))
+            if flo is None or fhi is None:
+                # no footer stats for this column (absent stats, or a
+                # hive-partition column): the file cannot be PROVEN
+                # non-matching, so a correct pruner must open it
+                continue
+            if fhi < qlo or flo > qhi:
                 ok = False
                 break
         if ok:

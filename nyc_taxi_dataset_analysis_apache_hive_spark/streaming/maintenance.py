@@ -14,28 +14,39 @@ A replay of batch N therefore rebuilds v=N from exactly the same (state,
 input) pair and overwrites it byte-for-byte -- idempotent, no
 double-counting -- which is the same ledger trick a lakehouse commit log
 uses, in plain parquet directories.
+
+The ledger walk and the version prune go through the Hadoop FileSystem
+API (``sources.fs``), so ``state_path`` may be any URI the session's
+Hadoop configuration resolves -- ``hdfs://``, ``s3a://``, ``file://``,
+or a bare local path -- matching where a long-running cluster stream
+actually keeps its state.
 """
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import sketches
 from ..operators.incremental import merge_hll_rollup
+from ..sources import fs as hfs
 
 _V_RE = re.compile(r"^v=(\d+)$")
 
 
-def _versions(state_path: str) -> list[int]:
-    if not os.path.isdir(state_path):
-        return []
+def _vdir(state_path: str, v: int) -> str:
+    return f"{state_path.rstrip('/')}/v={v}"
+
+
+def _versions(spark: SparkSession, state_path: str) -> list[int]:
+    """Committed ledger versions, via the Hadoop FileSystem API -- so the
+    ledger can live on ``hdfs://``/``s3a://``/any configured scheme, not
+    just a driver-local POSIX path.  One LIST call."""
     out = []
-    for d in os.listdir(state_path):
-        m = _V_RE.match(d)
-        if m and os.path.isdir(os.path.join(state_path, d)):
+    for name in hfs.child_dir_names(spark, state_path):
+        m = _V_RE.match(name)
+        if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -46,10 +57,14 @@ def read_sketch_state(
     """The newest persisted rollup (optionally only versions < ``before``,
     which is what a replaying fold must see).  None before the first
     commit."""
-    vs = [v for v in _versions(state_path) if before is None or v < before]
+    vs = [
+        v
+        for v in _versions(spark, state_path)
+        if before is None or v < before
+    ]
     if not vs:
         return None
-    return spark.read.parquet(os.path.join(state_path, f"v={vs[-1]}"))
+    return spark.read.parquet(_vdir(state_path, vs[-1]))
 
 
 def fold_batch_into_hll(
@@ -86,27 +101,34 @@ def fold_batch_into_hll(
     spark = batch_df.sparkSession
     delta = sketches.sketch_rollup(batch_df, time_col, key_col, grain)
     prev = read_sketch_state(spark, state_path, before=batch_id)
-    if prev is None and batch_id > 0 and _versions(state_path):
+    ledger = _versions(spark, state_path)
+    # "no predecessor in the ledger" has two very different causes:
+    #   * batch_id == min(ledger): this batch IS the ledger's floor -- its
+    #     own earlier commit is the only thing retained.  A replay rebuilds
+    #     v=batch_id from the delta alone, exactly as the original run did
+    #     (maintenance attached mid-stream, or checkpoint numbering that
+    #     does not start at 0).  Legitimate; proceed.
+    #   * min(ledger) > batch_id: the ledger only holds NEWER versions --
+    #     this batch's predecessor (and its own prior commit, if any) were
+    #     pruned, so rebuilding from the delta alone would silently re-base
+    #     the accumulated rollup.  Refuse.
+    # (prev is None already implies min(ledger) >= batch_id, so the two
+    # cases are exhaustive.)
+    if prev is None and batch_id > 0 and ledger and min(ledger) != batch_id:
         raise RuntimeError(
             f"sketch-state ledger at {state_path} has versions "
-            f"{_versions(state_path)} but none below replaying "
+            f"{ledger} but none below replaying "
             f"batch_id={batch_id}: the predecessor state was pruned; "
             "raise keep_versions (>= max replay depth) instead of "
             "silently re-basing the rollup on one batch"
         )
     merged = delta if prev is None else merge_hll_rollup(prev, delta)
-    merged.write.mode("overwrite").parquet(
-        os.path.join(state_path, f"v={batch_id}")
-    )
-    import shutil
-
-    for v in _versions(state_path)[:-keep_versions]:
+    merged.write.mode("overwrite").parquet(_vdir(state_path, batch_id))
+    for v in _versions(spark, state_path)[:-keep_versions]:
         # belt-and-braces: whatever the list slicing says, the direct
         # predecessor (and anything newer) is never pruned
         if v < batch_id - 1:
-            shutil.rmtree(
-                os.path.join(state_path, f"v={v}"), ignore_errors=True
-            )
+            hfs.delete_recursive(spark, _vdir(state_path, v))
 
 
 def hll_maintenance_stream(

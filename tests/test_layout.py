@@ -154,7 +154,7 @@ def test_compact_flat_dataset(spark, lineitem, tmp_path):
     frag = str(tmp_path / "frag")
     out = str(tmp_path / "compacted")
     lineitem.repartition(64).write.parquet(frag)
-    before = layout.partition_file_report(frag)
+    before = layout.partition_file_report(spark, frag)
     assert before[0]["n_files"] == 64
     target = max(1, before[0]["bytes"] // 4)
     res = layout.compact_dataset(spark, frag, out, target_bytes=target)
@@ -181,7 +181,7 @@ def test_compact_partitioned_dataset(spark, sf0001_dir, tmp_path):
         .write.partitionBy("o_orderpriority")
         .parquet(frag)
     )
-    before = layout.partition_file_report(frag)
+    before = layout.partition_file_report(spark, frag)
     assert all(r["n_files"] > 2 for r in before)
     res = layout.compact_dataset(
         spark,
@@ -224,7 +224,7 @@ def test_compact_partitioned_nulls_and_special_chars(spark, tmp_path):
     frag = str(tmp_path / "frag_special")
     out = str(tmp_path / "out_special")
     df.repartition(8).write.partitionBy("part").parquet(frag)
-    before = layout.partition_file_report(frag)
+    before = layout.partition_file_report(spark, frag)
     assert any("__HIVE_DEFAULT_PARTITION__" in r["partition"] for r in before)
     res = layout.compact_dataset(
         spark,
@@ -247,6 +247,49 @@ def test_compact_partitioned_nulls_and_special_chars(spark, tmp_path):
     b = spark.read.parquet(out)
     assert b.count() == a.count()
     assert _crc_sum(a, ["k", "part"]) == _crc_sum(b, ["k", "part"])
+
+
+def test_partition_file_report_over_file_uri(spark, sf0001_dir, tmp_path):
+    """The report lists through the Hadoop FileSystem API: a file:///
+    URI (the code path hdfs://'/s3a:// take) yields the identical report
+    a bare local path does, including hive-partition grouping."""
+    orders = load_table(spark, sf0001_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    frag = tmp_path / "report_uri"
+    orders.repartition(4).write.partitionBy("o_orderpriority").parquet(
+        str(frag)
+    )
+    plain = layout.partition_file_report(spark, str(frag))
+    via_uri = layout.partition_file_report(spark, frag.as_uri())
+    assert plain == via_uri
+    assert len(plain) == 5  # one group per priority dir
+    assert all(r["partition"].startswith("o_orderpriority=") for r in plain)
+    assert all(r["n_files"] == 4 and r["bytes"] > 0 for r in plain)
+
+
+def test_file_stats_recurses_partition_dirs(spark, sf0001_dir, tmp_path):
+    """file_stats walks hive-partition subdirectories: stats cover every
+    data file under the dataset root (relative paths), and a predicate on
+    a PARTITION column -- absent from footers -- must never prune (no
+    stats means the file cannot be proven non-matching)."""
+    orders = load_table(spark, sf0001_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = str(tmp_path / "stats_part")
+    orders.repartition(3).write.partitionBy("o_orderpriority").parquet(root)
+    stats = layout.file_stats(root, ["o_totalprice", "o_orderpriority"])
+    assert len(stats) == 15  # 5 priorities x 3 files
+    assert all("/" in r["file"] for r in stats)  # relative, not basename
+    assert all(r["o_orderpriority"] == (None, None) for r in stats)
+    # partition-col predicate: no footer stats -> conservatively keep all
+    hits = layout.candidate_files(stats, {"o_orderpriority": ("0", "9")})
+    assert len(hits) == len(stats)
+    # real-column predicate still prunes within the recursive stats
+    lo = min(r["o_totalprice"][0] for r in stats)
+    assert 0 < len(
+        layout.candidate_files(stats, {"o_totalprice": (lo, lo)})
+    ) < len(stats)
 
 
 def test_zordered_etl_sink_prunes_files(spark, tmp_path):

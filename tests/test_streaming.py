@@ -423,7 +423,7 @@ def test_hll_maintenance_replay_is_idempotent(spark, events_dir, tmp_path):
     before = snap()
     mnt.fold_batch_into_hll(half_b, 1, state)  # replay the last batch
     assert snap() == before
-    assert mnt._versions(state) == [0, 1]
+    assert mnt._versions(spark, state) == [0, 1]
 
 
 def test_hll_maintenance_keep_versions_floor(spark, events_dir, tmp_path):
@@ -453,7 +453,7 @@ def test_hll_maintenance_raises_past_pruned_window(spark, events_dir, tmp_path):
         mnt.fold_batch_into_hll(
             ev.filter(F.col("event_id") % 4 == bid), bid, state, keep_versions=2
         )
-    assert mnt._versions(state) == [2, 3]  # 0 and 1 pruned
+    assert mnt._versions(spark, state) == [2, 3]  # 0 and 1 pruned
     with pytest.raises(RuntimeError, match="pruned"):
         mnt.fold_batch_into_hll(
             ev.filter(F.col("event_id") % 4 == 1), 1, state, keep_versions=2
@@ -462,7 +462,77 @@ def test_hll_maintenance_raises_past_pruned_window(spark, events_dir, tmp_path):
     mnt.fold_batch_into_hll(
         ev.filter(F.col("event_id") % 4 == 3), 3, state, keep_versions=2
     )
-    assert mnt._versions(state) == [2, 3]
+    assert mnt._versions(spark, state) == [2, 3]
+
+
+def test_hll_maintenance_ledger_over_file_uri(spark, events_dir, tmp_path):
+    """The ledger walk/prune goes through the Hadoop FileSystem API, so
+    ``state_path`` may be any URI the session's Hadoop conf resolves.
+    Exercised via an explicit ``file:///`` URI -- the identical code path
+    an ``hdfs://`` or ``s3a://`` ledger takes, minus the wire."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state_uri = (tmp_path / "state_uri").as_uri()
+    assert state_uri.startswith("file:///")
+    ev = spark.read.parquet(events_dir)
+    for bid in range(4):
+        mnt.fold_batch_into_hll(
+            ev.filter(F.col("event_id") % 4 == bid),
+            bid,
+            state_uri,
+            keep_versions=2,
+        )
+    # listing, pruning, and state read-back all worked through the URI
+    assert mnt._versions(spark, state_uri) == [2, 3]
+    via_uri = {
+        r["period"]: (r["n_rows"], r["n_distinct_est"])
+        for r in sk.distinct_by_period(
+            mnt.read_sketch_state(spark, state_uri)
+        ).collect()
+    }
+    want = {
+        r["period"]: (r["n_rows"], r["n_distinct_est"])
+        for r in sk.distinct_by_period(
+            sk.sketch_rollup(ev, "ts", "user_id")
+        ).collect()
+    }
+    assert via_uri == want
+
+
+def test_hll_maintenance_mid_stream_attach_replay(spark, events_dir, tmp_path):
+    """Replaying the FIRST batch the ledger ever saw must not raise even
+    when its batch_id > 0 (maintenance attached mid-stream, or checkpoint
+    numbering that does not start at 0): the ledger floor is that batch's
+    own prior commit, and rebuilding from the delta alone reproduces it
+    exactly.  Only a replay BELOW the floor -- predecessor genuinely
+    pruned -- may refuse."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "state_mid_attach")
+    ev = spark.read.parquet(events_dir)
+    first = ev.filter(F.col("event_id") % 3 == 0)
+    mnt.fold_batch_into_hll(first, 7, state)  # attached at batch 7
+    assert mnt._versions(spark, state) == [7]
+
+    def snap():
+        return {
+            r["period"]: (r["n_rows"], r["n_distinct_est"])
+            for r in sk.distinct_by_period(
+                mnt.read_sketch_state(spark, state)
+            ).collect()
+        }
+
+    before = snap()
+    mnt.fold_batch_into_hll(first, 7, state)  # legitimate replay: no raise
+    assert snap() == before
+    assert mnt._versions(spark, state) == [7]
+    # a batch BELOW the ledger floor is still refused
+    with pytest.raises(RuntimeError, match="pruned"):
+        mnt.fold_batch_into_hll(first, 5, state)
 
 
 @pytest.mark.skipif(
