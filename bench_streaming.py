@@ -120,6 +120,36 @@ def main() -> None:
         drain_and_measure(spark, sev.tumbling_counts_stream, events_dir, "warmup", "append")
         for name, (fn, mode) in streams.items():
             results[name] = drain_and_measure(spark, fn, events_dir, name, mode)
+        # the modern stateful API needs the protobuf worker protocol plus
+        # the RocksDB state store; bench it where the runtime deps exist,
+        # and RECORD the absence otherwise (a silently missing row would
+        # read as "not benched" rather than "not benchable here")
+        if stateful.tws_available():
+            conf = "spark.sql.streaming.stateStore.providerClass"
+            prev = spark.conf.get(conf, None)
+            spark.conf.set(
+                conf,
+                "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider",
+            )
+            try:
+                results["stateful_totals_v2"] = drain_and_measure(
+                    spark,
+                    stateful.running_user_totals_tws,
+                    events_dir,
+                    "stateful_totals_v2",
+                    "update",
+                )
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf)
+                else:
+                    spark.conf.set(conf, prev)
+        else:
+            results["stateful_totals_v2"] = {
+                "skipped": "transformWithStateInPandas worker protocol "
+                "needs protobuf, absent in this environment"
+            }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
