@@ -175,3 +175,55 @@ def encode_tokens(
         return words.map(enc_doc)
 
     return docs.withColumn(out_col, _enc(tokenize))
+
+
+def bpe_roundtrip_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """One-row self-validation of the whole train->encode path, shaped
+    for a driver oracle: ``(n_bpe_docs, n_bpe_roundtrip,
+    n_bpe_token_sane)`` where a correct tokenizer yields three equal
+    counts (every doc passes both checks), so the oracle side is just
+    ``count(*)`` over the corpus -- the in-plane gate pattern of
+    a10_distinct_counts, applied to an operator SQL cannot express.
+
+    * **roundtrip**: BPE merges only ever concatenate adjacent units of
+      one word, so concatenating a doc's encoded tokens must reproduce
+      its tokenized words verbatim (each word ``</w>``-terminated).  Any
+      mangling in the merge table, the rank-priority encode loop, or the
+      Arrow batch plumbing breaks the equality.
+    * **token_sane**: per doc, ``n_words <= n_bpe_tokens <=
+      sum(len(word) + 1)`` -- encoding never drops a word and never
+      splits beyond characters + the end-of-word sentinel.
+
+    Both checks are JVM-side expressions over the encoded array; the only
+    Python in the plan is the encode UDF under audit."""
+    wc = word_counts(docs, text_col)
+    merges = bpe_train(
+        top_words(wc, max_words), n_merges=n_merges, max_words=max_words
+    )
+    enc = encode_tokens(docs, merges, text_col)
+    # NULL text must audit like an empty doc (0 <= 0 <= 0), not poison
+    # the bounds comparison into NULL
+    toks = F.coalesce(
+        tokens(text_col), F.array().cast("array<string>")
+    )
+    expected = F.concat_ws(
+        "", F.transform(toks, lambda w: F.concat(w, F.lit(EOW)))
+    )
+    joined = F.concat_ws("", F.col("bpe_tokens"))
+    n_words = F.size(toks)
+    n_bpe = F.size(F.col("bpe_tokens"))
+    max_units = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w) + F.lit(1)
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_bpe_docs"),
+        F.sum((joined == expected).cast("long")).alias("n_bpe_roundtrip"),
+        F.sum(
+            ((n_bpe >= n_words) & (n_bpe <= max_units)).cast("long")
+        ).alias("n_bpe_token_sane"),
+    )

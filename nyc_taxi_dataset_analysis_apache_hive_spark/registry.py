@@ -37,6 +37,7 @@ from .functions.text import (
 )
 from .operators import (
     asof,
+    bpe,
     cohorts,
     dedup,
     incremental,
@@ -2909,7 +2910,12 @@ _PL1_ORACLE = rf"""
            CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 1
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_val,
            CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 2
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_test
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_test,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_bpe_docs,
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+             AS n_bpe_roundtrip,
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+             AS n_bpe_token_sane
     FROM final
 """.format(d3=ORACLES["d3_minhash_lsh_pairs"])
 
@@ -2931,9 +2937,17 @@ def pl1_curation_funnel(spark, sf):
     (``max_pii_hits=inf`` -> ``n_pii_heavy`` deterministically 0 on both
     sides); the full-default funnel including the PII leg stays
     value-gated in pytest (tests/test_pipeline.py,
-    tests/test_text_hygiene.py)."""
-    return pipeline.curation_report(
-        pipeline.curate_corpus(
-            _t(spark, sf, "documents"), rules={"max_pii_hits": float("inf")}
-        )
+    tests/test_text_hygiene.py).
+
+    Since r7 the funnel row also carries the tokenizer-stage audit
+    (``n_bpe_docs`` / ``n_bpe_roundtrip`` / ``n_bpe_token_sane``): BPE is
+    trained on the corpus and every document's encode is
+    roundtrip-verified in-plane (bpe.bpe_roundtrip_audit) -- the oracle
+    expects all three counts to equal ``count(*)``, so any encode defect
+    turns the driver row red.  The 1x1 cross join of the two single-row
+    sides is the J1 scalar-join shape (both sides broadcast)."""
+    docs = _t(spark, sf, "documents")
+    report = pipeline.curation_report(
+        pipeline.curate_corpus(docs, rules={"max_pii_hits": float("inf")})
     )
+    return report.crossJoin(bpe.bpe_roundtrip_audit(docs))

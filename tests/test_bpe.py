@@ -150,6 +150,35 @@ def test_bpe_train_guards_oversized_collect(wc):
         bpe.bpe_train(wc, n_merges=5, max_words=10)
 
 
+def test_roundtrip_audit_all_green_on_corpus(docs):
+    """The driver-facing audit row (pl1's op='bpe' leg): every document
+    passes roundtrip + token-count sanity, so all three counts equal the
+    corpus size -- exactly what the DuckDB oracle asserts."""
+    [r] = bpe.bpe_roundtrip_audit(docs).collect()
+    n = docs.count()
+    assert (r["n_bpe_docs"], r["n_bpe_roundtrip"], r["n_bpe_token_sane"]) \
+        == (n, n, n)
+
+
+def test_roundtrip_audit_adversarial_corpus(spark):
+    """Audit stays green on text the tokenizer must normalize away:
+    punctuation runs, digits, unicode, empty and NULL bodies (zero-token
+    docs roundtrip as the empty string and satisfy 0 <= 0 <= 0)."""
+    rows = [
+        (1, "Hello, WORLD!!  hello world"),
+        (2, "123 abc123abc 99bottles"),
+        (3, "café naïve 中文 emoji \U0001f600"),
+        (4, ""),
+        (5, None),
+        (6, "a" * 500),
+        (7, "one-token"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = bpe.bpe_roundtrip_audit(docs, n_merges=10).collect()
+    assert (r["n_bpe_docs"], r["n_bpe_roundtrip"], r["n_bpe_token_sane"]) \
+        == (7, 7, 7)
+
+
 def test_top_words_caps_deterministically(docs, wc):
     """top_words keeps exactly the N highest-count words (ties broken
     lexicographically) so a capped training table is reproducible."""
