@@ -21,6 +21,8 @@ oracle can reproduce signatures exactly (md5 is identical everywhere).
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -492,6 +494,46 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+@_contextmanager
+def _checkpoint_subdir(sc, checkpoint_dir: str, prefix: str):
+    """Point the SparkContext's GLOBAL checkpoint location at a fresh
+    ``checkpoint_dir/<prefix>-<uuid>`` for the duration of the block and
+    restore the previous location (set or unset) exactly on exit.
+
+    The unique subdirectory keeps this caller's checkpoint bookkeeping
+    from ever touching checkpoints written by other users of the context;
+    the exact restore matters because ``getCheckpointDir()`` returns the
+    RESOLVED location (Spark's ``setCheckpointDir`` appends its own
+    random-UUID subdirectory), so restoring through the public setter
+    would nest the app-global location one directory deeper per call.
+    The faithful restore writes the Scala var directly
+    (``checkpointDir_$eq`` with the saved Option -- internal API, present
+    in Spark 3.x-4.x but unguaranteed); the public-setter fallback is
+    lossy-but-safe."""
+    import uuid
+
+    prev_ck = sc.getCheckpointDir()
+    ck_sub = f"{checkpoint_dir.rstrip('/')}/{prefix}-{uuid.uuid4().hex}"
+    sc.setCheckpointDir(ck_sub)
+    try:
+        yield ck_sub
+    finally:
+        try:
+            # scala.Option.apply(null) is None, so this restores "unset"
+            # exactly as well as a previously-resolved directory.
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(prev_ck)
+            )
+        except Exception:
+            try:
+                if prev_ck is not None:
+                    # lossy fallback: re-resolves one extra UUID level, but
+                    # later checkpoints still land under the user's tree
+                    sc.setCheckpointDir(prev_ck)
+            except Exception:
+                pass  # best-effort; never mask the real result/error
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -559,20 +601,8 @@ def connected_components(
             on_nonconvergence,
         )
 
-    import uuid
-
     sc = pairs.sparkSession.sparkContext
-    # getCheckpointDir() returns the RESOLVED location (Spark's
-    # setCheckpointDir appends its own random-UUID subdirectory), so
-    # restoring through the public setter would wrap the saved value in a
-    # fresh UUID level on every call -- the app-global checkpoint location
-    # would nest one directory deeper per invocation.  The faithful restore
-    # writes the Scala var directly (checkpointDir_$eq with the saved
-    # Option); the public-setter fallback below is lossy-but-safe.
-    prev_ck = sc.getCheckpointDir()
-    ck_sub = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
-    sc.setCheckpointDir(ck_sub)
-    try:
+    with _checkpoint_subdir(sc, checkpoint_dir, "cc") as ck_sub:
 
         def _hadoop_fs():
             hpath = sc._jvm.org.apache.hadoop.fs.Path(ck_sub)
@@ -630,26 +660,6 @@ def connected_components(
         return _propagate_min_labels(
             pairs, a_col, b_col, max_iter, _ckpt, on_nonconvergence
         )
-    finally:
-        try:
-            # scala.Option.apply(null) is None, so this restores "unset"
-            # exactly as well as a previously-resolved directory.
-            # checkpointDir_$eq is the Scala-generated setter of
-            # SparkContext's private[spark] var -- internal API, present in
-            # Spark 3.x-4.x but unguaranteed; if a future Spark drops it we
-            # fall through to the lossy-but-safe public setter below (and
-            # the pytest exact-restore assertion is gated on availability).
-            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                sc._jvm.scala.Option.apply(prev_ck)
-            )
-        except Exception:
-            try:
-                if prev_ck is not None:
-                    # lossy fallback: re-resolves one extra UUID level, but
-                    # later checkpoints still land under the user's tree
-                    sc.setCheckpointDir(prev_ck)
-            except Exception:
-                pass  # best-effort; never mask the real result/error
 
 
 def _propagate_min_labels(
@@ -810,6 +820,7 @@ def winnow_near_pairs(
     threshold: float = 0.35,
     max_doc_freq: int | None = 50,
     text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs whose winnowed RARE-print sets
     overlap at >= ``threshold`` Jaccard -- near-dup detection over
@@ -833,14 +844,50 @@ def winnow_near_pairs(
     equi-join on the 60-bit print (never all-pairs), count common prints
     per candidate pair, verify against the filtered set sizes.
 
-    The print table is materialized ONCE (localCheckpoint, the CC-loop
-    idiom): it feeds the doc-frequency pass and BOTH sides of the
-    self-join, and those subtrees cannot share an exchange -- without
-    the cut the per-char md5 + winnow pass re-runs four times.  On a
-    cluster substitute persist() + a reliable checkpoint dir exactly as
-    connected_components documents.
+    The print table is materialized ONCE (the CC-loop idiom): it feeds
+    the doc-frequency pass and BOTH sides of the self-join, and those
+    subtrees cannot share an exchange -- without the cut the per-char
+    md5 + winnow pass re-runs four times.
+
+    ``checkpoint_dir``: by default the cuts are ``localCheckpoint`` --
+    executor-local, fine on local[*] but lost on executor failure.  Pass
+    a reliable (HDFS/S3) directory for cluster runs: the cuts become
+    ``checkpoint()`` into a unique per-call subdirectory, surviving
+    executor loss.  The checkpointed print/index frames BACK the
+    returned DataFrame, so the subdirectory must outlive its
+    consumption -- cleanup of ``checkpoint_dir`` is the caller's
+    (typically the job teardown's), exactly as with any
+    ``sc.setCheckpointDir`` workload.
     """
-    ps = winnow_prints(docs, k, window, text_col).localCheckpoint(eager=True)
+    if checkpoint_dir is None:
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+        return _winnow_near_pairs_body(
+            docs, k, window, threshold, max_doc_freq, text_col, _cut
+        )
+    with _checkpoint_subdir(
+        docs.sparkSession.sparkContext, checkpoint_dir, "winnow"
+    ):
+        # checkpoint() is eager here, so both cuts materialize inside the
+        # managed block; the restored global location never sees them
+        return _winnow_near_pairs_body(
+            docs, k, window, threshold, max_doc_freq, text_col,
+            lambda df: df.checkpoint(eager=True),
+        )
+
+
+def _winnow_near_pairs_body(
+    docs: DataFrame,
+    k: int,
+    window: int,
+    threshold: float,
+    max_doc_freq: int | None,
+    text_col: str,
+    _cut,
+) -> DataFrame:
+    """Shared plan of :func:`winnow_near_pairs` over either cut flavor."""
+    ps = _cut(winnow_prints(docs, k, window, text_col))
     inv = ps.select("doc_id", F.explode("prints").alias("p"))
     if max_doc_freq is not None:
         hot = (
@@ -849,7 +896,7 @@ def winnow_near_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("p")
         )
-        inv = inv.join(hot, "p", "left_anti").localCheckpoint(eager=True)
+        inv = _cut(inv.join(hot, "p", "left_anti"))
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_p"))
     a = inv.select(F.col("doc_id").alias("doc_a"), "p")
     b = inv.select(F.col("doc_id").alias("doc_b"), "p")

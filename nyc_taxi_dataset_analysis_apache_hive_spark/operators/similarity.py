@@ -390,6 +390,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
     centroid_offset: int = 100,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): drop documents whose EMBEDDINGS are
@@ -483,7 +484,12 @@ def semantic_dedup(
         .filter(F.col("cosine") >= threshold)
     )
 
-    comp = _dedup.connected_components(pairs, a_col="id_a", b_col="id_b")
+    # checkpoint_dir (reliable HDFS/S3 checkpoints for cluster runs, vs
+    # the local[*] default of executor-local localCheckpoint) flows to
+    # the one iterative stage, the CC label loop
+    comp = _dedup.connected_components(
+        pairs, a_col="id_a", b_col="id_b", checkpoint_dir=checkpoint_dir
+    )
     return (
         emb.select("vec_id")
         .join(comp, emb.vec_id == comp.doc_id, "left")

@@ -126,3 +126,22 @@ def test_semantic_dedup_pair_join_is_equi_join(spark, sf0001_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_reliable_checkpoint_mode_matches_local(
+    spark, sf0001_dir, tmp_path
+):
+    """checkpoint_dir= flows through to the CC label loop: identical
+    (vec_id, sem_cluster, keep) output in both cut modes."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    want = {
+        (r["vec_id"], r["sem_cluster"], r["keep"])
+        for r in similarity.semantic_dedup(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["vec_id"], r["sem_cluster"], r["keep"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.9, checkpoint_dir=str(tmp_path / "sem_ck")
+        ).collect()
+    }
+    assert got == want and want
