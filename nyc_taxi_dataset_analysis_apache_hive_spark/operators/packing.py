@@ -19,7 +19,7 @@ O(L/B) regardless of shard count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -155,4 +155,119 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             "p90_fill"
         ),
         F.sum((fill > 1.0).cast("long")).alias("oversize_bins"),
+    )
+
+
+def packing_audit(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row self-validation of :func:`pack_sequences`, shaped for a
+    driver oracle (the bpe_roundtrip_audit pattern): a correct packer
+    yields ``n_pack_docs == count(*)`` and every violation counter 0, so
+    the oracle side needs no greedy replay -- only the corpus count and
+    literal zeros.  The greedy fold itself is the one Python stage; every
+    invariant below is checked with JVM-side windows/aggregates over its
+    output:
+
+    * ``n_pack_token_drift`` -- |sum of packed n_tokens - sum of the same
+      JVM token count over the input|: 0 unless the Arrow boundary
+      dropped/duplicated/resized a document.
+    * ``n_pack_capacity_viol`` -- multi-document bins over ``budget``
+      (single-doc bins MAY exceed it: the documented oversize rule).
+    * ``n_pack_offset_viol`` -- docs whose ``offset`` differs from the
+      running sum of preceding docs in their bin (ascending ``id_col``).
+    * ``n_pack_greedy_viol`` -- bins whose first document would have fit
+      in the previous bin (greedy first-fit never opens a bin early;
+      0-token docs always fit, so every non-first bin must violate
+      ``prev_bin_tokens + first_tokens <= budget``).
+    * ``n_pack_bin_gap_viol`` -- shards whose bin ids are not contiguous
+      from 0.
+
+    Plan shape: ONE pass through the packed output (the windows and
+    aggregates stack on a single lineage, so ``applyInPandas`` executes
+    once), aggregated doc -> bin -> shard -> global, cross-joined with
+    the 1-row input-side token total (J1 scalar shape)."""
+    packed = pack_sequences(docs, budget, n_shards, id_col)
+    in_total = docs.select(
+        F.sum(
+            F.greatest(
+                F.coalesce(token_count_ws("text"), F.lit(0)), F.lit(0)
+            )
+        ).alias("in_tokens")
+    )
+    w_prefix = (
+        Window.partitionBy("shard", "bin_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = packed.withColumn(
+        "_off_viol",
+        (
+            F.col("offset")
+            != F.coalesce(F.sum("n_tokens").over(w_prefix), F.lit(0))
+        ).cast("long"),
+    )
+    per_bin = per_doc.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("bin_docs"),
+        F.min_by("n_tokens", F.col(id_col)).alias("first_tokens"),
+        F.sum("_off_viol").alias("off_viols"),
+    )
+    w_shard = Window.partitionBy("shard").orderBy("bin_id")
+    per_bin = per_bin.withColumn(
+        "prev_tokens", F.lag("bin_tokens").over(w_shard)
+    )
+    per_shard = per_bin.groupBy("shard").agg(
+        F.sum("bin_docs").alias("docs"),
+        F.sum("bin_tokens").alias("tokens"),
+        F.sum("off_viols").alias("off_viols"),
+        F.sum(
+            (
+                (F.col("bin_docs") > 1) & (F.col("bin_tokens") > budget)
+            ).cast("long")
+        ).alias("cap_viols"),
+        F.sum(
+            (
+                F.col("prev_tokens").isNotNull()
+                & (F.col("prev_tokens") + F.col("first_tokens") <= budget)
+            ).cast("long")
+        ).alias("greedy_viols"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.min("bin_id").alias("min_bin"),
+        F.max("bin_id").alias("max_bin"),
+    )
+    audit = per_shard.agg(
+        F.sum("docs").alias("n_pack_docs"),
+        F.sum("tokens").alias("out_tokens"),
+        F.sum("off_viols").alias("n_pack_offset_viol"),
+        F.sum("cap_viols").alias("n_pack_capacity_viol"),
+        F.sum("greedy_viols").alias("n_pack_greedy_viol"),
+        F.sum(
+            (
+                (F.col("min_bin") != 0)
+                | (F.col("max_bin") != F.col("n_bins") - 1)
+            ).cast("long")
+        ).alias("n_pack_bin_gap_viol"),
+    )
+    return audit.crossJoin(in_total).select(
+        F.coalesce("n_pack_docs", F.lit(0)).alias("n_pack_docs"),
+        F.abs(
+            F.coalesce("out_tokens", F.lit(0))
+            - F.coalesce("in_tokens", F.lit(0))
+        ).alias("n_pack_token_drift"),
+        F.coalesce("n_pack_capacity_viol", F.lit(0)).alias(
+            "n_pack_capacity_viol"
+        ),
+        F.coalesce("n_pack_offset_viol", F.lit(0)).alias(
+            "n_pack_offset_viol"
+        ),
+        F.coalesce("n_pack_greedy_viol", F.lit(0)).alias(
+            "n_pack_greedy_viol"
+        ),
+        F.coalesce("n_pack_bin_gap_viol", F.lit(0)).alias(
+            "n_pack_bin_gap_viol"
+        ),
     )

@@ -42,6 +42,7 @@ from .operators import (
     dedup,
     incremental,
     multimodal,
+    packing,
     pipeline,
     sampling,
     similarity,
@@ -2915,7 +2916,13 @@ _PL1_ORACLE = rf"""
            CAST((SELECT count(*) FROM documents) AS BIGINT)
              AS n_bpe_roundtrip,
            CAST((SELECT count(*) FROM documents) AS BIGINT)
-             AS n_bpe_token_sane
+             AS n_bpe_token_sane,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pack_docs,
+           CAST(0 AS BIGINT) AS n_pack_token_drift,
+           CAST(0 AS BIGINT) AS n_pack_capacity_viol,
+           CAST(0 AS BIGINT) AS n_pack_offset_viol,
+           CAST(0 AS BIGINT) AS n_pack_greedy_viol,
+           CAST(0 AS BIGINT) AS n_pack_bin_gap_viol
     FROM final
 """.format(d3=ORACLES["d3_minhash_lsh_pairs"])
 
@@ -2944,10 +2951,20 @@ def pl1_curation_funnel(spark, sf):
     trained on the corpus and every document's encode is
     roundtrip-verified in-plane (bpe.bpe_roundtrip_audit) -- the oracle
     expects all three counts to equal ``count(*)``, so any encode defect
-    turns the driver row red.  The 1x1 cross join of the two single-row
-    sides is the J1 scalar-join shape (both sides broadcast)."""
+    turns the driver row red.  The 1x1 cross joins of the single-row
+    sides are the J1 scalar-join shape (all sides broadcast).
+
+    r7 also adds the sequence-PACKING stage audit
+    (packing.packing_audit): greedy first-fit packing at budget=256 ws
+    tokens over 8 md5 shards, with doc conservation, token drift across
+    the Arrow boundary, bin capacity, offset prefix-sums, greedy
+    tightness, and bin contiguity all checked in-plane -- the oracle
+    expects ``n_pack_docs == count(*)`` and zero violations."""
     docs = _t(spark, sf, "documents")
     report = pipeline.curation_report(
         pipeline.curate_corpus(docs, rules={"max_pii_hits": float("inf")})
     )
-    return report.crossJoin(bpe.bpe_roundtrip_audit(docs))
+    return (
+        report.crossJoin(bpe.bpe_roundtrip_audit(docs))
+        .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
+    )

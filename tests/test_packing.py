@@ -159,3 +159,51 @@ def test_packing_stats_hand_computed(spark):
 
     with pytest.raises(ValueError, match="budget"):
         packing.packing_stats(packed, budget=0)
+
+
+def test_packing_audit_all_green_on_corpus(spark):
+    """The driver-facing audit row (pl1's packing leg): doc conservation,
+    zero token drift across the Arrow boundary, and zero
+    capacity/offset/greedy/contiguity violations on the real corpus."""
+    docs = load_table(spark, SF, "documents")
+    [r] = packing.packing_audit(docs, budget=256, n_shards=8).collect()
+    assert r["n_pack_docs"] == docs.count()
+    for c in (
+        "n_pack_token_drift",
+        "n_pack_capacity_viol",
+        "n_pack_offset_viol",
+        "n_pack_greedy_viol",
+        "n_pack_bin_gap_viol",
+    ):
+        assert r[c] == 0, c
+
+
+def test_packing_audit_catches_a_broken_packer(spark, monkeypatch):
+    """The invariants actually bite: corrupt the packer's output (shift
+    every offset, merge two bins) and the audit counters go nonzero --
+    proof the driver gate would catch a packing regression, not just
+    rubber-stamp it."""
+    docs = load_table(spark, SF, "documents").limit(120)
+    real = packing.pack_sequences
+
+    def corrupted(d, budget, n_shards=8, id_col="doc_id", token_col=None):
+        out = real(d, budget, n_shards, id_col, token_col)
+        # offsets shifted by 1 token; bin 1 relabeled into bin 0
+        return out.select(
+            id_col,
+            "n_tokens",
+            "shard",
+            F.when(F.col("bin_id") == 1, F.lit(0))
+            .otherwise(F.col("bin_id"))
+            .alias("bin_id"),
+            (F.col("offset") + 1).alias("offset"),
+        )
+
+    monkeypatch.setattr(packing, "pack_sequences", corrupted)
+    [r] = packing.packing_audit(docs, budget=256, n_shards=8).collect()
+    assert r["n_pack_offset_viol"] > 0
+    assert (
+        r["n_pack_capacity_viol"] > 0
+        or r["n_pack_bin_gap_viol"] > 0
+        or r["n_pack_greedy_viol"] > 0
+    )
