@@ -2093,6 +2093,14 @@ def a10_distinct_counts(spark, sf):
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey, p.p_brand
+    UNION ALL
+    SELECT 'bucket_join_counts' AS op, CAST(NULL AS BIGINT) AS key,
+           o_orderpriority AS name, CAST(count(*) AS BIGINT) AS val
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'bucket_join_noshuffle' AS op, CAST(NULL AS BIGINT) AS key,
+           'zero_exchange' AS name, CAST(1 AS BIGINT) AS val
     """,
 )
 def j5_join_surface(spark, sf):
@@ -2109,7 +2117,20 @@ def j5_join_surface(spark, sf):
     shape (lineitem fact + part/supplier dims) feeding a two-key
     aggregate -- the TPC-H altitude every warehouse join reorderer is
     judged on.  Each branch plans independently; the union adds no
-    shuffle."""
+    shuffle.
+
+    ``bucket_join_counts`` / ``bucket_join_noshuffle`` (r7) make the S2
+    bucketing claim driver-visible: orders and lineitem are written as
+    co-bucketed catalog tables (bucketBy the join key, sortBy, external
+    location under the system temp dir), merge-join-hinted so the tiny
+    SF cannot broadcast away the evidence, and the JOIN subplan is
+    asserted Exchange-free with bucket reads
+    (``SelectedBucketsCount``) -- the boolean rides in-plane as the
+    ``bucket_join_noshuffle`` row the oracle expects val=1, while the
+    join's VALUES oracle against the raw tables.  This is exactly the
+    co-located-join layout a 100-TB fact-fact join relies on: both
+    sides pre-shuffled once at write time, every subsequent join free
+    of exchanges."""
     c = _t(spark, sf, "customer")
     big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
     o = _t(spark, sf, "orders")
@@ -2163,12 +2184,68 @@ def j5_join_surface(spark, sf):
             F.col("n_items").cast("long").alias("val"),
         )
     )
+    bucket_counts, bucket_ok = _bucketed_join_leg(spark, sf)
     return (
         semi.unionByName(anti)
         .unionByName(outer)
         .unionByName(chain)
         .unionByName(star)
+        .unionByName(bucket_counts)
+        .unionByName(bucket_ok)
     )
+
+
+def _bucketed_join_leg(spark, sf) -> tuple[DataFrame, DataFrame]:
+    """The S2 co-located-join evidence for j5: write orders/lineitem
+    co-bucketed on the join key, merge-join them, and return (per-priority
+    count rows, the in-plane zero-Exchange boolean row).
+
+    The bucketed tables are (re)written per call -- idempotent overwrite
+    into an sf-keyed external location + catalog name, so concurrent
+    sf_dirs never collide and a repeated driver call just rewrites the
+    same files.  Projection keeps the write tiny (2 columns a side).  The
+    plan probe inspects the JOIN subtree only (the aggregate above it
+    legitimately exchanges on its own grouping key)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/spark_graft_j5_buckets_{tag}"
+    o_name, l_name = f"j5b_orders_{tag}", f"j5b_items_{tag}"
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").select("l_orderkey")
+    for df, name, key in ((o, o_name, "o_orderkey"), (li, l_name, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    ob, lb = spark.table(o_name), spark.table(l_name)
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    no_shuffle = ("Exchange" not in plan) and ("SelectedBucketsCount" in plan)
+    nullk = F.lit(None).cast("long").alias("key")
+    counts = (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("bucket_join_counts").alias("op"),
+            nullk,
+            F.col("o_orderpriority").alias("name"),
+            F.col("n").cast("long").alias("val"),
+        )
+    )
+    ok = spark.range(1).select(
+        F.lit("bucket_join_noshuffle").alias("op"),
+        nullk,
+        F.lit("zero_exchange").alias("name"),
+        F.lit(1 if no_shuffle else 0).cast("long").alias("val"),
+    )
+    return counts, ok
 
 
 @register(

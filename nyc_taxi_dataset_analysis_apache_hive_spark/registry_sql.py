@@ -466,6 +466,18 @@ SQL_QUERIES: dict[str, str] = {
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_nationkey, p.p_brand
+        UNION ALL
+        -- the bucketed leg's VALUES over the raw views (SQL text joins the
+        -- same rows; the bucketed physical layout + zero-Exchange plan
+        -- probe are DataFrame-side evidence, so the noshuffle row is the
+        -- contract literal here)
+        SELECT 'bucket_join_counts' AS op, CAST(NULL AS BIGINT) AS key,
+               o_orderpriority AS name, CAST(count(*) AS BIGINT) AS val
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'bucket_join_noshuffle' AS op, CAST(NULL AS BIGINT) AS key,
+               'zero_exchange' AS name, CAST(1 AS BIGINT) AS val
     """,
     "f9_case_segmentation": """
         SELECT price_segment, count(*) AS cnt,

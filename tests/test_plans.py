@@ -150,11 +150,28 @@ def test_no_python_udf_in_reference_surface(spark):
     reference_queries = [
         n
         for n in registry.QUERIES
-        if n[0] in "apswofju" and not n.startswith("m")
+        # 'p' catches the pipeline extension pl1 too: it is NOT reference
+        # surface and (since r7) legitimately carries the two sanctioned
+        # Arrow-batched stages (BPE encode, packing's applyInPandas), so
+        # it is excluded here; its own plan gate is
+        # test_pipeline_python_stages_are_arrow_batched below.
+        if n[0] in "apswofju"
+        and not n.startswith("m")
+        and not n.startswith("pl")
     ]
     for name in reference_queries:
         plan = explain_str(_q(spark, name), "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_pipeline_python_stages_are_arrow_batched(spark):
+    """pl1 is allowed Python stages (BPE encode, the packing fold) but
+    ONLY Arrow-batched ones: ArrowEvalPython / FlatMapGroupsInPandas may
+    appear, row-at-a-time BatchEvalPython must not."""
+    plan = explain_str(_q(spark, "pl1_curation_funnel"), "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the BPE encode pandas_udf
+    assert "FlatMapGroupsInPandas" in plan  # the packing applyInPandas
 
 
 def test_sql_mode_keeps_scale_safe_plans(spark):
