@@ -48,8 +48,17 @@ def _trunc4(col):
     shortest decimal representation (0.84025) -- observed 0.8402 vs
     0.8403 at sf0.1.  floor(x*1e4)/1e4 is the same IEEE multiply/floor/
     divide everywhere, so identical input doubles give identical output
-    in every engine."""
-    return F.floor(col * 10000.0) / 10000.0
+    in every engine.
+
+    The ``+ 1e-7`` nudge keeps truncation from undershooting a full
+    bucket when the exact decimal value sits ON a 1e-4 boundary but its
+    binary expansion lands just below (0.3 computed as 0.2999999999...93
+    would otherwise truncate to 0.2999, not 0.3000).  1e-7 is three
+    decimal orders below the bucket width, so it can never promote a
+    value that is genuinely inside a bucket; it must appear IDENTICALLY
+    in every engine surface (this function, registry_sql's SQL text,
+    registry's DuckDB oracles) or parity breaks."""
+    return F.floor(col * 10000.0 + 1e-7) / 10000.0
 
 
 def _lang_pred(langs: list[str], hits: dict):

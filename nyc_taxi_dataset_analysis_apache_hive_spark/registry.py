@@ -1544,7 +1544,7 @@ _ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
              AS stopword_ratio,
            floor((least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
                  + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
-                 + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0) / 10000.0 AS quality_score,
+                 + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0 + 1e-7) / 10000.0 AS quality_score,
            lang AS lang_true,
            CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred,
            n_lines, dup_line_frac, terminal_punct_line_frac,
@@ -2936,7 +2936,7 @@ _PL1_ORACLE = rf"""
       SELECT doc_id, n_tokens_ws,
              floor((least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
                    + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
-                   + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0) / 10000.0 AS quality_score,
+                   + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0 + 1e-7) / 10000.0 AS quality_score,
              CASE WHEN len(lines) > 0 THEN
                round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
              ELSE 0.0 END AS dup_line_frac

@@ -961,7 +961,8 @@ SQL_QUERIES: dict[str, str] = {
                      + least(coalesce(hits_en
                          / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0D), 0.0D) * 5,
                          1.0D) * 0.3D
-                     + (1 - least(pr * 10, 1.0D)) * 0.3D) * 10000.0D)
+                     + (1 - least(pr * 10, 1.0D)) * 0.3D) * 10000.0D
+                     + 1e-7)
                  / 10000.0D AS quality_score,
                lang AS lang_true,
                CASE WHEN best = 0 THEN 'und'
