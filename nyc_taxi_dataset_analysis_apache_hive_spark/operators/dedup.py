@@ -919,3 +919,111 @@ def _winnow_near_pairs_body(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram scrubbing (repeated-span REMOVAL, not pair detection)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    ngram_n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove word n-gram spans that repeat across >= ``min_docs`` distinct
+    documents; per-doc scrub report ``(doc_id, n_tokens, n_kept,
+    n_dropped, scrub_fp)``.
+
+    The REWRITE companion of the detection operators (d3/d4/winnow): where
+    those *find* near-duplicate documents, this scrubs *intra-corpus
+    boilerplate spans* (headers, license blurbs, navigation chrome) out of
+    otherwise-unique documents -- the span-level dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) approximated at word-``ngram_n`` granularity, which
+    keeps every stage a built-in-function composition (no suffix arrays,
+    no Python).
+
+    Plan shape and the 100-TB story:
+
+    1. gram pass -- map-side array HOFs build ``(start, md5(gram))`` per
+       doc (1-based starts, the ``slice`` convention); the md5 keeps the
+       shuffle key constant-width AND engine-portable (the oracle applies
+       the identical hash, so hash collisions -- which would merge two
+       grams' doc-frequencies -- are bit-identical across engines).
+    2. heavy set -- ONE groupBy(gram) countDistinct(doc_id); partial
+       aggregation collapses hot boilerplate grams map-side, so even a
+       million-doc license line reaches the shuffle as ~1 row/partition.
+       Boilerplate is by definition a tiny fraction of distinct grams
+       (550 of 238k at sf0.1), so the heavy set BROADCASTS.
+    3. hit starts -- broadcast-join the gram table against the heavy set,
+       collect_set(start) per doc: shuffles only (doc_id, tiny int array)
+       for docs that contain boilerplate at all.
+    4. rebuild -- map-side: expand hit starts to covered positions
+       (flatten/transform/sequence), keep uncovered tokens in original
+       order via the index-lambda ``filter``, fingerprint the scrubbed
+       text.  No second shuffle; docs with no hits left-join to NULL and
+       keep everything.
+
+    Token order is load-bearing: kept tokens rejoin in document order, so
+    ``scrub_fp`` is the md5 of the text a downstream trainer would
+    actually see (value-verified against the DuckDB oracle).  The token
+    pass runs twice (gram pass + rebuild) -- a deliberate recompute of a
+    cheap codegen'd split, same trade as ngram_jaccard_pairs; at 100 TB
+    both consumers pipeline over one scan of the parquet column each.
+    """
+    toks = docs.select("doc_id", tokens(text_col).alias("ws"))
+    starts_seq = F.when(
+        F.size("ws") >= ngram_n,
+        F.sequence(F.lit(1), F.size("ws") - (ngram_n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_structs = F.transform(
+        starts_seq,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.md5(F.array_join(F.slice(F.col("ws"), i, ngram_n), " ")).alias(
+                "g"
+            ),
+        ),
+    )
+    grams = toks.select("doc_id", F.explode(gram_structs).alias("x")).select(
+        "doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g")
+    )
+    heavy = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = (
+        grams.join(F.broadcast(heavy), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(starts, lambda s: F.sequence(s, s + (ngram_n - 1)))
+        )
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda x, idx: ~F.array_contains(F.col("_cov"), idx + F.lit(1)),
+    )
+    return (
+        toks.join(hits, "doc_id", "left")
+        .select("doc_id", "ws", covered.alias("_cov"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_tokens"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_dropped"),
+            F.md5(F.array_join(F.col("_kept"), " ")).alias("scrub_fp"),
+        )
+    )

@@ -3045,3 +3045,62 @@ def pl1_curation_funnel(spark, sf):
         report.crossJoin(bpe.bpe_roundtrip_audit(docs))
         .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
     )
+
+
+@register(
+    "d8_boilerplate_scrub",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS g
+      FROM toks,
+           unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t) - 3)
+                  ELSE [] END) AS u(i)
+    ),
+    heavy AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+    ),
+    hits AS (
+      SELECT doc_id, list(DISTINCT i) AS starts
+      FROM g JOIN heavy USING (g) GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT toks.doc_id, t,
+             list_distinct(flatten(list_transform(coalesce(starts, []),
+                                                  s -> range(s, s + 5))))
+               AS covered
+      FROM toks LEFT JOIN hits USING (doc_id)
+    ),
+    scrub AS (
+      SELECT doc_id, t,
+             list_filter(t, (x, i) -> NOT list_contains(covered, i)) AS kept
+      FROM cov
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_dropped,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_fp
+    FROM scrub
+    ORDER BY doc_id
+    """,
+)
+def d8_boilerplate_scrub(spark, sf):
+    """Boilerplate-span REMOVAL: word 5-grams occurring in >= 3 distinct
+    documents are scrubbed from every document, and the per-doc report
+    (token counts + md5 fingerprint of the scrubbed text) is
+    value-verified.  The rewrite companion of the d3/d4/winnow detection
+    operators -- span-level dedup in the sense of Lee et al. 2021
+    (arXiv:2107.06499) at word-5-gram granularity; see
+    operators/dedup.boilerplate_scrub for the 4-stage plan shape
+    (map-side gram HOFs -> one gram aggregate -> broadcast heavy-set join
+    -> map-side ordered rebuild).  ``scrub_fp`` hashing the REBUILT text
+    makes the oracle sensitive to token order, coverage arithmetic, and
+    the 1-based slice convention all at once."""
+    docs = _t(spark, sf, "documents")
+    return dedup.boilerplate_scrub(docs, ngram_n=5, min_docs=3)

@@ -1294,6 +1294,54 @@ SQL_QUERIES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    # Boilerplate-span scrub: heavy word-5-grams (>= 3 distinct docs)
+    # removed from every doc, per-doc report fingerprinting the REBUILT
+    # text.  Same shape as the DataFrame program: map-side gram structs,
+    # one gram aggregate, join back for hit starts, index-lambda filter
+    # (0-based idx + 1 = the 1-based slice-start convention).
+    "d8_boilerplate_scrub": """
+        WITH toks AS (
+          SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')
+                   AS ws
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, x.i AS i, x.g AS g FROM (
+            SELECT doc_id,
+                   explode(CASE WHEN size(ws) >= 5 THEN
+                     transform(sequence(1, size(ws) - 4),
+                       i -> named_struct(
+                         'i', i,
+                         'g', md5(array_join(slice(ws, i, 5), ' '))))
+                   ELSE CAST(array() AS array<struct<i:int,g:string>>) END)
+                     AS x
+            FROM toks)
+        ),
+        heavy AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+        hits AS (
+          SELECT g.doc_id, collect_set(g.i) AS starts
+          FROM g JOIN heavy ON g.g = heavy.g GROUP BY g.doc_id
+        ),
+        cov AS (
+          SELECT toks.doc_id, ws,
+                 array_distinct(flatten(transform(
+                   coalesce(starts, CAST(array() AS array<int>)),
+                   s -> sequence(s, s + 4)))) AS covered
+          FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
+        ),
+        scrub AS (
+          SELECT doc_id, ws,
+                 filter(ws, (x, idx) -> NOT array_contains(covered, idx + 1))
+                   AS kept
+          FROM cov
+        )
+        SELECT doc_id,
+               CAST(size(ws) AS BIGINT) AS n_tokens,
+               CAST(size(kept) AS BIGINT) AS n_kept,
+               CAST(size(ws) - size(kept) AS BIGINT) AS n_dropped,
+               md5(array_join(kept, ' ')) AS scrub_fp
+        FROM scrub
+    """,
 }
 
 
