@@ -245,3 +245,100 @@ def rank_over_range(
         .cast("long")
         .alias("n_le_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (phi-heavy hitters): Misra-Gries prune + exact recount
+# ---------------------------------------------------------------------------
+
+
+def _mg_update(counters: dict, key, w: int, k: int) -> None:
+    """One weighted Misra-Gries update against a k-counter summary.
+
+    Classic decrement generalized to weights (Berinde et al., PODS'09):
+    absorbing weight ``w`` either increments an existing counter, claims a
+    free slot, or cancels ``min(w, min_counter)`` mass from EVERY counter
+    (evicting zeros) and recurses on the remainder.  O(k) per eviction,
+    O(1) amortized otherwise."""
+    while True:
+        if key in counters:
+            counters[key] += w
+            return
+        if len(counters) < k:
+            counters[key] = w
+            return
+        d = min(w, min(counters.values()))
+        for c in list(counters):
+            counters[c] -= d
+            if counters[c] <= 0:
+                del counters[c]
+        w -= d
+        if w <= 0:
+            return
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, phi: float = 0.01
+) -> DataFrame:
+    """EXACT phi-heavy hitters -- ``(key, cnt, n_total, share)`` for every key with
+    frequency > ``phi * count(*)`` -- at bounded memory, via the standard
+    two-pass sketch-prune-then-recount plan:
+
+    1. **Candidate pass** (mapInPandas, Arrow-batched): each partition
+       folds its rows through a weighted Misra-Gries summary with
+       ``k = ceil(1/phi) + 1`` counters (per-batch ``value_counts``
+       first, so the python loop runs per DISTINCT key per batch, not
+       per row) and emits its surviving keys.  Guarantee: a key with
+       global freq > phi*n has freq > phi*n_p in at least one partition
+       (pigeonhole), and MG with k >= 1/phi counters never evicts a key
+       whose partition frequency exceeds n_p/k -- so the candidate union
+       is a SUPERSET of the true heavy hitters.  Memory is O(k) counters
+       per partition regardless of key cardinality -- the whole point vs
+       a per-partition hash aggregate whose distinct-key state at 100 TB
+       (urls, user ids) can exceed executor memory.
+    2. **Recount pass**: candidates (<= k per partition -- tiny) dedupe
+       and BROADCAST; one semi-join + hash aggregate recounts exactly the
+       candidate keys; the total arrives as a broadcast 1-row cross join
+       (never a driver collect).  False candidates die on the final
+       ``cnt > phi*n`` filter, so the output is EXACTLY the true heavy
+       hitter set with EXACT counts -- which is why the driver entry can
+       carry a full value oracle (GROUP BY / HAVING) rather than an
+       approx band: the sketch prunes, it never approximates the answer.
+
+    The one-pass alternative (emit (key, lower_bound) from the summaries
+    and merge) answers with error n_p/k but no second scan; this operator
+    deliberately spends the second (candidates-only, semi-joined) pass to
+    return exact counts, matching how production top-k jobs use MG."""
+    import math
+
+    k = int(math.ceil(1.0 / phi)) + 1
+    src = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def _candidates(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, w in pdf["key"].value_counts().items():
+                _mg_update(counters, key, int(w), k)
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    cand = src.mapInPandas(_candidates, "key string").distinct()
+    counts = (
+        src.join(F.broadcast(cand), "key", "leftsemi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = src.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("_n") * F.lit(phi))
+        .select(
+            "key",
+            "cnt",
+            F.col("_n").alias("n_total"),
+            F.round(F.col("cnt") / F.col("_n").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -1843,6 +1843,28 @@ def x2_salted_join_agg(spark, sf):
            CAST(NULL AS BIGINT) AS n_part,
            true AS approx_ok
     FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'frequent' AS op,
+           concat('etype:', CAST(event_type AS VARCHAR)) AS key,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_part,
+           true AS approx_ok
+    FROM events GROUP BY event_type
+    HAVING count(*) > (SELECT count(*) FROM events) * 0.05
+    UNION ALL
+    SELECT 'frequent' AS op, concat('token:', t.key) AS key,
+           CAST(t.cnt AS BIGINT) AS n_exact,
+           CAST(t.n AS BIGINT) AS n_part, true AS approx_ok
+    FROM (
+      WITH w AS (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                 x -> x <> '')) AS key
+        FROM documents
+      )
+      SELECT key, count(*) AS cnt, (SELECT count(*) FROM w) AS n
+      FROM w GROUP BY key HAVING count(*) > (SELECT count(*) FROM w) * 0.02
+    ) t
     """,
 )
 def a10_distinct_counts(spark, sf):
@@ -1876,6 +1898,13 @@ def a10_distinct_counts(spark, sf):
       observed at sf0.1's ~1.3k/day cardinality); exact-mode merge
       equality is pytest-gated at the cardinalities where it holds
       (tests/test_incremental.py).
+    - ``op='frequent'`` (r7): frequent items -- EXACT phi-heavy hitters
+      (event types at phi=0.05, document tokens at phi=0.02) computed by
+      the per-partition weighted Misra-Gries candidate pass + broadcast
+      exact recount (sketches.heavy_hitters).  Unlike the estimate legs
+      these rows are exact by construction (the sketch prunes, it never
+      approximates the answer), so they carry full value equality against
+      the GROUP BY / HAVING oracle rather than an approx band.
 
     Estimates are engine-specific, so every sketch is validated IN-PLANE:
     ``approx_ok`` asserts each estimate lands within tolerance (5% HLL,
@@ -2045,8 +2074,38 @@ def a10_distinct_counts(spark, sf):
         )
     )
 
+    # frequent-items legs (r7): EXACT phi-heavy hitters via the weighted
+    # Misra-Gries candidate prune (Arrow-batched mapInPandas, O(1/phi)
+    # memory per partition) + broadcast exact recount
+    # (sketches.heavy_hitters).  Because the sketch only PRUNES
+    # (candidate-superset guarantee) and the recount is exact, these rows
+    # carry FULL value equality against the plain GROUP BY / HAVING
+    # oracle -- approx_ok is structurally true; the MG eviction machinery
+    # is exercised against adversarial skew (counter budget << key
+    # cardinality) in tests/test_heavy_hitters.py.
+    docs_all = _t(spark, sf, "documents")
+    hh_legs = []
+    for tag, src_df, col, phi in (
+        ("etype", ev, "event_type", 0.05),
+        (
+            "token",
+            docs_all.select(F.explode(tokens("text")).alias("tok")),
+            "tok",
+            0.02,
+        ),
+    ):
+        hh_legs.append(
+            sketches.heavy_hitters(src_df, col, phi=phi).select(
+                F.lit("frequent").alias("op"),
+                F.concat(F.lit(tag + ":"), F.col("key")).alias("key"),
+                F.col("cnt").alias("n_exact"),
+                F.col("n_total").alias("n_part"),
+                F.lit(True).alias("approx_ok"),
+            )
+        )
+
     out = exact_leg.unionByName(rollup_leg)
-    for leg in theta_legs + kll_legs + [inc_leg]:
+    for leg in theta_legs + kll_legs + [inc_leg] + hh_legs:
         out = out.unionByName(leg)
     return out
 
@@ -2815,6 +2874,49 @@ _TF_CTE = f"""
            CAST(sum(tf) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m,
            CAST(NULL AS DOUBLE) AS score
     FROM tf GROUP BY token HAVING sum(tf) >= 20
+    UNION ALL
+    SELECT 'scrub' AS op, doc_id, scrub_fp AS token,
+           CAST(n_kept AS BIGINT) AS n, CAST(n_dropped AS BIGINT) AS m,
+           CAST(NULL AS DOUBLE) AS score
+    FROM (
+      WITH stoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      sg AS (
+        SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS g
+        FROM stoks,
+             unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t) - 3)
+                    ELSE [] END) AS u(i)
+      ),
+      sheavy AS (
+        SELECT g FROM sg GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+      ),
+      shits AS (
+        SELECT doc_id, list(DISTINCT i) AS starts
+        FROM sg JOIN sheavy USING (g) GROUP BY doc_id
+      ),
+      scov AS (
+        SELECT stoks.doc_id, t,
+               list_distinct(flatten(list_transform(coalesce(starts, []),
+                                                    s -> range(s, s + 5))))
+                 AS covered
+        FROM stoks LEFT JOIN shits USING (doc_id)
+      ),
+      sscrub AS (
+        SELECT doc_id, t,
+               list_filter(t, (x, i) -> NOT list_contains(covered, i)) AS kept
+        FROM scov
+      )
+      SELECT doc_id,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             CAST(len(t) - len(kept) AS BIGINT) AS n_dropped,
+             md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_fp
+      FROM sscrub
+    )
     """,
 )
 def tv1_text_stats(spark, sf):
@@ -2827,7 +2929,16 @@ def tv1_text_stats(spark, sf):
     vocabulary at min_count=20 -- the two-stage aggregate whose first
     stage collapses within-document repeats map-side, so the shuffle
     carries distinct (doc, token) pairs only (the upstream stats pass for
-    stop-token lists and d4's heavy-hitter cap)."""
+    stop-token lists and d4's heavy-hitter cap).  ``scrub`` (r7) =
+    boilerplate-span REMOVAL (dedup.boilerplate_scrub, Lee et al. 2021 at
+    word-5-gram granularity): word 5-grams in >= 3 distinct documents are
+    scrubbed from every doc and the per-doc report -- kept/dropped token
+    counts plus the md5 of the REBUILT text, sensitive to token order,
+    coverage arithmetic, and the 1-based slice convention at once -- is
+    value-verified (4 stages: map-side gram HOFs, ONE gram countDistinct
+    with map-side partial agg, broadcast heavy-set join, map-side ordered
+    rebuild via the index-lambda filter; grouping key is the portable
+    md5 of the gram, constant-width and bit-identical in the oracle)."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -2846,7 +2957,15 @@ def tv1_text_stats(spark, sf):
         F.col("doc_freq").alias("m"),
         F.lit(None).cast("double").alias("score"),
     )
-    return tfidf.unionByName(vocab)
+    scrub = dedup.boilerplate_scrub(docs, ngram_n=5, min_docs=3).select(
+        F.lit("scrub").alias("op"),
+        "doc_id",
+        F.col("scrub_fp").alias("token"),
+        F.col("n_kept").alias("n"),
+        F.col("n_dropped").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return tfidf.unionByName(vocab).unionByName(scrub)
 
 
 @register(
@@ -3045,62 +3164,3 @@ def pl1_curation_funnel(spark, sf):
         report.crossJoin(bpe.bpe_roundtrip_audit(docs))
         .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
     )
-
-
-@register(
-    "d8_boilerplate_scrub",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
-                         x -> x <> '') AS t
-      FROM documents
-    ),
-    g AS (
-      SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS g
-      FROM toks,
-           unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t) - 3)
-                  ELSE [] END) AS u(i)
-    ),
-    heavy AS (
-      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3
-    ),
-    hits AS (
-      SELECT doc_id, list(DISTINCT i) AS starts
-      FROM g JOIN heavy USING (g) GROUP BY doc_id
-    ),
-    cov AS (
-      SELECT toks.doc_id, t,
-             list_distinct(flatten(list_transform(coalesce(starts, []),
-                                                  s -> range(s, s + 5))))
-               AS covered
-      FROM toks LEFT JOIN hits USING (doc_id)
-    ),
-    scrub AS (
-      SELECT doc_id, t,
-             list_filter(t, (x, i) -> NOT list_contains(covered, i)) AS kept
-      FROM cov
-    )
-    SELECT doc_id,
-           CAST(len(t) AS BIGINT) AS n_tokens,
-           CAST(len(kept) AS BIGINT) AS n_kept,
-           CAST(len(t) - len(kept) AS BIGINT) AS n_dropped,
-           md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_fp
-    FROM scrub
-    ORDER BY doc_id
-    """,
-)
-def d8_boilerplate_scrub(spark, sf):
-    """Boilerplate-span REMOVAL: word 5-grams occurring in >= 3 distinct
-    documents are scrubbed from every document, and the per-doc report
-    (token counts + md5 fingerprint of the scrubbed text) is
-    value-verified.  The rewrite companion of the d3/d4/winnow detection
-    operators -- span-level dedup in the sense of Lee et al. 2021
-    (arXiv:2107.06499) at word-5-gram granularity; see
-    operators/dedup.boilerplate_scrub for the 4-stage plan shape
-    (map-side gram HOFs -> one gram aggregate -> broadcast heavy-set join
-    -> map-side ordered rebuild).  ``scrub_fp`` hashing the REBUILT text
-    makes the oracle sensitive to token order, coverage arithmetic, and
-    the 1-based slice convention all at once."""
-    docs = _t(spark, sf, "documents")
-    return dedup.boilerplate_scrub(docs, ngram_n=5, min_docs=3)

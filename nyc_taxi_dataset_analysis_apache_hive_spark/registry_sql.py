@@ -392,6 +392,33 @@ SQL_QUERIES: dict[str, str] = {
                  count(DISTINCT user_id) AS n_exact
           FROM events GROUP BY 1
         ) r ON m.period = r.period
+        UNION ALL
+        -- frequent items (r7): the DECLARATIVE form is the exact
+        -- GROUP BY / HAVING -- the Misra-Gries candidate pass in
+        -- sketches.heavy_hitters is a bounded-memory execution strategy
+        -- for the same relation (it prunes, never approximates), so
+        -- SQL-mode equality against the DataFrame program is exact
+        SELECT 'frequent' AS op,
+               concat('etype:', CAST(event_type AS STRING)) AS key,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM events) AS BIGINT) AS n_part,
+               true AS approx_ok
+        FROM events GROUP BY event_type
+        HAVING count(*) > (SELECT count(*) FROM events) * 0.05D
+        UNION ALL
+        SELECT 'frequent' AS op, concat('token:', t.key) AS key,
+               t.cnt AS n_exact, t.n AS n_part, true AS approx_ok
+        FROM (
+          WITH w AS (
+            SELECT explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                  x -> x != '')) AS key
+            FROM documents
+          )
+          SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST((SELECT count(*) FROM w) AS BIGINT) AS n
+          FROM w GROUP BY key
+          HAVING count(*) > (SELECT count(*) FROM w) * 0.02D
+        ) t
     """,
     "a9_percentile": """
         SELECT round(ps[0], 4) AS p25,
@@ -1006,6 +1033,58 @@ SQL_QUERIES: dict[str, str] = {
         SELECT 'vocab' AS op, CAST(NULL AS BIGINT) AS doc_id, token,
                sum(tf) AS n, count(*) AS m, CAST(NULL AS DOUBLE) AS score
         FROM tf GROUP BY token HAVING sum(tf) >= 20
+        UNION ALL
+        -- boilerplate-span scrub (r7): heavy word-5-grams (>= 3 distinct
+        -- docs) removed from every doc; per-doc report fingerprints the
+        -- REBUILT text (index-lambda filter, 0-based idx + 1 = the
+        -- 1-based slice-start convention)
+        SELECT 'scrub' AS op, doc_id, scrub_fp AS token, n_kept AS n,
+               n_dropped AS m, CAST(NULL AS DOUBLE) AS score
+        FROM (
+          WITH stoks AS (
+            SELECT doc_id,
+                   filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')
+                     AS ws
+            FROM documents
+          ),
+          sg AS (
+            SELECT doc_id, x.i AS i, x.g AS g FROM (
+              SELECT doc_id,
+                     explode(CASE WHEN size(ws) >= 5 THEN
+                       transform(sequence(1, size(ws) - 4),
+                         i -> named_struct(
+                           'i', i,
+                           'g', md5(array_join(slice(ws, i, 5), ' '))))
+                     ELSE CAST(array() AS array<struct<i:int,g:string>>) END)
+                       AS x
+              FROM stoks)
+          ),
+          sheavy AS (
+            SELECT g FROM sg GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+          ),
+          shits AS (
+            SELECT sg.doc_id, collect_set(sg.i) AS starts
+            FROM sg JOIN sheavy ON sg.g = sheavy.g GROUP BY sg.doc_id
+          ),
+          scov AS (
+            SELECT stoks.doc_id, ws,
+                   array_distinct(flatten(transform(
+                     coalesce(starts, CAST(array() AS array<int>)),
+                     s -> sequence(s, s + 4)))) AS covered
+            FROM stoks LEFT JOIN shits ON stoks.doc_id = shits.doc_id
+          ),
+          sscrub AS (
+            SELECT doc_id, ws,
+                   filter(ws, (x, idx) -> NOT array_contains(covered, idx + 1))
+                     AS kept
+            FROM scov
+          )
+          SELECT doc_id,
+                 CAST(size(kept) AS BIGINT) AS n_kept,
+                 CAST(size(ws) - size(kept) AS BIGINT) AS n_dropped,
+                 md5(array_join(kept, ' ')) AS scrub_fp
+          FROM sscrub
+        )
     """,
     "cx1_time_ops": """
         WITH firsts AS (
@@ -1293,54 +1372,6 @@ SQL_QUERIES: dict[str, str] = {
                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
-    """,
-    # Boilerplate-span scrub: heavy word-5-grams (>= 3 distinct docs)
-    # removed from every doc, per-doc report fingerprinting the REBUILT
-    # text.  Same shape as the DataFrame program: map-side gram structs,
-    # one gram aggregate, join back for hit starts, index-lambda filter
-    # (0-based idx + 1 = the 1-based slice-start convention).
-    "d8_boilerplate_scrub": """
-        WITH toks AS (
-          SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')
-                   AS ws
-          FROM documents
-        ),
-        g AS (
-          SELECT doc_id, x.i AS i, x.g AS g FROM (
-            SELECT doc_id,
-                   explode(CASE WHEN size(ws) >= 5 THEN
-                     transform(sequence(1, size(ws) - 4),
-                       i -> named_struct(
-                         'i', i,
-                         'g', md5(array_join(slice(ws, i, 5), ' '))))
-                   ELSE CAST(array() AS array<struct<i:int,g:string>>) END)
-                     AS x
-            FROM toks)
-        ),
-        heavy AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
-        hits AS (
-          SELECT g.doc_id, collect_set(g.i) AS starts
-          FROM g JOIN heavy ON g.g = heavy.g GROUP BY g.doc_id
-        ),
-        cov AS (
-          SELECT toks.doc_id, ws,
-                 array_distinct(flatten(transform(
-                   coalesce(starts, CAST(array() AS array<int>)),
-                   s -> sequence(s, s + 4)))) AS covered
-          FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
-        ),
-        scrub AS (
-          SELECT doc_id, ws,
-                 filter(ws, (x, idx) -> NOT array_contains(covered, idx + 1))
-                   AS kept
-          FROM cov
-        )
-        SELECT doc_id,
-               CAST(size(ws) AS BIGINT) AS n_tokens,
-               CAST(size(kept) AS BIGINT) AS n_kept,
-               CAST(size(ws) - size(kept) AS BIGINT) AS n_dropped,
-               md5(array_join(kept, ' ')) AS scrub_fp
-        FROM scrub
     """,
 }
 

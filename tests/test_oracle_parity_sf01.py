@@ -31,6 +31,10 @@ SCALE_SENSITIVE = [
     "k3_embedding_near_pairs",
     "j5_join_surface",  # r6 chain/star legs join the pinned set
     "d4_ngram_jaccard_pairs",  # r6 winnow leg: hot-print cap is sf-sensitive
+    # r7: the scrub fold's heavy-gram set and the frequent legs' phi
+    # thresholds both shift with corpus size (tv1 rides a10's slot above
+    # for the frequent legs; the scrub leg rides tv1)
+    "tv1_text_stats",
 ]
 
 QUERIES = entry_mod.queries()

@@ -45,9 +45,8 @@ SCALE_PATHS = [
     # r6: the embedding-dedup surface (sign-bucket near-pairs + the
     # semdedup fold's cell-bounded pair search + CC) is a scale path too
     "k3_embedding_near_pairs",
-    # r7: boilerplate-span scrub -- gram aggregate + broadcast heavy-set
-    # join + map-side rebuild must grow ~linearly in corpus size
-    "d8_boilerplate_scrub",
+    # (r7: the boilerplate-span scrub rides tv1 and the frequent-items
+    # legs ride a10 -- both already gated above)
 ]
 
 SF_DIRS = {
