@@ -501,3 +501,222 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 8,
+    m: int = 16,
+    k_sub: int = 32,
+    codebook_offset: int = 200,
+    n_candidates: int = 128,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jegou/Douze/Schmid, TPAMI
+    2011): the memory-compression ANN scale path.
+
+    The vector is split into ``m`` subspaces; each subspace gets a
+    ``k_sub``-entry codebook (here a deterministic corpus slice starting
+    at ``codebook_offset`` -- the fixed-seed convention shared with the
+    IVF leg; a trained codebook plugs in the same way kmeans_train does
+    for IVF), and every corpus vector is ENCODED as m small codes.  At
+    100 TB this is the difference between scanning 256 bytes/vector of
+    floats and 4 bytes/vector of codes -- the candidate scan runs over a
+    ~64x smaller table that fits executor memory, which is why PQ is the
+    de-facto billion-vector format (FAISS IVFPQ).
+
+    Search is the standard two-stage ADC (asymmetric distance
+    computation) + exact re-rank:
+
+    1. each query computes its distance TABLE to every sub-codebook
+       entry (m x k_sub doubles -- broadcast);
+    2. approximate distance to a corpus vector = fixed-order sum of the
+       m table entries its codes select -- one equi-join of the code
+       table against the broadcast query tables on (subspace, code),
+       never a join on the raw vectors;
+    3. the ``n_candidates`` best ADC candidates per query are re-ranked
+       by EXACT cosine (a semi-join back to the raw vectors for the tiny
+       candidate set), so returned cosines are exact and recall is the
+       only approximation (pytest-gated vs the brute-force baseline).
+
+    Determinism pinned for the value oracle: sub-distances and ADC sums
+    round to 6 decimals with code-id / vec-id tie-breaks; the ADC sum is
+    a FIXED-ORDER chain of the m per-subspace partial sums (never a
+    float sum in row order, which engines order differently).
+
+    Vectors are L2-NORMALIZED before encoding: the target metric is
+    cosine, and on the unit sphere squared L2 is 2 - 2*cos -- monotone
+    in cosine -- so the ADC ranking approximates the right metric.
+
+    Defaults were MEASURED against the brute-force baseline on the
+    synthetic corpus (10 latent clusters, unit-norm 64-dim): coarse
+    cells produce large ADC ties that tie-break arbitrarily and kill
+    recall (m=4/k_sub=16/cand=32 gave 0.125 at sf0.1); m=16 subspaces
+    of 4 dims x 32 codes with a 128-candidate re-rank gives recall@5 =
+    0.975 (sf0.001) / 0.90 (sf0.1) while still scanning codes 16x
+    smaller than the raw vectors and re-ranking only ~6% of the corpus.
+    """
+    from ..functions.vectors import as_double_array, l2_norm
+
+    dsub = dim // m
+    raw = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("emb_raw")
+    )
+    # norm in its OWN projection so the divide-lambda reads a concrete
+    # attribute -- inlining it makes every lambda reference re-run the
+    # 64-term fold and the whole expression re-evaluates per PAIR row in
+    # the codebook cross join (the multiply-referenced-expression trap,
+    # see normalized_with_bucket; measured ~5.5 s -> ~1.5 s for the leg)
+    step1 = raw.select("vec_id", "emb_raw", l2_norm("emb_raw").alias("_nrm"))
+    emb = step1.select(
+        "vec_id",
+        F.transform(
+            F.col("emb_raw"),
+            lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0)),
+        ).alias("emb"),
+    )
+    cb = emb.filter(
+        (F.col("vec_id") >= codebook_offset)
+        & (F.col("vec_id") < codebook_offset + k_sub)
+    ).select(
+        (F.col("vec_id") - codebook_offset).cast("int").alias("code_id"),
+        F.col("emb").alias("cb_emb"),
+    )
+
+    def _sq_l2_sub(vcol, ccol, j):
+        """Per-subspace squared L2 as EXPLICIT left-to-right arithmetic.
+        No zip_with/aggregate/transform anywhere in the hot path: Spark
+        evaluates higher-order-function lambdas interpreted (outside
+        whole-stage codegen), and with 1M evaluations at sf0.1 two HOF
+        formulations of this same arithmetic measured 4-8 s; as plain
+        projected columns over the pair relation the distance pass
+        codegens and the whole leg drops under a second.  The chain
+        order matches the SQL text and the DuckDB oracle term for term."""
+        terms = None
+        for i in range(1, dsub + 1):
+            diff = F.element_at(vcol, j * dsub + i) - F.element_at(
+                ccol, j * dsub + i
+            )
+            t = diff * diff
+            terms = t if terms is None else terms + t
+        return F.round(terms, 6)
+
+    # distance relation: (vector x codebook-entry) pairs -- k_sub rows
+    # per vector via a broadcast nested-loop of the tiny codebook -- with
+    # the m per-subspace distances as ORDINARY PROJECTED COLUMNS
+    dcols = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "code_id",
+        *[
+            _sq_l2_sub(F.col("emb"), F.col("cb_emb"), j).alias(f"d{j}")
+            for j in range(m)
+        ],
+    )
+
+    # encode: per-subspace argmin with code-id tie-break via
+    # lexicographic struct-min -- one hash aggregate, m aggs, codegen'd
+    codes = dcols.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{j}").alias("d"), F.col("code_id").alias("c"))
+            )
+            .getField("c")
+            .alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
+    # unpivot to (vec_id, j, code) for the ADC equi-join
+    codes_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"c{j}").alias("code")
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.j").alias("j"), F.col("x.code").alias("code"))
+
+    # query distance tables: the same relation restricted to the queries,
+    # unpivoted and broadcast (n_queries * m * k_sub tiny rows)
+    qtab = (
+        dcols.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("code_id").alias("qcode"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("qj"), F.col(f"d{j}").alias("d")
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select(
+            "query_id",
+            F.col("x.qj").alias("qj"),
+            "qcode",
+            F.col("x.d").alias("d"),
+        )
+    )
+
+    # ADC: equi-join the code relation against the broadcast query
+    # tables; the total is the fixed-order chain s0 + s1 + ... of the m
+    # single-row partial sums, so both engines add the same rounded
+    # doubles in the same order
+    partials = [
+        F.sum(F.when(F.col("qj") == j, F.col("d"))).alias(f"_s{j}")
+        for j in range(m)
+    ]
+    adc_grouped = (
+        codes_long.join(
+            F.broadcast(qtab),
+            (F.col("j") == F.col("qj")) & (F.col("code") == F.col("qcode")),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(*partials)
+    )
+    adc_total = None
+    for j in range(m):
+        term = F.col(f"_s{j}")
+        adc_total = term if adc_total is None else adc_total + term
+    wc = Window.partitionBy("query_id").orderBy(
+        F.round(adc_total, 6).asc(), F.col("vec_id").asc()
+    )
+    cands = (
+        adc_grouped.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # exact re-rank of the tiny candidate set against the RAW vectors
+    # (not the normalized copies: the oracle computes cosine on the raw
+    # doubles, and dot(a/|a|, b/|b|) differs from dot(a,b)/(|a||b|) in
+    # the last bits -- same value, different float)
+    raw_q = raw.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_raw").alias("q_emb")
+    )
+    scored = (
+        cands.join(
+            raw.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("emb_raw").alias("c_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(raw_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_emb", "c_emb"), 6).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -1323,6 +1323,92 @@ _K4_IVF_SQL = f"""
 """
 
 
+# PQ oracle (m=16 subspaces x 4 dims, k_sub=32 codes, 128-candidate ADC
+# prune, exact re-rank): every float op mirrors the DataFrame program --
+# normalization by the same sequential-fold norm, sub-distances as
+# explicit LEFT-TO-RIGHT 4-term sums rounded to 6, the ADC total as the
+# fixed-order chain of 16 single-row partial sums, and identical
+# tie-breaks -- so the candidate set (not just the final ranking) is
+# bit-reproducible across engines.
+_PQ_M, _PQ_DSUB, _PQ_KSUB, _PQ_NCAND = 16, 4, 32, 128
+
+
+def _pq_subdist(v: str, c: str) -> str:
+    terms = " + ".join(
+        f"({v}[j.j*{_PQ_DSUB}+{i}] - {c}[j.j*{_PQ_DSUB}+{i}])"
+        f" * ({v}[j.j*{_PQ_DSUB}+{i}] - {c}[j.j*{_PQ_DSUB}+{i}])"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"round({terms}, 6)"
+
+
+_PQ_ADC_CHAIN = " + ".join(
+    f"sum(CASE WHEN c.j = {j} THEN q.d END)" for j in range(_PQ_M)
+)
+
+_PQ_SQL = f"""
+    WITH eraw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb_raw,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, emb_raw,
+             list_transform(emb_raw, x -> x / nullif(nrm, 0)) AS emb
+      FROM eraw
+    ),
+    cb AS (
+      SELECT CAST(vec_id - 200 AS INT) AS code_id, emb AS cb_emb FROM e
+      WHERE vec_id >= 200 AND vec_id < {200 + _PQ_KSUB}
+    ),
+    sdl AS (
+      SELECT v.vec_id, c.code_id, j.j,
+             {_pq_subdist("v.emb", "c.cb_emb")} AS d
+      FROM e v CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+    ),
+    codes AS (
+      SELECT vec_id, j, code_id AS code FROM (
+        SELECT vec_id, j, code_id,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, code_id ASC) AS rn
+        FROM sdl) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, j, code_id, d FROM sdl WHERE vec_id < 8
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id,
+             round({_PQ_ADC_CHAIN}, 6) AS adc
+      FROM codes c JOIN qtab q ON q.j = c.j AND q.code_id = c.code
+      WHERE q.query_id <> c.vec_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+        FROM adc) WHERE crank <= {_PQ_NCAND}
+    ),
+    pq_scored AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb_raw, n.emb_raw)
+                   / nullif(sqrt(list_dot_product(q.emb_raw, q.emb_raw))
+                            * sqrt(list_dot_product(n.emb_raw, n.emb_raw)),
+                            0), 6) AS cosine
+      FROM cands ca
+      JOIN e q ON q.vec_id = ca.query_id
+      JOIN e n ON n.vec_id = ca.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+        AS BIGINT) AS rank
+      FROM pq_scored) WHERE rank <= 5
+"""
+
+
 @register(
     "k2_ann_lsh_ivf",
     f"""
@@ -1331,6 +1417,9 @@ _K4_IVF_SQL = f"""
     UNION ALL
     SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
     FROM ({_K4_IVF_SQL})
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_PQ_SQL})
     """,
 )
 def k2_ann_lsh_ivf(spark, sf):
@@ -1342,20 +1431,30 @@ def k2_ann_lsh_ivf(spark, sf):
     * ``ivf`` -- IVF list-probing: corpus assigned to 16 fixed centroids
       (narrow broadcast pass), queries probe their 3 nearest lists, so
       candidate generation scans ~3/16 of the corpus via an equi-join.
+    * ``pq`` (r7) -- product quantization (Jegou et al., TPAMI 2011):
+      vectors encoded as 16 codes over 4-dim subspaces (the FAISS
+      billion-vector memory format -- the candidate scan reads a
+      16x-smaller code table), searched by fixed-order ADC with a
+      128-candidate exact re-rank; recall@5 0.975/0.90
+      (sf0.001/sf0.1) vs brute force.
 
-    IVF recall vs the k1 exact baseline is pytest-gated
-    (tests/test_asof_skew.py::test_ivf_recall_vs_bruteforce); both methods'
-    full top-k result sets are value-verified against the DuckDB oracle
+    IVF and PQ recall vs the k1 exact baseline are pytest-gated
+    (tests/test_asof_skew.py::test_ivf_recall_vs_bruteforce,
+    tests/test_pq.py); every method's
+    full top-k result set is value-verified against the DuckDB oracle
     here."""
     emb = _t(spark, sf, "embeddings")
     lsh = similarity.cosine_topk_lsh(emb, k=5, n_queries=8, n_bits=4)
     ivf = similarity.cosine_topk_ivf(
         emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
     )
+    pq = similarity.cosine_topk_pq(emb, k=5, n_queries=8)
     tag = lambda df, label: df.select(  # noqa: E731
         F.lit(label).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return tag(lsh, "lsh").unionByName(tag(ivf, "ivf"))
+    return tag(lsh, "lsh").unionByName(tag(ivf, "ivf")).unionByName(
+        tag(pq, "pq")
+    )
 
 
 _K3_COS_VC = (

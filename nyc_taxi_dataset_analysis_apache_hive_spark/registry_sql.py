@@ -86,6 +86,24 @@ _SHINGLE_SETS_CTE = """
 _SQL_BASE_HASH = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def _sql_pq_subdist(v: str, c: str, dsub: int = 4) -> str:
+    """Spark-SQL spelling of the PQ per-subspace squared L2: the same
+    explicit LEFT-TO-RIGHT 4-term sum the DataFrame fold produces (float
+    addition order is part of the cross-engine contract here)."""
+    terms = " + ".join(
+        f"(element_at({v}, j.j*{dsub}+{i}) - element_at({c}, j.j*{dsub}+{i}))"
+        f" * (element_at({v}, j.j*{dsub}+{i}) - element_at({c}, j.j*{dsub}+{i}))"
+        for i in range(1, dsub + 1)
+    )
+    return f"round({terms}, 6)"
+
+
+#: fixed-order ADC total: 16 single-row partial sums chained left-to-right
+_SQL_PQ_ADC_CHAIN = " + ".join(
+    f"sum(CASE WHEN c.j = {j} THEN q.d END)" for j in range(16)
+)
+
+
 def _minhash_sql_columns() -> tuple[str, str]:
     """(signature aggregate list, band-rows UNION ALL) in Spark SQL from the
     same minhash_params the DataFrame operator and DuckDB oracle use."""
@@ -903,10 +921,73 @@ SQL_QUERIES: dict[str, str] = {
               AS rank
             FROM ivf_scored
           ) WHERE rank <= 5
+        ),
+        -- pq (r7): product quantization -- normalize, encode as 16
+        -- codes over 4-dim subspaces against the 32-entry corpus-slice
+        -- codebook, fixed-order ADC prune to 128 candidates, exact
+        -- re-rank on the RAW vectors (dot(a/|a|,b/|b|) differs from
+        -- dot(a,b)/(|a||b|) in the last bits)
+        pq_e AS (
+          SELECT vec_id, emb AS emb_raw,
+                 transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n
+          FROM (SELECT vec_id, emb, {_sql_norm("emb")} AS nrm FROM e0)
+        ),
+        pq_cb AS (
+          SELECT CAST(vec_id - 200 AS INT) AS code_id, emb_n AS cb_emb
+          FROM pq_e WHERE vec_id >= 200 AND vec_id < 232
+        ),
+        pq_sdl AS (
+          SELECT v.vec_id, c.code_id, j.j,
+                 {_sql_pq_subdist("v.emb_n", "c.cb_emb")} AS d
+          FROM pq_e v CROSS JOIN pq_cb c
+          CROSS JOIN (SELECT explode(sequence(0, 15)) AS j) j
+        ),
+        pq_codes AS (
+          SELECT vec_id, j, code_id AS code FROM (
+            SELECT vec_id, j, code_id,
+                   row_number() OVER (PARTITION BY vec_id, j
+                     ORDER BY d ASC, code_id ASC) AS rn
+            FROM pq_sdl) WHERE rn = 1
+        ),
+        pq_qtab AS (
+          SELECT vec_id AS query_id, j, code_id, d FROM pq_sdl
+          WHERE vec_id < 8
+        ),
+        pq_adc AS (
+          SELECT q.query_id, c.vec_id,
+                 round({_SQL_PQ_ADC_CHAIN}, 6) AS adc
+          FROM pq_codes c
+          JOIN pq_qtab q ON q.j = c.j AND q.code_id = c.code
+          WHERE q.query_id <> c.vec_id
+          GROUP BY q.query_id, c.vec_id
+        ),
+        pq_cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+            FROM pq_adc) WHERE crank <= 128
+        ),
+        pq_scored AS (
+          SELECT ca.query_id, ca.vec_id AS neighbor_id,
+                 round({_sql_cosine("q.emb_raw", "n.emb_raw")}, 6) AS cosine
+          FROM pq_cands ca
+          JOIN pq_e q ON q.vec_id = ca.query_id
+          JOIN pq_e n ON n.vec_id = ca.vec_id
+        ),
+        pq AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM pq_scored
+          ) WHERE rank <= 5
         )
         SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
         UNION ALL
         SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
+        UNION ALL
+        SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank FROM pq
     """,
     # k3_embedding_near_pairs left OUT of the SQL-text surface since the
     # round-6 fold: its semdedup leg needs connected components, and

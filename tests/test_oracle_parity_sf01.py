@@ -35,6 +35,9 @@ SCALE_SENSITIVE = [
     # thresholds both shift with corpus size (tv1 rides a10's slot above
     # for the frequent legs; the scrub leg rides tv1)
     "tv1_text_stats",
+    # r7: the pq leg's ADC candidate set is a per-query top-128 over the
+    # whole corpus -- scale-sensitive by construction
+    "k2_ann_lsh_ivf",
 ]
 
 QUERIES = entry_mod.queries()

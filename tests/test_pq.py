@@ -1,0 +1,66 @@
+"""Product-quantization ANN (k2 ``method='pq'``): recall vs the exact
+baseline, exactness of re-ranked cosines, determinism, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import similarity
+from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import explain_str
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+
+def test_pq_recall_vs_bruteforce(spark, sf0001_dir):
+    """Measured 0.975 at sf0.001 with the pinned defaults (m=16 x 4-dim
+    subspaces, 32 codes, 128-candidate re-rank); gate at 0.8 to absorb
+    data regeneration."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, k=5, n_queries=8).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_pq(emb, k=5, n_queries=8).collect()
+    }
+    assert len(bf & pq) / len(bf) >= 0.8
+
+
+def test_pq_cosines_are_exact(spark, sf0001_dir):
+    """The ADC stage only selects candidates -- every returned cosine must
+    equal the brute-force cosine of that exact pair (the re-rank reads the
+    raw vectors, not the quantized codes)."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk_bruteforce(
+            emb, k=500, n_queries=8
+        ).collect()
+    }
+    for r in similarity.cosine_topk_pq(emb, k=5, n_queries=8).collect():
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_pq_deterministic_and_shaped(spark, sf0001_dir):
+    """Two executions return identical rows (rounded sub-distances +
+    fixed-order ADC chain + id tie-breaks leave nothing order-dependent);
+    every query returns exactly k rows ranked 1..k."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    a = sorted(map(tuple, similarity.cosine_topk_pq(emb, k=5, n_queries=8).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk_pq(emb, k=5, n_queries=8).collect()))
+    assert a == b
+    per_q = {}
+    for q, _, _, rank in a:
+        per_q.setdefault(q, []).append(rank)
+    assert len(per_q) == 8
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_plan_shape(spark, sf0001_dir):
+    """Codebook and query tables broadcast; the ADC candidate join is a
+    broadcast hash join on (subspace, code) -- the corpus code table is
+    never shuffled for candidate generation; no cartesian product."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    plan = explain_str(similarity.cosine_topk_pq(emb, k=5, n_queries=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
