@@ -512,6 +512,7 @@ def cosine_topk_pq(
     codebook_offset: int = 200,
     n_candidates: int = 128,
     dim: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jegou/Douze/Schmid, TPAMI
     2011): the memory-compression ANN scale path.
@@ -556,6 +557,16 @@ def cosine_topk_pq(
     of 4 dims x 32 codes with a 128-candidate re-rank gives recall@5 =
     0.975 (sf0.001) / 0.90 (sf0.1) while still scanning codes 16x
     smaller than the raw vectors and re-ranking only ~6% of the corpus.
+
+    ``codebook``: any (code_id 0..k_sub-1, cb_emb) table replaces the
+    corpus slice -- the kmeans_train plumbing IVF uses.  Measured
+    honestly: on THIS corpus 32 full-vector k-means centroids sliced
+    per subspace give recall 0.825 at sf0.1, WORSE than the 0.90 of
+    random corpus samples, because k-means collapses onto the ~10
+    latent cluster directions and loses subspace diversity.  The
+    production fix is true per-subspace training (an L2 k-means on each
+    4-dim slice, the actual PQ recipe) -- out of scope here; the
+    parameter exists so a properly trained codebook drops in.
     """
     from ..functions.vectors import as_double_array, l2_norm
 
@@ -576,13 +587,32 @@ def cosine_topk_pq(
             lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0)),
         ).alias("emb"),
     )
-    cb = emb.filter(
-        (F.col("vec_id") >= codebook_offset)
-        & (F.col("vec_id") < codebook_offset + k_sub)
-    ).select(
-        (F.col("vec_id") - codebook_offset).cast("int").alias("code_id"),
-        F.col("emb").alias("cb_emb"),
-    )
+    if codebook is not None:
+        # trained variant: any (code_id 0..k_sub-1, cb_emb array<double>)
+        # table -- e.g. kmeans_train centroids -- replaces the corpus
+        # slice; entries are normalized here so the sliced sub-codebooks
+        # live on the same unit sphere as the encoded vectors
+        cb_step = codebook.select(
+            F.col("code_id").cast("int").alias("code_id"),
+            as_double_array("cb_emb").alias("cb_raw"),
+        ).select(
+            "code_id", "cb_raw", l2_norm("cb_raw").alias("_cnrm")
+        )
+        cb = cb_step.select(
+            "code_id",
+            F.transform(
+                F.col("cb_raw"),
+                lambda x: x / F.nullif(F.col("_cnrm"), F.lit(0.0)),
+            ).alias("cb_emb"),
+        )
+    else:
+        cb = emb.filter(
+            (F.col("vec_id") >= codebook_offset)
+            & (F.col("vec_id") < codebook_offset + k_sub)
+        ).select(
+            (F.col("vec_id") - codebook_offset).cast("int").alias("code_id"),
+            F.col("emb").alias("cb_emb"),
+        )
 
     def _sq_l2_sub(vcol, ccol, j):
         """Per-subspace squared L2 as EXPLICIT left-to-right arithmetic.
