@@ -99,3 +99,41 @@ def test_heavy_hitters_plan_shape(spark):
     # nested-loop cross join (the j1 scalar shape); nothing cartesian
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- hypothesis: the MG guarantee over arbitrary weighted streams ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    stream=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # key universe 31
+            st.integers(min_value=1, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=12),
+)
+def test_mg_guarantee_on_arbitrary_streams(stream, k):
+    """The two invariants the candidate pass relies on, over arbitrary
+    weighted streams: (1) any key with true weight > n/k SURVIVES in the
+    k-counter summary -- the superset guarantee that makes the recount
+    exact; (2) every surviving estimate is a lower bound within n/k of
+    truth (Misra-Gries error bound)."""
+    counters: dict = {}
+    truth = Counter()
+    for key, w in stream:
+        _mg_update(counters, key, w, k)
+        truth[key] += w
+    n = sum(truth.values())
+    assert len(counters) <= k
+    for key, freq in truth.items():
+        if freq > n / k:
+            assert key in counters, (key, freq, n, k, dict(counters))
+    for key, est in counters.items():
+        assert 0 < est <= truth[key]
+        assert truth[key] - est <= n / k + 1e-9
