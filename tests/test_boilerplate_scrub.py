@@ -1,6 +1,7 @@
-"""Boilerplate n-gram scrubbing (d8): python recompute parity on real and
-hand-crafted corpora, span/coverage semantics, order preservation, the
-short-document sequence pitfall, and the broadcast plan shape."""
+"""Boilerplate n-gram scrubbing (tv1_text_stats ``op='scrub'``): python
+recompute parity on real and hand-crafted corpora, span/coverage
+semantics, order preservation, the short-document sequence pitfall, and
+the broadcast plan shape."""
 
 from __future__ import annotations
 
