@@ -2259,6 +2259,9 @@ def a10_distinct_counts(spark, sf):
     UNION ALL
     SELECT 'bucket_join_noshuffle' AS op, CAST(NULL AS BIGINT) AS key,
            'zero_exchange' AS name, CAST(1 AS BIGINT) AS val
+    UNION ALL
+    SELECT 'zorder_skip' AS op, CAST(NULL AS BIGINT) AS key,
+           'skip_and_match' AS name, CAST(1 AS BIGINT) AS val
     """,
 )
 def j5_join_surface(spark, sf):
@@ -2288,7 +2291,16 @@ def j5_join_surface(spark, sf):
     join's VALUES oracle against the raw tables.  This is exactly the
     co-located-join layout a 100-TB fact-fact join relies on: both
     sides pre-shuffled once at write time, every subsequent join free
-    of exchanges."""
+    of exchanges.
+
+    ``zorder_skip`` (r7) does the same for the Z-ORDER layout claim: a
+    lineitem slice is Z-order-written on (l_partkey, l_suppkey), parquet
+    footers are pruned against a mid-range 2-D box, and the in-plane
+    boolean asserts BOTH that files were actually skipped and that the
+    pruned read returns exactly the full scan's answer on the box (see
+    _zorder_skip_leg) -- the oracle expects val=1, so a layout
+    regression (no skipping) or a pruning bug (wrong rows) turns the
+    driver row red."""
     c = _t(spark, sf, "customer")
     big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
     o = _t(spark, sf, "orders")
@@ -2343,6 +2355,7 @@ def j5_join_surface(spark, sf):
         )
     )
     bucket_counts, bucket_ok = _bucketed_join_leg(spark, sf)
+    zorder_ok = _zorder_skip_leg(spark, sf)
     return (
         semi.unionByName(anti)
         .unionByName(outer)
@@ -2350,6 +2363,7 @@ def j5_join_surface(spark, sf):
         .unionByName(star)
         .unionByName(bucket_counts)
         .unionByName(bucket_ok)
+        .unionByName(zorder_ok)
     )
 
 
@@ -2404,6 +2418,94 @@ def _bucketed_join_leg(spark, sf) -> tuple[DataFrame, DataFrame]:
         F.lit(1 if no_shuffle else 0).cast("long").alias("val"),
     )
     return counts, ok
+
+
+def _zorder_skip_leg(spark, sf) -> DataFrame:
+    """The Z-order/file-skipping evidence for j5 (sources/layout.py made
+    driver-visible): Z-order-write a projected lineitem slice on
+    (l_partkey, l_suppkey), prune parquet footers against a mid-range
+    2-D box, and verify in-plane that (a) the clustered layout ACTUALLY
+    skips files for the box and (b) reading ONLY the surviving files
+    returns exactly the full scan's answer on the box -- row count AND a
+    content checksum, so a pruner that drops a matching file cannot pass
+    by luck of equal counts.
+
+    Same idempotent-overwrite conventions as the bucket leg (sf-keyed
+    temp location, tiny projection, eager per call).  The box bounds
+    derive from the FOOTER global min/max (driver-side metadata, no
+    extra Spark scans).  footer decoding is pyarrow (local paths) --
+    matching the bench/driver environment; the production listing path
+    (partition_file_report) stays on the Hadoop FS API."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import layout
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_j5_zorder_{tag}"
+    cols = ["l_partkey", "l_suppkey"]
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    # slice keeps the write tiny; bits_per_col=4 (16 buckets/col) is
+    # plenty of resolution for 8 files and cuts the approxQuantile work
+    # that dominates the leg (256 cuts/col at the default 8 bits)
+    sub = li.filter(F.col("l_orderkey") % 20 == 0)
+    layout.write_zordered(sub, path, cols, n_files=8, bits_per_col=4)
+    stats = layout.file_stats(path, cols)
+    import math
+
+    box = {}
+    for c in cols:
+        los = [rec[c][0] for rec in stats if rec[c][0] is not None]
+        his = [rec[c][1] for rec in stats if rec[c][1] is not None]
+        lo, hi = min(los), max(his)
+        # floor/ceil the mid-range box outward: on a narrow integer
+        # domain (suppkey 0..9 at sf0.001) the raw 45-55% box can land
+        # strictly BETWEEN integers and match zero rows, making the
+        # full-scan side vacuous
+        box[c] = (
+            math.floor(lo + 0.45 * (hi - lo)),
+            math.ceil(lo + 0.55 * (hi - lo)),
+        )
+    hits = layout.candidate_files(stats, box)
+    skipped = len(stats) - len(hits)
+    pred = None
+    for c, (blo, bhi) in box.items():
+        term = (F.col(c) >= blo) & (F.col(c) <= bhi)
+        pred = term if pred is None else pred & term
+    chk = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.crc32(
+                F.concat_ws(
+                    "|", "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+                )
+            )
+        ).alias("s"),
+    ]
+    full = spark.read.parquet(path).filter(pred).agg(*chk).first()
+    ok = False
+    if hits:
+        pruned = (
+            spark.read.parquet(*[os.path.join(path, h) for h in hits])
+            .filter(pred)
+            .agg(*chk)
+            .first()
+        )
+        ok = (
+            skipped > 0
+            and pruned["n"] == full["n"]
+            and pruned["s"] == full["s"]
+            and full["n"] > 0
+        )
+    return spark.range(1).select(
+        F.lit("zorder_skip").alias("op"),
+        F.lit(None).cast("long").alias("key"),
+        F.lit("skip_and_match").alias("name"),
+        F.lit(1 if ok else 0).cast("long").alias("val"),
+    )
 
 
 @register(

@@ -523,6 +523,9 @@ SQL_QUERIES: dict[str, str] = {
         UNION ALL
         SELECT 'bucket_join_noshuffle' AS op, CAST(NULL AS BIGINT) AS key,
                'zero_exchange' AS name, CAST(1 AS BIGINT) AS val
+        UNION ALL
+        SELECT 'zorder_skip' AS op, CAST(NULL AS BIGINT) AS key,
+               'skip_and_match' AS name, CAST(1 AS BIGINT) AS val
     """,
     "f9_case_segmentation": """
         SELECT price_segment, count(*) AS cnt,
