@@ -312,7 +312,14 @@ def heavy_hitters(
     import math
 
     k = int(math.ceil(1.0 / phi)) + 1
-    src = df.select(F.col(key_col).cast("string").alias("key"))
+    # NULL keys are excluded EXPLICITLY on the Spark side because pandas
+    # value_counts silently drops NaN in the candidate pass -- without
+    # this filter a null-heavy column would lose its null group here
+    # while a GROUP BY oracle kept it, a silent divergence; the a10
+    # oracle applies the same IS NOT NULL
+    src = df.select(F.col(key_col).cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
 
     def _candidates(batches):
         import pandas as pd

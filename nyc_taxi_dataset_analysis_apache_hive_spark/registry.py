@@ -1946,10 +1946,12 @@ def x2_salted_join_agg(spark, sf):
     SELECT 'frequent' AS op,
            concat('etype:', CAST(event_type AS VARCHAR)) AS key,
            CAST(count(*) AS BIGINT) AS n_exact,
-           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_part,
+           CAST((SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+             AS BIGINT) AS n_part,
            true AS approx_ok
-    FROM events GROUP BY event_type
-    HAVING count(*) > (SELECT count(*) FROM events) * 0.05
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    HAVING count(*) > (SELECT count(*) FROM events
+                       WHERE event_type IS NOT NULL) * 0.05
     UNION ALL
     SELECT 'frequent' AS op, concat('token:', t.key) AS key,
            CAST(t.cnt AS BIGINT) AS n_exact,

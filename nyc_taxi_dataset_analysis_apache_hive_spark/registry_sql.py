@@ -419,10 +419,12 @@ SQL_QUERIES: dict[str, str] = {
         SELECT 'frequent' AS op,
                concat('etype:', CAST(event_type AS STRING)) AS key,
                CAST(count(*) AS BIGINT) AS n_exact,
-               CAST((SELECT count(*) FROM events) AS BIGINT) AS n_part,
+               CAST((SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+                 AS BIGINT) AS n_part,
                true AS approx_ok
-        FROM events GROUP BY event_type
-        HAVING count(*) > (SELECT count(*) FROM events) * 0.05D
+        FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+        HAVING count(*) > (SELECT count(*) FROM events
+                           WHERE event_type IS NOT NULL) * 0.05D
         UNION ALL
         SELECT 'frequent' AS op, concat('token:', t.key) AS key,
                t.cnt AS n_exact, t.n AS n_part, true AS approx_ok

@@ -137,3 +137,20 @@ def test_mg_guarantee_on_arbitrary_streams(stream, k):
     for key, est in counters.items():
         assert 0 < est <= truth[key]
         assert truth[key] - est <= n / k + 1e-9
+
+
+def test_null_keys_excluded_consistently(spark):
+    """pandas value_counts drops NaN in the candidate pass, so NULL keys
+    are excluded EXPLICITLY (operator filter + oracle IS NOT NULL): a
+    null-heavy column must not surface a null heavy hitter, and the
+    non-null keys' counts/shares must be computed over the non-null
+    total only."""
+    rows = [("a",)] * 60 + [(None,)] * 30 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "key string").repartition(3)
+    got = {
+        r["key"]: (r["cnt"], r["n_total"])
+        for r in heavy_hitters(df, "key", phi=0.1).collect()
+    }
+    assert None not in got
+    assert got["a"] == (60, 70)  # total excludes the 30 nulls
+    assert got["b"] == (10, 70)  # 10/70 > 0.1 only because nulls excluded
