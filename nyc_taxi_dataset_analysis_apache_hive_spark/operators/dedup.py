@@ -973,7 +973,13 @@ def boilerplate_scrub(
     cheap codegen'd split, same trade as ngram_jaccard_pairs; at 100 TB
     both consumers pipeline over one scan of the parquet column each.
     """
-    toks = docs.select("doc_id", tokens(text_col).alias("ws"))
+    # NULL text coalesces to '' BEFORE tokenizing: split(NULL) is a NULL
+    # array, and Spark's size(NULL) = -1 would leak into n_tokens while
+    # the DuckDB oracle's len(NULL) stays NULL -- the same null-edge
+    # discipline as winnow_prints
+    toks = docs.select(
+        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("ws")
+    )
     starts_seq = F.when(
         F.size("ws") >= ngram_n,
         F.sequence(F.lit(1), F.size("ws") - (ngram_n - 1)),

@@ -3084,7 +3084,7 @@ _TF_CTE = f"""
     FROM (
       WITH stoks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text),
+               list_filter(string_split_regex(lower(coalesce(text, '')),
                                               '{TOKEN_SPLIT_REGEX}'),
                            x -> x <> '') AS t
         FROM documents

@@ -1129,8 +1129,8 @@ SQL_QUERIES: dict[str, str] = {
         FROM (
           WITH stoks AS (
             SELECT doc_id,
-                   filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')
-                     AS ws
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                          x -> x != '') AS ws
             FROM documents
           ),
           sg AS (

@@ -78,14 +78,16 @@ def test_scrub_hand_crafted_spans(spark):
 
 def test_scrub_short_docs_untouched(spark):
     """< 5 tokens -> no grams -> kept verbatim (the guarded sequence(1,0)
-    edge), including the empty document."""
+    edge), including the empty document and NULL text (coalesced to '' --
+    without it Spark's size(NULL) = -1 leaks into the counts)."""
     docs = spark.createDataFrame(
-        [(1, "one two three four"), (2, ""), (3, "solo")],
+        [(1, "one two three four"), (2, ""), (3, "solo"), (4, None)],
         "doc_id long, text string",
     )
     got = _collect(dedup.boilerplate_scrub(docs))
-    assert got == _py_scrub({1: "one two three four", 2: "", 3: "solo"})
+    assert got == _py_scrub({1: "one two three four", 2: "", 3: "solo", 4: ""})
     assert all(v[2] == 0 for v in got.values())
+    assert got[4][0] == 0  # NULL text behaves as the empty document
 
 
 def test_scrub_matches_python_on_real_docs(spark, sf0001_dir):
