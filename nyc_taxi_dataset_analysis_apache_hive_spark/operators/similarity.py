@@ -558,6 +558,12 @@ def cosine_topk_pq(
     0.975 (sf0.001) / 0.90 (sf0.1) while still scanning codes 16x
     smaller than the raw vectors and re-ranking only ~6% of the corpus.
 
+    Zero-norm vectors (none in the driver tables) normalize to NULL
+    elements, quantize to NULL codes, and drop out of ADC candidates --
+    the same drop-out semantics as the NULL cosines elsewhere in this
+    module; they can still be RETURNED as exact re-rank neighbours of
+    nothing, i.e. they simply never match.
+
     ``codebook``: any (code_id 0..k_sub-1, cb_emb) table replaces the
     corpus slice -- the kmeans_train plumbing IVF uses.  Measured
     honestly: on THIS corpus 32 full-vector k-means centroids sliced
