@@ -569,10 +569,11 @@ def cosine_topk_pq(
     honestly: on THIS corpus 32 full-vector k-means centroids sliced
     per subspace give recall 0.825 at sf0.1, WORSE than the 0.90 of
     random corpus samples, because k-means collapses onto the ~10
-    latent cluster directions and loses subspace diversity.  The
-    production fix is true per-subspace training (an L2 k-means on each
-    4-dim slice, the actual PQ recipe) -- out of scope here; the
-    parameter exists so a properly trained codebook drops in.
+    latent cluster directions and loses subspace diversity.  The fix is
+    true per-subspace training -- :func:`pq_train_codebook`, the actual
+    PQ recipe -- which restores the ordering: per-subspace-trained
+    1.0 / 0.90 >= slice 0.975 / 0.90 > full-vector 0.825
+    (sf0.001 / sf0.1, pytest-gated).
     """
     from ..functions.vectors import as_double_array, l2_norm
 
@@ -756,3 +757,151 @@ def cosine_topk_pq(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def pq_train_codebook(
+    embeddings: DataFrame,
+    m: int = 16,
+    k_sub: int = 32,
+    n_iter: int = 5,
+    dim: int = 64,
+    init_offset: int = 200,
+) -> DataFrame:
+    """TRUE per-subspace PQ codebook training (the actual Jegou et al.
+    recipe): an independent L2 k-means over each subspace's subvectors,
+    returned as ``(code_id, cb_emb)`` where ``cb_emb`` concatenates code
+    ``code_id``'s centroid across all ``m`` subspaces -- so the trained
+    codebook drops straight into :func:`cosine_topk_pq`'s ``codebook=``
+    (which slices per subspace again, recovering exactly the
+    per-subspace centroids).
+
+    This fixes what full-vector k-means gets wrong for PQ (measured
+    0.825 recall vs the corpus slice's 0.90 at sf0.1): clustering whole
+    vectors collapses the codebook onto the corpus's ~10 latent cluster
+    directions, while clustering each subspace separately keeps 32
+    distinct entries PER SUBSPACE no matter how few global clusters
+    exist.
+
+    Distributed shape: ALL m k-means run in ONE Lloyd loop -- the
+    exploded (vec, subspace, subvec) relation assigns against the
+    broadcast (subspace, code, centroid) set with an equi-join ON
+    SUBSPACE (never a cross of unrelated subspaces), and the new means
+    come from one (subspace, code, position) aggregate; per iteration
+    that is one broadcast join + one partial-agg shuffle regardless of
+    m.  Centroids are normalized-space (training on the unit sphere,
+    where :func:`cosine_topk_pq` measures distances); init is the
+    deterministic corpus slice at ``init_offset`` -- the same convention
+    as the untrained path, so improvement comes from Lloyd, not a
+    seed change.  Empty clusters keep their previous centroid.
+    """
+    from ..functions.vectors import as_double_array, l2_norm
+
+    dsub = dim // m
+    raw = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("emb_raw")
+    )
+    step1 = raw.select("vec_id", "emb_raw", l2_norm("emb_raw").alias("_nrm"))
+    emb = step1.select(
+        "vec_id",
+        F.transform(
+            F.col("emb_raw"),
+            lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0)),
+        ).alias("emb"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col("emb"), j * dsub + 1, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.j").alias("j"), F.col("x.sv").alias("sv"))
+
+    def sq_l2(a, b):
+        diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    cents = (
+        emb.filter(
+            (F.col("vec_id") >= init_offset)
+            & (F.col("vec_id") < init_offset + k_sub)
+        )
+        .select(
+            (F.col("vec_id") - init_offset).cast("int").alias("code_id"),
+            F.col("emb").alias("e"),
+        )
+        .select(
+            "code_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(F.col("e"), j * dsub + 1, dsub).alias(
+                                "cv"
+                            ),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("code_id", F.col("x.j").alias("j"), F.col("x.cv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        w = Window.partitionBy("vec_id", "j").orderBy(
+            F.col("d").asc(), F.col("code_id").asc()
+        )
+        assigned = (
+            subs.join(F.broadcast(cents), "j")
+            .select(
+                "vec_id",
+                "j",
+                "sv",
+                "code_id",
+                F.round(sq_l2(F.col("sv"), F.col("cv")), 9).alias("d"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        means = (
+            assigned.select("j", "code_id", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "code_id", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("j", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("mv")
+            )
+        )
+        cents = (
+            cents.join(means, ["j", "code_id"], "left")
+            .select(
+                "j",
+                "code_id",
+                F.coalesce("mv", "cv").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # concatenate each code's per-subspace centroids back to a full-dim
+    # vector (cosine_topk_pq re-slices identically)
+    return (
+        cents.groupBy("code_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                    lambda s: s["cv"],
+                )
+            ).alias("cb_emb")
+        )
+    )
