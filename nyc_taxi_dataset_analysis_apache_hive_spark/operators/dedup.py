@@ -1033,3 +1033,88 @@ def boilerplate_scrub(
             F.md5(F.array_join(F.col("_kept"), " ")).alias("scrub_fp"),
         )
     )
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    ngram_n: int = 8,
+    threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Direct n-gram-collision decontamination: for every probe (eval)
+    document, the fraction of its distinct word n-grams that occur
+    ANYWHERE in the training corpus -- the GPT-3 appendix-C style
+    "13-gram overlap" check (Brown et al. 2020 use 13-grams on web-scale
+    text; the order is a parameter and defaults to 8 here because the
+    synthetic documents bottom out at 10 tokens).
+
+    This complements :func:`cross_corpus_minhash_pairs`: MinHash finds
+    WHICH corpus document a probe near-duplicates; the overlap fraction
+    flags probes whose content leaks into the corpus in aggregate --
+    piecewise contamination spread over many corpus documents that no
+    single pairwise Jaccard would reach.
+
+    Distributed shape: the corpus is reduced to its DISTINCT n-gram set
+    first (hash-aggregate: map-side partial dedup, shuffle carries each
+    distinct gram once), probe grams explode and equi-join that set
+    (shuffle hash join keyed by the gram; never broadcast the corpus
+    side, never all-pairs), then one groupBy(probe_id) counts hits.  A
+    left join back onto the probe universe keeps zero-gram and zero-hit
+    probes in the report.  Corpus-side state grows with distinct corpus
+    n-grams -- at 100 TB that join is the same volume as any dedup
+    inverted index here, and the gram key could be md5'd to fixed width
+    if the raw grams dominate the shuffle.
+
+    Returns (probe_id, n_grams, n_hits, overlap_frac, contaminated) --
+    overlap_frac is an exact integer ratio (NULL when the probe has no
+    n-grams), rounded to 6 decimals; contaminated = frac >= threshold.
+    """
+    def _safe(df: DataFrame) -> DataFrame:
+        # NULL text would poison size() to -1 downstream; empty string
+        # tokenizes to an empty gram set instead (scrub-leg convention).
+        return df.withColumn(
+            text_col, F.coalesce(F.col(text_col), F.lit(""))
+        )
+
+    c_grams = (
+        _shingle_sets(_safe(corpus), ngram_n, text_col)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    p_grams = _shingle_sets(_safe(probes), ngram_n, text_col).select(
+        F.col("doc_id").alias("probe_id"), "sh"
+    )
+    hits = (
+        p_grams.select("probe_id", F.explode("sh").alias("g"))
+        .join(c_grams, on="g")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    frac = F.col("n_hits").cast("double") / F.nullif(
+        F.col("n_grams").cast("double"), F.lit(0.0)
+    )
+    return (
+        p_grams.select(
+            "probe_id", F.size("sh").cast("long").alias("n_grams")
+        )
+        .join(hits, on="probe_id", how="left")
+        .select(
+            "probe_id",
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits").cast("double"), F.lit(0.0))
+                / F.nullif(F.col("n_grams").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .withColumn(
+            "contaminated",
+            F.coalesce(
+                F.col("overlap_frac") >= F.lit(threshold), F.lit(False)
+            ),
+        )
+    )

@@ -459,3 +459,250 @@ def text_profile(docs: DataFrame, include_hygiene: bool = False) -> DataFrame:
             else []
         ),
     )
+
+
+def _micro6(col: Column) -> Column:
+    """6-decimal truncation to exact BIGINT micro-units:
+    ``floor(x * 1e6 + 1e-9)``.
+
+    Why integers: per-token log-probabilities must be SUMMED per document,
+    and a sum of doubles is addition-order dependent -- Spark's partial
+    aggregates and DuckDB's single-threaded fold would drift in the last
+    ulps, which the oracle's value hash cannot tolerate.  Quantizing each
+    term to an exact integer first makes the sum associative/commutative
+    and therefore bit-identical in any engine and any partitioning.  The
+    ``+ 1e-9`` nudge mirrors :func:`_trunc4`'s boundary rule at the 1e-6
+    grid (three decimal orders below the bucket, so it can never promote
+    an interior value)."""
+    return F.floor(col * 1000000.0 + 1e-9).cast("long")
+
+
+def ngram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model scoring: train on the corpus, score every
+    document -- the CCNet-style "perplexity as a quality signal" stage
+    (Wenzek et al. 2020 use a KenLM 5-gram; the distributed shape --
+    count tables + one join per order -- is the same at any order).
+
+    Model: add-one-smoothed bigram LM estimated from the corpus itself,
+    ``logp(w2 | w1) = ln((c2(w1,w2) + 1) / (c1(w1) + V))`` with V the
+    corpus vocabulary size.  Per document the score is the mean
+    transition log-probability (higher = more typical of the corpus; a
+    perplexity is just ``exp(-score)``).
+
+    Distributed shape, scan to result:
+      1. ONE tokenize pass materializes the token array.
+      2. Unigram counts ``c1`` and vocab size V: hash-aggregate over the
+         exploded tokens (map-side partial combine carries distinct
+         tokens per partition).
+      3. Bigram counts ``c2``: hash-aggregate over the per-doc transition
+         structs.
+      4. Scoring: transitions equi-join ``c2`` on (prev, cur) and ``c1``
+         on prev -- both plain shuffle hash joins keyed by token text
+         (Catalyst broadcasts them when small; neither is ever collected)
+         -- then one groupBy(doc_id) mean.
+    Nothing is all-pairs and no state lives on the driver, so the same
+    plan holds at any corpus size; the count tables are the only state
+    and they grow with the VOCABULARY, not the corpus.
+
+    Determinism across engines: each transition's log-probability is a
+    fixed expression over integers (exact in both engines up to the final
+    ``ln``), truncated to BIGINT micro-units (:func:`_micro6`) BEFORE the
+    per-document sum, so the aggregate is exact integer arithmetic --
+    immune to partitioning/order -- and the final
+    ``avg = (sum_micro / 1e6) / n_transitions`` is one deterministic
+    double expression, reported through :func:`_trunc4`.
+
+    Returns (doc_id, n_tokens, n_transitions, avg_logprob); documents
+    with fewer than 2 tokens have n_transitions = 0 and NULL score.
+    """
+    toked = docs.select(
+        F.col("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+    )
+    trans = toked.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.explode_outer(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("prev"),
+                        F.element_at(F.col("t"), i + 1).alias("cur"),
+                    ),
+                ),
+            ).otherwise(
+                F.lit(None).cast("array<struct<prev:string,cur:string>>")
+            )
+        ).alias("bg"),
+    )
+    tok = toked.select(F.explode("t").alias("token"))
+    c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = c1.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    scored_trans = (
+        trans.filter(F.col("bg").isNotNull())
+        .join(
+            trans.filter(F.col("bg").isNotNull())
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("c2")),
+            on="bg",
+        )
+        .join(c1, F.col("bg.prev") == F.col("token"))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            "n_tokens",
+            _micro6(
+                F.log(
+                    (F.col("c2") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            ).alias("lp_micro"),
+        )
+    )
+    per_doc = scored_trans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("lp_micro").alias("sum_micro"),
+    )
+    short = trans.filter(F.col("bg").isNull()).select(
+        "doc_id",
+        "n_tokens",
+        F.lit(0).cast("long").alias("n_transitions"),
+        F.lit(None).cast("long").alias("sum_micro"),
+    )
+    return per_doc.unionByName(short).select(
+        "doc_id",
+        "n_tokens",
+        "n_transitions",
+        _trunc4(
+            (F.col("sum_micro").cast("double") / F.lit(1000000.0))
+            / F.col("n_transitions").cast("double")
+        ).alias("avg_logprob"),
+    )
+
+
+#: the probe's feature/label definitions -- ONE definition shared by the
+#: Spark operator and mirrored verbatim in the registry oracle / SQL text
+#: so the three surfaces cannot drift.
+PROBE_LABEL_SOURCE = "src0"
+
+
+def _probe_features(docs: DataFrame, text_col: str) -> DataFrame:
+    """Per-document (x1, x2, y) for the linear probe, each feature
+    truncated to the 1e-4 grid (:func:`_trunc4`) so it is representable
+    EXACTLY as DECIMAL(14,4) -- the precondition for the exact-decimal
+    normal-equation sums in :func:`linear_probe_scores`."""
+    toked = docs.select(
+        "doc_id",
+        "source",
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    n_tok = F.size("toks").cast("long")
+    n_tok_d = n_tok.cast("double")
+    sw_ratio = F.coalesce(
+        stopword_hits_from_tokens(F.col("toks"), "en")
+        / F.nullif(n_tok_d, F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return toked.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        _trunc4(F.least(n_tok_d / F.lit(100.0), F.lit(1.0))).alias("x1"),
+        _trunc4(sw_ratio).alias("x2"),
+        F.when(F.col("source") == PROBE_LABEL_SOURCE, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def linear_probe_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Closed-form linear quality probe: least-squares fit of a
+    source-membership label on two text features, trained AND applied in
+    one distributed job (the fastText-classifier slot of a curation
+    pipeline -- e.g. GPT-3's WebText-vs-CommonCrawl quality filter --
+    reduced to its linear-probe core so it stays a pure DataFrame
+    program).
+
+    Features x1 = min(n_tokens/100, 1), x2 = English-stopword ratio
+    (both 1e-4-truncated); label y = 1 iff source == 'src0'.  The normal
+    equations ``(X'X) w = X'y`` for [1, x1, x2] need nine sums; with the
+    features exact on the 1e-4 grid the sums are computed in DECIMAL
+    (products exact at scale 8), so they are EXACT integers under the
+    hood -- independent of partitioning and engine -- and one Cramer
+    solve expressed as a fixed double expression yields bit-identical
+    weights everywhere.  The weights row is broadcast-joined back onto
+    the corpus for scoring: train = one aggregate, apply = one narrow
+    projection; no driver-side state, no collect, no iteration.
+
+    Returns per-document (doc_id, n_tokens, y, yhat) with
+    ``yhat = w0 + w1 x1 + w2 x2`` (1e-4-truncated), plus the fitted
+    weights exposed via :func:`linear_probe_weights`.  Pass ``weights``
+    (a (w0, w1, w2) one-row frame) to score with an already-fitted
+    probe -- the registry does this so training runs once for both the
+    score and weight surfaces.
+    """
+    feats = _probe_features(docs, text_col)
+    w = _probe_weights_row(feats) if weights is None else weights
+    return feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "n_tokens",
+        "y",
+        _trunc4(
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        ).alias("yhat"),
+    )
+
+
+def _probe_weights_row(feats: DataFrame) -> DataFrame:
+    """One-row DataFrame (w0, w1, w2): exact-decimal normal-equation sums
+    -> double -> Cramer's rule, as ONE fixed expression tree (identical
+    text in the DuckDB oracle)."""
+    d4 = "decimal(14,4)"
+    x1d, x2d = F.col("x1").cast(d4), F.col("x2").cast(d4)
+    yd = F.col("y").cast("decimal(14,4)")
+    sums = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1d).cast("double").alias("a"),
+        F.sum(x2d).cast("double").alias("b"),
+        F.sum(x1d * x1d).cast("double").alias("c"),
+        F.sum(x1d * x2d).cast("double").alias("d"),
+        F.sum(x2d * x2d).cast("double").alias("e"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(x1d * yd).cast("double").alias("s1y"),
+        F.sum(x2d * yd).cast("double").alias("s2y"),
+    )
+    det = (
+        F.col("n") * (F.col("c") * F.col("e") - F.col("d") * F.col("d"))
+        - F.col("a") * (F.col("a") * F.col("e") - F.col("d") * F.col("b"))
+        + F.col("b") * (F.col("a") * F.col("d") - F.col("c") * F.col("b"))
+    )
+    w0 = (
+        F.col("sy") * (F.col("c") * F.col("e") - F.col("d") * F.col("d"))
+        - F.col("a") * (F.col("s1y") * F.col("e") - F.col("d") * F.col("s2y"))
+        + F.col("b") * (F.col("s1y") * F.col("d") - F.col("c") * F.col("s2y"))
+    ) / det
+    w1 = (
+        F.col("n") * (F.col("s1y") * F.col("e") - F.col("s2y") * F.col("d"))
+        - F.col("sy") * (F.col("a") * F.col("e") - F.col("b") * F.col("d"))
+        + F.col("b") * (F.col("a") * F.col("s2y") - F.col("b") * F.col("s1y"))
+    ) / det
+    w2 = (
+        F.col("n") * (F.col("c") * F.col("s2y") - F.col("d") * F.col("s1y"))
+        - F.col("a") * (F.col("a") * F.col("s2y") - F.col("b") * F.col("s1y"))
+        + F.col("sy") * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+    ) / det
+    return sums.select(w0.alias("w0"), w1.alias("w1"), w2.alias("w2"))
+
+
+def linear_probe_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The fitted probe weights as one (w0, w1, w2) row -- the training
+    half of :func:`linear_probe_scores`, exposed for inspection."""
+    return _probe_weights_row(_probe_features(docs, text_col))

@@ -3120,6 +3120,133 @@ _TF_CTE = f"""
              md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_fp
       FROM sscrub
     )
+    UNION ALL
+    -- bigram-LM corpus scoring (r7): add-one-smoothed transition
+    -- log-probs, each truncated to BIGINT micro-units BEFORE the per-doc
+    -- sum so the aggregate is exact integer arithmetic in both engines
+    SELECT 'lm' AS op, doc_id, CAST(NULL AS VARCHAR) AS token,
+           n_tokens AS n, n_transitions AS m, score
+    FROM (
+      WITH ltok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      lc1 AS (
+        SELECT token, count(*) AS c1
+        FROM (SELECT unnest(t) AS token FROM ltok) GROUP BY token
+      ),
+      lv AS (SELECT count(*) AS v FROM lc1),
+      ltrans AS (
+        SELECT doc_id, len(t) AS n_tokens, t[i] AS prev, t[i + 1] AS cur
+        FROM ltok,
+             unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t))
+                    ELSE [] END) AS u(i)
+      ),
+      lc2 AS (
+        SELECT prev, cur, count(*) AS c2 FROM ltrans GROUP BY prev, cur
+      ),
+      lsc AS (
+        SELECT lt.doc_id, lt.n_tokens,
+               CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE))
+                          * 1000000.0 + 1e-9) AS BIGINT) AS lp_micro
+        FROM ltrans lt
+        JOIN lc2 ON lt.prev = lc2.prev AND lt.cur = lc2.cur
+        JOIN lc1 ON lt.prev = lc1.token
+        CROSS JOIN lv
+      ),
+      lagg AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               sum(lp_micro) AS sum_micro
+        FROM lsc GROUP BY doc_id, n_tokens
+        UNION ALL
+        SELECT doc_id, CAST(len(t) AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM ltok WHERE len(t) < 2
+      )
+      SELECT doc_id, n_tokens, n_transitions,
+             floor((CAST(sum_micro AS DOUBLE) / 1000000.0)
+                   / CAST(n_transitions AS DOUBLE) * 10000.0 + 1e-7)
+               / 10000.0 AS score
+      FROM lagg
+    )
+    UNION ALL
+    -- closed-form linear quality probe (r7): 1e-4-quantized features ->
+    -- exact DECIMAL normal-equation sums -> one Cramer expression; the
+    -- same expression text as the Spark side, so weights are
+    -- bit-identical
+    SELECT op, doc_id, token, n, m, score
+    FROM (
+      WITH ptok AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      pf AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               floor(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+                     * 10000.0 + 1e-7) / 10000.0 AS x1,
+               floor(coalesce({_hits_from_t_sql("en")}
+                              / nullif(CAST(len(t) AS DOUBLE), 0), 0)
+                     * 10000.0 + 1e-7) / 10000.0 AS x2,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM ptok
+      ),
+      psum AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))) AS DOUBLE) AS a,
+               CAST(sum(CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS b,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                        * CAST(x1 AS DECIMAL(14,4))) AS DOUBLE) AS c,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                        * CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS d,
+               CAST(sum(CAST(x2 AS DECIMAL(14,4))
+                        * CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS e,
+               CAST(sum(CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                        * CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(x2 AS DECIMAL(14,4))
+                        * CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS s2y
+        FROM pf
+      ),
+      pw AS (
+        SELECT
+          (sy * (c * e - d * d) - a * (s1y * e - d * s2y)
+           + b * (s1y * d - c * s2y))
+          / (n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b)) AS w0,
+          (n * (s1y * e - s2y * d) - sy * (a * e - b * d)
+           + b * (a * s2y - b * s1y))
+          / (n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b)) AS w1,
+          (n * (c * s2y - d * s1y) - a * (a * s2y - b * s1y)
+           + sy * (a * d - b * c))
+          / (n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b)) AS w2
+        FROM psum
+      )
+      SELECT 'probe' AS op, doc_id, CAST(NULL AS VARCHAR) AS token,
+             n_tokens AS n, CAST(y AS BIGINT) AS m,
+             floor((w0 + w1 * x1 + w2 * x2) * 10000.0 + 1e-7) / 10000.0
+               AS score
+      FROM pf CROSS JOIN pw
+      UNION ALL
+      SELECT 'probe_w' AS op, CAST(NULL AS BIGINT) AS doc_id,
+             wn AS token, CAST(NULL AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS m,
+             floor(wv * 10000.0 + 1e-7) / 10000.0 AS score
+      FROM (
+        SELECT 'w0' AS wn, w0 AS wv FROM pw
+        UNION ALL SELECT 'w1', w1 FROM pw
+        UNION ALL SELECT 'w2', w2 FROM pw
+      )
+    )
     """,
 )
 def tv1_text_stats(spark, sf):
@@ -3141,7 +3268,18 @@ def tv1_text_stats(spark, sf):
     value-verified (4 stages: map-side gram HOFs, ONE gram countDistinct
     with map-side partial agg, broadcast heavy-set join, map-side ordered
     rebuild via the index-lambda filter; grouping key is the portable
-    md5 of the gram, constant-width and bit-identical in the oracle)."""
+    md5 of the gram, constant-width and bit-identical in the oracle).
+    ``lm`` (r7) = bigram-LM corpus scoring (textops.ngram_lm_scores, the
+    CCNet perplexity-as-quality-signal shape): add-one-smoothed
+    transition log-probs from corpus-trained count tables, each
+    truncated to BIGINT micro-units BEFORE the per-doc sum so the
+    aggregate is exact integer arithmetic -- partitioning- and
+    engine-independent.  ``probe`` / ``probe_w`` (r7) = closed-form
+    linear quality probe (textops.linear_probe_scores): least-squares
+    source-membership fit on 1e-4-quantized features via exact DECIMAL
+    normal-equation sums + one Cramer expression (bit-identical weights
+    in both engines); train = one aggregate, apply = broadcast join --
+    no collect, no iteration."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -3168,7 +3306,51 @@ def tv1_text_stats(spark, sf):
         F.col("n_dropped").alias("m"),
         F.lit(None).cast("double").alias("score"),
     )
-    return tfidf.unionByName(vocab).unionByName(scrub)
+    nulls = F.lit(None).cast("string")
+    lm = textops.ngram_lm_scores(docs).select(
+        F.lit("lm").alias("op"),
+        "doc_id",
+        nulls.alias("token"),
+        F.col("n_tokens").alias("n"),
+        F.col("n_transitions").alias("m"),
+        F.col("avg_logprob").alias("score"),
+    )
+    w = textops.linear_probe_weights(docs)
+    probe = textops.linear_probe_scores(docs, weights=w).select(
+        F.lit("probe").alias("op"),
+        "doc_id",
+        nulls.alias("token"),
+        F.col("n_tokens").alias("n"),
+        F.col("y").alias("m"),
+        F.col("yhat").alias("score"),
+    )
+    wrows = w.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("token"),
+                        textops._trunc4(F.col(name)).alias("score"),
+                    )
+                    for name in ("w0", "w1", "w2")
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.lit("probe_w").alias("op"),
+        nulll.alias("doc_id"),
+        F.col("s.token").alias("token"),
+        nulll.alias("n"),
+        nulll.alias("m"),
+        F.col("s.score").alias("score"),
+    )
+    return (
+        tfidf.unionByName(vocab)
+        .unionByName(scrub)
+        .unionByName(lm)
+        .unionByName(probe)
+        .unionByName(wrows)
+    )
 
 
 @register(
@@ -3190,32 +3372,97 @@ def tv1_text_stats(spark, sf):
        AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
     ),
     sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams)
-    SELECT corpus_id, probe_id,
+    SELECT 'minhash' AS op, corpus_id, probe_id,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m,
            round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
                  / (len(sa.s) + len(sb.s)
                     - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6)
-             AS jaccard
+             AS score
     FROM cands
     JOIN sets sa ON cands.corpus_id = sa.doc_id
     JOIN sets sb ON cands.probe_id = sb.doc_id
     WHERE round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
                  / (len(sa.s) + len(sb.s)
                     - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) >= 0.5
+    UNION ALL
+    -- direct n-gram-collision decontam (r7): fraction of each probe
+    -- doc's distinct word-8-grams occurring anywhere in the corpus side
+    SELECT 'overlap' AS op, CAST(NULL AS BIGINT) AS corpus_id, probe_id,
+           n_grams AS n, n_hits AS m, score
+    FROM (
+      WITH otok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      ogr AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8 THEN
+                 list_distinct(list_transform(range(1, len(t) - 6),
+                   i -> array_to_string(t[i:i+7], ' ')))
+               ELSE [] END AS sh
+        FROM otok
+      ),
+      ocg AS (
+        SELECT DISTINCT g
+        FROM (SELECT unnest(sh) AS g FROM ogr WHERE doc_id % 2 = 0)
+      ),
+      opg AS (SELECT doc_id AS probe_id, sh FROM ogr WHERE doc_id % 2 = 1),
+      ohits AS (
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM (SELECT probe_id, unnest(sh) AS g FROM opg) pg
+        JOIN ocg USING (g) GROUP BY probe_id
+      )
+      SELECT probe_id, CAST(len(sh) AS BIGINT) AS n_grams,
+             coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             round(coalesce(CAST(n_hits AS DOUBLE), 0)
+                   / nullif(CAST(len(sh) AS DOUBLE), 0), 6) AS score
+      FROM opg LEFT JOIN ohits USING (probe_id)
+    )
     """,
 )
 def d7_cross_corpus_decontam(spark, sf):
-    """Cross-corpus decontamination: banded-MinHash candidates generated
-    only where a full band collides ACROSS the two sides (corpus = even
-    doc_ids, probes = odd -- a split the sf0.01 near-dup families straddle),
-    then exact-Jaccard verified.  The corpus side is never self-joined and
-    never shuffled when the probe side broadcasts
-    (similarity/dedup cross-corpus plan tests)."""
+    """Cross-corpus decontamination, two tagged legs (corpus = even
+    doc_ids, probes = odd -- a split the sf0.01 near-dup families
+    straddle).  ``minhash`` = banded-MinHash candidates generated only
+    where a full band collides ACROSS the two sides, then exact-Jaccard
+    verified; the corpus side is never self-joined and never shuffled
+    when the probe side broadcasts (similarity/dedup cross-corpus plan
+    tests).  ``overlap`` (r7) = direct n-gram-collision check
+    (dedup.ngram_overlap_contamination, the GPT-3 appendix-C shape at
+    word-8-grams): per probe doc, the fraction of its distinct 8-grams
+    occurring ANYWHERE in the corpus -- catches piecewise leakage spread
+    over many corpus documents that no single pairwise Jaccard reaches.
+    Corpus reduced to its distinct gram set first (map-side partial
+    dedup), one equi-join on the gram, one groupBy(probe_id); exact
+    integer counts, so the whole leg value-hashes."""
     docs = _t(spark, sf, "documents")
-    return dedup.cross_corpus_minhash_pairs(
-        corpus=docs.filter(F.col("doc_id") % 2 == 0),
-        probes=docs.filter(F.col("doc_id") % 2 == 1),
-        jaccard_threshold=0.5,
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    nulll = F.lit(None).cast("long")
+    mh = dedup.cross_corpus_minhash_pairs(
+        corpus=corpus, probes=probes, jaccard_threshold=0.5
+    ).select(
+        F.lit("minhash").alias("op"),
+        "corpus_id",
+        "probe_id",
+        nulll.alias("n"),
+        nulll.alias("m"),
+        F.col("jaccard").alias("score"),
     )
+    ov = dedup.ngram_overlap_contamination(
+        corpus, probes, ngram_n=8, threshold=0.2
+    ).select(
+        F.lit("overlap").alias("op"),
+        nulll.alias("corpus_id"),
+        "probe_id",
+        F.col("n_grams").alias("n"),
+        F.col("n_hits").alias("m"),
+        F.col("overlap_frac").alias("score"),
+    )
+    return mh.unionByName(ov)
 
 
 #: pl1 split bounds: the funnel's (0.98, 0.01, 0.01) split, float-exact

@@ -774,7 +774,10 @@ SQL_QUERIES: dict[str, str] = {
                AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
         ),
         ss AS (SELECT doc_id, array_sort(sh) AS sh FROM sets)
-        SELECT corpus_id, probe_id, jaccard FROM (
+        SELECT 'minhash' AS op, corpus_id, probe_id,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m,
+               jaccard AS score
+        FROM (
           SELECT corpus_id, probe_id,
                  round(size(array_intersect(sa.sh, sb.sh))
                    / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE), 6)
@@ -783,6 +786,42 @@ SQL_QUERIES: dict[str, str] = {
           JOIN ss sa ON cands.corpus_id = sa.doc_id
           JOIN ss sb ON cands.probe_id = sb.doc_id
         ) WHERE jaccard >= 0.5D
+        UNION ALL
+        -- direct 8-gram-collision decontam (r7): see registry.d7 docstring
+        SELECT 'overlap' AS op, CAST(NULL AS BIGINT) AS corpus_id, probe_id,
+               n_grams AS n, n_hits AS m, score
+        FROM (
+          WITH otok AS (
+            SELECT doc_id,
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                          x -> x != '') AS t
+            FROM documents
+          ),
+          ogr AS (
+            SELECT doc_id,
+                   CASE WHEN size(t) >= 8 THEN
+                     array_distinct(transform(sequence(1, size(t) - 7),
+                       i -> array_join(slice(t, i, 8), ' ')))
+                   ELSE CAST(array() AS array<string>) END AS sh
+            FROM otok
+          ),
+          ocg AS (
+            SELECT DISTINCT g
+            FROM (SELECT explode(sh) AS g FROM ogr WHERE doc_id % 2 = 0)
+          ),
+          opg AS (SELECT doc_id AS probe_id, sh FROM ogr
+                  WHERE doc_id % 2 = 1),
+          ohits AS (
+            SELECT pg.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM (SELECT probe_id, explode(sh) AS g FROM opg) pg
+            JOIN ocg ON pg.g = ocg.g GROUP BY pg.probe_id
+          )
+          SELECT opg.probe_id, CAST(size(sh) AS BIGINT) AS n_grams,
+                 coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                 round(coalesce(CAST(n_hits AS DOUBLE), 0D)
+                       / nullif(CAST(size(sh) AS DOUBLE), 0D), 6) AS score
+          FROM opg LEFT JOIN ohits ON opg.probe_id = ohits.probe_id
+        )
     """,
     "d5_simhash_pairs": f"""
         WITH toked AS (
@@ -1170,6 +1209,137 @@ SQL_QUERIES: dict[str, str] = {
                  CAST(size(ws) - size(kept) AS BIGINT) AS n_dropped,
                  md5(array_join(kept, ' ')) AS scrub_fp
           FROM sscrub
+        )
+        UNION ALL
+        -- bigram-LM corpus scoring (r7): see registry.tv1 docstring
+        SELECT 'lm' AS op, doc_id, CAST(NULL AS STRING) AS token,
+               n_tokens AS n, n_transitions AS m, score
+        FROM (
+          WITH ltok AS (
+            SELECT doc_id,
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                          x -> x != '') AS t
+            FROM documents
+          ),
+          lc1 AS (
+            SELECT token, count(*) AS c1
+            FROM (SELECT explode(t) AS token FROM ltok) GROUP BY token
+          ),
+          lv AS (SELECT count(*) AS v FROM lc1),
+          ltrans AS (
+            SELECT doc_id, size(t) AS n_tokens, bg.prev AS prev,
+                   bg.cur AS cur
+            FROM (
+              SELECT doc_id, t,
+                     explode(CASE WHEN size(t) >= 2 THEN
+                       transform(sequence(1, size(t) - 1),
+                         i -> named_struct('prev', element_at(t, i),
+                                           'cur', element_at(t, i + 1)))
+                     ELSE CAST(array()
+                               AS array<struct<prev:string,cur:string>>)
+                     END) AS bg
+              FROM ltok
+            )
+          ),
+          lc2 AS (
+            SELECT prev, cur, count(*) AS c2 FROM ltrans GROUP BY prev, cur
+          ),
+          lsc AS (
+            SELECT lt.doc_id, lt.n_tokens,
+                   CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE))
+                              * 1000000.0D + 1e-9) AS BIGINT) AS lp_micro
+            FROM ltrans lt
+            JOIN lc2 ON lt.prev = lc2.prev AND lt.cur = lc2.cur
+            JOIN lc1 ON lt.prev = lc1.token
+            CROSS JOIN lv
+          ),
+          lagg AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   sum(lp_micro) AS sum_micro
+            FROM lsc GROUP BY doc_id, n_tokens
+            UNION ALL
+            SELECT doc_id, CAST(size(t) AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM ltok WHERE size(t) < 2
+          )
+          SELECT doc_id, n_tokens, n_transitions,
+                 floor((CAST(sum_micro AS DOUBLE) / 1000000.0D)
+                       / CAST(n_transitions AS DOUBLE) * 10000.0D + 1e-7)
+                   / 10000.0D AS score
+          FROM lagg
+        )
+        UNION ALL
+        -- closed-form linear probe (r7): see registry.tv1 docstring
+        SELECT op, doc_id, token, n, m, score
+        FROM (
+          WITH ptok AS (
+            SELECT doc_id, source,
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                          x -> x != '') AS t
+            FROM documents
+          ),
+          pf AS (
+            SELECT doc_id,
+                   CAST(size(t) AS BIGINT) AS n_tokens,
+                   floor(least(CAST(size(t) AS DOUBLE) / 100.0D, 1.0D)
+                         * 10000.0D + 1e-7) / 10000.0D AS x1,
+                   floor(coalesce(CAST(size(filter(t, x -> array_contains(
+                             array('the','and','of','to','a','in','is','it',
+                                   'for','on'), x))) AS BIGINT)
+                           / nullif(CAST(size(t) AS DOUBLE), 0.0D), 0.0D)
+                         * 10000.0D + 1e-7) / 10000.0D AS x2,
+                   CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+            FROM ptok
+          ),
+          psum AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(x1 AS DECIMAL(14,4))) AS DOUBLE) AS a,
+                   CAST(sum(CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS b,
+                   CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                            * CAST(x1 AS DECIMAL(14,4))) AS DOUBLE) AS c,
+                   CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                            * CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS d,
+                   CAST(sum(CAST(x2 AS DECIMAL(14,4))
+                            * CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS e,
+                   CAST(sum(CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                            * CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS s1y,
+                   CAST(sum(CAST(x2 AS DECIMAL(14,4))
+                            * CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS s2y
+            FROM pf
+          ),
+          pw AS (
+            SELECT
+              (sy * (c * e - d * d) - a * (s1y * e - d * s2y)
+               + b * (s1y * d - c * s2y))
+              / (n * (c * e - d * d) - a * (a * e - d * b)
+                 + b * (a * d - c * b)) AS w0,
+              (n * (s1y * e - s2y * d) - sy * (a * e - b * d)
+               + b * (a * s2y - b * s1y))
+              / (n * (c * e - d * d) - a * (a * e - d * b)
+                 + b * (a * d - c * b)) AS w1,
+              (n * (c * s2y - d * s1y) - a * (a * s2y - b * s1y)
+               + sy * (a * d - b * c))
+              / (n * (c * e - d * d) - a * (a * e - d * b)
+                 + b * (a * d - c * b)) AS w2
+            FROM psum
+          )
+          SELECT 'probe' AS op, doc_id, CAST(NULL AS STRING) AS token,
+                 n_tokens AS n, CAST(y AS BIGINT) AS m,
+                 floor((w0 + w1 * x1 + w2 * x2) * 10000.0D + 1e-7)
+                   / 10000.0D AS score
+          FROM pf CROSS JOIN pw
+          UNION ALL
+          SELECT 'probe_w' AS op, CAST(NULL AS BIGINT) AS doc_id,
+                 wn AS token, CAST(NULL AS BIGINT) AS n,
+                 CAST(NULL AS BIGINT) AS m,
+                 floor(wv * 10000.0D + 1e-7) / 10000.0D AS score
+          FROM (
+            SELECT 'w0' AS wn, w0 AS wv FROM pw
+            UNION ALL SELECT 'w1', w1 FROM pw
+            UNION ALL SELECT 'w2', w2 FROM pw
+          )
         )
     """,
     "cx1_time_ops": """

@@ -38,6 +38,11 @@ SCALE_SENSITIVE = [
     # r7: the pq leg's ADC candidate set is a per-query top-128 over the
     # whole corpus -- scale-sensitive by construction
     "k2_ann_lsh_ivf",
+    # r7: the overlap leg's hit fraction depends on the corpus-wide gram
+    # set (grows with corpus), and tv1's lm/probe legs hinge on the
+    # micro-unit/decimal exactness claims precisely where sums get big --
+    # (tv1 is pinned above; d7 joins here for the overlap leg)
+    "d7_cross_corpus_decontam",
 ]
 
 QUERIES = entry_mod.queries()

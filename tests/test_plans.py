@@ -99,6 +99,9 @@ def test_scalar_cross_join_is_single_row_broadcast(spark):
         # sampling surface's mix/cap legs must stay equi-join shaped
         "k3_embedding_near_pairs",
         "s7_stratified_rates",
+        # r7 folds: d7's overlap leg (probe grams vs the corpus gram set)
+        # must equi-join on the gram, never all-pairs
+        "d7_cross_corpus_decontam",
     ],
 )
 def test_dedup_never_plans_cartesian(spark, name):
@@ -134,6 +137,20 @@ def test_text_profile_scans_documents_once(spark):
     # listing -- count the numbered detail entries only
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
+
+
+def test_tv1_lm_probe_legs_stay_scale_safe(spark):
+    """The r7 lm/probe legs: count-table and weight-row joins must be
+    equi- or single-row-broadcast joins.  The ONLY nested-loop joins
+    allowed are the broadcast one-row passes (vocab size, probe weights,
+    tfidf's corpus count) -- a non-broadcast nested loop or cartesian
+    would mean a count table got crossed with the corpus."""
+    plan = explain_str(_q(spark, "tv1_text_stats"))
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin may appear -- those are the 1-row broadcast
+    # sides (vocab size / probe weights / tfidf corpus count), same class
+    # as j1's scalar cross join
+    assert "BatchEvalPython" not in plan  # all legs stay JVM-side
 
 
 def test_ann_suite_has_no_cartesian_on_scale_paths(spark):
