@@ -185,3 +185,109 @@ def cap_per_key(
         .filter(F.col("_rn") <= n)
         .drop("_rank_key", "_rn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    target_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: sampling weight
+    ``w_d ~ n_d^alpha`` -- the exponentiated-count smoothing multilingual
+    corpora use to up-weight low-resource domains without flattening the
+    distribution (alpha=1 keeps natural proportions, alpha=0 is uniform;
+    mBERT/XLM-R train with alpha around 0.3-0.7).
+
+    Mechanically :func:`mix_domains` with weights COMPUTED from the
+    corpus itself: one tiny per-domain count aggregate, ``w_d =
+    n_d^alpha / sum_e n_e^alpha``, then the same deterministic
+    md5-Bernoulli copy counts and narrow explode -- the corpus is never
+    shuffled.  The normalized weight is truncated to the 1e-6 grid
+    before any ratio arithmetic (same boundary rule as
+    textops._micro6): ``pow`` and the 3-term float sum are the only
+    engine-varying steps, and quantizing their output makes every
+    downstream floor/compare bit-identical across engines.
+
+    Returns the input rows with an ``epoch`` copy-index column, exactly
+    like :func:`mix_domains`.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
+    powed = F.pow(F.col("_dom_n").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(F.sum(powed).alias("_pow_sum"))
+    ratios = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "_dom_n",
+            (
+                F.floor(powed / F.col("_pow_sum") * 1000000.0 + 1e-9)
+                / 1000000.0
+            ).alias("_wq"),
+        )
+    )
+    ratio = F.col("_wq") * F.lit(float(target_rows)) / F.col("_dom_n")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**15))
+    n_copies = (
+        F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(ratios), domain_col)
+        .withColumn("_n_copies", F.coalesce(n_copies, F.lit(0)))
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_dom_n", "_wq", "_n_copies")
+    )
+
+
+def grouped_hash_split(
+    ids: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "cluster_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 draw hashes the GROUP
+    representative instead of the row id, so every member of a near-dup
+    cluster lands in the SAME split -- the constraint that keeps a
+    training document's near-copy out of the eval split (the classic
+    contamination channel a per-doc hash split leaves open).
+
+    ``groups`` is a (id, group) assignment, e.g.
+    dedup.connected_components output; rows absent from it are their own
+    singleton group (left join + coalesce), so the split degrades to the
+    plain :func:`hash_split` exactly where no duplicate structure
+    exists.  Same salt/bounds as hash_split: a singleton's assignment is
+    IDENTICAL to its per-doc split, so enabling group-awareness only
+    moves documents that have near-duplicates.
+
+    Scale: one equi-join (the cluster table is small next to the corpus
+    -- only docs with near-dups appear; Catalyst broadcasts it when it
+    fits) + the same narrow md5 projection as hash_split.
+    """
+    keyed = ids.join(
+        groups.select(
+            F.col(id_col), F.col(group_col).alias("_grp")
+        ),
+        on=id_col,
+        how="left",
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("_grp"), F.col(id_col)).alias("_grp"),
+    )
+    return hash_split(
+        keyed, id_col="_grp", weights=weights, salt=salt
+    ).select(id_col, "split_id")

@@ -2510,6 +2510,16 @@ def _zorder_skip_leg(spark, sf) -> DataFrame:
     )
 
 
+# embed hash_split's OWN float-exact cumulative bounds (one definition in
+# sampling.cumulative_split_bounds) so Spark and the oracle compare u
+# against bit-identical literals (shared by d6's grouped_split leg and s6)
+_SPLIT_BOUNDS = sampling.cumulative_split_bounds((0.8, 0.1, 0.1))
+_SPLIT_CASE = (
+    f"CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 0 "
+    f"WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 1 ELSE 2 END"
+)
+
+
 @register(
     "d6_dup_clusters",
     f"""
@@ -2526,34 +2536,64 @@ def _zorder_skip_leg(spark, sf) -> DataFrame:
       SELECT v, v FROM verts
       UNION
       SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT 'cluster' AS op, doc_id, cluster_id AS v FROM comp
+    UNION ALL
+    -- leakage-safe split (r7): the split draw hashes the CLUSTER
+    -- representative (min reachable id; singletons hash their own id),
+    -- so near-dup cluster members always share a split
+    SELECT 'grouped_split' AS op, doc_id, CAST({_SPLIT_CASE} AS BIGINT) AS v
+    FROM (
+      SELECT d.doc_id,
+             CAST(CAST('0x' || substr(md5('split-v1:' ||
+                    CAST(coalesce(comp.cluster_id, d.doc_id) AS VARCHAR)),
+                    1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
     )
-    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     """,
 )
 def d6_dup_clusters(spark, sf):
-    """Near-dup clustering: connected components (min-label propagation,
+    """Near-dup clustering + its downstream consumer, tagged and stacked.
+    ``cluster`` = connected components (min-label propagation,
     lineage-checkpointed iterative joins) over the exact n-gram-Jaccard
     pair graph -- pairs -> clusters -> canonical keeper, the stage that
     turns pairwise dedup into an actionable drop-list.  Oracle: DuckDB
-    recursive CTE computing min reachable id per vertex."""
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), shingle_n=3, threshold=0.2
+    recursive CTE computing min reachable id per vertex.
+    ``grouped_split`` (r7) = leakage-safe train/val/test assignment
+    (sampling.grouped_hash_split): the md5 split draw hashes the cluster
+    representative instead of the doc id, so a training document's
+    near-copy can never land in the eval split; singletons hash their
+    own id, making the assignment IDENTICAL to s6's per-doc split
+    exactly where no duplicate structure exists.  The component table is
+    checkpoint-materialized once and reused by both legs."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    comps = dedup.connected_components(pairs)
+    cluster = comps.select(
+        F.lit("cluster").alias("op"),
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("v"),
     )
-    return dedup.connected_components(pairs)
+    grouped = sampling.grouped_hash_split(
+        docs.select("doc_id"),
+        comps,
+        weights=(0.8, 0.1, 0.1),
+        salt="split-v1",
+    ).select(
+        F.lit("grouped_split").alias("op"),
+        "doc_id",
+        F.col("split_id").cast("long").alias("v"),
+    )
+    return cluster.unionByName(grouped)
 
 
 # ---------------------------------------------------------------------------
 # Sampling / dataset splitting
 # ---------------------------------------------------------------------------
-
-# embed hash_split's OWN float-exact cumulative bounds (one definition in
-# sampling.cumulative_split_bounds) so Spark and the oracle compare u
-# against bit-identical literals
-_SPLIT_BOUNDS = sampling.cumulative_split_bounds((0.8, 0.1, 0.1))
-_SPLIT_CASE = (
-    f"CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 0 "
-    f"WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 1 ELSE 2 END"
-)
+# (_SPLIT_BOUNDS/_SPLIT_CASE are defined above d6_dup_clusters, whose
+# grouped_split leg shares them)
 
 
 @register(
@@ -2604,6 +2644,12 @@ _S7_MIX_WN = {
 }
 _S7_U15 = float(16**15)  # md5 15-hex-char uniform denominator
 
+#: s7 temp leg: temperature exponent + output size for the lang-balanced
+#: resample (lang is the skewed column in the synthetic corpus -- en is
+#: ~3x fr -- so alpha < 1 visibly up-weights the low-resource strata).
+_S7_TEMP_ALPHA = 0.5
+_S7_TEMP_TARGET = 150
+
 
 @register(
     "s7_stratified_rates",
@@ -2652,6 +2698,44 @@ _S7_U15 = float(16**15)  # md5 15-hex-char uniform denominator
     )
     WHERE rn <= {_S7_CAP_N}
     GROUP BY lang
+    UNION ALL
+    -- temperature rebalancing (r7): w_lang ~ n_lang^alpha, normalized
+    -- then 1e-6-truncated BEFORE any ratio arithmetic (pow and the
+    -- per-domain float sum are the only engine-varying steps; after the
+    -- quantize every floor/compare is bit-identical)
+    SELECT 'temp' AS op, lang || ':' || epoch AS key,
+           CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id, lang, unnest(range(n_copies)) AS epoch
+      FROM (
+        SELECT dd.doc_id, dd.lang,
+               CAST(floor(ratio)
+                    + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
+                 AS INT) AS n_copies
+        FROM (
+          SELECT d0.doc_id, d0.lang,
+                 w.wq * {float(_S7_TEMP_TARGET)!r} / w.n AS ratio,
+                 CAST(CAST('0x' || substr(md5('temp-v1:' || CAST(d0.doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS DOUBLE) / {_S7_U15!r} AS u
+          FROM documents d0
+          JOIN (
+            SELECT lang, n,
+                   floor(pow(CAST(n AS DOUBLE), {_S7_TEMP_ALPHA!r}) / psum
+                         * 1000000.0 + 1e-9) / 1000000.0 AS wq
+            FROM (
+              SELECT lang, count(*) AS n,
+                     sum(pow(CAST(count(*) AS DOUBLE), {_S7_TEMP_ALPHA!r}))
+                       OVER () AS psum
+              FROM documents GROUP BY lang
+            )
+          ) w ON d0.lang = w.lang
+        ) dd
+      )
+      WHERE n_copies > 0
+    )
+    GROUP BY 1, 2
     """,
 )
 def s7_stratified_rates(spark, sf):
@@ -2669,7 +2753,12 @@ def s7_stratified_rates(spark, sf):
       run in its SALTED two-phase form (n_salts=4); the oracle computes
       the plain unsalted rank -- equality driver-gates the salted ≡
       unsalted property on top of the pytest gate
-      (tests/test_cap_per_key.py)."""
+      (tests/test_cap_per_key.py).
+    - ``op='temp'`` (r7): temperature rebalancing over the skewed
+      ``lang`` column (``sampling.temperature_mix``, w ~ n^0.5):
+      corpus-derived weights quantized to the 1e-6 grid before the same
+      md5-Bernoulli copy-count machinery as mix, so per-(lang, epoch)
+      sizes AND membership replay bit-for-bit."""
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
     in_strata = docs.filter(F.col("lang").isin(*_S7_FRACTIONS))
     totals = in_strata.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
@@ -2732,7 +2821,26 @@ def s7_stratified_rates(spark, sf):
         F.col("n").cast("long"),
         F.col("id_sum").cast("long"),
     )
-    return rate.unionByName(mix).unionByName(cap)
+    temp = (
+        sampling.temperature_mix(
+            docs,
+            domain_col="lang",
+            alpha=_S7_TEMP_ALPHA,
+            target_rows=_S7_TEMP_TARGET,
+            id_col="doc_id",
+            salt="temp-v1",
+        )
+        .groupBy("lang", "epoch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("temp").alias("op"),
+            F.concat_ws(":", "lang", "epoch").alias("key"),
+            F.lit(None).cast("boolean").alias("rate_ok"),
+            F.col("n").cast("long"),
+            F.col("id_sum").cast("long"),
+        )
+    )
+    return rate.unionByName(mix).unionByName(cap).unionByName(temp)
 
 
 #: s8 scd2 leg: one fixed effective timestamp for the whole update batch

@@ -1528,6 +1528,46 @@ SQL_QUERIES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM capped GROUP BY lang
+        UNION ALL
+        -- temperature rebalancing (r7): w_lang ~ n_lang^0.5, 1e-6
+        -- quantized before the ratio arithmetic; same guarded sequence
+        -- as the mix leg (n_copies = 0 must emit ZERO rows)
+        SELECT 'temp' AS op, concat_ws(':', lang, epoch) AS key,
+               CAST(NULL AS BOOLEAN) AS rate_ok,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM (
+          SELECT doc_id, lang,
+                 explode(CASE WHEN n_copies > 0
+                              THEN sequence(0, n_copies - 1)
+                              ELSE CAST(array() AS ARRAY<INT>) END) AS epoch
+          FROM (
+            SELECT dd.doc_id, dd.lang,
+                   CAST(floor(ratio)
+                        + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0
+                          END AS INT) AS n_copies
+            FROM (
+              SELECT d0.doc_id, d0.lang,
+                     w.wq * 150.0D / w.n AS ratio,
+                     CAST(conv(substr(md5(concat('temp-v1:',
+                            CAST(d0.doc_id AS STRING))), 1, 15), 16, 10)
+                          AS DOUBLE) / 1152921504606846976.0D AS u
+              FROM documents d0
+              JOIN (
+                SELECT lang, n,
+                       floor(pow(CAST(n AS DOUBLE), 0.5D) / psum
+                             * 1000000.0D + 1e-9) / 1000000.0D AS wq
+                FROM (
+                  SELECT lang, count(*) AS n,
+                         sum(pow(CAST(count(*) AS DOUBLE), 0.5D))
+                           OVER () AS psum
+                  FROM documents GROUP BY lang
+                )
+              ) w ON d0.lang = w.lang
+            ) dd
+          )
+        )
+        GROUP BY 1, 2
     """,
     # -- merge surface: SCD-1 full-outer coalesce + SCD-2 close/append -----
     "s8_upsert": """
