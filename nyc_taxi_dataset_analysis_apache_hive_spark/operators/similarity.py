@@ -513,9 +513,14 @@ def cosine_topk_pq(
     n_candidates: int = 128,
     dim: int = 64,
     codebook: DataFrame | None = None,
+    allowed_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jegou/Douze/Schmid, TPAMI
     2011): the memory-compression ANN scale path.
+
+    ``allowed_pairs``: optional (query_id, vec_id) candidate pre-filter
+    -- :func:`cosine_topk_ivfpq` passes the IVF probed-list membership
+    here, restricting ADC to the probed fraction of the corpus.
 
     The vector is split into ``m`` subspaces; each subspace gets a
     ``k_sub``-entry codebook (here a deterministic corpus slice starting
@@ -712,12 +717,31 @@ def cosine_topk_pq(
         F.sum(F.when(F.col("qj") == j, F.col("d"))).alias(f"_s{j}")
         for j in range(m)
     ]
-    adc_grouped = (
-        codes_long.join(
+    if allowed_pairs is None:
+        joined = codes_long.join(
             F.broadcast(qtab),
             (F.col("j") == F.col("qj")) & (F.col("code") == F.col("qcode")),
         )
-        .filter(F.col("query_id") != F.col("vec_id"))
+    else:
+        # IVFPQ restriction: the candidate pre-filter joins BEFORE the
+        # query tables, so the ADC fan-out is |allowed| * m rows instead
+        # of corpus * queries * m -- the pruning that makes probing pay
+        # at scale (a post-ADC filter would compute every distance
+        # first and discard most of them)
+        joined = codes_long.join(
+            allowed_pairs.select(
+                F.col("query_id").alias("al_q"),
+                F.col("vec_id").alias("al_v"),
+            ),
+            F.col("vec_id") == F.col("al_v"),
+        ).join(
+            F.broadcast(qtab),
+            (F.col("j") == F.col("qj"))
+            & (F.col("code") == F.col("qcode"))
+            & (F.col("query_id") == F.col("al_q")),
+        )
+    adc_grouped = (
+        joined.filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", "vec_id")
         .agg(*partials)
     )
@@ -757,6 +781,92 @@ def cosine_topk_pq(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def cosine_topk_ivfpq(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    centroid_offset: int = 100,
+    m: int = 16,
+    k_sub: int = 32,
+    codebook_offset: int = 200,
+    n_candidates: int = 128,
+    dim: int = 64,
+    codebook: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ combined (the FAISS ``IVFPQ`` index, Jegou et al. TPAMI
+    2011 sec. V): coarse quantizer routes, product quantizer scores.
+
+    The two approximations compose multiplicatively at scale: IVF
+    probing scans ~n_probe/n_centroids of the corpus, and PQ reads each
+    scanned vector as m bytes of codes instead of dim floats -- the
+    standard billion-vector operating point (scan 3/16 of a 64x-smaller
+    table here).  Both stages reuse their standalone implementations:
+    the IVF routing is the same broadcast-centroid assignment as
+    :func:`cosine_topk_ivf` (1-nearest per corpus vector, ``n_probe``
+    nearest per query, deterministic rounded-cosine + cent_id
+    tie-break), and the scoring is :func:`cosine_topk_pq` with the
+    probed-list membership passed as its ``allowed_pairs`` pre-filter
+    so the ADC join fans out over probed candidates only.  Exact
+    re-rank on the raw vectors, as in the PQ leg, so returned cosines
+    are exact and recall is the only approximation (pytest-gated vs the
+    brute-force baseline alongside ivf and pq).
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_emb")
+    else:
+        cents = emb.filter(
+            (F.col("vec_id") >= centroid_offset)
+            & (F.col("vec_id") < centroid_offset + n_centroids)
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+
+    def nearest(side: DataFrame, id_col: str, emb_col: str, top: int):
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cent_sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                "cent_id",
+                F.round(cosine(emb_col, "cent_emb"), 6).alias("cent_sim"),
+            )
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= top)
+            .select(id_col, "cent_id")
+        )
+
+    assigned = nearest(emb, "vec_id", "embedding", 1)
+    probes = nearest(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        ),
+        "query_id",
+        "q_emb",
+        n_probe,
+    )
+    allowed = probes.join(assigned, "cent_id").select("query_id", "vec_id")
+    return cosine_topk_pq(
+        embeddings,
+        k=k,
+        n_queries=n_queries,
+        m=m,
+        k_sub=k_sub,
+        codebook_offset=codebook_offset,
+        n_candidates=n_candidates,
+        dim=dim,
+        codebook=codebook,
+        allowed_pairs=allowed,
+    )
 
 
 def pq_train_codebook(

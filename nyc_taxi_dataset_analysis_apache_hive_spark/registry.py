@@ -1408,6 +1408,104 @@ _PQ_SQL = f"""
       FROM pq_scored) WHERE rank <= 5
 """
 
+#: IVFPQ (r7): the FAISS composition -- the IVF fragment's routing CTEs
+#: (raw-vector cosines, same rounding/tie-break) gate which (query, vec)
+#: pairs the PQ fragment's ADC may score.
+_IVFPQ_COS_VC = (
+    "round(list_dot_product(v.emb_raw, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb_raw, v.emb_raw))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+
+_IVFPQ_SQL = f"""
+    WITH eraw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb_raw,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, emb_raw,
+             list_transform(emb_raw, x -> x / nullif(nrm, 0)) AS emb
+      FROM eraw
+    ),
+    icents AS (
+      SELECT vec_id AS cent_id, emb_raw AS cent_emb FROM eraw
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    iassigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVFPQ_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM eraw v CROSS JOIN icents c
+      ) WHERE crank = 1
+    ),
+    iprobes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT v.vec_id AS query_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVFPQ_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM eraw WHERE vec_id < 8) v CROSS JOIN icents c
+      ) WHERE crank <= 3
+    ),
+    iallowed AS (
+      SELECT p.query_id, a.vec_id
+      FROM iprobes p JOIN iassigned a USING (cent_id)
+    ),
+    cb AS (
+      SELECT CAST(vec_id - 200 AS INT) AS code_id, emb AS cb_emb FROM e
+      WHERE vec_id >= 200 AND vec_id < {200 + _PQ_KSUB}
+    ),
+    sdl AS (
+      SELECT v.vec_id, c.code_id, j.j,
+             {_pq_subdist("v.emb", "c.cb_emb")} AS d
+      FROM e v CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+    ),
+    codes AS (
+      SELECT vec_id, j, code_id AS code FROM (
+        SELECT vec_id, j, code_id,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, code_id ASC) AS rn
+        FROM sdl) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, j, code_id, d FROM sdl WHERE vec_id < 8
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id,
+             round({_PQ_ADC_CHAIN}, 6) AS adc
+      FROM codes c
+      JOIN iallowed al ON al.vec_id = c.vec_id
+      JOIN qtab q ON q.query_id = al.query_id
+             AND q.j = c.j AND q.code_id = c.code
+      WHERE q.query_id <> c.vec_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+        FROM adc) WHERE crank <= {_PQ_NCAND}
+    ),
+    ipq_scored AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb_raw, n.emb_raw)
+                   / nullif(sqrt(list_dot_product(q.emb_raw, q.emb_raw))
+                            * sqrt(list_dot_product(n.emb_raw, n.emb_raw)),
+                            0), 6) AS cosine
+      FROM cands ca
+      JOIN e q ON q.vec_id = ca.query_id
+      JOIN e n ON n.vec_id = ca.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+        AS BIGINT) AS rank
+      FROM ipq_scored) WHERE rank <= 5
+"""
+
 
 @register(
     "k2_ann_lsh_ivf",
@@ -1420,6 +1518,9 @@ _PQ_SQL = f"""
     UNION ALL
     SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank
     FROM ({_PQ_SQL})
+    UNION ALL
+    SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_IVFPQ_SQL})
     """,
 )
 def k2_ann_lsh_ivf(spark, sf):
@@ -1437,6 +1538,13 @@ def k2_ann_lsh_ivf(spark, sf):
       16x-smaller code table), searched by fixed-order ADC with a
       128-candidate exact re-rank; recall@5 0.975/0.90
       (sf0.001/sf0.1) vs brute force.
+    * ``ivfpq`` (r7) -- the two composed (FAISS IVFPQ): IVF routing
+      gates which (query, vec) pairs PQ's ADC scores, so the approximate
+      scan covers ~3/16 of the corpus AND reads it 16x smaller.  Recall
+      is bounded by the coarse router (measured: ivfpq 0.525/0.35
+      tracks ivf's 0.525/0.375 at these fixed-slice settings -- the PQ
+      stage loses almost nothing on top, which is the composition
+      property tests/test_pq.py gates).
 
     IVF and PQ recall vs the k1 exact baseline are pytest-gated
     (tests/test_asof_skew.py::test_ivf_recall_vs_bruteforce,
@@ -1449,11 +1557,17 @@ def k2_ann_lsh_ivf(spark, sf):
         emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
     )
     pq = similarity.cosine_topk_pq(emb, k=5, n_queries=8)
+    ivfpq = similarity.cosine_topk_ivfpq(
+        emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
+    )
     tag = lambda df, label: df.select(  # noqa: E731
         F.lit(label).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return tag(lsh, "lsh").unionByName(tag(ivf, "ivf")).unionByName(
-        tag(pq, "pq")
+    return (
+        tag(lsh, "lsh")
+        .unionByName(tag(ivf, "ivf"))
+        .unionByName(tag(pq, "pq"))
+        .unionByName(tag(ivfpq, "ivfpq"))
     )
 
 

@@ -1026,12 +1026,52 @@ SQL_QUERIES: dict[str, str] = {
               AS rank
             FROM pq_scored
           ) WHERE rank <= 5
+        ),
+        -- ivfpq (r7): FAISS composition -- the ivf leg's routing CTEs
+        -- gate which (query, vec) pairs the pq leg's ADC scores
+        ipq_allowed AS (
+          SELECT p.query_id, a.neighbor_id AS vec_id
+          FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        ),
+        ipq_adc AS (
+          SELECT q.query_id, c.vec_id,
+                 round({_SQL_PQ_ADC_CHAIN}, 6) AS adc
+          FROM pq_codes c
+          JOIN ipq_allowed al ON al.vec_id = c.vec_id
+          JOIN pq_qtab q ON q.query_id = al.query_id
+                 AND q.j = c.j AND q.code_id = c.code
+          WHERE q.query_id <> c.vec_id
+          GROUP BY q.query_id, c.vec_id
+        ),
+        ipq_cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+            FROM ipq_adc) WHERE crank <= 128
+        ),
+        ipq_scored AS (
+          SELECT ca.query_id, ca.vec_id AS neighbor_id,
+                 round({_sql_cosine("q.emb_raw", "n.emb_raw")}, 6) AS cosine
+          FROM ipq_cands ca
+          JOIN pq_e q ON q.vec_id = ca.query_id
+          JOIN pq_e n ON n.vec_id = ca.vec_id
+        ),
+        ipq AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM ipq_scored
+          ) WHERE rank <= 5
         )
         SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
         UNION ALL
         SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
         UNION ALL
         SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank FROM pq
+        UNION ALL
+        SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank FROM ipq
     """,
     # k3_embedding_near_pairs left OUT of the SQL-text surface since the
     # round-6 fold: its semdedup leg needs connected components, and

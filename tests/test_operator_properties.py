@@ -81,3 +81,55 @@ def test_encode_word_roundtrips_for_any_word_and_training(corpus, probe, n_merge
     ranks = {p: i for i, p in enumerate(merges)}
     out = bpe._encode_word(probe, ranks)
     assert "".join(out) == probe + bpe.EOW
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=100000), min_size=2, max_size=8),
+    alpha=st.floats(min_value=0.0, max_value=2.0, allow_nan=False),
+    target=st.integers(min_value=1, max_value=1000000),
+)
+def test_temperature_weights_conserve_expected_output_size(ns, alpha, target):
+    """temperature_mix's weight formula (python replica of the exact
+    expression both engines run): quantized weights sum to 1 from below
+    within K 1e-6 buckets, so the EXPECTED output size
+    sum_d n_d * ratio_d = target * sum_d wq_d can undershoot ``target``
+    by at most K*1e-6*target and never overshoots materially -- the
+    conservation law that makes the temp leg's target_rows parameter
+    honest at any domain-size skew."""
+    import math
+
+    pows = [float(n) ** alpha for n in ns]
+    psum = sum(pows)
+    wqs = [math.floor(p / psum * 1_000_000.0 + 1e-9) / 1_000_000.0 for p in pows]
+    assert all(0.0 <= w <= 1.0 + 1e-9 for w in wqs)
+    total_w = sum(wqs)
+    k = len(ns)
+    assert 1.0 - k * 1e-6 - 1e-9 <= total_w <= 1.0 + k * 1e-9
+    expected = target * total_w
+    assert expected <= target * (1.0 + 1e-7)
+    assert expected >= target * (1.0 - k * 1e-6 - 1e-7)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=100000), min_size=2, max_size=8),
+)
+def test_temperature_alpha_extremes(ns):
+    """alpha=0 gives every domain the SAME quantized weight (uniform);
+    alpha=1 gives weights proportional to size (natural shares)."""
+    import math
+
+    def wq(pows):
+        psum = sum(pows)
+        return [
+            math.floor(p / psum * 1_000_000.0 + 1e-9) / 1_000_000.0
+            for p in pows
+        ]
+
+    uniform = wq([float(n) ** 0.0 for n in ns])
+    assert len(set(uniform)) == 1
+    natural = wq([float(n) ** 1.0 for n in ns])
+    total = float(sum(ns))
+    for n, w in zip(ns, natural):
+        assert abs(w - n / total) <= 1e-6 + 1e-9

@@ -111,3 +111,70 @@ def test_pq_per_subspace_training_beats_full_vector(spark, sf0001_dir):
     slice_r = recall(None)
     assert trained >= slice_r
     assert trained >= 0.9
+
+
+def test_ivfpq_composition_tracks_ivf_recall(spark, sf0001_dir):
+    """The FAISS IVFPQ property: composing PQ scoring under IVF routing
+    must not materially degrade the ROUTER's recall -- whatever the
+    probed lists contain, the 128-candidate ADC + exact re-rank
+    recovers it (measured: ivfpq 0.525 == ivf 0.525 at sf0.001,
+    0.35 vs 0.375 at sf0.1).  The router is the recall bottleneck by
+    construction, so the gate is relative to ivf, not an absolute
+    floor."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(
+            emb, k=5, n_queries=8
+        ).collect()
+    }
+
+    def rec(rows):
+        return len(bf & {(r["query_id"], r["neighbor_id"]) for r in rows}) / len(bf)
+
+    ivf_r = rec(
+        similarity.cosine_topk_ivf(
+            emb, k=5, n_queries=8, n_centroids=16, n_probe=3,
+            centroid_offset=100,
+        ).collect()
+    )
+    ivfpq_rows = similarity.cosine_topk_ivfpq(emb, k=5, n_queries=8).collect()
+    assert rec(ivfpq_rows) >= ivf_r - 0.1
+    # every returned neighbour must come from a probed list: ivfpq's
+    # result set is a subset of what scoring the probed lists exactly
+    # (the ivf leg's candidate universe) could return
+    assert len(ivfpq_rows) <= 40
+
+
+def test_ivfpq_neighbors_lie_in_probed_lists(spark, sf0001_dir):
+    """Structural invariant of the routing: each returned neighbour's
+    assigned centroid is one of its query's probed centroids."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    got = similarity.cosine_topk_ivfpq(emb, k=5, n_queries=8).collect()
+    assert got
+    # recompute routing exactly as the operator does
+    cents = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter("vec_id >= 100 AND vec_id < 116").collect()
+    }
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na and nb else None
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def nearest(vid, top):
+        sims = sorted(
+            ((cos(vecs[vid], c_emb), -cid) for cid, c_emb in cents.items()),
+            reverse=True,
+        )
+        return [-nc for _, nc in sims[:top]]
+
+    for r in got:
+        probed = set(nearest(r["query_id"], 3))
+        assert nearest(r["neighbor_id"], 1)[0] in probed, r
