@@ -1035,6 +1035,29 @@ def boilerplate_scrub(
     )
 
 
+def _null_safe_text(df: DataFrame, text_col: str) -> DataFrame:
+    """NULL text would poison size() to -1 downstream; empty string
+    tokenizes to an empty gram set instead (scrub-leg convention)."""
+    return df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+
+
+def corpus_gram_set(
+    corpus: DataFrame, ngram_n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The corpus's DISTINCT word n-grams as a one-column frame ``(g)``
+    -- the static side of every decontamination join (batch:
+    :func:`ngram_overlap_contamination`; continuous ingest:
+    ``streaming.curation.decontam_stream``).  One hash-aggregate with
+    map-side partial dedup; at scale this is the table a deployment
+    materializes once per protected set and re-reads per batch/trigger.
+    """
+    return (
+        _shingle_sets(_null_safe_text(corpus, text_col), ngram_n, text_col)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+
+
 def ngram_overlap_contamination(
     corpus: DataFrame,
     probes: DataFrame,
@@ -1070,21 +1093,10 @@ def ngram_overlap_contamination(
     overlap_frac is an exact integer ratio (NULL when the probe has no
     n-grams), rounded to 6 decimals; contaminated = frac >= threshold.
     """
-    def _safe(df: DataFrame) -> DataFrame:
-        # NULL text would poison size() to -1 downstream; empty string
-        # tokenizes to an empty gram set instead (scrub-leg convention).
-        return df.withColumn(
-            text_col, F.coalesce(F.col(text_col), F.lit(""))
-        )
-
-    c_grams = (
-        _shingle_sets(_safe(corpus), ngram_n, text_col)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    p_grams = _shingle_sets(_safe(probes), ngram_n, text_col).select(
-        F.col("doc_id").alias("probe_id"), "sh"
-    )
+    c_grams = corpus_gram_set(corpus, ngram_n, text_col)
+    p_grams = _shingle_sets(
+        _null_safe_text(probes, text_col), ngram_n, text_col
+    ).select(F.col("doc_id").alias("probe_id"), "sh")
     hits = (
         p_grams.select("probe_id", F.explode("sh").alias("g"))
         .join(c_grams, on="g")

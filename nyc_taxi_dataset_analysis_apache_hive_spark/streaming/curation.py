@@ -1,0 +1,147 @@
+"""Streaming curation: continuous-ingest decontamination.
+
+The batch operator (operators.dedup.ngram_overlap_contamination,
+driver-gated as d7's ``overlap`` leg) flags eval-set leakage corpus-wide;
+this module is its drop-zone form: documents ARRIVE as a stream, the
+protected set's distinct n-grams (operators.dedup.corpus_gram_set --
+materialized once per protected set) are the STATIC side of a
+stream-static join, and per-document hit fractions aggregate under a
+watermark.
+
+Scale shape, per micro-batch:
+
+* the stream side only ever holds the trigger's documents, exploded to
+  their grams -- a narrow map;
+* the stream-static join is stateless (no state store): the static gram
+  set plans like any batch relation, broadcasting when it fits and
+  shuffling on the gram key otherwise, exactly as the batch operator
+  does;
+* the only stateful operator is the windowed per-document aggregate, and
+  its state is bounded by the watermark -- a document's partial counts
+  are evicted once ``max(event time) - watermark`` passes its window.
+
+The batch analog (:func:`decontam_batch`, same expressions minus the
+watermark/window) equals the batch operator row for row -- the
+stream/batch agreement test runs all three against each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams_from_tokens, tokens
+
+
+def read_docs_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based stream over a documents parquet drop zone (schema taken
+    from the static files; readStream requires one)."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _doc_gram_rows(
+    docs: DataFrame, ngram_n: int, text_col: str, ts_col: str | None
+) -> DataFrame:
+    """(doc_id[, ts], g) with one NULL-gram row per gram-less document
+    (explode_outer keeps it, so short/empty docs stay in the report)."""
+    toked = docs.select(
+        "doc_id",
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    return toked.select(
+        "doc_id",
+        *(["_ts"] if ts_col else []),
+        F.explode_outer(
+            F.array_distinct(ngrams_from_tokens(F.col("toks"), ngram_n))
+        ).alias("g"),
+    )
+
+
+_REPORT_COLS = (
+    "doc_id",
+    "n_grams",
+    "n_hits",
+    "overlap_frac",
+    "contaminated",
+)
+
+
+def _report_projection(threshold: float) -> list:
+    frac = F.col("n_hits").cast("double") / F.nullif(
+        F.col("n_grams").cast("double"), F.lit(0.0)
+    )
+    return [
+        F.col("doc_id"),
+        F.col("n_grams"),
+        F.col("n_hits"),
+        F.round(frac, 6).alias("overlap_frac"),
+        F.coalesce(F.round(frac, 6) >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
+    ]
+
+
+def decontam_stream(
+    docs: DataFrame,
+    corpus_grams: DataFrame,
+    ngram_n: int = 8,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-document n-gram-overlap report over a document stream:
+    (doc_id, n_grams, n_hits, overlap_frac, contaminated).
+
+    ``corpus_grams`` is the protected set's distinct-gram table
+    (operators.dedup.corpus_gram_set) -- STATIC: the join is stateless.
+    Documents aggregate under ``window(ts_col)`` with ``watermark`` so
+    per-doc partial state is evicted; a document split across triggers
+    within its window still totals correctly (the aggregate is the
+    stateful op), but a document arriving later than the watermark is
+    dropped as late data -- standard streaming semantics.
+    """
+    grams = _doc_gram_rows(docs, ngram_n, text_col, ts_col)
+    hit = corpus_grams.select("g").withColumn("_hit", F.lit(1))
+    joined = grams.join(hit, on="g", how="left")
+    agg = (
+        joined.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window), "doc_id")
+        .agg(
+            F.count("g").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_hits"),
+        )
+    )
+    return agg.select(*_report_projection(threshold))
+
+
+def decontam_batch(
+    docs: DataFrame,
+    corpus_grams: DataFrame,
+    ngram_n: int = 8,
+    threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch analog: the same gram/join/aggregate expressions with no
+    watermark or window -- equality-gated against both the stream and
+    operators.dedup.ngram_overlap_contamination in tests."""
+    grams = _doc_gram_rows(docs, ngram_n, text_col, ts_col=None)
+    hit = corpus_grams.select("g").withColumn("_hit", F.lit(1))
+    agg = (
+        grams.join(hit, on="g", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_hits"),
+        )
+    )
+    return agg.select(*_report_projection(threshold))

@@ -1,0 +1,133 @@
+"""Streaming decontamination (streaming/curation.py): the stream report,
+its batch analog, and the driver-gated batch operator
+(dedup.ngram_overlap_contamination) must agree document for document over
+a multi-micro-batch file stream."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+#: far-future sentinel document: closes every real window before the
+#: availableNow drain ends (append mode only emits watermark-passed
+#: windows) -- same convention as tests/test_streaming.py
+SENTINEL_ID = 10**9
+
+
+@pytest.fixture(scope="module")
+def docs_split(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus, probes
+
+
+@pytest.fixture(scope="module")
+def probes_dir(spark, docs_split, tmp_path_factory):
+    """Probe docs as 4 time-ordered parquet files + sentinel: doc i in
+    slice s gets ts = base + s hours, so each file is one window-aligned
+    micro-batch and the watermark advances monotonically."""
+    _, probes = docs_split
+    pdf = probes.toPandas().sort_values("doc_id").reset_index(drop=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    n = len(pdf)
+    out = str(tmp_path_factory.mktemp("docs_stream") / "docs")
+    os.makedirs(out)
+    for s in range(4):
+        chunk = pdf.iloc[n * s // 4 : n * (s + 1) // 4].copy()
+        chunk["ts"] = pd.Series(
+            [base + pd.Timedelta(hours=s)] * len(chunk), dtype="datetime64[us]"
+        ).values
+        chunk.to_parquet(os.path.join(out, f"{s:02d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["doc_id"] = SENTINEL_ID
+    sent["text"] = ""
+    sent["ts"] = pd.Series(
+        [base + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent.to_parquet(os.path.join(out, "zz_sentinel.parquet"), index=False)
+    return out
+
+
+def _report_map(rows):
+    return {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_hits"],
+            r["overlap_frac"],
+            r["contaminated"],
+        )
+        for r in rows
+        if r["doc_id"] != SENTINEL_ID
+    }
+
+
+def test_stream_matches_batch_and_operator(spark, docs_split, probes_dir):
+    corpus, _ = docs_split
+    c_grams = dedup.corpus_gram_set(corpus, ngram_n=8)
+    stream = curation.decontam_stream(
+        curation.read_docs_stream(spark, probes_dir),
+        c_grams,
+        ngram_n=8,
+        threshold=0.2,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("decontam_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _report_map(spark.table("decontam_sink").collect())
+
+    probes_static = spark.read.parquet(probes_dir).filter(
+        F.col("doc_id") != SENTINEL_ID
+    )
+    batch = _report_map(
+        curation.decontam_batch(
+            probes_static, c_grams, ngram_n=8, threshold=0.2
+        ).collect()
+    )
+    operator = {
+        r["probe_id"]: (
+            r["n_grams"],
+            r["n_hits"],
+            r["overlap_frac"],
+            r["contaminated"],
+        )
+        for r in dedup.ngram_overlap_contamination(
+            corpus, probes_static, ngram_n=8, threshold=0.2
+        ).collect()
+    }
+    assert got and got == batch == operator
+
+
+def test_batch_analog_keeps_gramless_docs(spark, docs_split):
+    """Documents with no grams (short/empty/NULL text) must stay in the
+    report with n_grams = 0, NULL fraction, and an explicit
+    contaminated = False (explode_outer, not explode)."""
+    corpus, _ = docs_split
+    c_grams = dedup.corpus_gram_set(corpus, ngram_n=8)
+    from pyspark.sql import Row
+
+    small = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="only three words")]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.decontam_batch(small, c_grams, ngram_n=8).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert (rows[i]["n_grams"], rows[i]["n_hits"]) == (0, 0)
+        assert rows[i]["overlap_frac"] is None
+        assert rows[i]["contaminated"] is False
