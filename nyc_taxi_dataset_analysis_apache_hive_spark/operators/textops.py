@@ -706,3 +706,54 @@ def linear_probe_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The fitted probe weights as one (w0, w1, w2) row -- the training
     half of :func:`linear_probe_scores`, exposed for inspection."""
     return _probe_weights_row(_probe_features(docs, text_col))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: the embedding/RAG-pipeline
+    primitive that splits long documents into overlapping token windows
+    (``stride < chunk_tokens`` overlaps adjacent chunks so no span is
+    cut mid-context; ``stride == chunk_tokens`` partitions exactly).
+
+    One narrow pass: tokenize -> ``sequence(1, n, stride)`` of window
+    starts (guarded: Spark's sequence would COUNT DOWN on an empty doc)
+    -> explode -> per-chunk slice/rebuild with array HOFs.  No shuffle,
+    no UDF; at 100 TB this is a pure map stage whose output feeds the
+    embedding encoder.
+
+    ``chunk_idx`` is derived arithmetically as ``(start - 1) / stride``
+    rather than by position-of-explode, so the value is independent of
+    row order and identical in the SQL oracle.  Returns
+    (doc_id, chunk_idx, start_token, n_tokens, chunk_fp, chunk_text);
+    documents with zero tokens produce no chunks.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toked = docs.select(
+        "doc_id",
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+    )
+    starts = toked.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= 1,
+                F.sequence(F.lit(1), F.size("t"), F.lit(stride)),
+            ).otherwise(F.lit(None).cast("array<int>"))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), chunk_tokens)
+    text = F.array_join(chunk, " ")
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(text).alias("chunk_fp"),
+        text.alias("chunk_text"),
+    )

@@ -3469,6 +3469,28 @@ _TF_CTE = f"""
         UNION ALL SELECT 'w2', w2 FROM pw
       )
     )
+    UNION ALL
+    -- sliding-window chunking (r7): 32-token windows at stride 24;
+    -- chunk_idx derived arithmetically ((start-1)/stride) so it is
+    -- row-order independent; fp = md5 of the rebuilt window
+    SELECT 'chunk' AS op, doc_id, chunk_fp AS token,
+           chunk_idx AS n, n_ctok AS m, CAST(NULL AS DOUBLE) AS score
+    FROM (
+      WITH cctok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+             CAST(len(t[s:s+31]) AS BIGINT) AS n_ctok,
+             md5(array_to_string(t[s:s+31], ' ')) AS chunk_fp
+      FROM cctok,
+           unnest(CASE WHEN len(t) >= 1 THEN range(1, len(t) + 1, 24)
+                  ELSE [] END) AS u(s)
+    )
     """,
 )
 def tv1_text_stats(spark, sf):
@@ -3501,7 +3523,11 @@ def tv1_text_stats(spark, sf):
     source-membership fit on 1e-4-quantized features via exact DECIMAL
     normal-equation sums + one Cramer expression (bit-identical weights
     in both engines); train = one aggregate, apply = broadcast join --
-    no collect, no iteration."""
+    no collect, no iteration.  ``chunk`` (r7) = sliding-window document
+    chunking (textops.chunk_documents, the embedding/RAG primitive):
+    32-token windows at stride 24, pure map stage, chunk ids derived
+    arithmetically so the value set is row-order independent and the
+    md5 of each rebuilt window is value-verified."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -3566,12 +3592,21 @@ def tv1_text_stats(spark, sf):
         nulll.alias("m"),
         F.col("s.score").alias("score"),
     )
+    chunk = textops.chunk_documents(docs, chunk_tokens=32, stride=24).select(
+        F.lit("chunk").alias("op"),
+        "doc_id",
+        F.col("chunk_fp").alias("token"),
+        F.col("chunk_idx").alias("n"),
+        F.col("n_tokens").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
     return (
         tfidf.unionByName(vocab)
         .unionByName(scrub)
         .unionByName(lm)
         .unionByName(probe)
         .unionByName(wrows)
+        .unionByName(chunk)
     )
 
 

@@ -1381,6 +1381,28 @@ SQL_QUERIES: dict[str, str] = {
             UNION ALL SELECT 'w2', w2 FROM pw
           )
         )
+        UNION ALL
+        -- sliding-window chunking (r7): see registry.tv1 docstring
+        SELECT 'chunk' AS op, doc_id, chunk_fp AS token,
+               chunk_idx AS n, n_ctok AS m, CAST(NULL AS DOUBLE) AS score
+        FROM (
+          SELECT doc_id,
+                 CAST((s - 1) DIV 24 AS BIGINT) AS chunk_idx,
+                 CAST(size(slice(t, s, 32)) AS BIGINT) AS n_ctok,
+                 md5(array_join(slice(t, s, 32), ' ')) AS chunk_fp
+          FROM (
+            SELECT doc_id, t,
+                   explode(CASE WHEN size(t) >= 1
+                                THEN sequence(1, size(t), 24)
+                                ELSE CAST(array() AS ARRAY<INT>) END) AS s
+            FROM (
+              SELECT doc_id,
+                     filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                            x -> x != '') AS t
+              FROM documents
+            )
+          )
+        )
     """,
     "cx1_time_ops": """
         WITH firsts AS (
