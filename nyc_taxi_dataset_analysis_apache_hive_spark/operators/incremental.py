@@ -197,3 +197,117 @@ def ingest_batch(
         kll_out = merge_kll_rollup(kll_state, delta)
 
     return IngestResult(accepted, new_fps, hll_out, kll_out)
+
+
+def admit_batch_neardup(
+    history: DataFrame | None,
+    batch: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    agreement_threshold: float = 0.5,
+    text_col: str = "text",
+    history_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-duplicate admission: extend :func:`admit_batch`'s exact
+    membership question to "is a near-copy of this document already in
+    the corpus?", with history state that is SKETCH-sized.
+
+    The history never stores text or shingle sets -- only each document's
+    MinHash signature (n_hashes longs, ~128 B/doc at the defaults; in
+    production persisted once per ingest and re-read per batch, the same
+    posture as the fingerprint history).  Admission per batch:
+
+    1. band-bucket the batch signatures and equi-join them against the
+       history's band buckets (cross-corpus LSH: candidates only where a
+       full band collides -- never all-pairs, never a scan of history
+       text);
+    2. for each candidate pair, the signature AGREEMENT fraction
+       (matching components / n_hashes) -- the standard unbiased MinHash
+       estimator of Jaccard similarity, an exact rational so both
+       engines agree bit-for-bit;
+    3. keep each batch document's best match (highest agreement, ties to
+       the lowest history id) and admit documents whose best agreement
+       is below ``agreement_threshold`` (or that had no collision).
+
+    Returns one row per batch document:
+    (doc_id, match_id, sig_agreement, admitted) -- match_id/agreement
+    NULL when no band collided.  Verification here is sketch-only by
+    design: a deployment wanting exact-Jaccard confirmation feeds the
+    flagged (doc, match) pairs to dedup.ngram_jaccard verification,
+    touching raw history text for ONLY those pairs.
+
+    Pass ``history_sigs`` (a persisted minhash_signatures table) to skip
+    re-deriving history signatures -- the production path: signatures
+    are computed once at each document's OWN ingest and appended to the
+    store, so steady-state admission reads history text never
+    (equivalence of the two paths is pytest-gated).
+    """
+    from . import dedup
+
+    if history_sigs is not None:
+        h_sigs = history_sigs
+    else:
+        if history is None:
+            raise ValueError(
+                "admit_batch_neardup: pass history docs or history_sigs"
+            )
+        h_sigs = dedup.minhash_signatures(history, n_hashes, shingle_n)
+    b_sigs = dedup.minhash_signatures(batch, n_hashes, shingle_n)
+    h_buckets = dedup.minhash_band_buckets(h_sigs, n_hashes, n_bands)
+    b_buckets = dedup.minhash_band_buckets(b_sigs, n_hashes, n_bands)
+    cands = (
+        b_buckets.alias("b")
+        .join(
+            h_buckets.alias("h"),
+            (F.col("b.band") == F.col("h.band"))
+            & (F.col("b.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    agree_terms = None
+    for i in range(n_hashes):
+        t = F.when(
+            F.col(f"bs.sig_{i}") == F.col(f"hs.sig_{i}"), 1
+        ).otherwise(0)
+        agree_terms = t if agree_terms is None else agree_terms + t
+    scored = (
+        cands.join(
+            b_sigs.alias("bs"), cands.doc_id == F.col("bs.doc_id")
+        )
+        .join(h_sigs.alias("hs"), cands.match_id == F.col("hs.doc_id"))
+        .select(
+            cands.doc_id,
+            cands.match_id,
+            F.round(
+                agree_terms.cast("double") / F.lit(float(n_hashes)), 6
+            ).alias("sig_agreement"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("match_id"), F.col("sig_agreement")
+            ),
+            F.struct(
+                F.col("sig_agreement"), (-F.col("match_id")).alias("nm")
+            ),
+        ).alias("bm")
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("bm.match_id").alias("match_id"),
+            F.col("bm.sig_agreement").alias("sig_agreement"),
+            F.coalesce(
+                F.col("bm.sig_agreement") < F.lit(agreement_threshold),
+                F.lit(True),
+            ).alias("admitted"),
+        )
+    )

@@ -1013,7 +1013,7 @@ _SIG_COLS, _BAND_ROWS = _minhash_sql_parts()
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams)
-    SELECT doc_a, doc_b,
+    SELECT 'pairs' AS op, doc_a, doc_b,
            round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
                  / (len(sa.s) + len(sb.s)
                     - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6)
@@ -1024,18 +1024,78 @@ _SIG_COLS, _BAND_ROWS = _minhash_sql_parts()
     WHERE round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
                  / (len(sa.s) + len(sb.s)
                     - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) >= 0.5
+    UNION ALL
+    -- near-dup ADMISSION (r7): batch = doc_id % 4 = 1 probes the
+    -- history's (sketch-sized) signature store via band collisions;
+    -- the signature-agreement fraction k/16 is the unbiased MinHash
+    -- Jaccard estimator and an exact rational, so it value-hashes
+    SELECT 'inc_admit' AS op, doc_a, doc_b, jaccard
+    FROM (
+      WITH acands AS (
+        SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS match_id
+        FROM bands b JOIN bands h
+          ON b.band = h.band AND b.bucket = h.bucket
+         AND b.doc_id % 4 = 1 AND h.doc_id % 4 <> 1
+      ),
+      ascored AS (
+        SELECT acands.doc_id, acands.match_id,
+               round(({" + ".join(f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(16))})
+                     / 16.0, 6) AS agreement
+        FROM acands
+        JOIN sigs sa ON acands.doc_id = sa.doc_id
+        JOIN sigs sb ON acands.match_id = sb.doc_id
+      ),
+      abest AS (
+        SELECT doc_id, match_id, agreement FROM (
+          SELECT doc_id, match_id, agreement,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY agreement DESC, match_id ASC) AS rn
+          FROM ascored
+        ) WHERE rn = 1
+      )
+      SELECT d.doc_id AS doc_a, abest.match_id AS doc_b,
+             abest.agreement AS jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
+      LEFT JOIN abest ON d.doc_id = abest.doc_id
+    )
     """,
 )
 def d3_minhash_lsh_pairs(spark, sf):
-    """MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard verified at
-    >= 0.5.  md5-string minhash makes the signature engine-portable."""
-    return dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"),
+    """The MinHash surface, tagged and stacked.  ``pairs`` =
+    MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard verified at
+    >= 0.5; md5-string minhash makes the signature engine-portable.
+    ``inc_admit`` (r7) = NEAR-dup admission of an incoming batch
+    (doc_id % 4 == 1) against the rest of the corpus as history
+    (incremental.admit_batch_neardup): history state is each document's
+    signature only (~128 B/doc -- never text or shingle sets), probed by
+    a cross-corpus band-bucket equi-join; per batch doc the best match's
+    signature-agreement fraction (the unbiased MinHash Jaccard
+    estimator, an exact rational k/16) is reported, NULL when no band
+    collided.  The admitted verdict is agreement < 0.5 and is derivable
+    from the gated columns (semantics pytest-gated in
+    test_incremental)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
         n_hashes=16,
         n_bands=4,
         shingle_n=3,
         jaccard_threshold=0.5,
+    ).select(F.lit("pairs").alias("op"), "doc_a", "doc_b", "jaccard")
+    adm = incremental.admit_batch_neardup(
+        history=docs.filter(F.col("doc_id") % 4 != 1),
+        batch=docs.filter(F.col("doc_id") % 4 == 1),
+        n_hashes=16,
+        n_bands=4,
+        shingle_n=3,
+        agreement_threshold=0.5,
+    ).select(
+        F.lit("inc_admit").alias("op"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("match_id").alias("doc_b"),
+        F.col("sig_agreement").alias("jaccard"),
     )
+    return pairs.unionByName(adm)
 
 
 #: the ngram-only d4 statement, shared verbatim by d6's oracle (whose
@@ -3729,7 +3789,8 @@ _PL1_R = pipeline.DEFAULT_RULES
 
 _PL1_ORACLE = rf"""
     WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({{d3}})
+      -- d3's tagged union: only the near-dup PAIR rows feed the funnel
+      SELECT doc_a, doc_b FROM ({{d3}}) WHERE op = 'pairs'
     ),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs

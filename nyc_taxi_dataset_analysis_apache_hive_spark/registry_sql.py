@@ -682,7 +682,7 @@ SQL_QUERIES: dict[str, str] = {
                AND a.doc_id < b.doc_id
         ),
         ss AS (SELECT doc_id, array_sort(sh) AS sh FROM sets)
-        SELECT doc_a, doc_b, jaccard FROM (
+        SELECT 'pairs' AS op, doc_a, doc_b, jaccard FROM (
           SELECT doc_a, doc_b,
                  round(size(array_intersect(sa.sh, sb.sh))
                    / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE), 6)
@@ -691,6 +691,34 @@ SQL_QUERIES: dict[str, str] = {
           JOIN ss sa ON cands.doc_a = sa.doc_id
           JOIN ss sb ON cands.doc_b = sb.doc_id
         ) WHERE jaccard >= 0.5D
+        UNION ALL
+        -- near-dup admission (r7): see registry.d3 docstring
+        SELECT 'inc_admit' AS op, doc_a, doc_b, jaccard
+        FROM (
+          SELECT d.doc_id AS doc_a, abest.match_id AS doc_b,
+                 abest.agreement AS jaccard
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) d
+          LEFT JOIN (
+            SELECT doc_id, match_id, agreement FROM (
+              SELECT doc_id, match_id, agreement,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY agreement DESC, match_id ASC) AS rn
+              FROM (
+                SELECT acands.doc_id, acands.match_id,
+                       round(({" + ".join(f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(16))})
+                             / 16.0D, 6) AS agreement
+                FROM (
+                  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS match_id
+                  FROM bands b JOIN bands h
+                    ON b.band = h.band AND b.bucket = h.bucket
+                   AND b.doc_id % 4 = 1 AND h.doc_id % 4 <> 1
+                ) acands
+                JOIN sigs sa ON acands.doc_id = sa.doc_id
+                JOIN sigs sb ON acands.match_id = sb.doc_id
+              )
+            ) WHERE rn = 1
+          ) abest ON d.doc_id = abest.doc_id
+        )
     """,
     "d4_ngram_jaccard_pairs": f"""
         WITH {_SHINGLE_SETS_CTE},

@@ -247,3 +247,109 @@ def test_fingerprint_history_layout(spark, tmp_path):
     got = {r["doc_id"] for r in admit_batch(back, batch).collect()}
     want = {r["doc_id"] for r in admit_batch(fps, batch).collect()}
     assert got == want == set(range(5000, 5010))
+
+
+class TestNearDupAdmission:
+    """admit_batch_neardup: sketch-state near-duplicate admission."""
+
+    def _docs(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in rows]
+        )
+
+    BASE = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon "
+        "one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen "
+        "seventeen eighteen nineteen twenty"
+    )
+
+    def test_planted_near_dup_rejected_novel_admitted(self, spark):
+        from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+            incremental,
+        )
+
+        history = self._docs(spark, [(0, self.BASE), (2, "completely other words here beyond anything shared at all")])
+        batch = self._docs(
+            spark,
+            [
+                (101, self.BASE),  # exact copy of doc 0
+                (103, self.BASE + " appended"),  # near copy (J ~ 0.97)
+                (105, "wholly novel content nothing in common with corpus text stream"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in incremental.admit_batch_neardup(history, batch).collect()
+        }
+        assert set(out) == {101, 103, 105}
+        # exact copy: identical signatures -> agreement 1.0, rejected
+        assert out[101]["match_id"] == 0
+        assert out[101]["sig_agreement"] == 1.0
+        assert out[101]["admitted"] is False
+        # near copy: high agreement, rejected, matched to doc 0
+        assert out[103]["match_id"] == 0
+        assert out[103]["sig_agreement"] >= 0.5
+        assert out[103]["admitted"] is False
+        # novel: no band collision -> NULL match, admitted
+        assert out[105]["match_id"] is None
+        assert out[105]["sig_agreement"] is None
+        assert out[105]["admitted"] is True
+
+    def test_persisted_signature_store_path_is_equivalent(self, spark, tmp_path):
+        """The production path: history signatures computed once,
+        persisted, and passed as history_sigs -- identical verdicts to
+        deriving them from history text."""
+        from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+            dedup,
+            incremental,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        history = docs.filter("doc_id % 4 != 1")
+        batch = docs.filter("doc_id % 4 = 1")
+        store = str(tmp_path / "sig_store")
+        dedup.minhash_signatures(history, 16, 3).write.parquet(store)
+        from_text = sorted(
+            map(tuple, incremental.admit_batch_neardup(history, batch).collect())
+        )
+        from_store = sorted(
+            map(
+                tuple,
+                incremental.admit_batch_neardup(
+                    None, batch, history_sigs=spark.read.parquet(store)
+                ).collect(),
+            )
+        )
+        assert from_text == from_store and from_text
+
+    def test_threshold_controls_admission(self, spark):
+        from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+            incremental,
+        )
+
+        history = self._docs(spark, [(0, self.BASE)])
+        batch = self._docs(spark, [(101, self.BASE.replace("kappa", "zz"))])
+        loose = incremental.admit_batch_neardup(
+            history, batch, agreement_threshold=1.01
+        ).collect()[0]
+        assert loose["admitted"] is True  # nothing reaches > 1.0
+        strict = incremental.admit_batch_neardup(
+            history, batch, agreement_threshold=0.05
+        ).collect()[0]
+        assert strict["admitted"] is False
+
+    def test_requires_some_history_input(self, spark):
+        import pytest as _pytest
+
+        from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+            incremental,
+        )
+
+        with _pytest.raises(ValueError):
+            incremental.admit_batch_neardup(
+                None, self._docs(spark, [(1, "a b c")])
+            )
