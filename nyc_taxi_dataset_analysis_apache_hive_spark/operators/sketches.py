@@ -349,3 +349,148 @@ def heavy_hitters(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift: distribution-shift monitoring between cohorts
+# ---------------------------------------------------------------------------
+
+
+def exact_ks_pairs(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic for every unordered
+    group pair: (g1, g2, ks, n_grid) -- the data-drift test a pipeline
+    runs between ingest cohorts / time slices / sources before a
+    distribution shift silently changes training data.
+
+    ``ks = max over observed values v of |F_g1(v) - F_g2(v)|`` with the
+    empirical CDFs evaluated INCLUSIVELY (fraction <= v) on the shared
+    grid of every observed value; a step function only changes at sample
+    points, so the shared grid finds each pair's supremum exactly.
+
+    Distributed shape: one hash-aggregate to (group, value) counts --
+    the only pass over the data, shuffle carries distinct pairs -- then
+    everything runs on the TINY grid (distinct values x groups): a
+    cumulative window per group, one grid self-join per pair, one max.
+    Determinism: CDF values are ratios of exact counts, so every engine
+    computes identical doubles; ks is a max of their absolute
+    differences (order-free).
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    grid = (
+        counts.select(value_col)
+        .distinct()
+        .crossJoin(counts.select(group_col).distinct())
+    )
+    from pyspark.sql.window import Window
+
+    filled = grid.join(counts, on=[group_col, value_col], how="left").select(
+        group_col,
+        value_col,
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    fr = (
+        filled.withColumn("_cum", F.sum("_c").over(w))
+        .join(F.broadcast(totals), on=group_col)
+        .select(
+            group_col,
+            value_col,
+            (F.col("_cum").cast("double") / F.col("_n").cast("double")).alias(
+                "_f"
+            ),
+        )
+    )
+    a, b = fr.alias("a"), fr.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{value_col}") == F.col(f"b.{value_col}"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("g1"),
+            F.col(f"b.{group_col}").alias("g2"),
+        )
+        .agg(
+            F.max(F.abs(F.col("a._f") - F.col("b._f"))).alias("ks"),
+            F.count(F.lit(1)).cast("long").alias("n_grid"),
+        )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid: Sequence[float],
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """KS drift with the sketch-sized production path gated in-plane:
+    (g1, g2, ks, n_grid, ks_sketch, approx_ok).
+
+    The exact statistic (:func:`exact_ks_pairs`) needs the full
+    (group, value) count table; at 100 TB the production path keeps ONE
+    KLL sketch per cohort (kilobytes, mergeable across ingest batches --
+    the same state the quantile rollups persist) and evaluates the CDF
+    difference from sketch RANKS on ``grid``, a fixed list of literal
+    breakpoints (``kll_sketch_get_rank_double`` requires foldable
+    quantile arguments -- which matches production reality: drift
+    monitors probe the CDF at fixed checkpoints).  ``approx_ok`` asserts
+    the sketch statistic lands within ``tolerance`` (absolute) of the
+    exact one -- KLL's normalized rank error is ~1.65% at k=200, so 0.05
+    covers two rank reads plus the shared inclusive-rank convention;
+    when ``grid`` is coarser than the observed values the sketch max is
+    additionally a grid-restricted lower bound of the exact supremum.
+    """
+    exact = exact_ks_pairs(df, group_col, value_col)
+    sk = df.groupBy(group_col).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("_sk")
+    )
+    ranks = sk.select(
+        group_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(v)).alias("v"),
+                        F.kll_sketch_get_rank_double(
+                            "_sk", F.lit(float(v))
+                        ).alias("r"),
+                    )
+                    for v in grid
+                ]
+            )
+        ).alias("x"),
+    ).select(group_col, F.col("x.v").alias("v"), F.col("x.r").alias("_r"))
+    a, b = ranks.alias("a"), ranks.alias("b")
+    sketch_ks = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("g1"),
+            F.col(f"b.{group_col}").alias("g2"),
+        )
+        .agg(F.max(F.abs(F.col("a._r") - F.col("b._r"))).alias("ks_sketch"))
+    )
+    return exact.join(sketch_ks, on=["g1", "g2"]).select(
+        "g1",
+        "g2",
+        "ks",
+        "n_grid",
+        "ks_sketch",
+        (F.abs(F.col("ks_sketch") - F.col("ks")) <= F.lit(tolerance)).alias(
+            "approx_ok"
+        ),
+    )

@@ -2140,6 +2140,40 @@ def x2_salted_join_agg(spark, sf):
       SELECT key, count(*) AS cnt, (SELECT count(*) FROM w) AS n
       FROM w GROUP BY key HAVING count(*) > (SELECT count(*) FROM w) * 0.02
     ) t
+    UNION ALL
+    -- two-sample KS drift (r7): exact statistic in micro-units; the
+    -- KLL-sketch statistic is engine-specific, so it is gated in-plane
+    -- (approx_ok) like every other estimate leg
+    SELECT 'ks_drift' AS op, g1 || '|' || g2 AS key,
+           CAST(floor(ks * 1000000.0 + 1e-9) AS BIGINT) AS n_exact,
+           n_grid AS n_part, true AS approx_ok
+    FROM (
+      WITH kcounts AS (
+        SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+      ),
+      kgrid AS (
+        SELECT v, g FROM (SELECT DISTINCT v FROM kcounts)
+        CROSS JOIN (SELECT DISTINCT g FROM kcounts)
+      ),
+      ktot AS (
+        SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM kcounts GROUP BY g
+      ),
+      kfr AS (
+        SELECT kgrid.g, kgrid.v,
+               sum(coalesce(c, 0)) OVER (PARTITION BY kgrid.g
+                 ORDER BY kgrid.v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / n AS f
+        FROM kgrid
+        LEFT JOIN kcounts ON kgrid.g = kcounts.g AND kgrid.v = kcounts.v
+        JOIN ktot ON kgrid.g = ktot.g
+      )
+      SELECT a.g AS g1, b.g AS g2, max(abs(a.f - b.f)) AS ks,
+             CAST(count(*) AS BIGINT) AS n_grid
+      FROM kfr a JOIN kfr b ON a.v = b.v AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
     """,
 )
 def a10_distinct_counts(spark, sf):
@@ -2180,6 +2214,14 @@ def a10_distinct_counts(spark, sf):
       these rows are exact by construction (the sketch prunes, it never
       approximates the answer), so they carry full value equality against
       the GROUP BY / HAVING oracle rather than an approx band.
+    - ``op='ks_drift'`` (r7): two-sample Kolmogorov-Smirnov drift between
+      return-flag cohorts on l_quantity (sketches.ks_drift) -- the
+      distribution-shift monitor an ingest pipeline runs between
+      cohorts/time slices.  The EXACT statistic (ratios of exact counts,
+      so it value-hashes in micro-units) rides n_exact; the production
+      path -- one mergeable KLL sketch per cohort, CDF probed at 50
+      fixed grid literals -- is engine-specific and gated in-plane
+      (|sketch - exact| <= 0.05 absolute).
 
     Estimates are engine-specific, so every sketch is validated IN-PLANE:
     ``approx_ok`` asserts each estimate lands within tolerance (5% HLL,
@@ -2379,8 +2421,21 @@ def a10_distinct_counts(spark, sf):
             )
         )
 
+    ks_leg = sketches.ks_drift(
+        li,
+        "l_returnflag",
+        "l_quantity",
+        grid=[float(v) for v in range(1, 51)],
+        tolerance=0.05,
+    ).select(
+        F.lit("ks_drift").alias("op"),
+        F.concat_ws("|", "g1", "g2").alias("key"),
+        F.floor(F.col("ks") * 1000000.0 + 1e-9).cast("long").alias("n_exact"),
+        F.col("n_grid").alias("n_part"),
+        "approx_ok",
+    )
     out = exact_leg.unionByName(rollup_leg)
-    for leg in theta_legs + kll_legs + [inc_leg] + hh_legs:
+    for leg in theta_legs + kll_legs + [inc_leg, ks_leg] + hh_legs:
         out = out.unionByName(leg)
     return out
 

@@ -166,6 +166,71 @@ def _s6_split_case() -> str:
     )
 
 
+#: a10's ks_drift leg (r7): the 50 grid literals are generated here
+#: because kll_sketch_get_rank_double requires FOLDABLE quantile
+#: arguments (same constraint as the DataFrame side, sketches.ks_drift)
+_A10_KS_RANKS = ", ".join(
+    f"named_struct('v', {float(v)!r}D, 'r', "
+    f"kll_sketch_get_rank_double(sk, {float(v)!r}D))"
+    for v in range(1, 51)
+)
+_A10_KS_LEG = f"""
+        UNION ALL
+        -- two-sample KS drift (r7): see registry.a10 docstring
+        SELECT 'ks_drift' AS op, concat_ws('|', g1, g2) AS key,
+               CAST(floor(ks * 1000000.0D + 1e-9) AS BIGINT) AS n_exact,
+               n_grid AS n_part,
+               abs(ks_sketch - ks) <= 0.05D AS approx_ok
+        FROM (
+          WITH kcounts AS (
+            SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+            FROM lineitem GROUP BY 1, 2
+          ),
+          kgrid AS (
+            SELECT v, g FROM (SELECT DISTINCT v FROM kcounts)
+            CROSS JOIN (SELECT DISTINCT g FROM kcounts)
+          ),
+          ktot AS (
+            SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM kcounts GROUP BY g
+          ),
+          kfr AS (
+            SELECT kgrid.g, kgrid.v,
+                   sum(coalesce(c, 0)) OVER (PARTITION BY kgrid.g
+                     ORDER BY kgrid.v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / n AS f
+            FROM kgrid
+            LEFT JOIN kcounts ON kgrid.g = kcounts.g AND kgrid.v = kcounts.v
+            JOIN ktot ON kgrid.g = ktot.g
+          ),
+          kex AS (
+            SELECT a.g AS g1, b.g AS g2, max(abs(a.f - b.f)) AS ks,
+                   CAST(count(*) AS BIGINT) AS n_grid
+            FROM kfr a JOIN kfr b ON a.v = b.v AND a.g < b.g
+            GROUP BY a.g, b.g
+          ),
+          kskr AS (
+            SELECT g, x.v AS v, x.r AS r FROM (
+              SELECT g, explode(array({_A10_KS_RANKS})) AS x
+              FROM (
+                SELECT l_returnflag AS g,
+                       kll_sketch_agg_double(CAST(l_quantity AS DOUBLE))
+                         AS sk
+                FROM lineitem GROUP BY l_returnflag
+              )
+            )
+          ),
+          ksks AS (
+            SELECT a.g AS g1, b.g AS g2,
+                   max(abs(a.r - b.r)) AS ks_sketch
+            FROM kskr a JOIN kskr b ON a.v = b.v AND a.g < b.g
+            GROUP BY a.g, b.g
+          )
+          SELECT kex.g1, kex.g2, kex.ks, kex.n_grid, ksks.ks_sketch
+          FROM kex JOIN ksks ON kex.g1 = ksks.g1 AND kex.g2 = ksks.g2
+        )
+"""
+
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
     "p3_filter_compare": """
@@ -439,7 +504,7 @@ SQL_QUERIES: dict[str, str] = {
           FROM w GROUP BY key
           HAVING count(*) > (SELECT count(*) FROM w) * 0.02D
         ) t
-    """,
+    """ + _A10_KS_LEG,
     "a9_percentile": """
         SELECT round(ps[0], 4) AS p25,
                round(ps[1], 4) AS p50,
