@@ -291,3 +291,34 @@ def grouped_hash_split(
     return hash_split(
         keyed, id_col="_grp", weights=weights, salt=salt
     ).select(id_col, "split_id")
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    salt: str = "qs-v1",
+) -> DataFrame:
+    """Soft quality filter: keep each row with probability EQUAL to its
+    (0..1) score -- the importance-sampling admission GPT-3's pipeline
+    applied with its WebText-classifier scores (Brown et al. 2020,
+    appendix A), made deterministic: the Bernoulli draw is the
+    md5-uniform of (salt, id), so reruns, appends, partitionings, and
+    engines agree ROW FOR ROW (and appends never re-roll existing rows,
+    the property RNG-based sample() lacks).
+
+    One narrow filter -- no shuffle, no state; composes downstream of
+    any scorer (textops.quality_scores / linear_probe_scores /
+    ngram_lm_scores after an exp/clamp).  Expected keep rate equals the
+    corpus mean score; realized rate concentrates around it per-row.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**15))
+    return df.filter(u < F.col(score_col))

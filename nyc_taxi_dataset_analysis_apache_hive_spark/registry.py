@@ -2879,6 +2879,31 @@ _S7_U15 = float(16**15)  # md5 15-hex-char uniform denominator
 _S7_TEMP_ALPHA = 0.5
 _S7_TEMP_TARGET = 150
 
+#: s7 qsamp leg: per-doc (lang, quality_score, md5-uniform) -- the t1
+#: oracle's proven quality formula verbatim, paired with the qs-v1 draw.
+_S7_QS_SQL = rf"""
+      SELECT doc_id, lang,
+             floor((least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + least(coalesce({{hits}}
+                           / nullif(CAST(len(t) AS DOUBLE), 0), 0) * 5,
+                           1.0) * 0.3
+                   + (1 - least(coalesce(
+                         CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]',
+                                                    '', 'g')) AS DOUBLE)
+                         / nullif(CAST(length(text) AS DOUBLE), 0), 0)
+                         * 10, 1.0)) * 0.3)
+                   * 10000.0 + 1e-7) / 10000.0 AS qs,
+             CAST(CAST('0x' || substr(md5('qs-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / {{u15}} AS u
+      FROM (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(text),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      )
+"""
+
 
 @register(
     "s7_stratified_rates",
@@ -2965,6 +2990,14 @@ _S7_TEMP_TARGET = 150
       WHERE n_copies > 0
     )
     GROUP BY 1, 2
+    UNION ALL
+    -- quality-weighted sampling (r7): keep-prob == quality score, draw
+    -- = md5-uniform(qs-v1, id); membership replays exactly (id_sum)
+    SELECT 'qsamp' AS op, lang AS key, CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ({_S7_QS_SQL.format(hits=_hits_from_t_sql("en"), u15=repr(_S7_U15))})
+    WHERE u < qs GROUP BY lang
     """,
 )
 def s7_stratified_rates(spark, sf):
@@ -2987,7 +3020,12 @@ def s7_stratified_rates(spark, sf):
       ``lang`` column (``sampling.temperature_mix``, w ~ n^0.5):
       corpus-derived weights quantized to the 1e-6 grid before the same
       md5-Bernoulli copy-count machinery as mix, so per-(lang, epoch)
-      sizes AND membership replay bit-for-bit."""
+      sizes AND membership replay bit-for-bit.
+    - ``op='qsamp'`` (r7): quality-weighted sampling
+      (``sampling.quality_weighted_sample``, the GPT-3 appendix-A soft
+      filter): keep-probability == the t1 composite quality score,
+      Bernoulli draw = md5-uniform of (qs-v1, id) -- per-lang sizes and
+      exact membership (id_sum) replay in the oracle."""
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
     in_strata = docs.filter(F.col("lang").isin(*_S7_FRACTIONS))
     totals = in_strata.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
@@ -3069,7 +3107,35 @@ def s7_stratified_rates(spark, sf):
             F.col("id_sum").cast("long"),
         )
     )
-    return rate.unionByName(mix).unionByName(cap).unionByName(temp)
+    qdocs = _t(spark, sf, "documents")
+    qsamp = (
+        sampling.quality_weighted_sample(
+            qdocs.select("doc_id", "lang").join(
+                textops.quality_scores(qdocs).select(
+                    "doc_id", "quality_score"
+                ),
+                on="doc_id",
+            ),
+            score_col="quality_score",
+            id_col="doc_id",
+            salt="qs-v1",
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("qsamp").alias("op"),
+            F.col("lang").alias("key"),
+            F.lit(None).cast("boolean").alias("rate_ok"),
+            F.col("n").cast("long"),
+            F.col("id_sum").cast("long"),
+        )
+    )
+    return (
+        rate.unionByName(mix)
+        .unionByName(cap)
+        .unionByName(temp)
+        .unionByName(qsamp)
+    )
 
 
 #: s8 scd2 leg: one fixed effective timestamp for the whole update batch

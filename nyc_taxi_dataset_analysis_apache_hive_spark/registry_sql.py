@@ -1723,6 +1723,37 @@ SQL_QUERIES: dict[str, str] = {
           )
         )
         GROUP BY 1, 2
+        UNION ALL
+        -- quality-weighted sampling (r7): see registry.s7 docstring
+        SELECT 'qsamp' AS op, lang AS key, CAST(NULL AS BOOLEAN) AS rate_ok,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM (
+          SELECT doc_id, lang,
+                 floor((least(CAST(size(t) AS DOUBLE) / 100.0D, 1.0D) * 0.4D
+                       + least(coalesce(CAST(size(filter(t,
+                             x -> array_contains(
+                               array('the','and','of','to','a','in','is',
+                                     'it','for','on'), x))) AS BIGINT)
+                               / nullif(CAST(size(t) AS DOUBLE), 0.0D),
+                               0.0D) * 5, 1.0D) * 0.3D
+                       + (1 - least(coalesce(
+                             length(regexp_replace(text, '[a-zA-Z0-9\\\\s]',
+                                                   ''))
+                             / nullif(CAST(length(text) AS DOUBLE), 0.0D),
+                             0.0D) * 10, 1.0D)) * 0.3D)
+                       * 10000.0D + 1e-7) / 10000.0D AS qs,
+                 CAST(conv(substr(md5(concat('qs-v1:',
+                        CAST(doc_id AS STRING))), 1, 15), 16, 10)
+                      AS DOUBLE) / 1152921504606846976.0D AS u
+          FROM (
+            SELECT doc_id, lang, text,
+                   filter(split(lower(text), '[^a-z0-9]+'),
+                          x -> x != '') AS t
+            FROM documents
+          )
+        )
+        WHERE u < qs GROUP BY lang
     """,
     # -- merge surface: SCD-1 full-outer coalesce + SCD-2 close/append -----
     "s8_upsert": """

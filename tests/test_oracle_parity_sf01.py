@@ -43,6 +43,13 @@ SCALE_SENSITIVE = [
     # micro-unit/decimal exactness claims precisely where sums get big --
     # (tv1 is pinned above; d7 joins here for the overlap leg)
     "d7_cross_corpus_decontam",
+    # r7: the grouped_split leg composes CC convergence with split
+    # arithmetic; the recursive-CTE oracle measures ~5 s at sf0.1, cheap
+    # enough to pin (d6 has no SQL text, so only the oracle gate applies)
+    "d6_dup_clusters",
+    # r7: inc_admit's candidate set and a10's ks_drift/frequent gates all
+    # shift with data volume
+    "d3_minhash_lsh_pairs",
 ]
 
 QUERIES = entry_mod.queries()
