@@ -375,10 +375,18 @@ def exact_ks_pairs(
     cumulative window per group, one grid self-join per pair, one max.
     Determinism: CDF values are ratios of exact counts, so every engine
     computes identical doubles; ks is a max of their absolute
-    differences (order-free).
+    differences (order-free).  NULL groups/values are EXCLUDED
+    explicitly (heavy-hitters convention): a NULL grid value would sort
+    NULLS FIRST in Spark's cumulative window but NULLS LAST in DuckDB's,
+    silently shifting every CDF step -- the same divergence class the
+    r7 NULL-key fix closed for frequent items.
     """
-    counts = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    counts = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     grid = (
         counts.select(value_col)
@@ -397,7 +405,9 @@ def exact_ks_pairs(
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # totals over the SAME filtered universe as the counts, so every
+    # group's CDF still reaches exactly 1.0 at the top of the grid
+    totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     fr = (
         filled.withColumn("_cum", F.sum("_c").over(w))
         .join(F.broadcast(totals), on=group_col)

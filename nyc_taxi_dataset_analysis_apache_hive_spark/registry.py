@@ -2150,7 +2150,9 @@ def x2_salted_join_agg(spark, sf):
     FROM (
       WITH kcounts AS (
         SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
-        FROM lineitem GROUP BY 1, 2
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1, 2
       ),
       kgrid AS (
         SELECT v, g FROM (SELECT DISTINCT v FROM kcounts)

@@ -184,7 +184,9 @@ _A10_KS_LEG = f"""
         FROM (
           WITH kcounts AS (
             SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
-            FROM lineitem GROUP BY 1, 2
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+            GROUP BY 1, 2
           ),
           kgrid AS (
             SELECT v, g FROM (SELECT DISTINCT v FROM kcounts)

@@ -82,3 +82,22 @@ def test_sketch_gate_holds_on_real_data(spark, sf0001_dir):
         li, "l_returnflag", "l_quantity", grid=[float(v) for v in range(1, 51)]
     ).collect()
     assert len(out) == 3 and all(r["approx_ok"] for r in out)
+
+
+def test_null_groups_and_values_are_excluded(spark):
+    """NULL keys would sort NULLS FIRST in Spark's cumulative window but
+    NULLS LAST in DuckDB's -- so they are excluded explicitly on every
+    surface (heavy-hitters convention), and CDFs still reach exactly 1.0
+    over the filtered universe."""
+    rows = (
+        [Row(g="a", v=float(v)) for v in (1, 2, 3)]
+        + [Row(g="b", v=float(v)) for v in (1, 2, 4)]
+        + [Row(g=None, v=1.0), Row(g="a", v=None), Row(g="b", v=None)]
+    )
+    out = sketches.exact_ks_pairs(spark.createDataFrame(rows), "g", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g1"], r["g2"]) == ("a", "b")
+    # same statistic as the NULL-free input: grid {1,2,3,4},
+    # F_a = 1/3, 2/3, 1, 1; F_b = 1/3, 2/3, 2/3, 1 -> ks = 1/3
+    assert r["ks"] == pytest.approx(1.0 / 3.0, abs=1e-12)
