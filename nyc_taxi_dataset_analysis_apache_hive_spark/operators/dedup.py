@@ -1103,9 +1103,6 @@ def ngram_overlap_contamination(
         .groupBy("probe_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
-    frac = F.col("n_hits").cast("double") / F.nullif(
-        F.col("n_grams").cast("double"), F.lit(0.0)
-    )
     return (
         p_grams.select(
             "probe_id", F.size("sh").cast("long").alias("n_grams")

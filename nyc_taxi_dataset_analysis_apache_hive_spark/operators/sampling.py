@@ -48,6 +48,26 @@ def cumulative_split_bounds(weights: tuple[float, ...]) -> list[float]:
     return bounds
 
 
+def _md5_uniform(id_col: str, salt: str):
+    """The ONE md5-uniform draw every sampling operator shares:
+    ``conv(first 15 md5 hex chars of "salt:id", 16, 10) / 16^15`` -- a
+    deterministic U[0,1) per (salt, id), bit-identical in the DuckDB
+    oracles and SQL texts that mirror the same expression.  A single
+    definition because the parity scheme depends on every copy staying
+    identical: an edit to the prefix width or separator applied to one
+    operator but not its mirrors would silently flip Bernoulli verdicts
+    on that surface only."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**15))
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -63,12 +83,7 @@ def hash_split(
     md5 (not xxhash64) so an external system can reproduce the assignment.
     """
     bounds = cumulative_split_bounds(weights)
-    # uniform in [0,1): first 15 hex chars of md5 / 16^15
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("double") / F.lit(float(16**15))
+    u = _md5_uniform(id_col, salt)
     split = F.lit(len(weights) - 1)
     for i in reversed(range(len(bounds))):
         split = F.when(u < bounds[i], i).otherwise(split)
@@ -114,15 +129,7 @@ def mix_domains(
         F.element_at(wmap, F.col(domain_col)) * F.lit(float(target_rows))
         / F.col("_dom_n")
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(float(16**15))
+    u = _md5_uniform(id_col, salt)
     n_copies = (
         F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
     ).cast("int")
@@ -229,15 +236,7 @@ def temperature_mix(
         )
     )
     ratio = F.col("_wq") * F.lit(float(target_rows)) / F.col("_dom_n")
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(float(16**15))
+    u = _md5_uniform(id_col, salt)
     n_copies = (
         F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
     ).cast("int")
@@ -312,13 +311,5 @@ def quality_weighted_sample(
     ngram_lm_scores after an exp/clamp).  Expected keep rate equals the
     corpus mean score; realized rate concentrates around it per-row.
     """
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(float(16**15))
+    u = _md5_uniform(id_col, salt)
     return df.filter(u < F.col(score_col))

@@ -514,6 +514,7 @@ def cosine_topk_pq(
     dim: int = 64,
     codebook: DataFrame | None = None,
     allowed_pairs: DataFrame | None = None,
+    codebook_prenormalized: bool = False,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jegou/Douze/Schmid, TPAMI
     2011): the memory-compression ANN scale path.
@@ -563,11 +564,14 @@ def cosine_topk_pq(
     0.975 (sf0.001) / 0.90 (sf0.1) while still scanning codes 16x
     smaller than the raw vectors and re-ranking only ~6% of the corpus.
 
-    Zero-norm vectors (none in the driver tables) normalize to NULL
-    elements, quantize to NULL codes, and drop out of ADC candidates --
-    the same drop-out semantics as the NULL cosines elsewhere in this
-    module; they can still be RETURNED as exact re-rank neighbours of
-    nothing, i.e. they simply never match.
+    Zero-norm vectors (none in the driver tables) are FILTERED OUT
+    before encoding -- an explicit ``_nrm > 0`` filter, because the
+    alternative (NULL-element normalization) would NOT drop out: the
+    per-subspace struct-min assigns all-NULL distance rows code 0 (NULL
+    sorts first in struct ordering), letting a garbage vector rank as a
+    NULL-cosine candidate.  Filtered vectors can neither be queries nor
+    neighbours, the same exclusion the sign-LSH leg gets from NULL
+    buckets.
 
     ``codebook``: any (code_id 0..k_sub-1, cb_emb) table replaces the
     corpus slice -- the kmeans_train plumbing IVF uses.  Measured
@@ -577,8 +581,15 @@ def cosine_topk_pq(
     latent cluster directions and loses subspace diversity.  The fix is
     true per-subspace training -- :func:`pq_train_codebook`, the actual
     PQ recipe -- which restores the ordering: per-subspace-trained
-    1.0 / 0.90 >= slice 0.975 / 0.90 > full-vector 0.825
+    1.0 / 0.925 >= slice 0.975 / 0.90 > full-vector 0.825
     (sf0.001 / sf0.1, pytest-gated).
+
+    ``codebook_prenormalized``: set True for codebooks TRAINED in the
+    normalized space (pq_train_codebook) -- renormalizing such a
+    codebook would divide each code's sub-centroids by that code's own
+    concatenated norm, a different factor per code, distorting the
+    Lloyd assignment geometry (measured: 0.90 renormalized vs 0.925
+    prenormalized at sf0.1).  Leave False for raw corpus vectors.
     """
     from ..functions.vectors import as_double_array, l2_norm
 
@@ -592,31 +603,48 @@ def cosine_topk_pq(
     # the codebook cross join (the multiply-referenced-expression trap,
     # see normalized_with_bucket; measured ~5.5 s -> ~1.5 s for the leg)
     step1 = raw.select("vec_id", "emb_raw", l2_norm("emb_raw").alias("_nrm"))
-    emb = step1.select(
+    # zero-norm vectors DROP OUT here, not later: without the filter the
+    # per-subspace struct-min would assign their all-NULL distance rows
+    # code 0 (NULL sorts first inside a struct ordering), letting a
+    # garbage vector consume candidate slots with a bogus ADC total and
+    # surface as a NULL-cosine neighbour -- the filter makes the
+    # documented drop-out semantics real (mirrored in the SQL text and
+    # the DuckDB oracle; no such vectors exist in the driver tables)
+    emb = step1.filter(F.col("_nrm") > 0).select(
         "vec_id",
         F.transform(
             F.col("emb_raw"),
-            lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0)),
+            lambda x: x / F.col("_nrm"),
         ).alias("emb"),
     )
     if codebook is not None:
         # trained variant: any (code_id 0..k_sub-1, cb_emb array<double>)
-        # table -- e.g. kmeans_train centroids -- replaces the corpus
-        # slice; entries are normalized here so the sliced sub-codebooks
-        # live on the same unit sphere as the encoded vectors
+        # table -- e.g. corpus samples or kmeans_train centroids --
+        # replaces the corpus slice.  Renormalization is OPT-OUT: raw
+        # corpus vectors need it to land on the unit sphere, but a
+        # codebook TRAINED in the normalized space (pq_train_codebook)
+        # must NOT be rescaled -- its concatenated centroid norms differ
+        # per code, so dividing by them would scale each code's
+        # sub-centroids by a different factor and break the Lloyd
+        # assignment geometry the training converged to
         cb_step = codebook.select(
             F.col("code_id").cast("int").alias("code_id"),
             as_double_array("cb_emb").alias("cb_raw"),
         ).select(
             "code_id", "cb_raw", l2_norm("cb_raw").alias("_cnrm")
         )
-        cb = cb_step.select(
-            "code_id",
-            F.transform(
-                F.col("cb_raw"),
-                lambda x: x / F.nullif(F.col("_cnrm"), F.lit(0.0)),
-            ).alias("cb_emb"),
-        )
+        if codebook_prenormalized:
+            cb = cb_step.select(
+                "code_id", F.col("cb_raw").alias("cb_emb")
+            )
+        else:
+            cb = cb_step.filter(F.col("_cnrm") > 0).select(
+                "code_id",
+                F.transform(
+                    F.col("cb_raw"),
+                    lambda x: x / F.col("_cnrm"),
+                ).alias("cb_emb"),
+            )
     else:
         cb = emb.filter(
             (F.col("vec_id") >= codebook_offset)
@@ -883,7 +911,10 @@ def pq_train_codebook(
     ``code_id``'s centroid across all ``m`` subspaces -- so the trained
     codebook drops straight into :func:`cosine_topk_pq`'s ``codebook=``
     (which slices per subspace again, recovering exactly the
-    per-subspace centroids).
+    per-subspace centroids).  Pass ``codebook_prenormalized=True`` with
+    it: the centroids already live in the normalized space, and the
+    default renormalization would rescale each code by its own
+    concatenated norm (see cosine_topk_pq's docstring).
 
     This fixes what full-vector k-means gets wrong for PQ (measured
     0.825 recall vs the corpus slice's 0.90 at sf0.1): clustering whole

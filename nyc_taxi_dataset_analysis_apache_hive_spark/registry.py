@@ -1414,9 +1414,10 @@ _PQ_SQL = f"""
       FROM embeddings
     ),
     e AS (
+      -- zero-norm drop-out mirrored from the operator (WHERE nrm > 0)
       SELECT vec_id, emb_raw,
-             list_transform(emb_raw, x -> x / nullif(nrm, 0)) AS emb
-      FROM eraw
+             list_transform(emb_raw, x -> x / nrm) AS emb
+      FROM eraw WHERE nrm > 0
     ),
     cb AS (
       SELECT CAST(vec_id - 200 AS INT) AS code_id, emb AS cb_emb FROM e
@@ -1485,9 +1486,10 @@ _IVFPQ_SQL = f"""
       FROM embeddings
     ),
     e AS (
+      -- zero-norm drop-out mirrored from the operator (WHERE nrm > 0)
       SELECT vec_id, emb_raw,
-             list_transform(emb_raw, x -> x / nullif(nrm, 0)) AS emb
-      FROM eraw
+             list_transform(emb_raw, x -> x / nrm) AS emb
+      FROM eraw WHERE nrm > 0
     ),
     icents AS (
       SELECT vec_id AS cent_id, emb_raw AS cent_emb FROM eraw
@@ -3746,7 +3748,10 @@ def tv1_text_stats(spark, sf):
         F.col("n_transitions").alias("m"),
         F.col("avg_logprob").alias("score"),
     )
-    w = textops.linear_probe_weights(docs)
+    # ONE training pass: the weights row feeds two union branches (probe
+    # scoring + the probe_w rows); materialize the 1-row frame so the
+    # feature-scan + normal-equation aggregate does not run twice
+    w = textops.linear_probe_weights(docs).localCheckpoint(eager=True)
     probe = textops.linear_probe_scores(docs, weights=w).select(
         F.lit("probe").alias("op"),
         "doc_id",

@@ -1067,9 +1067,11 @@ SQL_QUERIES: dict[str, str] = {
         -- re-rank on the RAW vectors (dot(a/|a|,b/|b|) differs from
         -- dot(a,b)/(|a||b|) in the last bits)
         pq_e AS (
+          -- zero-norm drop-out mirrored from the operator (nrm > 0)
           SELECT vec_id, emb AS emb_raw,
-                 transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n
+                 transform(emb, x -> x / nrm) AS emb_n
           FROM (SELECT vec_id, emb, {_sql_norm("emb")} AS nrm FROM e0)
+          WHERE nrm > 0
         ),
         pq_cb AS (
           SELECT CAST(vec_id - 200 AS INT) AS code_id, emb_n AS cb_emb
