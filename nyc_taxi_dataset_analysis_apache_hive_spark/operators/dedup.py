@@ -224,6 +224,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     persist_shingles: bool = False,
     cache: CacheScope | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -245,13 +246,21 @@ def minhash_lsh_pairs(
     for the session -- fine for one-shot jobs, but a long-lived
     many-corpora application should use the scope (or the default
     recompute path).
+
+    ``signatures``: an already-materialized :func:`minhash_signatures`
+    frame (same n_hashes/shingle_n) skips the internal signature
+    derivation -- the sharing hook for callers that also feed the same
+    signatures to the admission path (the d3 registry entry).
     """
     shingle_frame = maybe_persist(
         _shingle_sets(docs, shingle_n), persist_shingles, cache
     )
-    buckets = minhash_band_buckets(
-        _signatures_from_sets(shingle_frame, n_hashes), n_hashes, n_bands
+    sigs = (
+        signatures
+        if signatures is not None
+        else _signatures_from_sets(shingle_frame, n_hashes)
     )
+    buckets = minhash_band_buckets(sigs, n_hashes, n_bands)
     cands = _band_candidates(buckets, buckets, "doc_a", "doc_b", ordered=True)
     return _jaccard_verified(
         cands, shingle_frame, shingle_frame, "doc_a", "doc_b", jaccard_threshold

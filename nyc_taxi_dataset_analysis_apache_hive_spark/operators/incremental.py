@@ -208,6 +208,7 @@ def admit_batch_neardup(
     agreement_threshold: float = 0.5,
     text_col: str = "text",
     history_sigs: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate admission: extend :func:`admit_batch`'s exact
     membership question to "is a near-copy of this document already in
@@ -253,7 +254,14 @@ def admit_batch_neardup(
                 "admit_batch_neardup: pass history docs or history_sigs"
             )
         h_sigs = dedup.minhash_signatures(history, n_hashes, shingle_n)
-    b_sigs = dedup.minhash_signatures(batch, n_hashes, shingle_n)
+    # batch_sigs: sharing hook (same contract as history_sigs) -- the
+    # batch docs frame is still required for the report universe, which
+    # must include zero-shingle documents absent from any signature table
+    b_sigs = (
+        batch_sigs
+        if batch_sigs is not None
+        else dedup.minhash_signatures(batch, n_hashes, shingle_n)
+    )
     h_buckets = dedup.minhash_band_buckets(h_sigs, n_hashes, n_bands)
     b_buckets = dedup.minhash_band_buckets(b_sigs, n_hashes, n_bands)
     cands = (
@@ -288,13 +296,18 @@ def admit_batch_neardup(
             ).alias("sig_agreement"),
         )
     )
+    # best match = highest agreement, ties to the LOWEST history id --
+    # expressed as a min_by over (negated agreement, match_id) so the
+    # tie-break never negates the id column itself: unary minus on a
+    # string/UUID id would cast to double and yield NULL, silently
+    # making the documented tie-break arbitrary
     best = scored.groupBy("doc_id").agg(
-        F.max_by(
+        F.min_by(
             F.struct(
                 F.col("match_id"), F.col("sig_agreement")
             ),
             F.struct(
-                F.col("sig_agreement"), (-F.col("match_id")).alias("nm")
+                (-F.col("sig_agreement")).alias("na"), F.col("match_id")
             ),
         ).alias("bm")
     )

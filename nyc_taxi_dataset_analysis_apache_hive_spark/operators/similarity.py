@@ -825,9 +825,13 @@ def cosine_topk_ivfpq(
     dim: int = 64,
     codebook: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    codebook_prenormalized: bool = False,
 ) -> DataFrame:
     """IVF + PQ combined (the FAISS ``IVFPQ`` index, Jegou et al. TPAMI
     2011 sec. V): coarse quantizer routes, product quantizer scores.
+    ``codebook_prenormalized`` passes through to :func:`cosine_topk_pq`
+    -- set it with a pq_train_codebook-trained codebook, exactly as on
+    the direct PQ path.
 
     The two approximations compose multiplicatively at scale: IVF
     probing scans ~n_probe/n_centroids of the corpus, and PQ reads each
@@ -894,6 +898,7 @@ def cosine_topk_ivfpq(
         dim=dim,
         codebook=codebook,
         allowed_pairs=allowed,
+        codebook_prenormalized=codebook_prenormalized,
     )
 
 
@@ -942,11 +947,16 @@ def pq_train_codebook(
         "vec_id", as_double_array("embedding").alias("emb_raw")
     )
     step1 = raw.select("vec_id", "emb_raw", l2_norm("emb_raw").alias("_nrm"))
-    emb = step1.select(
+    # same zero-norm drop-out as cosine_topk_pq's encode path: NULL
+    # normalized elements would make every per-subspace distance NULL,
+    # and NULLS-FIRST window ordering would then assign code 0 -- or,
+    # if a zero-norm vector fell inside the init slice, poison that
+    # code's centroid to all-NULL and collapse iteration 1's assignment
+    emb = step1.filter(F.col("_nrm") > 0).select(
         "vec_id",
         F.transform(
             F.col("emb_raw"),
-            lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0)),
+            lambda x: x / F.col("_nrm"),
         ).alias("emb"),
     )
     subs = emb.select(

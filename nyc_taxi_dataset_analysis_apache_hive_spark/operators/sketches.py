@@ -331,14 +331,30 @@ def heavy_hitters(
         yield pd.DataFrame({"key": list(counters.keys())})
 
     cand = src.mapInPandas(_candidates, "key string").distinct()
-    counts = (
-        src.join(F.broadcast(cand), "key", "leftsemi")
-        .groupBy("key")
+    # ONE recount pass yields the candidate counts AND the grand total:
+    # the broadcast left join tags candidate rows, non-candidates
+    # collapse into a single NULL bucket map-side, and the total is an
+    # unpartitioned window-sum over the tiny grouped relation
+    # (<= candidates + 1 rows, one partition by construction) -- two
+    # passes over the source in all (candidates, recount) instead of
+    # three (a separate count(*) scan previously paid a full pass for
+    # one BIGINT)
+    from pyspark.sql.window import Window
+
+    grouped = (
+        src.join(
+            F.broadcast(cand.withColumn("_is", F.lit(1))), "key", "left"
+        )
+        .groupBy(
+            F.when(F.col("_is") == 1, F.col("key")).alias("key")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = src.agg(F.count(F.lit(1)).alias("_n"))
+    with_total = grouped.withColumn(
+        "_n", F.sum("cnt").over(Window.partitionBy())
+    )
     return (
-        counts.crossJoin(F.broadcast(total))
+        with_total.filter(F.col("key").isNotNull())
         .filter(F.col("cnt") > F.col("_n") * F.lit(phi))
         .select(
             "key",

@@ -93,3 +93,30 @@ def list_files(
             continue
         out.append((rel, st.getLen()))
     return sorted(out)
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file (overwrite) through the Hadoop FS API --
+    used for ledger marker files, so markers live wherever the state
+    lives (hdfs://, s3a://, file://)."""
+    fs = filesystem(spark, path)
+    out = fs.create(jpath(spark, path), True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file; None when absent."""
+    fs = filesystem(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

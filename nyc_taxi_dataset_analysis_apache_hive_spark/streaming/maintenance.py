@@ -39,6 +39,23 @@ def _vdir(state_path: str, v: int) -> str:
     return f"{state_path.rstrip('/')}/v={v}"
 
 
+def _floor_path(state_path: str) -> str:
+    return f"{state_path.rstrip('/')}/_ledger_floor"
+
+
+def _ledger_floor(spark: SparkSession, state_path: str) -> int | None:
+    """The FIRST version ever committed into this state dir (persisted
+    marker; survives pruning).  None for markerless dirs."""
+    txt = hfs.read_text(spark, _floor_path(state_path))
+    return int(txt.strip()) if txt is not None and txt.strip() else None
+
+
+def _write_ledger_floor(
+    spark: SparkSession, state_path: str, v: int
+) -> None:
+    hfs.write_text(spark, _floor_path(state_path), str(v))
+
+
 def _versions(spark: SparkSession, state_path: str) -> list[int]:
     """Committed ledger versions, via the Hadoop FileSystem API -- so the
     ledger can live on ``hdfs://``/``s3a://``/any configured scheme, not
@@ -87,11 +104,15 @@ def fold_batch_into_hll(
     * ``keep_versions >= 2`` -- v=batch_id-1 is the input a replay of this
       very batch must re-read, so it may never be pruned; enforced, not
       advisory.
-    * A non-initial batch whose predecessor state is MISSING while the
-      ledger still holds versions raises instead of silently committing
-      the batch delta alone -- that case means a replay reached past the
-      pruned window and "merging with empty state" would wipe the whole
-      accumulated rollup."""
+    * A batch whose predecessor state is MISSING may rebuild from its
+      delta alone ONLY when it is the ledger's persisted FLOOR (the
+      first version this state dir ever committed, recorded in a marker
+      file at first commit).  Any other no-predecessor replay raises:
+      the predecessor was pruned, and "merging with empty state" would
+      silently re-base the whole accumulated rollup -- including the
+      subtle case where the replayed batch happens to be the OLDEST
+      RETAINED version, which the retained window alone cannot tell
+      apart from a genuine floor."""
     if keep_versions < 2:
         raise ValueError(
             f"keep_versions={keep_versions} < 2: v=<batch_id-1> must "
@@ -102,26 +123,37 @@ def fold_batch_into_hll(
     delta = sketches.sketch_rollup(batch_df, time_col, key_col, grain)
     prev = read_sketch_state(spark, state_path, before=batch_id)
     ledger = _versions(spark, state_path)
-    # "no predecessor in the ledger" has two very different causes:
-    #   * batch_id == min(ledger): this batch IS the ledger's floor -- its
-    #     own earlier commit is the only thing retained.  A replay rebuilds
-    #     v=batch_id from the delta alone, exactly as the original run did
-    #     (maintenance attached mid-stream, or checkpoint numbering that
-    #     does not start at 0).  Legitimate; proceed.
-    #   * min(ledger) > batch_id: the ledger only holds NEWER versions --
-    #     this batch's predecessor (and its own prior commit, if any) were
-    #     pruned, so rebuilding from the delta alone would silently re-base
-    #     the accumulated rollup.  Refuse.
-    # (prev is None already implies min(ledger) >= batch_id, so the two
-    # cases are exhaustive.)
-    if prev is None and batch_id > 0 and ledger and min(ledger) != batch_id:
+    # "No predecessor state" is only ever legitimate for the ledger's
+    # FLOOR -- the first version this state dir ever committed (stream
+    # started there, or maintenance attached mid-stream).  The floor is
+    # PERSISTED in a marker file at first commit, because the retained
+    # window cannot distinguish the cases by itself: with versions
+    # [5, 6, 7] a replay of batch 5 looks identical whether 5 was the
+    # first commit ever (delta-only rebuild is exactly what the original
+    # run did -- proceed) or v=4 was pruned (v=5 was ORIGINALLY built as
+    # merge(v4, delta5); rebuilding it delta-only would silently drop
+    # batches 0..4 and re-base everything after -- refuse).  min(ledger)
+    # heuristics re-open exactly that corruption; only the marker closes
+    # it.  Markerless state dirs (written before the marker existed) get
+    # the conservative reading: any no-predecessor replay with a
+    # non-empty ledger raises.
+    floor = _ledger_floor(spark, state_path)
+    if prev is None and batch_id > 0 and not (
+        (floor is None and not ledger) or (floor == batch_id)
+    ):
         raise RuntimeError(
-            f"sketch-state ledger at {state_path} has versions "
-            f"{ledger} but none below replaying "
-            f"batch_id={batch_id}: the predecessor state was pruned; "
-            "raise keep_versions (>= max replay depth) instead of "
-            "silently re-basing the rollup on one batch"
+            f"sketch-state ledger at {state_path} (versions {ledger}, "
+            f"floor marker {floor!r}) has no state below replaying "
+            f"batch_id={batch_id}, which is not the ledger floor: the "
+            "predecessor state was pruned, and rebuilding from the "
+            "delta alone would silently re-base the rollup; raise "
+            "keep_versions (>= max replay depth)"
         )
+    if floor is None and not ledger:
+        # first commit ever into this state dir: record the floor BEFORE
+        # the data write, so a crash between the two never yields data
+        # whose floor is unknown
+        _write_ledger_floor(spark, state_path, batch_id)
     merged = delta if prev is None else merge_hll_rollup(prev, delta)
     merged.write.mode("overwrite").parquet(_vdir(state_path, batch_id))
     for v in _versions(spark, state_path)[:-keep_versions]:

@@ -95,10 +95,17 @@ def test_heavy_hitters_plan_shape(spark):
         F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("key")
     )
     plan = explain_str(heavy_hitters(df, "key", phi=0.1))
-    # candidate semi-join broadcasts; the 1-row total is a broadcast
-    # nested-loop cross join (the j1 scalar shape); nothing cartesian
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the recount is ONE broadcast left join (candidates tag the rows,
+    # non-candidates collapse into a NULL bucket) and the grand total is
+    # an unpartitioned window over the tiny grouped relation -- no
+    # second scan of the source, no cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
+    # exactly ONE scan feeds the recount side of the plan (the candidate
+    # mapInPandas pass is its own job); a separate count(*) scan for the
+    # total would show as a second aggregate over the source
+    assert plan.count("BroadcastNestedLoopJoin") == 0
 
 
 # ---- hypothesis: the MG guarantee over arbitrary weighted streams ----

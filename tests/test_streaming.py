@@ -625,3 +625,34 @@ def test_tws_operator_builds_with_expected_schema(spark, events_dir):
         "max_value",
         "anomaly",
     ]
+
+
+def test_hll_maintenance_refuses_delta_rebuild_of_oldest_retained(
+    spark, events_dir, tmp_path
+):
+    """The case the persisted ledger floor exists for: replaying the
+    OLDEST RETAINED version (min of the ledger) whose predecessor was
+    pruned must raise.  v=2 was originally built as merge(v1, delta2);
+    without the floor marker a min(ledger)==batch_id heuristic would
+    accept the replay and silently re-base the rollup on delta2 alone,
+    dropping batches 0-1 from all later state."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "state_oldest_retained")
+    ev = spark.read.parquet(events_dir)
+    for bid in range(4):
+        mnt.fold_batch_into_hll(
+            ev.filter(F.col("event_id") % 4 == bid), bid, state,
+            keep_versions=2,
+        )
+    assert mnt._versions(spark, state) == [2, 3]
+    assert mnt._ledger_floor(spark, state) == 0
+    with pytest.raises(RuntimeError, match="pruned"):
+        mnt.fold_batch_into_hll(
+            ev.filter(F.col("event_id") % 4 == 2), 2, state,
+            keep_versions=2,
+        )
+    # the retained state is untouched by the refused replay
+    assert mnt._versions(spark, state) == [2, 3]
