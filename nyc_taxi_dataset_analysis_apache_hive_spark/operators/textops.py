@@ -91,8 +91,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     projection producing a float score column) is the production shape.
     """
     # Tokenize ONCE in its own projection (PERF note on ngrams_from_tokens);
-    # every feature below reads the materialized array/counts.
-    toked = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    # every feature below reads the materialized array/counts.  NULL text
+    # scores as '' (0 tokens, 0 chars) on all three parity surfaces.
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
     n_tok = F.size("toks").cast("long")
     n_chars = F.length("text").cast("double")
     mean_tok_len = n_chars / F.nullif(n_tok.cast("double"), F.lit(0.0))

@@ -2909,8 +2909,8 @@ _S7_QS_SQL = rf"""
              CAST(CAST('0x' || substr(md5('qs-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
                   AS BIGINT) AS DOUBLE) / {{u15}} AS u
       FROM (
-        SELECT doc_id, lang, text,
-               list_filter(string_split_regex(lower(text),
+        SELECT doc_id, lang, coalesce(text, '') AS text,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
                                               '{TOKEN_SPLIT_REGEX}'),
                            x -> x <> '') AS t
         FROM documents

@@ -1751,8 +1751,8 @@ SQL_QUERIES: dict[str, str] = {
                         CAST(doc_id AS STRING))), 1, 15), 16, 10)
                       AS DOUBLE) / 1152921504606846976.0D AS u
           FROM (
-            SELECT doc_id, lang, text,
-                   filter(split(lower(text), '[^a-z0-9]+'),
+            SELECT doc_id, lang, coalesce(text, '') AS text,
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
                           x -> x != '') AS t
             FROM documents
           )

@@ -34,11 +34,21 @@ from ..functions.text import ngrams_from_tokens, tokens
 
 
 def read_docs_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    schema=None,
 ) -> DataFrame:
-    """File-based stream over a documents parquet drop zone (schema taken
-    from the static files; readStream requires one)."""
-    schema = spark.read.parquet(path).schema
+    """File-based stream over a documents parquet drop zone.
+
+    ``readStream`` requires a schema up front. Pass one explicitly
+    (``StructType`` or DDL string) to start the monitor against an empty
+    or not-yet-created drop zone; when omitted, the schema is inferred
+    from the static files already at ``path`` (which throws if none
+    exist yet -- inference needs at least one footer to read).
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -105,10 +115,16 @@ def decontam_stream(
     ``corpus_grams`` is the protected set's distinct-gram table
     (operators.dedup.corpus_gram_set) -- STATIC: the join is stateless.
     Documents aggregate under ``window(ts_col)`` with ``watermark`` so
-    per-doc partial state is evicted; a document split across triggers
-    within its window still totals correctly (the aggregate is the
-    stateful op), but a document arriving later than the watermark is
-    dropped as late data -- standard streaming semantics.
+    per-doc partial state is evicted; a document arriving later than the
+    watermark is dropped as late data -- standard streaming semantics.
+
+    Contract: a document is expected to arrive WHOLE in one trigger.
+    If the same doc_id's text is split across arrivals, the window
+    aggregate still sums the pieces, but ``array_distinct`` runs per
+    arrival -- grams repeated across pieces double-count in
+    n_grams/n_hits and grams spanning a piece boundary are never formed,
+    so the totals are additive over pieces, exact only when the pieces
+    have disjoint gram sets.
     """
     grams = _doc_gram_rows(docs, ngram_n, text_col, ts_col)
     hit = corpus_grams.select("g").withColumn("_hit", F.lit(1))

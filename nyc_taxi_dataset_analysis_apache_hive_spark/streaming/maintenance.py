@@ -56,6 +56,40 @@ def _write_ledger_floor(
     hfs.write_text(spark, _floor_path(state_path), str(v))
 
 
+def backfill_ledger_floor(
+    spark: SparkSession, state_path: str, floor: int
+) -> None:
+    """Migration path for LEGACY state dirs written before the floor
+    marker existed: record ``floor`` as the first version this dir ever
+    committed, re-enabling its legitimate floor replays (which the
+    conservative markerless reading otherwise refuses forever).
+
+    Only the operator can attest the true floor -- the retained window
+    cannot (that ambiguity is why the marker exists) -- so this is an
+    explicit, guarded act, not an automatic inference:
+
+    * refuses when a marker is already present (never silently re-base a
+      dir whose provenance is recorded);
+    * refuses when ``floor > min(ledger)`` -- a retained version below
+      the attested floor proves the attestation wrong.
+    """
+    existing = _ledger_floor(spark, state_path)
+    if existing is not None:
+        raise RuntimeError(
+            f"sketch-state ledger at {state_path} already has a floor "
+            f"marker ({existing}); refusing to overwrite -- delete the "
+            "marker manually only if you can prove it is wrong"
+        )
+    ledger = _versions(spark, state_path)
+    if ledger and floor > ledger[0]:
+        raise ValueError(
+            f"attested floor {floor} is above the oldest retained "
+            f"version {ledger[0]} at {state_path}: a version below the "
+            "floor cannot exist, so the attestation is wrong"
+        )
+    _write_ledger_floor(spark, state_path, floor)
+
+
 def _versions(spark: SparkSession, state_path: str) -> list[int]:
     """Committed ledger versions, via the Hadoop FileSystem API -- so the
     ledger can live on ``hdfs://``/``s3a://``/any configured scheme, not
@@ -147,7 +181,9 @@ def fold_batch_into_hll(
             f"batch_id={batch_id}, which is not the ledger floor: the "
             "predecessor state was pruned, and rebuilding from the "
             "delta alone would silently re-base the rollup; raise "
-            "keep_versions (>= max replay depth)"
+            "keep_versions (>= max replay depth), or -- for a legacy "
+            "markerless dir whose true floor you can attest -- run "
+            "backfill_ledger_floor first"
         )
     if floor is None and not ledger:
         # first commit ever into this state dir: record the floor BEFORE

@@ -54,3 +54,22 @@ def test_expected_rate_matches_mean_quality(spark, sf0001_dir):
     ).count()
     rate = kept / docs.count()
     assert abs(rate - mean_q) <= 0.1, (rate, mean_q)
+
+
+def test_null_text_scores_as_empty(spark):
+    """NULL text scores exactly like '' (coalesced at tokenization on all
+    three parity surfaces -- Spark DataFrame, Spark SQL mode, DuckDB
+    oracle -- so a NULL-text document can never diverge the hash gate)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in textops.quality_scores(docs).collect()
+    }
+    null_row, empty_row = rows[1], rows[2]
+    assert null_row["quality_score"] is not None
+    assert null_row["n_tokens"] == 0
+    null_row.pop("doc_id"), empty_row.pop("doc_id")
+    assert null_row == empty_row

@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sketches as sk
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources import fs as hfs
 from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
 from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
 
@@ -656,3 +657,38 @@ def test_hll_maintenance_refuses_delta_rebuild_of_oldest_retained(
         )
     # the retained state is untouched by the refused replay
     assert mnt._versions(spark, state) == [2, 3]
+
+
+def test_backfill_ledger_floor_migrates_legacy_dir(
+    spark, events_dir, tmp_path
+):
+    """A legacy markerless state dir (pre-marker writes) refuses its
+    genuinely legitimate floor replay; backfill_ledger_floor with the
+    operator-attested floor re-enables it.  Guards: refuses to overwrite
+    an existing marker, refuses an attested floor above min(ledger)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "state_legacy")
+    ev = spark.read.parquet(events_dir)
+    for bid in range(5, 8):
+        mnt.fold_batch_into_hll(
+            ev.filter(F.col("event_id") % 3 == bid - 5), bid, state
+        )
+    # simulate a pre-marker legacy dir: drop the marker the writes left
+    hfs.delete_recursive(spark, mnt._floor_path(state))
+    assert mnt._ledger_floor(spark, state) is None
+    delta5 = ev.filter(F.col("event_id") % 3 == 0)
+    with pytest.raises(RuntimeError, match="pruned"):
+        mnt.fold_batch_into_hll(delta5, 5, state)
+    # attested floor above the oldest retained version: provably wrong
+    with pytest.raises(ValueError, match="attestation"):
+        mnt.backfill_ledger_floor(spark, state, 6)
+    mnt.backfill_ledger_floor(spark, state, 5)
+    assert mnt._ledger_floor(spark, state) == 5
+    # the floor replay is legitimate again and rebuilds delta-only
+    mnt.fold_batch_into_hll(delta5, 5, state)
+    # a second backfill is refused: the marker is provenance, not config
+    with pytest.raises(RuntimeError, match="refusing"):
+        mnt.backfill_ledger_floor(spark, state, 5)

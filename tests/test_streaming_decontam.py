@@ -131,3 +131,20 @@ def test_batch_analog_keeps_gramless_docs(spark, docs_split):
         assert (rows[i]["n_grams"], rows[i]["n_hits"]) == (0, 0)
         assert rows[i]["overlap_frac"] is None
         assert rows[i]["contaminated"] is False
+
+
+def test_read_docs_stream_explicit_schema_starts_on_empty_dropzone(
+    spark, tmp_path_factory
+):
+    """With an explicit schema the monitor can start BEFORE the first file
+    lands (inference would throw on an empty drop zone); the stream then
+    picks up files written after start."""
+    empty = str(tmp_path_factory.mktemp("empty_dropzone"))
+    stream = curation.read_docs_stream(
+        spark, empty, schema="doc_id bigint, text string, ts timestamp"
+    )
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == ["doc_id", "text", "ts"]
+    # inference still throws on the empty zone -- the documented fallback
+    with pytest.raises(Exception):
+        curation.read_docs_stream(spark, empty)
