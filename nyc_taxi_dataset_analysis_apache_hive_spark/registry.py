@@ -2697,7 +2697,7 @@ def _zorder_skip_leg(spark, sf) -> DataFrame:
     # that dominates the leg (256 cuts/col at the default 8 bits)
     sub = li.filter(F.col("l_orderkey") % 20 == 0)
     layout.write_zordered(sub, path, cols, n_files=8, bits_per_col=4)
-    stats = layout.file_stats(path, cols)
+    stats = layout.file_stats(spark, path, cols)
     import math
 
     box = {}

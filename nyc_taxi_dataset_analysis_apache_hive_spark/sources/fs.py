@@ -19,6 +19,8 @@ time.
 
 from __future__ import annotations
 
+import io
+
 from pyspark.sql import SparkSession
 
 
@@ -105,6 +107,73 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+class HadoopBinaryFile(io.RawIOBase):
+    """Read-only seekable Python file object over a Hadoop
+    ``FSDataInputStream`` -- lets byte-level readers (pyarrow parquet
+    footer decoding in :func:`sources.layout.file_stats`) work against
+    ANY URI the session's Hadoop conf resolves, not just local paths.
+
+    Shape: each ``read(n)`` is one positioned read on the underlying
+    stream (seek + bounded ``IOUtils.toByteArray``), crossing the JVM
+    gateway once per call.  Right for METADATA reads -- a parquet footer
+    is a handful of small tail reads -- wrong for bulk data (which
+    belongs in ``spark.read``, never a driver loop)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        super().__init__()
+        self._spark = spark
+        fs = filesystem(spark, path)
+        p = jpath(spark, path)
+        self._size = int(fs.getFileStatus(p).getLen())
+        self._stream = fs.open(p)
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def tell(self) -> int:
+        return self._pos
+
+    def size(self) -> int:
+        return self._size
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"unsupported whence {whence}")
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        self._stream.seek(self._pos)
+        data = bytes(
+            self._spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                self._stream, n
+            )
+        )
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        try:
+            if not self.closed:
+                self._stream.close()
+        finally:
+            super().close()
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:

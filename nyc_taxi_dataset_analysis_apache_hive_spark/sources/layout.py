@@ -115,29 +115,29 @@ def write_zordered(
     ).parquet(path)
 
 
-def file_stats(path: str, cols: list[str]) -> list[dict]:
-    """Per-file min/max for ``cols`` from parquet footers (pyarrow,
-    driver-side, metadata only) -- what a skipping scan consults.  One
-    dict per data file, RECURSIVE over hive-partition subdirectories:
+def file_stats(spark, path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from parquet footers (driver-side,
+    metadata only) -- what a skipping scan consults.  One dict per data
+    file, RECURSIVE over hive-partition subdirectories:
     ``{"file": <path relative to the dataset root>, col: (min, max)}``.
 
-    Diagnostic tool: footer decoding needs byte access, so this reads
-    through the local filesystem (pyarrow); point it at a locally
-    mounted copy when auditing object-store data.  The production-path
-    listings (:func:`partition_file_report`) go through the Hadoop
-    FileSystem API instead and accept any URI."""
-    import glob
-    import os
-
+    Goes through the Hadoop FileSystem API end to end -- ONE recursive
+    LIST (``sources.fs.list_files``) plus a few small tail reads per
+    footer (``sources.fs.HadoopBinaryFile`` feeding pyarrow's footer
+    decoder) -- so ``path`` may be ``hdfs://``/``s3a://``/``file://``/
+    local, same as :func:`partition_file_report`.  Never touches file
+    data pages."""
     import pyarrow.parquet as pq
 
+    from . import fs as hfs
+
+    base = hfs.qualified(spark, path).rstrip("/")
     out = []
-    for f in sorted(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ):
-        md = pq.ParquetFile(f).metadata
+    for rel, _size in hfs.list_files(spark, path, suffix=".parquet"):
+        with hfs.HadoopBinaryFile(spark, f"{base}/{rel}") as fobj:
+            md = pq.read_metadata(fobj)
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        rec: dict = {"file": os.path.relpath(f, path)}
+        rec: dict = {"file": rel}
         for c in cols:
             lo, hi = None, None
             # hive-partition columns live in directory names, not footers:

@@ -87,8 +87,8 @@ def test_zorder_skips_files_on_second_dimension(spark, zpath, rangepath, lineite
     clustered column must open fewer files under Z-order than under a
     first-column-only range sort, which cannot skip on it at all."""
     cols = ["l_orderkey", "l_partkey"]
-    zstats = layout.file_stats(zpath, cols)
-    rstats = layout.file_stats(rangepath, cols)
+    zstats = layout.file_stats(spark, zpath, cols)
+    rstats = layout.file_stats(spark, rangepath, cols)
     assert len(zstats) == N_FILES and len(rstats) == N_FILES
 
     plo, phi = lineitem.stat.approxQuantile("l_partkey", [0.45, 0.55], 0.0)
@@ -112,7 +112,7 @@ def test_single_column_zorder_is_a_range_sort(spark, lineitem, tmp_path):
     files tile the value range -- point predicates hit ~1 file."""
     p = str(tmp_path / "li_z1")
     layout.write_zordered(lineitem, p, ["l_partkey"], n_files=4, bits_per_col=8)
-    stats = layout.file_stats(p, ["l_partkey"])
+    stats = layout.file_stats(spark, p, ["l_partkey"])
     med = lineitem.stat.approxQuantile("l_partkey", [0.5], 0.0)[0]
     hits = layout.candidate_files(stats, {"l_partkey": (med, med)})
     assert len(hits) <= 2
@@ -278,7 +278,7 @@ def test_file_stats_recurses_partition_dirs(spark, sf0001_dir, tmp_path):
     )
     root = str(tmp_path / "stats_part")
     orders.repartition(3).write.partitionBy("o_orderpriority").parquet(root)
-    stats = layout.file_stats(root, ["o_totalprice", "o_orderpriority"])
+    stats = layout.file_stats(spark, root, ["o_totalprice", "o_orderpriority"])
     assert len(stats) == 15  # 5 priorities x 3 files
     assert all("/" in r["file"] for r in stats)  # relative, not basename
     assert all(r["o_orderpriority"] == (None, None) for r in stats)
@@ -324,7 +324,7 @@ def test_zordered_etl_sink_prunes_files(spark, tmp_path):
 
     # level 2: footer min/max prune files inside a partition
     part_dir = os.path.join(out, "yr=2017", "mnth=11")
-    stats = layout.file_stats(part_dir, ["tip_amount", "trip_distance"])
+    stats = layout.file_stats(spark, part_dir, ["tip_amount", "trip_distance"])
     assert len(stats) >= 4, "need several files for skipping to mean anything"
     lo = min(r["tip_amount"][0] for r in stats)
     hi = max(r["tip_amount"][1] for r in stats)
@@ -340,3 +340,20 @@ def test_zordered_etl_sink_prunes_files(spark, tmp_path):
     cols = clean.columns
     assert b.count() == clean.count()
     assert _crc_sum(clean, cols) == _crc_sum(b.select(cols), cols)
+
+
+def test_file_stats_over_file_uri(spark, sf0001_dir, tmp_path):
+    """file_stats goes through the Hadoop FS API end to end (LIST +
+    footer tail reads), so a file:/// URI -- the same code path an
+    hdfs:// or s3a:// audit takes, minus the wire -- yields stats
+    byte-identical to the bare local path."""
+    orders = load_table(spark, sf0001_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = str(tmp_path / "stats_uri")
+    orders.repartition(4).write.parquet(root)
+    plain = layout.file_stats(spark, root, ["o_totalprice"])
+    via_uri = layout.file_stats(spark, "file://" + root, ["o_totalprice"])
+    assert plain == via_uri
+    assert len(plain) == 4
+    assert all(r["o_totalprice"][0] is not None for r in plain)
