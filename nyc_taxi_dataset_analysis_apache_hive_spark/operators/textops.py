@@ -226,27 +226,50 @@ def tfidf_top_terms(
     )
 
 
-#: PII patterns (Java regex, JVM-side).  Deliberately simple/auditable:
-#: recall-oriented screens, not a compliance system -- the docstring owns
-#: the caveat.  Order matters TWICE: emails redact first so their
-#: dots/digits can't half-match the later patterns, and each stage COUNTS
-#: on the previous stage's output, so a span only ever counts as the first
-#: pattern that claims it (an IPv4 is n_ip=1, never also n_phone=1).
-PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+#: PII patterns.  Deliberately simple/auditable: recall-oriented screens,
+#: not a compliance system -- the docstring owns the caveat.  Order
+#: matters TWICE: emails redact first so their dots/digits can't
+#: half-match the later patterns, and each stage COUNTS on the previous
+#: stage's output, so a span only ever counts as the first pattern that
+#: claims it (an IPv4 is n_ip=1, never also n_phone=1).
+#:
+#: Every pattern runs VERBATIM on both regex engines in play -- Java
+#: (Spark DataFrame + SQL mode) and RE2 (the DuckDB driver oracle) -- so
+#: no lookarounds (RE2 lacks them).  Entries are
+#: ``(name, pattern, replacement, count_group)``: counts take
+#: ``regexp_extract_all(text, pattern, count_group)`` and redaction
+#: replaces with ``replacement`` (which may carry ``$n`` backreferences
+#: to restore consumed boundary characters -- Spark-side only; the
+#: oracle never redacts phones, it only counts group matches).
+PII_PATTERNS: list[tuple[str, str, str, int]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+        0,
+    ),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>", 0),
+    # Phone boundaries without lookarounds: the LEADING "not preceded by
+    # digit/dot" guard is a consumed-and-restored capture (group 1, put
+    # back by $1); the TRAILING "not followed by a digit" guard is
+    # automatic under greedy matching (a following digit would have
+    # extended the match).  Net semantics change vs the old lookahead:
+    # a digit run followed by '.' now matches (sentence-final phones
+    # redact -- a recall gain the screens want anyway).
     # Intra-number whitespace is HORIZONTAL only ([ \t], not \s): \s would
     # match newlines, so digit runs on consecutive lines (numeric tables)
     # would collapse into one cross-line <PHONE> redaction.
-    ("phone", r"(?<![\d.])\+?\d[\d\- \t().]{7,}\d(?![\d.])", "<PHONE>"),
+    ("phone", r"(\A|[^\d.])(\+?\d[\d\- \t().]{7,}\d)", "$1<PHONE>", 2),
 ]
 
 
-def _count0(col: Column, pat: str) -> Column:
+def _count0(col: Column, pat: str, group: int = 0) -> Column:
     """Match count with NULL text counting as 0 (never the legacy -1
     sentinel size() can emit for NULL arrays under non-ANSI confs)."""
     return F.greatest(
-        F.coalesce(F.size(F.regexp_extract_all(col, F.lit(pat), 0)), F.lit(0)),
+        F.coalesce(
+            F.size(F.regexp_extract_all(col, F.lit(pat), group)), F.lit(0)
+        ),
         F.lit(0),
     ).cast("long")
 
@@ -258,10 +281,10 @@ def _pii_staged(base: DataFrame, text_attr: str) -> DataFrame:
     expression), so counts reflect exactly what the redaction saw.
     Adds n_<name> columns and ``_t<n>`` (the fully redacted text)."""
     staged = base.withColumnRenamed(text_attr, "_t0")
-    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+    for i, (name, pat, token, group) in enumerate(PII_PATTERNS):
         staged = staged.select(
             "*",
-            _count0(F.col(f"_t{i}"), pat).alias(f"n_{name}"),
+            _count0(F.col(f"_t{i}"), pat, group).alias(f"n_{name}"),
             F.regexp_replace(F.col(f"_t{i}"), pat, token).alias(f"_t{i + 1}"),
         ).drop(f"_t{i}")
     return staged
@@ -303,7 +326,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.select(
         "doc_id",
         F.col(f"_t{n}").alias("text_redacted"),
-        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        *[f"n_{name}" for name, *_ in PII_PATTERNS],
     )
 
 
@@ -374,7 +397,7 @@ def hygiene_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.select(
         "doc_id",
         *_repetition_cols(),
-        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        *[f"n_{name}" for name, *_ in PII_PATTERNS],
         F.col(f"_t{n}").alias("text_redacted"),
     )
 
@@ -409,7 +432,7 @@ def text_profile(docs: DataFrame, include_hygiene: bool = False) -> DataFrame:
         toked = _pii_staged(toked, "_raw")
         hygiene_cols = [
             *_repetition_cols(),
-            *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+            *[F.col(f"n_{name}") for name, *_ in PII_PATTERNS],
             F.col(f"_t{len(PII_PATTERNS)}").alias("text_redacted"),
         ]
     # Materialize the per-language hit counts (and the token count) in their
@@ -457,7 +480,7 @@ def text_profile(docs: DataFrame, include_hygiene: bool = False) -> DataFrame:
                 "terminal_punct_line_frac",
                 "bullet_line_frac",
                 "ellipsis_line_frac",
-                *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+                *[f"n_{name}" for name, *_ in PII_PATTERNS],
                 "text_redacted",
             ]
             if include_hygiene

@@ -1758,12 +1758,16 @@ def _hits_from_t_sql(lang: str) -> str:
 
 _LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS)
 
-#: PII patterns shared with the operator (ONE pattern source); the phone
-#: pattern needs lookarounds, which DuckDB's RE2 lacks -- so the oracle
-#: covers the email/ip stages and the phone stage stays python-recompute
-#: gated (tests/test_text_hygiene.py).
+#: PII patterns shared with the operator (ONE pattern source).  Since r8
+#: the phone pattern is RE2-compatible (boundary capture group instead of
+#: lookarounds), so ALL three staged counts run on the DuckDB oracle:
+#: n_phone counts occurrences of the pattern's capture group
+#: (``_PHONE_GRP``) on the email+ip-redacted text, exactly as the Spark
+#: stage does.
 _EMAIL_PAT = textops.PII_PATTERNS[0][1]
 _IP_PAT = textops.PII_PATTERNS[1][1]
+_PHONE_PAT = textops.PII_PATTERNS[2][1]
+_PHONE_GRP = textops.PII_PATTERNS[2][3]
 
 #: trimmed non-empty lines -- DuckDB mirror of textops._lines_col
 _LINES_SQL = (
@@ -1817,7 +1821,12 @@ _ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
                AS n_email,
              CAST(len(regexp_extract_all(
                     regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
-                    '{_IP_PAT}')) AS BIGINT) AS n_ip
+                    '{_IP_PAT}')) AS BIGINT) AS n_ip,
+             CAST(len(regexp_extract_all(
+                    regexp_replace(
+                      regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{_IP_PAT}', '<IP>', 'g'),
+                    '{_PHONE_PAT}', {_PHONE_GRP})) AS BIGINT) AS n_phone
       FROM toked
     )
     SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars, fingerprint,
@@ -1832,7 +1841,7 @@ _ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
            lang AS lang_true,
            CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred,
            n_lines, dup_line_frac, terminal_punct_line_frac,
-           bullet_line_frac, ellipsis_line_frac, n_email, n_ip
+           bullet_line_frac, ellipsis_line_frac, n_email, n_ip, n_phone
     FROM (
       SELECT *, greatest({", ".join(f"hits_{lang}" for lang in _LANGS)}) AS best
       FROM feat
@@ -1845,13 +1854,14 @@ def t1_text_profile(spark, sf):
     stopword-heuristic language ID (deterministic argmax tie-break), AND
     the hygiene family (C4/Gopher repetition fractions + staged PII
     counts) -- all from ONE corpus scan
-    (operators/textops.text_profile(include_hygiene=True)).  The
-    driver-oracled projection excludes ``n_phone`` and ``text_redacted``:
-    the phone pattern requires lookbehind/lookahead, which DuckDB's RE2
-    regex engine does not support, so that stage's gate is a python-``re``
-    recompute (tests/test_text_hygiene.py) instead of the cross-engine
-    oracle.  The individual featurisers remain available as separate
-    operators; the registry entry runs the fused production shape."""
+    (operators/textops.text_profile(include_hygiene=True)).  All THREE
+    staged PII counts are driver-oracled since r8 (the phone pattern is
+    RE2-compatible now -- boundary capture group instead of lookarounds);
+    only ``text_redacted`` stays out of the projection (the oracle
+    counts, it does not rewrite text).  Redaction output remains
+    hand-golden + property gated in tests/test_text_hygiene.py.  The
+    individual featurisers remain available as separate operators; the
+    registry entry runs the fused production shape."""
     return textops.text_profile(
         _t(spark, sf, "documents"), include_hygiene=True
     ).select(
@@ -1873,6 +1883,7 @@ def t1_text_profile(spark, sf):
         "ellipsis_line_frac",
         "n_email",
         "n_ip",
+        "n_phone",
     )
 
 
@@ -3924,6 +3935,13 @@ def d7_cross_corpus_decontam(spark, sf):
 _PL1_BOUNDS = sampling.cumulative_split_bounds((0.98, 0.01, 0.01))
 _PL1_R = pipeline.DEFAULT_RULES
 
+
+def _fmt_safe(pat: str) -> str:
+    """Brace-escape a regex for templates that still pass through
+    ``str.format`` after f-interpolation (quantifiers like ``{2,}``
+    would otherwise read as format fields)."""
+    return pat.replace("{", "{{").replace("}", "}}")
+
 _PL1_ORACLE = rf"""
     WITH RECURSIVE pairs AS (
       -- d3's tagged union: only the near-dup PAIR rows feed the funnel
@@ -3953,11 +3971,27 @@ _PL1_ORACLE = rf"""
              CAST(len(t) AS BIGINT) AS n_tokens_ws,
              CAST({_hits_from_t_sql("en")} AS BIGINT) AS hits_en,
              coalesce(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
-                 AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr
+                 AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr,
+             -- staged PII counts (textops._pii_staged): each stage counts
+             -- on the previous stage's redacted text; phone counts its
+             -- boundary-capture group (RE2-compatible since r8)
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '{_fmt_safe(_EMAIL_PAT)}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(
+                    regexp_replace(coalesce(text, ''),
+                                   '{_fmt_safe(_EMAIL_PAT)}', '<EMAIL>', 'g'),
+                    '{_fmt_safe(_IP_PAT)}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(
+                    regexp_replace(
+                      regexp_replace(coalesce(text, ''),
+                                     '{_fmt_safe(_EMAIL_PAT)}', '<EMAIL>', 'g'),
+                      '{_fmt_safe(_IP_PAT)}', '<IP>', 'g'),
+                    '{_fmt_safe(_PHONE_PAT)}', {_PHONE_GRP})) AS BIGINT)
+               AS n_pii_hits
       FROM ftoked
     ),
     feat AS (
-      SELECT doc_id, n_tokens_ws,
+      SELECT doc_id, n_tokens_ws, n_pii_hits,
              floor((least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
                    + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
                    + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0 + 1e-7) / 10000.0 AS quality_score,
@@ -3974,9 +4008,11 @@ _PL1_ORACLE = rf"""
              (f.n_tokens_ws < {_PL1_R["min_tokens"]}) AS drop_short,
              (f.dup_line_frac > {_PL1_R["max_dup_line_frac"]!r}) AS drop_repetitive,
              (f.quality_score < {_PL1_R["min_quality_score"]!r}) AS drop_low_quality,
+             (f.n_pii_hits > {_PL1_R["max_pii_hits"]}) AS drop_pii_heavy,
              (NOT (f.n_tokens_ws < {_PL1_R["min_tokens"]})
               AND NOT (f.dup_line_frac > {_PL1_R["max_dup_line_frac"]!r})
-              AND NOT (f.quality_score < {_PL1_R["min_quality_score"]!r}))
+              AND NOT (f.quality_score < {_PL1_R["min_quality_score"]!r})
+              AND NOT (f.n_pii_hits > {_PL1_R["max_pii_hits"]}))
                AS hygiene_ok
       FROM feat f
       LEFT JOIN comp c ON f.doc_id = c.doc_id
@@ -4002,7 +4038,8 @@ _PL1_ORACLE = rf"""
              AS n_repetitive,
            CAST(sum(CASE WHEN drop_low_quality THEN 1 ELSE 0 END) AS BIGINT)
              AS n_low_quality,
-           CAST(0 AS BIGINT) AS n_pii_heavy,
+           CAST(sum(CASE WHEN drop_pii_heavy THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pii_heavy,
            CAST(sum(CASE WHEN hygiene_ok AND NOT is_canonical THEN 1 ELSE 0 END)
              AS BIGINT) AS n_dedup_dropped,
            CAST(sum(CASE WHEN hygiene_ok AND is_canonical THEN 1 ELSE 0 END)
@@ -4039,13 +4076,13 @@ def pl1_curation_funnel(spark, sf):
     banded-MinHash pairs (the d3 oracle as a subquery), connected
     components via recursive CTE (the d6 precedent), the t1 feature
     formulas, hygiene flags, canonical election among survivors, and the
-    md5 split -- as one DuckDB statement.  The one stage the oracle
-    cannot express is the phone-PII counter (lookbehind/lookahead, which
-    DuckDB's RE2 lacks), so THIS entry runs with the PII rule disabled
-    (``max_pii_hits=inf`` -> ``n_pii_heavy`` deterministically 0 on both
-    sides); the full-default funnel including the PII leg stays
-    value-gated in pytest (tests/test_pipeline.py,
-    tests/test_text_hygiene.py).
+    md5 split -- as one DuckDB statement.  Since r8 that includes the
+    staged PII rule at its DEFAULT threshold: the phone pattern is
+    RE2-compatible now (boundary capture group, no lookarounds), so the
+    oracle computes n_email+n_ip+n_phone per document and replays
+    ``drop_pii_heavy`` -- the funnel runs with ALL default rules live on
+    both sides (redaction OUTPUT stays hand-golden gated in
+    tests/test_text_hygiene.py; the oracle counts, it does not rewrite).
 
     Since r7 the funnel row also carries the tokenizer-stage audit
     (``n_bpe_docs`` / ``n_bpe_roundtrip`` / ``n_bpe_token_sane``): BPE is
@@ -4062,9 +4099,7 @@ def pl1_curation_funnel(spark, sf):
     tightness, and bin contiguity all checked in-plane -- the oracle
     expects ``n_pack_docs == count(*)`` and zero violations."""
     docs = _t(spark, sf, "documents")
-    report = pipeline.curation_report(
-        pipeline.curate_corpus(docs, rules={"max_pii_hits": float("inf")})
-    )
+    report = pipeline.curation_report(pipeline.curate_corpus(docs))
     return (
         report.crossJoin(bpe.bpe_roundtrip_audit(docs))
         .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))

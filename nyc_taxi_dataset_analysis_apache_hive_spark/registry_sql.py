@@ -1215,6 +1215,14 @@ SQL_QUERIES: dict[str, str] = {
                      '<EMAIL>'),
                    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', 0)), 0), 0)
                    AS BIGINT) AS n_ip,
+                 CAST(greatest(coalesce(size(regexp_extract_all(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>'),
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>'),
+                   '(\\A|[^\\d.])(\\+?\\d[\\d\\- \\t().]{7,}\\d)', 2)),
+                   0), 0) AS BIGINT) AS n_phone,
                  CAST(size(toks) AS BIGINT) AS n_tokens_ws,
                  CAST(size(regexp_extract_all(
                    lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)
@@ -1260,7 +1268,7 @@ SQL_QUERIES: dict[str, str] = {
                     WHEN hits_es = best THEN 'es'
                     WHEN hits_fr = best THEN 'fr' END AS lang_pred,
                n_lines, dup_line_frac, terminal_punct_line_frac,
-               bullet_line_frac, ellipsis_line_frac, n_email, n_ip
+               bullet_line_frac, ellipsis_line_frac, n_email, n_ip, n_phone
         FROM (
           SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS best
           FROM base

@@ -70,9 +70,9 @@ def test_redact_pii_no_residual_matches(spark, sf0001_dir):
     residual = red.select(
         *[
             F.size(F.regexp_extract_all("text_redacted", F.lit(pat), 0)).alias(name)
-            for name, pat, _ in textops.PII_PATTERNS
+            for name, pat, *_ in textops.PII_PATTERNS
         ]
-    ).agg(*[F.sum(name).alias(name) for name, _, _ in textops.PII_PATTERNS])
+    ).agg(*[F.sum(name).alias(name) for name, *_ in textops.PII_PATTERNS])
     [row] = residual.collect()
     assert all(v == 0 for v in row.asDict().values()), row.asDict()
     # the planted rows were actually counted
