@@ -108,8 +108,12 @@ def mix_domains(
     current size``).  ``ratio > 1`` up-samples by replication -- the
     ``epoch`` output column (0-based copy index) lets downstream shuffle
     or decontaminate repeats; ``ratio < 1`` down-samples; domains absent
-    from ``weights`` drop.  Expected output size is exact; realized size
-    concentrates around it (per-row Bernoulli on the fractional part).
+    from ``weights`` drop.  A NULL domain follows that same rule -- it
+    can never appear in the (string-keyed) ``weights``, so its rows drop
+    with zero copies, explicitly via the weight lookup rather than as a
+    silent NULL-key join artifact (the count join is null-safe).
+    Expected output size is exact; realized size concentrates around it
+    (per-row Bernoulli on the fractional part).
 
     Deterministic the way :func:`hash_split` is: the draw hashes
     (salt || id), so the same row gets the same copy count across reruns,
@@ -124,7 +128,9 @@ def mix_domains(
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in (kv[0], kv[1] / total_w)]
     )
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_dom_n")
+    )
     ratio = (
         F.element_at(wmap, F.col(domain_col)) * F.lit(float(target_rows))
         / F.col("_dom_n")
@@ -134,13 +140,15 @@ def mix_domains(
         F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
     ).cast("int")
     return (
-        df.join(F.broadcast(counts), domain_col)
+        df.join(
+            F.broadcast(counts), F.col(domain_col).eqNullSafe(F.col("_dom"))
+        )
         .withColumn("_n_copies", F.coalesce(n_copies, F.lit(0)))
         .filter(F.col("_n_copies") > 0)
         .withColumn(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
         )
-        .drop("_dom_n", "_n_copies")
+        .drop("_dom", "_dom_n", "_n_copies")
     )
 
 
@@ -218,16 +226,24 @@ def temperature_mix(
     engine-varying steps, and quantizing their output makes every
     downstream floor/compare bit-identical across engines.
 
+    Unlike :func:`mix_domains` (whose string-keyed weights can never name
+    a NULL domain), the weights here come FROM the data, so a NULL domain
+    is a legitimate stratum: it gets its own ``n_d^alpha`` weight and
+    resamples like any other (the ratio join is null-safe).  Map NULLs to
+    a sentinel upstream if unattributed rows should be excluded instead.
+
     Returns the input rows with an ``epoch`` copy-index column, exactly
     like :func:`mix_domains`.
     """
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_dom_n")
+    )
     powed = F.pow(F.col("_dom_n").cast("double"), F.lit(float(alpha)))
     tot = counts.agg(F.sum(powed).alias("_pow_sum"))
     ratios = (
         counts.crossJoin(F.broadcast(tot))
         .select(
-            domain_col,
+            "_dom",
             "_dom_n",
             (
                 F.floor(powed / F.col("_pow_sum") * 1000000.0 + 1e-9)
@@ -241,13 +257,15 @@ def temperature_mix(
         F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
     ).cast("int")
     return (
-        df.join(F.broadcast(ratios), domain_col)
+        df.join(
+            F.broadcast(ratios), F.col(domain_col).eqNullSafe(F.col("_dom"))
+        )
         .withColumn("_n_copies", F.coalesce(n_copies, F.lit(0)))
         .filter(F.col("_n_copies") > 0)
         .withColumn(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
         )
-        .drop("_dom_n", "_wq", "_n_copies")
+        .drop("_dom", "_dom_n", "_wq", "_n_copies")
     )
 
 

@@ -2981,7 +2981,7 @@ _S7_QS_SQL = rf"""
     -- then 1e-6-truncated BEFORE any ratio arithmetic (pow and the
     -- per-domain float sum are the only engine-varying steps; after the
     -- quantize every floor/compare is bit-identical)
-    SELECT 'temp' AS op, lang || ':' || epoch AS key,
+    SELECT 'temp' AS op, coalesce(lang, 'NULL') || ':' || epoch AS key,
            CAST(NULL AS BOOLEAN) AS rate_ok,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -3008,7 +3008,7 @@ _S7_QS_SQL = rf"""
                        OVER () AS psum
               FROM documents GROUP BY lang
             )
-          ) w ON d0.lang = w.lang
+          ) w ON d0.lang IS NOT DISTINCT FROM w.lang
         ) dd
       )
       WHERE n_copies > 0
@@ -3125,7 +3125,12 @@ def s7_stratified_rates(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
         .select(
             F.lit("temp").alias("op"),
-            F.concat_ws(":", "lang", "epoch").alias("key"),
+            # NULL lang is a real stratum since r8 -- surface it as a
+            # visible key on all three parity engines (concat_ws would
+            # silently skip it; DuckDB's || would NULL the whole key)
+            F.concat_ws(
+                ":", F.coalesce(F.col("lang"), F.lit("NULL")), "epoch"
+            ).alias("key"),
             F.lit(None).cast("boolean").alias("rate_ok"),
             F.col("n").cast("long"),
             F.col("id_sum").cast("long"),

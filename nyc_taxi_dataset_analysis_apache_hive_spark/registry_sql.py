@@ -1699,7 +1699,8 @@ SQL_QUERIES: dict[str, str] = {
         -- temperature rebalancing (r7): w_lang ~ n_lang^0.5, 1e-6
         -- quantized before the ratio arithmetic; same guarded sequence
         -- as the mix leg (n_copies = 0 must emit ZERO rows)
-        SELECT 'temp' AS op, concat_ws(':', lang, epoch) AS key,
+        SELECT 'temp' AS op, concat_ws(':', coalesce(lang, 'NULL'), epoch)
+                 AS key,
                CAST(NULL AS BOOLEAN) AS rate_ok,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -1730,7 +1731,7 @@ SQL_QUERIES: dict[str, str] = {
                            OVER () AS psum
                   FROM documents GROUP BY lang
                 )
-              ) w ON d0.lang = w.lang
+              ) w ON d0.lang <=> w.lang
             ) dd
           )
         )

@@ -110,3 +110,21 @@ def test_mix_domains_corpus_not_shuffled(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_domain_drops_under_weights_rule(spark):
+    """A NULL domain can never be named by the string-keyed weights, so
+    its rows drop by the documented absent-from-weights rule (zero
+    copies via the weight lookup), not as a join accident -- and named
+    domains are unaffected by NULL rows being present."""
+    rows = [(i, "a") for i in range(50)] + [
+        (1000 + i, None) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sampling.mix_domains(
+        df, "source", weights={"a": 1.0}, target_rows=50
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"a"}
+    assert out.filter(F.col("source").isNull()).count() == 0
+    assert abs(out.count() - 50) <= 15

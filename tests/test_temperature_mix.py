@@ -88,3 +88,22 @@ def test_epoch_indices_are_contiguous_from_zero(spark, skewed):
     assert per_doc
     for r in per_doc:
         assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+def test_null_domain_is_its_own_stratum(spark):
+    """NULL domain is a legitimate stratum: it earns its own n^alpha
+    weight and resamples like any named domain (null-safe ratio join),
+    instead of silently vanishing in a NULL-key equi-join."""
+    rows = (
+        [Row(doc_id=i, dom="big") for i in range(120)]
+        + [Row(doc_id=5000 + i, dom=None) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, dom string")
+    out = sampling.temperature_mix(df, "dom", alpha=0.0, target_rows=100)
+    n_null = out.filter(F.col("dom").isNull()).count()
+    n_big = out.filter(F.col("dom") == "big").count()
+    # alpha=0 -> uniform weights -> ~50 expected copies per stratum
+    assert n_null > 0, "NULL-domain rows were silently dropped"
+    assert abs(n_null - 50) <= 20 and abs(n_big - 50) <= 20, (n_null, n_big)
+    # schema/columns unchanged: no helper columns leak
+    assert out.columns == ["doc_id", "dom", "epoch"]
