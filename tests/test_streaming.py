@@ -692,3 +692,22 @@ def test_backfill_ledger_floor_migrates_legacy_dir(
     # a second backfill is refused: the marker is provenance, not config
     with pytest.raises(RuntimeError, match="refusing"):
         mnt.backfill_ledger_floor(spark, state, 5)
+
+
+def test_stateful_v2_bench_records_named_skip(spark, monkeypatch):
+    """The bench posture for transformWithStateInPandas is itself
+    regression-guarded: where the worker protocol deps are absent, the
+    bench entry must be a NAMED skip (not a silently missing row) -- and
+    if protobuf ever appears in the container, the real measurement
+    lights up through the same entry point."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench_streaming as bs
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        stateful,
+    )
+
+    monkeypatch.setattr(stateful, "tws_available", lambda: False)
+    entry = bs.stateful_v2_result(spark, events_dir="unused")
+    assert "skipped" in entry and "protobuf" in entry["skipped"]
