@@ -140,3 +140,21 @@ def test_winnow_reliable_checkpoint_mode_matches_local(
         if d.startswith("rdd-")
     ]
     assert len(rdd_dirs) == 2  # the print table + the rare-print index
+
+
+def test_arrow_prints_equal_hof_prints(spark, sf0001_dir):
+    """The Arrow-batched pass must be byte-identical to the HOF form --
+    same hashes (md5 over utf-8), same winnow minima, same
+    first-occurrence dedup order -- including empty/short/NULL texts."""
+    docs = load_table(spark, sf0001_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(10**9, None), (10**9 + 1, ""), (10**9 + 2, "short"),
+         (10**9 + 3, "exactly8"), (10**9 + 4, "UPPER case Text 123")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    hof = {r["doc_id"]: list(r["prints"])
+           for r in dedup.winnow_prints(both).collect()}
+    arrow = {r["doc_id"]: list(r["prints"])
+             for r in dedup.winnow_prints_arrow(both).collect()}
+    assert hof == arrow
