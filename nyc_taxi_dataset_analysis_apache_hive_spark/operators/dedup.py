@@ -550,6 +550,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     on_nonconvergence: str = "raise",
+    shortcut: bool = False,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc_id, cluster_id)
     with cluster_id = min doc_id reachable in the pair graph.
@@ -590,9 +591,17 @@ def connected_components(
     loop's before/after snapshots is the known sharp edge of a global
     checkpoint location).
 
+    ``shortcut``: add a pointer-doubling step per round (label <-
+    label(label(v))), turning O(diameter) rounds into O(log diameter)
+    for one extra equi-join per round -- measured a wash on clique-ish
+    near-dup graphs (diameter 2-3) and the difference between
+    converging and NOT converging on long-chain graphs (BASELINE.md);
+    prefer it when component shape is unknown.
+
     ``on_nonconvergence``: labels converge in O(component diameter)
-    rounds, so a graph whose diameter exceeds ``max_iter`` (e.g. a long
-    chain of sliding-window shingle overlaps across a document family)
+    rounds (O(log diameter) with ``shortcut``), so a graph whose
+    diameter exceeds the round budget (e.g. a long chain of
+    sliding-window shingle overlaps across a document family)
     would exit the loop with PARTIALLY-merged labels that look final.
     That state is never returned silently: ``"raise"`` (default) raises
     RuntimeError telling the caller to raise ``max_iter``; ``"warn"``
@@ -607,7 +616,7 @@ def connected_components(
         return _propagate_min_labels(
             pairs, a_col, b_col, max_iter,
             lambda df: df.localCheckpoint(eager=True),
-            on_nonconvergence,
+            on_nonconvergence, shortcut,
         )
 
     sc = pairs.sparkSession.sparkContext
@@ -667,7 +676,8 @@ def connected_components(
         # labels frame is itself checkpointed), so nothing still needs
         # ck_sub after this returns.
         return _propagate_min_labels(
-            pairs, a_col, b_col, max_iter, _ckpt, on_nonconvergence
+            pairs, a_col, b_col, max_iter, _ckpt, on_nonconvergence,
+            shortcut,
         )
 
 
@@ -678,9 +688,22 @@ def _propagate_min_labels(
     max_iter: int,
     _ckpt,
     on_nonconvergence: str = "raise",
+    shortcut: bool = False,
 ) -> DataFrame:
     """Min-label-propagation loop shared by the local- and
-    reliable-checkpoint paths of :func:`connected_components`."""
+    reliable-checkpoint paths of :func:`connected_components`.
+
+    ``shortcut=True`` adds a pointer-doubling step per round (the
+    large-star idea of Kiveris et al., MapReduce CC): after the edge
+    propagation, each vertex re-reads its LABEL's label
+    (``label <- label(label(v))``, one labels-to-labels equi-join --
+    sound because a label is always a graph vertex and labels are
+    monotone non-increasing, so composing can only shrink).  Path
+    halving turns O(diameter) rounds into O(log diameter) at the price
+    of one extra shuffle join per round -- the right trade exactly when
+    the graph has long chains (each round's fixed cost is the cluster
+    bottleneck), and a measured wash on clique-ish near-dup graphs
+    whose diameter is already 2-3 (capture in BASELINE.md)."""
     # Materialize the edge list ONCE: every iteration's join re-evaluates
     # its inputs, and `pairs` is typically the whole LSH/Jaccard pipeline --
     # without this checkpoint each round would recompute it from scratch
@@ -717,11 +740,27 @@ def _propagate_min_labels(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        new_labels = _ckpt(
+        propagated = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
+        if shortcut:
+            # pointer doubling: label <- label(label(v)).  Every label IS
+            # a vertex (it starts as an id and min() only selects existing
+            # labels), so the inner self-join matches every row exactly
+            # once; parent.label <= label by monotonicity.  The parent
+            # side is re-projected under fresh names BEFORE the join:
+            # a plain alias()-based self-join of this union+agg subtree
+            # trips Catalyst's Union constraint rewrite (key-not-found
+            # on the reused attribute ids).
+            par = propagated.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            propagated = propagated.join(
+                par, F.col("label") == F.col("_pid")
+            ).select("id", F.col("_plabel").alias("label"))
+        new_labels = _ckpt(propagated)
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:

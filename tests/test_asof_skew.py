@@ -735,3 +735,42 @@ def test_uniform_sample_seeded_and_bounded(spark):
     assert a == b  # pinned seed + unchanged partitioning -> reproducible
     assert 0.1 * n < len(a) < 0.3 * n  # Bernoulli rate in a generous band
     assert a <= {r["doc_id"] for r in docs.collect()}
+
+
+def test_connected_components_shortcut_halves_rounds(spark):
+    """Pointer doubling (shortcut=True): identical labels on every graph,
+    and O(log diameter) convergence where plain propagation cannot finish
+    -- a diameter-64 chain inside max_iter=10 rounds (propagation needs
+    ~64).  Measured trade (BASELINE.md r8): a wash-to-slight-loss on
+    clique-ish near-dup graphs, which is why propagate stays the
+    default."""
+    import pytest
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    mixed = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 31), (31, 32)],
+        "doc_a long, doc_b long",
+    )
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(mixed).collect()
+    }
+    quick = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(mixed, shortcut=True).collect()
+    }
+    assert plain == quick
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=10).collect()
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            chain, max_iter=10, shortcut=True
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(65)}
