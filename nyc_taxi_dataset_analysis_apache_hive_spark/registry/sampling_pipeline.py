@@ -1,0 +1,1381 @@
+"""Sampling and pipeline entries: dup clusters (d6), hash split (s6), stratified/mix/cap/temp/qsamp (s7), SCD upserts (s8), pivot (p9), array HOFs, time ops (cx1), text stats (tv1), cross-corpus decontamination (d7), and the flagship curation funnel (pl1).
+
+Split out of the monolithic registry.py in round 8 (registration
+order preserved by the package __init__; see its docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_SPLIT_REGEX
+from ..operators import (
+    asof,
+    bpe,
+    cohorts,
+    dedup,
+    packing,
+    pipeline,
+    sampling,
+    textops,
+)
+from .base import ORACLES, register, _t
+from .events_dedup import _BAND_ROWS, _D4_NGRAM_SQL, _SIG_COLS, _TOKS_CTE
+from .text_similarity import (
+    _EMAIL_PAT,
+    _IP_PAT,
+    _LINES_SQL,
+    _PHONE_GRP,
+    _PHONE_PAT,
+    _hits_from_t_sql,
+)
+
+
+
+
+# embed hash_split's OWN float-exact cumulative bounds (one definition in
+# sampling.cumulative_split_bounds) so Spark and the oracle compare u
+# against bit-identical literals (shared by d6's grouped_split leg and s6)
+_SPLIT_BOUNDS = sampling.cumulative_split_bounds((0.8, 0.1, 0.1))
+_SPLIT_CASE = (
+    f"CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 0 "
+    f"WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 1 ELSE 2 END"
+)
+
+
+@register(
+    "d6_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_D4_NGRAM_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT 'cluster' AS op, doc_id, cluster_id AS v FROM comp
+    UNION ALL
+    -- leakage-safe split (r7): the split draw hashes the CLUSTER
+    -- representative (min reachable id; singletons hash their own id),
+    -- so near-dup cluster members always share a split
+    SELECT 'grouped_split' AS op, doc_id, CAST({_SPLIT_CASE} AS BIGINT) AS v
+    FROM (
+      SELECT d.doc_id,
+             CAST(CAST('0x' || substr(md5('split-v1:' ||
+                    CAST(coalesce(comp.cluster_id, d.doc_id) AS VARCHAR)),
+                    1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+    )
+    """,
+)
+def d6_dup_clusters(spark, sf):
+    """Near-dup clustering + its downstream consumer, tagged and stacked.
+    ``cluster`` = connected components (min-label propagation,
+    lineage-checkpointed iterative joins) over the exact n-gram-Jaccard
+    pair graph -- pairs -> clusters -> canonical keeper, the stage that
+    turns pairwise dedup into an actionable drop-list.  Oracle: DuckDB
+    recursive CTE computing min reachable id per vertex.
+    ``grouped_split`` (r7) = leakage-safe train/val/test assignment
+    (sampling.grouped_hash_split): the md5 split draw hashes the cluster
+    representative instead of the doc id, so a training document's
+    near-copy can never land in the eval split; singletons hash their
+    own id, making the assignment IDENTICAL to s6's per-doc split
+    exactly where no duplicate structure exists.  The component table is
+    checkpoint-materialized once and reused by both legs."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    comps = dedup.connected_components(pairs)
+    cluster = comps.select(
+        F.lit("cluster").alias("op"),
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("v"),
+    )
+    grouped = sampling.grouped_hash_split(
+        docs.select("doc_id"),
+        comps,
+        weights=(0.8, 0.1, 0.1),
+        salt="split-v1",
+    ).select(
+        F.lit("grouped_split").alias("op"),
+        "doc_id",
+        F.col("split_id").cast("long").alias("v"),
+    )
+    return cluster.unionByName(grouped)
+
+
+# ---------------------------------------------------------------------------
+# Sampling / dataset splitting
+# ---------------------------------------------------------------------------
+# (_SPLIT_BOUNDS/_SPLIT_CASE are defined above d6_dup_clusters, whose
+# grouped_split leg shares them)
+
+
+@register(
+    "s6_hash_split",
+    f"""
+    SELECT doc_id, CAST({_SPLIT_CASE} AS INT) AS split_id
+    FROM (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    """,
+)
+def s6_hash_split(spark, sf):
+    """Deterministic hash-based train/val/test split (80/10/10): same id ->
+    same split across reruns, engines, partitionings, and appends.  The
+    oracle reproduces the md5-uniform and the exact float boundaries."""
+    return sampling.hash_split(
+        _t(spark, sf, "documents").select("doc_id"),
+        id_col="doc_id",
+        weights=(0.8, 0.1, 0.1),
+        salt="split-v1",
+    )
+
+
+#: s7 per-stratum target rates + the absolute tolerance the gate asserts.
+#: |realised - target| <= 0.15 absolute: loose enough for the smallest
+#: stratum (~70 docs at the pytest/driver sfs, where seeded Bernoulli rates
+#: deviate up to ~0.08), tight enough that a grossly wrong fraction wiring
+#: (e.g. rates applied to the wrong strata at scale, double sampling)
+#: trips it.  The band alone cannot see a DROPPED stratum whose target is
+#: below the tolerance (|0 - 0.1| < 0.15), so the gate additionally
+#: requires n_samp >= 1 per stratum.
+_S7_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1}
+_S7_TOL = 0.15
+
+
+#: s7 mix leg: relative domain weights + the exact output size target.
+#: Spark normalizes weights in Python (w / sum); the oracle embeds the
+#: same normalized literals so the ratio arithmetic is bit-identical.
+_S7_MIX_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+_S7_MIX_TARGET = 120
+_S7_CAP_N = 40
+
+_S7_MIX_WN = {
+    k: v / sum(_S7_MIX_WEIGHTS.values()) for k, v in _S7_MIX_WEIGHTS.items()
+}
+_S7_U15 = float(16**15)  # md5 15-hex-char uniform denominator
+
+#: s7 temp leg: temperature exponent + output size for the lang-balanced
+#: resample (lang is the skewed column in the synthetic corpus -- en is
+#: ~3x fr -- so alpha < 1 visibly up-weights the low-resource strata).
+_S7_TEMP_ALPHA = 0.5
+_S7_TEMP_TARGET = 150
+
+#: s7 qsamp leg: per-doc (lang, quality_score, md5-uniform) -- the t1
+#: oracle's proven quality formula verbatim, paired with the qs-v1 draw.
+_S7_QS_SQL = rf"""
+      SELECT doc_id, lang,
+             floor((least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + least(coalesce({{hits}}
+                           / nullif(CAST(len(t) AS DOUBLE), 0), 0) * 5,
+                           1.0) * 0.3
+                   + (1 - least(coalesce(
+                         CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]',
+                                                    '', 'g')) AS DOUBLE)
+                         / nullif(CAST(length(text) AS DOUBLE), 0), 0)
+                         * 10, 1.0)) * 0.3)
+                   * 10000.0 + 1e-7) / 10000.0 AS qs,
+             CAST(CAST('0x' || substr(md5('qs-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / {{u15}} AS u
+      FROM (
+        SELECT doc_id, lang, coalesce(text, '') AS text,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      )
+"""
+
+
+@register(
+    "s7_stratified_rates",
+    f"""
+    SELECT 'rate' AS op, lang AS key, true AS rate_ok,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS id_sum
+    FROM (SELECT DISTINCT lang FROM documents
+          WHERE lang IN ({", ".join(f"'{k}'" for k in sorted(_S7_FRACTIONS))}))
+    UNION ALL
+    SELECT 'mix' AS op, source || ':' || epoch AS key,
+           CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id, source,
+             unnest(range(n_copies)) AS epoch
+      FROM (
+        SELECT d.doc_id, d.source,
+               CAST(floor(ratio)
+                    + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
+                 AS INT) AS n_copies
+        FROM (
+          SELECT doc_id, source,
+                 (CASE source
+                    {" ".join(f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_S7_MIX_WN.items()))}
+                  END * {float(_S7_MIX_TARGET)!r})
+                 / (count(*) OVER (PARTITION BY source)) AS ratio,
+                 CAST(CAST('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS DOUBLE) / {_S7_U15!r} AS u
+          FROM documents
+          WHERE source IN ({", ".join(f"'{k}'" for k in sorted(_S7_MIX_WEIGHTS))})
+        ) d
+      )
+      WHERE n_copies > 0
+    )
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'cap' AS op, lang AS key, CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('cap-v1:' || CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_S7_CAP_N}
+    GROUP BY lang
+    UNION ALL
+    -- temperature rebalancing (r7): w_lang ~ n_lang^alpha, normalized
+    -- then 1e-6-truncated BEFORE any ratio arithmetic (pow and the
+    -- per-domain float sum are the only engine-varying steps; after the
+    -- quantize every floor/compare is bit-identical)
+    SELECT 'temp' AS op, coalesce(lang, 'NULL') || ':' || epoch AS key,
+           CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id, lang, unnest(range(n_copies)) AS epoch
+      FROM (
+        SELECT dd.doc_id, dd.lang,
+               CAST(floor(ratio)
+                    + CASE WHEN u < ratio - floor(ratio) THEN 1 ELSE 0 END
+                 AS INT) AS n_copies
+        FROM (
+          SELECT d0.doc_id, d0.lang,
+                 w.wq * {float(_S7_TEMP_TARGET)!r} / w.n AS ratio,
+                 CAST(CAST('0x' || substr(md5('temp-v1:' || CAST(d0.doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS DOUBLE) / {_S7_U15!r} AS u
+          FROM documents d0
+          JOIN (
+            SELECT lang, n,
+                   floor(pow(CAST(n AS DOUBLE), {_S7_TEMP_ALPHA!r}) / psum
+                         * 1000000.0 + 1e-9) / 1000000.0 AS wq
+            FROM (
+              SELECT lang, count(*) AS n,
+                     sum(pow(CAST(count(*) AS DOUBLE), {_S7_TEMP_ALPHA!r}))
+                       OVER () AS psum
+              FROM documents GROUP BY lang
+            )
+          ) w ON d0.lang IS NOT DISTINCT FROM w.lang
+        ) dd
+      )
+      WHERE n_copies > 0
+    )
+    GROUP BY 1, 2
+    UNION ALL
+    -- quality-weighted sampling (r7): keep-prob == quality score, draw
+    -- = md5-uniform(qs-v1, id); membership replays exactly (id_sum)
+    SELECT 'qsamp' AS op, lang AS key, CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ({_S7_QS_SQL.format(hits=_hits_from_t_sql("en"), u15=repr(_S7_U15))})
+    WHERE u < qs GROUP BY lang
+    """,
+)
+def s7_stratified_rates(spark, sf):
+    """The sampling/reweighting surface, tagged and stacked (u1/r1
+    precedent, one driver slot):
+
+    - ``op='rate'``: per-language stratified sample (seeded ``sampleBy``)
+      with an IN-PLANE rate gate -- the sampled row set is
+      engine-RNG-specific, but ``rate_ok`` is deterministic for a fixed
+      seed and dataset, so the oracle expects ``true`` per stratum.
+    - ``op='mix'``: domain reweighting (``sampling.mix_domains``) --
+      md5-deterministic copy counts, so the per-(domain, epoch) sizes AND
+      the exact membership (id_sum) replay in the oracle bit-for-bit.
+    - ``op='cap'``: deterministic per-key cap (``sampling.cap_per_key``)
+      run in its SALTED two-phase form (n_salts=4); the oracle computes
+      the plain unsalted rank -- equality driver-gates the salted ≡
+      unsalted property on top of the pytest gate
+      (tests/test_cap_per_key.py).
+    - ``op='temp'`` (r7): temperature rebalancing over the skewed
+      ``lang`` column (``sampling.temperature_mix``, w ~ n^0.5):
+      corpus-derived weights quantized to the 1e-6 grid before the same
+      md5-Bernoulli copy-count machinery as mix, so per-(lang, epoch)
+      sizes AND membership replay bit-for-bit.
+    - ``op='qsamp'`` (r7): quality-weighted sampling
+      (``sampling.quality_weighted_sample``, the GPT-3 appendix-A soft
+      filter): keep-probability == the t1 composite quality score,
+      Bernoulli draw = md5-uniform of (qs-v1, id) -- per-lang sizes and
+      exact membership (id_sum) replay in the oracle."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    in_strata = docs.filter(F.col("lang").isin(*_S7_FRACTIONS))
+    totals = in_strata.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = (
+        sampling.stratified_sample(in_strata, "lang", _S7_FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    target = F.create_map(
+        *[F.lit(x) for kv in _S7_FRACTIONS.items() for x in kv]
+    )
+    n_samp = F.coalesce("n_samp", F.lit(0))
+    rate = totals.join(sampled, "lang", "left").select(
+        F.lit("rate").alias("op"),
+        F.col("lang").alias("key"),
+        (
+            (n_samp >= 1)  # a silently dropped stratum must trip the gate
+            & (
+                F.abs(
+                    n_samp / F.col("n_total").cast("double")
+                    - target[F.col("lang")]
+                )
+                <= _S7_TOL
+            )
+        ).alias("rate_ok"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("id_sum"),
+    )
+    mixed = sampling.mix_domains(
+        docs.filter(F.col("source").isin(*_S7_MIX_WEIGHTS)),
+        domain_col="source",
+        weights=_S7_MIX_WEIGHTS,
+        target_rows=_S7_MIX_TARGET,
+        id_col="doc_id",
+        salt="mix-v1",
+    )
+    mix = mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    ).select(
+        F.lit("mix").alias("op"),
+        F.concat_ws(":", "source", "epoch").alias("key"),
+        F.lit(None).cast("boolean").alias("rate_ok"),
+        F.col("n").cast("long"),
+        F.col("id_sum").cast("long"),
+    )
+    capped = sampling.cap_per_key(
+        docs.select("doc_id", "lang"),
+        key_col="lang",
+        n=_S7_CAP_N,
+        id_col="doc_id",
+        salt="cap-v1",
+        n_salts=4,
+    )
+    cap = capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    ).select(
+        F.lit("cap").alias("op"),
+        F.col("lang").alias("key"),
+        F.lit(None).cast("boolean").alias("rate_ok"),
+        F.col("n").cast("long"),
+        F.col("id_sum").cast("long"),
+    )
+    temp = (
+        sampling.temperature_mix(
+            docs,
+            domain_col="lang",
+            alpha=_S7_TEMP_ALPHA,
+            target_rows=_S7_TEMP_TARGET,
+            id_col="doc_id",
+            salt="temp-v1",
+        )
+        .groupBy("lang", "epoch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("temp").alias("op"),
+            # NULL lang is a real stratum since r8 -- surface it as a
+            # visible key on all three parity engines (concat_ws would
+            # silently skip it; DuckDB's || would NULL the whole key)
+            F.concat_ws(
+                ":", F.coalesce(F.col("lang"), F.lit("NULL")), "epoch"
+            ).alias("key"),
+            F.lit(None).cast("boolean").alias("rate_ok"),
+            F.col("n").cast("long"),
+            F.col("id_sum").cast("long"),
+        )
+    )
+    qdocs = _t(spark, sf, "documents")
+    qsamp = (
+        sampling.quality_weighted_sample(
+            qdocs.select("doc_id", "lang").join(
+                textops.quality_scores(qdocs).select(
+                    "doc_id", "quality_score"
+                ),
+                on="doc_id",
+            ),
+            score_col="quality_score",
+            id_col="doc_id",
+            salt="qs-v1",
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("qsamp").alias("op"),
+            F.col("lang").alias("key"),
+            F.lit(None).cast("boolean").alias("rate_ok"),
+            F.col("n").cast("long"),
+            F.col("id_sum").cast("long"),
+        )
+    )
+    return (
+        rate.unionByName(mix)
+        .unionByName(cap)
+        .unionByName(temp)
+        .unionByName(qsamp)
+    )
+
+
+#: s8 scd2 leg: one fixed effective timestamp for the whole update batch
+#: (literal on both sides, so timestamp parity is trivial).
+_S8_EFF = "1999-01-01 00:00:00"
+
+
+@register(
+    "s8_upsert",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey, 'UPDATED' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'NEW' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    dim AS (
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+             CAST(o_orderdate AS TIMESTAMP) AS valid_from
+      FROM orders
+    ),
+    upd2 AS (
+      SELECT o_orderkey, 'CHANGED' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, 'NEW2' AS o_orderpriority,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    j AS (
+      SELECT d.o_orderkey AS dk, d.o_orderpriority AS dp, d.price AS dprice,
+             d.valid_from AS dvf, u.o_orderkey AS uk,
+             u.o_orderpriority AS up, u.price AS uprice,
+             (u.o_orderkey IS NOT NULL AND d.o_orderkey IS NOT NULL
+              AND (u.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+                   OR u.price IS DISTINCT FROM d.price)) AS changed
+      FROM dim d FULL JOIN upd2 u ON d.o_orderkey = u.o_orderkey
+    )
+    SELECT 'scd1' AS op,
+           coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+           coalesce(u.price, b.price) AS price,
+           CAST(NULL AS TIMESTAMP) AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(NULL AS BOOLEAN) AS is_current
+    FROM base b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT 'scd2' AS op, dk AS o_orderkey, dp AS o_orderpriority,
+           dprice AS price, dvf AS valid_from,
+           CASE WHEN changed THEN TIMESTAMP '{_S8_EFF}' END AS valid_to,
+           NOT changed AS is_current
+    FROM j WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT 'scd2' AS op, uk AS o_orderkey, up AS o_orderpriority,
+           uprice AS price, TIMESTAMP '{_S8_EFF}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+    FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
+    """,
+)
+def s8_upsert(spark, sf):
+    """The merge surface, tagged and stacked (u1/r1 precedent):
+
+    - ``op='scd1'``: type-1 merge (MERGE INTO semantics) -- updated rows
+      win, new keys insert, untouched rows carry forward; full-outer join
+      + coalesce, one shuffle on the key (``etl.upsert``).
+    - ``op='scd2'``: type-2 history merge (``etl.scd2_upsert``) over the
+      same orders dim: changed keys (%10, new priority) CLOSE the current
+      version (valid_to = effective, is_current = false) and append an
+      open one; no-op updates (%13, attributes unchanged) carry forward
+      untouched -- the idempotency case; brand-new keys (%17 + 2e8) open
+      their first version.  The oracle replays close/append/no-op with a
+      full-outer join + null-safe DISTINCT FROM comparisons."""
+    from ..operators.etl import scd2_upsert, upsert
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("price")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderpriority", F.lit("UPDATED"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("NEW").alias("o_orderpriority"),
+                "price",
+            )
+        )
+    )
+    nullts = F.lit(None).cast("timestamp")
+    scd1 = upsert(o, updates, ["o_orderkey"]).select(
+        F.lit("scd1").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
+        nullts.alias("valid_from"),
+        nullts.alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
+    eff = F.lit(_S8_EFF).cast("timestamp")
+    dim = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        nullts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd2 = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderpriority", F.lit("CHANGED"))
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 10 != 0)
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                F.lit("NEW2").alias("o_orderpriority"),
+                "price",
+            )
+        )
+        .withColumn("effective_ts", eff)
+    )
+    scd2 = scd2_upsert(dim, upd2, ["o_orderkey"]).select(
+        F.lit("scd2").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    return scd1.unionByName(scd2)
+
+
+@register(
+    "p9_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+             AS qty_f,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+             AS qty_o,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def p9_pivot(spark, sf):
+    """Pivot (wide crosstab): one row per returnflag, one column pair per
+    linestatus.  Explicit value list so the plan is a single pass (no
+    distinct-values pre-query) -- Catalyst rewrites to conditional
+    aggregation, exactly the oracle's CASE form."""
+    li = _t(spark, sf, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+    )
+
+
+@register(
+    "f_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(emb, x -> x > 0)) AS INT) AS n_pos,
+           round(list_aggregate(list_transform(emb, x -> x * x), 'sum'), 6)
+             AS sum_sq,
+           round(list_aggregate(emb, 'max'), 6) AS max_dim,
+           round(list_aggregate(list_transform(emb, x -> abs(x)), 'sum'), 6)
+             AS l1_norm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    WHERE vec_id % 100 = 0
+    """,
+)
+def f_array_hof(spark, sf):
+    """Array higher-order functions (filter/transform/aggregate) over the
+    embedding column -- the JVM-side vector-math building blocks."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.round(F.array_max(arr), 6).alias("max_dim"),
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("l1_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 driver widening: previously pytest-only operators get first-class
+# registry entries (cohorts, range join, text hygiene, TF-IDF, vocabulary,
+# cross-corpus decontamination, the end-to-end curation funnel).
+# ---------------------------------------------------------------------------
+
+#: day-width epoch bin in portable BIGINT arithmetic -- the exact DuckDB
+#: mirror of functions.exprs.epoch_bin (see tests/test_cohorts.py for why
+#: `//` floor-division is NOT usable here).
+_DAY_US = 86_400 * 1_000_000
+_DAY_FLOOR = f"(e - (((e % {_DAY_US}) + {_DAY_US}) % {_DAY_US}))"
+
+
+@register(
+    "cx1_time_ops",
+    f"""
+    WITH f0 AS (
+      SELECT user_id, epoch_us(min(ts)) AS e FROM events GROUP BY user_id
+    ),
+    firsts AS (SELECT user_id, {_DAY_FLOOR} AS cohort_us FROM f0),
+    a0 AS (SELECT DISTINCT user_id, epoch_us(ts) AS e FROM events),
+    active AS (SELECT DISTINCT user_id, {_DAY_FLOOR} AS act_us FROM a0),
+    iv AS (
+      SELECT user_id, min(ts) AS start_ts,
+             min(ts) + INTERVAL 4 HOUR AS end_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT 'cohort' AS op, CAST(NULL AS BIGINT) AS k1,
+           CAST((act_us - cohort_us) // {_DAY_US} AS BIGINT) AS k2,
+           make_timestamp(cohort_us) AS ts1,
+           CAST(NULL AS TIMESTAMP) AS ts2, CAST(NULL AS TIMESTAMP) AS ts3,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY cohort_us, k2
+    UNION ALL
+    SELECT 'range' AS op, e.user_id AS k1, e.event_id AS k2,
+           e.ts AS ts1, iv.start_ts AS ts2, iv.end_ts AS ts3,
+           CAST(NULL AS BIGINT) AS n
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+    WHERE e.ts BETWEEN iv.start_ts AND iv.end_ts
+    """,
+)
+def cx1_time_ops(spark, sf):
+    """The two time-axis relational extensions, tagged and stacked (u1/r1
+    precedent, one driver slot).  ``cohort`` = the daily cohort-retention
+    triangle (first-seen day x days-since x active users): two user-keyed
+    aggregates + one co-keyed join over epoch-aligned true-floor day bins
+    (hour/week/month variants share the operator; tests/test_cohorts.py).
+    ``range`` = interval join via time-bin equi-join: each event matched to
+    its user's first-4-hours window -- the BETWEEN predicate becomes an
+    equi-join on (user, bin) with an exact post-filter, never Spark's
+    default nested-loop plan (no-cartesian plan-tested in
+    tests/test_asof_skew.py)."""
+    ev = _t(spark, sf, "events")
+    nullts = F.lit(None).cast("timestamp")
+    cohort = cohorts.cohort_retention(ev, period="day").select(
+        F.lit("cohort").alias("op"),
+        F.lit(None).cast("long").alias("k1"),
+        F.col("periods_since").alias("k2"),
+        F.col("cohort_start").alias("ts1"),
+        nullts.alias("ts2"),
+        nullts.alias("ts3"),
+        F.col("n_active_users").alias("n"),
+    )
+    evs = ev.select("user_id", "event_id", "ts")
+    iv = (
+        evs.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    rng = asof.range_join(
+        evs, iv, "ts", "start_ts", "end_ts", bin_seconds=3600, keys=["user_id"]
+    ).select(
+        F.lit("range").alias("op"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.col("ts").alias("ts1"),
+        F.col("start_ts").alias("ts2"),
+        F.col("end_ts").alias("ts3"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return cohort.unionByName(rng)
+
+
+#: shared tokenize + per-doc term-frequency CTE (DuckDB mirror of
+#: functions.text.tokens + the tf aggregate in textops)
+_TF_CTE = f"""
+  toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+  tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
+"""
+
+
+@register(
+    "tv1_text_stats",
+    f"""
+    WITH {_TF_CTE},
+    dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+             round(tf * ln(n_docs / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT 'tfidf' AS op, doc_id, token, tf AS n, rank AS m, tfidf AS score
+    FROM ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'vocab' AS op, CAST(NULL AS BIGINT) AS doc_id, token,
+           CAST(sum(tf) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m,
+           CAST(NULL AS DOUBLE) AS score
+    FROM tf GROUP BY token HAVING sum(tf) >= 20
+    UNION ALL
+    SELECT 'scrub' AS op, doc_id, scrub_fp AS token,
+           CAST(n_kept AS BIGINT) AS n, CAST(n_dropped AS BIGINT) AS m,
+           CAST(NULL AS DOUBLE) AS score
+    FROM (
+      WITH stoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      sg AS (
+        SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS g
+        FROM stoks,
+             unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t) - 3)
+                    ELSE [] END) AS u(i)
+      ),
+      sheavy AS (
+        SELECT g FROM sg GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+      ),
+      shits AS (
+        SELECT doc_id, list(DISTINCT i) AS starts
+        FROM sg JOIN sheavy USING (g) GROUP BY doc_id
+      ),
+      scov AS (
+        SELECT stoks.doc_id, t,
+               list_distinct(flatten(list_transform(coalesce(starts, []),
+                                                    s -> range(s, s + 5))))
+                 AS covered
+        FROM stoks LEFT JOIN shits USING (doc_id)
+      ),
+      sscrub AS (
+        SELECT doc_id, t,
+               list_filter(t, (x, i) -> NOT list_contains(covered, i)) AS kept
+        FROM scov
+      )
+      SELECT doc_id,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             CAST(len(t) - len(kept) AS BIGINT) AS n_dropped,
+             md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_fp
+      FROM sscrub
+    )
+    UNION ALL
+    -- bigram-LM corpus scoring (r7): add-one-smoothed transition
+    -- log-probs, each truncated to BIGINT micro-units BEFORE the per-doc
+    -- sum so the aggregate is exact integer arithmetic in both engines
+    SELECT 'lm' AS op, doc_id, CAST(NULL AS VARCHAR) AS token,
+           n_tokens AS n, n_transitions AS m, score
+    FROM (
+      WITH ltok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      lc1 AS (
+        SELECT token, count(*) AS c1
+        FROM (SELECT unnest(t) AS token FROM ltok) GROUP BY token
+      ),
+      lv AS (SELECT count(*) AS v FROM lc1),
+      ltrans AS (
+        SELECT doc_id, len(t) AS n_tokens, t[i] AS prev, t[i + 1] AS cur
+        FROM ltok,
+             unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t))
+                    ELSE [] END) AS u(i)
+      ),
+      lc2 AS (
+        SELECT prev, cur, count(*) AS c2 FROM ltrans GROUP BY prev, cur
+      ),
+      lsc AS (
+        SELECT lt.doc_id, lt.n_tokens,
+               CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE))
+                          * 1000000.0 + 1e-9) AS BIGINT) AS lp_micro
+        FROM ltrans lt
+        JOIN lc2 ON lt.prev = lc2.prev AND lt.cur = lc2.cur
+        JOIN lc1 ON lt.prev = lc1.token
+        CROSS JOIN lv
+      ),
+      lagg AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               sum(lp_micro) AS sum_micro
+        FROM lsc GROUP BY doc_id, n_tokens
+        UNION ALL
+        SELECT doc_id, CAST(len(t) AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM ltok WHERE len(t) < 2
+      )
+      SELECT doc_id, n_tokens, n_transitions,
+             floor((CAST(sum_micro AS DOUBLE) / 1000000.0)
+                   / CAST(n_transitions AS DOUBLE) * 10000.0 + 1e-7)
+               / 10000.0 AS score
+      FROM lagg
+    )
+    UNION ALL
+    -- closed-form linear quality probe (r7): 1e-4-quantized features ->
+    -- exact DECIMAL normal-equation sums -> one Cramer expression; the
+    -- same expression text as the Spark side, so weights are
+    -- bit-identical
+    SELECT op, doc_id, token, n, m, score
+    FROM (
+      WITH ptok AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      pf AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               floor(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+                     * 10000.0 + 1e-7) / 10000.0 AS x1,
+               floor(coalesce({_hits_from_t_sql("en")}
+                              / nullif(CAST(len(t) AS DOUBLE), 0), 0)
+                     * 10000.0 + 1e-7) / 10000.0 AS x2,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM ptok
+      ),
+      psum AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))) AS DOUBLE) AS a,
+               CAST(sum(CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS b,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                        * CAST(x1 AS DECIMAL(14,4))) AS DOUBLE) AS c,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                        * CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS d,
+               CAST(sum(CAST(x2 AS DECIMAL(14,4))
+                        * CAST(x2 AS DECIMAL(14,4))) AS DOUBLE) AS e,
+               CAST(sum(CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x1 AS DECIMAL(14,4))
+                        * CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(x2 AS DECIMAL(14,4))
+                        * CAST(y AS DECIMAL(14,4))) AS DOUBLE) AS s2y
+        FROM pf
+      ),
+      pw AS (
+        SELECT
+          (sy * (c * e - d * d) - a * (s1y * e - d * s2y)
+           + b * (s1y * d - c * s2y))
+          / (n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b)) AS w0,
+          (n * (s1y * e - s2y * d) - sy * (a * e - b * d)
+           + b * (a * s2y - b * s1y))
+          / (n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b)) AS w1,
+          (n * (c * s2y - d * s1y) - a * (a * s2y - b * s1y)
+           + sy * (a * d - b * c))
+          / (n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b)) AS w2
+        FROM psum
+      )
+      SELECT 'probe' AS op, doc_id, CAST(NULL AS VARCHAR) AS token,
+             n_tokens AS n, CAST(y AS BIGINT) AS m,
+             floor((w0 + w1 * x1 + w2 * x2) * 10000.0 + 1e-7) / 10000.0
+               AS score
+      FROM pf CROSS JOIN pw
+      UNION ALL
+      SELECT 'probe_w' AS op, CAST(NULL AS BIGINT) AS doc_id,
+             wn AS token, CAST(NULL AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS m,
+             floor(wv * 10000.0 + 1e-7) / 10000.0 AS score
+      FROM (
+        SELECT 'w0' AS wn, w0 AS wv FROM pw
+        UNION ALL SELECT 'w1', w1 FROM pw
+        UNION ALL SELECT 'w2', w2 FROM pw
+      )
+    )
+    UNION ALL
+    -- sliding-window chunking (r7): 32-token windows at stride 24;
+    -- chunk_idx derived arithmetically ((start-1)/stride) so it is
+    -- row-order independent; fp = md5 of the rebuilt window
+    SELECT 'chunk' AS op, doc_id, chunk_fp AS token,
+           chunk_idx AS n, n_ctok AS m, CAST(NULL AS DOUBLE) AS score
+    FROM (
+      WITH cctok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+             CAST(len(t[s:s+31]) AS BIGINT) AS n_ctok,
+             md5(array_to_string(t[s:s+31], ' ')) AS chunk_fp
+      FROM cctok,
+           unnest(CASE WHEN len(t) >= 1 THEN range(1, len(t) + 1, 24)
+                  ELSE [] END) AS u(s)
+    )
+    """,
+)
+def tv1_text_stats(spark, sf):
+    """Corpus token statistics, tagged and stacked (u1/r1 precedent, one
+    driver slot).  ``tfidf`` = top-3 characteristic terms per document:
+    corpus size via a broadcast 1-row cross join (never a collect),
+    doc-frequencies from the persisted tf relation, per-document window
+    for the top-k, ranked on the ROUNDED tfidf with a token tie-break so
+    both engines produce the identical row set.  ``vocab`` = the corpus
+    vocabulary at min_count=20 -- the two-stage aggregate whose first
+    stage collapses within-document repeats map-side, so the shuffle
+    carries distinct (doc, token) pairs only (the upstream stats pass for
+    stop-token lists and d4's heavy-hitter cap).  ``scrub`` (r7) =
+    boilerplate-span REMOVAL (dedup.boilerplate_scrub, Lee et al. 2021 at
+    word-5-gram granularity): word 5-grams in >= 3 distinct documents are
+    scrubbed from every doc and the per-doc report -- kept/dropped token
+    counts plus the md5 of the REBUILT text, sensitive to token order,
+    coverage arithmetic, and the 1-based slice convention at once -- is
+    value-verified (4 stages: map-side gram HOFs, ONE gram countDistinct
+    with map-side partial agg, broadcast heavy-set join, map-side ordered
+    rebuild via the index-lambda filter; grouping key is the portable
+    md5 of the gram, constant-width and bit-identical in the oracle).
+    ``lm`` (r7) = bigram-LM corpus scoring (textops.ngram_lm_scores, the
+    CCNet perplexity-as-quality-signal shape): add-one-smoothed
+    transition log-probs from corpus-trained count tables, each
+    truncated to BIGINT micro-units BEFORE the per-doc sum so the
+    aggregate is exact integer arithmetic -- partitioning- and
+    engine-independent.  ``probe`` / ``probe_w`` (r7) = closed-form
+    linear quality probe (textops.linear_probe_scores): least-squares
+    source-membership fit on 1e-4-quantized features via exact DECIMAL
+    normal-equation sums + one Cramer expression (bit-identical weights
+    in both engines); train = one aggregate, apply = broadcast join --
+    no collect, no iteration.  ``chunk`` (r7) = sliding-window document
+    chunking (textops.chunk_documents, the embedding/RAG primitive):
+    32-token windows at stride 24, pure map stage, chunk ids derived
+    arithmetically so the value set is row-order independent and the
+    md5 of each rebuilt window is value-verified."""
+    docs = _t(spark, sf, "documents")
+    nulll = F.lit(None).cast("long")
+    tfidf = textops.tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("op"),
+        "doc_id",
+        "token",
+        F.col("tf").alias("n"),
+        F.col("rank").alias("m"),
+        F.col("tfidf").alias("score"),
+    )
+    vocab = textops.vocabulary(docs, min_count=20).select(
+        F.lit("vocab").alias("op"),
+        nulll.alias("doc_id"),
+        "token",
+        F.col("count").alias("n"),
+        F.col("doc_freq").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    scrub = dedup.boilerplate_scrub(docs, ngram_n=5, min_docs=3).select(
+        F.lit("scrub").alias("op"),
+        "doc_id",
+        F.col("scrub_fp").alias("token"),
+        F.col("n_kept").alias("n"),
+        F.col("n_dropped").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    nulls = F.lit(None).cast("string")
+    lm = textops.ngram_lm_scores(docs).select(
+        F.lit("lm").alias("op"),
+        "doc_id",
+        nulls.alias("token"),
+        F.col("n_tokens").alias("n"),
+        F.col("n_transitions").alias("m"),
+        F.col("avg_logprob").alias("score"),
+    )
+    # ONE training pass: the weights row feeds two union branches (probe
+    # scoring + the probe_w rows); materialize the 1-row frame so the
+    # feature-scan + normal-equation aggregate does not run twice
+    w = textops.linear_probe_weights(docs).localCheckpoint(eager=True)
+    probe = textops.linear_probe_scores(docs, weights=w).select(
+        F.lit("probe").alias("op"),
+        "doc_id",
+        nulls.alias("token"),
+        F.col("n_tokens").alias("n"),
+        F.col("y").alias("m"),
+        F.col("yhat").alias("score"),
+    )
+    wrows = w.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("token"),
+                        textops._trunc4(F.col(name)).alias("score"),
+                    )
+                    for name in ("w0", "w1", "w2")
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.lit("probe_w").alias("op"),
+        nulll.alias("doc_id"),
+        F.col("s.token").alias("token"),
+        nulll.alias("n"),
+        nulll.alias("m"),
+        F.col("s.score").alias("score"),
+    )
+    chunk = textops.chunk_documents(docs, chunk_tokens=32, stride=24).select(
+        F.lit("chunk").alias("op"),
+        "doc_id",
+        F.col("chunk_fp").alias("token"),
+        F.col("chunk_idx").alias("n"),
+        F.col("n_tokens").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return (
+        tfidf.unionByName(vocab)
+        .unionByName(scrub)
+        .unionByName(lm)
+        .unionByName(probe)
+        .unionByName(wrows)
+        .unionByName(chunk)
+    )
+
+
+@register(
+    "d7_cross_corpus_decontam",
+    f"""
+    WITH {_TOKS_CTE},
+    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM grams),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h
+      FROM exploded
+    ),
+    sigs AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    bands AS ({_BAND_ROWS}),
+    cands AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
+      FROM bands c JOIN bands p
+        ON c.band = p.band AND c.bucket = p.bucket
+       AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
+    ),
+    sets AS (SELECT doc_id, list_distinct(sh) AS s FROM grams)
+    SELECT 'minhash' AS op, corpus_id, probe_id,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m,
+           round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6)
+             AS score
+    FROM cands
+    JOIN sets sa ON cands.corpus_id = sa.doc_id
+    JOIN sets sb ON cands.probe_id = sb.doc_id
+    WHERE round(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 6) >= 0.5
+    UNION ALL
+    -- direct n-gram-collision decontam (r7): fraction of each probe
+    -- doc's distinct word-8-grams occurring anywhere in the corpus side
+    SELECT 'overlap' AS op, CAST(NULL AS BIGINT) AS corpus_id, probe_id,
+           n_grams AS n, n_hits AS m, score
+    FROM (
+      WITH otok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      ogr AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8 THEN
+                 list_distinct(list_transform(range(1, len(t) - 6),
+                   i -> array_to_string(t[i:i+7], ' ')))
+               ELSE [] END AS sh
+        FROM otok
+      ),
+      ocg AS (
+        SELECT DISTINCT g
+        FROM (SELECT unnest(sh) AS g FROM ogr WHERE doc_id % 2 = 0)
+      ),
+      opg AS (SELECT doc_id AS probe_id, sh FROM ogr WHERE doc_id % 2 = 1),
+      ohits AS (
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM (SELECT probe_id, unnest(sh) AS g FROM opg) pg
+        JOIN ocg USING (g) GROUP BY probe_id
+      )
+      SELECT probe_id, CAST(len(sh) AS BIGINT) AS n_grams,
+             coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             round(coalesce(CAST(n_hits AS DOUBLE), 0)
+                   / nullif(CAST(len(sh) AS DOUBLE), 0), 6) AS score
+      FROM opg LEFT JOIN ohits USING (probe_id)
+    )
+    """,
+)
+def d7_cross_corpus_decontam(spark, sf):
+    """Cross-corpus decontamination, two tagged legs (corpus = even
+    doc_ids, probes = odd -- a split the sf0.01 near-dup families
+    straddle).  ``minhash`` = banded-MinHash candidates generated only
+    where a full band collides ACROSS the two sides, then exact-Jaccard
+    verified; the corpus side is never self-joined and never shuffled
+    when the probe side broadcasts (similarity/dedup cross-corpus plan
+    tests).  ``overlap`` (r7) = direct n-gram-collision check
+    (dedup.ngram_overlap_contamination, the GPT-3 appendix-C shape at
+    word-8-grams): per probe doc, the fraction of its distinct 8-grams
+    occurring ANYWHERE in the corpus -- catches piecewise leakage spread
+    over many corpus documents that no single pairwise Jaccard reaches.
+    Corpus reduced to its distinct gram set first (map-side partial
+    dedup), one equi-join on the gram, one groupBy(probe_id); exact
+    integer counts, so the whole leg value-hashes."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    nulll = F.lit(None).cast("long")
+    mh = dedup.cross_corpus_minhash_pairs(
+        corpus=corpus, probes=probes, jaccard_threshold=0.5
+    ).select(
+        F.lit("minhash").alias("op"),
+        "corpus_id",
+        "probe_id",
+        nulll.alias("n"),
+        nulll.alias("m"),
+        F.col("jaccard").alias("score"),
+    )
+    ov = dedup.ngram_overlap_contamination(
+        corpus, probes, ngram_n=8, threshold=0.2
+    ).select(
+        F.lit("overlap").alias("op"),
+        nulll.alias("corpus_id"),
+        "probe_id",
+        F.col("n_grams").alias("n"),
+        F.col("n_hits").alias("m"),
+        F.col("overlap_frac").alias("score"),
+    )
+    return mh.unionByName(ov)
+
+
+#: pl1 split bounds: the funnel's (0.98, 0.01, 0.01) split, float-exact
+#: from the ONE definition in sampling.cumulative_split_bounds.
+_PL1_BOUNDS = sampling.cumulative_split_bounds((0.98, 0.01, 0.01))
+_PL1_R = pipeline.DEFAULT_RULES
+
+
+def _fmt_safe(pat: str) -> str:
+    """Brace-escape a regex for templates that still pass through
+    ``str.format`` after f-interpolation (quantifiers like ``{2,}``
+    would otherwise read as format fields)."""
+    return pat.replace("{", "{{").replace("}", "}}")
+
+_PL1_ORACLE = rf"""
+    WITH RECURSIVE pairs AS (
+      -- d3's tagged union: only the near-dup PAIR rows feed the funnel
+      SELECT doc_a, doc_b FROM ({{d3}}) WHERE op = 'pairs'
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    ftoked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                         x -> x <> '') AS t,
+             {_LINES_SQL} AS lines, text
+      FROM documents
+    ),
+    feat0 AS (
+      SELECT doc_id, lines,
+             CAST(len(t) AS BIGINT) AS n_tokens_ws,
+             CAST({_hits_from_t_sql("en")} AS BIGINT) AS hits_en,
+             coalesce(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                 AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr,
+             -- staged PII counts (textops._pii_staged): each stage counts
+             -- on the previous stage's redacted text; phone counts its
+             -- boundary-capture group (RE2-compatible since r8)
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '{_fmt_safe(_EMAIL_PAT)}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(
+                    regexp_replace(coalesce(text, ''),
+                                   '{_fmt_safe(_EMAIL_PAT)}', '<EMAIL>', 'g'),
+                    '{_fmt_safe(_IP_PAT)}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(
+                    regexp_replace(
+                      regexp_replace(coalesce(text, ''),
+                                     '{_fmt_safe(_EMAIL_PAT)}', '<EMAIL>', 'g'),
+                      '{_fmt_safe(_IP_PAT)}', '<IP>', 'g'),
+                    '{_fmt_safe(_PHONE_PAT)}', {_PHONE_GRP})) AS BIGINT)
+               AS n_pii_hits
+      FROM ftoked
+    ),
+    feat AS (
+      SELECT doc_id, n_tokens_ws, n_pii_hits,
+             floor((least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
+                   + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0 + 1e-7) / 10000.0 AS quality_score,
+             CASE WHEN len(lines) > 0 THEN
+               round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+             ELSE 0.0 END AS dup_line_frac
+      FROM feat0
+    ),
+    flagged AS (
+      SELECT f.doc_id, coalesce(c.cluster_id, f.doc_id) AS cluster_id,
+             CAST(CASE WHEN u < {_PL1_BOUNDS[0]!r} THEN 0
+                       WHEN u < {_PL1_BOUNDS[1]!r} THEN 1 ELSE 2 END AS INT)
+               AS split_id,
+             (f.n_tokens_ws < {_PL1_R["min_tokens"]}) AS drop_short,
+             (f.dup_line_frac > {_PL1_R["max_dup_line_frac"]!r}) AS drop_repetitive,
+             (f.quality_score < {_PL1_R["min_quality_score"]!r}) AS drop_low_quality,
+             (f.n_pii_hits > {_PL1_R["max_pii_hits"]}) AS drop_pii_heavy,
+             (NOT (f.n_tokens_ws < {_PL1_R["min_tokens"]})
+              AND NOT (f.dup_line_frac > {_PL1_R["max_dup_line_frac"]!r})
+              AND NOT (f.quality_score < {_PL1_R["min_quality_score"]!r})
+              AND NOT (f.n_pii_hits > {_PL1_R["max_pii_hits"]}))
+               AS hygiene_ok
+      FROM feat f
+      LEFT JOIN comp c ON f.doc_id = c.doc_id
+      JOIN (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM documents
+      ) s ON f.doc_id = s.doc_id
+    ),
+    keepers AS (
+      SELECT cluster_id, min(doc_id) AS keeper FROM flagged
+      WHERE hygiene_ok GROUP BY cluster_id
+    ),
+    final AS (
+      SELECT fl.*, coalesce(fl.doc_id = k.keeper, FALSE) AS is_canonical
+      FROM flagged fl LEFT JOIN keepers k ON fl.cluster_id = k.cluster_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN drop_short THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(sum(CASE WHEN drop_repetitive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive,
+           CAST(sum(CASE WHEN drop_low_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(sum(CASE WHEN drop_pii_heavy THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pii_heavy,
+           CAST(sum(CASE WHEN hygiene_ok AND NOT is_canonical THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dedup_dropped,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_train,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_val,
+           CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_test,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_bpe_docs,
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+             AS n_bpe_roundtrip,
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+             AS n_bpe_token_sane,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_pack_docs,
+           CAST(0 AS BIGINT) AS n_pack_token_drift,
+           CAST(0 AS BIGINT) AS n_pack_capacity_viol,
+           CAST(0 AS BIGINT) AS n_pack_offset_viol,
+           CAST(0 AS BIGINT) AS n_pack_greedy_viol,
+           CAST(0 AS BIGINT) AS n_pack_bin_gap_viol
+    FROM final
+""".format(d3=ORACLES["d3_minhash_lsh_pairs"])
+
+
+@register("pl1_curation_funnel", _PL1_ORACLE)
+def pl1_curation_funnel(spark, sf):
+    """End-to-end corpus curation funnel (the flagship pipeline):
+    profile + hygiene + LSH dedup + canonical election + split, reported
+    as the one-row audit funnel (docs in, per-rule drops, near-dup drops,
+    kept per split).
+
+    Driver-oracled since r6: the oracle replays the WHOLE funnel --
+    banded-MinHash pairs (the d3 oracle as a subquery), connected
+    components via recursive CTE (the d6 precedent), the t1 feature
+    formulas, hygiene flags, canonical election among survivors, and the
+    md5 split -- as one DuckDB statement.  Since r8 that includes the
+    staged PII rule at its DEFAULT threshold: the phone pattern is
+    RE2-compatible now (boundary capture group, no lookarounds), so the
+    oracle computes n_email+n_ip+n_phone per document and replays
+    ``drop_pii_heavy`` -- the funnel runs with ALL default rules live on
+    both sides (redaction OUTPUT stays hand-golden gated in
+    tests/test_text_hygiene.py; the oracle counts, it does not rewrite).
+
+    Since r7 the funnel row also carries the tokenizer-stage audit
+    (``n_bpe_docs`` / ``n_bpe_roundtrip`` / ``n_bpe_token_sane``): BPE is
+    trained on the corpus and every document's encode is
+    roundtrip-verified in-plane (bpe.bpe_roundtrip_audit) -- the oracle
+    expects all three counts to equal ``count(*)``, so any encode defect
+    turns the driver row red.  The 1x1 cross joins of the single-row
+    sides are the J1 scalar-join shape (all sides broadcast).
+
+    r7 also adds the sequence-PACKING stage audit
+    (packing.packing_audit): greedy first-fit packing at budget=256 ws
+    tokens over 8 md5 shards, with doc conservation, token drift across
+    the Arrow boundary, bin capacity, offset prefix-sums, greedy
+    tightness, and bin contiguity all checked in-plane -- the oracle
+    expects ``n_pack_docs == count(*)`` and zero violations."""
+    docs = _t(spark, sf, "documents")
+    report = pipeline.curation_report(pipeline.curate_corpus(docs))
+    return (
+        report.crossJoin(bpe.bpe_roundtrip_audit(docs))
+        .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
+    )

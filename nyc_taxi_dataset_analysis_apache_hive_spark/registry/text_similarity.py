@@ -1,0 +1,730 @@
+"""Embedding similarity search (k1 brute force, k2 LSH/IVF/PQ/IVFPQ, k3 near-pairs + SemDeDup) and the fused text/multimodal profiles (t1, m1-m3).
+
+Split out of the monolithic registry.py in round 8 (registration
+order preserved by the package __init__; see its docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_TOKEN_REGEX,
+    STOPWORDS,
+    TOKEN_SPLIT_REGEX,
+)
+from ..operators import (
+    multimodal,
+    similarity,
+    textops,
+)
+from .base import (
+    register,
+    _t,
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+#: normalize-then-dot (matches the Spark side, which pre-normalizes each
+#: vector once instead of recomputing norms per pair)
+_COS = "round(list_dot_product(q.emb_n, c.emb_n), 6)"
+
+_NORM_CTE = """e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    )"""
+
+
+@register(
+    "k1_knn_bruteforce",
+    f"""
+    WITH {_NORM_CTE},
+    e AS (
+      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n
+      FROM e0
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM (SELECT * FROM e WHERE vec_id < 8) q
+      CROSS JOIN e c
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def k1_knn_bruteforce(spark, sf):
+    """Brute-force cosine top-5 for query vectors (vec_id < 8): the exact
+    ANN baseline.  Query side broadcast; corpus never shuffled."""
+    return similarity.cosine_topk_bruteforce(
+        _t(spark, sf, "embeddings"), k=5, n_queries=8
+    )
+
+
+_K2_LSH_SQL = f"""
+    WITH {_NORM_CTE},
+    e AS (
+      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n,
+             concat(CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM e0
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM (SELECT * FROM e WHERE vec_id < 8) q
+      JOIN e c ON q.bucket = c.bucket
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+_IVF_COS_VC = (
+    "round(list_dot_product(v.emb, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+_IVF_COS_QC = _IVF_COS_VC.replace("v.emb", "q.emb")
+_IVF_COS_PA = (
+    "round(list_dot_product(p.q_emb, a.c_emb) /"
+    " nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))"
+    " * sqrt(list_dot_product(a.c_emb, a.c_emb)), 0), 6)"
+)
+
+_K4_IVF_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+      SELECT neighbor_id, c_emb, cent_id FROM (
+        SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e v CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, q_emb, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS_QC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN cents c
+      ) WHERE crank <= 3
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id, {_IVF_COS_PA} AS cosine
+      FROM probes p JOIN assigned a USING (cent_id)
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+        AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+# PQ oracle (m=16 subspaces x 4 dims, k_sub=32 codes, 128-candidate ADC
+# prune, exact re-rank): every float op mirrors the DataFrame program --
+# normalization by the same sequential-fold norm, sub-distances as
+# explicit LEFT-TO-RIGHT 4-term sums rounded to 6, the ADC total as the
+# fixed-order chain of 16 single-row partial sums, and identical
+# tie-breaks -- so the candidate set (not just the final ranking) is
+# bit-reproducible across engines.
+_PQ_M, _PQ_DSUB, _PQ_KSUB, _PQ_NCAND = 16, 4, 32, 128
+
+
+def _pq_subdist(v: str, c: str) -> str:
+    terms = " + ".join(
+        f"({v}[j.j*{_PQ_DSUB}+{i}] - {c}[j.j*{_PQ_DSUB}+{i}])"
+        f" * ({v}[j.j*{_PQ_DSUB}+{i}] - {c}[j.j*{_PQ_DSUB}+{i}])"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"round({terms}, 6)"
+
+
+_PQ_ADC_CHAIN = " + ".join(
+    f"sum(CASE WHEN c.j = {j} THEN q.d END)" for j in range(_PQ_M)
+)
+
+_PQ_SQL = f"""
+    WITH eraw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb_raw,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    e AS (
+      -- zero-norm drop-out mirrored from the operator (WHERE nrm > 0)
+      SELECT vec_id, emb_raw,
+             list_transform(emb_raw, x -> x / nrm) AS emb
+      FROM eraw WHERE nrm > 0
+    ),
+    cb AS (
+      SELECT CAST(vec_id - 200 AS INT) AS code_id, emb AS cb_emb FROM e
+      WHERE vec_id >= 200 AND vec_id < {200 + _PQ_KSUB}
+    ),
+    sdl AS (
+      SELECT v.vec_id, c.code_id, j.j,
+             {_pq_subdist("v.emb", "c.cb_emb")} AS d
+      FROM e v CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+    ),
+    codes AS (
+      SELECT vec_id, j, code_id AS code FROM (
+        SELECT vec_id, j, code_id,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, code_id ASC) AS rn
+        FROM sdl) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, j, code_id, d FROM sdl WHERE vec_id < 8
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id,
+             round({_PQ_ADC_CHAIN}, 6) AS adc
+      FROM codes c JOIN qtab q ON q.j = c.j AND q.code_id = c.code
+      WHERE q.query_id <> c.vec_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+        FROM adc) WHERE crank <= {_PQ_NCAND}
+    ),
+    pq_scored AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb_raw, n.emb_raw)
+                   / nullif(sqrt(list_dot_product(q.emb_raw, q.emb_raw))
+                            * sqrt(list_dot_product(n.emb_raw, n.emb_raw)),
+                            0), 6) AS cosine
+      FROM cands ca
+      JOIN e q ON q.vec_id = ca.query_id
+      JOIN e n ON n.vec_id = ca.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+        AS BIGINT) AS rank
+      FROM pq_scored) WHERE rank <= 5
+"""
+
+#: IVFPQ (r7): the FAISS composition -- the IVF fragment's routing CTEs
+#: (raw-vector cosines, same rounding/tie-break) gate which (query, vec)
+#: pairs the PQ fragment's ADC may score.
+_IVFPQ_COS_VC = (
+    "round(list_dot_product(v.emb_raw, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb_raw, v.emb_raw))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+
+_IVFPQ_SQL = f"""
+    WITH eraw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb_raw,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    e AS (
+      -- zero-norm drop-out mirrored from the operator (WHERE nrm > 0)
+      SELECT vec_id, emb_raw,
+             list_transform(emb_raw, x -> x / nrm) AS emb
+      FROM eraw WHERE nrm > 0
+    ),
+    icents AS (
+      SELECT vec_id AS cent_id, emb_raw AS cent_emb FROM eraw
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    iassigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVFPQ_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM eraw v CROSS JOIN icents c
+      ) WHERE crank = 1
+    ),
+    iprobes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT v.vec_id AS query_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVFPQ_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM eraw WHERE vec_id < 8) v CROSS JOIN icents c
+      ) WHERE crank <= 3
+    ),
+    iallowed AS (
+      SELECT p.query_id, a.vec_id
+      FROM iprobes p JOIN iassigned a USING (cent_id)
+    ),
+    cb AS (
+      SELECT CAST(vec_id - 200 AS INT) AS code_id, emb AS cb_emb FROM e
+      WHERE vec_id >= 200 AND vec_id < {200 + _PQ_KSUB}
+    ),
+    sdl AS (
+      SELECT v.vec_id, c.code_id, j.j,
+             {_pq_subdist("v.emb", "c.cb_emb")} AS d
+      FROM e v CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS j) j
+    ),
+    codes AS (
+      SELECT vec_id, j, code_id AS code FROM (
+        SELECT vec_id, j, code_id,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, code_id ASC) AS rn
+        FROM sdl) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, j, code_id, d FROM sdl WHERE vec_id < 8
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id,
+             round({_PQ_ADC_CHAIN}, 6) AS adc
+      FROM codes c
+      JOIN iallowed al ON al.vec_id = c.vec_id
+      JOIN qtab q ON q.query_id = al.query_id
+             AND q.j = c.j AND q.code_id = c.code
+      WHERE q.query_id <> c.vec_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+        FROM adc) WHERE crank <= {_PQ_NCAND}
+    ),
+    ipq_scored AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb_raw, n.emb_raw)
+                   / nullif(sqrt(list_dot_product(q.emb_raw, q.emb_raw))
+                            * sqrt(list_dot_product(n.emb_raw, n.emb_raw)),
+                            0), 6) AS cosine
+      FROM cands ca
+      JOIN e q ON q.vec_id = ca.query_id
+      JOIN e n ON n.vec_id = ca.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+        AS BIGINT) AS rank
+      FROM ipq_scored) WHERE rank <= 5
+"""
+
+
+@register(
+    "k2_ann_lsh_ivf",
+    f"""
+    SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_K2_LSH_SQL})
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_K4_IVF_SQL})
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_PQ_SQL})
+    UNION ALL
+    SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_IVFPQ_SQL})
+    """,
+)
+def k2_ann_lsh_ivf(spark, sf):
+    """The two scale-path ANN variants, tagged and stacked in one slot
+    (k1 above stays the exact baseline):
+
+    * ``lsh`` -- sign-bucket LSH top-5: bucket equi-join replaces the
+      cross join.
+    * ``ivf`` -- IVF list-probing: corpus assigned to 16 fixed centroids
+      (narrow broadcast pass), queries probe their 3 nearest lists, so
+      candidate generation scans ~3/16 of the corpus via an equi-join.
+    * ``pq`` (r7) -- product quantization (Jegou et al., TPAMI 2011):
+      vectors encoded as 16 codes over 4-dim subspaces (the FAISS
+      billion-vector memory format -- the candidate scan reads a
+      16x-smaller code table), searched by fixed-order ADC with a
+      128-candidate exact re-rank; recall@5 0.975/0.90
+      (sf0.001/sf0.1) vs brute force.
+    * ``ivfpq`` (r7) -- the two composed (FAISS IVFPQ): IVF routing
+      gates which (query, vec) pairs PQ's ADC scores, so the approximate
+      scan covers ~3/16 of the corpus AND reads it 16x smaller.  Recall
+      is bounded by the coarse router (measured: ivfpq 0.525/0.35
+      tracks ivf's 0.525/0.375 at these fixed-slice settings -- the PQ
+      stage loses almost nothing on top, which is the composition
+      property tests/test_pq.py gates).
+
+    IVF and PQ recall vs the k1 exact baseline are pytest-gated
+    (tests/test_asof_skew.py::test_ivf_recall_vs_bruteforce,
+    tests/test_pq.py); every method's
+    full top-k result set is value-verified against the DuckDB oracle
+    here."""
+    emb = _t(spark, sf, "embeddings")
+    lsh = similarity.cosine_topk_lsh(emb, k=5, n_queries=8, n_bits=4)
+    ivf = similarity.cosine_topk_ivf(
+        emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
+    )
+    pq = similarity.cosine_topk_pq(emb, k=5, n_queries=8)
+    ivfpq = similarity.cosine_topk_ivfpq(
+        emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
+    )
+    tag = lambda df, label: df.select(  # noqa: E731
+        F.lit(label).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return (
+        tag(lsh, "lsh")
+        .unionByName(tag(ivf, "ivf"))
+        .unionByName(tag(pq, "pq"))
+        .unionByName(tag(ivfpq, "ivfpq"))
+    )
+
+
+_K3_COS_VC = (
+    "round(list_dot_product(v.emb, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+
+
+@register(
+    "k3_embedding_near_pairs",
+    f"""
+    WITH RECURSIVE e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n, bucket
+      FROM e0
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_K3_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e0 v CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    cell_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.emb_n, eb.emb_n), 6) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cell_pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM cell_pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.v = e2.b
+    ),
+    comp AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT 'near_pairs' AS op, q.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(q.emb_n, c.emb_n), 6) AS cosine,
+           CAST(NULL AS BOOLEAN) AS keep
+    FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+    WHERE round(list_dot_product(q.emb_n, c.emb_n), 6) >= 0.35
+    UNION ALL
+    SELECT 'semdedup' AS op, e0.vec_id AS id_a,
+           coalesce(comp.cluster_id, e0.vec_id) AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine,
+           coalesce(comp.cluster_id, e0.vec_id) = e0.vec_id AS keep
+    FROM e0 LEFT JOIN comp ON e0.vec_id = comp.vec_id
+    """,
+)
+def k3_embedding_near_pairs(spark, sf):
+    """The embedding-space dedup surface, tagged and stacked:
+
+    - ``op='near_pairs'``: embedding-cosine near-duplicate pairs
+      (sign-bucketed self-join, cosine >= 0.35 -- chosen below the
+      corpus' max pairwise cosine so the operator returns a non-trivial
+      set).
+    - ``op='semdedup'``: SemDeDup-style semantic dedup
+      (``similarity.semantic_dedup``, arXiv:2303.09540) at the same
+      threshold: broadcast centroid assignment (fixed corpus-slice
+      centroids the oracle replays) -> within-cell exact pairs ->
+      connected components -> min-id keep-list.  ``id_b`` carries the
+      elected cluster; the oracle recomputes the components with a
+      recursive CTE (the d6 precedent)."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = similarity.pairwise_above(emb, threshold=0.35, n_bits=4).select(
+        F.lit("near_pairs").alias("op"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    sem = similarity.semantic_dedup(emb, threshold=0.35).select(
+        F.lit("semdedup").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.col("sem_cluster").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        "keep",
+    )
+    return pairs.unionByName(sem)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+_LANGS = sorted(STOPWORDS)
+
+
+def _hits_from_t_sql(lang: str) -> str:
+    """Stopword-hit count computed from the materialized token list ``t``."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(t, x -> list_contains([{words}], x)))"
+
+
+_LANG_CASE = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS)
+
+#: PII patterns shared with the operator (ONE pattern source).  Since r8
+#: the phone pattern is RE2-compatible (boundary capture group instead of
+#: lookarounds), so ALL three staged counts run on the DuckDB oracle:
+#: n_phone counts occurrences of the pattern's capture group
+#: (``_PHONE_GRP``) on the email+ip-redacted text, exactly as the Spark
+#: stage does.
+_EMAIL_PAT = textops.PII_PATTERNS[0][1]
+_IP_PAT = textops.PII_PATTERNS[1][1]
+_PHONE_PAT = textops.PII_PATTERNS[2][1]
+_PHONE_GRP = textops.PII_PATTERNS[2][3]
+
+#: trimmed non-empty lines -- DuckDB mirror of textops._lines_col
+_LINES_SQL = (
+    "list_filter(list_transform(string_split_regex(coalesce(text, ''),"
+    " '\\r?\\n'), x -> trim(x)), x -> x <> '')"
+)
+
+
+def _line_frac_sql(pat: str) -> str:
+    return (
+        "CASE WHEN len(lines) > 0 THEN "
+        f"round(len(list_filter(lines, x -> regexp_matches(x, '{pat}')))"
+        " / CAST(len(lines) AS DOUBLE), 4) ELSE 0.0 END"
+    )
+
+
+_TERMINAL_FRAC = _line_frac_sql('[.!?"”]$')
+_BULLET_FRAC = _line_frac_sql("^[-*•]")
+_ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
+
+
+@register(
+    "t1_text_profile",
+    rf"""
+    WITH toked AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                         x -> x <> '') AS t,
+             {_LINES_SQL} AS lines, coalesce(text, '') AS t0
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(t) AS BIGINT) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_REGEX}'))
+               AS BIGINT) AS n_tokens_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint,
+             coalesce(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                 AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) AS pr,
+             {", ".join(f"CAST({_hits_from_t_sql(lang)} AS BIGINT) AS hits_{lang}" for lang in _LANGS)},
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CASE WHEN len(lines) > 0 THEN
+               round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 4)
+             ELSE 0.0 END AS dup_line_frac,
+             {_TERMINAL_FRAC} AS terminal_punct_line_frac,
+             {_BULLET_FRAC} AS bullet_line_frac,
+             {_ELLIPSIS_FRAC} AS ellipsis_line_frac,
+             CAST(len(regexp_extract_all(t0, '{_EMAIL_PAT}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(
+                    regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                    '{_IP_PAT}')) AS BIGINT) AS n_ip,
+             CAST(len(regexp_extract_all(
+                    regexp_replace(
+                      regexp_replace(t0, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{_IP_PAT}', '<IP>', 'g'),
+                    '{_PHONE_PAT}', {_PHONE_GRP})) AS BIGINT) AS n_phone
+      FROM toked
+    )
+    SELECT doc_id, n_tokens_ws, n_tokens_bpe, n_chars, fingerprint,
+           round(CAST(n_chars AS DOUBLE) / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 4)
+             AS mean_token_len,
+           round(pr, 4) AS punct_ratio,
+           round(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0), 4)
+             AS stopword_ratio,
+           floor((least(CAST(n_tokens_ws AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(coalesce(hits_en / nullif(CAST(n_tokens_ws AS DOUBLE), 0), 0) * 5, 1.0) * 0.3
+                 + (1 - least(pr * 10, 1.0)) * 0.3) * 10000.0 + 1e-7) / 10000.0 AS quality_score,
+           lang AS lang_true,
+           CASE WHEN best = 0 THEN 'und' {_LANG_CASE} END AS lang_pred,
+           n_lines, dup_line_frac, terminal_punct_line_frac,
+           bullet_line_frac, ellipsis_line_frac, n_email, n_ip, n_phone
+    FROM (
+      SELECT *, greatest({", ".join(f"hits_{lang}" for lang in _LANGS)}) AS best
+      FROM feat
+    )
+    """,
+)
+def t1_text_profile(spark, sf):
+    """The per-document text-analysis stage, fused: whitespace + BPE-ish
+    token counts, md5 fingerprint, quality features + composite score,
+    stopword-heuristic language ID (deterministic argmax tie-break), AND
+    the hygiene family (C4/Gopher repetition fractions + staged PII
+    counts) -- all from ONE corpus scan
+    (operators/textops.text_profile(include_hygiene=True)).  All THREE
+    staged PII counts are driver-oracled since r8 (the phone pattern is
+    RE2-compatible now -- boundary capture group instead of lookarounds);
+    only ``text_redacted`` stays out of the projection (the oracle
+    counts, it does not rewrite text).  Redaction output remains
+    hand-golden + property gated in tests/test_text_hygiene.py.  The
+    individual featurisers remain available as separate operators; the
+    registry entry runs the fused production shape."""
+    return textops.text_profile(
+        _t(spark, sf, "documents"), include_hygiene=True
+    ).select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "n_chars",
+        "fingerprint",
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_true",
+        "lang_pred",
+        "n_lines",
+        "dup_line_frac",
+        "terminal_punct_line_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "n_email",
+        "n_ip",
+        "n_phone",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; operators/multimodal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_media_catalog",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_media,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(64 + (doc_id % 16) * 32) AS INT) AS max_width
+    FROM documents GROUP BY kind
+    """,
+)
+def m1_media_catalog(spark, sf):
+    """Media catalog rollup: binary payload + typed meta are first-class
+    columns; the aggregate proves payload bytes and meta derivations stay
+    JVM-side (octet_length of utf-8 == Spark length(binary))."""
+    media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+        )
+    )
+
+
+@register(
+    "m2_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           true AS recompute_ok
+    FROM documents
+    """,
+)
+def m2_media_features(spark, sf):
+    """Arrow-batched mapInPandas decode/feature stage over binary payloads
+    (stubbed codecs -- deterministic fake features; plumbing is real).
+
+    The feature VALUES (crc32, byte entropy, first byte) are computed in
+    Python and cannot be expressed in SQL; their correctness is pytest-gated
+    by a python-recompute (tests/test_multimodal.py).  What the driver gate
+    verifies here: the row universe (one feature row per media row), the
+    byte accounting (n_bytes matches the payload length the oracle derives
+    JVM-side), and an IN-PLANE determinism check -- the stage runs twice as
+    two independent mapInPandas subtrees and ``recompute_ok`` asserts every
+    feature column agrees, with the oracle expecting ``true``."""
+    media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
+    a = multimodal.media_features(media).alias("a")
+    b = multimodal.media_features(media).alias("b")
+    ok = (
+        (F.col("a.n_bytes") == F.col("b.n_bytes"))
+        & (F.col("a.crc32") == F.col("b.crc32"))
+        & (F.col("a.byte_entropy") == F.col("b.byte_entropy"))
+        & (F.col("a.first_byte") == F.col("b.first_byte"))
+    )
+    return a.join(b, F.col("a.media_id") == F.col("b.media_id")).select(
+        F.col("a.media_id").alias("media_id"),
+        F.col("a.kind").alias("kind"),
+        F.col("a.n_bytes").alias("n_bytes"),
+        ok.alias("recompute_ok"),
+    )
+
+
+@register(
+    "m3_frame_sample",
+    """
+    WITH videos AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(n * (i + 1) // 4 - n * i // 4 AS BIGINT) AS n_bytes
+    FROM videos, (SELECT unnest(range(0, 4)) AS i)
+    """,
+)
+def m3_frame_sample(spark, sf):
+    """One-to-many frame sampling via mapInPandas (video -> 4 byte-slice
+    frames); the oracle reproduces the slice-length arithmetic, proving the
+    explode shape and byte accounting without shipping payloads."""
+    media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
+    return multimodal.sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "n_bytes"
+    )
