@@ -90,13 +90,9 @@ def drain_and_measure(spark, make_stream, events_dir: str, name: str, mode: str)
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_slices = int(os.environ.get("SPARK_GRAFT_STREAM_SLICES", "8"))
 
     from nyc_taxi_dataset_analysis_apache_hive_spark.session import get_spark
-    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
-    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
-    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import stateful
 
     spark = get_spark(app_name="bench_streaming")
     spark.sparkContext.setLogLevel("ERROR")

@@ -880,9 +880,13 @@ def winnow_prints_arrow(
     single-threaded for the whole sf0.1 corpus vs ~5 s for the
     interpreted lambdas on 32 cores -- and it parallelizes per
     partition.  Values stay engine-portable (same 60-bit md5 prefix the
-    DuckDB oracle recomputes); Python slicing and ``str.lower`` match
-    Spark's codepoint ``substr``/``lower`` on this corpus (equality
-    test + python-recompute golden are the gate).
+    DuckDB oracle recomputes).  Lowercasing happens JVM-SIDE before the
+    Arrow boundary -- the same ``F.lower`` the HOF form applies -- so
+    the two impls can never diverge on locale-sensitive case folding
+    (Python ``str.lower`` is not bit-compatible with the JVM's on e.g.
+    Turkish dotted/dotless I); Python's codepoint slicing then matches
+    Spark's ``substr`` exactly (equality test + python-recompute golden
+    are the gate).
     """
     import pandas as pd
 
@@ -892,7 +896,6 @@ def winnow_prints_arrow(
         for pdf in batches:
             out = []
             for s in pdf["__t"]:
-                s = s.lower()
                 n = len(s) - k + 1
                 if n >= 1:
                     hs = [
@@ -924,7 +927,8 @@ def winnow_prints_arrow(
             )
 
     return docs.select(
-        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+        "doc_id",
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
     ).mapInPandas(gen, "doc_id bigint, prints array<bigint>")
 
 

@@ -128,12 +128,12 @@ def mix_domains(
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in (kv[0], kv[1] / total_w)]
     )
-    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
-        F.count(F.lit(1)).alias("_dom_n")
+    counts = df.groupBy(F.col(domain_col).alias("__mix_dom")).agg(
+        F.count(F.lit(1)).alias("__mix_dom_n")
     )
     ratio = (
         F.element_at(wmap, F.col(domain_col)) * F.lit(float(target_rows))
-        / F.col("_dom_n")
+        / F.col("__mix_dom_n")
     )
     u = _md5_uniform(id_col, salt)
     n_copies = (
@@ -141,14 +141,14 @@ def mix_domains(
     ).cast("int")
     return (
         df.join(
-            F.broadcast(counts), F.col(domain_col).eqNullSafe(F.col("_dom"))
+            F.broadcast(counts), F.col(domain_col).eqNullSafe(F.col("__mix_dom"))
         )
-        .withColumn("_n_copies", F.coalesce(n_copies, F.lit(0)))
-        .filter(F.col("_n_copies") > 0)
+        .withColumn("__mix_n_copies", F.coalesce(n_copies, F.lit(0)))
+        .filter(F.col("__mix_n_copies") > 0)
         .withColumn(
-            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__mix_n_copies") - 1))
         )
-        .drop("_dom", "_dom_n", "_n_copies")
+        .drop("__mix_dom", "__mix_dom_n", "__mix_n_copies")
     )
 
 
@@ -235,37 +235,37 @@ def temperature_mix(
     Returns the input rows with an ``epoch`` copy-index column, exactly
     like :func:`mix_domains`.
     """
-    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
-        F.count(F.lit(1)).alias("_dom_n")
+    counts = df.groupBy(F.col(domain_col).alias("__mix_dom")).agg(
+        F.count(F.lit(1)).alias("__mix_dom_n")
     )
-    powed = F.pow(F.col("_dom_n").cast("double"), F.lit(float(alpha)))
-    tot = counts.agg(F.sum(powed).alias("_pow_sum"))
+    powed = F.pow(F.col("__mix_dom_n").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(F.sum(powed).alias("__mix_pow_sum"))
     ratios = (
         counts.crossJoin(F.broadcast(tot))
         .select(
-            "_dom",
-            "_dom_n",
+            "__mix_dom",
+            "__mix_dom_n",
             (
-                F.floor(powed / F.col("_pow_sum") * 1000000.0 + 1e-9)
+                F.floor(powed / F.col("__mix_pow_sum") * 1000000.0 + 1e-9)
                 / 1000000.0
-            ).alias("_wq"),
+            ).alias("__mix_wq"),
         )
     )
-    ratio = F.col("_wq") * F.lit(float(target_rows)) / F.col("_dom_n")
+    ratio = F.col("__mix_wq") * F.lit(float(target_rows)) / F.col("__mix_dom_n")
     u = _md5_uniform(id_col, salt)
     n_copies = (
         F.floor(ratio) + F.when(u < ratio - F.floor(ratio), 1).otherwise(0)
     ).cast("int")
     return (
         df.join(
-            F.broadcast(ratios), F.col(domain_col).eqNullSafe(F.col("_dom"))
+            F.broadcast(ratios), F.col(domain_col).eqNullSafe(F.col("__mix_dom"))
         )
-        .withColumn("_n_copies", F.coalesce(n_copies, F.lit(0)))
-        .filter(F.col("_n_copies") > 0)
+        .withColumn("__mix_n_copies", F.coalesce(n_copies, F.lit(0)))
+        .filter(F.col("__mix_n_copies") > 0)
         .withColumn(
-            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__mix_n_copies") - 1))
         )
-        .drop("_dom", "_dom_n", "_wq", "_n_copies")
+        .drop("__mix_dom", "__mix_dom_n", "__mix_wq", "__mix_n_copies")
     )
 
 

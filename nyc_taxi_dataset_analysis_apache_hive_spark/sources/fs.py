@@ -144,13 +144,18 @@ class HadoopBinaryFile(io.RawIOBase):
 
     def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
         if whence == io.SEEK_SET:
-            self._pos = offset
+            pos = offset
         elif whence == io.SEEK_CUR:
-            self._pos += offset
+            pos = self._pos + offset
         elif whence == io.SEEK_END:
-            self._pos = self._size + offset
+            pos = self._size + offset
         else:
             raise ValueError(f"unsupported whence {whence}")
+        if pos < 0:
+            # fail HERE with the io contract's error, not later with an
+            # opaque Py4J EOFException out of the JVM stream seek
+            raise ValueError(f"negative seek position {pos}")
+        self._pos = pos
         return self._pos
 
     def read(self, n: int = -1) -> bytes:

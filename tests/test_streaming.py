@@ -700,10 +700,7 @@ def test_stateful_v2_bench_records_named_skip(spark, monkeypatch):
     bench entry must be a NAMED skip (not a silently missing row) -- and
     if protobuf ever appears in the container, the real measurement
     lights up through the same entry point."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    import bench_streaming as bs
+    import bench_streaming as bs  # conftest puts the repo root on sys.path
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
         stateful,
     )
