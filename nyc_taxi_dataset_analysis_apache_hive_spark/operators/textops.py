@@ -785,3 +785,108 @@ def chunk_documents(
         F.md5(text).alias("chunk_fp"),
         text.alias("chunk_text"),
     )
+
+
+#: BM25 defaults -- the Robertson/Lucene constants.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed term set:
+    (doc_id, n_match_terms, n_tokens, score) -- the standard retrieval
+    scorer a curation pipeline uses to SELECT corpus slices relevant to
+    a target task (query-targeted sampling) or to rank dedup survivors.
+
+    Formula (the Lucene formulation, non-negative idf)::
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d, t) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Cross-engine exactness: the float constants ``k1+1`` / ``k1*(1-b)``
+    / ``k1*b`` are computed ONCE (here, in Python) and reused verbatim
+    by the SQL surfaces, and each per-term partial score is truncated to
+    BIGINT micro-units BEFORE the per-document sum (:func:`_micro6` --
+    the ngram_lm_scores precedent), so the aggregate is exact integer
+    arithmetic: partitioning- and engine-independent.
+
+    Scale shape: the posting list is filtered to the query terms BEFORE
+    any shuffle (the only per-token work on the corpus is the narrow
+    explode+filter), document length and the 1-row (N, avgdl) statistics
+    come from one narrow aggregate broadcast back, and the score is one
+    groupBy(doc_id) over |terms| rows per matching document.  Documents
+    matching no query term are absent from the output (score 0 by
+    definition).  ``avgdl`` is computed as exact-integer
+    sum(dl)/count(*) -- NOT ``avg()``, whose accumulation order is
+    engine-dependent.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    terms = sorted(set(query_terms))
+    c1, c2, c3 = bm25_constants(k1, b)
+    toked = docs.select(
+        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t")
+    )
+    dl = toked.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toked.select("doc_id", F.explode("t").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = F.log(
+        (
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+        + 1.0
+    )
+    frac = (F.col("tf") * F.lit(c1)) / (
+        F.col("tf").cast("double")
+        + F.lit(c2)
+        + F.lit(c3) * (F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", _micro6(idf * frac).alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match_terms"),
+            F.sum("s_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_match_terms",
+            F.col("dl").alias("n_tokens"),
+            _trunc4(F.col("sum_micro").cast("double") / 1000000.0).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def bm25_constants(
+    k1: float = BM25_K1, b: float = BM25_B
+) -> tuple[float, float, float]:
+    """The three derived BM25 float constants (k1+1, k1*(1-b), k1*b),
+    computed ONCE here so the DataFrame operator, the SQL-mode text, and
+    the DuckDB oracle all embed bit-identical doubles (repr-roundtripped
+    into the SQL surfaces)."""
+    return (float(k1) + 1.0, float(k1) * (1.0 - float(b)), float(k1) * float(b))
