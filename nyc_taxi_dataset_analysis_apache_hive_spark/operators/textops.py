@@ -791,6 +791,14 @@ def chunk_documents(
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+#: The fixed query-term set the driver-gated tv1 ``bm25`` leg scores
+#: against -- one definition shared by the DataFrame leg, the Spark-SQL
+#: text, and the DuckDB oracle.  Three common terms plus one rare term
+#: ("dup", ~5% document frequency in the synthetic corpus) so the idf
+#: leg of the formula is exercised across its range, not just at the
+#: near-stopword end.
+BM25_QUERY_TERMS = ("dup", "join", "query", "spark")
+
 
 def bm25_scores(
     docs: DataFrame,
@@ -825,6 +833,13 @@ def bm25_scores(
     definition).  ``avgdl`` is computed as exact-integer
     sum(dl)/count(*) -- NOT ``avg()``, whose accumulation order is
     engine-dependent.
+
+    Reference analogue: the score-and-slice segment-share queries
+    (REF:349-361 rank trip segments by a derived score and read off
+    shares) -- here the score is retrieval relevance and the slice is
+    query-targeted corpus selection.  Driver-gated as the tv1 ``bm25``
+    leg (registry/sampling_pipeline.py) with the SQL-mode text and
+    DuckDB oracle embedding :func:`bm25_constants` repr-roundtripped.
     """
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")

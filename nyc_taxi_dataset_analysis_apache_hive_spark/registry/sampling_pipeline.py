@@ -42,6 +42,14 @@ _SPLIT_CASE = (
     f"WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 1 ELSE 2 END"
 )
 
+#: BM25 constants + fixed term list embedded into BOTH SQL surfaces
+#: (repr-roundtripped, the _SPLIT_BOUNDS precedent) so the doubles are
+#: bit-identical to the ones the DataFrame leg folds into its plan.
+_BM25_C1, _BM25_C2, _BM25_C3 = textops.bm25_constants()
+_BM25_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted(set(textops.BM25_QUERY_TERMS))
+)
+
 
 @register(
     "d6_dup_clusters",
@@ -971,6 +979,57 @@ _TF_CTE = f"""
            unnest(CASE WHEN len(t) >= 1 THEN range(1, len(t) + 1, 24)
                   ELSE [] END) AS u(s)
     )
+    UNION ALL
+    -- Okapi BM25 (r9): query-targeted relevance (textops.bm25_scores);
+    -- each per-term partial score truncated to BIGINT micro-units BEFORE
+    -- the per-doc sum; k1/b-derived constants repr-roundtripped from
+    -- textops.bm25_constants so both engines fold identical doubles
+    SELECT 'bm25' AS op, doc_id, CAST(NULL AS VARCHAR) AS token,
+           n_match_terms AS n, n_tokens AS m, score
+    FROM (
+      WITH btok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '{TOKEN_SPLIT_REGEX}'),
+                           x -> x <> '') AS t
+        FROM documents
+      ),
+      bdl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM btok),
+      bstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM bdl
+      ),
+      btf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS token FROM btok)
+        WHERE token IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, token
+      ),
+      bdf AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY token
+      ),
+      bsc AS (
+        SELECT btf.doc_id, dl,
+               CAST(floor(
+                 ln(((CAST(n_docs AS DOUBLE) - df + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
+                 * ((btf.tf * {_BM25_C1!r})
+                    / (CAST(btf.tf AS DOUBLE) + {_BM25_C2!r}
+                       + {_BM25_C3!r} * (dl / avgdl)))
+                 * 1000000.0 + 1e-9) AS BIGINT) AS s_micro
+        FROM btf
+        JOIN bdf USING (token)
+        JOIN bdl USING (doc_id)
+        CROSS JOIN bstats
+      )
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_match_terms,
+             dl AS n_tokens,
+             floor((CAST(sum(s_micro) AS DOUBLE) / 1000000.0) * 10000.0
+                   + 1e-7) / 10000.0 AS score
+      FROM bsc GROUP BY doc_id, dl
+    )
     """,
 )
 def tv1_text_stats(spark, sf):
@@ -1007,7 +1066,15 @@ def tv1_text_stats(spark, sf):
     chunking (textops.chunk_documents, the embedding/RAG primitive):
     32-token windows at stride 24, pure map stage, chunk ids derived
     arithmetically so the value set is row-order independent and the
-    md5 of each rebuilt window is value-verified."""
+    md5 of each rebuilt window is value-verified.  ``bm25`` (r9) =
+    Okapi BM25 relevance to the fixed BM25_QUERY_TERMS set
+    (textops.bm25_scores, the query-targeted corpus-selection scorer):
+    posting list filtered to the query terms before any shuffle, 1-row
+    (N, avgdl) statistics broadcast back, per-term partials truncated
+    to BIGINT micro-units before the per-doc sum so the aggregate is
+    exact integer arithmetic in both engines; the k1/b-derived float
+    constants come from ONE definition (textops.bm25_constants),
+    repr-roundtripped into both SQL surfaces."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -1083,6 +1150,16 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.lit(None).cast("double").alias("score"),
     )
+    bm25 = textops.bm25_scores(
+        docs, query_terms=list(textops.BM25_QUERY_TERMS)
+    ).select(
+        F.lit("bm25").alias("op"),
+        "doc_id",
+        nulls.alias("token"),
+        F.col("n_match_terms").alias("n"),
+        F.col("n_tokens").alias("m"),
+        F.col("score").alias("score"),
+    )
     return (
         tfidf.unionByName(vocab)
         .unionByName(scrub)
@@ -1090,6 +1167,7 @@ def tv1_text_stats(spark, sf):
         .unionByName(probe)
         .unionByName(wrows)
         .unionByName(chunk)
+        .unionByName(bm25)
     )
 
 

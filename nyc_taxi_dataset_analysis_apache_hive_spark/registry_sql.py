@@ -233,6 +233,70 @@ _A10_KS_LEG = f"""
         )
 """
 
+def _tv1_bm25_leg() -> str:
+    """tv1's Okapi BM25 leg (r9): Spark-SQL spelling of
+    textops.bm25_scores with the k1/b-derived float constants and the
+    fixed query-term set repr-roundtripped from their ONE definition
+    (textops.bm25_constants / BM25_QUERY_TERMS -- the _s6_split_case
+    precedent), so the SQL text folds bit-identical doubles."""
+    from .operators.textops import BM25_QUERY_TERMS, bm25_constants
+
+    c1, c2, c3 = bm25_constants()
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+        UNION ALL
+        -- Okapi BM25 (r9): see registry.tv1 docstring
+        SELECT 'bm25' AS op, doc_id, CAST(NULL AS STRING) AS token,
+               n_match_terms AS n, n_tokens AS m, score
+        FROM (
+          WITH btok AS (
+            SELECT doc_id,
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                          x -> x != '') AS t
+            FROM documents
+          ),
+          bdl AS (SELECT doc_id, CAST(size(t) AS BIGINT) AS dl FROM btok),
+          bstats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM bdl
+          ),
+          btf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, explode(t) AS token FROM btok)
+            WHERE token IN ({terms})
+            GROUP BY doc_id, token
+          ),
+          bdf AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM btf GROUP BY token
+          ),
+          bsc AS (
+            SELECT btf.doc_id, dl,
+                   CAST(floor(
+                     ln(((CAST(n_docs AS DOUBLE) - df + 0.5D)
+                         / (CAST(df AS DOUBLE) + 0.5D)) + 1.0D)
+                     * ((btf.tf * {c1!r}D)
+                        / (CAST(btf.tf AS DOUBLE) + {c2!r}D
+                           + {c3!r}D * (dl / avgdl)))
+                     * 1000000.0D + 1e-9) AS BIGINT) AS s_micro
+            FROM btf
+            JOIN bdf USING (token)
+            JOIN bdl USING (doc_id)
+            CROSS JOIN bstats
+          )
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_match_terms,
+                 dl AS n_tokens,
+                 floor((CAST(sum(s_micro) AS DOUBLE) / 1000000.0D)
+                       * 10000.0D + 1e-7) / 10000.0D AS score
+          FROM bsc GROUP BY doc_id, dl
+        )
+"""
+
+
+_TV1_BM25_LEG = _tv1_bm25_leg()
+
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
     "p3_filter_compare": """
@@ -1508,7 +1572,8 @@ SQL_QUERIES: dict[str, str] = {
             )
           )
         )
-    """,
+    """
+    + _TV1_BM25_LEG,
     "cx1_time_ops": """
         WITH firsts AS (
           SELECT user_id,
