@@ -38,16 +38,23 @@ def distinct_tokens(text: str | Column = "text") -> Column:
 
 
 def token_count_ws(text: str | Column = "text") -> Column:
-    """Whitespace/punct token count."""
-    return F.size(tokens(text)).cast("long")
+    """Whitespace/punct token count.  NULL text counts as an empty
+    document (0), NOT NULL: under non-ANSI Spark ``size(NULL)`` is -1,
+    which would poison every downstream ratio/threshold (found by the
+    r9 adversarial-corpus sweep)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(tokens(F.coalesce(t, F.lit("")))).cast("long")
 
 
 def token_count_bpe(text: str | Column = "text") -> Column:
-    """BPE-ish token count: letter runs + digit runs + punctuation marks."""
+    """BPE-ish token count: letter runs + digit runs + punctuation marks.
+    NULL text counts as 0 (token_count_ws's policy)."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_TOKEN_REGEX), 0)).cast(
-        "long"
-    )
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(t, F.lit(""))), F.lit(BPE_TOKEN_REGEX), 0
+        )
+    ).cast("long")
 
 
 def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:

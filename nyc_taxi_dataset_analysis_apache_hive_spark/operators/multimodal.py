@@ -23,6 +23,13 @@ North-star extension: the reference is tabular-only (whole of REF), but a
 Scale notes: every stage is a narrow map -- no shuffle, embarrassingly
 parallel, Arrow-vectorized transfer.  Payload bytes stay in the executor;
 nothing is collected to the driver.
+
+NULL-payload policy (r9): a NULL payload (failed fetch, NULL source
+text) propagates -- features/frames/resized payloads/embeddings come
+back NULL for that row, never a crash and never a fabricated zero.
+This matches the JVM-side byte accounting the oracles derive
+(octet_length(NULL) IS NULL) and is what a 100-TB ingest needs: one
+bad object must not kill a 10M-row batch.
 """
 
 from __future__ import annotations
@@ -203,10 +210,21 @@ def media_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
             )
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            ent, first = [], []
-            for p, kind in zip(payloads, pdf["kind"]):
+            # NULL payload (a failed fetch / NULL source text) -> every
+            # feature NULL, matching the JVM-side octet_length(NULL)
+            # accounting the m2 oracle derives (r9 adversarial sweep:
+            # bytes(None) raised inside the batch before this guard)
+            ent, first, n_bytes, crc = [], [], [], []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                if p is None:
+                    ent.append(None)
+                    first.append(None)
+                    n_bytes.append(None)
+                    crc.append(None)
+                    continue
                 b = bytes(p)
+                n_bytes.append(len(b))
+                crc.append(zlib.crc32(b) & 0xFFFFFFFF)
                 if use_real_codecs:
                     if kind != "image":
                         _not_implemented_codec(kind)
@@ -220,12 +238,10 @@ def media_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "crc32": payloads.map(
-                        lambda p: zlib.crc32(bytes(p)) & 0xFFFFFFFF
-                    ).astype("int64"),
-                    "byte_entropy": ent,
-                    "first_byte": pd.Series(first, dtype="int32"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "crc32": pd.array(crc, dtype="Int64"),
+                    "byte_entropy": pd.array(ent, dtype="Float64"),
+                    "first_byte": pd.array(first, dtype="Int32"),
                 }
             )
 
@@ -255,10 +271,14 @@ def resize_images(
         image_mod = None
         for pdf in batches:
             out_payload = []
+            resized_flags = [p is not None for p in pdf["payload"]]
             if use_real_codecs:
                 if image_mod is None:
                     image_mod = _require_image_codec()
                 for p in pdf["payload"]:
+                    if p is None:  # NULL payload passes through as NULL
+                        out_payload.append(None)
+                        continue
                     with image_mod.open(io.BytesIO(bytes(p))) as img:
                         resample = getattr(
                             image_mod, "Resampling", image_mod
@@ -271,6 +291,9 @@ def resize_images(
                     out_payload.append(buf.getvalue())
             else:
                 for p in pdf["payload"]:
+                    if p is None:  # NULL payload passes through as NULL
+                        out_payload.append(None)
+                        continue
                     b = bytes(p) or b"\x00"
                     reps = -(-target // len(b))  # ceil
                     out_payload.append((b * reps)[:target])
@@ -280,7 +303,7 @@ def resize_images(
                     "payload": out_payload,
                     "width": width,
                     "height": height,
-                    "resized": True,
+                    "resized": resized_flags,
                 }
             )
 
@@ -314,6 +337,12 @@ def sample_frames(
                 if av_mod is None:
                     av_mod = _require_video_codec()
                 for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    if p is None:  # NULL payload -> n_frames NULL frames
+                        for i in range(n_frames):
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(None)
+                        continue
                     with av_mod.open(io.BytesIO(bytes(p))) as container:
                         decoded = [
                             fr.to_ndarray(format="rgb24").tobytes()
@@ -331,6 +360,12 @@ def sample_frames(
                         frames.append(decoded[min(i * n // n_frames, n - 1)])
             else:
                 for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    if p is None:  # NULL payload -> n_frames NULL frames
+                        for i in range(n_frames):
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(None)
+                        continue
                     b = bytes(p)
                     n = len(b)
                     for i in range(n_frames):
@@ -344,8 +379,9 @@ def sample_frames(
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame_payload": frames,
-                    "n_bytes": pd.Series(
-                        [len(f) for f in frames], dtype="int64"
+                    "n_bytes": pd.array(
+                        [None if f is None else len(f) for f in frames],
+                        dtype="Int64",
                     ),
                 }
             )
@@ -367,6 +403,9 @@ def media_embeddings(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             embs = []
             for p in pdf["payload"]:
+                if p is None:  # NULL payload -> NULL embedding
+                    embs.append(None)
+                    continue
                 rng = np.random.default_rng(zlib.crc32(bytes(p)) & 0xFFFFFFFF)
                 v = rng.standard_normal(dim)
                 embs.append((v / np.linalg.norm(v)).tolist())

@@ -420,7 +420,17 @@ def text_profile(docs: DataFrame, include_hygiene: bool = False) -> DataFrame:
     pytest-gated (tests/test_text_hygiene.py).
     """
     langs = sorted(STOPWORDS)
-    head = ["doc_id", "lang", "text", tokens("text").alias("toks")]
+    # NULL text featurizes as the empty document (0 tokens, 0 hits,
+    # 'und') while the identity-ish columns (n_chars, fingerprint) stay
+    # NULL-preserving -- the quality_scores policy, applied here after
+    # the r9 adversarial sweep caught size(NULL) = -1 leaking into
+    # n_tokens_ws / lang_pred / quality_score on NULL-text docs.
+    head = [
+        "doc_id",
+        "lang",
+        "text",
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    ]
     if include_hygiene:
         head += [
             _lines_col(F.col("text")).alias("lines"),

@@ -91,8 +91,12 @@ def x1_asof_join(spark, sf):
     SELECT l.event_type, r.type_rank, count(*) AS n_rows,
            round(sum(l.value), 2) AS sum_value
     FROM events l JOIN (
-      SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
-             AS type_rank
+      -- NULLS FIRST: Hive/Spark rank NULL keys first in ASC order,
+      -- DuckDB defaults to NULLS LAST -- the oracle replicates the
+      -- engine's semantics explicitly (r9 adversarial sweep)
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type NULLS FIRST)
+               AS BIGINT) AS type_rank
       FROM (SELECT DISTINCT event_type FROM events)
     ) r USING (event_type)
     GROUP BY l.event_type, r.type_rank
@@ -112,8 +116,11 @@ def x2_salted_join_agg(spark, sf):
         .distinct()
         .select(
             "event_type",
+            # explicit NULLS FIRST (Spark's ASC default, but the NULL
+            # placement is part of the cross-engine contract -- see the
+            # oracle comment)
             F.row_number()
-            .over(Window.orderBy("event_type"))
+            .over(Window.orderBy(F.col("event_type").asc_nulls_first()))
             .cast("long")
             .alias("type_rank"),
         )

@@ -719,13 +719,23 @@ def f_scalar_surface(spark, sf):
 @register(
     "f_json_extract",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+    SELECT TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_val,
            count(*) AS cnt
     FROM events GROUP BY k_val
     """,
 )
 def f_json_extract(spark, sf):
-    """F (extension): JSON field extraction from a string column."""
+    """F (extension): JSON field extraction from a string column.
+
+    Engine semantics on dirty input (Hive/Spark ``get_json_object``):
+    malformed JSON, a JSON null, and a non-numeric value under non-ANSI
+    CAST all yield SQL NULL.  The oracle replicates with a
+    ``json_valid`` guard + ``TRY_CAST`` -- DuckDB's
+    ``json_extract_string`` ERRORS on malformed JSON and its plain CAST
+    errors on non-numeric strings (found by the r9 adversarial-corpus
+    sweep, tests/test_adversarial_corpus.py)."""
     ev = _t(spark, sf, "events")
     return ev.groupBy(
         F.get_json_object("props", "$.k").cast("long").alias("k_val")

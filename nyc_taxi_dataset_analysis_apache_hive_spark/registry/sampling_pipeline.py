@@ -1314,7 +1314,8 @@ _PL1_ORACLE = rf"""
     comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
     ftoked AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '{TOKEN_SPLIT_REGEX}'),
                          x -> x <> '') AS t,
              {_LINES_SQL} AS lines, text
       FROM documents

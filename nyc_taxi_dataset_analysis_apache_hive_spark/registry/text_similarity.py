@@ -544,7 +544,8 @@ _ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
     rf"""
     WITH toked AS (
       SELECT doc_id, lang, text,
-             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '{TOKEN_SPLIT_REGEX}'),
                          x -> x <> '') AS t,
              {_LINES_SQL} AS lines, coalesce(text, '') AS t0
       FROM documents
@@ -552,7 +553,8 @@ _ELLIPSIS_FRAC = _line_frac_sql(r"\.\.\.$")
     feat AS (
       SELECT doc_id, lang,
              CAST(len(t) AS BIGINT) AS n_tokens_ws,
-             CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_REGEX}'))
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '{BPE_TOKEN_REGEX}'))
                AS BIGINT) AS n_tokens_bpe,
              CAST(length(text) AS BIGINT) AS n_chars,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
@@ -694,11 +696,14 @@ def m2_media_features(spark, sf):
     media = multimodal.synth_media_from_docs(_t(spark, sf, "documents"))
     a = multimodal.media_features(media).alias("a")
     b = multimodal.media_features(media).alias("b")
+    # eqNullSafe: NULL-payload rows carry NULL features on BOTH runs
+    # (the documented multimodal policy); plain == would turn the
+    # determinism gate NULL where the oracle expects true
     ok = (
-        (F.col("a.n_bytes") == F.col("b.n_bytes"))
-        & (F.col("a.crc32") == F.col("b.crc32"))
-        & (F.col("a.byte_entropy") == F.col("b.byte_entropy"))
-        & (F.col("a.first_byte") == F.col("b.first_byte"))
+        F.col("a.n_bytes").eqNullSafe(F.col("b.n_bytes"))
+        & F.col("a.crc32").eqNullSafe(F.col("b.crc32"))
+        & F.col("a.byte_entropy").eqNullSafe(F.col("b.byte_entropy"))
+        & F.col("a.first_byte").eqNullSafe(F.col("b.first_byte"))
     )
     return a.join(b, F.col("a.media_id") == F.col("b.media_id")).select(
         F.col("a.media_id").alias("media_id"),

@@ -1246,7 +1246,8 @@ SQL_QUERIES: dict[str, str] = {
     "t1_text_profile": r"""
         WITH toked AS (
           SELECT doc_id, lang, text,
-                 filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks,
+                 filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                        x -> x != '') AS toks,
                  filter(transform(split(coalesce(text, ''), '\\r?\\n'),
                         x -> trim(x)), x -> x != '') AS lines
           FROM documents
@@ -1289,8 +1290,8 @@ SQL_QUERIES: dict[str, str] = {
                    0), 0) AS BIGINT) AS n_phone,
                  CAST(size(toks) AS BIGINT) AS n_tokens_ws,
                  CAST(size(regexp_extract_all(
-                   lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)
-                   AS n_tokens_bpe,
+                   lower(coalesce(text, '')), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))
+                   AS BIGINT) AS n_tokens_bpe,
                  CAST(length(text) AS BIGINT) AS n_chars,
                  md5(trim(regexp_replace(lower(text), '\\s+', ' ')))
                    AS fingerprint,
@@ -1653,8 +1654,8 @@ SQL_QUERIES: dict[str, str] = {
     "x2_salted_join_agg": """
         WITH dim AS (
           SELECT event_type,
-                 CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
-                   AS type_rank
+                 CAST(row_number() OVER (ORDER BY event_type NULLS FIRST)
+                   AS BIGINT) AS type_rank
           FROM (SELECT DISTINCT event_type FROM events)
         ),
         l AS (

@@ -1,0 +1,205 @@
+"""Adversarial-corpus parity sweep (r9): the round-8 latent bugs (qsamp
+NULL-text, NULL-domain join artifacts) were invisible because the driver
+fixtures contain no NULL/edge rows.  This module builds a COPY of the
+sf0.001 corpus with an adversarial slice appended to ``documents`` and
+``events`` -- NULL text, empty string, whitespace-only, single-char and
+single-rare-token docs, beyond-ASCII text (accents, emoji, CJK,
+Cyrillic), NULL lang/source (source IS the domain key), NULL
+event_type/value/user_id, NULL and malformed JSON props -- and replays
+BOTH parity gates over it for every registry entry that reads the
+mutated tables: the DuckDB oracle (the driver's cross-engine gate) and
+the SQL-text mode (the Spark-vs-Spark usage-mode gate).
+
+Entries over the TPC-H tables only are excluded: those tables are
+byte-identical copies here, so re-running them would re-verify an
+identical input (the full-table sweep already runs in
+test_oracle_parity.py / test_sql_mode.py).
+
+Deliberate exclusion, pinned by test_unicode_lowercase_boundary below:
+Turkish dotted capital I (U+0130).  Spark/Java and Python lower() apply
+the full Unicode mapping (U+0130 -> 'i' + U+0307) while DuckDB's
+utf8proc applies the simple mapping (U+0130 -> 'i'), so tokenization
+and text fingerprints LEGITIMATELY diverge cross-engine -- an oracle
+limitation, not an engine bug.  The engine's own two lowercase paths
+(JVM and Arrow-batched Python) are pinned equal on exactly this input
+in tests/test_winnow.py."""
+
+from __future__ import annotations
+
+import re
+import shutil
+
+import duckdb
+import pytest
+
+from nyc_taxi_dataset_analysis_apache_hive_spark import registry, registry_sql
+from nyc_taxi_dataset_analysis_apache_hive_spark.schema import TESTDATA_TABLES
+from tests.parity import canon, compare, duckdb_conn
+
+#: (doc_id, text, lang, source, n_chars) appended to documents.
+ADV_DOCS = [
+    (9000001, None, "en", "src1", None),  # NULL text
+    (9000002, "", "en", "src0", 0),  # empty string
+    (9000003, "a", None, "src1", 1),  # single char + NULL lang
+    # beyond-ASCII: accents (lower é/ï stable), astral-plane emoji,
+    # CJK, uppercase Cyrillic (simple+full mappings agree on all)
+    (9000004, "Naïve CAFÉ 😀 中文 ДАННЫЕ spark join query", "fr", "src2", 38),
+    (9000005, "   ", "en", None, 3),  # whitespace-only + NULL domain
+    (9000006, "!!! ??? ...", "und", "src0", 11),  # punctuation only
+    (9000007, "dup", "en", None, 3),  # single rare token + NULL domain
+    # NULL text on a doc_id % 3 == 2 slot: the synthesized media catalog
+    # maps it to kind='video', so m3's frame sampler must survive a NULL
+    # payload too (9000001 only exercises m2's feature stage)
+    (9000008, None, "zh", "src3", None),
+]
+
+#: (event_id, ts, user_id, event_type, value, props) appended to events
+#: (ts kept inside the table's Jan-2024 range so window/session shapes
+#: are perturbed, not replaced).
+ADV_EVENTS = [
+    (9000001, "2024-01-10 12:00:00", 3, None, 1.5, '{"k": 1}'),  # NULL type
+    (9000002, "2024-01-10 12:00:30", 3, "click", None, None),  # NULL value+props
+    (9000003, "2024-01-10 12:01:00", 4, "click", 2.5, "{oops"),  # bad JSON
+    (9000004, "2024-01-10 12:01:30", 4, "view", 0.0, '{"k": "café 😀"}'),
+    (9000005, "2024-01-10 12:02:00", None, "view", -1.0, '{"k": null}'),
+]
+
+
+def _build_adversarial_corpus(src_dir: str, dst_dir: str) -> None:
+    con = duckdb.connect()
+    doc_rows = ", ".join(
+        "({}, {}, {}, {}, {})".format(
+            d,
+            "NULL" if t is None else "'" + t.replace("'", "''") + "'",
+            "NULL" if lang is None else f"'{lang}'",
+            "NULL" if s is None else f"'{s}'",
+            "NULL" if n is None else n,
+        )
+        for d, t, lang, s, n in ADV_DOCS
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src_dir}/documents.parquet')
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), CAST(text AS VARCHAR),
+                 CAST(lang AS VARCHAR), CAST(source AS VARCHAR),
+                 CAST(n_chars AS BIGINT)
+          FROM (VALUES {doc_rows}) v(doc_id, text, lang, source, n_chars)
+        ) TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    ev_rows = ", ".join(
+        "({}, TIMESTAMP '{}', {}, {}, {}, {})".format(
+            e,
+            ts,
+            "NULL" if u is None else u,
+            "NULL" if et is None else f"'{et}'",
+            "NULL" if v is None else repr(v),
+            "NULL" if p is None else "'" + p.replace("'", "''") + "'",
+        )
+        for e, ts, u, et, v, p in ADV_EVENTS
+    )
+    # CAST(ts AS TIMESTAMP) converts the source TIMESTAMP(NANOS) to
+    # micros, exercising load_table's non-nanos branch as a bonus
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                 event_type, value, props
+          FROM read_parquet('{src_dir}/events.parquet')
+          UNION ALL
+          SELECT CAST(event_id AS BIGINT), ts, CAST(user_id AS BIGINT),
+                 CAST(event_type AS VARCHAR), CAST(value AS DOUBLE),
+                 CAST(props AS VARCHAR)
+          FROM (VALUES {ev_rows}) v(event_id, ts, user_id, event_type,
+                                    value, props)
+        ) TO '{dst_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in TESTDATA_TABLES:
+        if t not in ("documents", "events"):
+            shutil.copyfile(
+                f"{src_dir}/{t}.parquet", f"{dst_dir}/{t}.parquet"
+            )
+
+
+def _touched_entries() -> list[str]:
+    """Registry entries whose oracle or SQL text reads documents/events."""
+    out = []
+    for name in sorted(registry.QUERIES):
+        txt = registry.ORACLES.get(name, "") + " " + registry_sql.SQL_QUERIES.get(
+            name, ""
+        )
+        if re.search(r"\bdocuments\b", txt) or re.search(r"\bevents\b", txt):
+            out.append(name)
+    return out
+
+
+TOUCHED = _touched_entries()
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory, sf0001_dir):
+    d = tmp_path_factory.mktemp("adversarial_sf0001")
+    _build_adversarial_corpus(sf0001_dir, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_con(adv_dir):
+    c = duckdb_conn(adv_dir)
+    yield c
+    c.close()
+
+
+def test_touched_set_is_the_expected_surface():
+    """The sweep must cover every documents/events entry (so a new leg
+    cannot silently opt out) and skip the byte-identical TPC-H ones."""
+    assert len(TOUCHED) >= 24
+    for must in (
+        "t1_text_profile",
+        "tv1_text_stats",
+        "s7_stratified_rates",
+        "s6_hash_split",
+        "d1_dedup_groups",
+        "e2_sessionize",
+        "f_json_extract",
+        "pl1_curation_funnel",
+    ):
+        assert must in TOUCHED, must
+    assert "a1_group_count" not in TOUCHED  # TPC-H only: not re-swept
+
+
+@pytest.mark.parametrize("name", TOUCHED)
+def test_adversarial_parity(name, spark, adv_dir, adv_con):
+    """Both gates over the adversarial corpus: DataFrame vs DuckDB
+    oracle, then SQL-text mode vs DataFrame (where a SQL form exists)."""
+    df = registry.QUERIES[name](spark, adv_dir)
+    problems = compare(df, adv_con, registry.ORACLES[name], name)
+    assert not problems, "\n".join(problems)
+    if name in registry_sql.SQL_QUERIES:
+        sql_schema, sql_rows = canon(
+            registry_sql.run_sql(spark, adv_dir, name)
+        )
+        api_schema, api_rows = canon(df)
+        assert sql_schema == api_schema, f"{name}: schema drift SQL vs DF"
+        assert sql_rows == api_rows, f"{name}: value drift SQL vs DF"
+
+
+def test_unicode_lowercase_boundary(spark):
+    """PIN the cross-engine divergence that keeps U+0130 out of the
+    shared corpus: Spark applies the full Unicode lowercase mapping,
+    DuckDB the simple one.  If this ever fails, DuckDB changed -- move
+    the character into ADV_DOCS and delete this pin."""
+    s = "İstanbul"
+    spark_lower = spark.createDataFrame([(s,)], "t string").selectExpr(
+        "lower(t)"
+    ).collect()[0][0]
+    con = duckdb.connect()
+    duck_lower = con.execute("SELECT lower(?)", [s]).fetchall()[0][0]
+    con.close()
+    assert spark_lower == "i̇stanbul"  # full mapping: i + combining dot
+    assert duck_lower == "istanbul"  # simple mapping
+    assert spark_lower != duck_lower
