@@ -1,0 +1,116 @@
+"""Static enforcement of the two NULL-handling conventions round 8 had to
+retrofit (qsamp NULL-text, NULL-domain join), so the NEXT leg cannot
+re-introduce the class:
+
+1. **No count-of-raw-tokenize.**  Spark's non-ANSI ``size(NULL)`` is -1
+   and DuckDB's ``len(NULL)`` is NULL, so a token COUNT computed directly
+   over a tokenize of raw ``text`` silently diverges cross-engine (and
+   poisons downstream ratios in-engine) the moment a NULL document
+   appears.  Every ``size(...)``/``len(...)`` whose argument inlines
+   ``lower(text)`` must coalesce: ``lower(coalesce(text, ''))``.
+
+   Scope note: the rule is count-scoped and inline-scoped on purpose.
+   Tokenize feeding ``explode``/``unnest`` is NULL-robust by construction
+   (NULL array -> no rows on both engines), and alias-indirected counts
+   (``size(toks)`` where ``toks`` came from a CTE) are guarded by CASE
+   branches that the dynamic gate pins -- every documents/events entry is
+   replayed over NULL/edge rows by tests/test_adversarial_corpus.py, which
+   is the backstop for everything this static pass cannot see.
+
+2. **Domain-keyed joins are null-safe.**  ``mix_domains`` /
+   ``temperature_mix`` join per-domain count tables back on the domain
+   column; a plain ``==`` silently drops every NULL-domain row (the r8
+   artifact).  Any ``F.col(domain_col) ==`` comparison in sampling.py is
+   a violation -- the convention is ``eqNullSafe``.
+
+Both checkers are themselves tested against deliberately-broken snippets
+so a regex rot can't quietly turn the gate off.
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+
+from nyc_taxi_dataset_analysis_apache_hive_spark import registry, registry_sql
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+
+#: tokenize-of-raw-text marker: ``lower(text)`` / ``lower(text,`` with
+#: arbitrary whitespace, NOT preceded by coalesce (the coalesced spelling
+#: is ``lower(coalesce(text, ''))``, which this regex cannot match).
+_RAW_TEXT = re.compile(r"lower\s*\(\s*text\s*[),]")
+
+_COUNT_FN = re.compile(r"\b(size|len)\s*\(", re.IGNORECASE)
+
+
+def _balanced_arg(s: str, open_idx: int) -> str:
+    """Return the balanced-paren argument starting at s[open_idx] == '('."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx : i + 1]
+    return s[open_idx:]  # unbalanced (mid-fragment): take the rest
+
+
+def count_of_raw_tokenize(sql: str) -> list[str]:
+    """Every size()/len() argument that inlines a raw ``lower(text)``."""
+    hits = []
+    for m in _COUNT_FN.finditer(sql):
+        arg = _balanced_arg(sql, m.end() - 1)
+        if _RAW_TEXT.search(arg):
+            hits.append(f"{m.group(1)}({arg[1:80]}...")
+    return hits
+
+
+def test_no_count_of_raw_tokenize_in_any_sql_surface():
+    """Rule 1 over BOTH SQL surfaces: the Spark SQL-text mode and the
+    DuckDB oracle of every registry entry."""
+    bad = {}
+    for name, sql in sorted(registry_sql.SQL_QUERIES.items()):
+        hits = count_of_raw_tokenize(sql)
+        if hits:
+            bad[f"sql:{name}"] = hits
+    for name, sql in sorted(registry.ORACLES.items()):
+        hits = count_of_raw_tokenize(sql)
+        if hits:
+            bad[f"oracle:{name}"] = hits
+    assert not bad, f"count-of-raw-tokenize sites (coalesce text): {bad}"
+
+
+def test_checker_catches_a_broken_leg():
+    """The r8 bug shape itself must trip the checker (guards regex rot)."""
+    broken = "SELECT CAST(size(filter(split(lower(text), '[^a-z]+'), x -> x != '')) AS BIGINT) AS n FROM documents"
+    assert count_of_raw_tokenize(broken)
+    broken_duck = "SELECT len(string_split_regex(lower(text), '\\s+')) FROM documents"
+    assert count_of_raw_tokenize(broken_duck)
+    fixed = broken.replace("lower(text)", "lower(coalesce(text, ''))")
+    assert not count_of_raw_tokenize(fixed)
+    # explode is out of scope by design (NULL-robust on both engines)
+    assert not count_of_raw_tokenize(
+        "SELECT explode(filter(split(lower(text), '[^a-z]+'), x -> x != ''))"
+    )
+
+
+def test_domain_joins_in_sampling_are_null_safe():
+    """Rule 2: no plain equality against the domain column in sampling.py
+    (join keys must use eqNullSafe), and the two mix operators actually
+    carry an eqNullSafe join."""
+    src = inspect.getsource(sampling)
+    plain_eq = re.findall(r"F\.col\(domain_col\)\s*==", src)
+    assert not plain_eq, "plain == on domain_col: use eqNullSafe"
+    # __mix_dom is the broadcast count-table key: every join line on it
+    # must be null-safe
+    for line in src.splitlines():
+        if "__mix_dom" in line and "==" in line and "eqNullSafe" not in line:
+            raise AssertionError(f"non-null-safe __mix_dom join: {line.strip()}")
+    assert src.count("eqNullSafe") >= 2  # mix_domains + temperature_mix
+
+
+def test_domain_checker_catches_a_broken_join():
+    """Self-test for rule 2's pattern on a synthetic bad line."""
+    bad = 'df.join(F.broadcast(counts), F.col(domain_col) == F.col("__mix_dom"))'
+    assert re.search(r"F\.col\(domain_col\)\s*==", bad)
