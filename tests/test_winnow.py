@@ -158,3 +158,35 @@ def test_arrow_prints_equal_hof_prints(spark, sf0001_dir):
     arrow = {r["doc_id"]: list(r["prints"])
              for r in dedup.winnow_prints_arrow(both).collect()}
     assert hof == arrow
+
+
+import pytest  # noqa: E402  (appended section: unicode boundary pins)
+
+#: adversarial unicode inputs, each long enough (>= K + W - 1 = 11
+#: codepoints) to produce prints.  These pin the docstring's two
+#: arguments as fixtures: (1) lowercasing happens JVM-side in BOTH
+#: impls, so locale-sensitive folds (Turkish dotted capital I U+0130 ->
+#: 'i' + U+0307 under the full mapping both Python and the JVM apply)
+#: can never diverge between them; (2) astral-plane chars (4-byte UTF-8,
+#: UTF-16 surrogate pairs) count as ONE position in both Spark's
+#: codepoint-based substr/length and Python slicing, so gram boundaries
+#: line up even when byte- and UTF-16-lengths disagree.
+UNICODE_ADVERSARIAL = [
+    pytest.param("İstanbul İİ DOTTED İ istanbul", id="turkish-dotted-I"),
+    pytest.param("😀😁😂🤣😃 astral 😀 plane 𝕊𝕡𝕒𝕣𝕜 grams", id="astral-emoji"),
+    pytest.param("Naïve CAFÉ Straße ДАННЫЕ 中文文本处理", id="bmp-mixed"),
+    pytest.param("a😀" * 8, id="alternating-ascii-astral"),
+]
+
+
+@pytest.mark.parametrize("text", UNICODE_ADVERSARIAL)
+def test_winnow_impls_agree_on_unicode_boundaries(spark, text):
+    """HOF and Arrow prints byte-identical (values AND first-occurrence
+    order) on locale-fold and astral-slicing adversaries, and both match
+    the pure-Python recompute (Python lower == JVM lower on these)."""
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [hof] = dedup.winnow_prints(df).collect()
+    [arrow] = dedup.winnow_prints_arrow(df).collect()
+    assert list(hof["prints"]) == list(arrow["prints"])
+    assert hof["prints"], f"adversarial input produced no prints: {text!r}"
+    assert sorted(set(hof["prints"])) == _py_prints(text)
