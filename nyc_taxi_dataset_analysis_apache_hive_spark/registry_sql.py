@@ -17,17 +17,20 @@ for ``epoch``/``epoch_us``, ``get_json_object`` for
 windows, percentiles -- is shared ANSI that Spark's Hive-heritage parser
 accepts verbatim.
 
-Entries NOT here are the ones whose semantics genuinely cannot be one SQL
-statement: iterative label propagation (d6 -- Spark 4's recursive CTEs
-accept only UNION ALL, which cannot reach a fixpoint on cyclic dup-graphs,
-so min-label propagation stays a checkpointed DataFrame loop; verified
-against a 3-cycle in this environment), k3 since its round-6 semdedup
-fold (connected components is one of its stages), the mapInPandas media
-stages whose feature values are computed in Python (m2/m3), and the
-multi-stage curation funnel (pl1 -- d6-style clustering is one of its
-stages).  Their declarative form IS the DataFrame program, and their
-value parity is driver-oracled instead.  Everything else -- including
-the banded-MinHash dedup and cross-corpus decontamination, SimHash, the
+Entries that cannot be ONE SQL statement -- those with an iterative
+label-propagation stage (Spark 4's recursive CTEs accept only UNION ALL,
+which cannot reach a fixpoint on cyclic dup-graphs; verified against a
+3-cycle in this environment) -- run in declarative mode as sequenced SQL
+*programs* instead (``SQL_PROGRAMS``, r9): every stage is still SQL text
+over temp views, and the one fixpoint loop iterates a min-label SQL
+statement from the driver exactly the way the checkpointed DataFrame
+loop does (k3 runs this way; see ``_sql_cc_loop``).  The only entries in
+NEITHER surface are the mapInPandas media stages whose feature values
+are computed in Python (m2/m3) and the multi-stage curation funnel +
+dup-cluster entries whose loops remain DataFrame-mode (pl1, d6) --
+their declarative form IS the DataFrame program, and their value parity
+is driver-oracled instead.  Everything else -- including the
+banded-MinHash dedup and cross-corpus decontamination, SimHash, the
 windowed as-of join, the salted two-phase plan, the fused text profile,
 brute-force KNN and sign-LSH near-pairs -- runs here as SQL text with a
 pairwise equality gate.
@@ -1234,14 +1237,13 @@ SQL_QUERIES: dict[str, str] = {
         UNION ALL
         SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank FROM ipq
     """,
-    # k3_embedding_near_pairs left OUT of the SQL-text surface since the
-    # round-6 fold: its semdedup leg needs connected components, and
-    # Spark's recursive CTEs (4.x) support only UNION ALL -- cyclic
-    # reachability cannot terminate without UNION-distinct, so the leg
-    # is not single-statement-expressible in Spark SQL.  The DuckDB
-    # oracle (recursive UNION CTE) still value-gates the DataFrame
-    # program; the near-pair cosine HOF shapes stay covered here by
-    # k1/k2.
+    # k3_embedding_near_pairs is not single-STATEMENT-expressible (its
+    # semdedup leg needs connected components, and Spark's recursive
+    # CTEs (4.x) support only UNION ALL -- cyclic reachability cannot
+    # terminate without UNION-distinct).  Since r9 it runs in
+    # declarative mode anyway as a sequenced SQL program
+    # (SQL_PROGRAMS['k3_embedding_near_pairs'] below): plain-SQL stages
+    # + the _sql_cc_loop temp-view fixpoint.
     # -- fused text profile (ONE tokenize pass, all features) --------------
     "t1_text_profile": r"""
         WITH toked AS (
@@ -1937,11 +1939,229 @@ SQL_QUERIES: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# SQL *programs*: entries whose declarative form is a short SEQUENCE of SQL
+# statements (iterated temp views) rather than one statement.  The blocker
+# for single-statement form is connected components: Spark 4's recursive
+# CTEs accept only UNION ALL, which cannot reach a fixpoint on cyclic
+# dup-graphs.  The Hive-heritage answer -- what a reference user with a
+# HiveQL script would actually write -- is a driver loop of CREATE TEMP
+# VIEW statements re-running one min-label SQL step until a convergence
+# probe (a 1-row aggregate) reports no change: exactly the shape the
+# DataFrame implementation (operators/dedup.connected_components) runs,
+# with ``localCheckpoint`` as the same lineage-truncation device.  Each
+# program below is SQL text end-to-end; Python only sequences statements
+# and reads the 1-row convergence probe.
+# ---------------------------------------------------------------------------
+
+
+def _sql_cc_loop(spark: SparkSession, edges_sql: str, prefix: str,
+                 max_iter: int = 25) -> None:
+    """Min-label connected components as iterated SQL temp views.
+
+    ``edges_sql`` must select two BIGINT columns ``a, b`` (one row per
+    undirected edge).  On return, temp view ``{prefix}_lbl`` holds
+    (id, lbl) = (vertex, min id reachable) for every vertex in the edge
+    list -- the same contract as ``dedup.connected_components``.
+
+    Same loop discipline as the DataFrame form: labels only decrease, so
+    an unchanged label-sum proves the fixpoint; ``localCheckpoint``
+    truncates each round's lineage (the iterative-DataFrame trap).
+    """
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW {prefix}_sym AS
+            WITH e AS ({edges_sql})
+            SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e"""
+    )
+    lbl = spark.sql(
+        f"""SELECT id, id AS lbl FROM (
+              SELECT DISTINCT a AS id FROM {prefix}_sym)"""
+    ).localCheckpoint(eager=True)
+    lbl.createOrReplaceTempView(f"{prefix}_lbl")
+    prev_sum = spark.sql(
+        f"SELECT sum(lbl) AS s FROM {prefix}_lbl"
+    ).collect()[0][0]
+    for _ in range(max_iter):
+        nxt = spark.sql(
+            f"""SELECT n.id, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+                FROM {prefix}_lbl n LEFT JOIN (
+                  SELECT e.b AS id, min(n2.lbl) AS mn
+                  FROM {prefix}_sym e JOIN {prefix}_lbl n2 ON e.a = n2.id
+                  GROUP BY e.b
+                ) m ON n.id = m.id"""
+        ).localCheckpoint(eager=True)
+        nxt.createOrReplaceTempView(f"{prefix}_lbl")
+        new_sum = spark.sql(
+            f"SELECT sum(lbl) AS s FROM {prefix}_lbl"
+        ).collect()[0][0]
+        if new_sum == prev_sum:
+            return
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"{prefix}: labels not converged after {max_iter} iterations"
+    )
+
+
+#: shared Spark-SQL spelling of similarity.normalized_with_bucket(n_bits=4)
+#: over the embeddings view (k2's n1 CTE, factored for the k3 program)
+_K3_NORM_VIEW_SQL = f"""
+    CREATE OR REPLACE TEMP VIEW __k3sql_e AS
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS array<double>) AS emb
+      FROM embeddings
+    ),
+    n1 AS (
+      SELECT vec_id, emb, {_sql_norm("emb")} AS nrm,
+             concat(
+               CASE WHEN element_at(emb, 1) >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN element_at(emb, 2) >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN element_at(emb, 3) >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN element_at(emb, 4) >= 0 THEN '1' ELSE '0' END
+             ) AS bucket
+      FROM e0
+    )
+    SELECT vec_id, emb,
+           transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n, bucket
+    FROM n1
+"""
+
+
+def _k3_sql_program(spark: SparkSession) -> DataFrame:
+    """k3_embedding_near_pairs in declarative mode.
+
+    The ``near_pairs`` leg (sign-LSH bucketed self-join, exact
+    unit-vector dot >= 0.35) and the semdedup stages up to the near-pair
+    graph (broadcast max-cosine centroid assignment over the fixed
+    corpus-slice centroids, within-cell exact pairs) are plain SQL; the
+    one iterative stage -- connected components -- runs as the
+    :func:`_sql_cc_loop` temp-view fixpoint.  Output is column- and
+    value-identical to ``registry.QUERIES['k3_embedding_near_pairs']``
+    (gated in tests/test_sql_mode.py)."""
+    spark.sql(_K3_NORM_VIEW_SQL)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_near AS
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({_sql_dot("a.emb_n", "b.emb_n")}, 6) AS cosine
+              FROM __k3sql_e a JOIN __k3sql_e b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.35D"""
+    )
+    # semdedup stage 1: max-cosine assignment to the 16 corpus-slice
+    # centroids (raw-vector cosine, ties to the lowest cent_id -- the
+    # operator's max_by ordering struct)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_assigned AS
+            SELECT vec_id, cent_id FROM (
+              SELECT v.vec_id, c.cent_id,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
+                       c.cent_id ASC) AS crank
+              FROM __k3sql_e v CROSS JOIN (
+                SELECT vec_id AS cent_id, emb AS cent_emb FROM __k3sql_e
+                WHERE vec_id >= 100 AND vec_id < 116
+              ) c
+            ) WHERE crank = 1"""
+    )
+    # stage 2: exact near pairs WITHIN a cell only (never all-pairs)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_cell_pairs AS
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({_sql_dot("ea.emb_n", "eb.emb_n")}, 6) AS cosine
+              FROM __k3sql_assigned a JOIN __k3sql_assigned b
+                ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              JOIN __k3sql_e ea ON ea.vec_id = a.vec_id
+              JOIN __k3sql_e eb ON eb.vec_id = b.vec_id
+            ) WHERE cosine >= 0.35D"""
+    )
+    # stage 3: the iterative fixpoint
+    _sql_cc_loop(
+        spark, "SELECT id_a AS a, id_b AS b FROM __k3sql_cell_pairs",
+        "__k3sql_cc",
+    )
+    # stage 4: keep-list election + the tagged union (the entry's shape)
+    return spark.sql(
+        """SELECT 'near_pairs' AS op, id_a, id_b, cosine,
+                  CAST(NULL AS BOOLEAN) AS keep
+           FROM __k3sql_near
+           UNION ALL
+           SELECT 'semdedup' AS op, e.vec_id AS id_a,
+                  coalesce(l.lbl, e.vec_id) AS id_b,
+                  CAST(NULL AS DOUBLE) AS cosine,
+                  coalesce(l.lbl, e.vec_id) = e.vec_id AS keep
+           FROM embeddings e LEFT JOIN __k3sql_cc_lbl l ON e.vec_id = l.id"""
+    )
+
+
+def _d6_sql_program(spark: SparkSession) -> DataFrame:
+    """d6_dup_clusters in declarative mode: the d4 ngram-Jaccard pair
+    SQL (threshold 0.2, the same shared shingle CTE) feeds the
+    :func:`_sql_cc_loop` fixpoint; the ``grouped_split`` leg then hashes
+    the cluster representative with s6's exact split-case spelling
+    (repr-roundtripped float bounds)."""
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __d6sql_pairs AS
+            WITH {_SHINGLE_SETS_CTE},
+            sizes AS (SELECT doc_id, size(sh) AS n_sh FROM sets),
+            inv AS (
+              SELECT doc_id, {_SQL_BASE_HASH.format(col="s")} AS shingle
+              FROM (SELECT doc_id, explode(sh) AS s FROM sets)
+            ),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS common
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                     round(common / CAST(za.n_sh + zb.n_sh - common
+                                         AS DOUBLE), 6) AS jaccard
+              FROM common
+              JOIN sizes za ON common.doc_a = za.doc_id
+              JOIN sizes zb ON common.doc_b = zb.doc_id
+            ) WHERE jaccard >= 0.2D"""
+    )
+    _sql_cc_loop(
+        spark, "SELECT doc_a AS a, doc_b AS b FROM __d6sql_pairs",
+        "__d6sql_cc",
+    )
+    return spark.sql(
+        f"""SELECT 'cluster' AS op, id AS doc_id, lbl AS v
+            FROM __d6sql_cc_lbl
+            UNION ALL
+            SELECT 'grouped_split' AS op, doc_id,
+                   CAST({_s6_split_case()} AS BIGINT) AS v
+            FROM (
+              SELECT d.doc_id,
+                     CAST(conv(substr(md5(concat('split-v1', ':',
+                            CAST(coalesce(l.lbl, d.doc_id) AS STRING))),
+                            1, 15), 16, 10) AS DOUBLE)
+                       / CAST(1152921504606846976 AS DOUBLE) AS u
+              FROM documents d
+              LEFT JOIN __d6sql_cc_lbl l ON d.doc_id = l.id
+            )"""
+    )
+
+
+#: entries runnable in declarative mode only as statement SEQUENCES
+#: (driver-sequenced temp views + the CC fixpoint loop)
+SQL_PROGRAMS: dict = {
+    "k3_embedding_near_pairs": _k3_sql_program,
+    "d6_dup_clusters": _d6_sql_program,
+}
+
+
 def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Run one named entry in declarative mode: register the table catalog
-    as temp views (idempotent) and execute the SQL text.  Same runtime-conf
-    pinning as the registry wrapper, so SQL-mode and DataFrame-mode results
-    are comparable on any session."""
+    as temp views (idempotent) and execute the SQL text -- one statement
+    (``SQL_QUERIES``) or a sequenced program (``SQL_PROGRAMS``).  Same
+    runtime-conf pinning as the registry wrapper, so SQL-mode and
+    DataFrame-mode results are comparable on any session."""
     apply_runtime_confs(spark)
     load_testdata(spark, sf_dir)
+    if name in SQL_PROGRAMS:
+        return SQL_PROGRAMS[name](spark)
     return spark.sql(SQL_QUERIES[name])

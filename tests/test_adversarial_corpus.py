@@ -179,7 +179,7 @@ def test_adversarial_parity(name, spark, adv_dir, adv_con):
     df = registry.QUERIES[name](spark, adv_dir)
     problems = compare(df, adv_con, registry.ORACLES[name], name)
     assert not problems, "\n".join(problems)
-    if name in registry_sql.SQL_QUERIES:
+    if name in registry_sql.SQL_QUERIES or name in registry_sql.SQL_PROGRAMS:
         sql_schema, sql_rows = canon(
             registry_sql.run_sql(spark, adv_dir, name)
         )

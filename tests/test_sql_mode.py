@@ -14,7 +14,9 @@ from nyc_taxi_dataset_analysis_apache_hive_spark import registry, registry_sql
 from tests.parity import canon
 
 
-@pytest.mark.parametrize("name", sorted(registry_sql.SQL_QUERIES))
+@pytest.mark.parametrize(
+    "name", sorted(registry_sql.SQL_QUERIES) + sorted(registry_sql.SQL_PROGRAMS)
+)
 def test_sql_mode_matches_dataframe_mode(spark, sf0001_dir, name):
     sql_schema, sql_rows = canon(registry_sql.run_sql(spark, sf0001_dir, name))
     api_schema, api_rows = canon(registry.QUERIES[name](spark, sf0001_dir))
@@ -36,5 +38,7 @@ def test_sql_surface_covers_reference_signature_shapes():
     ):
         assert must in registry_sql.SQL_QUERIES, must
     assert set(registry_sql.SQL_QUERIES) <= set(registry.QUERIES)
+    assert set(registry_sql.SQL_PROGRAMS) <= set(registry.QUERIES)
+    assert not set(registry_sql.SQL_PROGRAMS) & set(registry_sql.SQL_QUERIES)
     # breadth: the declarative surface spans well beyond the minimum five
     assert len(registry_sql.SQL_QUERIES) >= 25
