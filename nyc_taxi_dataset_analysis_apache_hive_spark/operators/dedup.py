@@ -550,7 +550,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     on_nonconvergence: str = "raise",
-    shortcut: bool = False,
+    shortcut: bool | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (doc_id, cluster_id)
     with cluster_id = min doc_id reachable in the pair graph.
@@ -593,10 +593,18 @@ def connected_components(
 
     ``shortcut``: add a pointer-doubling step per round (label <-
     label(label(v))), turning O(diameter) rounds into O(log diameter)
-    for one extra equi-join per round -- measured a wash on clique-ish
-    near-dup graphs (diameter 2-3) and the difference between
-    converging and NOT converging on long-chain graphs (BASELINE.md);
-    prefer it when component shape is unknown.
+    for one extra equi-join per round -- measured a wash-to-slight-loss
+    on clique-ish near-dup graphs (diameter 2-3) and the difference
+    between converging and NOT converging on long-chain graphs
+    (BASELINE.md).  Default ``None`` = AUTO (r9): start with plain
+    propagation, and flip doubling on from round
+    ``_SHORTCUT_AUTO_AT`` (6) if the labels have not converged by then
+    -- a convergence-stall probe that needs no diameter estimate.
+    Clique-ish graphs converge before the threshold and never pay the
+    extra join (the measured reason doubling is not unconditional),
+    while a chain graph converges in ~6 + log2(diameter) rounds without
+    the caller guessing its component shape.  ``True``/``False`` force
+    the respective mode unconditionally.
 
     ``on_nonconvergence``: labels converge in O(component diameter)
     rounds (O(log diameter) with ``shortcut``), so a graph whose
@@ -681,6 +689,13 @@ def connected_components(
         )
 
 
+#: auto mode flips pointer doubling on from this round if labels are
+#: still moving: clique-ish dup graphs (diameter 2-3) converge well
+#: before it, so they never pay the extra join; anything still
+#: unconverged is diameter > ~6 -- exactly doubling's territory
+_SHORTCUT_AUTO_AT = 6
+
+
 def _propagate_min_labels(
     pairs: DataFrame,
     a_col: str,
@@ -688,7 +703,7 @@ def _propagate_min_labels(
     max_iter: int,
     _ckpt,
     on_nonconvergence: str = "raise",
-    shortcut: bool = False,
+    shortcut: bool | None = None,
 ) -> DataFrame:
     """Min-label-propagation loop shared by the local- and
     reliable-checkpoint paths of :func:`connected_components`.
@@ -735,7 +750,7 @@ def _propagate_min_labels(
 
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
@@ -745,7 +760,9 @@ def _propagate_min_labels(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        if shortcut:
+        if shortcut is True or (
+            shortcut is None and round_idx >= _SHORTCUT_AUTO_AT
+        ):
             # pointer doubling: label <- label(label(v)).  Every label IS
             # a vertex (it starts as an id and min() only selects existing
             # labels), so the inner self-join matches every row exactly

@@ -766,7 +766,9 @@ def test_connected_components_shortcut_halves_rounds(spark):
         [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iter=10).collect()
+        dedup.connected_components(
+            chain, max_iter=10, shortcut=False
+        ).collect()
     comp = {
         r["doc_id"]: r["cluster_id"]
         for r in dedup.connected_components(
@@ -774,3 +776,36 @@ def test_connected_components_shortcut_halves_rounds(spark):
         ).collect()
     }
     assert comp == {i: 0 for i in range(65)}
+
+
+def test_connected_components_auto_shortcut_needs_no_flag(spark):
+    """shortcut=None (the default) self-selects: a diameter-200 chain --
+    plain propagation would need ~200 rounds, far beyond the default
+    max_iter=25 -- converges with DEFAULT arguments because the stall
+    probe flips pointer doubling on at round 6 (~6 + log2(200) rounds
+    total), and the labels equal plain propagation's on a graph where
+    both finish."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(chain).collect()  # all defaults
+    }
+    assert comp == {i: 0 for i in range(201)}
+
+    mixed = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 31), (31, 32)],
+        "doc_a long, doc_b long",
+    )
+    auto = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(mixed).collect()
+    }
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(mixed, shortcut=False).collect()
+    }
+    assert auto == plain
