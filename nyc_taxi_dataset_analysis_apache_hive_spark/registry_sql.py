@@ -24,12 +24,17 @@ which cannot reach a fixpoint on cyclic dup-graphs; verified against a
 *programs* instead (``SQL_PROGRAMS``, r9): every stage is still SQL text
 over temp views, and the one fixpoint loop iterates a min-label SQL
 statement from the driver exactly the way the checkpointed DataFrame
-loop does (k3 runs this way; see ``_sql_cc_loop``).  The only entries in
-NEITHER surface are the mapInPandas media stages whose feature values
-are computed in Python (m2/m3) and the multi-stage curation funnel +
-dup-cluster entries whose loops remain DataFrame-mode (pl1, d6) --
-their declarative form IS the DataFrame program, and their value parity
-is driver-oracled instead.  Everything else -- including the
+loop does (k3 and d6 run this way; see ``_sql_cc_loop``).  The only
+entries in NEITHER surface are the ones whose VALUES are computed in
+Arrow-batched Python rather than SQL expressions: the mapInPandas media
+feature stages (m2/m3) and the curation funnel (pl1), whose BPE
+roundtrip and sequence-packing audit legs run the trained-BPE encode
+and the greedy first-fit packer in Python (iterative per-token merge
+loops, not a SQL shape) -- their declarative form IS the DataFrame
+program, and their value parity is driver-oracled instead (the
+exclusion list is pinned by test_sql_mode.py, so a new entry must join
+a declarative surface or this documented list).  Everything else --
+including the
 banded-MinHash dedup and cross-corpus decontamination, SimHash, the
 windowed as-of join, the salted two-phase plan, the fused text profile,
 brute-force KNN and sign-LSH near-pairs -- runs here as SQL text with a

@@ -40,5 +40,20 @@ def test_sql_surface_covers_reference_signature_shapes():
     assert set(registry_sql.SQL_QUERIES) <= set(registry.QUERIES)
     assert set(registry_sql.SQL_PROGRAMS) <= set(registry.QUERIES)
     assert not set(registry_sql.SQL_PROGRAMS) & set(registry_sql.SQL_QUERIES)
+
+
+def test_declarative_exclusion_list_is_pinned():
+    """Every registry entry is in a declarative surface (single statement
+    or sequenced SQL program) EXCEPT the documented three whose values
+    are computed in Arrow-batched Python (media features/frames, the
+    funnel's BPE + packing audits).  A new entry must join a surface or
+    this list -- silent opt-out is the defect class the r8 BM25 verdict
+    flagged."""
+    declarative = set(registry_sql.SQL_QUERIES) | set(registry_sql.SQL_PROGRAMS)
+    assert set(registry.QUERIES) - declarative == {
+        "m2_media_features",
+        "m3_frame_sample",
+        "pl1_curation_funnel",
+    }
     # breadth: the declarative surface spans well beyond the minimum five
     assert len(registry_sql.SQL_QUERIES) >= 25
