@@ -331,3 +331,117 @@ def quality_weighted_sample(
     """
     u = _md5_uniform(id_col, salt)
     return df.filter(u < F.col(score_col))
+
+
+def dsir_select(
+    df: DataFrame,
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+    n_keep: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169, public):
+    pick the raw-pool documents whose hashed-n-gram distribution is most
+    target-like, by importance weight under a pair of bag-of-hashed-ngrams
+    models -- the standard "select pretraining data that looks like my
+    downstream corpus" step.
+
+    ``target_col`` is a BOOLEAN column: true rows define the target
+    distribution, everything else (false or NULL -- NULL is coalesced to
+    false so an unlabeled row can only be a candidate, never leak into
+    the target model) is the raw pool being selected from.  Returns the
+    selected raw rows as (id_col, dsir_score_micro, dsir_key), highest
+    key first.
+
+    Determinism contract (the mix/temp precedent): every engine-varying
+    float step is quantized to INTEGER MICRO-UNITS before any aggregate
+    or comparison.  Per-bucket log-ratios ``ln((c_tgt+s)/(N_tgt+s*B)) -
+    ln((c_raw+s)/(N_raw+s*B))`` are floored to micro-units as BIGINT, so
+    a document's score is an ORDER-INDEPENDENT integer sum (a double sum
+    would depend on Spark's partition-merge order); the Gumbel
+    perturbation for without-replacement resampling (the paper's
+    sampling step) is ``-ln(-ln(u))`` of the shared md5-uniform,
+    micro-quantized the same way; and the selection key is their BIGINT
+    sum with ``id`` as the total-order tie-break.  The DuckDB oracle and
+    SQL-text mode replay the selection id-for-id.
+
+    Scale: two tiny aggregates (the bucket count table is <= n_buckets
+    rows) with map-side partial combine; the log-ratio table broadcasts;
+    the corpus is touched by one narrow gram projection plus one
+    doc-keyed partial-agg shuffle; top-k runs as TakeOrderedAndProject
+    (per-partition heaps + a driver merge of n_keep rows per partition
+    -- never a global sort).  Nothing is all-pairs and no stage holds
+    more than n_buckets + n_keep rows of state.
+    """
+    from .dedup import shingle_base_hash
+    from ..functions.text import tokens
+
+    tgt = F.coalesce(F.col(target_col), F.lit(False))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tgt.alias("_tgt"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    # unigrams + bigrams, the paper's feature set; the bigram transform
+    # is guarded against Spark's sequence(1, 0) -> [1, 0] pitfall
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.array_join(F.slice("_t", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "_id", "_tgt",
+        F.explode(F.concat(F.col("_t"), bigrams)).alias("gram"),
+    ).select(
+        "_id", "_tgt",
+        (shingle_base_hash(F.col("gram")) % n_buckets).alias("bucket"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("c_raw"),
+    )
+    totals = counts.agg(
+        F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw")
+    )
+    s, b = float(smoothing), float(n_buckets)
+    lr = F.log(
+        (F.col("c_tgt") + F.lit(s)) / (F.col("n_tgt") + F.lit(s * b))
+    ) - F.log((F.col("c_raw") + F.lit(s)) / (F.col("n_raw") + F.lit(s * b)))
+    ratios = (
+        counts.crossJoin(F.broadcast(totals))  # 1x1: the J1 scalar shape
+        .select(
+            "bucket",
+            F.floor(lr * F.lit(1e6) + F.lit(1e-9)).cast("long").alias("lr_micro"),
+        )
+    )
+    scores = (
+        grams.filter(~F.col("_tgt"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("_id")
+        .agg(F.sum("lr_micro").alias("dsir_score_micro"))
+    )
+    u = _md5_uniform(id_col, salt)
+    gumbel_micro = (
+        F.floor(-F.log(-F.log(u)) * F.lit(1e6) + F.lit(1e-9)).cast("long")
+    )
+    cands = (
+        df.filter(~tgt)
+        .select(F.col(id_col), gumbel_micro.alias("_g"))
+        .join(scores, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            # gram-less docs (empty/NULL text) score 0: still candidates,
+            # deterministically -- absence is not a drop rule here
+            F.coalesce("dsir_score_micro", F.lit(0).cast("long")).alias(
+                "dsir_score_micro"
+            ),
+            (F.coalesce("dsir_score_micro", F.lit(0).cast("long")) + F.col("_g"))
+            .alias("dsir_key"),
+        )
+    )
+    return cands.orderBy(F.desc("dsir_key"), F.col(id_col)).limit(n_keep)

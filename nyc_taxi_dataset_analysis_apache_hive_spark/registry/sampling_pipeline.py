@@ -207,6 +207,68 @@ _S7_QS_SQL = rf"""
 """
 
 
+#: s7 dsir leg (r9): DuckDB replay of the WHOLE sampling.dsir_select
+#: selection (hashed unigram+bigram buckets, micro-quantized log-ratios
+#: as order-independent BIGINT sums, micro-quantized Gumbel top-k) --
+#: THE single definition; tests/test_dsir.py imports it for the
+#: operator-level row-for-row parity gate.  Target distribution =
+#: source='src0' (NULL source coalesces to candidate, never target).
+_S7_DSIR_DUCK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, coalesce((source = 'src0'), false) AS tgt,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '{TOKEN_SPLIT_REGEX}'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, tgt, unnest(t) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(CASE WHEN len(t) >= 2 THEN
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE [] END) AS gram
+  FROM d
+),
+g AS (
+  SELECT doc_id, tgt,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 1024 AS bucket
+  FROM g0
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS c_raw
+  FROM g GROUP BY bucket
+),
+tot AS (SELECT sum(c_tgt) AS n_tgt, sum(c_raw) AS n_raw FROM counts),
+ratios AS (
+  SELECT bucket,
+         CAST(floor((ln((c_tgt + 1.0) / (n_tgt + 1024.0))
+                     - ln((c_raw + 1.0) / (n_raw + 1024.0)))
+                    * 1000000.0 + 1e-9) AS BIGINT) AS lr_micro
+  FROM counts CROSS JOIN tot
+),
+scores AS (
+  SELECT g.doc_id, sum(lr_micro) AS sc
+  FROM g JOIN ratios USING (bucket) WHERE NOT tgt GROUP BY g.doc_id
+),
+cands AS (
+  SELECT raw.doc_id, coalesce(s.sc, 0) AS sc,
+         coalesce(s.sc, 0) + CAST(floor(-ln(-ln(
+             CAST(CAST('0x' || substr(md5('dsir-v1:' ||
+                    CAST(raw.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  AS DOUBLE) / {_S7_U15!r}))
+             * 1000000.0 + 1e-9) AS BIGINT) AS key
+  FROM (SELECT doc_id FROM documents
+        WHERE NOT coalesce((source = 'src0'), false)) raw
+  LEFT JOIN scores s ON raw.doc_id = s.doc_id
+)
+SELECT doc_id, sc AS dsir_score_micro, key AS dsir_key
+FROM cands ORDER BY key DESC, doc_id LIMIT 200
+"""
+
+
 @register(
     "s7_stratified_rates",
     f"""
@@ -300,6 +362,16 @@ _S7_QS_SQL = rf"""
            CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM ({_S7_QS_SQL.format(hits=_hits_from_t_sql("en"), u15=repr(_S7_U15))})
     WHERE u < qs GROUP BY lang
+    UNION ALL
+    -- DSIR data selection (r9): membership of the micro-quantized
+    -- Gumbel-top-k replays id-for-id, so per-lang sizes AND id_sum gate
+    -- the whole hashed-ngram importance pipeline
+    SELECT 'dsir' AS op, coalesce(lang, 'NULL') AS key,
+           CAST(NULL AS BOOLEAN) AS rate_ok,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ({_S7_DSIR_DUCK_SQL}) sel JOIN documents USING (doc_id)
+    GROUP BY 1, 2
     """,
 )
 def s7_stratified_rates(spark, sf):
@@ -327,7 +399,15 @@ def s7_stratified_rates(spark, sf):
       (``sampling.quality_weighted_sample``, the GPT-3 appendix-A soft
       filter): keep-probability == the t1 composite quality score,
       Bernoulli draw = md5-uniform of (qs-v1, id) -- per-lang sizes and
-      exact membership (id_sum) replay in the oracle."""
+      exact membership (id_sum) replay in the oracle.
+    - ``op='dsir'`` (r9): DSIR data selection
+      (``sampling.dsir_select``, Xie et al. 2023, arXiv:2302.03169):
+      hashed unigram+bigram importance weights of the raw pool against
+      the ``source='src0'`` target slice, Gumbel-top-200
+      without-replacement resampling; every float step micro-quantized
+      to BIGINT, so per-lang sizes AND membership (id_sum) replay in
+      the oracle id-for-id (operator-level row parity in
+      tests/test_dsir.py)."""
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
     in_strata = docs.filter(F.col("lang").isin(*_S7_FRACTIONS))
     totals = in_strata.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
@@ -437,11 +517,28 @@ def s7_stratified_rates(spark, sf):
             F.col("id_sum").cast("long"),
         )
     )
+    dsir = (
+        sampling.dsir_select(
+            qdocs.withColumn("_is_t", F.col("source") == "src0"),
+            target_col="_is_t",
+        )
+        .join(qdocs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("dsir").alias("op"),
+            F.coalesce(F.col("lang"), F.lit("NULL")).alias("key"),
+            F.lit(None).cast("boolean").alias("rate_ok"),
+            F.col("n").cast("long"),
+            F.col("id_sum").cast("long"),
+        )
+    )
     return (
         rate.unionByName(mix)
         .unionByName(cap)
         .unionByName(temp)
         .unionByName(qsamp)
+        .unionByName(dsir)
     )
 
 

@@ -1840,6 +1840,73 @@ SQL_QUERIES: dict[str, str] = {
           )
         )
         WHERE u < qs GROUP BY lang
+        UNION ALL
+        -- DSIR data selection (r9): Spark-SQL replay of
+        -- sampling.dsir_select -- hashed unigram+bigram buckets,
+        -- micro-quantized log-ratios summed as BIGINT, micro-quantized
+        -- Gumbel top-200; membership replays id-for-id
+        SELECT 'dsir' AS op, coalesce(lang, 'NULL') AS key,
+               CAST(NULL AS BOOLEAN) AS rate_ok,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM (
+          WITH dd AS (
+            SELECT doc_id, coalesce(source = 'src0', false) AS tgt,
+                   filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                          x -> x != '') AS t
+            FROM documents
+          ),
+          dg AS (
+            SELECT doc_id, tgt,
+                   CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)
+                     % 1024 AS bucket
+            FROM (
+              SELECT doc_id, tgt,
+                     explode(concat(t,
+                       CASE WHEN size(t) >= 2 THEN
+                         transform(sequence(1, size(t) - 1),
+                                   i -> array_join(slice(t, i, 2), ' '))
+                       ELSE CAST(array() AS array<string>) END)) AS gram
+              FROM dd
+            )
+          ),
+          dcounts AS (
+            SELECT bucket,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt,
+                   sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS c_raw
+            FROM dg GROUP BY bucket
+          ),
+          dtot AS (
+            SELECT sum(c_tgt) AS n_tgt, sum(c_raw) AS n_raw FROM dcounts
+          ),
+          dratios AS (
+            SELECT bucket,
+                   CAST(floor((ln((c_tgt + 1.0D) / (n_tgt + 1024.0D))
+                               - ln((c_raw + 1.0D) / (n_raw + 1024.0D)))
+                              * 1000000.0D + 1e-9) AS BIGINT) AS lr_micro
+            FROM dcounts CROSS JOIN dtot
+          ),
+          dscores AS (
+            SELECT dg.doc_id, sum(lr_micro) AS sc
+            FROM dg JOIN dratios USING (bucket)
+            WHERE NOT tgt GROUP BY dg.doc_id
+          ),
+          dsel AS (
+            SELECT raw.doc_id,
+                   coalesce(s.sc, CAST(0 AS BIGINT))
+                   + CAST(floor(-ln(-ln(
+                       CAST(conv(substr(md5(concat('dsir-v1', ':',
+                              CAST(raw.doc_id AS STRING))), 1, 15), 16, 10)
+                            AS DOUBLE) / 1152921504606846976.0D))
+                       * 1000000.0D + 1e-9) AS BIGINT) AS dsir_key
+            FROM (SELECT doc_id FROM documents
+                  WHERE NOT coalesce(source = 'src0', false)) raw
+            LEFT JOIN dscores s ON raw.doc_id = s.doc_id
+            ORDER BY dsir_key DESC, doc_id LIMIT 200
+          )
+          SELECT d2.doc_id, d2.lang
+          FROM dsel JOIN documents d2 ON dsel.doc_id = d2.doc_id
+        ) GROUP BY 1, 2
     """,
     # -- merge surface: SCD-1 full-outer coalesce + SCD-2 close/append -----
     "s8_upsert": """
