@@ -333,6 +333,85 @@ def quality_weighted_sample(
     return df.filter(u < F.col(score_col))
 
 
+def _dsir_grams(
+    df: DataFrame,
+    target_col: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(_id, _tgt, bucket): one hashed unigram+bigram row per gram
+    occurrence -- the shared featurization of :func:`dsir_fit` and
+    :func:`dsir_select` (one definition so the model and the scored
+    corpus can never hash differently)."""
+    from .dedup import shingle_base_hash
+    from ..functions.text import tokens
+
+    tgt = F.coalesce(F.col(target_col), F.lit(False))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tgt.alias("_tgt"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    # unigrams + bigrams, the paper's feature set; the bigram transform
+    # is guarded against Spark's sequence(1, 0) -> [1, 0] pitfall
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.array_join(F.slice("_t", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "_id", "_tgt",
+        F.explode(F.concat(F.col("_t"), bigrams)).alias("gram"),
+    ).select(
+        "_id", "_tgt",
+        (shingle_base_hash(F.col("gram")) % n_buckets).alias("bucket"),
+    )
+
+
+def dsir_fit(
+    df: DataFrame,
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Train the DSIR importance model: (bucket, lr_micro) -- the
+    micro-quantized per-bucket log-ratio table (<= n_buckets rows).
+
+    This is the fit half of the fit/apply split a 100-TB deployment
+    wants: train ONCE on a target slice + a raw SAMPLE (two tiny
+    aggregates), persist the kilobyte-scale model table, then score the
+    full corpus as a pure broadcast map via
+    ``dsir_select(..., model=...)`` -- no refit per scoring pass, and
+    batches scored on different days against the same persisted model
+    rank consistently.  ``dsir_select`` with no model runs exactly this
+    plan inline (equality-tested in tests/test_dsir.py).
+    """
+    grams = _dsir_grams(df, target_col, text_col, id_col, n_buckets)
+    counts = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("c_raw"),
+    )
+    totals = counts.agg(
+        F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw")
+    )
+    s, b = float(smoothing), float(n_buckets)
+    lr = F.log(
+        (F.col("c_tgt") + F.lit(s)) / (F.col("n_tgt") + F.lit(s * b))
+    ) - F.log((F.col("c_raw") + F.lit(s)) / (F.col("n_raw") + F.lit(s * b)))
+    return (
+        counts.crossJoin(F.broadcast(totals))  # 1x1: the J1 scalar shape
+        .select(
+            "bucket",
+            F.floor(lr * F.lit(1e6) + F.lit(1e-9)).cast("long").alias("lr_micro"),
+        )
+    )
+
+
 def dsir_select(
     df: DataFrame,
     target_col: str = "is_target",
@@ -342,6 +421,7 @@ def dsir_select(
     id_col: str = "doc_id",
     smoothing: float = 1.0,
     salt: str = "dsir-v1",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169, public):
     pick the raw-pool documents whose hashed-n-gram distribution is most
@@ -368,6 +448,16 @@ def dsir_select(
     sum with ``id`` as the total-order tie-break.  The DuckDB oracle and
     SQL-text mode replay the selection id-for-id.
 
+    ``model``: an already-trained (bucket, lr_micro) table from
+    :func:`dsir_fit` (same n_buckets) skips the inline fit -- the
+    100-TB deployment shape (train on a sample once, score every batch
+    as a pure broadcast map); scoring against a persisted model is also
+    what keeps day-over-day batch selections mutually consistent.  A
+    bucket absent from the model contributes 0 to a score (the equi-join
+    skips it); with the default 1024-bucket space any non-trivial
+    training sample populates every bucket, so this only matters for
+    models trained on a handful of documents.
+
     Scale: two tiny aggregates (the bucket count table is <= n_buckets
     rows) with map-side partial combine; the log-ratio table broadcasts;
     the corpus is touched by one narrow gram projection plus one
@@ -376,47 +466,13 @@ def dsir_select(
     -- never a global sort).  Nothing is all-pairs and no stage holds
     more than n_buckets + n_keep rows of state.
     """
-    from .dedup import shingle_base_hash
-    from ..functions.text import tokens
-
     tgt = F.coalesce(F.col(target_col), F.lit(False))
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        tgt.alias("_tgt"),
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
-    )
-    # unigrams + bigrams, the paper's feature set; the bigram transform
-    # is guarded against Spark's sequence(1, 0) -> [1, 0] pitfall
-    bigrams = F.when(
-        F.size("_t") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - 1),
-            lambda i: F.array_join(F.slice("_t", i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = base.select(
-        "_id", "_tgt",
-        F.explode(F.concat(F.col("_t"), bigrams)).alias("gram"),
-    ).select(
-        "_id", "_tgt",
-        (shingle_base_hash(F.col("gram")) % n_buckets).alias("bucket"),
-    )
-    counts = grams.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
-        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("c_raw"),
-    )
-    totals = counts.agg(
-        F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw")
-    )
-    s, b = float(smoothing), float(n_buckets)
-    lr = F.log(
-        (F.col("c_tgt") + F.lit(s)) / (F.col("n_tgt") + F.lit(s * b))
-    ) - F.log((F.col("c_raw") + F.lit(s)) / (F.col("n_raw") + F.lit(s * b)))
+    grams = _dsir_grams(df, target_col, text_col, id_col, n_buckets)
     ratios = (
-        counts.crossJoin(F.broadcast(totals))  # 1x1: the J1 scalar shape
-        .select(
-            "bucket",
-            F.floor(lr * F.lit(1e6) + F.lit(1e-9)).cast("long").alias("lr_micro"),
+        model.select("bucket", "lr_micro")
+        if model is not None
+        else dsir_fit(
+            df, target_col, n_buckets, text_col, id_col, smoothing
         )
     )
     scores = (

@@ -90,3 +90,18 @@ def test_dsir_plan_shape(spark):
     plan = explain_str(sampling.dsir_select(docs, "is_target"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_fit_apply_split_equals_one_shot(spark):
+    """The deployment split: dsir_fit's persisted (bucket, lr_micro)
+    model fed back through dsir_select(model=...) selects exactly the
+    one-shot inline result -- ids, scores, and keys."""
+    docs = load_table(spark, SF, "documents").withColumn(
+        "is_target", F.col("source") == "src0"
+    )
+    model = sampling.dsir_fit(docs, "is_target")
+    assert model.count() <= 1024
+    key = lambda rs: [(r["doc_id"], r["dsir_score_micro"], r["dsir_key"]) for r in rs]
+    one_shot = sampling.dsir_select(docs, "is_target").collect()
+    split = sampling.dsir_select(docs, "is_target", model=model).collect()
+    assert key(one_shot) == key(split)
