@@ -333,24 +333,27 @@ def quality_weighted_sample(
     return df.filter(u < F.col(score_col))
 
 
-def _dsir_grams(
+def dsir_bucket_rows(
     df: DataFrame,
-    target_col: str,
-    text_col: str,
-    id_col: str,
-    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    extra_cols: tuple[str, ...] = (),
+    outer: bool = False,
 ) -> DataFrame:
-    """(_id, _tgt, bucket): one hashed unigram+bigram row per gram
-    occurrence -- the shared featurization of :func:`dsir_fit` and
-    :func:`dsir_select` (one definition so the model and the scored
-    corpus can never hash differently)."""
+    """(_id, *extra_cols, bucket): one hashed unigram+bigram row per gram
+    occurrence -- THE shared DSIR featurization (used by
+    :func:`dsir_fit`, :func:`dsir_select`, and the streaming admission
+    path, one definition so a model and any scored corpus can never hash
+    differently).  ``outer=True`` keeps one NULL-bucket row per gram-less
+    document (explode_outer) so downstream per-doc aggregates still see
+    empty/NULL-text docs -- the streaming report needs every arrival."""
     from .dedup import shingle_base_hash
     from ..functions.text import tokens
 
-    tgt = F.coalesce(F.col(target_col), F.lit(False))
     base = df.select(
         F.col(id_col).alias("_id"),
-        tgt.alias("_tgt"),
+        *[F.col(c) for c in extra_cols],
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
     )
     # unigrams + bigrams, the paper's feature set; the bigram transform
@@ -362,12 +365,32 @@ def _dsir_grams(
             lambda i: F.array_join(F.slice("_t", i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    exploder = F.explode_outer if outer else F.explode
     return base.select(
-        "_id", "_tgt",
-        F.explode(F.concat(F.col("_t"), bigrams)).alias("gram"),
+        "_id", *extra_cols,
+        exploder(F.concat(F.col("_t"), bigrams)).alias("gram"),
     ).select(
-        "_id", "_tgt",
+        "_id", *extra_cols,
         (shingle_base_hash(F.col("gram")) % n_buckets).alias("bucket"),
+    )
+
+
+def _dsir_grams(
+    df: DataFrame,
+    target_col: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(_id, _tgt, bucket): the batch featurization with the coalesced
+    target flag carried through."""
+    tgt = F.coalesce(F.col(target_col), F.lit(False))
+    return dsir_bucket_rows(
+        df.withColumn("_tgt", tgt),
+        text_col,
+        id_col,
+        n_buckets,
+        extra_cols=("_tgt",),
     )
 
 

@@ -161,3 +161,95 @@ def decontam_batch(
         )
     )
     return agg.select(*_report_projection(threshold))
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR admission (r9): score arriving documents against a
+# PERSISTED importance model (operators.sampling.dsir_fit) and admit the
+# target-like ones -- the continuous-ingest form of the batch selection
+# (s7's op='dsir' leg).  Where the batch operator can run a global
+# Gumbel-top-k, a stream cannot rank against documents it has not seen,
+# so the streaming analog is the THRESHOLD form: admitted =
+# dsir_score_micro >= threshold_micro, the same shape quality_weighted
+# admission takes.  Scoring is a stateless stream-static join (the
+# <= n_buckets-row model broadcasts); the only state is the watermarked
+# per-document window aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_score_agg(rows: DataFrame, grouping: list) -> DataFrame:
+    """Shared stream/batch aggregate: per-doc micro-score as an
+    order-independent BIGINT sum (absent model buckets and the
+    explode_outer NULL-bucket row both contribute 0 -- empty docs score
+    0, exactly the batch operator's gram-less policy)."""
+    return rows.groupBy(*grouping).agg(
+        F.sum(F.coalesce("lr_micro", F.lit(0).cast("long"))).alias(
+            "dsir_score_micro"
+        )
+    )
+
+
+def _admission_projection(threshold_micro: int) -> list:
+    return [
+        F.col("doc_id"),
+        F.col("dsir_score_micro"),
+        (F.col("dsir_score_micro") >= F.lit(int(threshold_micro))).alias(
+            "admitted"
+        ),
+    ]
+
+
+def dsir_admission_stream(
+    docs: DataFrame,
+    model: DataFrame,
+    threshold_micro: int = 0,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """(doc_id, dsir_score_micro, admitted) over a document stream.
+
+    ``model`` is the (bucket, lr_micro) table from
+    ``operators.sampling.dsir_fit`` -- static, so the join is stateless
+    and the featurization is the SAME ``dsir_bucket_rows`` the batch
+    operators use (one definition; a stream and a batch scoring the same
+    document get the same integer score, equality-gated in
+    tests/test_dsir.py).  Same whole-document arrival contract and
+    watermark/window semantics as :func:`decontam_stream`.
+    """
+    from ..operators.sampling import dsir_bucket_rows
+
+    rows = dsir_bucket_rows(
+        docs.withColumn("_ts", F.col(ts_col)),
+        text_col,
+        "doc_id",
+        n_buckets,
+        extra_cols=("_ts",),
+        outer=True,
+    ).join(model.select("bucket", "lr_micro"), on="bucket", how="left")
+    agg = _dsir_score_agg(
+        rows.withWatermark("_ts", watermark),
+        [F.window("_ts", window), F.col("_id").alias("doc_id")],
+    )
+    return agg.select(*_admission_projection(threshold_micro))
+
+
+def dsir_admission_batch(
+    docs: DataFrame,
+    model: DataFrame,
+    threshold_micro: int = 0,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch analog: identical expressions minus the watermark/window --
+    equality-gated against the stream AND against the batch operator's
+    scores (sampling.dsir_select) in tests."""
+    from ..operators.sampling import dsir_bucket_rows
+
+    rows = dsir_bucket_rows(
+        docs, text_col, "doc_id", n_buckets, outer=True
+    ).join(model.select("bucket", "lr_micro"), on="bucket", how="left")
+    agg = _dsir_score_agg(rows, [F.col("_id").alias("doc_id")])
+    return agg.select(*_admission_projection(threshold_micro))

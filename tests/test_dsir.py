@@ -105,3 +105,75 @@ def test_dsir_fit_apply_split_equals_one_shot(spark):
     one_shot = sampling.dsir_select(docs, "is_target").collect()
     split = sampling.dsir_select(docs, "is_target", model=model).collect()
     assert key(one_shot) == key(split)
+
+
+def test_dsir_admission_stream_matches_batch_and_operator(
+    spark, tmp_path_factory
+):
+    """Streaming admission == batch analog == the batch operator's
+    scores, document for document, over a multi-micro-batch file drop
+    zone (the decontam_stream test harness shape)."""
+    import os
+
+    import pandas as pd
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "is_target", F.col("source") == "src0"
+    )
+    model = sampling.dsir_fit(docs, "is_target")
+    cands = docs.filter(~F.coalesce(F.col("is_target"), F.lit(False)))
+
+    # drop zone: candidates as 4 time-ordered slices + far-future sentinel
+    pdf = cands.select("doc_id", "text").toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    out = str(tmp_path_factory.mktemp("dsir_stream") / "docs")
+    os.makedirs(out)
+    n = len(pdf)
+    for s in range(4):
+        chunk = pdf.iloc[n * s // 4 : n * (s + 1) // 4].copy()
+        chunk["ts"] = pd.Series(
+            [base + pd.Timedelta(hours=s)] * len(chunk),
+            dtype="datetime64[us]",
+        ).values
+        chunk.to_parquet(os.path.join(out, f"{s:02d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["doc_id"] = 10**9
+    sent["text"] = ""
+    sent["ts"] = pd.Series(
+        [base + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent.to_parquet(os.path.join(out, "zz_sentinel.parquet"), index=False)
+
+    q = (
+        curation.dsir_admission_stream(
+            curation.read_docs_stream(spark, out), model
+        )
+        .writeStream.format("memory")
+        .queryName("dsir_admission_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["dsir_score_micro"], r["admitted"])
+        for r in spark.table("dsir_admission_sink").collect()
+        if r["doc_id"] != 10**9
+    }
+    batch = {
+        r["doc_id"]: (r["dsir_score_micro"], r["admitted"])
+        for r in curation.dsir_admission_batch(cands, model).collect()
+    }
+    assert streamed == batch and len(batch) == cands.count()
+    # the batch operator's selected subset carries the SAME integer scores
+    op_scores = {
+        r["doc_id"]: r["dsir_score_micro"]
+        for r in sampling.dsir_select(docs, "is_target").collect()
+    }
+    assert op_scores and all(
+        batch[i][0] == sc for i, sc in op_scores.items()
+    )
