@@ -83,9 +83,10 @@ def pack_sequences(
         raw_n = token_count_ws("text")
     else:
         raw_n = F.col(token_col).cast("long")
-    # NULL text / NULL counts pack as 0-token docs (still atomic rows);
-    # greatest() also guards legacy sizeOfNull=-1 semantics, which would
-    # otherwise corrupt every later offset in the shard.
+    # A caller-supplied token_col can carry NULLs or negatives -- both
+    # pack as 0-token docs (still atomic rows) so they cannot corrupt
+    # later offsets in the shard.  (token_count_ws itself needs no
+    # guard: since r9 it coalesces NULL text to 0 internally.)
     sized = docs.select(
         F.col(id_col),
         F.greatest(F.coalesce(raw_n, F.lit(0)), F.lit(0)).alias("n_tokens"),
@@ -192,11 +193,7 @@ def packing_audit(
     the 1-row input-side token total (J1 scalar shape)."""
     packed = pack_sequences(docs, budget, n_shards, id_col)
     in_total = docs.select(
-        F.sum(
-            F.greatest(
-                F.coalesce(token_count_ws("text"), F.lit(0)), F.lit(0)
-            )
-        ).alias("in_tokens")
+        F.sum(token_count_ws("text")).alias("in_tokens")
     )
     w_prefix = (
         Window.partitionBy("shard", "bin_id")

@@ -483,11 +483,15 @@ def dsir_select(
 
     Scale: two tiny aggregates (the bucket count table is <= n_buckets
     rows) with map-side partial combine; the log-ratio table broadcasts;
-    the corpus is touched by one narrow gram projection plus one
-    doc-keyed partial-agg shuffle; top-k runs as TakeOrderedAndProject
-    (per-partition heaps + a driver merge of n_keep rows per partition
-    -- never a global sort).  Nothing is all-pairs and no stage holds
-    more than n_buckets + n_keep rows of state.
+    top-k runs as TakeOrderedAndProject (per-partition heaps + a driver
+    merge of n_keep rows per partition -- never a global sort).  Nothing
+    is all-pairs and no stage holds more than n_buckets + n_keep rows of
+    state.  Corpus passes: the inline fit makes TWO gram
+    featurize passes over the corpus (one feeding the bucket-count
+    aggregate, one feeding the doc scores -- separate scan subtrees, no
+    shared exchange to reuse); with ``model=`` the scoring pass is the
+    ONLY featurize, which is the production shape at 100 TB (fit on a
+    sample, not the corpus).
     """
     tgt = F.coalesce(F.col(target_col), F.lit(False))
     grams = _dsir_grams(df, target_col, text_col, id_col, n_buckets)

@@ -718,24 +718,39 @@ def f_scalar_surface(spark, sf):
 
 @register(
     "f_json_extract",
-    """
-    SELECT TRY_CAST(CASE WHEN json_valid(props)
-                         THEN json_extract_string(props, '$.k') END
-                    AS BIGINT) AS k_val,
-           count(*) AS cnt
-    FROM events GROUP BY k_val
+    r"""
+    SELECT k_val, count(*) AS cnt FROM (
+      SELECT CASE
+               WHEN regexp_matches(trim(val), '^[+-]?[0-9]+$')
+                 THEN TRY_CAST(trim(val) AS BIGINT)
+               WHEN regexp_matches(trim(val), '^[+-]?[0-9]*\.[0-9]*$')
+                    AND regexp_matches(trim(val), '[0-9]')
+                 THEN coalesce(TRY_CAST(regexp_extract(trim(val),
+                        '^[+-]?[0-9]+', 0) AS BIGINT), 0)
+             END AS k_val
+      FROM (
+        SELECT CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS val
+        FROM events
+      )
+    ) GROUP BY k_val
     """,
 )
 def f_json_extract(spark, sf):
     """F (extension): JSON field extraction from a string column.
 
-    Engine semantics on dirty input (Hive/Spark ``get_json_object``):
-    malformed JSON, a JSON null, and a non-numeric value under non-ANSI
-    CAST all yield SQL NULL.  The oracle replicates with a
-    ``json_valid`` guard + ``TRY_CAST`` -- DuckDB's
-    ``json_extract_string`` ERRORS on malformed JSON and its plain CAST
-    errors on non-numeric strings (found by the r9 adversarial-corpus
-    sweep, tests/test_adversarial_corpus.py)."""
+    Engine semantics on dirty input (Hive/Spark ``get_json_object`` +
+    non-ANSI CAST to BIGINT): malformed JSON and JSON null give NULL;
+    numeric strings are trimmed and TRUNCATED TOWARD ZERO on a fraction
+    ('1.7' -> 1, '-1.7' -> -1, '.5' -> 0); exponent forms, overflow,
+    and garbage give NULL ('5e2' -> NULL -- probed on this Spark build,
+    r9 review finding).  The oracle replicates each branch explicitly:
+    a ``json_valid`` guard (DuckDB's ``json_extract_string`` ERRORS on
+    malformed JSON), exact ``TRY_CAST`` for pure-integer strings
+    (overflow -> NULL, no double roundtrip), and integer-part extraction
+    for fractional strings (DuckDB's own TRY_CAST would ROUND '1.7' to
+    2).  The fractional/exponent rows live in the adversarial corpus
+    (tests/test_adversarial_corpus.py)."""
     ev = _t(spark, sf, "events")
     return ev.groupBy(
         F.get_json_object("props", "$.k").cast("long").alias("k_val")

@@ -1111,7 +1111,7 @@ _TF_CTE = f"""
                CAST(floor(
                  ln(((CAST(n_docs AS DOUBLE) - df + 0.5)
                      / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
-                 * ((btf.tf * {_BM25_C1!r})
+                 * ((CAST(btf.tf AS DOUBLE) * {_BM25_C1!r})
                     / (CAST(btf.tf AS DOUBLE) + {_BM25_C2!r}
                        + {_BM25_C3!r} * (dl / avgdl)))
                  * 1000000.0 + 1e-9) AS BIGINT) AS s_micro

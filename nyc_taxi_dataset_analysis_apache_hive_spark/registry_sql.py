@@ -2036,36 +2036,49 @@ def _sql_cc_loop(spark: SparkSession, edges_sql: str, prefix: str,
     (id, lbl) = (vertex, min id reachable) for every vertex in the edge
     list -- the same contract as ``dedup.connected_components``.
 
-    Same loop discipline as the DataFrame form: labels only decrease, so
-    an unchanged label-sum proves the fixpoint; ``localCheckpoint``
-    truncates each round's lineage (the iterative-DataFrame trap).
+    Same loop discipline as the DataFrame form (_propagate_min_labels),
+    point for point: the symmetric edge list is MATERIALIZED once
+    (``localCheckpoint``) before the loop -- a lazy view would re-run
+    the whole upstream pair-finding pipeline every round (the measured
+    5x trap the DataFrame comment records); labels only decrease, so an
+    unchanged label-sum proves the fixpoint, summed as decimal(38,0) so
+    it cannot wrap on 64-bit ids; each round's lineage is truncated; and
+    pointer doubling flips on automatically from round 6 if labels are
+    still moving (the dedup._SHORTCUT_AUTO_AT convention), so a
+    long-chain graph converges here exactly where DataFrame mode does.
     """
-    spark.sql(
-        f"""CREATE OR REPLACE TEMP VIEW {prefix}_sym AS
-            WITH e AS ({edges_sql})
+    from .operators.dedup import _SHORTCUT_AUTO_AT
+
+    sym = spark.sql(
+        f"""WITH e AS ({edges_sql})
             SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e"""
-    )
+    ).localCheckpoint(eager=True)
+    sym.createOrReplaceTempView(f"{prefix}_sym")
     lbl = spark.sql(
         f"""SELECT id, id AS lbl FROM (
               SELECT DISTINCT a AS id FROM {prefix}_sym)"""
     ).localCheckpoint(eager=True)
     lbl.createOrReplaceTempView(f"{prefix}_lbl")
-    prev_sum = spark.sql(
-        f"SELECT sum(lbl) AS s FROM {prefix}_lbl"
-    ).collect()[0][0]
-    for _ in range(max_iter):
-        nxt = spark.sql(
-            f"""SELECT n.id, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+    probe = (
+        f"SELECT sum(CAST(lbl AS DECIMAL(38,0))) AS s FROM {prefix}_lbl"
+    )
+    prev_sum = spark.sql(probe).collect()[0][0]
+    for round_idx in range(max_iter):
+        step = f"""SELECT n.id, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
                 FROM {prefix}_lbl n LEFT JOIN (
                   SELECT e.b AS id, min(n2.lbl) AS mn
                   FROM {prefix}_sym e JOIN {prefix}_lbl n2 ON e.a = n2.id
                   GROUP BY e.b
                 ) m ON n.id = m.id"""
-        ).localCheckpoint(eager=True)
+        if round_idx >= _SHORTCUT_AUTO_AT:
+            # pointer doubling, label <- label(label(v)): sound because a
+            # label is always a vertex and labels are monotone
+            # non-increasing (the DataFrame loop's argument verbatim)
+            step = f"""SELECT p.id, par.lbl
+                FROM ({step}) p JOIN ({step}) par ON p.lbl = par.id"""
+        nxt = spark.sql(step).localCheckpoint(eager=True)
         nxt.createOrReplaceTempView(f"{prefix}_lbl")
-        new_sum = spark.sql(
-            f"SELECT sum(lbl) AS s FROM {prefix}_lbl"
-        ).collect()[0][0]
+        new_sum = spark.sql(probe).collect()[0][0]
         if new_sum == prev_sum:
             return
         prev_sum = new_sum

@@ -43,7 +43,7 @@ ADV_DOCS = [
     (9000003, "a", None, "src1", 1),  # single char + NULL lang
     # beyond-ASCII: accents (lower é/ï stable), astral-plane emoji,
     # CJK, uppercase Cyrillic (simple+full mappings agree on all)
-    (9000004, "Naïve CAFÉ 😀 中文 ДАННЫЕ spark join query", "fr", "src2", 38),
+    (9000004, "Naïve CAFÉ 😀 中文 ДАННЫЕ spark join query", "fr", "src2", 39),
     (9000005, "   ", "en", None, 3),  # whitespace-only + NULL domain
     (9000006, "!!! ??? ...", "und", "src0", 11),  # punctuation only
     (9000007, "dup", "en", None, 3),  # single rare token + NULL domain
@@ -62,6 +62,12 @@ ADV_EVENTS = [
     (9000003, "2024-01-10 12:01:00", 4, "click", 2.5, "{oops"),  # bad JSON
     (9000004, "2024-01-10 12:01:30", 4, "view", 0.0, '{"k": "café 😀"}'),
     (9000005, "2024-01-10 12:02:00", None, "view", -1.0, '{"k": null}'),
+    # fractional + exponent k: Spark's non-ANSI CAST truncates '1.7'->1
+    # and rejects '5e2'->NULL where DuckDB TRY_CAST would round/parse
+    # (the r9 review finding the f_json_extract oracle now mirrors)
+    (9000006, "2024-01-10 12:02:30", 5, "click", 0.5, '{"k": 1.7}'),
+    (9000007, "2024-01-10 12:03:00", 5, "view", 0.5, '{"k": "5e2"}'),
+    (9000008, "2024-01-10 12:03:30", 6, "view", 0.5, '{"k": "-1.7"}'),
 ]
 
 

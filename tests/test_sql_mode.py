@@ -57,3 +57,20 @@ def test_declarative_exclusion_list_is_pinned():
     }
     # breadth: the declarative surface spans well beyond the minimum five
     assert len(registry_sql.SQL_QUERIES) >= 25
+
+
+def test_sql_cc_loop_auto_doubling_on_chain(spark):
+    """The SQL-program CC fixpoint mirrors the DataFrame loop's auto
+    pointer-doubling: a diameter-200 chain converges inside the default
+    25-round budget (plain propagation would need ~200), with the same
+    min-label result."""
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    ).createOrReplaceTempView("cc_chain_edges")
+    registry_sql._sql_cc_loop(
+        spark, "SELECT a, b FROM cc_chain_edges", "cc_chain"
+    )
+    got = {
+        r["id"]: r["lbl"] for r in spark.table("cc_chain_lbl").collect()
+    }
+    assert got == {i: 0 for i in range(201)}
