@@ -394,6 +394,26 @@ def _dsir_grams(
     )
 
 
+def _dsir_doc_bucket_counts(
+    df: DataFrame,
+    target_col: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(_id, _tgt, bucket, c): per-document bucket histogram -- ONE
+    featurize pass + one partial-combined shuffle.  Both the model fit
+    and the doc scores aggregate FROM this frame, so when dsir_select
+    runs the fit inline the two consumers share one identical exchange
+    (ReuseExchange: the corpus is tokenized and shuffled once, both
+    branches re-read the same shuffle files)."""
+    return (
+        _dsir_grams(df, target_col, text_col, id_col, n_buckets)
+        .groupBy("_id", "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def dsir_fit(
     df: DataFrame,
     target_col: str = "is_target",
@@ -414,10 +434,11 @@ def dsir_fit(
     rank consistently.  ``dsir_select`` with no model runs exactly this
     plan inline (equality-tested in tests/test_dsir.py).
     """
-    grams = _dsir_grams(df, target_col, text_col, id_col, n_buckets)
-    counts = grams.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
-        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("c_raw"),
+    counts = _dsir_doc_bucket_counts(
+        df, target_col, text_col, id_col, n_buckets
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(F.col("c"))).alias("c_raw"),
     )
     totals = counts.agg(
         F.sum("c_tgt").alias("n_tgt"), F.sum("c_raw").alias("n_raw")
@@ -494,7 +515,7 @@ def dsir_select(
     sample, not the corpus).
     """
     tgt = F.coalesce(F.col(target_col), F.lit(False))
-    grams = _dsir_grams(df, target_col, text_col, id_col, n_buckets)
+    g2 = _dsir_doc_bucket_counts(df, target_col, text_col, id_col, n_buckets)
     ratios = (
         model.select("bucket", "lr_micro")
         if model is not None
@@ -502,11 +523,17 @@ def dsir_select(
             df, target_col, n_buckets, text_col, id_col, smoothing
         )
     )
+    # sum(lr_micro * c) over the per-doc histogram == the per-occurrence
+    # sum (exact integer arithmetic), and scoring from g2 makes the
+    # inline-fit branch's featurize exchange identical to this one --
+    # ReuseExchange collapses them to a single corpus pass
     scores = (
-        grams.filter(~F.col("_tgt"))
+        g2.filter(~F.col("_tgt"))
         .join(F.broadcast(ratios), "bucket")
         .groupBy("_id")
-        .agg(F.sum("lr_micro").alias("dsir_score_micro"))
+        .agg(
+            F.sum(F.col("lr_micro") * F.col("c")).alias("dsir_score_micro")
+        )
     )
     u = _md5_uniform(id_col, salt)
     gumbel_micro = (
