@@ -74,3 +74,53 @@ def test_sql_cc_loop_auto_doubling_on_chain(spark):
         r["id"]: r["lbl"] for r in spark.table("cc_chain_lbl").collect()
     }
     assert got == {i: 0 for i in range(201)}
+
+
+def test_sql_cc_loop_matches_union_find_on_random_graphs(spark):
+    """Three seeded random multigraphs (self-loops, duplicate and
+    reversed edges included): the SQL temp-view fixpoint, the DataFrame
+    loop, and a pure-Python union-find all agree on every component
+    label."""
+    import random
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (rnd.randrange(40), rnd.randrange(40)) for _ in range(60)
+        ]
+        parent = list(range(40))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in touched}
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        df.createOrReplaceTempView(f"cc_rand_edges_{trial}")
+        registry_sql._sql_cc_loop(
+            spark,
+            f"SELECT a, b FROM cc_rand_edges_{trial}",
+            f"cc_rand_{trial}",
+        )
+        got_sql = {
+            r["id"]: r["lbl"]
+            for r in spark.table(f"cc_rand_{trial}_lbl").collect()
+        }
+        got_df = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.connected_components(
+                df, a_col="a", b_col="b"
+            ).collect()
+        }
+        assert got_sql == expected == got_df, f"trial {trial}"
