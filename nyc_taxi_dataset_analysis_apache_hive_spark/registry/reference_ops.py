@@ -721,16 +721,20 @@ def f_scalar_surface(spark, sf):
     r"""
     SELECT k_val, count(*) AS cnt FROM (
       SELECT CASE
-               WHEN regexp_matches(trim(val), '^[+-]?[0-9]+$')
-                 THEN TRY_CAST(trim(val) AS BIGINT)
-               WHEN regexp_matches(trim(val), '^[+-]?[0-9]*\.[0-9]*$')
-                    AND regexp_matches(trim(val), '[0-9]')
-                 THEN coalesce(TRY_CAST(regexp_extract(trim(val),
-                        '^[+-]?[0-9]+', 0) AS BIGINT), 0)
+               WHEN regexp_matches(t, '^[+-]?[0-9]+$')
+                 THEN TRY_CAST(t AS BIGINT)
+               WHEN regexp_matches(t, '^[+-]?[0-9]*\.[0-9]*$')
+                 THEN CASE WHEN regexp_matches(t, '^[+-]?\.')
+                           THEN 0
+                           ELSE TRY_CAST(regexp_extract(t,
+                                  '^[+-]?[0-9]+', 0) AS BIGINT) END
              END AS k_val
       FROM (
-        SELECT CASE WHEN json_valid(props)
-                    THEN json_extract_string(props, '$.k') END AS val
+        -- Spark's cast trims ALL control/space chars <= 0x20 (trimAll),
+        -- not just ' ' like DuckDB trim()
+        SELECT regexp_replace(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END,
+                 '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS t
         FROM events
       )
     ) GROUP BY k_val
@@ -740,16 +744,21 @@ def f_json_extract(spark, sf):
     """F (extension): JSON field extraction from a string column.
 
     Engine semantics on dirty input (Hive/Spark ``get_json_object`` +
-    non-ANSI CAST to BIGINT): malformed JSON and JSON null give NULL;
-    numeric strings are trimmed and TRUNCATED TOWARD ZERO on a fraction
-    ('1.7' -> 1, '-1.7' -> -1, '.5' -> 0); exponent forms, overflow,
-    and garbage give NULL ('5e2' -> NULL -- probed on this Spark build,
-    r9 review finding).  The oracle replicates each branch explicitly:
-    a ``json_valid`` guard (DuckDB's ``json_extract_string`` ERRORS on
-    malformed JSON), exact ``TRY_CAST`` for pure-integer strings
-    (overflow -> NULL, no double roundtrip), and integer-part extraction
-    for fractional strings (DuckDB's own TRY_CAST would ROUND '1.7' to
-    2).  The fractional/exponent rows live in the adversarial corpus
+    non-ANSI CAST to BIGINT, all probed on this build): malformed JSON
+    and JSON null give NULL; numeric strings are trimmed of EVERY char
+    <= 0x20 (UTF8String.trimAll -- tabs/newlines too, not just spaces)
+    and TRUNCATED TOWARD ZERO on a fraction ('1.7' -> 1, '-1.7' -> -1,
+    '.5' -> 0, and the digitless separators '.'/'-.'/'+.' -> 0);
+    exponent forms, overflow (in EITHER branch: '99..9.5' with a
+    too-big integer part is NULL, not 0), and garbage give NULL
+    ('5e2'/'+'/'..'/'1.2.3' -> NULL).  The oracle replicates each
+    branch explicitly: a ``json_valid`` guard (DuckDB's
+    ``json_extract_string`` ERRORS on malformed JSON), a regex trimAll,
+    exact ``TRY_CAST`` for pure-integer strings (overflow -> NULL, no
+    double roundtrip), and integer-part extraction for fractional
+    strings (DuckDB's own TRY_CAST would ROUND '1.7' to 2) with the
+    digitless-separator 0 carved out so TRY_CAST overflow can stay
+    NULL.  The dirty rows live in the adversarial corpus
     (tests/test_adversarial_corpus.py)."""
     ev = _t(spark, sf, "events")
     return ev.groupBy(

@@ -2051,7 +2051,9 @@ def _sql_cc_loop(spark: SparkSession, edges_sql: str, prefix: str,
 
     sym = spark.sql(
         f"""WITH e AS ({edges_sql})
-            SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e"""
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+            )"""
     ).localCheckpoint(eager=True)
     sym.createOrReplaceTempView(f"{prefix}_sym")
     lbl = spark.sql(

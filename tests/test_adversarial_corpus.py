@@ -68,6 +68,13 @@ ADV_EVENTS = [
     (9000006, "2024-01-10 12:02:30", 5, "click", 0.5, '{"k": 1.7}'),
     (9000007, "2024-01-10 12:03:00", 5, "view", 0.5, '{"k": "5e2"}'),
     (9000008, "2024-01-10 12:03:30", 6, "view", 0.5, '{"k": "-1.7"}'),
+    # digitless separator ('.'-> 0), tab-padded numeric (Spark trims all
+    # chars <= 0x20), and fractional with an overflowing integer part
+    # (NULL in BOTH branches) -- the r9 second-review probe set
+    (9000009, "2024-01-10 12:04:00", 6, "click", 0.5, '{"k": "."}'),
+    (9000010, "2024-01-10 12:04:30", 7, "view", 0.5, '{"k": "\\t1.7\\n"}'),
+    (9000011, "2024-01-10 12:05:00", 7, "click", 0.5,
+     '{"k": "99999999999999999999.5"}'),
 ]
 
 
