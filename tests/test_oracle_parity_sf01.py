@@ -74,7 +74,9 @@ def test_query_matches_oracle_at_sf01(name, spark, con):
 #: latent (every mix ratio >= 1.2 there, so n_copies was never 0).  Pin the
 #: scale-sensitive entries that ALSO ship SQL text to the bigger decade.
 SCALE_SENSITIVE_SQL = [
-    n for n in SCALE_SENSITIVE if n in registry_sql.SQL_QUERIES
+    n
+    for n in SCALE_SENSITIVE
+    if n in registry_sql.SQL_QUERIES or n in registry_sql.SQL_PROGRAMS
 ]
 
 
