@@ -166,17 +166,130 @@ def run_bench(spark, sf_dir: str, n_slices: int):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    doc_results, n_docs = run_doc_streams(spark, sf_dir, n_slices)
+    results.update(doc_results)
+
     print(
         json.dumps(
             {
                 "metric": "streaming_microbench",
                 "sf": sf_dir,
                 "rows": int(len(pdf)),
+                "doc_rows": n_docs,
                 "slices": n_slices,
                 "streams": results,
             }
         )
     )
+
+
+def write_doc_slices(pdf, out: str, n_slices: int) -> None:
+    """``documents`` rows as time-ordered parquet slices (doc i in slice s
+    gets ts = base + s hours) + a far-future empty-text sentinel, mirroring
+    the tests' drop-zone shape."""
+    import pandas as pd
+
+    os.makedirs(out)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    n = len(pdf)
+    for s in range(n_slices):
+        chunk = pdf.iloc[n * s // n_slices : n * (s + 1) // n_slices].copy()
+        chunk["ts"] = pd.Series(
+            [base + pd.Timedelta(hours=s)] * len(chunk),
+            dtype="datetime64[us]",
+        ).values
+        chunk.to_parquet(os.path.join(out, f"{s:03d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["doc_id"] = 10**9
+    sent["text"] = ""
+    sent["ts"] = pd.Series(
+        [base + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent.to_parquet(os.path.join(out, "zz_sentinel.parquet"), index=False)
+
+
+def run_doc_streams(spark, sf_dir: str, n_slices: int):
+    """The two document-drop-zone streams (decontamination against a
+    protected gram set; DSIR admission against a persisted importance
+    model), measured the same way as the event streams.  The static sides
+    are prepared OUTSIDE the measured drain -- at deployment they are
+    long-lived tables, not per-stream work."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup, sampling
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    # protected set + importance model: even split / src0-target, the
+    # test-suite shapes, materialized eagerly before the clock starts
+    c_grams = dedup.corpus_gram_set(
+        docs.filter(F.col("doc_id") % 2 == 0), ngram_n=8
+    ).localCheckpoint(eager=True)
+    model = sampling.dsir_fit(
+        docs.withColumn("is_target", F.col("source") == "src0"), "is_target"
+    ).localCheckpoint(eager=True)
+
+    probe_pdf = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_docstream_")
+    docs_dir = os.path.join(tmp, "docs")
+    write_doc_slices(probe_pdf, docs_dir, n_slices)
+
+    results = {}
+    try:
+        results["decontam"] = drain_and_measure_docs(
+            spark,
+            lambda src: curation.decontam_stream(src, c_grams),
+            docs_dir,
+            "decontam",
+        )
+        results["dsir_admission"] = drain_and_measure_docs(
+            spark,
+            lambda src: curation.dsir_admission_stream(src, model),
+            docs_dir,
+            "dsir_admission",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return results, int(len(probe_pdf))
+
+
+def drain_and_measure_docs(spark, make_stream, docs_dir: str, name: str):
+    """drain_and_measure for the documents drop zone (same stats)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    src = curation.read_docs_stream(spark, docs_dir, max_files_per_trigger=1)
+    t0 = time.monotonic()
+    q = (
+        make_stream(src)
+        .writeStream.format("memory")
+        .queryName(f"bench_{name}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    wall = time.monotonic() - t0
+    prog = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
+    trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
+    in_rows = sum(p["numInputRows"] for p in prog)
+    out_rows = spark.table(f"bench_{name}").count()
+    q.stop()
+    return {
+        "wall_sec": round(wall, 3),
+        "batches": len(trig_ms),
+        "rows_per_sec": round(in_rows / (sum(trig_ms) / 1000.0), 1)
+        if trig_ms
+        else None,
+        "median_batch_ms": trig_ms[len(trig_ms) // 2] if trig_ms else None,
+        "max_batch_ms": trig_ms[-1] if trig_ms else None,
+        "out_rows": out_rows,
+    }
 
 
 if __name__ == "__main__":
