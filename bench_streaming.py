@@ -70,6 +70,11 @@ def drain_and_measure(spark, make_stream, events_dir: str, name: str, mode: str)
         .start()
     )
     q.awaitTermination(600)
+    return _drain_stats(spark, q, name, t0)
+
+
+def _drain_stats(spark, q, name: str, t0: float) -> dict:
+    """Shared progress-report reduction for every measured stream."""
     wall = time.monotonic() - t0
     prog = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
     trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
@@ -274,22 +279,7 @@ def drain_and_measure_docs(spark, make_stream, docs_dir: str, name: str):
         .start()
     )
     q.awaitTermination(600)
-    wall = time.monotonic() - t0
-    prog = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
-    trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
-    in_rows = sum(p["numInputRows"] for p in prog)
-    out_rows = spark.table(f"bench_{name}").count()
-    q.stop()
-    return {
-        "wall_sec": round(wall, 3),
-        "batches": len(trig_ms),
-        "rows_per_sec": round(in_rows / (sum(trig_ms) / 1000.0), 1)
-        if trig_ms
-        else None,
-        "median_batch_ms": trig_ms[len(trig_ms) // 2] if trig_ms else None,
-        "max_batch_ms": trig_ms[-1] if trig_ms else None,
-        "out_rows": out_rows,
-    }
+    return _drain_stats(spark, q, name, t0)
 
 
 if __name__ == "__main__":
