@@ -55,11 +55,21 @@ def write_time_sliced(pdf, out: str, n_slices: int) -> None:
     sent.to_parquet(os.path.join(out, "zzz_sentinel.parquet"), index=False)
 
 
-def drain_and_measure(spark, make_stream, events_dir: str, name: str, mode: str):
-    """Run one stream to a memory sink; return wall time + progress stats."""
-    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
+def drain_and_measure(
+    spark, make_stream, src_dir: str, name: str, mode: str, read_stream=None
+):
+    """Run one stream to a memory sink; return wall time + progress stats.
+    ``read_stream`` overrides the default events reader (the doc-stream
+    section passes the documents drop-zone reader) so every measured
+    stream shares ONE drain/trigger/stats path."""
+    if read_stream is None:
+        from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+            events as sev,
+        )
 
-    src = sev.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        src = sev.read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    else:
+        src = read_stream(spark, src_dir)
     t0 = time.monotonic()
     q = (
         make_stream(src)
@@ -171,8 +181,14 @@ def run_bench(spark, sf_dir: str, n_slices: int):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    doc_results, n_docs = run_doc_streams(spark, sf_dir, n_slices)
-    results.update(doc_results)
+    # the doc-stream section must not discard the event results already
+    # measured above: record its failure as a row instead of raising
+    try:
+        doc_results, n_docs = run_doc_streams(spark, sf_dir, n_slices)
+        results.update(doc_results)
+    except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
+        n_docs = None
+        results["doc_streams"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     print(
         json.dumps(
@@ -242,11 +258,10 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
         .toPandas()
     )
     tmp = tempfile.mkdtemp(prefix="bench_docstream_")
-    docs_dir = os.path.join(tmp, "docs")
-    write_doc_slices(probe_pdf, docs_dir, n_slices)
-
     results = {}
-    try:
+    try:  # the write sits inside the try so a partial drop zone is removed
+        docs_dir = os.path.join(tmp, "docs")
+        write_doc_slices(probe_pdf, docs_dir, n_slices)
         results["decontam"] = drain_and_measure_docs(
             spark,
             lambda src: curation.decontam_stream(src, c_grams),
@@ -265,21 +280,20 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
 
 
 def drain_and_measure_docs(spark, make_stream, docs_dir: str, name: str):
-    """drain_and_measure for the documents drop zone (same stats)."""
+    """drain_and_measure over the documents drop zone: the same drain,
+    trigger, and stats path, just a different source reader."""
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
 
-    src = curation.read_docs_stream(spark, docs_dir, max_files_per_trigger=1)
-    t0 = time.monotonic()
-    q = (
-        make_stream(src)
-        .writeStream.format("memory")
-        .queryName(f"bench_{name}")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return drain_and_measure(
+        spark,
+        make_stream,
+        docs_dir,
+        name,
+        "append",
+        read_stream=lambda sp, d: curation.read_docs_stream(
+            sp, d, max_files_per_trigger=1
+        ),
     )
-    q.awaitTermination(600)
-    return _drain_stats(spark, q, name, t0)
 
 
 if __name__ == "__main__":
