@@ -809,3 +809,32 @@ def test_connected_components_auto_shortcut_needs_no_flag(spark):
         for r in dedup.connected_components(mixed, shortcut=False).collect()
     }
     assert auto == plain
+
+
+def test_connected_components_reliable_checkpoint_with_auto_doubling(
+    spark, tmp_path
+):
+    """A diameter-100 chain under checkpoint_dir=: the auto pointer-
+    doubling rounds (round 6 onward) run through the RELIABLE checkpoint
+    path too, converge inside the default budget, and the superseded-
+    snapshot deletion still bounds storage to the pinned edge list + ~2
+    label snapshots."""
+    import os
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    ckdir = str(tmp_path / "ck_chain")
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            chain, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(101)}
+    rdd_dirs = [
+        d for _, dirs, _ in os.walk(ckdir) for d in dirs if d.startswith("rdd-")
+    ]
+    assert 1 <= len(rdd_dirs) <= 3, rdd_dirs
