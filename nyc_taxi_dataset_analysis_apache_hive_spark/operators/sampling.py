@@ -310,6 +310,58 @@ def grouped_hash_split(
     ).select(id_col, "split_id")
 
 
+#: Default serving-shard count for :func:`shuffle_shards` -- THE single
+#: definition; the s6 registry oracle and the SQL-mode text format this
+#: into their floor(u * N) legs so all three surfaces cut the same chunks.
+DEFAULT_N_SHARDS = 8
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = DEFAULT_N_SHARDS,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic global shuffle into serving shards: the step between
+    curation and training that materializes the corpus in a fixed random
+    order, chunked into ``n_shards`` equal-expectation shards (the
+    training-pipeline extension of the reference's bucketed sink --
+    ``CLUSTERED BY .. SORTED BY .. INTO 5 BUCKETS``, REF:255 -- with the
+    bucket key replaced by a salted hash so the "clustering" IS the
+    shuffle).
+
+    The md5-uniform draw ``u`` (the one :func:`hash_split` idiom) defines
+    a global permutation (order by ``u``, ties by id); ``shard_id =
+    floor(u * n_shards)`` is that permutation cut into ``n_shards``
+    contiguous chunks, and ``shard_pos`` is the 0-based rank inside the
+    shard.  Reading shards 0..n-1 each in ``shard_pos`` order replays the
+    whole permutation.  Row-content-deterministic like every sampler
+    here: the same id keeps its shard (and its neighbors-in-order)
+    across reruns, engines, and partitionings; appended rows insert into
+    the order without re-rolling anyone's shard (positions after an
+    insertion point shift -- the assignment never does).
+
+    Scale: one narrow md5 projection, then ONE hash exchange (the
+    row_number window partitions by shard_id and sorts by ``u`` -- the
+    exact exchange+sort a sharded writer needs anyway, see
+    ``sources.writers.write_training_shards``, so materializing the
+    order costs no extra shuffle over the write itself).  Per-shard sort
+    is disk-backed (ExternalSorter); with size-targeted ``n_shards`` a
+    shard is one task's worth of rows.
+    """
+    from pyspark.sql.window import Window
+
+    u = _md5_uniform(id_col, salt)
+    keyed = df.withColumn("__shuf_u", u).withColumn(
+        "shard_id",
+        F.floor(F.col("__shuf_u") * F.lit(float(n_shards))).cast("int"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("__shuf_u", id_col)
+    return keyed.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("__shuf_u")
+
+
 def quality_weighted_sample(
     df: DataFrame,
     score_col: str,

@@ -127,28 +127,70 @@ def d6_dup_clusters(spark, sf):
 # grouped_split leg shares them)
 
 
+#: s6 shard leg (r9): serving-shard count for sampling.shuffle_shards --
+#: the md5 permutation cut into N contiguous chunks (REF:255's bucketed
+#: sink with a salted-hash key).  The oracle replays shard = floor(u*N)
+#: and the within-shard rank with DuckDB's own window; CAST-to-DOUBLE
+#: before the multiply keeps it off decimal arithmetic (the oracle rule).
+_S6_N_SHARDS = sampling.DEFAULT_N_SHARDS
+
+
 @register(
     "s6_hash_split",
     f"""
-    SELECT doc_id, CAST({_SPLIT_CASE} AS INT) AS split_id
+    SELECT 'split' AS op, doc_id, CAST({_SPLIT_CASE} AS BIGINT) AS v,
+           CAST(NULL AS BIGINT) AS pos
     FROM (
       SELECT doc_id,
              CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
       FROM documents
     )
+    UNION ALL
+    SELECT 'shard' AS op, doc_id,
+           CAST(floor(u * CAST({float(_S6_N_SHARDS)!r} AS DOUBLE)) AS BIGINT) AS v,
+           CAST(row_number() OVER (
+                  PARTITION BY floor(u * CAST({float(_S6_N_SHARDS)!r} AS DOUBLE))
+                  ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM documents
+    )
     """,
 )
 def s6_hash_split(spark, sf):
-    """Deterministic hash-based train/val/test split (80/10/10): same id ->
-    same split across reruns, engines, partitionings, and appends.  The
-    oracle reproduces the md5-uniform and the exact float boundaries."""
-    return sampling.hash_split(
-        _t(spark, sf, "documents").select("doc_id"),
-        id_col="doc_id",
-        weights=(0.8, 0.1, 0.1),
-        salt="split-v1",
+    """Deterministic splits family, two tagged legs over documents:
+
+    * ``op='split'``: hash-based train/val/test assignment (80/10/10) --
+      same id -> same split across reruns, engines, partitionings, and
+      appends; ``v`` = split_id.  The oracle reproduces the md5-uniform
+      and the exact float boundaries.
+    * ``op='shard'`` (r9): sampling.shuffle_shards' deterministic global
+      shuffle into {_S6_N_SHARDS} serving shards -- ``v`` = shard_id
+      (floor of the shard-salted uniform times N), ``pos`` = 0-based
+      rank within the shard under the global md5 permutation.  The
+      oracle replays both with DuckDB's window, pinning the full serve
+      ORDER cross-engine, not just the membership."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    split = sampling.hash_split(
+        docs, id_col="doc_id", weights=(0.8, 0.1, 0.1), salt="split-v1"
+    ).select(
+        F.lit("split").alias("op"),
+        "doc_id",
+        F.col("split_id").cast("long").alias("v"),
+        F.lit(None).cast("long").alias("pos"),
     )
+    shard = sampling.shuffle_shards(
+        docs, id_col="doc_id", n_shards=_S6_N_SHARDS, salt="shard-v1"
+    ).select(
+        F.lit("shard").alias("op"),
+        "doc_id",
+        F.col("shard_id").cast("long").alias("v"),
+        F.col("shard_pos").alias("pos"),
+    )
+    return split.unionByName(shard)
 
 
 #: s7 per-stratum target rates + the absolute tolerance the gate asserts.

@@ -161,6 +161,16 @@ _MINHASH_SIG_COLS, _MINHASH_BAND_ROWS = _minhash_sql_columns()
 _SIMHASH_BIT_SUMS, _SIMHASH_PACK, _SIMHASH_CHUNK_STRUCTS = _simhash_sql_columns()
 
 
+def _s6_shard_n() -> str:
+    """sampling.DEFAULT_N_SHARDS as a Spark double literal (`8.0D`) --
+    the bare `8.0` would be DECIMAL in Spark SQL and put the shard
+    multiply on decimal arithmetic (the cross-engine trap the oracles
+    CAST around)."""
+    from .operators.sampling import DEFAULT_N_SHARDS
+
+    return f"{float(DEFAULT_N_SHARDS)!r}D"
+
+
 def _s6_split_case() -> str:
     """CASE arm embedding sampling.hash_split's OWN float-exact boundaries
     (one definition in sampling.cumulative_split_bounds) as repr literals,
@@ -790,10 +800,24 @@ SQL_QUERIES: dict[str, str] = {
         FROM documents GROUP BY grp
     """,
     "s6_hash_split": f"""
-        SELECT doc_id, CAST({_s6_split_case()} AS INT) AS split_id
+        SELECT 'split' AS op, doc_id, CAST({_s6_split_case()} AS BIGINT) AS v,
+               CAST(NULL AS BIGINT) AS pos
         FROM (
           SELECT doc_id,
                  CAST(conv(substr(md5(concat('split-v1', ':',
+                                             CAST(doc_id AS STRING))), 1, 15),
+                           16, 10) AS DOUBLE)
+                   / CAST(1152921504606846976 AS DOUBLE) AS u
+          FROM documents
+        )
+        UNION ALL
+        SELECT 'shard' AS op, doc_id,
+               CAST(floor(u * {_s6_shard_n()}) AS BIGINT) AS v,
+               CAST(row_number() OVER (PARTITION BY floor(u * {_s6_shard_n()})
+                                       ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+        FROM (
+          SELECT doc_id,
+                 CAST(conv(substr(md5(concat('shard-v1', ':',
                                              CAST(doc_id AS STRING))), 1, 15),
                            16, 10) AS DOUBLE)
                    / CAST(1152921504606846976 AS DOUBLE) AS u

@@ -72,6 +72,42 @@ def write_clean_partitioned(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard-v1",
+    fmt: str = "parquet",
+    compression: str = "snappy",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Materialize the corpus as ``n_shards`` globally-shuffled serving
+    shards (``path/shard_id=K/``), each file sorted by ``shard_pos`` --
+    the training-loader layout step after curation/packing.  The order is
+    ``sampling.shuffle_shards``'s deterministic md5 permutation (the
+    bucketed-sink shape of REF:255 with a salted-hash key), so a rerun
+    over the same corpus rewrites byte-identical shard contents.
+
+    Scale: the row_number window already exchanges on ``shard_id`` and
+    sorts by the draw, so ``partitionBy`` here splits files without a
+    second shuffle -- each task holds whole shards in final order.  One
+    exchange total; ``maxRecordsPerFile`` rolls a huge shard into
+    several files whose lexicographic part-order preserves the sort.
+    """
+    from ..operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(df, id_col=id_col, n_shards=n_shards, salt=salt)
+    (
+        sharded.write.mode("overwrite")
+        .format(fmt)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy("shard_id")
+        .save(path)
+    )
+
+
 def write_clean_table(
     df: DataFrame,
     table: str,

@@ -1,0 +1,111 @@
+"""Deterministic serving shards (sampling.shuffle_shards +
+sources.writers.write_training_shards): the md5 permutation is stable
+across reruns, partitionings, and appends; positions are contiguous per
+shard; and the sharded writer round-trips the exact serve order."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources import writers
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["shard_id"], r["shard_pos"]) for r in df.collect()
+    )
+
+
+def test_shards_cover_every_doc_with_contiguous_positions(spark):
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    out = sampling.shuffle_shards(ids, n_shards=4).collect()
+    assert len(out) == 500 and len({r["doc_id"] for r in out}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 4
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    assert set(by_shard) == {0, 1, 2, 3}  # 500 uniform draws fill 4 shards
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+
+def test_deterministic_and_partitioning_invariant(spark):
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    a = _rows(sampling.shuffle_shards(ids))
+    b = _rows(sampling.shuffle_shards(ids))
+    c = _rows(sampling.shuffle_shards(ids.repartition(7)))
+    assert a == b == c
+
+
+def test_append_keeps_assignments_and_relative_order(spark):
+    """Appends insert into the permutation: no existing doc changes shard,
+    and within a shard the old docs keep their relative order (positions
+    may shift -- the assignment and the order never do)."""
+    old = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    both = spark.createDataFrame([Row(doc_id=i) for i in range(260)])
+    before = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in sampling.shuffle_shards(old).collect()
+    }
+    after = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in sampling.shuffle_shards(both).collect()
+    }
+    for i in range(200):
+        assert after[i][0] == before[i][0], i
+    for shard in {v[0] for v in before.values()}:
+        old_order = sorted(
+            (i for i in range(200) if before[i][0] == shard),
+            key=lambda i: before[i][1],
+        )
+        new_order = sorted(old_order, key=lambda i: after[i][1])
+        assert new_order == old_order, shard
+
+
+def test_different_salts_give_different_permutations(spark):
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    a = _rows(sampling.shuffle_shards(ids, salt="shard-v1"))
+    b = _rows(sampling.shuffle_shards(ids, salt="shard-v2"))
+    assert a != b
+
+
+def test_shard_sizes_roughly_balanced(spark):
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(4000)])
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in sampling.shuffle_shards(ids, n_shards=8)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(sizes) == set(range(8))
+    for n in sizes.values():  # E=500; +/-40% is ~9 sigma for a binomial
+        assert 300 <= n <= 700, sizes
+
+
+def test_writer_round_trips_the_exact_serve_order(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(400)]
+    )
+    path = str(tmp_path / "shards")
+    writers.write_training_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert _rows(back) == _rows(sampling.shuffle_shards(docs, n_shards=4))
+    assert {r["text"] for r in back.collect()} == {
+        f"doc {i}" for i in range(400)
+    }
+    # each shard directory's files, read in lexicographic part order,
+    # replay the shard in shard_pos order (the loader contract)
+    import glob
+
+    for shard_dir in sorted(glob.glob(f"{path}/shard_id=*")):
+        import pandas as pd
+
+        parts = [
+            pd.read_parquet(f)
+            for f in sorted(glob.glob(f"{shard_dir}/part-*"))
+        ]
+        poss = pd.concat(parts)["shard_pos"].tolist()
+        assert poss == sorted(poss), shard_dir
