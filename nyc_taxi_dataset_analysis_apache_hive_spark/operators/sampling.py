@@ -341,6 +341,13 @@ def shuffle_shards(
     the order without re-rolling anyone's shard (positions after an
     insertion point shift -- the assignment never does).
 
+    NULL ids have no draw: they land in a NULL shard_id -- quarantined
+    OUT of the serving permutation rather than silently assigned (the
+    explicit-NULL-policy convention of :func:`mix_domains`); positions
+    still rank them so the output stays a deterministic multiset.
+    Duplicate ids tie on (u, id) and share a shard with distinct
+    consecutive positions.
+
     Scale: one narrow md5 projection, then ONE hash exchange (the
     row_number window partitions by shard_id and sorts by ``u`` -- the
     exact exchange+sort a sharded writer needs anyway, see

@@ -85,6 +85,39 @@ def test_shard_sizes_roughly_balanced(spark):
         assert 300 <= n <= 700, sizes
 
 
+def test_null_ids_quarantine_to_null_shard(spark):
+    """A NULL id has no md5 draw: it must land in a NULL shard_id
+    (excluded from the serving permutation), never be silently assigned
+    -- the explicit-NULL-policy convention of the domain mixers."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,), (None,)],
+        StructType([StructField("doc_id", LongType(), True)]),
+    )
+    out = sampling.shuffle_shards(ids, n_shards=4).collect()
+    assert len(out) == 52
+    null_rows = [r for r in out if r["doc_id"] is None]
+    assert len(null_rows) == 2
+    assert all(r["shard_id"] is None for r in null_rows)
+    assert sorted(r["shard_pos"] for r in null_rows) == [0, 1]
+    assert all(
+        r["shard_id"] is not None for r in out if r["doc_id"] is not None
+    )
+
+
+def test_duplicate_ids_share_a_shard_with_distinct_positions(spark):
+    ids = spark.createDataFrame(
+        [Row(doc_id=7)] * 5 + [Row(doc_id=i) for i in range(100)]
+    )
+    out = [r for r in sampling.shuffle_shards(ids, n_shards=4).collect()]
+    dup = [r for r in out if r["doc_id"] == 7]
+    assert len(dup) == 6  # the 5 copies + the range's own 7
+    assert len({r["shard_id"] for r in dup}) == 1
+    poss = sorted(r["shard_pos"] for r in dup)
+    assert poss == list(range(poss[0], poss[0] + 6))  # consecutive ranks
+
+
 def test_writer_round_trips_the_exact_serve_order(spark, tmp_path):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"doc {i}") for i in range(400)]
