@@ -68,6 +68,25 @@ def _md5_uniform(id_col: str, salt: str):
     ).cast("double") / F.lit(float(16**15))
 
 
+def split_id_expr(
+    id_col: str,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    salt: str = "split-v1",
+):
+    """The split-assignment Column :func:`hash_split` adds: the md5-uniform
+    of (salt || id) against the cumulative weight boundaries.  Exposed as
+    a bare stateless expression so streaming admission paths can tag
+    documents at ingest (:func:`assign_serving_keys`) with assignments
+    bit-identical to the batch operator's (same expression object, so the
+    s6 oracle's parity covers both by construction)."""
+    bounds = cumulative_split_bounds(weights)
+    u = _md5_uniform(id_col, salt)
+    split = F.lit(len(weights) - 1)
+    for i in reversed(range(len(bounds))):
+        split = F.when(u < bounds[i], i).otherwise(split)
+    return split.cast("int")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -82,12 +101,7 @@ def hash_split(
     ones -- unlike fraction-based sampling where the RNG stream shifts).
     md5 (not xxhash64) so an external system can reproduce the assignment.
     """
-    bounds = cumulative_split_bounds(weights)
-    u = _md5_uniform(id_col, salt)
-    split = F.lit(len(weights) - 1)
-    for i in reversed(range(len(bounds))):
-        split = F.when(u < bounds[i], i).otherwise(split)
-    return df.withColumn("split_id", split.cast("int"))
+    return df.withColumn("split_id", split_id_expr(id_col, weights, salt))
 
 
 def mix_domains(
@@ -367,6 +381,43 @@ def shuffle_shards(
     return keyed.withColumn(
         "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
     ).drop("__shuf_u")
+
+
+def shard_id_expr(
+    id_col: str,
+    n_shards: int = DEFAULT_N_SHARDS,
+    salt: str = "shard-v1",
+):
+    """The shard-assignment Column of :func:`shuffle_shards` WITHOUT the
+    rank (``floor(u * n_shards)`` over the same salted draw) -- the
+    stateless half, usable on a streaming DataFrame where a global
+    row_number cannot exist.  Batch and stream tag the same document
+    with the same shard (same expression; gated in tests)."""
+    u = _md5_uniform(id_col, salt)
+    return F.floor(u * F.lit(float(n_shards))).cast("int")
+
+
+def assign_serving_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    n_shards: int = DEFAULT_N_SHARDS,
+    split_salt: str = "split-v1",
+    shard_salt: str = "shard-v1",
+) -> DataFrame:
+    """Tag rows with (split_id, shard_id) in one stateless projection --
+    the ingest-time form of :func:`hash_split` + :func:`shuffle_shards`
+    for the streaming admission paths (streaming/curation.py): an
+    admitted document leaves the stream already knowing its eval split
+    and its serving shard, bit-identical to what the batch operators
+    would later assign (same expressions, so no re-curation pass is
+    needed to place streamed admissions into the corpus layout).  The
+    within-shard serve ORDER (shard_pos) is deliberately absent: a
+    global rank is meaningless mid-stream; the sharded writer computes
+    it at materialization time."""
+    return df.withColumn(
+        "split_id", split_id_expr(id_col, weights, split_salt)
+    ).withColumn("shard_id", shard_id_expr(id_col, n_shards, shard_salt))
 
 
 def quality_weighted_sample(

@@ -23,6 +23,12 @@ Scale shape, per micro-batch:
 The batch analog (:func:`decontam_batch`, same expressions minus the
 watermark/window) equals the batch operator row for row -- the
 stream/batch agreement test runs all three against each other.
+
+Admitted documents can be tagged with their corpus placement at ingest:
+``operators.sampling.assign_serving_keys`` is a stateless projection
+(split_id + shard_id from the same salted-md5 expressions the batch
+splitters use), so it composes with any stream here -- gated
+stream≡batch in tests/test_shards.py.
 """
 
 from __future__ import annotations

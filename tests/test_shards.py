@@ -118,6 +118,62 @@ def test_duplicate_ids_share_a_shard_with_distinct_positions(spark):
     assert poss == list(range(poss[0], poss[0] + 6))  # consecutive ranks
 
 
+def test_serving_keys_stream_equals_batch_and_operators(spark, tmp_path):
+    """assign_serving_keys is stateless, so it runs unchanged on a
+    streaming DataFrame: a document admitted mid-stream gets the exact
+    (split_id, shard_id) the batch operators would assign -- gated here
+    against a 2-micro-batch file stream AND against hash_split /
+    shuffle_shards on the same docs."""
+    import os
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(120), "text": [f"d {i}" for i in range(120)]}
+    )
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pdf.iloc[:60].to_parquet(os.path.join(d, "00.parquet"), index=False)
+    pdf.iloc[60:].to_parquet(os.path.join(d, "01.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        sampling.assign_serving_keys(stream)
+        .writeStream.format("memory")
+        .queryName("serving_keys_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["split_id"], r["shard_id"])
+        for r in spark.table("serving_keys_sink").collect()
+    }
+    assert len(got) == 120
+
+    static = spark.read.parquet(d)
+    batch = {
+        r["doc_id"]: (r["split_id"], r["shard_id"])
+        for r in sampling.assign_serving_keys(static).collect()
+    }
+    splits = {
+        r["doc_id"]: r["split_id"]
+        for r in sampling.hash_split(static, id_col="doc_id").collect()
+    }
+    shards = {
+        r["doc_id"]: r["shard_id"]
+        for r in sampling.shuffle_shards(static).collect()
+    }
+    assert got == batch
+    for i, (sp, sh) in got.items():
+        assert (sp, sh) == (splits[i], shards[i]), i
+
+
 def test_writer_round_trips_the_exact_serve_order(spark, tmp_path):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"doc {i}") for i in range(400)]
