@@ -87,7 +87,9 @@ def write_training_shards(
     the training-loader layout step after curation/packing.  The order is
     ``sampling.shuffle_shards``'s deterministic md5 permutation (the
     bucketed-sink shape of REF:255 with a salted-hash key), so a rerun
-    over the same corpus rewrites byte-identical shard contents.
+    over the same corpus rewrites byte-identical shard contents (file
+    NAMES carry fresh task UUIDs; the bytes inside are pinned by a
+    rerun-digest test).
 
     Scale: the row_number window already exchanges on ``shard_id`` and
     sorts by the draw, so ``partitionBy`` here splits files without a
