@@ -266,3 +266,21 @@ def test_runtime_bloom_filter_semi_join_reduces_probe_side(spark):
     plain = build()
     assert "might_contain" not in explain_str(plain, "simple")
     assert plain.count() == n_bloom
+
+
+def test_shuffle_shards_plans_one_exchange(spark):
+    """The serve-order shard operator's whole cost model is 'one hash
+    exchange, the one the sharded writer needs anyway': the row_number
+    window must reuse the shard_id partitioning, adding a sort but never
+    a second shuffle (a rangepartitioning or extra hashpartitioning here
+    would double the 100-TB write cost)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    plan = explain_str(sampling.shuffle_shards(docs))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1200]
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(shard_id" in plan
