@@ -168,7 +168,8 @@ def s6_hash_split(spark, sf):
       appends; ``v`` = split_id.  The oracle reproduces the md5-uniform
       and the exact float boundaries.
     * ``op='shard'`` (r9): sampling.shuffle_shards' deterministic global
-      shuffle into {_S6_N_SHARDS} serving shards -- ``v`` = shard_id
+      shuffle into N = sampling.DEFAULT_N_SHARDS serving shards --
+      ``v`` = shard_id
       (floor of the shard-salted uniform times N), ``pos`` = 0-based
       rank within the shard under the global md5 permutation.  The
       oracle replays both with DuckDB's window, pinning the full serve

@@ -110,6 +110,48 @@ def write_training_shards(
     )
 
 
+def shard_manifest(
+    spark, path: str, id_col: str = "doc_id"
+) -> "DataFrame":
+    """Tiny per-shard audit table over a ``write_training_shards`` layout:
+    ``(shard_id, n_rows, max_pos, content_sum)`` where ``content_sum``
+    is the sum of the 60-bit md5 integers of ``id:pos`` -- a
+    position-sensitive digest, so two corpora agree on the manifest iff
+    every shard holds the same documents in the same serve order.
+    Engine-independent (the md5 idiom every sampler here uses), so a
+    downstream loader in another stack can recompute and attest it.
+
+    Scale: one scan of the shard layout, partial+final aggregate to
+    n_shards rows; the decimal(38) sum cannot overflow below ~10^20
+    rows per shard.
+    """
+    df = spark.read.parquet(path)
+    digit = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("shard_pos").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        df.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("shard_pos").alias("max_pos"),
+            F.sum(digit).alias("content_sum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def write_clean_table(
     df: DataFrame,
     table: str,

@@ -200,6 +200,38 @@ def test_writer_round_trips_the_exact_serve_order(spark, tmp_path):
         assert poss == sorted(poss), shard_dir
 
 
+def test_shard_manifest_attests_the_serve_order(spark, tmp_path):
+    """The manifest must agree across reruns, count every row, and be
+    position-SENSITIVE: swapping two documents' serve positions keeps
+    row counts identical but must change content_sum."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(200)]
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    writers.write_training_shards(docs, a, n_shards=4)
+    writers.write_training_shards(docs, b, n_shards=4)
+    ma = [tuple(r) for r in writers.shard_manifest(spark, a).collect()]
+    mb = [tuple(r) for r in writers.shard_manifest(spark, b).collect()]
+    assert ma == mb and len(ma) == 4
+    assert sum(r[1] for r in ma) == 200
+    for shard_id, n_rows, max_pos, _ in ma:
+        assert max_pos == n_rows - 1, shard_id
+
+    # tamper: swap the first two serve positions inside shard 0
+    tampered = spark.read.parquet(a).withColumn(
+        "shard_pos",
+        F.when(
+            (F.col("shard_id") == 0) & (F.col("shard_pos") < 2),
+            F.lit(1) - F.col("shard_pos"),
+        ).otherwise(F.col("shard_pos")),
+    )
+    t = str(tmp_path / "t")
+    tampered.write.partitionBy("shard_id").parquet(t)
+    mt = [tuple(r) for r in writers.shard_manifest(spark, t).collect()]
+    assert [r[:3] for r in mt] == [r[:3] for r in ma]  # counts unchanged
+    assert mt != ma  # ...but the digest sees the order change
+
+
 def test_writer_rerun_is_byte_identical(spark, tmp_path):
     """Two writes of the same corpus produce the same bytes shard for
     shard (file names carry fresh task UUIDs -- the digest walks files
