@@ -76,7 +76,7 @@ def write_training_shards(
     df: DataFrame,
     path: str,
     id_col: str = "doc_id",
-    n_shards: int = 8,
+    n_shards: int | None = None,
     salt: str = "shard-v1",
     fmt: str = "parquet",
     compression: str = "snappy",
@@ -97,8 +97,10 @@ def write_training_shards(
     exchange total; ``maxRecordsPerFile`` rolls a huge shard into
     several files whose lexicographic part-order preserves the sort.
     """
-    from ..operators.sampling import shuffle_shards
+    from ..operators.sampling import DEFAULT_N_SHARDS, shuffle_shards
 
+    if n_shards is None:
+        n_shards = DEFAULT_N_SHARDS
     sharded = shuffle_shards(df, id_col=id_col, n_shards=n_shards, salt=salt)
     (
         sharded.write.mode("overwrite")
@@ -112,7 +114,7 @@ def write_training_shards(
 
 def shard_manifest(
     spark, path: str, id_col: str = "doc_id"
-) -> "DataFrame":
+) -> DataFrame:
     """Tiny per-shard audit table over a ``write_training_shards`` layout:
     ``(shard_id, n_rows, max_pos, content_sum)`` where ``content_sum``
     is the sum of the 60-bit md5 integers of ``id:pos`` -- a
