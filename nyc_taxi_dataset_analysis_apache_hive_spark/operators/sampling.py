@@ -420,6 +420,116 @@ def assign_serving_keys(
     ).withColumn("shard_id", shard_id_expr(id_col, n_shards, shard_salt))
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols,
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 0-based global rank under a TOTAL order, at scale: the
+    distributed materialization of ``row_number() OVER (ORDER BY ...)``
+    that Spark's own window cannot give without collapsing the corpus
+    into one task (an empty-PARTITION BY window plans SinglePartition --
+    the one thing a 100-TB sort must never do).
+
+    Three steps, all bounded: (1) range-exchange the corpus on the order
+    columns (order-preserving across partition ids: partition k's keys
+    all precede partition k+1's); (2) row_number within each range
+    partition -- the per-partition sort the exchange needs anyway;
+    (3) a per-partition count aggregate (n_partitions rows -- tiny) gets
+    cumulative offsets via a single-partition window over THAT table
+    only, and broadcast-joins back: rank = local rank + offset.
+
+    ``order_cols`` must define a total order (include a tie-break id);
+    cross-partition correctness needs equal keys co-located, which the
+    range partitioner guarantees only for fully-specified keys.  Pass
+    Column objects for direction/null placement (e.g.
+    ``F.col("score").desc_nulls_last()``) -- the same spelling is used
+    for the exchange and the local window, so they cannot disagree.
+    AQE may coalesce ADJACENT range partitions; order preservation
+    across ids survives coalescing, so ranks are unaffected.
+    """
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    ranged = df.repartitionByRange(n_partitions, *cols).withColumn(
+        "__gr_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__gr_pid").orderBy(*cols)
+    local = ranged.withColumn("__gr_lrank", F.row_number().over(w) - 1)
+    offsets = (
+        local.groupBy("__gr_pid")
+        .agg(F.count(F.lit(1)).alias("__gr_n"))
+        .withColumn(
+            "__gr_off",
+            F.coalesce(
+                F.sum("__gr_n").over(
+                    Window.orderBy("__gr_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("__gr_pid", "__gr_off")),
+            on="__gr_pid",
+        )
+        .withColumn(
+            rank_col, (F.col("__gr_lrank") + F.col("__gr_off")).cast("bigint")
+        )
+        .drop("__gr_pid", "__gr_lrank", "__gr_off")
+    )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int = DEFAULT_N_SHARDS,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Curriculum-ordered serving shards: where :func:`shuffle_shards`
+    randomizes, this materializes the corpus in SCORE order (best first
+    when ``descending``) -- shard 0 is the first ``1/n_shards`` of the
+    curriculum, and ``rank`` is the exact global position, so a loader
+    reading shards in id order replays easy-to-hard (or any
+    score-defined schedule).
+
+    ``shard_id = (rank * n_shards) div total`` -- integer arithmetic, so
+    the cut is engine-exact and shard sizes differ by at most one.  Ties
+    on the score break by id (NULLS LAST on both, spelled explicitly:
+    Spark and other engines disagree on default NULL placement), making
+    the order total -- the :func:`global_rank` requirement.
+
+    Scale: global_rank's one range exchange + the tiny offsets table,
+    plus a broadcast single-row total.  Nothing else touches the corpus.
+    """
+    score = (
+        F.col(score_col).desc_nulls_last()
+        if descending
+        else F.col(score_col).asc_nulls_last()
+    )
+    ranked = global_rank(df, [score, F.col(id_col).asc_nulls_last()])
+    total = ranked.select(
+        F.count(F.lit(1)).cast("bigint").alias("__cs_total")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "shard_id",
+            F.expr(f"(rank * {int(n_shards)}) div __cs_total").cast("int"),
+        )
+        .drop("__cs_total")
+    )
+
+
 def quality_weighted_sample(
     df: DataFrame,
     score_col: str,

@@ -158,6 +158,18 @@ _S6_N_SHARDS = sampling.DEFAULT_N_SHARDS
                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
       FROM documents
     )
+    UNION ALL
+    SELECT 'curriculum' AS op, doc_id,
+           CAST((rn * {int(_S6_N_SHARDS)}) // total AS BIGINT) AS v,
+           rn AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST,
+                                              doc_id ASC NULLS LAST)
+                  - 1 AS BIGINT) AS rn,
+             count(*) OVER () AS total
+      FROM documents
+    )
     """,
 )
 def s6_hash_split(spark, sf):
@@ -173,7 +185,16 @@ def s6_hash_split(spark, sf):
       (floor of the shard-salted uniform times N), ``pos`` = 0-based
       rank within the shard under the global md5 permutation.  The
       oracle replays both with DuckDB's window, pinning the full serve
-      ORDER cross-engine, not just the membership."""
+      ORDER cross-engine, not just the membership.
+    * ``op='curriculum'`` (r9): sampling.curriculum_shards' score-ordered
+      layout over the same N (curriculum key: n_chars DESC, longest
+      first, doc_id tie-break; NULLS LAST spelled on every surface) --
+      ``v`` = (rank * N) div total (engine-exact integer cut), ``pos`` =
+      the exact global rank that sampling.global_rank computes with a
+      range exchange + broadcast offsets instead of the single-task sort
+      a bare global window would plan; the oracle replays it with
+      DuckDB's one-partition window, proving the distributed rank equals
+      the naive definition."""
     docs = _t(spark, sf, "documents").select("doc_id")
     split = sampling.hash_split(
         docs, id_col="doc_id", weights=(0.8, 0.1, 0.1), salt="split-v1"
@@ -191,7 +212,17 @@ def s6_hash_split(spark, sf):
         F.col("shard_id").cast("long").alias("v"),
         F.col("shard_pos").alias("pos"),
     )
-    return split.unionByName(shard)
+    curriculum = sampling.curriculum_shards(
+        _t(spark, sf, "documents").select("doc_id", "n_chars"),
+        score_col="n_chars",
+        n_shards=_S6_N_SHARDS,
+    ).select(
+        F.lit("curriculum").alias("op"),
+        "doc_id",
+        F.col("shard_id").cast("long").alias("v"),
+        F.col("rank").alias("pos"),
+    )
+    return split.unionByName(shard).unionByName(curriculum)
 
 
 #: s7 per-stratum target rates + the absolute tolerance the gate asserts.

@@ -171,6 +171,14 @@ def _s6_shard_n() -> str:
     return f"{float(DEFAULT_N_SHARDS)!r}D"
 
 
+def _s6_shard_count() -> str:
+    """sampling.DEFAULT_N_SHARDS as a bare integer literal (for the
+    curriculum leg's exact integer `div` cut)."""
+    from .operators.sampling import DEFAULT_N_SHARDS
+
+    return str(int(DEFAULT_N_SHARDS))
+
+
 def _s6_split_case() -> str:
     """CASE arm embedding sampling.hash_split's OWN float-exact boundaries
     (one definition in sampling.cumulative_split_bounds) as repr literals,
@@ -821,6 +829,22 @@ SQL_QUERIES: dict[str, str] = {
                                              CAST(doc_id AS STRING))), 1, 15),
                            16, 10) AS DOUBLE)
                    / CAST(1152921504606846976 AS DOUBLE) AS u
+          FROM documents
+        )
+        UNION ALL
+        -- declarative curriculum leg: the bare global window IS the
+        -- semantics (rank under a total order); the DataFrame surface
+        -- computes the same rank scalably (sampling.global_rank) and the
+        -- equality gate proves the two agree
+        SELECT 'curriculum' AS op, doc_id,
+               CAST((rn * {_s6_shard_count()}) div total AS BIGINT) AS v,
+               rn AS pos
+        FROM (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST,
+                                                  doc_id ASC NULLS LAST)
+                      - 1 AS BIGINT) AS rn,
+                 count(*) OVER () AS total
           FROM documents
         )
     """,

@@ -118,6 +118,77 @@ def test_duplicate_ids_share_a_shard_with_distinct_positions(spark):
     assert poss == list(range(poss[0], poss[0] + 6))  # consecutive ranks
 
 
+def test_global_rank_equals_naive_definition(spark):
+    """The distributed rank (range exchange + local row_number +
+    broadcast offsets) must equal row_number() OVER (ORDER BY ...) - 1
+    computed naively, for a score column with heavy ties, under
+    different input partitionings."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [Row(doc_id=i, score=float(rnd.randint(0, 20))) for i in range(600)]
+    order = [
+        F.col("score").desc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
+    ]
+    expect = {
+        r.doc_id: i
+        for i, r in enumerate(sorted(rows, key=lambda x: (-x.score, x.doc_id)))
+    }
+    for n_parts in (1, 5, 13):
+        df = spark.createDataFrame(rows).repartition(n_parts)
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in sampling.global_rank(df, order).collect()
+        }
+        assert got == expect, n_parts
+
+
+def test_global_rank_plan_never_single_partitions_the_corpus(spark):
+    """The whole point: the corpus rides a rangepartitioning exchange
+    and a __gr_pid-partitioned window; the only single-partition work is
+    the n_partitions-row offsets table.  A windowspecdefinition without
+    the pid partition key would mean the naive global sort snuck back."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+        explain_str,
+    )
+
+    df = spark.range(1000).withColumn("doc_id", F.col("id"))
+    plan = explain_str(
+        sampling.global_rank(
+            df, [F.col("doc_id").asc_nulls_last()], n_partitions=4
+        )
+    )
+    assert "rangepartitioning" in plan
+    assert "windowspecdefinition(__gr_pid" in plan
+    # offsets come back via broadcast, never a corpus-wide shuffle join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_curriculum_shards_cut_is_balanced_and_ordered(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, score=float((i * 37) % 101)) for i in range(403)]
+    )
+    out = sampling.curriculum_shards(docs, "score", n_shards=4).collect()
+    assert len(out) == 403
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # shard boundaries respect the rank order: every rank in shard k
+    # precedes every rank in shard k+1, and rank 0 is the best score
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["rank"])
+    for k in range(3):
+        assert max(by_shard[k]) < min(by_shard[k + 1]), k
+    best = max(out, key=lambda r: r["score"] if "score" in r else 0)
+    top = [r for r in out if r["rank"] == 0]
+    assert len(top) == 1 and top[0]["shard_id"] == 0
+    assert top[0]["score"] == max(r["score"] for r in out)
+
+
 def test_serving_keys_stream_equals_batch_and_operators(spark, tmp_path):
     """assign_serving_keys is stateless, so it runs unchanged on a
     streaming DataFrame: a document admitted mid-stream gets the exact
