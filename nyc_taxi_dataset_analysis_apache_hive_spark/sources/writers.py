@@ -81,27 +81,53 @@ def write_training_shards(
     fmt: str = "parquet",
     compression: str = "snappy",
     max_records_per_file: int = 5_000_000,
+    layout: str = "shuffle",
+    score_col: str | None = None,
 ) -> None:
-    """Materialize the corpus as ``n_shards`` globally-shuffled serving
-    shards (``path/shard_id=K/``), each file sorted by ``shard_pos`` --
-    the training-loader layout step after curation/packing.  The order is
-    ``sampling.shuffle_shards``'s deterministic md5 permutation (the
-    bucketed-sink shape of REF:255 with a salted-hash key), so a rerun
+    """Materialize the corpus as ``n_shards`` serving shards
+    (``path/shard_id=K/``), each shard's files in serve order -- the
+    training-loader layout step after curation/packing.
+
+    ``layout='shuffle'`` (default): ``sampling.shuffle_shards``'s
+    deterministic md5 permutation (the bucketed-sink shape of REF:255
+    with a salted-hash key); ``shard_pos`` carries the order.  A rerun
     over the same corpus rewrites byte-identical shard contents (file
     NAMES carry fresh task UUIDs; the bytes inside are pinned by a
     rerun-digest test).
 
-    Scale: the row_number window already exchanges on ``shard_id`` and
-    sorts by the draw, so ``partitionBy`` here splits files without a
-    second shuffle -- each task holds whole shards in final order.  One
-    exchange total; ``maxRecordsPerFile`` rolls a huge shard into
-    several files whose lexicographic part-order preserves the sort.
+    ``layout='curriculum'`` (requires ``score_col``):
+    ``sampling.curriculum_shards``' score-ordered cut, best first;
+    ``rank`` carries the order.  Shard boundaries are rank ranges, so a
+    shard can span range-partition boundaries -- its files still read
+    back in serve order because part numbering follows the
+    order-preserving range-partition ids.
+
+    Scale: either layout's exchange (hash on shard_id / range on the
+    score) is the one the write rides; ``partitionBy`` splits files
+    without a second shuffle.  ``maxRecordsPerFile`` rolls a huge shard
+    into several files whose lexicographic part-order preserves the
+    sort.
     """
-    from ..operators.sampling import DEFAULT_N_SHARDS, shuffle_shards
+    from ..operators.sampling import (
+        DEFAULT_N_SHARDS,
+        curriculum_shards,
+        shuffle_shards,
+    )
 
     if n_shards is None:
         n_shards = DEFAULT_N_SHARDS
-    sharded = shuffle_shards(df, id_col=id_col, n_shards=n_shards, salt=salt)
+    if layout == "shuffle":
+        sharded = shuffle_shards(
+            df, id_col=id_col, n_shards=n_shards, salt=salt
+        )
+    elif layout == "curriculum":
+        if score_col is None:
+            raise ValueError("layout='curriculum' requires score_col")
+        sharded = curriculum_shards(
+            df, score_col=score_col, n_shards=n_shards, id_col=id_col
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     (
         sharded.write.mode("overwrite")
         .format(fmt)

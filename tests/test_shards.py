@@ -303,6 +303,42 @@ def test_shard_manifest_attests_the_serve_order(spark, tmp_path):
     assert mt != ma  # ...but the digest sees the order change
 
 
+def test_curriculum_writer_round_trips_score_order(spark, tmp_path):
+    """layout='curriculum' materializes the score-ordered cut: reading
+    the layout back gives every doc once, shard k's ranks all precede
+    shard k+1's, and each shard directory's files in part order replay
+    descending score."""
+    import glob
+
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"d {i}", score=float((i * 53) % 211))
+            for i in range(400)
+        ]
+    )
+    path = str(tmp_path / "cur")
+    writers.write_training_shards(
+        docs, path, n_shards=4, layout="curriculum", score_col="score"
+    )
+    back = spark.read.parquet(path).collect()
+    assert len(back) == 400 and len({r["doc_id"] for r in back}) == 400
+    by_shard: dict[int, list[int]] = {}
+    for r in back:
+        by_shard.setdefault(r["shard_id"], []).append(r["rank"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for k in range(3):
+        assert max(by_shard[k]) < min(by_shard[k + 1]), k
+    for shard_dir in sorted(glob.glob(f"{path}/shard_id=*")):
+        parts = [
+            pd.read_parquet(f)
+            for f in sorted(glob.glob(f"{shard_dir}/part-*"))
+        ]
+        scores = pd.concat(parts)["score"].tolist()
+        assert scores == sorted(scores, reverse=True), shard_dir
+
+
 def test_writer_rerun_is_byte_identical(spark, tmp_path):
     """Two writes of the same corpus produce the same bytes shard for
     shard (file names carry fresh task UUIDs -- the digest walks files
