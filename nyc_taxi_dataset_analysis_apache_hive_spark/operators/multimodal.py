@@ -260,6 +260,12 @@ def resize_images(
     not width*height); Pillow absent -> the marked NotImplementedError.
     Non-image rows are filtered JVM-side either way, so the Python stage
     only ever sees image batches.
+
+    NULL payloads follow the stage-wide NULL-propagation policy
+    (media_features / sample_frames): every derived column comes back
+    NULL -- payload, width, and height alike -- with ``resized=False``.
+    Emitting the TARGET dims for a row that was never resized would
+    claim an operation that did not happen.
     """
     target = width * height
 
@@ -301,8 +307,14 @@ def resize_images(
                 {
                     "media_id": pdf["media_id"],
                     "payload": out_payload,
-                    "width": width,
-                    "height": height,
+                    "width": pd.array(
+                        [width if f else None for f in resized_flags],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [height if f else None for f in resized_flags],
+                        dtype="Int32",
+                    ),
                     "resized": resized_flags,
                 }
             )

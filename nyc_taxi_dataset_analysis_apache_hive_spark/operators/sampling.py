@@ -335,6 +335,7 @@ def shuffle_shards(
     id_col: str = "doc_id",
     n_shards: int = DEFAULT_N_SHARDS,
     salt: str = "shard-v1",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic global shuffle into serving shards: the step between
     curation and training that materializes the corpus in a fixed random
@@ -360,7 +361,14 @@ def shuffle_shards(
     explicit-NULL-policy convention of :func:`mix_domains`); positions
     still rank them so the output stays a deterministic multiset.
     Duplicate ids tie on (u, id) and share a shard with distinct
-    consecutive positions.
+    consecutive positions.  The (u, id) order is total only when ids
+    are unique: duplicate ids whose OTHER columns differ get those
+    payloads assigned to the tied positions in partition-sort order,
+    which reruns under a different input partitioning need not replay
+    -- the output is then deterministic as a multiset but not byte-for
+    -byte.  Pass ``tiebreak_cols`` (content columns appended to the
+    window order) to restore a total order -- and byte-identical
+    reruns -- for corpora that legitimately carry duplicate ids.
 
     Scale: one narrow md5 projection, then ONE hash exchange (the
     row_number window partitions by shard_id and sorts by ``u`` -- the
@@ -377,7 +385,9 @@ def shuffle_shards(
         "shard_id",
         F.floor(F.col("__shuf_u") * F.lit(float(n_shards))).cast("int"),
     )
-    w = Window.partitionBy("shard_id").orderBy("__shuf_u", id_col)
+    w = Window.partitionBy("shard_id").orderBy(
+        "__shuf_u", id_col, *tiebreak_cols
+    )
     return keyed.withColumn(
         "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
     ).drop("__shuf_u")

@@ -2123,9 +2123,17 @@ def _sql_cc_loop(spark: SparkSession, edges_sql: str, prefix: str,
         if round_idx >= _SHORTCUT_AUTO_AT:
             # pointer doubling, label <- label(label(v)): sound because a
             # label is always a vertex and labels are monotone
-            # non-increasing (the DataFrame loop's argument verbatim)
+            # non-increasing (the DataFrame loop's argument verbatim).
+            # The propagated labels are MATERIALIZED once and self-joined
+            # -- inlining ({step}) twice would re-run the edge-join+
+            # aggregate twice per round, where the DataFrame loop
+            # computes the propagation once (r9 advice finding).
+            spark.sql(step).localCheckpoint(
+                eager=True
+            ).createOrReplaceTempView(f"{prefix}_prop")
             step = f"""SELECT p.id, par.lbl
-                FROM ({step}) p JOIN ({step}) par ON p.lbl = par.id"""
+                FROM {prefix}_prop p JOIN {prefix}_prop par
+                ON p.lbl = par.id"""
         nxt = spark.sql(step).localCheckpoint(eager=True)
         nxt.createOrReplaceTempView(f"{prefix}_lbl")
         new_sum = spark.sql(probe).collect()[0][0]

@@ -83,6 +83,7 @@ def write_training_shards(
     max_records_per_file: int = 5_000_000,
     layout: str = "shuffle",
     score_col: str | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize the corpus as ``n_shards`` serving shards
     (``path/shard_id=K/``), each shard's files in serve order -- the
@@ -93,7 +94,10 @@ def write_training_shards(
     with a salted-hash key); ``shard_pos`` carries the order.  A rerun
     over the same corpus rewrites byte-identical shard contents (file
     NAMES carry fresh task UUIDs; the bytes inside are pinned by a
-    rerun-digest test).
+    rerun-digest test).  Byte-identity needs a total serve order: with
+    unique ids (u, id) suffices; a corpus carrying duplicate ids must
+    pass ``tiebreak_cols`` (content columns appended to the order) or
+    duplicate rows' payloads may swap positions across reruns.
 
     ``layout='curriculum'`` (requires ``score_col``):
     ``sampling.curriculum_shards``' score-ordered cut, best first;
@@ -118,7 +122,11 @@ def write_training_shards(
         n_shards = DEFAULT_N_SHARDS
     if layout == "shuffle":
         sharded = shuffle_shards(
-            df, id_col=id_col, n_shards=n_shards, salt=salt
+            df,
+            id_col=id_col,
+            n_shards=n_shards,
+            salt=salt,
+            tiebreak_cols=tiebreak_cols,
         )
     elif layout == "curriculum":
         if score_col is None:
@@ -139,7 +147,7 @@ def write_training_shards(
 
 
 def shard_manifest(
-    spark, path: str, id_col: str = "doc_id"
+    spark, path: str, id_col: str = "doc_id", pos_col: str | None = None
 ) -> DataFrame:
     """Tiny per-shard audit table over a ``write_training_shards`` layout:
     ``(shard_id, n_rows, max_pos, content_sum)`` where ``content_sum``
@@ -149,18 +157,36 @@ def shard_manifest(
     Engine-independent (the md5 idiom every sampler here uses), so a
     downstream loader in another stack can recompute and attest it.
 
+    The serve-order column differs by layout (``shard_pos`` for
+    ``layout='shuffle'``, the global ``rank`` for ``layout='curriculum'``);
+    with ``pos_col=None`` it is detected from the layout's schema, so
+    the manifest audits either layout without the caller restating which
+    one was written.  For a curriculum layout ``max_pos`` is the shard's
+    highest GLOBAL rank (ranks are contiguous across shard boundaries,
+    not per-shard), so ``max_pos == n_rows - 1`` holds only for shard 0;
+    the cross-rerun digest contract is layout-independent.
+
     Scale: one scan of the shard layout, partial+final aggregate to
     n_shards rows; the decimal(38) sum cannot overflow below ~10^20
     rows per shard.
     """
     df = spark.read.parquet(path)
+    if pos_col is None:
+        if "shard_pos" in df.columns:
+            pos_col = "shard_pos"
+        elif "rank" in df.columns:
+            pos_col = "rank"
+        else:
+            raise ValueError(
+                f"no serve-order column (shard_pos/rank) in {df.columns}"
+            )
     digit = F.conv(
         F.substring(
             F.md5(
                 F.concat(
                     F.col(id_col).cast("string"),
                     F.lit(":"),
-                    F.col("shard_pos").cast("string"),
+                    F.col(pos_col).cast("string"),
                 )
             ),
             1,
@@ -173,7 +199,7 @@ def shard_manifest(
         df.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.max("shard_pos").alias("max_pos"),
+            F.max(pos_col).alias("max_pos"),
             F.sum(digit).alias("content_sum"),
         )
         .orderBy("shard_id")

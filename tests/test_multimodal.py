@@ -226,3 +226,23 @@ def test_real_video_codec_feature(spark):
     assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
     for r in rows:
         assert r["n_bytes"] == w * h * 3  # decoded rgb24, not container bytes
+
+
+def test_resize_null_payload_propagates_null_dims(spark):
+    """NULL-payload image rows follow the stage NULL policy everywhere:
+    payload, width, AND height come back NULL with resized=False (r9
+    advice finding -- dims used to claim the target size for a resize
+    that never happened)."""
+    media = multimodal.synth_media_from_docs(
+        spark.createDataFrame(
+            [(0, None, "en", "src0", None), (3, "hello world", "en", "src0", 11)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 4).collect()}
+    assert set(out) == {0, 3}  # both doc_ids % 3 == 0 -> image kind
+    nul, ok = out[0], out[3]
+    assert nul["payload"] is None and not nul["resized"]
+    assert nul["width"] is None and nul["height"] is None
+    assert ok["resized"] and (ok["width"], ok["height"]) == (8, 4)
+    assert len(bytes(ok["payload"])) == 32
