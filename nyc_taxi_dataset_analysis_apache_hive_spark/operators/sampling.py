@@ -430,11 +430,31 @@ def assign_serving_keys(
     ).withColumn("shard_id", shard_id_expr(id_col, n_shards, shard_salt))
 
 
+def _ranged_with_mid(df: DataFrame, order_cols, n_partitions=None) -> DataFrame:
+    """:func:`global_rank`'s one corpus stage, pre-materialization: range
+    exchange on the order columns + in-partition sort + the
+    ``monotonically_increasing_id`` stamp.  Factored out so the plan
+    test can pin its shape (exactly one range exchange, no window, no
+    second corpus exchange) -- the checkpoint in global_rank hides this
+    lineage behind an ExistingRDD scan."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    return (
+        df.repartitionByRange(n_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__gr_mid", F.monotonically_increasing_id())
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols,
     rank_col: str = "rank",
     n_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact 0-based global rank under a TOTAL order, at scale: the
     distributed materialization of ``row_number() OVER (ORDER BY ...)``
@@ -442,35 +462,58 @@ def global_rank(
     into one task (an empty-PARTITION BY window plans SinglePartition --
     the one thing a 100-TB sort must never do).
 
-    Three steps, all bounded: (1) range-exchange the corpus on the order
-    columns (order-preserving across partition ids: partition k's keys
-    all precede partition k+1's); (2) row_number within each range
-    partition -- the per-partition sort the exchange needs anyway;
-    (3) a per-partition count aggregate (n_partitions rows -- tiny) gets
-    cumulative offsets via a single-partition window over THAT table
-    only, and broadcast-joins back: rank = local rank + offset.
+    Three steps: (1) range-exchange the corpus on the order columns
+    (order-preserving across partition ids: partition k's keys all
+    precede partition k+1's), sort within each partition, and stamp
+    ``monotonically_increasing_id`` -- (partition_id << 33) + row index
+    in sorted order, so partition id and LOCAL rank fall out of one
+    narrow projection with no window (a __gr_pid-partitioned window
+    here would plan a second full-corpus hash exchange: the window's
+    ENSURE_REQUIREMENTS clustering can't see that rows already sit in
+    their own partition); (2) a per-partition count aggregate
+    (n_partitions rows -- tiny) gets cumulative offsets via a
+    single-partition window over THAT table only; (3) broadcast-join
+    back: rank = local rank + offset.
+
+    The ranged corpus is MATERIALIZED once (lazy ``localCheckpoint``)
+    before steps 2-3 read it, and this is a CORRECTNESS barrier, not an
+    optimization: Spark's range partitioner picks its boundaries by
+    reservoir-SAMPLING each execution (seeded per RDD instance), so the
+    offset aggregate and the output, planned as two subtrees, would
+    range-exchange the corpus twice with independently-sampled -- and
+    therefore different -- boundaries whenever the two subtrees aren't
+    canonically identical (column pruning alone breaks identity: the
+    offsets branch never needs the payload).  Counts from one
+    partitioning added to local ranks from another yield silently wrong
+    ranks; measured 80-90% wrong at sampling-stressed test scale.  The
+    checkpoint pins ONE partition assignment for both readers (the same
+    materialization discipline the CC loops use), and doubles as the
+    one corpus materialization the sharded writer downstream would
+    trigger anyway.
 
     ``order_cols`` must define a total order (include a tie-break id);
     cross-partition correctness needs equal keys co-located, which the
     range partitioner guarantees only for fully-specified keys.  Pass
     Column objects for direction/null placement (e.g.
     ``F.col("score").desc_nulls_last()``) -- the same spelling is used
-    for the exchange and the local window, so they cannot disagree.
-    AQE may coalesce ADJACENT range partitions; order preservation
-    across ids survives coalescing, so ranks are unaffected.
+    for the exchange and the in-partition sort, so they cannot
+    disagree.  ``total_col`` additionally attaches the corpus row count
+    to every row for free (it is ``sum(counts)`` over the tiny offsets
+    table -- callers like :func:`curriculum_shards` that need the total
+    must NOT re-aggregate the corpus for it).  The 33-bit local index
+    caps a range partition at ~8.5e9 rows -- size ``n_partitions`` so a
+    partition is one task's worth of rows and the cap never binds.
     """
     from pyspark.sql.window import Window
 
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    if n_partitions is None:
-        n_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    ranged = df.repartitionByRange(n_partitions, *cols).withColumn(
-        "__gr_pid", F.spark_partition_id()
+    ranged = _ranged_with_mid(df, order_cols, n_partitions).localCheckpoint(
+        eager=False
     )
-    w = Window.partitionBy("__gr_pid").orderBy(*cols)
-    local = ranged.withColumn("__gr_lrank", F.row_number().over(w) - 1)
+    local = ranged.withColumn(
+        "__gr_pid", F.shiftrightunsigned(F.col("__gr_mid"), 33).cast("int")
+    ).withColumn(
+        "__gr_lrank", F.col("__gr_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    )
     offsets = (
         local.groupBy("__gr_pid")
         .agg(F.count(F.lit(1)).alias("__gr_n"))
@@ -486,15 +529,23 @@ def global_rank(
             ),
         )
     )
-    return (
-        local.join(
-            F.broadcast(offsets.select("__gr_pid", "__gr_off")),
-            on="__gr_pid",
+    off_cols = ["__gr_pid", "__gr_off"]
+    if total_col is not None:
+        offsets = offsets.withColumn(
+            total_col,
+            F.sum("__gr_n").over(
+                Window.orderBy("__gr_pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
         )
+        off_cols.append(total_col)
+    return (
+        local.join(F.broadcast(offsets.select(*off_cols)), on="__gr_pid")
         .withColumn(
             rank_col, (F.col("__gr_lrank") + F.col("__gr_off")).cast("bigint")
         )
-        .drop("__gr_pid", "__gr_lrank", "__gr_off")
+        .drop("__gr_pid", "__gr_lrank", "__gr_off", "__gr_mid")
     )
 
 
@@ -518,26 +569,26 @@ def curriculum_shards(
     Spark and other engines disagree on default NULL placement), making
     the order total -- the :func:`global_rank` requirement.
 
-    Scale: global_rank's one range exchange + the tiny offsets table,
-    plus a broadcast single-row total.  Nothing else touches the corpus.
+    Scale: exactly global_rank's cost -- one range exchange + the tiny
+    broadcast offsets table.  The corpus total rides that offsets table
+    (``total_col``: it is sum of the per-partition counts); aggregating
+    the ranked corpus a second time for a number the rank computation
+    already knows would add a full extra corpus pass at 100 TB.
     """
     score = (
         F.col(score_col).desc_nulls_last()
         if descending
         else F.col(score_col).asc_nulls_last()
     )
-    ranked = global_rank(df, [score, F.col(id_col).asc_nulls_last()])
-    total = ranked.select(
-        F.count(F.lit(1)).cast("bigint").alias("__cs_total")
+    ranked = global_rank(
+        df,
+        [score, F.col(id_col).asc_nulls_last()],
+        total_col="__cs_total",
     )
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn(
-            "shard_id",
-            F.expr(f"(rank * {int(n_shards)}) div __cs_total").cast("int"),
-        )
-        .drop("__cs_total")
-    )
+    return ranked.withColumn(
+        "shard_id",
+        F.expr(f"(rank * {int(n_shards)}) div __cs_total").cast("int"),
+    ).drop("__cs_total")
 
 
 def quality_weighted_sample(

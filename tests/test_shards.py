@@ -145,24 +145,92 @@ def test_global_rank_equals_naive_definition(spark):
 
 
 def test_global_rank_plan_never_single_partitions_the_corpus(spark):
-    """The whole point: the corpus rides a rangepartitioning exchange
-    and a __gr_pid-partitioned window; the only single-partition work is
-    the n_partitions-row offsets table.  A windowspecdefinition without
-    the pid partition key would mean the naive global sort snuck back."""
+    """The corpus stage is ONE range exchange + in-partition sort + the
+    mid stamp -- no window (a __gr_pid window would add a second
+    full-corpus hash exchange for its clustering requirement), no
+    SinglePartition sort.  Downstream of the checkpoint barrier, the
+    offsets come back via broadcast, never a corpus-wide shuffle."""
+    import re
+
     from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
         explain_str,
     )
 
     df = spark.range(1000).withColumn("doc_id", F.col("id"))
-    plan = explain_str(
-        sampling.global_rank(
-            df, [F.col("doc_id").asc_nulls_last()], n_partitions=4
-        )
-    )
-    assert "rangepartitioning" in plan
-    assert "windowspecdefinition(__gr_pid" in plan
+    order = [F.col("doc_id").asc_nulls_last()]
+    stage = explain_str(sampling._ranged_with_mid(df, order, 4))
+    assert "rangepartitioning" in stage
+    assert len(re.findall(r"\(\d+\) Exchange", stage)) == 1, stage[:1200]
+    assert "windowspecdefinition" not in stage
+    plan = explain_str(sampling.global_rank(df, order, n_partitions=4))
     # offsets come back via broadcast, never a corpus-wide shuffle join
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # post-checkpoint there is NO corpus exchange left: the only shuffle
+    # is the tiny offsets aggregate's (SinglePartition over ~4 rows)
+    assert "rangepartitioning" not in plan
+
+
+def test_global_rank_survives_divergent_boundary_sampling(spark):
+    """Regression pin for the r10 latent bug: Spark's range partitioner
+    SAMPLES its boundaries per execution, so the old two-subtree shape
+    (offsets aggregated over a second, independently-sampled range
+    exchange) silently corrupted ranks whenever column pruning made the
+    subtrees non-identical -- exactly the curriculum-writer shape, where
+    the payload rides the ranked branch only.  Stress the sampler (2
+    sample points per partition, continuous keys, a payload column kept
+    in the output) and require exact ranks; under the old shape this
+    fails with ~80-90% of ranks wrong."""
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        df = (
+            spark.range(20000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.sin(F.col("id").cast("double")).alias("score"),
+                F.concat(F.lit("payload "), F.col("id")).alias("text"),
+            )
+            .repartition(11)
+        )
+        order = [
+            F.col("score").desc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
+        ]
+        rows = sampling.global_rank(df, order, n_partitions=8).collect()
+        expect = {
+            r["doc_id"]: i
+            for i, r in enumerate(
+                sorted(rows, key=lambda x: (-x["score"], x["doc_id"]))
+            )
+        }
+        bad = sum(1 for r in rows if r["rank"] != expect[r["doc_id"]])
+        assert bad == 0 and len(rows) == 20000
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_curriculum_plan_is_single_corpus_pass(spark):
+    """curriculum_shards must cost exactly global_rank: the corpus total
+    rides the tiny offsets table (total_col), so the full plan carries
+    ONE ExistingRDD-backed corpus (the checkpointed range stage) read by
+    the rank branch and the offsets aggregate -- no third aggregate over
+    the ranked corpus, no extra corpus exchange (r9 advice: the old
+    crossJoin(total) subtree re-scanned the corpus for one number)."""
+    import re
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+        explain_str,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = explain_str(sampling.curriculum_shards(docs, "n_chars"))
+    # the checkpointed corpus appears exactly twice: rank branch +
+    # offsets aggregate -- a third scan would be the re-aggregated total
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:1500]
+    assert "rangepartitioning" not in plan  # one range pass, inside the rdd
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_curriculum_shards_cut_is_balanced_and_ordered(spark):
