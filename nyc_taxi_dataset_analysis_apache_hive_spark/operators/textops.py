@@ -836,13 +836,21 @@ def bm25_scores(
 
     Scale shape: the posting list is filtered to the query terms BEFORE
     any shuffle (the only per-token work on the corpus is the narrow
-    explode+filter), document length and the 1-row (N, avgdl) statistics
-    come from one narrow aggregate broadcast back, and the score is one
-    groupBy(doc_id) over |terms| rows per matching document.  Documents
-    matching no query term are absent from the output (score 0 by
-    definition).  ``avgdl`` is computed as exact-integer
-    sum(dl)/count(*) -- NOT ``avg()``, whose accumulation order is
-    engine-dependent.
+    explode+filter), and the document length RIDES the posting rows
+    (``size(t)`` is projected map-side next to the explode), so the
+    only per-doc relation in any join is the term-matched slice --
+    there is no corpus-sized probe side at all.  (The previous shape
+    joined a corpus-sized ``(doc_id, dl)`` relation to the tiny tf
+    table; below the broadcast threshold Spark even chose to broadcast
+    the CORPUS side, and at scale it would have been a full shuffle a
+    runtime bloom filter only mitigates -- r9 verdict item, closed by
+    removing the join instead of pinning the filter.)  The 1-row
+    (N, avgdl) statistics come from one narrow aggregate broadcast
+    back, and the score is one groupBy(doc_id) over |terms| rows per
+    matching document.  Documents matching no query term are absent
+    from the output (score 0 by definition).  ``avgdl`` is computed as
+    exact-integer sum(dl)/count(*) -- NOT ``avg()``, whose
+    accumulation order is engine-dependent.
 
     Reference analogue: the score-and-slice segment-share queries
     (REF:349-361 rank trip segments by a derived score and read off
@@ -858,19 +866,35 @@ def bm25_scores(
     toked = docs.select(
         "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t")
     )
-    dl = toked.select("doc_id", F.size("t").cast("long").alias("dl"))
-    stats = dl.agg(
+    stats = toked.select(F.size("t").cast("long").alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    # dl is grouped alongside (doc_id, token): functionally dependent on
+    # doc_id, it adds no groups -- and carrying it here is what removes
+    # the corpus-sized dl join
     tf = (
-        toked.select("doc_id", F.explode("t").alias("token"))
+        toked.select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.explode("t").alias("token"),
+        )
         .filter(F.col("token").isin(terms))
-        .groupBy("doc_id", "token")
+        .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+    # df = docs-per-term as a window over the TINY tf relation (|terms|
+    # partitions): a separate tf.groupBy('token') branch would re-derive
+    # the whole posting subtree -- column pruning makes the two branches
+    # non-identical, so not even AQE stage reuse merges them, and the
+    # corpus would be scanned (and exploded) a third time
+    from pyspark.sql.window import Window
+
+    with_df = tf.withColumn(
+        "df",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("token"))
+        .cast("long"),
     )
     idf = F.log(
         (
@@ -884,11 +908,8 @@ def bm25_scores(
         + F.lit(c2)
         + F.lit(c3) * (F.col("dl") / F.col("avgdl"))
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", _micro6(idf * frac).alias("s_micro"))
+    scored = with_df.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", _micro6(idf * frac).alias("s_micro")
     )
     return (
         scored.groupBy("doc_id", "dl")

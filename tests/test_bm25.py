@@ -141,3 +141,83 @@ def test_driver_terms_hit_the_corpus(spark, sf0001_dir):
         .count()
     )
     assert 0 < n_dup < 0.2 * n_docs
+
+
+# ---------------------------------------------------------------------------
+# Randomized parity against an INDEPENDENT pure-Python BM25 (r9 verdict
+# task: the goldens above replicate the operator's arithmetic; this
+# reference derives everything -- tokenization, df, avgdl, the Lucene
+# formula -- from scratch, the test_ngram_lm numpy-parity precedent).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["a", "b", "cc", "dup", "e0"]
+
+_doc_strat = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join),
+)
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    """From-scratch BM25 (Lucene non-negative idf), float arithmetic in
+    textbook form: returns {doc_id: (n_match_terms, n_tokens, score)}
+    for docs matching >= 1 term."""
+    toks = {
+        i: [w for w in _re.split("[^a-z0-9]+", (t or "").lower()) if w]
+        for i, t in enumerate(texts)
+    }
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        match = 0
+        score = 0.0
+        for term in sorted(set(terms)):
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl)
+            )
+            match += 1
+        if match:
+            out[i] = (match, len(tk), score)
+    return out
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(_doc_strat, min_size=1, max_size=8),
+    terms=st.lists(
+        st.sampled_from(_WORDS + ["zz_absent"]), min_size=1, max_size=4
+    ),
+)
+def test_bm25_matches_independent_reference(spark, texts, terms):
+    """Covers df=0 terms (zz_absent), all-docs-match corpora, NULL and
+    empty docs, duplicate query terms -- score agreement bounded by the
+    operator's documented micro-unit truncation (1e-6 per matched term
+    + the 1e-4 display truncation), everything else exact."""
+    expect = _bm25_reference(texts, terms)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textops.bm25_scores(docs, query_terms=list(terms)).collect()
+    }
+    assert set(got) == set(expect)
+    for i, (match, dl, score) in expect.items():
+        assert got[i]["n_match_terms"] == match, i
+        assert got[i]["n_tokens"] == dl, i
+        assert abs(got[i]["score"] - score) <= match * 1e-6 + 1e-4, (
+            i,
+            got[i]["score"],
+            score,
+        )

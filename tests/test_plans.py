@@ -284,3 +284,25 @@ def test_shuffle_shards_plans_one_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1200]
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(shard_id" in plan
+
+
+def test_bm25_has_no_corpus_sized_join_side(spark):
+    """bm25_scores must never put a per-document relation on a join
+    side: document length rides the term-filtered posting rows and the
+    df count is a window over the tiny tf relation, so the ONLY join is
+    the 1-row broadcast stats and the corpus is scanned exactly twice
+    (stats + postings) with zero sort-merge joins at ANY scale (r9
+    verdict item: the old dl join broadcast the CORPUS side below
+    threshold and would have shuffled it above; a separate
+    tf.groupBy(token) branch re-scanned the corpus a third time)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(
+        textops.bm25_scores(docs, query_terms=list(textops.BM25_QUERY_TERMS))
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:1200]
+    # the df window partitions by token -- never an empty PARTITION BY
+    assert "windowspecdefinition(token" in plan
