@@ -111,6 +111,15 @@ def normalized_with_bucket(embeddings: DataFrame, n_bits: int = 4) -> DataFrame:
     folds, recomputed across every candidate).  Two projections so the
     norm is a materialized attribute when the divide-lambda reads it (the
     multiply-referenced-expression trap, see functions/text.py).
+
+    NULL and zero-norm vectors are DROPPED here (``nrm > 0``: NULL norm
+    fails the predicate too): they have no direction, so they can be
+    neither queries nor candidates in cosine space.  Before r10 they
+    flowed through with NULL cosines relying on nulls-last ranking --
+    invisible until a bucket had fewer than k valid candidates, and a
+    posture DuckDB cannot mirror (its list_dot_product raises on the
+    NULL-element lists the normalize-by-zero produces, see
+    tests/test_adversarial_corpus.py).
     """
     from ..functions.vectors import as_double_array, l2_norm
 
@@ -119,7 +128,7 @@ def normalized_with_bucket(embeddings: DataFrame, n_bits: int = 4) -> DataFrame:
         as_double_array("embedding").alias("emb"),
         l2_norm("embedding").alias("nrm"),
         sign_bucket("embedding", n_bits).alias("bucket"),
-    )
+    ).filter(F.col("nrm") > 0)
     return step1.select(
         "vec_id",
         F.transform(

@@ -36,7 +36,7 @@ _NORM_CTE = """e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )"""
 
 
@@ -45,8 +45,8 @@ _NORM_CTE = """e0 AS (
     f"""
     WITH {_NORM_CTE},
     e AS (
-      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n
-      FROM e0
+      SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb_n
+      FROM e0 WHERE nrm > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -73,12 +73,12 @@ def k1_knn_bruteforce(spark, sf):
 _K2_LSH_SQL = f"""
     WITH {_NORM_CTE},
     e AS (
-      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n,
+      SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb_n,
              concat(CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      FROM e0
+      FROM e0 WHERE nrm > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -107,7 +107,8 @@ _IVF_COS_PA = (
 )
 
 _K4_IVF_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings WHERE embedding IS NOT NULL),
     cents AS (
       SELECT vec_id AS cent_id, emb AS cent_emb FROM e
       WHERE vec_id >= 100 AND vec_id < 116
@@ -170,7 +171,7 @@ _PQ_SQL = f"""
       SELECT vec_id, embedding::DOUBLE[] AS emb_raw,
              sqrt(list_dot_product(embedding::DOUBLE[],
                                    embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     e AS (
       -- zero-norm drop-out mirrored from the operator (WHERE nrm > 0)
@@ -242,7 +243,7 @@ _IVFPQ_SQL = f"""
       SELECT vec_id, embedding::DOUBLE[] AS emb_raw,
              sqrt(list_dot_product(embedding::DOUBLE[],
                                    embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     e AS (
       -- zero-norm drop-out mirrored from the operator (WHERE nrm > 0)
@@ -409,11 +410,11 @@ _K3_COS_VC = (
                     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     e AS (
-      SELECT vec_id, list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n, bucket
-      FROM e0
+      SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb_n, bucket
+      FROM e0 WHERE nrm > 0
     ),
     cents AS (
       SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
@@ -453,11 +454,14 @@ _K3_COS_VC = (
     FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
     WHERE round(list_dot_product(q.emb_n, c.emb_n), 6) >= 0.35
     UNION ALL
-    SELECT 'semdedup' AS op, e0.vec_id AS id_a,
-           coalesce(comp.cluster_id, e0.vec_id) AS id_b,
+    SELECT 'semdedup' AS op, raw.vec_id AS id_a,
+           coalesce(comp.cluster_id, raw.vec_id) AS id_b,
            CAST(NULL AS DOUBLE) AS cosine,
-           coalesce(comp.cluster_id, e0.vec_id) = e0.vec_id AS keep
-    FROM e0 LEFT JOIN comp ON e0.vec_id = comp.vec_id
+           coalesce(comp.cluster_id, raw.vec_id) = raw.vec_id AS keep
+    -- the RAW table, not e0: semdedup verdicts every document, and a
+    -- NULL/zero embedding that can pair with nothing is a kept
+    -- singleton (the Spark operator's final union reads raw ids too)
+    FROM embeddings raw LEFT JOIN comp ON raw.vec_id = comp.vec_id
     """,
 )
 def k3_embedding_near_pairs(spark, sf):

@@ -1090,8 +1090,8 @@ SQL_QUERIES: dict[str, str] = {
           FROM e0
         ),
         e AS (
-          SELECT vec_id, transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n
-          FROM e1
+          SELECT vec_id, transform(emb, x -> x / nrm) AS emb_n
+          FROM e1 WHERE nrm > 0
         ),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1124,9 +1124,9 @@ SQL_QUERIES: dict[str, str] = {
           FROM e0
         ),
         n AS (
-          SELECT vec_id, transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n,
+          SELECT vec_id, transform(emb, x -> x / nrm) AS emb_n,
                  bucket
-          FROM n1
+          FROM n1 WHERE nrm > 0
         ),
         lsh_scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2164,8 +2164,8 @@ _K3_NORM_VIEW_SQL = f"""
       FROM e0
     )
     SELECT vec_id, emb,
-           transform(emb, x -> x / nullif(nrm, 0.0D)) AS emb_n, bucket
-    FROM n1
+           transform(emb, x -> x / nrm) AS emb_n, bucket
+    FROM n1 WHERE nrm > 0
 """
 
 

