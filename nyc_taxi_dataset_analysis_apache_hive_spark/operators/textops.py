@@ -861,6 +861,37 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")
+    scored = _bm25_term_scores(docs, query_terms, k1, b, text_col)
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match_terms"),
+            F.sum("s_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_match_terms",
+            F.col("dl").alias("n_tokens"),
+            _trunc4(F.col("sum_micro").cast("double") / 1000000.0).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def _bm25_term_scores(
+    docs: DataFrame,
+    query_terms,
+    k1: float,
+    b: float,
+    text_col: str,
+) -> DataFrame:
+    """The shared BM25 core: (doc_id, dl, token, s_micro) per matched
+    (document, query term), with ``s_micro`` the BIGINT micro-unit
+    partial score.  :func:`bm25_scores` sums it per document;
+    :func:`bm25_topk` joins a query-term map and sums it per
+    (query, document).  The scale shape documented on bm25_scores lives
+    here."""
     terms = sorted(set(query_terms))
     c1, c2, c3 = bm25_constants(k1, b)
     toked = docs.select(
@@ -908,19 +939,87 @@ def bm25_scores(
         + F.lit(c2)
         + F.lit(c3) * (F.col("dl") / F.col("avgdl"))
     )
-    scored = with_df.crossJoin(F.broadcast(stats)).select(
-        "doc_id", "dl", _micro6(idf * frac).alias("s_micro")
+    return with_df.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", "token", _micro6(idf * frac).alias("s_micro")
     )
-    return (
-        scored.groupBy("doc_id", "dl")
+
+
+#: The fixed named-query set the driver-gated tv1 ``bm25_topk`` leg
+#: retrieves for -- ONE definition shared by the DataFrame leg, the
+#: SQL-mode text, and the DuckDB oracle.  Each query mixes the rare
+#: "dup" / distinct common terms so per-query rankings differ.
+BM25_TOPK_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_dedup": ("dup", "hash", "group"),
+    "q_scan": ("scan", "filter", "column"),
+    "q_sort": ("sort", "merge", "window"),
+}
+
+#: top-k depth of the driver-gated retrieval leg
+BM25_TOPK_K = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]] | None = None,
+    k: int = BM25_TOPK_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-query BM25 retrieval: the top-``k`` documents for EACH of a
+    small set of named term queries -- (query, doc_id, rank,
+    n_match_terms, score).  This is the retrieval shape a curation
+    pipeline runs to pull task-targeted corpus slices for many target
+    tasks in one pass (k1's broadcast-queries ANN pattern, re-expressed
+    for lexical relevance).
+
+    One corpus pass scores every (document, term) partial over the
+    UNION of all query terms (:func:`_bm25_term_scores` -- idf/df/dl are
+    query-independent, so sharing them across queries is free); the
+    tiny (query, term) map is broadcast-joined on the term, per-(query,
+    doc) scores are exact BIGINT micro-unit sums, and the per-query
+    top-k ranks on the RAW micro sum (engine-exact; the displayed score
+    is the 1e-4-truncated double) with a doc_id tie-break.  The rank
+    window filters ``row_number() <= k``, which Spark plans as
+    WindowGroupLimit: every map task pre-prunes to its local top-k per
+    query BEFORE the shuffle, so a query matching half the corpus still
+    only shuffles k rows per task (plan-tested).
+
+    Queries default to :data:`BM25_TOPK_QUERIES`.  Documents matching
+    no term of a query are absent from that query's ranking; ties on
+    the micro score break by ascending doc_id, making the order total.
+    """
+    from pyspark.sql.window import Window
+
+    if queries is None:
+        queries = BM25_TOPK_QUERIES
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError("bm25_topk needs >= 1 term per named query")
+    universe = sorted({t for ts in queries.values() for t in ts})
+    per_term = _bm25_term_scores(docs, universe, k1, b, text_col)
+    qt = docs.sparkSession.createDataFrame(
+        [(q, t) for q, ts in sorted(queries.items()) for t in sorted(set(ts))],
+        "query string, token string",
+    )
+    pair = (
+        per_term.join(F.broadcast(qt), "token")
+        .groupBy("query", "doc_id", "dl")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_match_terms"),
             F.sum("s_micro").alias("sum_micro"),
         )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("sum_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pair.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
         .select(
+            "query",
             "doc_id",
+            "rank",
             "n_match_terms",
-            F.col("dl").alias("n_tokens"),
             _trunc4(F.col("sum_micro").cast("double") / 1000000.0).alias(
                 "score"
             ),

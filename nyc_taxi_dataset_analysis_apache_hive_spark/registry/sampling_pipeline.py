@@ -49,6 +49,17 @@ _BM25_C1, _BM25_C2, _BM25_C3 = textops.bm25_constants()
 _BM25_TERMS_SQL = ", ".join(
     f"'{t}'" for t in sorted(set(textops.BM25_QUERY_TERMS))
 )
+#: the retrieval leg's term universe + (query, term) map, from the ONE
+#: definition (textops.BM25_TOPK_QUERIES)
+_BM25_TOPK_TERMS_SQL = ", ".join(
+    f"'{t}'"
+    for t in sorted({t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts})
+)
+_BM25_TOPK_QT_SQL = ", ".join(
+    f"('{q}', '{t}')"
+    for q, ts in sorted(textops.BM25_TOPK_QUERIES.items())
+    for t in sorted(set(ts))
+)
 
 
 @register(
@@ -1201,6 +1212,65 @@ _TF_CTE = f"""
                    + 1e-7) / 10000.0 AS score
       FROM bsc GROUP BY doc_id, dl
     )
+    UNION ALL
+    -- BM25 multi-query top-k retrieval (r10, textops.bm25_topk): one
+    -- pass over the union of query terms, (query, term) map joined on
+    -- the term, per-(query, doc) BIGINT micro sums, rank on the RAW
+    -- micro sum with a doc_id tie-break
+    SELECT 'bm25_topk' AS op, doc_id, query AS token,
+           rank AS n, n_match_terms AS m, score
+    FROM (
+      SELECT query, doc_id, n_match_terms,
+             CAST(row_number() OVER (
+               PARTITION BY query
+               ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank,
+             floor((CAST(sum_micro AS DOUBLE) / 1000000.0) * 10000.0
+                   + 1e-7) / 10000.0 AS score
+      FROM (
+        WITH ktok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '{TOKEN_SPLIT_REGEX}'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        kdl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM ktok),
+        kstats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM kdl
+        ),
+        ktf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS token FROM ktok)
+          WHERE token IN ({_BM25_TOPK_TERMS_SQL})
+          GROUP BY doc_id, token
+        ),
+        kdf AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df FROM ktf GROUP BY token
+        ),
+        ksc AS (
+          SELECT ktf.doc_id, dl, token,
+                 CAST(floor(
+                   ln(((CAST(n_docs AS DOUBLE) - df + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
+                   * ((CAST(ktf.tf AS DOUBLE) * {_BM25_C1!r})
+                      / (CAST(ktf.tf AS DOUBLE) + {_BM25_C2!r}
+                         + {_BM25_C3!r} * (dl / avgdl)))
+                   * 1000000.0 + 1e-9) AS BIGINT) AS s_micro
+          FROM ktf
+          JOIN kdf USING (token)
+          JOIN kdl USING (doc_id)
+          CROSS JOIN kstats
+        ),
+        kqt(query, token) AS (VALUES {_BM25_TOPK_QT_SQL})
+        SELECT query, ksc.doc_id,
+               CAST(count(*) AS BIGINT) AS n_match_terms,
+               sum(s_micro) AS sum_micro
+        FROM ksc JOIN kqt USING (token)
+        GROUP BY query, ksc.doc_id, dl
+      )
+    ) WHERE rank <= {textops.BM25_TOPK_K}
     """,
 )
 def tv1_text_stats(spark, sf):
@@ -1245,7 +1315,13 @@ def tv1_text_stats(spark, sf):
     to BIGINT micro-units before the per-doc sum so the aggregate is
     exact integer arithmetic in both engines; the k1/b-derived float
     constants come from ONE definition (textops.bm25_constants),
-    repr-roundtripped into both SQL surfaces."""
+    repr-roundtripped into both SQL surfaces.  ``bm25_topk`` (r10) =
+    multi-query BM25 retrieval (textops.bm25_topk): top-10 documents
+    per named query of BM25_TOPK_QUERIES from ONE corpus pass over the
+    union of query terms -- the broadcast (query, term) map joined on
+    the term, per-(query, doc) BIGINT micro sums, rank on the RAW micro
+    sum with a doc_id tie-break (WindowGroupLimit plan-tested: map
+    tasks pre-prune to local top-k per query before the shuffle)."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -1331,6 +1407,14 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.col("score").alias("score"),
     )
+    topk = textops.bm25_topk(docs).select(
+        F.lit("bm25_topk").alias("op"),
+        "doc_id",
+        F.col("query").alias("token"),
+        F.col("rank").alias("n"),
+        F.col("n_match_terms").alias("m"),
+        F.col("score").alias("score"),
+    )
     return (
         tfidf.unionByName(vocab)
         .unionByName(scrub)
@@ -1339,6 +1423,7 @@ def tv1_text_stats(spark, sf):
         .unionByName(wrows)
         .unionByName(chunk)
         .unionByName(bm25)
+        .unionByName(topk)
     )
 
 

@@ -323,6 +323,92 @@ def _tv1_bm25_leg() -> str:
 
 _TV1_BM25_LEG = _tv1_bm25_leg()
 
+
+def _tv1_bm25_topk_leg() -> str:
+    """tv1's multi-query BM25 retrieval leg (r10): Spark-SQL spelling of
+    textops.bm25_topk -- one corpus pass over the UNION of query terms,
+    the tiny (query, term) map as an inline VALUES relation, per-(query,
+    doc) BIGINT micro sums, rank on the RAW micro sum (ties by doc_id).
+    Queries/terms/constants repr-roundtripped from their ONE definition
+    (textops.BM25_TOPK_QUERIES / bm25_constants)."""
+    from .operators.textops import (
+        BM25_TOPK_K,
+        BM25_TOPK_QUERIES,
+        bm25_constants,
+    )
+
+    c1, c2, c3 = bm25_constants()
+    universe = sorted({t for ts in BM25_TOPK_QUERIES.values() for t in ts})
+    terms = ", ".join(f"'{t}'" for t in universe)
+    qt_rows = ", ".join(
+        f"('{q}', '{t}')"
+        for q, ts in sorted(BM25_TOPK_QUERIES.items())
+        for t in sorted(set(ts))
+    )
+    return f"""
+        UNION ALL
+        -- BM25 multi-query top-k retrieval (r10): see registry.tv1 docstring
+        SELECT 'bm25_topk' AS op, doc_id, query AS token,
+               rank AS n, n_match_terms AS m, score
+        FROM (
+          SELECT query, doc_id, n_match_terms, sum_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY query
+                   ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank,
+                 floor((CAST(sum_micro AS DOUBLE) / 1000000.0D)
+                       * 10000.0D + 1e-7) / 10000.0D AS score
+          FROM (
+            WITH ktok AS (
+              SELECT doc_id,
+                     filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                            x -> x != '') AS t
+              FROM documents
+            ),
+            kdl AS (SELECT doc_id, CAST(size(t) AS BIGINT) AS dl FROM ktok),
+            kstats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM kdl
+            ),
+            ktf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, explode(t) AS token FROM ktok)
+              WHERE token IN ({terms})
+              GROUP BY doc_id, token
+            ),
+            kdf AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM ktf GROUP BY token
+            ),
+            ksc AS (
+              SELECT ktf.doc_id, dl, token,
+                     CAST(floor(
+                       ln(((CAST(n_docs AS DOUBLE) - df + 0.5D)
+                           / (CAST(df AS DOUBLE) + 0.5D)) + 1.0D)
+                       * ((ktf.tf * {c1!r}D)
+                          / (CAST(ktf.tf AS DOUBLE) + {c2!r}D
+                             + {c3!r}D * (dl / avgdl)))
+                       * 1000000.0D + 1e-9) AS BIGINT) AS s_micro
+              FROM ktf
+              JOIN kdf USING (token)
+              JOIN kdl USING (doc_id)
+              CROSS JOIN kstats
+            ),
+            kqt AS (
+              SELECT * FROM VALUES {qt_rows} AS kqt(query, token)
+            )
+            SELECT query, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_match_terms,
+                   sum(s_micro) AS sum_micro
+            FROM ksc JOIN kqt USING (token)
+            GROUP BY query, doc_id, dl
+          )
+        ) WHERE rank <= {BM25_TOPK_K}
+"""
+
+
+_TV1_BM25_TOPK_LEG = _tv1_bm25_topk_leg()
+
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
     "p3_filter_compare": """
@@ -1629,7 +1715,8 @@ SQL_QUERIES: dict[str, str] = {
           )
         )
     """
-    + _TV1_BM25_LEG,
+    + _TV1_BM25_LEG
+    + _TV1_BM25_TOPK_LEG,
     "cx1_time_ops": """
         WITH firsts AS (
           SELECT user_id,

@@ -146,6 +146,85 @@ def write_training_shards(
     )
 
 
+def append_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+    salt: str = "shard-v1",
+    fmt: str = "parquet",
+    compression: str = "snappy",
+    max_records_per_file: int = 5_000_000,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> None:
+    """Admit a NEW document batch into an existing ``layout='shuffle'``
+    shard directory without touching history -- the incremental half of
+    :func:`write_training_shards` (the ``admit_batch_neardup`` /
+    ``merge_hll_rollup`` maintenance posture applied to the serve
+    layout: continuous curation admits documents forever; rewriting N
+    shards of history per admission batch is the operation that cannot
+    exist at 100 TB).
+
+    Placement is stable by construction: a document's shard is the same
+    salted md5 draw the original write used (``shuffle_shards``'s
+    documented append property -- existing rows never re-roll), and the
+    batch's within-shard serve positions continue after each shard's
+    current ``max_pos``, read from :func:`shard_manifest` (n_shards
+    tiny rows -- never a history scan).  After any number of appends
+    every shard still holds contiguous positions 0..n-1: original
+    permutation first, then each admission batch in its own
+    deterministic permutation order.
+
+    The one contract change vs a fresh write: appended part-FILES carry
+    fresh task UUIDs, so lexicographic file order no longer replays the
+    serve order -- a loader over an appended layout orders by
+    ``shard_pos`` (parquet min/max stats make that a cheap merge; each
+    file is internally sorted).  ``shard_manifest`` stays the audit:
+    ``max_pos == n_rows - 1`` per shard holds across appends.
+
+    A NULL-id row cannot be placed (no draw, and the NULL shard is
+    outside the serve permutation) -- it is rejected rather than
+    silently quarantined into a second NULL partition whose positions
+    would collide with an existing one.
+    """
+    from ..operators.sampling import DEFAULT_N_SHARDS, shuffle_shards
+
+    if n_shards is None:
+        n_shards = DEFAULT_N_SHARDS
+    if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"append_training_shards: NULL {id_col} rows cannot join the "
+            "serve permutation; filter or repair them first"
+        )
+    bases = (
+        shard_manifest(df.sparkSession, path, id_col=id_col)
+        .select("shard_id", (F.col("max_pos") + 1).alias("__app_base"))
+    )
+    placed = (
+        shuffle_shards(
+            df,
+            id_col=id_col,
+            n_shards=n_shards,
+            salt=salt,
+            tiebreak_cols=tiebreak_cols,
+        )
+        .join(F.broadcast(bases), on="shard_id", how="left")
+        .withColumn(
+            "shard_pos",
+            F.col("shard_pos") + F.coalesce(F.col("__app_base"), F.lit(0)),
+        )
+        .drop("__app_base")
+    )
+    (
+        placed.write.mode("append")
+        .format(fmt)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy("shard_id")
+        .save(path)
+    )
+
+
 def shard_manifest(
     spark, path: str, id_col: str = "doc_id", pos_col: str | None = None
 ) -> DataFrame:

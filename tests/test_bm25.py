@@ -221,3 +221,65 @@ def test_bm25_matches_independent_reference(spark, texts, terms):
             got[i]["score"],
             score,
         )
+
+
+def test_bm25_topk_ranks_consistent_with_scores(spark, sf0001_dir):
+    """A single-query bm25_topk must rank exactly the top-k of
+    bm25_scores run on the same terms (same micro sums, ties by doc_id),
+    and multi-query output must equal per-query runs -- the shared-core
+    refactor cannot change either side."""
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
+    terms = list(textops.BM25_QUERY_TERMS)
+    single = {
+        r["doc_id"]: r
+        for r in textops.bm25_topk(
+            docs, queries={"q": tuple(terms)}, k=7
+        ).collect()
+    }
+    scores = textops.bm25_scores(docs, query_terms=terms).collect()
+    expect = sorted(scores, key=lambda r: (-r["score"], r["doc_id"]))[:7]
+    assert [r["doc_id"] for r in sorted(single.values(), key=lambda r: r["rank"])] == [
+        r["doc_id"] for r in expect
+    ]
+    for r in expect:
+        got = single[r["doc_id"]]
+        assert got["score"] == r["score"]
+        assert got["n_match_terms"] == r["n_match_terms"]
+
+    multi = textops.bm25_topk(docs, k=5).collect()
+    for qname, qterms in textops.BM25_TOPK_QUERIES.items():
+        alone = {
+            (r["doc_id"], r["rank"], r["score"])
+            for r in textops.bm25_topk(
+                docs, queries={qname: qterms}, k=5
+            ).collect()
+        }
+        together = {
+            (r["doc_id"], r["rank"], r["score"])
+            for r in multi
+            if r["query"] == qname
+        }
+        assert alone == together, qname
+
+
+def test_bm25_topk_plan_pre_prunes_topk_map_side(spark, sf0001_dir):
+    """The retrieval leg's scale claim: the rank<=k filter must plan as
+    WindowGroupLimit (map-side per-query top-k BEFORE the shuffle), the
+    (query, term) map must broadcast, and no per-document relation may
+    sit on a non-broadcast join side (the bm25_scores plan contract)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
+        explain_str,
+    )
+
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
+    plan = explain_str(textops.bm25_topk(docs), "simple")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bm25_topk_validates_queries(spark):
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError):
+        textops.bm25_topk(docs, queries={})
+    with pytest.raises(ValueError):
+        textops.bm25_topk(docs, queries={"q": ()})

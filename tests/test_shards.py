@@ -521,3 +521,85 @@ def test_duplicate_id_rerun_is_byte_identical_with_tiebreak(spark, tmp_path):
         if r["doc_id"] != 7
     }
     assert base == tied
+
+
+def test_append_extends_serve_order_without_touching_history(spark, tmp_path):
+    """The incremental writer: three admission batches over an initial
+    layout.  Existing (shard_id, shard_pos) assignments never change, a
+    new doc's shard equals what a full rewrite would assign (the stable
+    md5 draw), positions stay contiguous 0..n-1 per shard (the manifest
+    audit holds across appends), and within a batch the appended serve
+    order is the batch's own shuffle_shards permutation."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(300)]
+    )
+    path = str(tmp_path / "shards")
+    writers.write_training_shards(docs, path, n_shards=4)
+    before = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    batches = [
+        [Row(doc_id=i, text=f"doc {i}") for i in range(300, 360)],
+        [Row(doc_id=i, text=f"doc {i}") for i in range(360, 400)],
+    ]
+    for rows in batches:
+        writers.append_training_shards(
+            spark.createDataFrame(rows), path, n_shards=4
+        )
+
+    back = spark.read.parquet(path).collect()
+    assert len(back) == 400
+    after = {r["doc_id"]: (r["shard_id"], r["shard_pos"]) for r in back}
+    # history untouched
+    assert {d: after[d] for d in before} == before
+    # new docs' shard ids match a from-scratch assignment (stable draw)
+    fresh = {
+        r["doc_id"]: r["shard_id"]
+        for r in sampling.shuffle_shards(
+            spark.createDataFrame(
+                [Row(doc_id=i, text=f"doc {i}") for i in range(400)]
+            ),
+            n_shards=4,
+        ).collect()
+    }
+    for d in range(300, 400):
+        assert after[d][0] == fresh[d], d
+    # per-shard positions contiguous -- the manifest audit across appends
+    m = [tuple(r) for r in writers.shard_manifest(spark, path).collect()]
+    assert sum(r[1] for r in m) == 400
+    for shard_id, n_rows, max_pos, _ in m:
+        assert max_pos == n_rows - 1, shard_id
+    # within each batch, appended order = the batch's own permutation
+    b0 = spark.createDataFrame(batches[0])
+    perm = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in sampling.shuffle_shards(b0, n_shards=4).collect()
+    }
+    for shard in {s for s, _ in perm.values()}:
+        batch_order = sorted(
+            (after[d][1], d)
+            for d in range(300, 360)
+            if after[d][0] == shard
+        )
+        perm_order = sorted(
+            (perm[d][1], d) for d in range(300, 360) if perm[d][0] == shard
+        )
+        assert [d for _, d in batch_order] == [d for _, d in perm_order]
+
+
+def test_append_rejects_null_ids(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(50)])
+    path = str(tmp_path / "s")
+    writers.write_training_shards(docs, path, n_shards=2)
+    bad = spark.createDataFrame(
+        [(60,), (None,)],
+        StructType([StructField("doc_id", LongType(), True)]),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        writers.append_training_shards(bad, path, n_shards=2)
