@@ -816,6 +816,7 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
     text_col: str = "text",
+    term_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a fixed term set:
     (doc_id, n_match_terms, n_tokens, score) -- the standard retrieval
@@ -861,7 +862,12 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")
-    scored = _bm25_term_scores(docs, query_terms, k1, b, text_col)
+    if term_scores is not None:
+        scored = term_scores.filter(
+            F.col("token").isin(sorted(set(query_terms)))
+        )
+    else:
+        scored = bm25_term_scores(docs, query_terms, k1, b, text_col)
     return (
         scored.groupBy("doc_id", "dl")
         .agg(
@@ -879,19 +885,29 @@ def bm25_scores(
     )
 
 
-def _bm25_term_scores(
+def bm25_term_scores(
     docs: DataFrame,
     query_terms,
-    k1: float,
-    b: float,
-    text_col: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
 ) -> DataFrame:
     """The shared BM25 core: (doc_id, dl, token, s_micro) per matched
     (document, query term), with ``s_micro`` the BIGINT micro-unit
     partial score.  :func:`bm25_scores` sums it per document;
     :func:`bm25_topk` joins a query-term map and sums it per
     (query, document).  The scale shape documented on bm25_scores lives
-    here."""
+    here.
+
+    Public because it is the compute-once surface (the k2 ``codebook=``
+    / probe ``weights=`` precedent): a caller scoring SEVERAL term sets
+    over one corpus computes this relation once over the UNION of all
+    terms -- it is tiny (matched (doc, term) rows only), so
+    ``localCheckpoint`` it and pass it back via ``term_scores=``, and
+    the corpus is tokenized exactly twice total instead of twice per
+    term set.  Value-identical to per-set runs: df is per-token
+    (independent of which other tokens the filter kept) and (N, avgdl)
+    are corpus-level."""
     terms = sorted(set(query_terms))
     c1, c2, c3 = bm25_constants(k1, b)
     toked = docs.select(
@@ -965,6 +981,7 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     text_col: str = "text",
+    term_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-query BM25 retrieval: the top-``k`` documents for EACH of a
     small set of named term queries -- (query, doc_id, rank,
@@ -996,7 +1013,10 @@ def bm25_topk(
     if not queries or any(not ts for ts in queries.values()):
         raise ValueError("bm25_topk needs >= 1 term per named query")
     universe = sorted({t for ts in queries.values() for t in ts})
-    per_term = _bm25_term_scores(docs, universe, k1, b, text_col)
+    if term_scores is not None:
+        per_term = term_scores.filter(F.col("token").isin(universe))
+    else:
+        per_term = bm25_term_scores(docs, universe, k1, b, text_col)
     qt = docs.sparkSession.createDataFrame(
         [(q, t) for q, ts in sorted(queries.items()) for t in sorted(set(ts))],
         "query string, token string",

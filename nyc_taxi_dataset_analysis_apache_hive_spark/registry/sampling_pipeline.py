@@ -1397,8 +1397,23 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.lit(None).cast("double").alias("score"),
     )
+    # ONE term-scoring pass feeds BOTH bm25 legs: the shared relation is
+    # computed over the union of the scoring terms and every retrieval
+    # query's terms, materialized (it is tiny: matched (doc, term) rows
+    # only) so neither leg re-tokenizes the corpus -- without the
+    # checkpoint each leg's subtree would scan+explode documents twice
+    # (measured +2.3 s on the tv1 fold at sf0.1)
+    union_terms = sorted(
+        set(textops.BM25_QUERY_TERMS)
+        | {t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts}
+    )
+    shared_ts = textops.bm25_term_scores(docs, union_terms).localCheckpoint(
+        eager=True
+    )
     bm25 = textops.bm25_scores(
-        docs, query_terms=list(textops.BM25_QUERY_TERMS)
+        docs,
+        query_terms=list(textops.BM25_QUERY_TERMS),
+        term_scores=shared_ts,
     ).select(
         F.lit("bm25").alias("op"),
         "doc_id",
@@ -1407,7 +1422,7 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.col("score").alias("score"),
     )
-    topk = textops.bm25_topk(docs).select(
+    topk = textops.bm25_topk(docs, term_scores=shared_ts).select(
         F.lit("bm25_topk").alias("op"),
         "doc_id",
         F.col("query").alias("token"),

@@ -283,3 +283,43 @@ def test_bm25_topk_validates_queries(spark):
         textops.bm25_topk(docs, queries={})
     with pytest.raises(ValueError):
         textops.bm25_topk(docs, queries={"q": ()})
+
+
+def test_shared_term_scores_pass_is_value_identical(spark, sf0001_dir):
+    """The compute-once surface (term_scores=): scoring and retrieval
+    legs fed one shared relation over the UNION of their terms must
+    equal the standalone runs -- df is per-token and (N, avgdl) are
+    corpus-level, so extra tokens in the relation cannot leak into
+    either result."""
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
+    union_terms = sorted(
+        set(textops.BM25_QUERY_TERMS)
+        | {t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts}
+    )
+    shared = textops.bm25_term_scores(docs, union_terms).localCheckpoint(
+        eager=True
+    )
+    base_scores = sorted(
+        map(
+            tuple,
+            textops.bm25_scores(
+                docs, query_terms=list(textops.BM25_QUERY_TERMS)
+            ).collect(),
+        )
+    )
+    shared_scores = sorted(
+        map(
+            tuple,
+            textops.bm25_scores(
+                docs,
+                query_terms=list(textops.BM25_QUERY_TERMS),
+                term_scores=shared,
+            ).collect(),
+        )
+    )
+    assert base_scores == shared_scores
+    base_topk = sorted(map(tuple, textops.bm25_topk(docs).collect()))
+    shared_topk = sorted(
+        map(tuple, textops.bm25_topk(docs, term_scores=shared).collect())
+    )
+    assert base_topk == shared_topk
