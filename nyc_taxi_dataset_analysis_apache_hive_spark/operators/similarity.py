@@ -37,6 +37,65 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: standard RRF damping constant (Cormack/Clarke/Buettcher, SIGIR 2009)
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked: DataFrame,
+    k: int = 5,
+    rrf_k: int = RRF_K,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of several rankings into one: the standard
+    ensemble-retrieval combiner (Cormack et al., SIGIR 2009) -- feed it
+    the UNION of per-method rank tables (any tag/score columns are
+    ignored; only (group, id, rank) matters) and each row contributes
+    ``1/(rrf_k + rank)``; ids missing from a method simply contribute
+    nothing.  Returns the fused per-group top-``k``:
+    (group, id, rrf_score, rank).
+
+    Cross-engine exactness: each contribution is floored to BIGINT
+    micro-units (``floor(1e6/(rrf_k+rank))`` -- rank and rrf_k are
+    integers, so both engines compute the identical double before the
+    floor), the per-(group, id) sum is exact integer arithmetic, the
+    fused rank orders on the RAW micro sum (ties by id), and
+    ``rrf_score`` is the micro sum divided by 1e6 -- the same integer
+    in, the same double out.
+
+    Scale: the input rank tables are k-bounded per group by
+    construction, so everything here is tiny regardless of corpus size
+    -- one hash aggregate over |methods|*k rows per group and a window
+    whose rank filter plans as WindowGroupLimit.
+    """
+    contrib = F.floor(
+        F.lit(1_000_000.0)
+        / (F.lit(float(int(rrf_k))) + F.col(rank_col).cast("double"))
+    ).cast("long")
+    fused = (
+        ranked.select(group_col, id_col, contrib.alias("__rrf_c"))
+        .groupBy(group_col, id_col)
+        .agg(F.sum("__rrf_c").alias("__rrf_micro"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__rrf_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            (F.col("__rrf_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "rrf_score"
+            ),
+            "rank",
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, k: int = 5, n_queries: int = 8
 ) -> DataFrame:

@@ -332,17 +332,37 @@ _IVFPQ_SQL = f"""
 @register(
     "k2_ann_lsh_ivf",
     f"""
-    SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
-    FROM ({_K2_LSH_SQL})
+    WITH allm AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
+      FROM ({_K2_LSH_SQL})
+      UNION ALL
+      SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
+      FROM ({_K4_IVF_SQL})
+      UNION ALL
+      SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank
+      FROM ({_PQ_SQL})
+      UNION ALL
+      SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
+      FROM ({_IVFPQ_SQL})
+    )
+    SELECT method, query_id, neighbor_id, cosine, rank FROM allm
     UNION ALL
-    SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
-    FROM ({_K4_IVF_SQL})
-    UNION ALL
-    SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank
-    FROM ({_PQ_SQL})
-    UNION ALL
-    SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
-    FROM ({_IVFPQ_SQL})
+    -- reciprocal-rank fusion of the four method rankings (r10,
+    -- similarity.rrf_fuse): floor(1e6/(60+rank)) micro contributions,
+    -- exact integer sums, fused rank on the raw micro sum
+    SELECT 'rrf' AS method, query_id, neighbor_id,
+           CAST(sum_micro AS DOUBLE) / 1000000.0 AS cosine, rank
+    FROM (
+      SELECT query_id, neighbor_id, sum_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sum_micro DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               sum(CAST(floor(1000000.0 / (60.0 + rank)) AS BIGINT))
+                 AS sum_micro
+        FROM allm GROUP BY query_id, neighbor_id
+      )
+    ) WHERE rank <= 5
     """,
 )
 def k2_ann_lsh_ivf(spark, sf):
@@ -368,6 +388,16 @@ def k2_ann_lsh_ivf(spark, sf):
       stage loses almost nothing on top, which is the composition
       property tests/test_pq.py gates).
 
+    * ``rrf`` (r10) -- reciprocal-rank fusion of the four method
+      rankings (similarity.rrf_fuse, Cormack et al. 2009): the
+      ensemble-retrieval combiner over approximate indexes.  Each
+      (method, rank) row contributes floor(1e6/(60+rank)) micro-units;
+      per-(query, neighbor) sums are exact integers, the fused rank
+      orders on the raw micro sum, and ``cosine`` carries the fused
+      score (micro/1e6 -- same integer, same double, both engines).
+      The four rank tables are materialized once (160 rows) so the
+      fusion subtree never re-runs the ANN suite.
+
     IVF and PQ recall vs the k1 exact baseline are pytest-gated
     (tests/test_asof_skew.py::test_ivf_recall_vs_bruteforce,
     tests/test_pq.py); every method's
@@ -385,12 +415,23 @@ def k2_ann_lsh_ivf(spark, sf):
     tag = lambda df, label: df.select(  # noqa: E731
         F.lit(label).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return (
+    # the 4 method rank tables feed the output AND the rrf ensemble:
+    # materialize once (160 rows) so the fusion subtree does not re-run
+    # the whole ANN suite (the tv1 shared-pass discipline)
+    allm = (
         tag(lsh, "lsh")
         .unionByName(tag(ivf, "ivf"))
         .unionByName(tag(pq, "pq"))
         .unionByName(tag(ivfpq, "ivfpq"))
+    ).localCheckpoint(eager=True)
+    rrf = similarity.rrf_fuse(allm, k=5).select(
+        F.lit("rrf").alias("method"),
+        "query_id",
+        "neighbor_id",
+        F.col("rrf_score").alias("cosine"),
+        "rank",
     )
+    return allm.unionByName(rrf)
 
 
 _K3_COS_VC = (

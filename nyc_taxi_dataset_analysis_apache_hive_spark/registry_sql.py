@@ -1367,14 +1367,34 @@ SQL_QUERIES: dict[str, str] = {
               AS rank
             FROM ipq_scored
           ) WHERE rank <= 5
+        ),
+        allm AS (
+          SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
+          UNION ALL
+          SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
+          UNION ALL
+          SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank FROM pq
+          UNION ALL
+          SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
+          FROM ipq
         )
-        SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
+        SELECT method, query_id, neighbor_id, cosine, rank FROM allm
         UNION ALL
-        SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
-        UNION ALL
-        SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank FROM pq
-        UNION ALL
-        SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank FROM ipq
+        -- reciprocal-rank fusion (r10): see registry.k2 docstring
+        SELECT 'rrf' AS method, query_id, neighbor_id,
+               CAST(sum_micro AS DOUBLE) / 1000000.0D AS cosine, rank
+        FROM (
+          SELECT query_id, neighbor_id, sum_micro,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sum_micro DESC, neighbor_id ASC)
+                   AS BIGINT) AS rank
+          FROM (
+            SELECT query_id, neighbor_id,
+                   sum(CAST(floor(1000000.0D / (60.0D + rank)) AS BIGINT))
+                     AS sum_micro
+            FROM allm GROUP BY query_id, neighbor_id
+          )
+        ) WHERE rank <= 5
     """,
     # k3_embedding_near_pairs is not single-STATEMENT-expressible (its
     # semdedup leg needs connected components, and Spark's recursive
