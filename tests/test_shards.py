@@ -632,3 +632,46 @@ def test_global_rank_reliable_checkpoint_path(spark, tmp_path):
     assert all(r["rank"] == expect[r["doc_id"]] for r in rows)
     assert glob.glob(f"{ck}/grank-*/**/rdd-*", recursive=True)
     assert spark.sparkContext.getCheckpointDir() == prev
+
+
+import pytest
+
+
+@pytest.mark.scale
+def test_serve_layout_write_append_audit_at_sf01(spark, tmp_path):
+    """Opt-in nightly (the sf0.1 sweep discipline): the full serve-layout
+    lifecycle at the bench decade -- write the sf0.1 documents corpus as
+    shards, append a synthetic admission batch, and require the manifest
+    audit (contiguous positions, total row count) plus untouched history
+    on a sampled shard."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    path = str(tmp_path / "shards01")
+    writers.write_training_shards(docs, path, n_shards=8)
+    m0 = {r["shard_id"]: tuple(r) for r in writers.shard_manifest(spark, path).collect()}
+    assert sum(v[1] for v in m0.values()) == n_docs
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=10_000_000 + i, text=f"new doc {i}") for i in range(500)]
+    )
+    writers.append_training_shards(batch, path, n_shards=8)
+    m1 = {r["shard_id"]: tuple(r) for r in writers.shard_manifest(spark, path).collect()}
+    assert sum(v[1] for v in m1.values()) == n_docs + 500
+    for shard_id, (_, n_rows, max_pos, _) in m1.items():
+        assert max_pos == n_rows - 1, shard_id
+    # history untouched: shard 0's original id->pos assignment survives
+    before = {
+        r["doc_id"]: r["shard_pos"]
+        for r in spark.read.parquet(path)
+        .filter((F.col("shard_id") == 0) & (F.col("doc_id") < 10_000_000))
+        .collect()
+    }
+    fresh = {
+        r["doc_id"]: r["shard_pos"]
+        for r in sampling.shuffle_shards(docs, n_shards=8)
+        .filter(F.col("shard_id") == 0)
+        .collect()
+    }
+    assert before == fresh
