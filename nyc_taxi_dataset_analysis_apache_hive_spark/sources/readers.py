@@ -59,6 +59,63 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: documents-table schema for JSONL ingest, with the named corrupt-record
+#: column appended (PERMISSIVE mode routes unparseable lines there).
+def _documents_jsonl_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """JSONL corpus ingest -- the interchange format web-scale text
+    corpora actually ship in (one JSON object per line; line-splittable,
+    so the scan parallelizes like CSV).
+
+    Explicit schema (default: the ``documents`` table plus a
+    ``_corrupt_record`` column), never inference -- inference is a
+    second full pass over 100 TB and type-drifts on partial corpora.
+    PERMISSIVE + the named corrupt-record column is the DQ dead-letter
+    posture (operators/expectations.py): an unparseable line becomes a
+    row with every data column NULL and the raw line preserved in
+    ``_corrupt_record``, so ingest never silently drops
+    (DROPMALFORMED) nor dies corpus-wide on one bad byte (FAILFAST);
+    route ``_corrupt_record IS NOT NULL`` rows to quarantine with one
+    filter.  A field that parses but mismatches its declared type NULLs
+    that field and keeps the line's raw text in the same column --
+    Spark's per-field PERMISSIVE contract.
+
+    Spark restriction worth knowing: a query whose ONLY referenced
+    column is the corrupt-record column raises AnalysisException (the
+    pruned scan would have nothing to fail on) -- ``cache()`` the frame
+    before a corrupt-only count, or reference a data column alongside.
+    """
+    if schema is None:
+        schema = _documents_jsonl_schema()
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all driver tables and register them as temp views.
 
