@@ -324,6 +324,83 @@ def grouped_hash_split(
     ).select(id_col, "split_id")
 
 
+def split_leakage_report(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cross-split contamination audit: given a split assignment and a
+    near-duplicate pair list, report per split-boundary how many pairs
+    CROSS it -- (split_lo, split_hi, n_pairs, example_a, example_b),
+    ordered.  A pair whose two members sit in different splits is eval
+    leakage (a training document's near-copy in the test set);
+    :func:`grouped_hash_split` prevents it BY CONSTRUCTION, and this
+    operator is the audit for splits produced any other way (a vendor
+    split, a date split, a per-doc :func:`hash_split` run before dedup).
+
+    Within-split pairs are reported too (split_lo == split_hi rows) so
+    the report totals to the pair count -- the reader sees leakage as a
+    fraction, not a bare number.  The split pair is canonicalized
+    (least/greatest) so (0,2) and (2,0) are one row; example ids are
+    the min pair per boundary, giving a deterministic, directly
+    inspectable sample.  Pairs with a member missing from ``split_df``
+    land together in one (NULL, NULL) boundary row rather than
+    vanishing OR masquerading as within-split (``least``/``greatest``
+    skip NULLs, so the naive spelling would silently claim the present
+    member's split for both sides -- an unassigned doc in a pair is
+    itself a finding, reported as such).
+
+    Scale: two id equi-joins of the (already bounded) pair list against
+    the narrow (id, split) projection, then an aggregate to at most
+    O(n_splits^2) rows -- the corpus itself is never touched.
+    """
+    a = split_df.select(
+        F.col(id_col).alias(a_col), F.col(split_col).alias("__sl_a")
+    )
+    b = split_df.select(
+        F.col(id_col).alias(b_col), F.col(split_col).alias("__sl_b")
+    )
+    tagged = (
+        pairs.select(a_col, b_col)
+        .join(a, on=a_col, how="left")
+        .join(b, on=b_col, how="left")
+        .select(
+            a_col,
+            b_col,
+            F.when(
+                F.col("__sl_a").isNull() | F.col("__sl_b").isNull(),
+                F.lit(None),
+            )
+            .otherwise(F.least("__sl_a", "__sl_b"))
+            .alias("split_lo"),
+            F.when(
+                F.col("__sl_a").isNull() | F.col("__sl_b").isNull(),
+                F.lit(None),
+            )
+            .otherwise(F.greatest("__sl_a", "__sl_b"))
+            .alias("split_hi"),
+        )
+    )
+    return (
+        tagged.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(F.struct(a_col, b_col)).alias("__ex"),
+        )
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            F.col(f"__ex.{a_col}").alias("example_a"),
+            F.col(f"__ex.{b_col}").alias("example_b"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
 #: Default serving-shard count for :func:`shuffle_shards` -- THE single
 #: definition; the s6 registry oracle and the SQL-mode text format this
 #: into their floor(u * N) legs so all three surfaces cut the same chunks.
