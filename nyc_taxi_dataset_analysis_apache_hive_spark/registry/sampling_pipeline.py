@@ -94,6 +94,37 @@ _BM25_TOPK_QT_SQL = ", ".join(
                / 1152921504606846976.0 AS u
       FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
     )
+    UNION ALL
+    -- cross-split contamination audit (r10, sampling.split_leakage_report)
+    -- of the PER-DOC split against the near-dup pair graph: the boundary
+    -- key is split_lo*10+split_hi (canonicalized), v the pair count --
+    -- off-diagonal rows are exactly the leakage grouped_split prevents
+    SELECT 'leakage' AS op,
+           CAST(split_lo * 10 + split_hi AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS v
+    FROM (
+      SELECT least(sa.s, sb.s) AS split_lo, greatest(sa.s, sb.s) AS split_hi
+      FROM pairs p
+      JOIN (
+        SELECT doc_id, CAST({_SPLIT_CASE} AS BIGINT) AS s FROM (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5('split-v1:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+          FROM documents
+        )
+      ) sa ON p.doc_a = sa.doc_id
+      JOIN (
+        SELECT doc_id, CAST({_SPLIT_CASE} AS BIGINT) AS s FROM (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5('split-v1:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+          FROM documents
+        )
+      ) sb ON p.doc_b = sb.doc_id
+    )
+    GROUP BY 1, 2
     """,
 )
 def d6_dup_clusters(spark, sf):
@@ -109,7 +140,15 @@ def d6_dup_clusters(spark, sf):
     near-copy can never land in the eval split; singletons hash their
     own id, making the assignment IDENTICAL to s6's per-doc split
     exactly where no duplicate structure exists.  The component table is
-    checkpoint-materialized once and reused by both legs."""
+    checkpoint-materialized once and reused by both legs.
+    ``leakage`` (r10) = the cross-split contamination audit
+    (sampling.split_leakage_report) run where it has something to find:
+    the PER-DOC hash split over the same near-dup pair graph.  Rows are
+    (boundary key = split_lo*10+split_hi, pair count); off-diagonal
+    keys are exactly the train/eval leakage grouped_split prevents by
+    construction, and the oracle replays every count (deterministic
+    pairs x deterministic md5 splits).  Example columns and the
+    NULL-member policy are pytest-gated (test_split_leakage)."""
     docs = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
     comps = dedup.connected_components(pairs)
@@ -128,7 +167,18 @@ def d6_dup_clusters(spark, sf):
         "doc_id",
         F.col("split_id").cast("long").alias("v"),
     )
-    return cluster.unionByName(grouped)
+    per_doc = sampling.hash_split(
+        docs.select("doc_id"), "doc_id", weights=(0.8, 0.1, 0.1),
+        salt="split-v1",
+    ).select("doc_id", "split_id")
+    leak = sampling.split_leakage_report(per_doc, pairs).select(
+        F.lit("leakage").alias("op"),
+        (F.col("split_lo").cast("long") * 10 + F.col("split_hi"))
+        .cast("long")
+        .alias("doc_id"),
+        F.col("n_pairs").cast("long").alias("v"),
+    )
+    return cluster.unionByName(grouped).unionByName(leak)
 
 
 # ---------------------------------------------------------------------------

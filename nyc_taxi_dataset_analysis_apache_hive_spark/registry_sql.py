@@ -2378,6 +2378,15 @@ def _d6_sql_program(spark: SparkSession) -> DataFrame:
         spark, "SELECT doc_a AS a, doc_b AS b FROM __d6sql_pairs",
         "__d6sql_cc",
     )
+    per_doc = f"""SELECT doc_id, CAST({_s6_split_case()} AS BIGINT) AS s
+            FROM (
+              SELECT doc_id,
+                     CAST(conv(substr(md5(concat('split-v1', ':',
+                            CAST(doc_id AS STRING))),
+                            1, 15), 16, 10) AS DOUBLE)
+                       / CAST(1152921504606846976 AS DOUBLE) AS u
+              FROM documents
+            )"""
     return spark.sql(
         f"""SELECT 'cluster' AS op, id AS doc_id, lbl AS v
             FROM __d6sql_cc_lbl
@@ -2392,7 +2401,20 @@ def _d6_sql_program(spark: SparkSession) -> DataFrame:
                        / CAST(1152921504606846976 AS DOUBLE) AS u
               FROM documents d
               LEFT JOIN __d6sql_cc_lbl l ON d.doc_id = l.id
-            )"""
+            )
+            UNION ALL
+            -- cross-split contamination audit (r10): see registry.d6
+            SELECT 'leakage' AS op,
+                   CAST(split_lo * 10 + split_hi AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM (
+              SELECT least(sa.s, sb.s) AS split_lo,
+                     greatest(sa.s, sb.s) AS split_hi
+              FROM __d6sql_pairs p
+              JOIN ({per_doc}) sa ON p.doc_a = sa.doc_id
+              JOIN ({per_doc}) sb ON p.doc_b = sb.doc_id
+            )
+            GROUP BY 1, 2"""
     )
 
 
