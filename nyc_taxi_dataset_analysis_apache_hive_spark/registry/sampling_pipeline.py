@@ -150,7 +150,13 @@ def d6_dup_clusters(spark, sf):
     pairs x deterministic md5 splits).  Example columns and the
     NULL-member policy are pytest-gated (test_split_leakage)."""
     docs = _t(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    # the pair list (tiny) feeds BOTH the CC legs and the r10 leakage
+    # audit: materialize it once, or the whole gram-join pair pipeline
+    # runs a second time under the audit subtree (measured d6
+    # 4.8 -> 7.2 s at sf0.1 before this checkpoint)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
     comps = dedup.connected_components(pairs)
     cluster = comps.select(
         F.lit("cluster").alias("op"),
