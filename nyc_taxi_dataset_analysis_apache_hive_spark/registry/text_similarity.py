@@ -32,6 +32,15 @@ from .base import (
 #: vector once instead of recomputing norms per pair)
 _COS = "round(list_dot_product(q.emb_n, c.emb_n), 6)"
 
+#: RRF constants interpolated into the k2 oracle (and, via registry_sql,
+#: the Spark-SQL text) from their ONE definition in operators.similarity
+#: -- the bm25_constants repr-roundtrip discipline, so changing RRF_K /
+#: the micro scale / the fused depth can never desynchronize surfaces.
+_RRF_K_F = float(similarity.RRF_K)
+_RRF_MICRO_F = float(similarity.RRF_MICRO)
+#: fused top-k depth of the k2 ``rrf`` leg (the same k the ANN legs use)
+K2_RRF_K = 5
+
 _NORM_CTE = """e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
@@ -348,21 +357,22 @@ _IVFPQ_SQL = f"""
     SELECT method, query_id, neighbor_id, cosine, rank FROM allm
     UNION ALL
     -- reciprocal-rank fusion of the four method rankings (r10,
-    -- similarity.rrf_fuse): floor(1e6/(60+rank)) micro contributions,
-    -- exact integer sums, fused rank on the raw micro sum
+    -- similarity.rrf_fuse): floor(micro/(rrf_k+rank)) contributions,
+    -- exact integer sums, fused rank on the raw micro sum; constants
+    -- interpolated from similarity.RRF_K/RRF_MICRO (one definition)
     SELECT 'rrf' AS method, query_id, neighbor_id,
-           CAST(sum_micro AS DOUBLE) / 1000000.0 AS cosine, rank
+           CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_F!r} AS cosine, rank
     FROM (
       SELECT query_id, neighbor_id, sum_micro,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY sum_micro DESC, neighbor_id ASC) AS BIGINT) AS rank
       FROM (
         SELECT query_id, neighbor_id,
-               sum(CAST(floor(1000000.0 / (60.0 + rank)) AS BIGINT))
-                 AS sum_micro
+               sum(CAST(floor({_RRF_MICRO_F!r} / ({_RRF_K_F!r} + rank))
+                   AS BIGINT)) AS sum_micro
         FROM allm GROUP BY query_id, neighbor_id
       )
-    ) WHERE rank <= 5
+    ) WHERE rank <= {K2_RRF_K}
     """,
 )
 def k2_ann_lsh_ivf(spark, sf):
@@ -424,7 +434,7 @@ def k2_ann_lsh_ivf(spark, sf):
         .unionByName(tag(pq, "pq"))
         .unionByName(tag(ivfpq, "ivfpq"))
     ).localCheckpoint(eager=True)
-    rrf = similarity.rrf_fuse(allm, k=5).select(
+    rrf = similarity.rrf_fuse(allm, k=K2_RRF_K).select(
         F.lit("rrf").alias("method"),
         "query_id",
         "neighbor_id",

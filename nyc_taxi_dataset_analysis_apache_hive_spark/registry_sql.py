@@ -409,6 +409,21 @@ def _tv1_bm25_topk_leg() -> str:
 
 _TV1_BM25_TOPK_LEG = _tv1_bm25_topk_leg()
 
+
+def _rrf_sql_consts() -> tuple[str, str, int]:
+    """(micro-scale, damping-k, fused-depth) for the k2 ``rrf`` leg,
+    repr-roundtripped from their ONE definition
+    (operators.similarity.RRF_MICRO / RRF_K and the registry's fused
+    depth) so this SQL text can never desynchronize from the DataFrame
+    operator or the DuckDB oracle when a constant changes."""
+    from .operators.similarity import RRF_K, RRF_MICRO
+    from .registry.text_similarity import K2_RRF_K
+
+    return f"{float(RRF_MICRO)!r}D", f"{float(RRF_K)!r}D", K2_RRF_K
+
+
+_RRF_MICRO_SQL, _RRF_K_SQL, _K2_RRF_K = _rrf_sql_consts()
+
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
     "p3_filter_compare": """
@@ -1380,9 +1395,10 @@ SQL_QUERIES: dict[str, str] = {
         )
         SELECT method, query_id, neighbor_id, cosine, rank FROM allm
         UNION ALL
-        -- reciprocal-rank fusion (r10): see registry.k2 docstring
+        -- reciprocal-rank fusion (r10): see registry.k2 docstring;
+        -- constants interpolated from similarity.RRF_K/RRF_MICRO
         SELECT 'rrf' AS method, query_id, neighbor_id,
-               CAST(sum_micro AS DOUBLE) / 1000000.0D AS cosine, rank
+               CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_SQL} AS cosine, rank
         FROM (
           SELECT query_id, neighbor_id, sum_micro,
                  CAST(row_number() OVER (PARTITION BY query_id
@@ -1390,11 +1406,11 @@ SQL_QUERIES: dict[str, str] = {
                    AS BIGINT) AS rank
           FROM (
             SELECT query_id, neighbor_id,
-                   sum(CAST(floor(1000000.0D / (60.0D + rank)) AS BIGINT))
-                     AS sum_micro
+                   sum(CAST(floor({_RRF_MICRO_SQL} / ({_RRF_K_SQL} + rank))
+                       AS BIGINT)) AS sum_micro
             FROM allm GROUP BY query_id, neighbor_id
           )
-        ) WHERE rank <= 5
+        ) WHERE rank <= {_K2_RRF_K}
     """,
     # k3_embedding_near_pairs is not single-STATEMENT-expressible (its
     # semdedup leg needs connected components, and Spark's recursive

@@ -27,6 +27,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: serve-layout columns OWNED by the sharded writers; an input corpus
+#: must not already carry them.  This is what keeps
+#: :func:`shard_manifest`'s serve-order auto-detection sound: a payload
+#: column named ``rank`` under ``layout='shuffle'`` (or ``shard_pos``
+#: under ``layout='curriculum'``) would otherwise survive into the files
+#: and be mistaken for the other layout's order column at audit time.
+RESERVED_LAYOUT_COLS = ("shard_id", "shard_pos", "rank")
+
+
+def _reject_reserved_cols(df: DataFrame, op: str) -> None:
+    clash = [c for c in RESERVED_LAYOUT_COLS if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already carries reserved serve-layout "
+            f"column(s) {clash}; rename them -- the writer owns "
+            f"{list(RESERVED_LAYOUT_COLS)} so shard_manifest's layout "
+            "detection stays unambiguous"
+        )
+
 
 def write_clean_partitioned(
     df: DataFrame,
@@ -121,6 +140,7 @@ def write_training_shards(
 
     if n_shards is None:
         n_shards = DEFAULT_N_SHARDS
+    _reject_reserved_cols(df, "write_training_shards")
     if layout == "shuffle":
         sharded = shuffle_shards(
             df,
@@ -174,8 +194,9 @@ def append_training_shards(
     salted md5 draw the original write used (``shuffle_shards``'s
     documented append property -- existing rows never re-roll), and the
     batch's within-shard serve positions continue after each shard's
-    current ``max_pos``, read from :func:`shard_manifest` (n_shards
-    tiny rows -- never a history scan).  After any number of appends
+    current ``max_pos`` (one n_shards-row aggregate over the layout's
+    order column -- parquet footer stats, never a content scan; the
+    same numbers :func:`shard_manifest` audits).  After any number of appends
     every shard still holds contiguous positions 0..n-1: original
     permutation first, then each admission batch in its own
     deterministic permutation order.
@@ -191,35 +212,62 @@ def append_training_shards(
     outside the serve permutation) -- it is rejected rather than
     silently quarantined into a second NULL partition whose positions
     would collide with an existing one.
+
+    Appends are ``layout='shuffle'`` ONLY, checked against the target's
+    schema: a curriculum layout's serve order is the GLOBAL score rank,
+    which an append cannot extend without re-ranking history (a new
+    high-score document belongs before existing rows -- there is no
+    contiguous tail to continue from, and its ``max_pos`` is a global
+    rank, the wrong base).  Appending to one raises; re-materialize the
+    curriculum with :func:`write_training_shards` instead.
+
+    The per-shard position bases are COLLECTED to the driver (n_shards
+    tiny rows) before the append starts and folded in as a literal map,
+    so the write never embeds a scan of the very directory it is
+    appending to (self-referential reads rely on file listings being
+    pinned at plan time -- a re-list mid-job would double-count).
     """
     from ..operators.sampling import DEFAULT_N_SHARDS, shuffle_shards
 
     if n_shards is None:
         n_shards = DEFAULT_N_SHARDS
+    _reject_reserved_cols(df, "append_training_shards")
     if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
         raise ValueError(
             f"append_training_shards: NULL {id_col} rows cannot join the "
             "serve permutation; filter or repair them first"
         )
-    bases = (
-        shard_manifest(df.sparkSession, path, id_col=id_col)
-        .select("shard_id", (F.col("max_pos") + 1).alias("__app_base"))
-    )
-    placed = (
-        shuffle_shards(
-            df,
-            id_col=id_col,
-            n_shards=n_shards,
-            salt=salt,
-            tiebreak_cols=tiebreak_cols,
+    target = df.sparkSession.read.parquet(path)
+    if "shard_pos" not in target.columns:
+        raise ValueError(
+            "append_training_shards: target is not a layout='shuffle' "
+            f"shard directory (columns {target.columns}); curriculum "
+            "layouts order by a GLOBAL rank that appends cannot extend "
+            "-- re-materialize with write_training_shards instead"
         )
-        .join(F.broadcast(bases), on="shard_id", how="left")
-        .withColumn(
-            "shard_pos",
-            F.col("shard_pos") + F.coalesce(F.col("__app_base"), F.lit(0)),
-        )
-        .drop("__app_base")
+    base_rows = (
+        target.groupBy("shard_id")
+        .agg((F.max("shard_pos") + F.lit(1)).alias("base"))
+        .collect()
     )
+    if base_rows:
+        base_map = F.create_map(
+            *[
+                lit
+                for row in base_rows
+                for lit in (F.lit(row["shard_id"]), F.lit(row["base"]))
+            ]
+        )
+        base_expr = F.coalesce(base_map[F.col("shard_id")], F.lit(0))
+    else:
+        base_expr = F.lit(0)
+    placed = shuffle_shards(
+        df,
+        id_col=id_col,
+        n_shards=n_shards,
+        salt=salt,
+        tiebreak_cols=tiebreak_cols,
+    ).withColumn("shard_pos", F.col("shard_pos") + base_expr)
     (
         placed.write.mode("append")
         .format(fmt)

@@ -14,6 +14,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
 
@@ -323,3 +324,33 @@ def test_shared_term_scores_pass_is_value_identical(spark, sf0001_dir):
         map(tuple, textops.bm25_topk(docs, term_scores=shared).collect())
     )
     assert base_topk == shared_topk
+
+
+def test_stale_or_mismatched_term_scores_raise(spark):
+    """The term_scores= contract guard (r10 verdict nit 1): a shared
+    relation built over TOO FEW terms, or at different k1/b, or with no
+    provenance at all must raise loudly instead of silently scoring
+    queries without their missing terms.  Schema-metadata only -- no
+    job runs for the check, and the provenance survives
+    localCheckpoint (the shared-pass materialization path)."""
+    docs = _docs(spark, ["a b dup", "b c", "a x"])
+    small = textops.bm25_term_scores(docs, ["a"]).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="does not cover"):
+        textops.bm25_scores(docs, query_terms=["a", "b"], term_scores=small)
+    with pytest.raises(ValueError, match="does not cover"):
+        textops.bm25_topk(
+            docs, queries={"q": ("a", "b")}, term_scores=small
+        )
+    full = textops.bm25_term_scores(docs, ["a", "b"])
+    with pytest.raises(ValueError, match="k1="):
+        textops.bm25_scores(
+            docs, query_terms=["a"], k1=2.0, term_scores=full
+        )
+    stripped = full.select(
+        "doc_id", "dl", "token", F.col("s_micro").cast("long").alias("s_micro")
+    )
+    with pytest.raises(ValueError, match="provenance"):
+        textops.bm25_scores(docs, query_terms=["a"], term_scores=stripped)
+    # and the guarded happy path still works
+    ok = textops.bm25_scores(docs, query_terms=["a"], term_scores=full)
+    assert ok.count() > 0

@@ -605,6 +605,50 @@ def test_append_rejects_null_ids(spark, tmp_path):
         writers.append_training_shards(bad, path, n_shards=2)
 
 
+def test_writers_reject_reserved_layout_columns(spark, tmp_path):
+    """A corpus already carrying a serve-layout column (shard_id /
+    shard_pos / rank -- e.g. a payload column that happens to be named
+    ``rank``) is rejected by BOTH sharded writers: otherwise
+    shard_manifest's layout auto-detection could read the payload column
+    as the serve order and silently mis-audit (r10 verdict nit)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, rank=i * 2) for i in range(20)]
+    )
+    with pytest.raises(ValueError, match="reserved serve-layout"):
+        writers.write_training_shards(docs, str(tmp_path / "a"), n_shards=2)
+
+    clean = spark.createDataFrame([Row(doc_id=i) for i in range(20)])
+    path = str(tmp_path / "b")
+    writers.write_training_shards(clean, path, n_shards=2)
+    with pytest.raises(ValueError, match="reserved serve-layout"):
+        writers.append_training_shards(
+            spark.createDataFrame([Row(doc_id=100, shard_pos=0)]),
+            path,
+            n_shards=2,
+        )
+
+
+def test_append_rejects_curriculum_layout(spark, tmp_path):
+    """Appends are layout='shuffle' only: a curriculum layout's serve
+    order is a GLOBAL score rank an append cannot extend (continuing
+    from max_pos would place every new doc after history regardless of
+    score).  The target-schema check raises instead of mis-placing."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, score=float(i % 7)) for i in range(60)]
+    )
+    path = str(tmp_path / "cur")
+    writers.write_training_shards(
+        docs, path, n_shards=2, layout="curriculum", score_col="score"
+    )
+    batch = spark.createDataFrame([Row(doc_id=100, score=9.0)])
+    with pytest.raises(ValueError, match="curriculum"):
+        writers.append_training_shards(batch, path, n_shards=2)
+
+
 def test_global_rank_reliable_checkpoint_path(spark, tmp_path):
     """checkpoint_dir= switches the barrier from localCheckpoint to a
     reliable checkpoint() in a unique per-call subdirectory (the

@@ -74,6 +74,39 @@ def test_unassigned_members_land_in_null_row(spark):
     assert rows == {(0, 0): 1, (None, None): 1}
 
 
+def test_duplicate_assignment_rows_do_not_inflate_counts(spark):
+    """Exact duplicate (id, split) rows -- a split table unioned onto
+    itself -- must not fan out through the joins: the report still
+    totals to the pair count (r10 ADVICE finding)."""
+    split_rows = [Row(doc_id=i, split_id=i % 2) for i in range(10)]
+    split_df = spark.createDataFrame(split_rows + split_rows)  # doubled
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=4), Row(doc_a=1, doc_b=3)]
+    )
+    rows = {
+        (r["split_lo"], r["split_hi"]): r["n_pairs"]
+        for r in sampling.split_leakage_report(split_df, pairs).collect()
+    }
+    assert sum(rows.values()) == 3
+    assert rows == {(0, 0): 1, (1, 1): 1, (0, 1): 1}
+
+
+def test_conflicting_assignments_overshoot_loudly(spark):
+    """An id with TWO DIFFERENT splits is a broken input; the documented
+    outcome is fan-out (total > pair count), never a silent pick."""
+    split_df = spark.createDataFrame(
+        [Row(doc_id=1, split_id=0), Row(doc_id=1, split_id=1),
+         Row(doc_id=2, split_id=0)]
+    )
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    total = (
+        sampling.split_leakage_report(split_df, pairs)
+        .agg(F.sum("n_pairs").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == 2  # one real pair seen twice: loud, not hidden
+
+
 def test_report_plan_never_scans_wide(spark):
     """The audit touches only (id, split) and the pair list -- both id
     joins must stay equi-joins with no cartesian."""
