@@ -16,7 +16,9 @@ from ..operators import (
     dedup,
     packing,
     pipeline,
+    retrieval,
     sampling,
+    similarity,
     textops,
 )
 from .base import ORACLES, register, _t
@@ -60,6 +62,65 @@ _BM25_TOPK_QT_SQL = ", ".join(
     for q, ts in sorted(textops.BM25_TOPK_QUERIES.items())
     for t in sorted(set(ts))
 )
+
+#: hybrid-retrieval constants (r11): the (query, seed-vector) map and
+#: RRF constants repr-roundtripped from their ONE definitions
+#: (operators.retrieval.HYBRID_QUERY_VECS, similarity.RRF_K/RRF_MICRO)
+_HYBRID_QV_SQL = ", ".join(
+    f"('{q}', {v})" for q, v in sorted(retrieval.HYBRID_QUERY_VECS.items())
+)
+_RRF_K_F = float(similarity.RRF_K)
+_RRF_MICRO_F = float(similarity.RRF_MICRO)
+
+#: the per-(query, doc) BM25 micro-sum relation of the tv1 retrieval
+#: legs -- ONE text (query, doc_id, n_match_terms, sum_micro) shared by
+#: the ``bm25_topk`` leg and the ``hybrid`` leg's lexical side, exactly
+#: as the DataFrame program feeds ONE checkpointed bm25_topk table to
+#: both legs
+_TV1_LEX_GROUPED = f"""
+        WITH ktok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '{TOKEN_SPLIT_REGEX}'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        kdl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM ktok),
+        kstats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM kdl
+        ),
+        ktf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS token FROM ktok)
+          WHERE token IN ({_BM25_TOPK_TERMS_SQL})
+          GROUP BY doc_id, token
+        ),
+        kdf AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df FROM ktf GROUP BY token
+        ),
+        ksc AS (
+          SELECT ktf.doc_id, dl, token,
+                 CAST(floor(
+                   ln(((CAST(n_docs AS DOUBLE) - df + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
+                   * ((CAST(ktf.tf AS DOUBLE) * {_BM25_C1!r})
+                      / (CAST(ktf.tf AS DOUBLE) + {_BM25_C2!r}
+                         + {_BM25_C3!r} * (dl / avgdl)))
+                   * 1000000.0 + 1e-9) AS BIGINT) AS s_micro
+          FROM ktf
+          JOIN kdf USING (token)
+          JOIN kdl USING (doc_id)
+          CROSS JOIN kstats
+        ),
+        kqt(query, token) AS (VALUES {_BM25_TOPK_QT_SQL})
+        SELECT query, ksc.doc_id,
+               CAST(count(*) AS BIGINT) AS n_match_terms,
+               sum(s_micro) AS sum_micro
+        FROM ksc JOIN kqt USING (token)
+        GROUP BY query, ksc.doc_id, dl
+"""
 
 
 @register(

@@ -84,6 +84,85 @@ def test_fusion_matches_python_recompute_on_k2_shape(spark, sf0001_dir):
     assert got == expect
 
 
+# ---------------------------------------------------------------------------
+# Randomized parity against an INDEPENDENT pure-Python RRF (r10 verdict
+# task 7; the test_bm25_matches_independent_reference precedent): the
+# goldens above replicate the operator's micro arithmetic -- this
+# reference derives fusion from the TEXTBOOK float formula from scratch,
+# covering ties, ids missing from some methods, duplicate (method, id)
+# rows, and non-contiguous ranks.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rrf_reference(rows, k=5, rrf_k=60):
+    """From-scratch RRF (Cormack et al. 2009): float 1/(k+r) sums per
+    (query, id), top-k per query ordered by score desc then id asc.
+    Returns {(query, id): fused_rank}."""
+    import collections
+
+    score: dict = collections.defaultdict(float)
+    for _m, q, n, r in rows:
+        score[(q, n)] += 1.0 / (rrf_k + r)
+    out = {}
+    by_q: dict = collections.defaultdict(list)
+    for (q, n), s in score.items():
+        by_q[q].append((-s, n))
+    for q, lst in by_q.items():
+        for i, (_negs, n) in enumerate(sorted(lst)[:k]):
+            out[(q, n)] = i + 1
+    return out
+
+
+_row_strat = st.tuples(
+    st.sampled_from(["m1", "m2", "m3"]),  # method tag (ignored by fusion)
+    st.integers(min_value=0, max_value=2),  # query
+    st.integers(min_value=10, max_value=18),  # neighbor id
+    st.integers(min_value=1, max_value=9),  # rank (non-contiguous OK)
+)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(rows=st.lists(_row_strat, min_size=1, max_size=24), k=st.integers(1, 4))
+def test_rrf_matches_independent_reference(spark, rows, k):
+    """Fused RANKS agree with the float reference wherever the float
+    ordering is unambiguous; micro-floor quantization can only merge
+    scores the float formula separates by < 1e-6, in which case both
+    sides still hold a total order (id tie-break) over the same top-k
+    candidate multiset.  Scores agree to the floor truncation bound."""
+    expect = _rrf_reference(rows, k=k)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["rrf_score"])
+        for r in similarity.rrf_fuse(_ranked(spark, rows), k=k).collect()
+    }
+    assert set(got) == set(expect)
+    # per-(query,id) float score recomputed for the bound check
+    import collections
+
+    fscore: dict = collections.defaultdict(float)
+    n_contrib: dict = collections.defaultdict(int)
+    for _m, q, n, r in rows:
+        fscore[(q, n)] += 1.0 / (60 + r)
+        n_contrib[(q, n)] += 1
+    for key, (rank, score) in got.items():
+        # each contribution floors away < 1e-6
+        assert 0 <= fscore[key] - score < n_contrib[key] * 1e-6 + 1e-12, key
+        # rank parity unless the float gap to a differently-ranked doc is
+        # inside the quantization bound
+        if rank != expect[key]:
+            others = [
+                fscore[k2]
+                for k2 in fscore
+                if k2[0] == key[0] and k2 != key
+            ]
+            assert any(
+                abs(fscore[key] - o) < (n_contrib[key] + 1) * 1e-6
+                for o in others
+            ), (key, rank, expect[key])
+
+
 def test_rrf_plan_is_tiny_and_group_limited(spark, sf0001_dir):
     from nyc_taxi_dataset_analysis_apache_hive_spark.plans.explain import (
         explain_str,
