@@ -30,8 +30,10 @@ tables -- tiny regardless of corpus size.
 Reference analogue: the score-and-slice segment-share queries
 (REF:349-361) rank by one derived signal; hybrid retrieval is the
 multi-signal version a training-data pipeline needs.  Driver-gated as
-the tv1 ``hybrid`` leg (registry/sampling_pipeline.py) with the fused
-rank oracled on raw micro sums in both SQL surfaces.
+the tv1 ``dense`` + ``hybrid`` legs (registry/sampling_pipeline.py)
+with the dense cosine ranking and the fused rank both oracled (the
+fusion on raw micro sums) in both SQL surfaces; direct unit tests in
+tests/test_hybrid.py.
 """
 
 from __future__ import annotations
@@ -53,7 +55,13 @@ HYBRID_QUERY_VECS: dict[str, int] = {
     "q_scan": 1,
     "q_sort": 2,
 }
-assert set(HYBRID_QUERY_VECS) == set(BM25_TOPK_QUERIES)
+# explicit raise, not a bare assert: the one-definition guard must
+# survive `python -O` (asserts are stripped under optimized bytecode)
+if set(HYBRID_QUERY_VECS) != set(BM25_TOPK_QUERIES):
+    raise AssertionError(
+        "HYBRID_QUERY_VECS must name exactly the BM25_TOPK_QUERIES query "
+        f"set: {sorted(HYBRID_QUERY_VECS)} != {sorted(BM25_TOPK_QUERIES)}"
+    )
 
 #: top-k depth of each leg AND of the fused ranking in the driver leg
 HYBRID_K = 10

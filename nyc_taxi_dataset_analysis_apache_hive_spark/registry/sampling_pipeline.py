@@ -1343,51 +1343,84 @@ _TF_CTE = f"""
                ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank,
              floor((CAST(sum_micro AS DOUBLE) / 1000000.0) * 10000.0
                    + 1e-7) / 10000.0 AS score
-      FROM (
-        WITH ktok AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(coalesce(text, '')),
-                                                '{TOKEN_SPLIT_REGEX}'),
-                             x -> x <> '') AS t
-          FROM documents
-        ),
-        kdl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM ktok),
-        kstats AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-          FROM kdl
-        ),
-        ktf AS (
-          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, unnest(t) AS token FROM ktok)
-          WHERE token IN ({_BM25_TOPK_TERMS_SQL})
-          GROUP BY doc_id, token
-        ),
-        kdf AS (
-          SELECT token, CAST(count(*) AS BIGINT) AS df FROM ktf GROUP BY token
-        ),
-        ksc AS (
-          SELECT ktf.doc_id, dl, token,
-                 CAST(floor(
-                   ln(((CAST(n_docs AS DOUBLE) - df + 0.5)
-                       / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
-                   * ((CAST(ktf.tf AS DOUBLE) * {_BM25_C1!r})
-                      / (CAST(ktf.tf AS DOUBLE) + {_BM25_C2!r}
-                         + {_BM25_C3!r} * (dl / avgdl)))
-                   * 1000000.0 + 1e-9) AS BIGINT) AS s_micro
-          FROM ktf
-          JOIN kdf USING (token)
-          JOIN kdl USING (doc_id)
-          CROSS JOIN kstats
-        ),
-        kqt(query, token) AS (VALUES {_BM25_TOPK_QT_SQL})
-        SELECT query, ksc.doc_id,
-               CAST(count(*) AS BIGINT) AS n_match_terms,
-               sum(s_micro) AS sum_micro
-        FROM ksc JOIN kqt USING (token)
-        GROUP BY query, ksc.doc_id, dl
-      )
+      FROM ({_TV1_LEX_GROUPED})
     ) WHERE rank <= {textops.BM25_TOPK_K}
+    UNION ALL
+    -- hybrid (lexical + dense) retrieval (r12, operators/retrieval.py):
+    -- ``dense`` = cosine top-k for each named seed vector (seed
+    -- excluded; NULL/zero-norm seeds dropped by the inner join against
+    -- the normalized relation, similarity.normalized_with_bucket's
+    -- policy); ``hybrid`` = RRF fusion of the bm25_topk lexical ranks
+    -- (the SAME grouped relation above -- one definition) with the
+    -- dense ranks: floor(micro/(rrf_k+rank)) BIGINT contributions,
+    -- fused rank on the raw micro sum (ties by doc_id); constants
+    -- interpolated from retrieval.HYBRID_QUERY_VECS and
+    -- similarity.RRF_K/RRF_MICRO
+    SELECT op, doc_id, token, n, m, score FROM (
+      WITH hnorm0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL
+      ),
+      hnorm AS (
+        SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb_n
+        FROM hnorm0 WHERE nrm > 0
+      ),
+      hqv(query, seed) AS (VALUES {_HYBRID_QV_SQL}),
+      hq AS (
+        SELECT query, seed, emb_n AS q_emb
+        FROM hqv JOIN hnorm ON hqv.seed = hnorm.vec_id
+      ),
+      hdense AS (
+        SELECT query, doc_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY query
+                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM (
+          SELECT hq.query, c.vec_id AS doc_id,
+                 round(list_dot_product(hq.q_emb, c.emb_n), 6) AS cosine
+          FROM hq CROSS JOIN hnorm c
+          WHERE c.vec_id <> hq.seed
+        )
+      ),
+      hdense_k AS (SELECT * FROM hdense WHERE rank <= {retrieval.HYBRID_K}),
+      hlex_k AS (
+        SELECT query, doc_id, rank FROM (
+          SELECT query, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY query
+                   ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM ({_TV1_LEX_GROUPED})
+        ) WHERE rank <= {textops.BM25_TOPK_K}
+      ),
+      hlegs AS (
+        SELECT query, doc_id, rank FROM hlex_k
+        UNION ALL
+        SELECT query, doc_id, rank FROM hdense_k
+      ),
+      hfused AS (
+        SELECT query, doc_id, sum_micro,
+               CAST(row_number() OVER (
+                 PARTITION BY query
+                 ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM (
+          SELECT query, doc_id,
+                 sum(CAST(floor({_RRF_MICRO_F!r}
+                                / ({_RRF_K_F!r} + rank)) AS BIGINT))
+                   AS sum_micro
+          FROM hlegs GROUP BY query, doc_id
+        )
+      )
+      SELECT 'dense' AS op, doc_id, query AS token, rank AS n,
+             CAST(NULL AS BIGINT) AS m, cosine AS score
+      FROM hdense_k
+      UNION ALL
+      SELECT 'hybrid' AS op, doc_id, query AS token, rank AS n,
+             CAST(NULL AS BIGINT) AS m,
+             CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_F!r} AS score
+      FROM hfused WHERE rank <= {retrieval.HYBRID_K}
+    )
     """,
 )
 def tv1_text_stats(spark, sf):
@@ -1438,7 +1471,16 @@ def tv1_text_stats(spark, sf):
     union of query terms -- the broadcast (query, term) map joined on
     the term, per-(query, doc) BIGINT micro sums, rank on the RAW micro
     sum with a doc_id tie-break (WindowGroupLimit plan-tested: map
-    tasks pre-prune to local top-k per query before the shuffle)."""
+    tasks pre-prune to local top-k per query before the shuffle).
+    ``dense`` / ``hybrid`` (r12) = hybrid lexical+dense retrieval
+    (operators/retrieval.py): ``dense`` is the cosine top-10 for each
+    named seed vector of HYBRID_QUERY_VECS (seed excluded from its own
+    ranking; NULL/zero-norm seeds dropped), ``hybrid`` the RRF fusion
+    (similarity.rrf_fuse, BIGINT micro-unit contract) of the
+    checkpointed bm25_topk rank table -- ONE table feeding both its
+    output rows and the fusion -- with the checkpointed dense ranks;
+    the fused rank is oracled on the raw micro sums in both SQL
+    surfaces."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -1539,13 +1581,43 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.col("score").alias("score"),
     )
-    topk = textops.bm25_topk(docs, term_scores=shared_ts).select(
+    # ONE bm25_topk rank table feeds BOTH the bm25_topk output rows and
+    # the hybrid leg's lexical side (the shared_ts discipline one level
+    # up): materialize it (30 rows -- 3 queries x top-10) so the hybrid
+    # fusion subtree never recomputes the lexical retrieval
+    topk_tbl = textops.bm25_topk(docs, term_scores=shared_ts).localCheckpoint(
+        eager=True
+    )
+    topk = topk_tbl.select(
         F.lit("bm25_topk").alias("op"),
         "doc_id",
         F.col("query").alias("token"),
         F.col("rank").alias("n"),
         F.col("n_match_terms").alias("m"),
         F.col("score").alias("score"),
+    )
+    # hybrid retrieval (r12, operators/retrieval.py): the dense rank
+    # table is likewise materialized once (30 rows) because it feeds
+    # its own output rows AND the fusion -- without the checkpoint the
+    # embeddings scan would run twice
+    dense_tbl = retrieval.dense_topk(
+        _t(spark, sf, "embeddings")
+    ).localCheckpoint(eager=True)
+    dense = dense_tbl.select(
+        F.lit("dense").alias("op"),
+        "doc_id",
+        F.col("query").alias("token"),
+        F.col("rank").alias("n"),
+        nulll.alias("m"),
+        F.col("cosine").alias("score"),
+    )
+    hybrid = retrieval.hybrid_topk(lexical=topk_tbl, dense=dense_tbl).select(
+        F.lit("hybrid").alias("op"),
+        "doc_id",
+        F.col("query").alias("token"),
+        F.col("rank").alias("n"),
+        nulll.alias("m"),
+        F.col("rrf_score").alias("score"),
     )
     return (
         tfidf.unionByName(vocab)
@@ -1556,6 +1628,8 @@ def tv1_text_stats(spark, sf):
         .unionByName(chunk)
         .unionByName(bm25)
         .unionByName(topk)
+        .unionByName(dense)
+        .unionByName(hybrid)
     )
 
 

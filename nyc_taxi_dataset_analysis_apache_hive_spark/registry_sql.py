@@ -324,18 +324,14 @@ def _tv1_bm25_leg() -> str:
 _TV1_BM25_LEG = _tv1_bm25_leg()
 
 
-def _tv1_bm25_topk_leg() -> str:
-    """tv1's multi-query BM25 retrieval leg (r10): Spark-SQL spelling of
-    textops.bm25_topk -- one corpus pass over the UNION of query terms,
-    the tiny (query, term) map as an inline VALUES relation, per-(query,
-    doc) BIGINT micro sums, rank on the RAW micro sum (ties by doc_id).
-    Queries/terms/constants repr-roundtripped from their ONE definition
-    (textops.BM25_TOPK_QUERIES / bm25_constants)."""
-    from .operators.textops import (
-        BM25_TOPK_K,
-        BM25_TOPK_QUERIES,
-        bm25_constants,
-    )
+def _tv1_lex_grouped_sql() -> str:
+    """The per-(query, doc) BM25 micro-sum relation
+    (query, doc_id, n_match_terms, sum_micro) -- ONE Spark-SQL text
+    shared by the tv1 ``bm25_topk`` leg and the ``hybrid`` leg's
+    lexical side, exactly as the DataFrame program feeds ONE
+    checkpointed bm25_topk table to both legs (the DuckDB oracle's
+    _TV1_LEX_GROUPED constant is the same factoring)."""
+    from .operators.textops import BM25_TOPK_QUERIES, bm25_constants
 
     c1, c2, c3 = bm25_constants()
     universe = sorted({t for ts in BM25_TOPK_QUERIES.values() for t in ts})
@@ -346,18 +342,6 @@ def _tv1_bm25_topk_leg() -> str:
         for t in sorted(set(ts))
     )
     return f"""
-        UNION ALL
-        -- BM25 multi-query top-k retrieval (r10): see registry.tv1 docstring
-        SELECT 'bm25_topk' AS op, doc_id, query AS token,
-               rank AS n, n_match_terms AS m, score
-        FROM (
-          SELECT query, doc_id, n_match_terms, sum_micro,
-                 CAST(row_number() OVER (
-                   PARTITION BY query
-                   ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank,
-                 floor((CAST(sum_micro AS DOUBLE) / 1000000.0D)
-                       * 10000.0D + 1e-7) / 10000.0D AS score
-          FROM (
             WITH ktok AS (
               SELECT doc_id,
                      filter(split(lower(coalesce(text, '')), '[^a-z0-9]+'),
@@ -402,12 +386,136 @@ def _tv1_bm25_topk_leg() -> str:
                    sum(s_micro) AS sum_micro
             FROM ksc JOIN kqt USING (token)
             GROUP BY query, doc_id, dl
-          )
+"""
+
+
+_TV1_LEX_GROUPED_SQL = _tv1_lex_grouped_sql()
+
+
+def _tv1_bm25_topk_leg() -> str:
+    """tv1's multi-query BM25 retrieval leg (r10): Spark-SQL spelling of
+    textops.bm25_topk -- one corpus pass over the UNION of query terms,
+    the tiny (query, term) map as an inline VALUES relation, per-(query,
+    doc) BIGINT micro sums, rank on the RAW micro sum (ties by doc_id).
+    Queries/terms/constants repr-roundtripped from their ONE definition
+    (textops.BM25_TOPK_QUERIES / bm25_constants)."""
+    from .operators.textops import BM25_TOPK_K
+
+    return f"""
+        UNION ALL
+        -- BM25 multi-query top-k retrieval (r10): see registry.tv1 docstring
+        SELECT 'bm25_topk' AS op, doc_id, query AS token,
+               rank AS n, n_match_terms AS m, score
+        FROM (
+          SELECT query, doc_id, n_match_terms, sum_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY query
+                   ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank,
+                 floor((CAST(sum_micro AS DOUBLE) / 1000000.0D)
+                       * 10000.0D + 1e-7) / 10000.0D AS score
+          FROM ({_TV1_LEX_GROUPED_SQL})
         ) WHERE rank <= {BM25_TOPK_K}
 """
 
 
 _TV1_BM25_TOPK_LEG = _tv1_bm25_topk_leg()
+
+
+def _tv1_hybrid_leg() -> str:
+    """tv1's hybrid-retrieval legs (r12): Spark-SQL spelling of
+    operators/retrieval.py -- ``dense`` is the per-named-seed cosine
+    top-k over the unit-normalized embeddings (seed excluded from its
+    own ranking; NULL/zero-norm seeds dropped by the norm filter +
+    inner join, similarity.normalized_with_bucket's policy), ``hybrid``
+    the RRF fusion of the bm25_topk lexical ranks (the SAME grouped
+    relation text -- one definition) with the dense ranks, ranked on
+    the raw BIGINT micro sum with a doc_id tie-break.  Seed map and
+    RRF constants repr-roundtripped from their ONE definitions
+    (retrieval.HYBRID_QUERY_VECS, similarity.RRF_K/RRF_MICRO)."""
+    from .operators.retrieval import HYBRID_K, HYBRID_QUERY_VECS
+    from .operators.textops import BM25_TOPK_K
+
+    qv_rows = ", ".join(
+        f"('{q}', {v}L)" for q, v in sorted(HYBRID_QUERY_VECS.items())
+    )
+    return f"""
+        UNION ALL
+        -- hybrid lexical+dense retrieval (r12): see registry.tv1 docstring
+        SELECT op, doc_id, token, n, m, score
+        FROM (
+          WITH hnorm0 AS (
+            SELECT vec_id, CAST(embedding AS array<double>) AS emb
+            FROM embeddings
+          ),
+          hnorm1 AS (
+            SELECT vec_id, emb,
+                   sqrt(aggregate(transform(emb, x -> x * x),
+                                  0.0D, (acc, x) -> acc + x)) AS nrm
+            FROM hnorm0
+          ),
+          hnorm AS (
+            SELECT vec_id, transform(emb, x -> x / nrm) AS emb_n
+            FROM hnorm1 WHERE nrm > 0
+          ),
+          hqv AS (
+            SELECT * FROM VALUES {qv_rows} AS hqv(query, seed)
+          ),
+          hq AS (
+            SELECT query, seed, emb_n AS q_emb
+            FROM hqv JOIN hnorm ON hqv.seed = hnorm.vec_id
+          ),
+          hdense AS (
+            SELECT query, doc_id, cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY query
+                     ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM (
+              SELECT hq.query, c.vec_id AS doc_id,
+                     round(aggregate(zip_with(hq.q_emb, c.emb_n,
+                                              (x, y) -> x * y),
+                                     0.0D, (acc, x) -> acc + x), 6) AS cosine
+              FROM hq CROSS JOIN hnorm c
+              WHERE c.vec_id <> hq.seed
+            )
+          ),
+          hdense_k AS (SELECT * FROM hdense WHERE rank <= {HYBRID_K}),
+          hlex_k AS (
+            SELECT query, doc_id, rank FROM (
+              SELECT query, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query
+                       ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank
+              FROM ({_TV1_LEX_GROUPED_SQL})
+            ) WHERE rank <= {BM25_TOPK_K}
+          ),
+          hlegs AS (
+            SELECT query, doc_id, rank FROM hlex_k
+            UNION ALL
+            SELECT query, doc_id, rank FROM hdense_k
+          ),
+          hfused AS (
+            SELECT query, doc_id, sum_micro,
+                   CAST(row_number() OVER (
+                     PARTITION BY query
+                     ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM (
+              SELECT query, doc_id,
+                     sum(CAST(floor({_RRF_MICRO_SQL}
+                                    / ({_RRF_K_SQL} + rank)) AS BIGINT))
+                       AS sum_micro
+              FROM hlegs GROUP BY query, doc_id
+            )
+          )
+          SELECT 'dense' AS op, doc_id, query AS token, rank AS n,
+                 CAST(NULL AS BIGINT) AS m, cosine AS score
+          FROM hdense_k
+          UNION ALL
+          SELECT 'hybrid' AS op, doc_id, query AS token, rank AS n,
+                 CAST(NULL AS BIGINT) AS m,
+                 CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_SQL} AS score
+          FROM hfused WHERE rank <= {HYBRID_K}
+        )
+"""
 
 
 def _rrf_sql_consts() -> tuple[str, str, int]:
@@ -423,6 +531,10 @@ def _rrf_sql_consts() -> tuple[str, str, int]:
 
 
 _RRF_MICRO_SQL, _RRF_K_SQL, _K2_RRF_K = _rrf_sql_consts()
+
+# instantiated here (not at its def site) because the hybrid leg
+# interpolates the RRF constants defined just above
+_TV1_HYBRID_LEG = _tv1_hybrid_leg()
 
 SQL_QUERIES: dict[str, str] = {
     # -- §2.2 projections / filters / predicates ---------------------------
@@ -1752,7 +1864,8 @@ SQL_QUERIES: dict[str, str] = {
         )
     """
     + _TV1_BM25_LEG
-    + _TV1_BM25_TOPK_LEG,
+    + _TV1_BM25_TOPK_LEG
+    + _TV1_HYBRID_LEG,
     "cx1_time_ops": """
         WITH firsts AS (
           SELECT user_id,

@@ -194,8 +194,9 @@ def append_training_shards(
     salted md5 draw the original write used (``shuffle_shards``'s
     documented append property -- existing rows never re-roll), and the
     batch's within-shard serve positions continue after each shard's
-    current ``max_pos`` (one n_shards-row aggregate over the layout's
-    order column -- parquet footer stats, never a content scan; the
+    current ``max_pos`` (one NARROW n_shards-row column aggregate over
+    the layout's order column -- Spark reads only ``shard_pos`` unless
+    ``spark.sql.parquet.aggregatePushdown`` makes it footer-only; the
     same numbers :func:`shard_manifest` audits).  After any number of appends
     every shard still holds contiguous positions 0..n-1: original
     permutation first, then each admission batch in its own
@@ -245,8 +246,13 @@ def append_training_shards(
             "layouts order by a GLOBAL rank that appends cannot extend "
             "-- re-materialize with write_training_shards instead"
         )
+    # a target written from a corpus WITH NULL ids carries a NULL
+    # shard_id quarantine partition (shuffle_shards' documented policy);
+    # the batch never maps to it (NULL ids were rejected above), so its
+    # base is irrelevant -- and NULL cannot be a create_map key
     base_rows = (
-        target.groupBy("shard_id")
+        target.filter(F.col("shard_id").isNotNull())
+        .groupBy("shard_id")
         .agg((F.max("shard_pos") + F.lit(1)).alias("base"))
         .collect()
     )

@@ -719,3 +719,30 @@ def test_serve_layout_write_append_audit_at_sf01(spark, tmp_path):
         .collect()
     }
     assert before == fresh
+
+
+def test_append_to_target_with_null_quarantine_partition(spark, tmp_path):
+    """A target whose ORIGINAL write carried NULL-id rows has a NULL
+    shard_id quarantine partition (shuffle_shards' documented policy).
+    The append's per-shard base map must skip it -- NULL cannot be a
+    create_map key, and the batch (NULL ids rejected) never maps to it
+    (r11 advice: the literal-map rewrite would otherwise crash)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)],
+        StructType([StructField("doc_id", LongType(), True)]),
+    )
+    path = str(tmp_path / "nullq")
+    writers.write_training_shards(docs, path, n_shards=2)
+    target = spark.read.parquet(path)
+    assert target.filter(F.col("shard_id").isNull()).count() == 1
+    batch = spark.createDataFrame([Row(doc_id=i) for i in range(100, 110)])
+    writers.append_training_shards(batch, path, n_shards=2)
+    after = spark.read.parquet(path)
+    assert after.count() == 61
+    # positions stay contiguous per NON-NULL shard; quarantine untouched
+    for r in writers.shard_manifest(spark, path).collect():
+        if r["shard_id"] is not None:
+            assert r["max_pos"] == r["n_rows"] - 1
+    assert after.filter(F.col("shard_id").isNull()).count() == 1

@@ -114,3 +114,92 @@ def test_domain_checker_catches_a_broken_join():
     """Self-test for rule 2's pattern on a synthetic bad line."""
     bad = 'df.join(F.broadcast(counts), F.col(domain_col) == F.col("__mix_dom"))'
     assert re.search(r"F\.col\(domain_col\)\s*==", bad)
+
+
+# ---------------------------------------------------------------------------
+# Rule 3 (r12, the r11 retrieval.py miss): no unwired operator modules.
+# Round 11 shipped operators/retrieval.py wired to NOTHING -- no registry
+# leg, no oracle, no test imported it -- while its docstring claimed a
+# driver gate.  This gate makes that state a test failure: every public
+# module under operators/ must be IMPORTED (ast-level, not grepped prose)
+# by at least one registry/entry surface or one test file.
+# ---------------------------------------------------------------------------
+
+import ast
+import pathlib
+
+_PKG = pathlib.Path(registry.__file__).resolve().parent.parent
+_REPO = _PKG.parent
+
+
+def _imported_operator_modules(py_path: pathlib.Path) -> set[str]:
+    """Operator module names a file imports: ``from ...operators import
+    a, b``, ``from ...operators.a import f``, or ``import ...operators.a``."""
+    try:
+        tree = ast.parse(py_path.read_text())
+    except SyntaxError:  # pragma: no cover - never expected
+        return set()
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            parts = node.module.split(".")
+            if parts[-1] == "operators":
+                mods.update(a.name for a in node.names)
+            elif "operators" in parts:
+                mods.add(parts[parts.index("operators") + 1])
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                parts = a.name.split(".")
+                if "operators" in parts[:-1]:
+                    mods.add(parts[parts.index("operators") + 1])
+    return mods
+
+
+def test_every_operator_module_is_wired_to_a_surface_or_test():
+    op_dir = _PKG / "operators"
+    public = {
+        p.stem
+        for p in op_dir.glob("*.py")
+        if p.stem != "__init__"
+    }
+    consumers: set[str] = set()
+    surfaces = (
+        list((_PKG / "registry").glob("*.py"))
+        + [_PKG / "registry_sql.py"]
+        + [_REPO / "__spark_entry__.py", _REPO / "bench.py"]
+        + list((_REPO / "tests").glob("test_*.py"))
+        + list(_PKG.glob("streaming/*.py"))
+    )
+    for f in surfaces:
+        if f.exists():
+            consumers |= _imported_operator_modules(f)
+    unwired = sorted(public - consumers)
+    assert not unwired, (
+        f"operator modules imported by no registry surface and no test "
+        f"(the r11 retrieval.py failure mode): {unwired}"
+    )
+    # an import alone is not wiring: r11's registry imported retrieval
+    # for its CONSTANTS while no test touched the operator -- so every
+    # module must ALSO be imported by at least one test file directly
+    test_consumers: set[str] = set()
+    for f in (_REPO / "tests").glob("test_*.py"):
+        test_consumers |= _imported_operator_modules(f)
+    untested = sorted(public - test_consumers)
+    assert not untested, (
+        f"operator modules imported by no test file directly: {untested}"
+    )
+
+
+def test_unwired_checker_catches_a_fresh_module(tmp_path):
+    """Self-test: a file importing nothing from operators contributes no
+    consumers, and the import collector sees all three import forms."""
+    f = tmp_path / "t.py"
+    f.write_text(
+        "from nyc_taxi_dataset_analysis_apache_hive_spark.operators import aaa\n"
+        "from nyc_taxi_dataset_analysis_apache_hive_spark.operators.bbb import x\n"
+        "import nyc_taxi_dataset_analysis_apache_hive_spark.operators.ccc\n"
+    )
+    assert _imported_operator_modules(f) == {"aaa", "bbb", "ccc"}
+    g = tmp_path / "none.py"
+    g.write_text("import os\n")
+    assert _imported_operator_modules(g) == set()
