@@ -49,6 +49,7 @@ def curate_corpus(
     rules: dict[str, float] | None = None,
     jaccard_threshold: float = 0.5,
     split_weights: tuple[float, ...] = (0.98, 0.01, 0.01),
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document curation decisions over the whole corpus.
 
@@ -64,6 +65,12 @@ def curate_corpus(
     hygiene-passing members (so a cluster whose lowest-id copy is dirty
     still keeps its cleanest duplicate).  ``keep = hygiene_ok AND
     is_canonical``.
+
+    ``pairs=`` is the compute-once hook (the ``term_scores=`` /
+    ``lexical=`` discipline): pass a precomputed near-dup pair table
+    (doc_a, doc_b) -- e.g. one checkpointed ``minhash_lsh_pairs``
+    result feeding both this funnel and :func:`curation_report`'s
+    leakage audit -- and the LSH stage is skipped.
     """
     r = {**DEFAULT_RULES, **(rules or {})}
     unknown = set(r) - set(DEFAULT_RULES)
@@ -88,7 +95,10 @@ def curate_corpus(
         "dup_line_frac",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii_hits"),
     )
-    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    if pairs is None:
+        pairs = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=jaccard_threshold
+        )
     clusters = dedup.dedup_keep_list(docs, pairs).select("doc_id", "cluster_id")
     split = sampling.hash_split(
         docs.select("doc_id"), "doc_id", weights=split_weights
@@ -149,12 +159,55 @@ def curate_corpus(
     )
 
 
-def curation_report(curated: DataFrame) -> DataFrame:
+def curation_report(
+    curated: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """One-row funnel over a :func:`curate_corpus` result: how many
     documents each rule removed and what survives per split.  The numbers a
     curation run is judged by.  ``n_dedup_dropped`` counts hygiene-passing
     documents that lost the canonical election (true near-dup removals,
-    not double-counting hygiene drops)."""
+    not double-counting hygiene drops).
+
+    ``pairs=`` (r12) folds the cross-split contamination audit
+    (:func:`..operators.sampling.split_leakage_report`) into the funnel
+    row: pass the SAME near-dup pair table the curation ran on (the
+    compute-once hook mirrored on :func:`curate_corpus`) and the row
+    gains ``n_dup_pairs`` (every near-dup pair) and ``n_split_leaks``
+    (pairs whose two members drew DIFFERENT splits -- eval leakage the
+    per-doc hash split permits and canonical election then masks: only
+    one member survives, but ablations that relax dedup would leak).
+    Both come from the leakage report's boundary rows, so the audit and
+    the funnel can never disagree.  The join is two id lookups of the
+    tiny pair list; the 1x1 fold is the J1 scalar-join shape.
+    """
+    base = _curation_counts(curated)
+    if pairs is None:
+        return base
+    leak = (
+        sampling.split_leakage_report(
+            curated.select("doc_id", "split_id"), pairs
+        )
+        .agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("split_lo") != F.col("split_hi"),
+                        F.col("n_pairs"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_split_leaks"),
+        )
+    )
+    return base.crossJoin(leak)
+
+
+def _curation_counts(curated: DataFrame) -> DataFrame:
     return curated.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("drop_short").cast("long")).alias("n_short"),

@@ -14,6 +14,8 @@ vec_id, so results (and the DuckDB oracle) are stable across engines.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -458,6 +460,44 @@ def cosine_topk_ivf(
     return _ranked_topk(scored, k)
 
 
+def assign_to_centroids(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vec_id, cent_id, emb_n): every unit-normalizable vector assigned
+    to its max-cosine centroid -- the ONE cell-assignment definition
+    shared by :func:`semantic_dedup` and :func:`semantic_admit_batch`
+    (so a persisted assignment table written at dedup time is exactly
+    the state admission reads later).
+
+    Max-cosine assignment via max_by over the broadcast cross product:
+    the aggregate gets a map-side partial combine, so the shuffle
+    carries ONE row per vector -- a row_number window here would
+    instead sort-shuffle all n_centroids x N candidate rows.  Ordering
+    struct (cent_sim, -cent_id) = highest cosine, ties to the lowest
+    centroid id -- the same deterministic pick the oracle replays.
+    NULL/zero-norm vectors have no unit vector and get NO row (the
+    normalized_with_bucket drop policy)."""
+    emb = embeddings.select("vec_id", "embedding")
+    normed = normalized_with_bucket(emb).select("vec_id", "emb_n")
+    return (
+        emb.crossJoin(F.broadcast(centroids.select("cent_id", "cent_emb")))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nc")),
+            ).alias("cent_id")
+        )
+        .join(normed, "vec_id")
+        .select("vec_id", "cent_id", "emb_n")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -512,30 +552,7 @@ def semantic_dedup(
             F.col("embedding").alias("cent_emb"),
         )
 
-    # Max-cosine assignment via max_by over the broadcast cross product:
-    # the aggregate gets a map-side partial combine, so the shuffle
-    # carries ONE row per vector -- a row_number window here would
-    # instead sort-shuffle all n_centroids x N candidate rows.  Ordering
-    # struct (cent_sim, -cent_id) = highest cosine, ties to the lowest
-    # centroid id -- the same deterministic pick the oracle replays.
-    normed = normalized_with_bucket(emb).select("vec_id", "emb_n")
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
-            F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nc")),
-            ).alias("cent_id")
-        )
-        .join(normed, "vec_id")
-        .select("vec_id", "cent_id", "emb_n")
-    )
+    assigned = assign_to_centroids(emb, cents)
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
@@ -575,6 +592,151 @@ def semantic_dedup(
             ),
         )
     )
+
+
+class SemanticAdmitResult(NamedTuple):
+    report: DataFrame  # one row per batch vector: admit/reject verdict
+    state: DataFrame  # updated (vec_id, cent_id, emb_n) assignment table
+    cell_stats: DataFrame  # (cent_id, n_vectors) after the admission
+
+
+def semantic_admit_batch(
+    history: DataFrame | None,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    centroid_offset: int = 100,
+    history_state: DataFrame | None = None,
+) -> SemanticAdmitResult:
+    """Incremental SemDeDup admission: is a new embedding batch
+    semantically near-identical to something ALREADY in the corpus?
+    The :func:`..operators.incremental.admit_batch_neardup` posture
+    applied to vectors -- at 100 TB, semdedup-from-scratch per
+    admission batch is the operation that cannot run; scoring a batch
+    into the PERSISTED centroid cells can.
+
+    State: the corpus is represented by its cell-assignment table
+    (vec_id, cent_id, emb_n) -- :func:`assign_to_centroids`'s output,
+    written once at each vector's OWN admission (``state`` below is
+    exactly that table extended, ready to persist for the next batch).
+    Pass it as ``history_state`` to skip re-deriving assignments -- the
+    production path; otherwise ``history`` raw embeddings are assigned
+    on the fly (equivalence of the two paths is pytest-gated).
+
+    Admission per batch:
+
+    1. assign batch vectors to the SAME centroid cells
+       (:func:`assign_to_centroids` -- one broadcast pass, the corpus
+       state is never shuffled);
+    2. near-dup test ONLY within the batch vector's cell: one cent_id
+       equi-join against the state, exact unit-vector dot, rounded to 6
+       (the semantic_dedup pair arithmetic);
+    3. keep each batch vector's best history match (highest cosine,
+       ties to the lowest history id -- the admit_batch_neardup
+       min_by idiom) and admit vectors whose best cosine is below
+       ``threshold`` (or whose cell holds no history vector).
+
+    Returns one row per batch vector:
+    (vec_id, cent_id, match_id, cosine, admitted) -- cent_id NULL for
+    NULL/zero-norm vectors (no direction, nothing to compare: admitted
+    with no match, the semdedup kept-singleton policy; they do NOT
+    enter the state -- a cell-less vector can never be matched
+    against).  Batch-internal duplicates are NOT checked (the
+    admit_batch_neardup contract): run :func:`semantic_dedup` over the
+    batch first if intra-batch collapse is needed.
+
+    Centroids: pass the persisted (cent_id, cent_emb) index the corpus
+    was assigned under -- REQUIRED to be the same across batches or
+    cells stop lining up; the default derives the deterministic
+    corpus-slice centroids from ``history`` (the semantic_dedup
+    default, for parity testing).
+
+    Scale: stage 1 broadcasts the tiny centroid table; stage 2's only
+    shuffle is the cent_id equi-join (cell-bounded, never all-pairs);
+    stage 3 is a map-side-combined min_by aggregate.  The batch is
+    small by definition; the state participates as a narrow
+    three-column table partitionable by cent_id.
+    """
+    from ..functions.vectors import dot
+
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_emb")
+    elif history is not None:
+        cents = history.filter(
+            (F.col("vec_id") >= centroid_offset)
+            & (F.col("vec_id") < centroid_offset + n_centroids)
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+    else:
+        raise ValueError(
+            "semantic_admit_batch: pass centroids= (the persisted index) "
+            "or history raw embeddings to derive the default slice from"
+        )
+    if history_state is not None:
+        state = history_state.select("vec_id", "cent_id", "emb_n")
+    elif history is not None:
+        state = assign_to_centroids(history, cents)
+    else:
+        raise ValueError(
+            "semantic_admit_batch: pass history docs or history_state"
+        )
+
+    b_assigned = assign_to_centroids(batch, cents)
+    scored = (
+        b_assigned.alias("b")
+        .join(state.alias("h"), "cent_id")
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("cent_id"),
+            F.col("h.vec_id").alias("match_id"),
+            F.round(dot("b.emb_n", "h.emb_n"), 6).alias("cosine"),
+        )
+    )
+    # best match = highest cosine, ties to the LOWEST history id (the
+    # admit_batch_neardup min_by idiom: negate the score, never the id)
+    best = scored.groupBy("vec_id", "cent_id").agg(
+        F.min_by(
+            F.struct(F.col("match_id"), F.col("cosine")),
+            F.struct((-F.col("cosine")).alias("nc"), F.col("match_id")),
+        ).alias("best")
+    )
+    report = (
+        batch.select("vec_id")
+        .join(
+            best.select(
+                "vec_id",
+                "cent_id",
+                F.col("best.match_id").alias("match_id"),
+                F.col("best.cosine").alias("cosine"),
+            ),
+            "vec_id",
+            "left",
+        )
+        # no row in `best` = empty cell OR no unit vector; recover the
+        # cell for empty-cell batch vectors from their own assignment
+        .join(b_assigned.select("vec_id", F.col("cent_id").alias("__own")), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cent_id", "__own").alias("cent_id"),
+            "match_id",
+            "cosine",
+            (
+                F.col("cosine").isNull()
+                | (F.col("cosine") < F.lit(threshold))
+            ).alias("admitted"),
+        )
+    )
+    admitted_state = b_assigned.join(
+        report.filter("admitted").select("vec_id"), "vec_id"
+    ).select("vec_id", "cent_id", "emb_n")
+    new_state = state.unionByName(admitted_state)
+    cell_stats = new_state.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return SemanticAdmitResult(report, new_state, cell_stats)
 
 
 def cosine_topk_pq(

@@ -1846,6 +1846,18 @@ _PL1_ORACLE = rf"""
     final AS (
       SELECT fl.*, coalesce(fl.doc_id = k.keeper, FALSE) AS is_canonical
       FROM flagged fl LEFT JOIN keepers k ON fl.cluster_id = k.cluster_id
+    ),
+    -- cross-split contamination audit (r12, split_leakage_report folded
+    -- into the funnel row): every near-dup pair, and those whose two
+    -- members drew DIFFERENT per-doc splits
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+             CAST(coalesce(sum(CASE WHEN fa.split_id <> fb.split_id
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_split_leaks
+      FROM pairs p
+      JOIN final fa ON p.doc_a = fa.doc_id
+      JOIN final fb ON p.doc_b = fb.doc_id
     )
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN drop_short THEN 1 ELSE 0 END) AS BIGINT)
@@ -1866,6 +1878,8 @@ _PL1_ORACLE = rf"""
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_val,
            CAST(sum(CASE WHEN hygiene_ok AND is_canonical AND split_id = 2
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_test,
+           (SELECT n_dup_pairs FROM leak) AS n_dup_pairs,
+           (SELECT n_split_leaks FROM leak) AS n_split_leaks,
            CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_bpe_docs,
            CAST((SELECT count(*) FROM documents) AS BIGINT)
              AS n_bpe_roundtrip,
@@ -1913,9 +1927,20 @@ def pl1_curation_funnel(spark, sf):
     tokens over 8 md5 shards, with doc conservation, token drift across
     the Arrow boundary, bin capacity, offset prefix-sums, greedy
     tightness, and bin contiguity all checked in-plane -- the oracle
-    expects ``n_pack_docs == count(*)`` and zero violations."""
+    expects ``n_pack_docs == count(*)`` and zero violations.
+
+    r12 folds the cross-split contamination audit into the row
+    (``n_dup_pairs`` / ``n_split_leaks``, sampling.split_leakage_report
+    over the funnel's per-doc split): ONE checkpointed pair table feeds
+    the curation's connected components AND the audit (the d6
+    pair-table discipline), so the two can never disagree about what a
+    near-dup pair is."""
     docs = _t(spark, sf, "documents")
-    report = pipeline.curation_report(pipeline.curate_corpus(docs))
+    pairs = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5
+    ).localCheckpoint(eager=True)
+    curated = pipeline.curate_corpus(docs, pairs=pairs)
+    report = pipeline.curation_report(curated, pairs=pairs)
     return (
         report.crossJoin(bpe.bpe_roundtrip_audit(docs))
         .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))

@@ -513,6 +513,34 @@ _K3_COS_VC = (
     -- NULL/zero embedding that can pair with nothing is a kept
     -- singleton (the Spark operator's final union reads raw ids too)
     FROM embeddings raw LEFT JOIN comp ON raw.vec_id = comp.vec_id
+    UNION ALL
+    -- incremental semantic admission (r12,
+    -- similarity.semantic_admit_batch): history = even vec_ids (the
+    -- persisted corpus state), batch = odd (the d7 parity-split
+    -- precedent); each batch vector near-dup-tests ONLY within its
+    -- centroid cell, best match = highest cosine with ties to the
+    -- lowest history id; keep carries 'admitted' (best cosine below
+    -- threshold, or no directional match -- NULL/zero-norm batch
+    -- vectors admit with NULL match, the kept-singleton policy)
+    SELECT 'admit' AS op, raw.vec_id AS id_a, ab.match_id AS id_b,
+           ab.cosine AS cosine,
+           coalesce(ab.cosine < 0.35, TRUE) AS keep
+    FROM embeddings raw LEFT JOIN (
+      SELECT vec_id, match_id, cosine FROM (
+        SELECT b.vec_id, h.vec_id AS match_id,
+               round(list_dot_product(eb.emb_n, eh.emb_n), 6) AS cosine,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_dot_product(eb.emb_n, eh.emb_n), 6)
+                            DESC,
+                          h.vec_id ASC) AS arank
+        FROM assigned b
+        JOIN assigned h ON b.cent_id = h.cent_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        JOIN e eh ON eh.vec_id = h.vec_id
+        WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+      ) WHERE arank = 1
+    ) ab ON raw.vec_id = ab.vec_id
+    WHERE raw.vec_id % 2 = 1
     """,
 )
 def k3_embedding_near_pairs(spark, sf):
@@ -528,7 +556,15 @@ def k3_embedding_near_pairs(spark, sf):
       centroids the oracle replays) -> within-cell exact pairs ->
       connected components -> min-id keep-list.  ``id_b`` carries the
       elected cluster; the oracle recomputes the components with a
-      recursive CTE (the d6 precedent)."""
+      recursive CTE (the d6 precedent).
+    - ``op='admit'`` (r12): incremental semantic admission
+      (``similarity.semantic_admit_batch``) -- history = even vec_ids
+      (the persisted corpus state), batch = odd (the d7 parity-split
+      precedent), the SAME fixed centroid index.  Each batch vector
+      near-dup-tests ONLY within its cell against the history state;
+      ``id_b``/``cosine`` carry the best match, ``keep`` the admission
+      verdict.  At 100 TB this is the operation that replaces
+      semdedup-from-scratch per ingest batch."""
     emb = _t(spark, sf, "embeddings")
     pairs = similarity.pairwise_above(emb, threshold=0.35, n_bits=4).select(
         F.lit("near_pairs").alias("op"),
@@ -544,7 +580,29 @@ def k3_embedding_near_pairs(spark, sf):
         F.lit(None).cast("double").alias("cosine"),
         "keep",
     )
-    return pairs.unionByName(sem)
+    # the persisted centroid index: the same fixed corpus slice the
+    # semdedup leg assigns under, passed EXPLICITLY (an admission index
+    # must be stable across batches -- deriving it from the even-id
+    # history would silently re-index)
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 116)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    adm = similarity.semantic_admit_batch(
+        history=emb.filter(F.col("vec_id") % 2 == 0),
+        batch=emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.35,
+        centroids=cents,
+    ).report.select(
+        F.lit("admit").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.col("match_id").alias("id_b"),
+        "cosine",
+        F.col("admitted").alias("keep"),
+    )
+    return pairs.unionByName(sem).unionByName(adm)
 
 
 # ---------------------------------------------------------------------------

@@ -2459,7 +2459,26 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
         spark, "SELECT id_a AS a, id_b AS b FROM __k3sql_cell_pairs",
         "__k3sql_cc",
     )
-    # stage 4: keep-list election + the tagged union (the entry's shape)
+    # stage 4 (r12): incremental admission -- batch (odd vec_ids)
+    # near-dup-tested within-cell against the history state (even
+    # vec_ids), best match by (cosine DESC, history id ASC)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_admit AS
+            SELECT vec_id, match_id, cosine FROM (
+              SELECT b.vec_id, h.vec_id AS match_id,
+                     round({_sql_dot("eb.emb_n", "eh.emb_n")}, 6) AS cosine,
+                     row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY round({_sql_dot("eb.emb_n", "eh.emb_n")}, 6)
+                                  DESC,
+                                h.vec_id ASC) AS arank
+              FROM __k3sql_assigned b
+              JOIN __k3sql_assigned h ON b.cent_id = h.cent_id
+              JOIN __k3sql_e eb ON eb.vec_id = b.vec_id
+              JOIN __k3sql_e eh ON eh.vec_id = h.vec_id
+              WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+            ) WHERE arank = 1"""
+    )
+    # stage 5: keep-list election + the tagged union (the entry's shape)
     return spark.sql(
         """SELECT 'near_pairs' AS op, id_a, id_b, cosine,
                   CAST(NULL AS BOOLEAN) AS keep
@@ -2469,7 +2488,13 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
                   coalesce(l.lbl, e.vec_id) AS id_b,
                   CAST(NULL AS DOUBLE) AS cosine,
                   coalesce(l.lbl, e.vec_id) = e.vec_id AS keep
-           FROM embeddings e LEFT JOIN __k3sql_cc_lbl l ON e.vec_id = l.id"""
+           FROM embeddings e LEFT JOIN __k3sql_cc_lbl l ON e.vec_id = l.id
+           UNION ALL
+           SELECT 'admit' AS op, e.vec_id AS id_a, a.match_id AS id_b,
+                  a.cosine AS cosine,
+                  coalesce(a.cosine < 0.35D, TRUE) AS keep
+           FROM embeddings e LEFT JOIN __k3sql_admit a ON e.vec_id = a.vec_id
+           WHERE e.vec_id % 2 = 1"""
     )
 
 

@@ -97,3 +97,39 @@ def test_curate_rules_overridable_and_validated(spark, sf0001_dir):
     assert strict.filter(F.col("keep")).count() == 0  # everything is short now
     with pytest.raises(ValueError, match="unknown curation rules"):
         pipeline.curate_corpus(docs, rules={"max_pii": 0})  # typo must raise
+
+
+def test_curation_report_leakage_fold(spark, sf0001_dir):
+    """pairs= folds the cross-split audit into the funnel row, its
+    numbers must equal an independent recompute from the same pair
+    table, and the pairs= compute-once hook must not change decisions."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import sampling
+
+    docs = load_table(spark, sf0001_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    cur = pipeline.curate_corpus(docs, pairs=pairs)
+    row = pipeline.curation_report(cur, pairs=pairs).collect()[0]
+    # independent recompute from the raw tables
+    split = {r["doc_id"]: r["split_id"] for r in cur.collect()}
+    plist = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert row["n_dup_pairs"] == len(plist)
+    assert row["n_split_leaks"] == sum(
+        1 for a, b in plist if split[a] != split[b]
+    )
+    # hook equivalence: decisions identical with and without pairs=
+    base = pipeline.curate_corpus(docs)
+    assert sorted(map(tuple, cur.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    # without pairs= the report keeps its original (audit-free) schema
+    assert "n_dup_pairs" not in pipeline.curation_report(cur).columns
+    # the folded numbers agree with the standalone audit's boundary rows
+    rep = sampling.split_leakage_report(
+        cur.select("doc_id", "split_id"), pairs
+    ).collect()
+    assert row["n_dup_pairs"] == sum(r["n_pairs"] for r in rep)
+    assert row["n_split_leaks"] == sum(
+        r["n_pairs"] for r in rep if r["split_lo"] != r["split_hi"]
+    )

@@ -1,0 +1,160 @@
+"""Incremental SemDeDup admission (similarity.semantic_admit_batch):
+hand-computed golden verdicts, zero-norm/NULL/empty-cell policies,
+state extension, tie-break determinism, and history_state-path
+equivalence (the admit_batch_neardup persisted-signatures precedent)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import similarity
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), None if v is None else [float(x) for x in v]) for i, v in rows],
+        _EMB_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def cents(spark):
+    return spark.createDataFrame(
+        [
+            Row(cent_id=100, cent_emb=[1.0, 0.0]),
+            Row(cent_id=101, cent_emb=[0.0, 1.0]),
+            Row(cent_id=102, cent_emb=[-1.0, 0.0]),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    # 10 -> cell 100, 11 -> cell 101; cell 102 stays empty
+    return _emb(spark, [(10, [1.0, 0.1]), (11, [0.1, 1.0])])
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    return _emb(
+        spark,
+        [
+            (20, [1.0, 0.12]),  # near-dup of 10 in cell 100 -> rejected
+            (21, [1.0, -1.0]),  # cell 100, far from 10 -> admitted
+            (22, [-1.0, 0.0]),  # cell 102 (empty) -> admitted, no match
+            (23, [0.0, 0.0]),  # zero-norm -> admitted, NULL cell
+            (24, None),  # NULL embedding -> admitted, NULL cell
+        ],
+    )
+
+
+def _cos(a, b):
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(sum(x / na * y / nb for x, y in zip(a, b)), 6)
+
+
+def test_admission_golden(spark, cents, history, batch):
+    res = similarity.semantic_admit_batch(
+        history, batch, threshold=0.9, centroids=cents
+    )
+    rep = {r["vec_id"]: r for r in res.report.collect()}
+    assert set(rep) == {20, 21, 22, 23, 24}
+    # 20: best match 10 at cosine ~0.9998 >= 0.9 -> rejected
+    assert rep[20]["admitted"] is False
+    assert rep[20]["match_id"] == 10
+    assert rep[20]["cent_id"] == 100
+    assert rep[20]["cosine"] == pytest.approx(
+        _cos([1.0, 0.12], [1.0, 0.1]), abs=2e-6
+    )
+    # 21: same cell, cosine ~0.633 < 0.9 -> admitted WITH its best match
+    assert rep[21]["admitted"] is True
+    assert rep[21]["match_id"] == 10
+    # 22: empty cell -> admitted, cell known, no match
+    assert rep[22] ["admitted"] is True
+    assert rep[22]["cent_id"] == 102
+    assert rep[22]["match_id"] is None and rep[22]["cosine"] is None
+    # 23/24: no unit vector -> admitted, NULL cell, no match
+    for v in (23, 24):
+        assert rep[v]["admitted"] is True
+        assert rep[v]["cent_id"] is None
+        assert rep[v]["match_id"] is None
+
+    # state = history assignments + admitted DIRECTIONAL batch vectors
+    state_ids = {r["vec_id"] for r in res.state.collect()}
+    assert state_ids == {10, 11, 21, 22}
+    stats = {r["cent_id"]: r["n_vectors"] for r in res.cell_stats.collect()}
+    assert stats == {100: 2, 101: 1, 102: 1}
+
+
+def test_ties_break_to_lowest_history_id(spark, cents):
+    history = _emb(spark, [(31, [0.0, 1.0]), (30, [0.0, 1.0])])
+    batch = _emb(spark, [(40, [0.0, 2.0])])
+    res = similarity.semantic_admit_batch(
+        history, batch, threshold=0.999, centroids=cents
+    )
+    r = res.report.collect()[0]
+    assert (r["match_id"], r["admitted"]) == (30, False)
+
+
+def test_history_state_path_is_equivalent(spark, cents, history, batch):
+    """Persisted-state admission (history_state=) must produce the
+    identical report and state as on-the-fly history assignment."""
+    via_raw = similarity.semantic_admit_batch(
+        history, batch, threshold=0.9, centroids=cents
+    )
+    persisted = similarity.assign_to_centroids(history, cents)
+    via_state = similarity.semantic_admit_batch(
+        None, batch, threshold=0.9, centroids=cents, history_state=persisted
+    )
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(via_raw.report.collect(), key=key) == sorted(
+        via_state.report.collect(), key=key
+    )
+    assert {tuple(r[:2]) for r in via_raw.state.select("vec_id", "cent_id").collect()} == {
+        tuple(r[:2]) for r in via_state.state.select("vec_id", "cent_id").collect()
+    }
+
+
+def test_requires_history_or_state_and_centroid_source(spark, cents, batch):
+    with pytest.raises(ValueError, match="history"):
+        similarity.semantic_admit_batch(None, batch, centroids=cents)
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.semantic_admit_batch(None, batch, history_state=batch)
+
+
+def test_admitted_state_feeds_next_batch(spark, cents, history):
+    """Sequential admissions: a vector rejected ONLY because batch 1
+    admitted its near-copy proves the state actually extends."""
+    b1 = _emb(spark, [(21, [1.0, -1.0])])
+    res1 = similarity.semantic_admit_batch(
+        history, b1, threshold=0.9, centroids=cents
+    )
+    b2 = _emb(spark, [(50, [1.0, -1.01])])
+    res2 = similarity.semantic_admit_batch(
+        None,
+        b2,
+        threshold=0.9,
+        centroids=cents,
+        history_state=res1.state,
+    )
+    r = res2.report.collect()[0]
+    assert r["admitted"] is False and r["match_id"] == 21
