@@ -179,10 +179,18 @@ def curation_report(
     Both come from the leakage report's boundary rows, so the audit and
     the funnel can never disagree.  The join is two id lookups of the
     tiny pair list; the 1x1 fold is the J1 scalar-join shape.
+
+    With ``pairs=`` the curated table is materialized ONCE
+    (localCheckpoint) before fanning out: the funnel aggregate and the
+    audit's two split lookups are three consumers, and without the
+    barrier each would replay the whole curation plan -- two corpus
+    text scans per consumer.  The table is one narrow row per document,
+    so the checkpoint is small at any scale.
     """
-    base = _curation_counts(curated)
     if pairs is None:
-        return base
+        return _curation_counts(curated)
+    curated = curated.localCheckpoint(eager=True)
+    base = _curation_counts(curated)
     leak = (
         sampling.split_leakage_report(
             curated.select("doc_id", "split_id"), pairs
