@@ -71,6 +71,11 @@ def dense_topk(
     embeddings: DataFrame,
     query_vecs: dict[str, int] | None = None,
     k: int = HYBRID_K,
+    method: str = "brute",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    centroid_offset: int = 100,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-``k`` for NAMED seed vectors: (query, doc_id,
     cosine, rank).  The k1 brute-force posture generalized from
@@ -88,11 +93,27 @@ def dense_topk(
     operators/similarity.py) -- callers fusing legs degrade to the
     surviving legs, which both SQL surfaces mirror via the same inner
     join against the normalized relation.
+
+    ``method='ivf'`` (r12) is the billion-vector scale path: each seed
+    probes its ``n_probe`` nearest of the ``n_centroids`` index
+    centroids (pass ``centroids`` = (cent_id, cent_emb) for a trained
+    index; default is the deterministic corpus slice) and scores ONLY
+    those cells' members -- the corpus-side assignment is
+    :func:`..operators.similarity.assign_to_centroids` (one narrow
+    max_by pass, the SAME cell table semantic admission persists, so a
+    deployment reads the assignment once for both), and candidate
+    generation becomes a cent_id equi-join scanning ~n_probe/n_centroids
+    of the corpus.  Returned cosines stay exact for the scored
+    candidates; recall vs ``method='brute'`` is pytest-gated
+    (tests/test_hybrid.py).  The brute leg stays the driver-oracled
+    surface.
     """
     if query_vecs is None:
         query_vecs = HYBRID_QUERY_VECS
     if not query_vecs:
         raise ValueError("dense_topk needs at least one named seed vector")
+    if method not in ("brute", "ivf"):
+        raise ValueError(f"dense_topk: unknown method {method!r}")
     spark = embeddings.sparkSession
     qmap = spark.createDataFrame(
         sorted(query_vecs.items()), "query string, vec_id long"
@@ -103,21 +124,64 @@ def dense_topk(
         .join(normed, "vec_id")
         .select("query", F.col("vec_id").alias("__seed"), F.col("emb_n").alias("q_emb"))
     )
-    corpus = normed.select(
-        F.col("vec_id").alias("doc_id"), F.col("emb_n").alias("c_emb")
-    )
     from ..functions.vectors import dot
 
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
-        .filter(F.col("doc_id") != F.col("__seed"))
-        .select(
-            "query",
-            "doc_id",
-            F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
+    if method == "ivf":
+        from .similarity import assign_to_centroids
+        from ..functions.vectors import cosine
+
+        if centroids is not None:
+            cents = centroids.select("cent_id", "cent_emb")
+        else:
+            cents = embeddings.filter(
+                (F.col("vec_id") >= centroid_offset)
+                & (F.col("vec_id") < centroid_offset + n_centroids)
+            ).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_emb"),
+            )
+        pw = Window.partitionBy("query").orderBy(
+            F.col("cent_sim").desc(), F.col("cent_id").asc()
         )
-    )
+        probes = (
+            queries.crossJoin(F.broadcast(cents))
+            .select(
+                "query",
+                "__seed",
+                "q_emb",
+                "cent_id",
+                F.round(cosine("q_emb", "cent_emb"), 6).alias("cent_sim"),
+            )
+            .withColumn("crank", F.row_number().over(pw))
+            .filter(F.col("crank") <= n_probe)
+            .select("query", "__seed", "q_emb", "cent_id")
+        )
+        assigned = assign_to_centroids(embeddings, cents)
+        scored = (
+            F.broadcast(probes)
+            .join(assigned, "cent_id")
+            .filter(F.col("vec_id") != F.col("__seed"))
+            .select(
+                "query",
+                F.col("vec_id").alias("doc_id"),
+                F.round(dot("q_emb", "emb_n"), 6).alias("cosine"),
+            )
+            .distinct()
+        )
+    else:
+        corpus = normed.select(
+            F.col("vec_id").alias("doc_id"), F.col("emb_n").alias("c_emb")
+        )
+        scored = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .filter(F.col("doc_id") != F.col("__seed"))
+            .select(
+                "query",
+                "doc_id",
+                F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query").orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc()
     )
