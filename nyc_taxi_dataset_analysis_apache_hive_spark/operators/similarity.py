@@ -716,8 +716,19 @@ def semantic_admit_batch(
             "left",
         )
         # no row in `best` = empty cell OR no unit vector; recover the
-        # cell for empty-cell batch vectors from their own assignment
-        .join(b_assigned.select("vec_id", F.col("cent_id").alias("__own")), "vec_id", "left")
+        # cell for empty-cell batch vectors from their own assignment.
+        # distinct(): a batch carrying DUPLICATE vec_id rows yields one
+        # assignment row per INPUT row (the normalized join fans out),
+        # but the verdict per id is single -- without the collapse the
+        # report would emit dup_count^2 rows per duplicated id instead
+        # of mirroring the batch multiset (adversarial-corpus gate)
+        .join(
+            b_assigned.select(
+                "vec_id", F.col("cent_id").alias("__own")
+            ).distinct(),
+            "vec_id",
+            "left",
+        )
         .select(
             "vec_id",
             F.coalesce("cent_id", "__own").alias("cent_id"),
@@ -729,8 +740,11 @@ def semantic_admit_batch(
             ).alias("admitted"),
         )
     )
+    # distinct() on the verdict side: an admitted duplicated id keeps its
+    # batch multiplicity in the state (one state row per input row, the
+    # assign_to_centroids contract), not multiplicity squared
     admitted_state = b_assigned.join(
-        report.filter("admitted").select("vec_id"), "vec_id"
+        report.filter("admitted").select("vec_id").distinct(), "vec_id"
     ).select("vec_id", "cent_id", "emb_n")
     new_state = state.unionByName(admitted_state)
     cell_stats = new_state.groupBy("cent_id").agg(

@@ -158,3 +158,20 @@ def test_admitted_state_feeds_next_batch(spark, cents, history):
     )
     r = res2.report.collect()[0]
     assert r["admitted"] is False and r["match_id"] == 21
+
+
+def test_duplicate_batch_ids_keep_multiset_semantics(spark, cents, history):
+    """A batch carrying the same vec_id twice (identical payload -- the
+    adversarial-corpus shape) must yield exactly TWO report rows (the
+    batch multiset, not dup^2 join fanout) and two state rows when
+    admitted."""
+    batch = _emb(spark, [(21, [1.0, -1.0]), (21, [1.0, -1.0])])
+    res = similarity.semantic_admit_batch(
+        history, batch, threshold=0.9, centroids=cents
+    )
+    rows = res.report.collect()
+    assert len(rows) == 2
+    assert rows[0] == rows[1]
+    assert rows[0]["admitted"] is True and rows[0]["match_id"] == 10
+    state_rows = [r for r in res.state.collect() if r["vec_id"] == 21]
+    assert len(state_rows) == 2
