@@ -259,3 +259,183 @@ def dsir_admission_batch(
     ).join(model.select("bucket", "lr_micro"), on="bucket", how="left")
     agg = _dsir_score_agg(rows, [F.col("_id").alias("doc_id")])
     return agg.select(*_admission_projection(threshold_micro))
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic admission (r12): the continuous-ingest form of
+# operators.similarity.semantic_admit_batch (k3's op='admit' leg).
+# Vectors ARRIVE as a stream; the centroid index is folded into a
+# LITERAL array so cell assignment is a stateless per-row projection
+# (no aggregate, no shuffle -- the compact_plan literal-plan precedent);
+# the persisted (vec_id, cent_id, emb_n) corpus state is the STATIC
+# side of a cent_id equi-join (stateless); the only stateful operator
+# is the watermarked per-vector best-match aggregate, state bounded by
+# the watermark exactly as decontam_stream's.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_literal(centroids: DataFrame):
+    """array<struct<cent_id, cent_emb>> literal from the tiny centroid
+    table, ascending cent_id (n_centroids driver rows -- the same class
+    of driver collect as compact_plan's literal map).  Centroids with a
+    NULL embedding are dropped here: they have no direction, so they can
+    never win the max-cosine assignment (their cosine is NULL in the
+    batch operator too)."""
+    rows = sorted(
+        (
+            r
+            for r in centroids.select("cent_id", "cent_emb").collect()
+            if r["cent_emb"] is not None
+        ),
+        key=lambda r: r["cent_id"],
+    )
+    if not rows:
+        raise ValueError(
+            "semantic admission needs at least one non-NULL centroid"
+        )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["cent_emb"]])
+                .cast("array<double>")
+                .alias("cent_emb"),
+            )
+            for r in rows
+        ]
+    )
+
+
+def _assigned_rows(
+    vecs: DataFrame, cent_arr, vec_col: str, ts_col: str | None
+) -> DataFrame:
+    """(vec_id[, _ts], cent_id, emb_n): stateless per-row assignment.
+
+    The fold keeps (best rounded cosine, cent_id); strict ``>`` over the
+    ascending-cent_id literal array reproduces assign_to_centroids'
+    ordering struct (highest cosine, ties to the LOWEST cent_id).  A
+    NULL/zero-norm vector has NULL cosine against every centroid, so the
+    accumulator never advances: cent_id stays NULL and emb_n NULL -- the
+    batch report's no-unit-vector policy."""
+    from ..functions.vectors import as_double_array, cosine, l2_norm
+
+    step1 = vecs.select(
+        "vec_id",
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+        as_double_array(vec_col).alias("_emb"),
+        l2_norm(vec_col).alias("_nrm"),
+    )
+    sim = lambda c: F.round(cosine(F.col("_emb"), c["cent_emb"]), 6)  # noqa: E731
+    assign = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("long").alias("i"),
+        ),
+        lambda acc, c: F.when(
+            sim(c).isNotNull() & (acc["s"].isNull() | (sim(c) > acc["s"])),
+            F.struct(sim(c).alias("s"), c["cent_id"].alias("i")),
+        ).otherwise(acc),
+    )
+    return step1.select(
+        "vec_id",
+        *(["_ts"] if ts_col else []),
+        assign["i"].alias("cent_id"),
+        F.when(
+            F.col("_nrm") > 0,
+            F.transform("_emb", lambda x: x / F.col("_nrm")),
+        ).alias("emb_n"),
+    )
+
+
+_ADMIT_COLS = ("vec_id", "cent_id", "match_id", "cosine", "admitted")
+
+
+def _admit_best_agg(
+    joined: DataFrame, grouping: list, threshold: float
+) -> DataFrame:
+    """Shared stream/batch best-match aggregate: max over the
+    (cosine, -match_id) struct = highest cosine, ties to the LOWEST
+    history id (semantic_admit_batch's min_by idiom mirrored)."""
+    agg = joined.groupBy(*grouping).agg(
+        F.max(
+            F.struct(
+                F.col("__cos").alias("c"), (-F.col("match_id")).alias("nm")
+            )
+        ).alias("best")
+    )
+    return agg.select(
+        "vec_id",
+        "cent_id",
+        (-F.col("best.nm")).alias("match_id"),
+        F.col("best.c").alias("cosine"),
+        (
+            F.col("best.c").isNull()
+            | (F.col("best.c") < F.lit(float(threshold)))
+        ).alias("admitted"),
+    )
+
+
+def semantic_admission_stream(
+    vecs: DataFrame,
+    state: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """(vec_id, cent_id, match_id, cosine, admitted) over an embedding
+    stream: is each arriving vector semantically near-identical to
+    something already in the corpus?
+
+    ``state`` is the persisted (vec_id, cent_id, emb_n) assignment table
+    (operators.similarity.assign_to_centroids' output / the ``state``
+    a prior semantic_admit_batch returned) and ``centroids`` the SAME
+    index it was assigned under -- both STATIC.  Per micro-batch: cell
+    assignment is a pure projection (the centroid literal), the
+    within-cell candidate lookup a stream-static equi-join on cent_id
+    (a NULL-cell vector joins nothing and admits with no match), and
+    the per-vector best-match reduction the one watermarked stateful
+    aggregate.  Same whole-arrival contract as :func:`decontam_stream`;
+    the batch analog (:func:`semantic_admission_batch`) is
+    equality-gated against the k3-gated batch operator's report.
+    """
+    cent_arr = _centroid_literal(centroids)
+    assigned = _assigned_rows(vecs, cent_arr, vec_col, ts_col)
+    joined = _admit_join(assigned, state)
+    return _admit_best_agg(
+        joined.withWatermark("_ts", watermark),
+        [F.window("_ts", window), "vec_id", "cent_id"],
+        threshold,
+    )
+
+
+def _admit_join(assigned: DataFrame, state: DataFrame) -> DataFrame:
+    from ..functions.vectors import dot
+
+    h = state.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("match_id"),
+        F.col("emb_n").alias("__h_emb"),
+    )
+    return assigned.join(h, on="cent_id", how="left").withColumn(
+        "__cos", F.round(dot("emb_n", "__h_emb"), 6)
+    )
+
+
+def semantic_admission_batch(
+    vecs: DataFrame,
+    state: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch analog: identical expressions minus the watermark/window --
+    equality-gated against the stream AND against
+    operators.similarity.semantic_admit_batch's report in tests."""
+    cent_arr = _centroid_literal(centroids)
+    assigned = _assigned_rows(vecs, cent_arr, vec_col, ts_col=None)
+    joined = _admit_join(assigned, state)
+    return _admit_best_agg(joined, ["vec_id", "cent_id"], threshold)
