@@ -189,6 +189,10 @@ def run_bench(spark, sf_dir: str, n_slices: int):
     except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
         n_docs = None
         results["doc_streams"] = {"error": f"{type(exc).__name__}: {exc}"}
+    try:
+        results.update(run_vec_streams(spark, sf_dir, n_slices))
+    except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
+        results["vec_streams"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     print(
         json.dumps(
@@ -277,6 +281,79 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return results, int(len(probe_pdf))
+
+
+def write_vec_slices(pdf, out: str, n_slices: int) -> None:
+    """``embeddings`` rows as time-ordered parquet slices + a far-future
+    EMPTY-vector sentinel (an all-None column would write as INT32 and
+    break the stream schema; an empty vector is zero-norm and admits
+    with NULL cell -- tests/test_streaming_admission.py's shape)."""
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    for s in range(n_slices):
+        chunk = pdf.iloc[n * s // n_slices : n * (s + 1) // n_slices].copy()
+        chunk["ts"] = pd.Series(
+            [base + pd.Timedelta(hours=s)] * len(chunk),
+            dtype="datetime64[us]",
+        ).values
+        chunk.to_parquet(os.path.join(out, f"{s:03d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["vec_id"] = 10**9
+    sent["embedding"] = [np.array([], dtype=np.float32)]
+    sent["ts"] = pd.Series(
+        [base + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent.to_parquet(os.path.join(out, "zz_sentinel.parquet"), index=False)
+
+
+def run_vec_streams(spark, sf_dir: str, n_slices: int):
+    """The embedding-drop-zone stream (r12 semantic admission against
+    the persisted cell-assignment state): even vec_ids are the corpus
+    state, odd ids arrive as the stream -- the k3 admit leg's split.
+    The state and centroid index are materialized OUTSIDE the measured
+    drain (long-lived tables at deployment)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import similarity
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 116)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    state = similarity.assign_to_centroids(
+        emb.filter(F.col("vec_id") % 2 == 0), cents
+    ).localCheckpoint(eager=True)
+    batch_pdf = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_vecstream_")
+    try:
+        vecs_dir = os.path.join(tmp, "vecs")
+        write_vec_slices(batch_pdf, vecs_dir, n_slices)
+        return {
+            "semantic_admission": drain_and_measure_docs(
+                spark,
+                lambda src: curation.semantic_admission_stream(
+                    src, state, cents, threshold=0.35
+                ),
+                vecs_dir,
+                "semantic_admission",
+            )
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def drain_and_measure_docs(spark, make_stream, docs_dir: str, name: str):
