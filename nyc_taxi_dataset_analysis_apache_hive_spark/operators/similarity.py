@@ -476,7 +476,12 @@ def assign_to_centroids(
     struct (cent_sim, -cent_id) = highest cosine, ties to the lowest
     centroid id -- the same deterministic pick the oracle replays.
     NULL/zero-norm vectors have no unit vector and get NO row (the
-    normalized_with_bucket drop policy)."""
+    normalized_with_bucket drop policy).  NULL-similarity candidate
+    rows are dropped BEFORE the argmax (r12): a NULL/zero-norm
+    CENTROID has no direction, so it must never win an assignment --
+    without the filter, a vector whose only candidates are
+    directionless centroids would be max_by'd into an arbitrary cell
+    (caught by the randomized python-reference parity test)."""
     emb = embeddings.select("vec_id", "embedding")
     normed = normalized_with_bucket(emb).select("vec_id", "emb_n")
     return (
@@ -486,6 +491,7 @@ def assign_to_centroids(
             "cent_id",
             F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
         )
+        .filter(F.col("cent_sim").isNotNull())
         .groupBy("vec_id")
         .agg(
             F.max_by(

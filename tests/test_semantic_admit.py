@@ -175,3 +175,121 @@ def test_duplicate_batch_ids_keep_multiset_semantics(spark, cents, history):
     assert rows[0]["admitted"] is True and rows[0]["match_id"] == 10
     state_rows = [r for r in res.state.collect() if r["vec_id"] == 21]
     assert len(state_rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# Randomized parity against a from-scratch pure-Python reference (the
+# test_rrf randomized-parity discipline): integer-valued vectors are
+# exactly representable in float32, the fold order of dot/norm matches
+# the operator's sequential HOF folds, and round-6 is replicated with
+# decimal HALF_UP (Spark's BigDecimal rounding, not Python's
+# banker's round) -- so the reference is bit-exact and the assert is
+# full equality, ties and degenerate rows included.
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _r6(x):
+    if x is None:
+        return None
+    d = Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    return float(d)
+
+
+def _norm(v):
+    return math.sqrt(sum(float(x) * float(x) for x in v))
+
+
+def _ref_admit(history, batch, cents, threshold):
+    """(vec_id -> (cent_id, match_id, cosine, admitted)) from scratch."""
+
+    def unit(v):
+        if v is None:
+            return None
+        n = _norm(v)
+        return [float(x) / n for x in v] if n > 0 else None
+
+    def assign(v):
+        best = None  # (sim, cent_id); ties keep the earlier (lower) id
+        for cid, ce in cents:
+            if v is None or ce is None:
+                continue
+            den = _norm(v) * _norm(ce)
+            if den == 0:
+                continue
+            s = _r6(sum(float(a) * float(b) for a, b in zip(v, ce)) / den)
+            if best is None or s > best[0]:
+                best = (s, cid)
+        return best[1] if best else None
+
+    state = []  # (match_id, cent_id, unit_vec) -- history assignment
+    for hid, hv in history:
+        u = unit(hv)
+        c = assign(hv)
+        if u is not None and c is not None:
+            state.append((hid, c, u))
+    out = {}
+    for bid, bv in batch:
+        u = unit(bv)
+        cell = assign(bv) if u is not None else None
+        best = None  # (cosine, match_id): highest cosine, ties lowest id
+        if cell is not None:
+            for hid, hc, hu in state:
+                if hc != cell:
+                    continue
+                cos = _r6(sum(a * b for a, b in zip(u, hu)))
+                if (
+                    best is None
+                    or cos > best[0]
+                    or (cos == best[0] and hid < best[1])
+                ):
+                    best = (cos, hid)
+        out[bid] = (
+            cell,
+            best[1] if best else None,
+            best[0] if best else None,
+            best is None or best[0] < threshold,
+        )
+    return out
+
+
+_vec = st.one_of(
+    st.none(),
+    st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    hvecs=st.lists(_vec, min_size=0, max_size=5),
+    bvecs=st.lists(_vec, min_size=1, max_size=5),
+    cvecs=st.lists(_vec, min_size=1, max_size=3),
+    threshold=st.sampled_from([0.25, 0.5, 0.9]),
+)
+def test_admission_matches_python_reference(
+    spark, hvecs, bvecs, cvecs, threshold
+):
+    history = [(10 + i, v) for i, v in enumerate(hvecs)]
+    batch = [(50 + i, v) for i, v in enumerate(bvecs)]
+    cents = [(100 + i, v) for i, v in enumerate(cvecs)]
+    cents_df = spark.createDataFrame(
+        [(c, None if v is None else [float(x) for x in v]) for c, v in cents],
+        "cent_id long, cent_emb array<double>",
+    )
+    res = similarity.semantic_admit_batch(
+        _emb(spark, history),
+        _emb(spark, batch),
+        threshold=threshold,
+        centroids=cents_df,
+    )
+    got = {
+        r["vec_id"]: (r["cent_id"], r["match_id"], r["cosine"], r["admitted"])
+        for r in res.report.collect()
+    }
+    assert got == _ref_admit(history, batch, cents, threshold)
