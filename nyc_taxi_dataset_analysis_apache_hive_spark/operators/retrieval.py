@@ -76,6 +76,7 @@ def dense_topk(
     n_probe: int = 3,
     centroid_offset: int = 100,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-``k`` for NAMED seed vectors: (query, doc_id,
     cosine, rank).  The k1 brute-force posture generalized from
@@ -107,6 +108,14 @@ def dense_topk(
     candidates; recall vs ``method='brute'`` is pytest-gated
     (tests/test_hybrid.py).  The brute leg stays the driver-oracled
     surface.
+
+    ``assigned=`` is the compute-once hook (the ``history_state=`` /
+    ``lexical=`` discipline): pass the persisted
+    (vec_id, cent_id, emb_n) assignment table -- e.g. the ``state`` a
+    semantic admission run maintains -- and the IVF path skips
+    re-assigning the corpus (a full broadcast-argmax pass per retrieval
+    call at billion-vector scale); equivalence of the two paths is
+    pytest-gated.
     """
     if query_vecs is None:
         query_vecs = HYBRID_QUERY_VECS
@@ -127,19 +136,12 @@ def dense_topk(
     from ..functions.vectors import dot
 
     if method == "ivf":
-        from .similarity import assign_to_centroids
+        from .similarity import assign_to_centroids, default_centroids
         from ..functions.vectors import cosine
 
-        if centroids is not None:
-            cents = centroids.select("cent_id", "cent_emb")
-        else:
-            cents = embeddings.filter(
-                (F.col("vec_id") >= centroid_offset)
-                & (F.col("vec_id") < centroid_offset + n_centroids)
-            ).select(
-                F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("cent_emb"),
-            )
+        cents = default_centroids(
+            embeddings, centroid_offset, n_centroids, centroids
+        )
         pw = Window.partitionBy("query").orderBy(
             F.col("cent_sim").desc(), F.col("cent_id").asc()
         )
@@ -156,7 +158,10 @@ def dense_topk(
             .filter(F.col("crank") <= n_probe)
             .select("query", "__seed", "q_emb", "cent_id")
         )
-        assigned = assign_to_centroids(embeddings, cents)
+        if assigned is None:
+            assigned = assign_to_centroids(embeddings, cents)
+        else:
+            assigned = assigned.select("vec_id", "cent_id", "emb_n")
         scored = (
             F.broadcast(probes)
             .join(assigned, "cent_id")

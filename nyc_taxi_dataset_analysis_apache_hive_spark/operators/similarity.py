@@ -381,6 +381,30 @@ def kmeans_train(
     return cents
 
 
+def default_centroids(
+    embeddings: DataFrame,
+    centroid_offset: int = 100,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(cent_id, cent_emb): resolve a centroid index -- the caller's
+    ``centroids=`` override when given, else the deterministic corpus
+    slice.  ONE definition shared by every cell-assigning operator
+    (cosine_topk_ivf/ivfpq, semantic_dedup, semantic_admit_batch,
+    retrieval.dense_topk, the k3 registry leg): cells only line up
+    across operators and admission batches if every consumer derives
+    the SAME index, and the SQL oracles replay exactly this slice."""
+    if centroids is not None:
+        return centroids.select("cent_id", "cent_emb")
+    return embeddings.filter(
+        (F.col("vec_id") >= centroid_offset)
+        & (F.col("vec_id") < centroid_offset + n_centroids)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     k: int = 5,
@@ -406,15 +430,7 @@ def cosine_topk_ivf(
     cosines are exact for the scored candidates.
     """
     emb = embeddings.select("vec_id", "embedding")
-    if centroids is not None:
-        cents = centroids.select("cent_id", "cent_emb")
-    else:
-        cents = emb.filter(
-            (F.col("vec_id") >= centroid_offset)
-            & (F.col("vec_id") < centroid_offset + n_centroids)
-        ).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-        )
+    cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
 
     def nearest_centroids(side: DataFrame, id_col: str, emb_col: str, top: int):
         w = Window.partitionBy(id_col).orderBy(
@@ -547,16 +563,7 @@ def semantic_dedup(
     from . import dedup as _dedup
 
     emb = embeddings.select("vec_id", "embedding")
-    if centroids is not None:
-        cents = centroids.select("cent_id", "cent_emb")
-    else:
-        cents = emb.filter(
-            (F.col("vec_id") >= centroid_offset)
-            & (F.col("vec_id") < centroid_offset + n_centroids)
-        ).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
+    cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
 
     assigned = assign_to_centroids(emb, cents)
 
@@ -666,15 +673,9 @@ def semantic_admit_batch(
     """
     from ..functions.vectors import dot
 
-    if centroids is not None:
-        cents = centroids.select("cent_id", "cent_emb")
-    elif history is not None:
-        cents = history.filter(
-            (F.col("vec_id") >= centroid_offset)
-            & (F.col("vec_id") < centroid_offset + n_centroids)
-        ).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
+    if centroids is not None or history is not None:
+        cents = default_centroids(
+            history, centroid_offset, n_centroids, centroids
         )
     else:
         raise ValueError(
@@ -700,6 +701,12 @@ def semantic_admit_batch(
             F.col("h.vec_id").alias("match_id"),
             F.round(dot("b.emb_n", "h.emb_n"), 6).alias("cosine"),
         )
+        # a NULL cosine (a state row whose emb_n has a different
+        # dimensionality or NULL elements -- zip_with pads with NULL)
+        # must never win the election: the NULL-first struct ordering
+        # would pick it over a genuine 0.99 match and falsely admit
+        # (the assign_to_centroids NULL-before-argmax class)
+        .filter(F.col("cosine").isNotNull())
     )
     # best match = highest cosine, ties to the LOWEST history id (the
     # admit_batch_neardup min_by idiom: negate the score, never the id)
@@ -1105,16 +1112,7 @@ def cosine_topk_ivfpq(
     brute-force baseline alongside ivf and pq).
     """
     emb = embeddings.select("vec_id", "embedding")
-    if centroids is not None:
-        cents = centroids.select("cent_id", "cent_emb")
-    else:
-        cents = emb.filter(
-            (F.col("vec_id") >= centroid_offset)
-            & (F.col("vec_id") < centroid_offset + n_centroids)
-        ).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
+    cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
 
     def nearest(side: DataFrame, id_col: str, emb_col: str, top: int):
         w = Window.partitionBy(id_col).orderBy(

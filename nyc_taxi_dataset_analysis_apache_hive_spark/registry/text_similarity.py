@@ -581,15 +581,11 @@ def k3_embedding_near_pairs(spark, sf):
         "keep",
     )
     # the persisted centroid index: the same fixed corpus slice the
-    # semdedup leg assigns under, passed EXPLICITLY (an admission index
-    # must be stable across batches -- deriving it from the even-id
-    # history would silently re-index)
-    cents = emb.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 116)
-    ).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-    )
+    # semdedup leg assigns under (similarity.default_centroids, ONE
+    # definition), passed EXPLICITLY (an admission index must be stable
+    # across batches -- deriving it from the even-id history would
+    # silently re-index)
+    cents = similarity.default_centroids(emb)
     adm = similarity.semantic_admit_batch(
         history=emb.filter(F.col("vec_id") % 2 == 0),
         batch=emb.filter(F.col("vec_id") % 2 == 1),

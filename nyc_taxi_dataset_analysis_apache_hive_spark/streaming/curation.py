@@ -285,7 +285,11 @@ def _centroid_literal(centroids: DataFrame):
         (
             r
             for r in centroids.select("cent_id", "cent_emb").collect()
+            # a NULL element makes the centroid directionless too (its
+            # cosine is NULL in the batch operator and never wins the
+            # argmax) -- skip it instead of crashing float() on None
             if r["cent_emb"] is not None
+            and all(x is not None for x in r["cent_emb"])
         ),
         key=lambda r: r["cent_id"],
     )
@@ -316,7 +320,13 @@ def _assigned_rows(
     ordering struct (highest cosine, ties to the LOWEST cent_id).  A
     NULL/zero-norm vector has NULL cosine against every centroid, so the
     accumulator never advances: cent_id stays NULL and emb_n NULL -- the
-    batch report's no-unit-vector policy."""
+    batch report's no-unit-vector policy.
+
+    PERF: the cosines are computed ONCE into a (sim, cent_id) struct
+    array (one transform) and the fold compares struct FIELDS -- a fold
+    whose lambda re-derived ``sim(c)`` at each of its reference sites
+    would pay ~3x n_centroids dot-product folds per row (HOF lambdas
+    get no subexpression elimination)."""
     from ..functions.vectors import as_double_array, cosine, l2_norm
 
     step1 = vecs.select(
@@ -325,16 +335,22 @@ def _assigned_rows(
         as_double_array(vec_col).alias("_emb"),
         l2_norm(vec_col).alias("_nrm"),
     )
-    sim = lambda c: F.round(cosine(F.col("_emb"), c["cent_emb"]), 6)  # noqa: E731
-    assign = F.aggregate(
+    sims = F.transform(
         cent_arr,
+        lambda c: F.struct(
+            F.round(cosine(F.col("_emb"), c["cent_emb"]), 6).alias("s"),
+            c["cent_id"].alias("i"),
+        ),
+    )
+    assign = F.aggregate(
+        sims,
         F.struct(
             F.lit(None).cast("double").alias("s"),
             F.lit(None).cast("long").alias("i"),
         ),
         lambda acc, c: F.when(
-            sim(c).isNotNull() & (acc["s"].isNull() | (sim(c) > acc["s"])),
-            F.struct(sim(c).alias("s"), c["cent_id"].alias("i")),
+            c["s"].isNotNull() & (acc["s"].isNull() | (c["s"] > acc["s"])),
+            c,
         ).otherwise(acc),
     )
     return step1.select(
@@ -346,9 +362,6 @@ def _assigned_rows(
             F.transform("_emb", lambda x: x / F.col("_nrm")),
         ).alias("emb_n"),
     )
-
-
-_ADMIT_COLS = ("vec_id", "cent_id", "match_id", "cosine", "admitted")
 
 
 def _admit_best_agg(
@@ -401,6 +414,14 @@ def semantic_admission_stream(
     aggregate.  Same whole-arrival contract as :func:`decontam_stream`;
     the batch analog (:func:`semantic_admission_batch`) is
     equality-gated against the k3-gated batch operator's report.
+
+    Contract difference vs the batch operator: the best-match GROUP BY
+    collapses duplicate arrivals of the same vec_id to ONE verdict row
+    per (vec_id, cell) per window (dedup-at-ingest semantics -- a
+    stream cannot re-emit per input row without carrying multiplicity
+    state), where ``semantic_admit_batch`` mirrors the batch multiset.
+    Verdict VALUES agree; only row multiplicity differs for duplicated
+    ids (pytest-pinned).
     """
     cent_arr = _centroid_literal(centroids)
     assigned = _assigned_rows(vecs, cent_arr, vec_col, ts_col)

@@ -286,3 +286,27 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["query"], []).append(r)
     return out
+
+
+def test_dense_topk_ivf_assigned_hook_is_equivalent(spark, sf0001_dir):
+    """The assigned= compute-once hook (the persisted admission state)
+    must produce the identical IVF ranking as on-the-fly assignment."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    cents = similarity.default_centroids(emb)
+    state = similarity.assign_to_centroids(emb, cents).localCheckpoint(
+        eager=True
+    )
+    on_the_fly = sorted(
+        map(tuple, retrieval.dense_topk(emb, method="ivf").collect())
+    )
+    via_state = sorted(
+        map(
+            tuple,
+            retrieval.dense_topk(emb, method="ivf", assigned=state).collect(),
+        )
+    )
+    assert on_the_fly == via_state

@@ -173,3 +173,47 @@ def test_centroid_literal_rejects_all_null_index(spark):
                 [(1, None)], "cent_id long, cent_emb array<double>"
             )
         )
+
+
+def test_null_element_centroid_is_skipped_not_crashed(spark):
+    """A centroid with a NULL ELEMENT is directionless (its cosine is
+    NULL in the batch operator): the literal builder must skip it, and
+    verdicts must match the batch operator's on the same inputs."""
+    cents = spark.createDataFrame(
+        [(100, [1.0, None]), (101, [0.0, 1.0])],
+        "cent_id long, cent_emb array<double>",
+    )
+    state = spark.createDataFrame(
+        [Row(vec_id=0, cent_id=101, emb_n=[0.0, 1.0])]
+    )
+    batch = spark.createDataFrame([Row(vec_id=1, embedding=[0.0, 2.0])])
+    got = curation.semantic_admission_batch(
+        batch, state, cents, threshold=0.99
+    ).collect()[0]
+    op = similarity.semantic_admit_batch(
+        None, batch, threshold=0.99, centroids=cents, history_state=state
+    ).report.collect()[0]
+    assert (got["cent_id"], got["match_id"], got["admitted"]) == (
+        op["cent_id"],
+        op["match_id"],
+        op["admitted"],
+    ) == (101, 0, False)
+
+
+def test_duplicate_arrivals_collapse_to_one_verdict(spark, emb_split):
+    """The documented contract difference: duplicate vec_ids collapse to
+    ONE verdict row in the stream analog (the best-match GROUP BY),
+    while the batch operator mirrors the batch multiset."""
+    _, _, cents = emb_split
+    state = spark.createDataFrame(
+        [Row(vec_id=0, cent_id=-1, emb_n=[1.0, 0.0])]
+    )
+    dup = spark.createDataFrame(
+        [Row(vec_id=7, embedding=[1.0, 1.0]), Row(vec_id=7, embedding=[1.0, 1.0])]
+    )
+    analog = curation.semantic_admission_batch(dup, state, cents).collect()
+    assert len(analog) == 1
+    op = similarity.semantic_admit_batch(
+        None, dup, centroids=cents, history_state=state
+    ).report.collect()
+    assert len(op) == 2
