@@ -127,12 +127,6 @@ def dense_topk(
     qmap = spark.createDataFrame(
         sorted(query_vecs.items()), "query string, vec_id long"
     )
-    normed = normalized_with_bucket(embeddings).select("vec_id", "emb_n")
-    queries = (
-        F.broadcast(qmap)
-        .join(normed, "vec_id")
-        .select("query", F.col("vec_id").alias("__seed"), F.col("emb_n").alias("q_emb"))
-    )
     from ..functions.vectors import dot
 
     if method == "ivf":
@@ -141,6 +135,24 @@ def dense_topk(
 
         cents = default_centroids(
             embeddings, centroid_offset, n_centroids, centroids
+        )
+        if assigned is None:
+            assigned = assign_to_centroids(embeddings, cents)
+        else:
+            assigned = assigned.select("vec_id", "cent_id", "emb_n")
+        # the seeds' unit vectors come from the assignment table itself
+        # (ONE corpus pass feeds corpus side AND seed pickup -- a
+        # separate normalize scan for 3 seed rows would double the
+        # corpus reads); a dropped (NULL/zero-norm) seed has no
+        # assignment row, so its query degrades to zero rows here too
+        queries = (
+            F.broadcast(qmap)
+            .join(assigned, "vec_id")
+            .select(
+                "query",
+                F.col("vec_id").alias("__seed"),
+                F.col("emb_n").alias("q_emb"),
+            )
         )
         pw = Window.partitionBy("query").orderBy(
             F.col("cent_sim").desc(), F.col("cent_id").asc()
@@ -158,10 +170,6 @@ def dense_topk(
             .filter(F.col("crank") <= n_probe)
             .select("query", "__seed", "q_emb", "cent_id")
         )
-        if assigned is None:
-            assigned = assign_to_centroids(embeddings, cents)
-        else:
-            assigned = assigned.select("vec_id", "cent_id", "emb_n")
         scored = (
             F.broadcast(probes)
             .join(assigned, "cent_id")
@@ -174,6 +182,16 @@ def dense_topk(
             .distinct()
         )
     else:
+        normed = normalized_with_bucket(embeddings).select("vec_id", "emb_n")
+        queries = (
+            F.broadcast(qmap)
+            .join(normed, "vec_id")
+            .select(
+                "query",
+                F.col("vec_id").alias("__seed"),
+                F.col("emb_n").alias("q_emb"),
+            )
+        )
         corpus = normed.select(
             F.col("vec_id").alias("doc_id"), F.col("emb_n").alias("c_emb")
         )

@@ -497,13 +497,25 @@ def assign_to_centroids(
     CENTROID has no direction, so it must never win an assignment --
     without the filter, a vector whose only candidates are
     directionless centroids would be max_by'd into an arbitrary cell
-    (caught by the randomized python-reference parity test)."""
+    (caught by the randomized python-reference parity test).
+
+    PERF (r12): the raw embedding rides THROUGH the aggregate
+    (``first`` is exact here -- every row of a vec_id group carries the
+    same embedding) and is normalized after it, so the whole operator
+    is ONE corpus scan + one map-side-combined shuffle; the previous
+    shape joined a second full normalization scan back on vec_id --
+    an extra corpus scan AND an extra shuffle per call (there are three
+    driver-gated call sites).  The post-agg normalize uses the same
+    cast -> l2_norm -> nullif-divide expressions as
+    normalized_with_bucket, so emb_n is bit-identical."""
+    from ..functions.vectors import as_double_array, l2_norm
+
     emb = embeddings.select("vec_id", "embedding")
-    normed = normalized_with_bucket(emb).select("vec_id", "emb_n")
-    return (
+    agg = (
         emb.crossJoin(F.broadcast(centroids.select("cent_id", "cent_emb")))
         .select(
             "vec_id",
+            "embedding",
             "cent_id",
             F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
         )
@@ -513,10 +525,22 @@ def assign_to_centroids(
             F.max_by(
                 "cent_id",
                 F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nc")),
-            ).alias("cent_id")
+            ).alias("cent_id"),
+            F.first("embedding").alias("embedding"),
         )
-        .join(normed, "vec_id")
-        .select("vec_id", "cent_id", "emb_n")
+    )
+    step2 = agg.select(
+        "vec_id",
+        "cent_id",
+        as_double_array("embedding").alias("emb"),
+        l2_norm("embedding").alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    return step2.select(
+        "vec_id",
+        "cent_id",
+        F.transform(
+            "emb", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0))
+        ).alias("emb_n"),
     )
 
 
@@ -527,6 +551,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     centroid_offset: int = 100,
     checkpoint_dir: str | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): drop documents whose EMBEDDINGS are
@@ -565,7 +590,15 @@ def semantic_dedup(
     emb = embeddings.select("vec_id", "embedding")
     cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
 
-    assigned = assign_to_centroids(emb, cents)
+    # assigned= is the compute-once hook (the history_state= /
+    # term_scores= discipline): pass ONE checkpointed
+    # assign_to_centroids table when several operators in a session
+    # share it (the k3 entry feeds the same table here, to admission's
+    # history state, and to its batch side)
+    if assigned is None:
+        assigned = assign_to_centroids(emb, cents)
+    else:
+        assigned = assigned.select("vec_id", "cent_id", "emb_n")
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
@@ -621,6 +654,7 @@ def semantic_admit_batch(
     centroids: DataFrame | None = None,
     centroid_offset: int = 100,
     history_state: DataFrame | None = None,
+    batch_state: DataFrame | None = None,
 ) -> SemanticAdmitResult:
     """Incremental SemDeDup admission: is a new embedding batch
     semantically near-identical to something ALREADY in the corpus?
@@ -691,7 +725,14 @@ def semantic_admit_batch(
             "semantic_admit_batch: pass history docs or history_state"
         )
 
-    b_assigned = assign_to_centroids(batch, cents)
+    # batch_state= mirrors history_state= for the batch side: a caller
+    # already holding the batch's assignment rows (e.g. one shared
+    # full-corpus pass sliced by parity, the k3 entry) skips the
+    # re-assignment; equivalence of the two paths is pytest-gated
+    if batch_state is not None:
+        b_assigned = batch_state.select("vec_id", "cent_id", "emb_n")
+    else:
+        b_assigned = assign_to_centroids(batch, cents)
     scored = (
         b_assigned.alias("b")
         .join(state.alias("h"), "cent_id")
@@ -753,9 +794,11 @@ def semantic_admit_batch(
             ).alias("admitted"),
         )
     )
-    # distinct() on the verdict side: an admitted duplicated id keeps its
-    # batch multiplicity in the state (one state row per input row, the
-    # assign_to_centroids contract), not multiplicity squared
+    # distinct() on the verdict side so the report's per-input-row
+    # multiplicity cannot fan the join out; the state itself carries ONE
+    # row per distinct vec_id (assign_to_centroids' groupBy collapses
+    # duplicate ids -- a second identical state row would only double
+    # downstream candidate-join work without changing any verdict)
     admitted_state = b_assigned.join(
         report.filter("admitted").select("vec_id").distinct(), "vec_id"
     ).select("vec_id", "cent_id", "emb_n")

@@ -1411,10 +1411,67 @@ _TF_CTE = f"""
                    AS sum_micro
           FROM hlegs GROUP BY query, doc_id
         )
+      ),
+      -- IVF-probed dense leg (r12, retrieval.dense_topk(method='ivf'),
+      -- the billion-vector scale path): corpus assigned to its
+      -- max-cosine fixed-slice centroid (NULL sims dropped BEFORE the
+      -- argmax -- a directionless centroid never wins), each seed
+      -- probes its 3 nearest centroids, candidates = probed cells'
+      -- members only; cosines exact on scored candidates
+      hcents AS (
+        SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent_emb
+        FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < 116 AND embedding IS NOT NULL
+      ),
+      hassign AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cent_id ASC) AS crank
+          FROM (
+            SELECT v.vec_id, c.cent_id,
+                   round(list_dot_product(v.emb, c.cent_emb)
+                         / nullif(sqrt(list_dot_product(v.emb, v.emb))
+                                  * sqrt(list_dot_product(c.cent_emb,
+                                                          c.cent_emb)), 0),
+                         6) AS sim
+            FROM hnorm0 v CROSS JOIN hcents c
+          ) WHERE sim IS NOT NULL
+        ) WHERE crank = 1
+      ),
+      hprobes AS (
+        SELECT query, seed, q_emb, cent_id FROM (
+          SELECT hq.query, hq.seed, hq.q_emb, c.cent_id,
+                 row_number() OVER (PARTITION BY hq.query
+                   ORDER BY round(list_dot_product(hq.q_emb, c.cent_emb)
+                         / nullif(sqrt(list_dot_product(hq.q_emb, hq.q_emb))
+                                  * sqrt(list_dot_product(c.cent_emb,
+                                                          c.cent_emb)), 0),
+                         6) DESC, c.cent_id ASC) AS prank
+          FROM hq CROSS JOIN hcents c
+        ) WHERE prank <= 3
+      ),
+      hivf AS (
+        SELECT query, doc_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY query
+                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM (
+          SELECT DISTINCT p.query, a.vec_id AS doc_id,
+                 round(list_dot_product(p.q_emb, n.emb_n), 6) AS cosine
+          FROM hprobes p
+          JOIN hassign a ON p.cent_id = a.cent_id
+          JOIN hnorm n ON n.vec_id = a.vec_id
+          WHERE a.vec_id <> p.seed
+        )
       )
       SELECT 'dense' AS op, doc_id, query AS token, rank AS n,
              CAST(NULL AS BIGINT) AS m, cosine AS score
       FROM hdense_k
+      UNION ALL
+      SELECT 'dense_ivf' AS op, doc_id, query AS token, rank AS n,
+             CAST(NULL AS BIGINT) AS m, cosine AS score
+      FROM hivf WHERE rank <= {retrieval.HYBRID_K}
       UNION ALL
       SELECT 'hybrid' AS op, doc_id, query AS token, rank AS n,
              CAST(NULL AS BIGINT) AS m,
@@ -1472,11 +1529,14 @@ def tv1_text_stats(spark, sf):
     the term, per-(query, doc) BIGINT micro sums, rank on the RAW micro
     sum with a doc_id tie-break (WindowGroupLimit plan-tested: map
     tasks pre-prune to local top-k per query before the shuffle).
-    ``dense`` / ``hybrid`` (r12) = hybrid lexical+dense retrieval
-    (operators/retrieval.py): ``dense`` is the cosine top-10 for each
-    named seed vector of HYBRID_QUERY_VECS (seed excluded from its own
-    ranking; NULL/zero-norm seeds dropped), ``hybrid`` the RRF fusion
-    (similarity.rrf_fuse, BIGINT micro-unit contract) of the
+    ``dense`` / ``dense_ivf`` / ``hybrid`` (r12) = hybrid lexical+dense
+    retrieval (operators/retrieval.py): ``dense`` is the cosine top-10
+    for each named seed vector of HYBRID_QUERY_VECS (seed excluded from
+    its own ranking; NULL/zero-norm seeds dropped), ``dense_ivf`` the
+    same ranking on the billion-vector scale path (seeds probe their 3
+    nearest fixed-slice centroids, candidates = probed cells' members
+    only, cosines exact on scored candidates), ``hybrid`` the RRF
+    fusion (similarity.rrf_fuse, BIGINT micro-unit contract) of the
     checkpointed bm25_topk rank table -- ONE table feeding both its
     output rows and the fusion -- with the checkpointed dense ranks;
     the fused rank is oracled on the raw micro sums in both SQL
@@ -1600,11 +1660,20 @@ def tv1_text_stats(spark, sf):
     # table is likewise materialized once (30 rows) because it feeds
     # its own output rows AND the fusion -- without the checkpoint the
     # embeddings scan would run twice
-    dense_tbl = retrieval.dense_topk(
-        _t(spark, sf, "embeddings")
-    ).localCheckpoint(eager=True)
+    emb = _t(spark, sf, "embeddings")
+    dense_tbl = retrieval.dense_topk(emb).localCheckpoint(eager=True)
     dense = dense_tbl.select(
         F.lit("dense").alias("op"),
+        "doc_id",
+        F.col("query").alias("token"),
+        F.col("rank").alias("n"),
+        nulll.alias("m"),
+        F.col("cosine").alias("score"),
+    )
+    # the billion-vector scale path, fully oracled too: probe-bounded
+    # candidates, exact cosines on whatever it scores
+    dense_ivf = retrieval.dense_topk(emb, method="ivf").select(
+        F.lit("dense_ivf").alias("op"),
         "doc_id",
         F.col("query").alias("token"),
         F.col("rank").alias("n"),
@@ -1629,6 +1698,7 @@ def tv1_text_stats(spark, sf):
         .unionByName(bm25)
         .unionByName(topk)
         .unionByName(dense)
+        .unionByName(dense_ivf)
         .unionByName(hybrid)
     )
 

@@ -573,24 +573,36 @@ def k3_embedding_near_pairs(spark, sf):
         "cosine",
         F.lit(None).cast("boolean").alias("keep"),
     )
-    sem = similarity.semantic_dedup(emb, threshold=0.35).select(
+    # ONE centroid-assignment pass feeds the semdedup leg, admission's
+    # history state, AND its batch side (the tv1 shared-pass
+    # discipline): the table is tiny-per-row (vec_id, cent_id, emb_n),
+    # and without the checkpoint each consumer would re-run the
+    # broadcast-argmax corpus pass
+    cents = similarity.default_centroids(emb)
+    assigned_full = similarity.assign_to_centroids(
+        emb, cents
+    ).localCheckpoint(eager=True)
+    sem = similarity.semantic_dedup(
+        emb, threshold=0.35, assigned=assigned_full
+    ).select(
         F.lit("semdedup").alias("op"),
         F.col("vec_id").alias("id_a"),
         F.col("sem_cluster").alias("id_b"),
         F.lit(None).cast("double").alias("cosine"),
         "keep",
     )
-    # the persisted centroid index: the same fixed corpus slice the
+    # the persisted centroid index is the same fixed corpus slice the
     # semdedup leg assigns under (similarity.default_centroids, ONE
     # definition), passed EXPLICITLY (an admission index must be stable
     # across batches -- deriving it from the even-id history would
     # silently re-index)
-    cents = similarity.default_centroids(emb)
     adm = similarity.semantic_admit_batch(
-        history=emb.filter(F.col("vec_id") % 2 == 0),
+        history=None,
         batch=emb.filter(F.col("vec_id") % 2 == 1),
         threshold=0.35,
         centroids=cents,
+        history_state=assigned_full.filter(F.col("vec_id") % 2 == 0),
+        batch_state=assigned_full.filter(F.col("vec_id") % 2 == 1),
     ).report.select(
         F.lit("admit").alias("op"),
         F.col("vec_id").alias("id_a"),

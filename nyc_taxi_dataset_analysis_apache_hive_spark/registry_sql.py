@@ -505,10 +505,57 @@ def _tv1_hybrid_leg() -> str:
                        AS sum_micro
               FROM hlegs GROUP BY query, doc_id
             )
+          ),
+          -- IVF-probed dense leg (r12): see registry.tv1 docstring
+          hcents AS (
+            SELECT vec_id AS cent_id, emb AS cent_emb
+            FROM hnorm0 WHERE vec_id >= 100 AND vec_id < 116
+          ),
+          hassign AS (
+            SELECT vec_id, cent_id FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS crank
+              FROM (
+                SELECT v.vec_id, c.cent_id,
+                       round({_sql_cosine("v.emb", "c.cent_emb")}, 6) AS sim
+                FROM hnorm0 v CROSS JOIN hcents c
+              ) WHERE sim IS NOT NULL
+            ) WHERE crank = 1
+          ),
+          hprobes AS (
+            SELECT query, seed, q_emb, cent_id FROM (
+              SELECT hq.query, hq.seed, hq.q_emb, c.cent_id,
+                     row_number() OVER (PARTITION BY hq.query
+                       ORDER BY round({_sql_cosine("hq.q_emb", "c.cent_emb")},
+                                      6) DESC,
+                                c.cent_id ASC) AS prank
+              FROM hq CROSS JOIN hcents c
+            ) WHERE prank <= 3
+          ),
+          hivf AS (
+            SELECT query, doc_id, cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY query
+                     ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM (
+              SELECT DISTINCT p.query, a.vec_id AS doc_id,
+                     round(aggregate(zip_with(p.q_emb, n.emb_n,
+                                              (x, y) -> x * y),
+                                     0.0D, (acc, x) -> acc + x), 6) AS cosine
+              FROM hprobes p
+              JOIN hassign a ON p.cent_id = a.cent_id
+              JOIN hnorm n ON n.vec_id = a.vec_id
+              WHERE a.vec_id != p.seed
+            )
           )
           SELECT 'dense' AS op, doc_id, query AS token, rank AS n,
                  CAST(NULL AS BIGINT) AS m, cosine AS score
           FROM hdense_k
+          UNION ALL
+          SELECT 'dense_ivf' AS op, doc_id, query AS token, rank AS n,
+                 CAST(NULL AS BIGINT) AS m, cosine AS score
+          FROM hivf WHERE rank <= {HYBRID_K}
           UNION ALL
           SELECT 'hybrid' AS op, doc_id, query AS token, rank AS n,
                  CAST(NULL AS BIGINT) AS m,

@@ -163,8 +163,9 @@ def test_admitted_state_feeds_next_batch(spark, cents, history):
 def test_duplicate_batch_ids_keep_multiset_semantics(spark, cents, history):
     """A batch carrying the same vec_id twice (identical payload -- the
     adversarial-corpus shape) must yield exactly TWO report rows (the
-    batch multiset, not dup^2 join fanout) and two state rows when
-    admitted."""
+    batch multiset, not dup^2 join fanout); the STATE stores one row per
+    distinct id (assignment collapses duplicates -- a second identical
+    row would only double downstream join work)."""
     batch = _emb(spark, [(21, [1.0, -1.0]), (21, [1.0, -1.0])])
     res = similarity.semantic_admit_batch(
         history, batch, threshold=0.9, centroids=cents
@@ -174,7 +175,7 @@ def test_duplicate_batch_ids_keep_multiset_semantics(spark, cents, history):
     assert rows[0] == rows[1]
     assert rows[0]["admitted"] is True and rows[0]["match_id"] == 10
     state_rows = [r for r in res.state.collect() if r["vec_id"] == 21]
-    assert len(state_rows) == 2
+    assert len(state_rows) == 1
 
 
 # ---------------------------------------------------------------------------
@@ -293,3 +294,47 @@ def test_admission_matches_python_reference(
         for r in res.report.collect()
     }
     assert got == _ref_admit(history, batch, cents, threshold)
+
+
+def test_batch_state_hook_is_equivalent(spark, cents, history, batch):
+    """batch_state= (a pre-sliced shared assignment pass, the k3 entry's
+    posture) must produce the identical report/state as on-the-fly
+    batch assignment."""
+    direct = similarity.semantic_admit_batch(
+        history, batch, threshold=0.9, centroids=cents
+    )
+    pre = similarity.assign_to_centroids(batch, cents)
+    via_hook = similarity.semantic_admit_batch(
+        history, batch, threshold=0.9, centroids=cents, batch_state=pre
+    )
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(direct.report.collect(), key=key) == sorted(
+        via_hook.report.collect(), key=key
+    )
+
+
+def test_semantic_dedup_assigned_hook_is_equivalent(spark, cents, history):
+    """semantic_dedup's assigned= compute-once hook: identical clusters
+    and keep-list with and without the precomputed assignment."""
+    emb = _emb(
+        spark,
+        [
+            (10, [1.0, 0.1]),
+            (11, [1.0, 0.11]),
+            (12, [0.1, 1.0]),
+            (13, [0.0, 0.0]),
+        ],
+    )
+    direct = sorted(
+        map(tuple, similarity.semantic_dedup(emb, 0.9, centroids=cents).collect())
+    )
+    pre = similarity.assign_to_centroids(emb, cents)
+    via_hook = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup(
+                emb, 0.9, centroids=cents, assigned=pre
+            ).collect(),
+        )
+    )
+    assert direct == via_hook and direct
