@@ -30,9 +30,10 @@ tables -- tiny regardless of corpus size.
 Reference analogue: the score-and-slice segment-share queries
 (REF:349-361) rank by one derived signal; hybrid retrieval is the
 multi-signal version a training-data pipeline needs.  Driver-gated as
-the tv1 ``dense`` + ``hybrid`` legs (registry/sampling_pipeline.py)
-with the dense cosine ranking and the fused rank both oracled (the
-fusion on raw micro sums) in both SQL surfaces; direct unit tests in
+the tv1 ``dense`` + ``dense_ivf`` + ``hybrid`` legs
+(registry/sampling_pipeline.py) with the dense cosine rankings (brute
+AND IVF-probed) and the fused rank all oracled (the fusion on raw
+micro sums) in both SQL surfaces; direct unit tests in
 tests/test_hybrid.py.
 """
 

@@ -81,15 +81,6 @@ def _doc_gram_rows(
     )
 
 
-_REPORT_COLS = (
-    "doc_id",
-    "n_grams",
-    "n_hits",
-    "overlap_frac",
-    "contaminated",
-)
-
-
 def _report_projection(threshold: float) -> list:
     frac = F.col("n_hits").cast("double") / F.nullif(
         F.col("n_grams").cast("double"), F.lit(0.0)
