@@ -499,15 +499,22 @@ def assign_to_centroids(
     directionless centroids would be max_by'd into an arbitrary cell
     (caught by the randomized python-reference parity test).
 
-    PERF (r12): the raw embedding rides THROUGH the aggregate
-    (``first`` is exact here -- every row of a vec_id group carries the
-    same embedding) and is normalized after it, so the whole operator
-    is ONE corpus scan + one map-side-combined shuffle; the previous
-    shape joined a second full normalization scan back on vec_id --
-    an extra corpus scan AND an extra shuffle per call (there are three
-    driver-gated call sites).  The post-agg normalize uses the same
-    cast -> l2_norm -> nullif-divide expressions as
-    normalized_with_bucket, so emb_n is bit-identical."""
+    PERF (r12): the raw embedding rides THROUGH the aggregate and is
+    normalized after it, so the whole operator is ONE corpus scan + one
+    map-side-combined shuffle; the previous shape joined a second full
+    normalization scan back on vec_id -- an extra corpus scan AND an
+    extra shuffle per call (there are three driver-gated call sites).
+    The post-agg normalize uses the same cast -> l2_norm ->
+    nullif-divide expressions as normalized_with_bucket, so emb_n is
+    bit-identical.
+
+    Duplicate vec_ids collapse to ONE deterministic row: the winning
+    (cent_id, embedding) pair is picked ATOMICALLY by one max_by over
+    (cent_sim, -cent_id, embedding) -- highest cosine, ties to the
+    lowest centroid, then the lexicographically greatest embedding.
+    A bare ``first(embedding)`` here would be run-dependent whenever a
+    duplicated id carries two DIFFERENT payloads, making every
+    downstream admission verdict nondeterministic."""
     from ..functions.vectors import as_double_array, l2_norm
 
     emb = embeddings.select("vec_id", "embedding")
@@ -523,10 +530,18 @@ def assign_to_centroids(
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                "cent_id",
-                F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("nc")),
-            ).alias("cent_id"),
-            F.first("embedding").alias("embedding"),
+                F.struct("cent_id", "embedding"),
+                F.struct(
+                    F.col("cent_sim"),
+                    (-F.col("cent_id")).alias("nc"),
+                    F.col("embedding"),
+                ),
+            ).alias("__win")
+        )
+        .select(
+            "vec_id",
+            F.col("__win.cent_id").alias("cent_id"),
+            F.col("__win.embedding").alias("embedding"),
         )
     )
     step2 = agg.select(
@@ -798,10 +813,21 @@ def semantic_admit_batch(
     # multiplicity cannot fan the join out; the state itself carries ONE
     # row per distinct vec_id (assign_to_centroids' groupBy collapses
     # duplicate ids -- a second identical state row would only double
-    # downstream candidate-join work without changing any verdict)
-    admitted_state = b_assigned.join(
-        report.filter("admitted").select("vec_id").distinct(), "vec_id"
-    ).select("vec_id", "cent_id", "emb_n")
+    # downstream candidate-join work without changing any verdict).
+    # left_anti against the EXISTING state ids: an id already in the
+    # corpus that re-arrives with a changed embedding and admits must
+    # not create a second state row for the same id (it would
+    # double-count in every candidate join and put duplicate doc_ids
+    # into dense_topk(assigned=) rankings) -- the corpus state is
+    # append-only keyed by vec_id, first admission wins (the
+    # fingerprint-history posture).
+    admitted_state = (
+        b_assigned.join(
+            report.filter("admitted").select("vec_id").distinct(), "vec_id"
+        )
+        .join(state.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "cent_id", "emb_n")
+    )
     new_state = state.unionByName(admitted_state)
     cell_stats = new_state.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_vectors")

@@ -360,11 +360,24 @@ def _admit_best_agg(
 ) -> DataFrame:
     """Shared stream/batch best-match aggregate: max over the
     (cosine, -match_id) struct = highest cosine, ties to the LOWEST
-    history id (semantic_admit_batch's min_by idiom mirrored)."""
+    history id (semantic_admit_batch's min_by idiom mirrored).
+
+    NULL-cosine candidates (a state row with NULL elements or a
+    different dimensionality -- zip_with pads with NULL) are excluded
+    from the election via the when(): without it, an all-NULL-cosine
+    cell would fall through to the -match_id tie-break and elect a real
+    history id where the batch operator (which filters NULL cosines
+    before its min_by) reports no match -- the three-way equality
+    contract would break.  ``max`` skips NULL structs, so no-match rows
+    still yield the NULL verdict."""
     agg = joined.groupBy(*grouping).agg(
         F.max(
-            F.struct(
-                F.col("__cos").alias("c"), (-F.col("match_id")).alias("nm")
+            F.when(
+                F.col("__cos").isNotNull(),
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("match_id")).alias("nm"),
+                ),
             )
         ).alias("best")
     )

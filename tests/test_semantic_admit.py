@@ -338,3 +338,40 @@ def test_semantic_dedup_assigned_hook_is_equivalent(spark, cents, history):
         )
     )
     assert direct == via_hook and direct
+
+
+def test_duplicate_ids_with_different_payloads_are_deterministic(
+    spark, cents
+):
+    """The same id re-emitted with a DIFFERENT embedding collapses to
+    one deterministic assignment row: the (cell, embedding) pair
+    maximizing (cosine, lowest-cent tie, lexicographically greatest
+    embedding) -- never a run-dependent first()."""
+    emb = _emb(spark, [(7, [1.0, 0.0]), (7, [0.0, 1.0])])
+    rows = similarity.assign_to_centroids(emb, cents).collect()
+    assert len(rows) == 1
+    # both payloads hit cosine 1.0 in their own cell (cells 100 / 101);
+    # tie -> lowest cent_id wins -> cell 100, embedding [1, 0]
+    assert rows[0]["cent_id"] == 100
+    assert rows[0]["emb_n"] == [1.0, 0.0]
+
+
+def test_readmitted_id_does_not_duplicate_state(spark, cents, history):
+    """An id already in the corpus that re-arrives (changed embedding,
+    below threshold vs everything) admits in the REPORT but must not
+    create a second state row: the corpus state is append-only keyed by
+    vec_id, first admission wins."""
+    b1 = _emb(spark, [(60, [1.0, -1.0])])
+    res1 = similarity.semantic_admit_batch(
+        history, b1, threshold=0.9, centroids=cents
+    )
+    # same id re-arrives pointing elsewhere (cell 101, far from 11)
+    b2 = _emb(spark, [(60, [-0.9, 1.0])])
+    res2 = similarity.semantic_admit_batch(
+        None, b2, threshold=0.9, centroids=cents, history_state=res1.state
+    )
+    rep = res2.report.collect()[0]
+    assert rep["admitted"] is True
+    rows = [r for r in res2.state.collect() if r["vec_id"] == 60]
+    assert len(rows) == 1
+    assert rows[0]["cent_id"] == 100  # the ORIGINAL admission's cell
