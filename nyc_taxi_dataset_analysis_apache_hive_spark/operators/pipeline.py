@@ -70,8 +70,19 @@ def curate_corpus(
     ``lexical=`` discipline): pass a precomputed near-dup pair table
     (doc_a, doc_b) -- e.g. one checkpointed ``minhash_lsh_pairs``
     result feeding both this funnel and :func:`curation_report`'s
-    leakage audit -- and the LSH stage is skipped.
+    leakage audit -- and the LSH stage is skipped.  Because the pair
+    table then DEFINES the dedup semantics, passing ``pairs=`` together
+    with a non-default ``jaccard_threshold`` raises: the threshold
+    would be silently ignored, and a caller who set both almost
+    certainly built the pair table at a different threshold than the
+    one they are now asking for.
     """
+    if pairs is not None and jaccard_threshold != 0.5:
+        raise ValueError(
+            "curate_corpus: pairs= supplies the precomputed near-dup "
+            "pair table, so jaccard_threshold is ignored -- build the "
+            "pair table at the threshold you want instead of passing both"
+        )
     r = {**DEFAULT_RULES, **(rules or {})}
     unknown = set(r) - set(DEFAULT_RULES)
     if unknown:
@@ -185,11 +196,17 @@ def curation_report(
     audit's two split lookups are three consumers, and without the
     barrier each would replay the whole curation plan -- two corpus
     text scans per consumer.  The table is one narrow row per document,
-    so the checkpoint is small at any scale.
+    so the checkpoint is small at any scale.  The checkpoint is LAZY
+    (r13, ``eager=False``): constructing the report is free, the full
+    curation plan executes on the report's FIRST action, and the
+    materialized blocks then serve the remaining consumers.  Blocks are
+    pinned for the session (localCheckpoint semantics), so callers
+    building many reports should reuse one report DataFrame rather than
+    re-calling per consumer.
     """
     if pairs is None:
         return _curation_counts(curated)
-    curated = curated.localCheckpoint(eager=True)
+    curated = curated.localCheckpoint(eager=False)
     base = _curation_counts(curated)
     leak = (
         sampling.split_leakage_report(

@@ -167,6 +167,11 @@ def dense_topk(
                 "cent_id",
                 F.round(cosine("q_emb", "cent_emb"), 6).alias("cent_sim"),
             )
+            # NULL probe sims filtered BEFORE the rank election (r13):
+            # a directionless (NULL-element / zero-norm) centroid must
+            # never be probed via engine NULL-ordering defaults -- the
+            # assign_to_centroids guard applied to the query side
+            .filter(F.col("cent_sim").isNotNull())
             .withColumn("crank", F.row_number().over(pw))
             .filter(F.col("crank") <= n_probe)
             .select("query", "__seed", "q_emb", "cent_id")

@@ -1441,14 +1441,18 @@ _TF_CTE = f"""
       ),
       hprobes AS (
         SELECT query, seed, q_emb, cent_id FROM (
-          SELECT hq.query, hq.seed, hq.q_emb, c.cent_id,
-                 row_number() OVER (PARTITION BY hq.query
-                   ORDER BY round(list_dot_product(hq.q_emb, c.cent_emb)
+          SELECT query, seed, q_emb, cent_id,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY psim DESC, cent_id ASC) AS prank
+          FROM (
+            SELECT hq.query, hq.seed, hq.q_emb, c.cent_id,
+                   round(list_dot_product(hq.q_emb, c.cent_emb)
                          / nullif(sqrt(list_dot_product(hq.q_emb, hq.q_emb))
                                   * sqrt(list_dot_product(c.cent_emb,
                                                           c.cent_emb)), 0),
-                         6) DESC, c.cent_id ASC) AS prank
-          FROM hq CROSS JOIN hcents c
+                         6) AS psim
+            FROM hq CROSS JOIN hcents c
+          ) WHERE psim IS NOT NULL
         ) WHERE prank <= 3
       ),
       hivf AS (

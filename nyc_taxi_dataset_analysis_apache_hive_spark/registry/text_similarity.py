@@ -526,18 +526,22 @@ _K3_COS_VC = (
            ab.cosine AS cosine,
            coalesce(ab.cosine < 0.35, TRUE) AS keep
     FROM embeddings raw LEFT JOIN (
+      -- NULL cosines filtered BEFORE the rank election (r13): the
+      -- operator drops directionless candidates before min_by, so the
+      -- oracle must not elect one via NULLS-LAST ordering defaults
       SELECT vec_id, match_id, cosine FROM (
-        SELECT b.vec_id, h.vec_id AS match_id,
-               round(list_dot_product(eb.emb_n, eh.emb_n), 6) AS cosine,
-               row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY round(list_dot_product(eb.emb_n, eh.emb_n), 6)
-                            DESC,
-                          h.vec_id ASC) AS arank
-        FROM assigned b
-        JOIN assigned h ON b.cent_id = h.cent_id
-        JOIN e eb ON eb.vec_id = b.vec_id
-        JOIN e eh ON eh.vec_id = h.vec_id
-        WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+        SELECT vec_id, match_id, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, match_id ASC) AS arank
+        FROM (
+          SELECT b.vec_id, h.vec_id AS match_id,
+                 round(list_dot_product(eb.emb_n, eh.emb_n), 6) AS cosine
+          FROM assigned b
+          JOIN assigned h ON b.cent_id = h.cent_id
+          JOIN e eb ON eb.vec_id = b.vec_id
+          JOIN e eh ON eh.vec_id = h.vec_id
+          WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+        ) WHERE cosine IS NOT NULL
       ) WHERE arank = 1
     ) ab ON raw.vec_id = ab.vec_id
     WHERE raw.vec_id % 2 = 1

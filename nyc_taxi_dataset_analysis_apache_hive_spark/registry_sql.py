@@ -525,12 +525,15 @@ def _tv1_hybrid_leg() -> str:
           ),
           hprobes AS (
             SELECT query, seed, q_emb, cent_id FROM (
-              SELECT hq.query, hq.seed, hq.q_emb, c.cent_id,
-                     row_number() OVER (PARTITION BY hq.query
-                       ORDER BY round({_sql_cosine("hq.q_emb", "c.cent_emb")},
-                                      6) DESC,
-                                c.cent_id ASC) AS prank
-              FROM hq CROSS JOIN hcents c
+              SELECT query, seed, q_emb, cent_id,
+                     row_number() OVER (PARTITION BY query
+                       ORDER BY psim DESC, cent_id ASC) AS prank
+              FROM (
+                SELECT hq.query, hq.seed, hq.q_emb, c.cent_id,
+                       round({_sql_cosine("hq.q_emb", "c.cent_emb")},
+                             6) AS psim
+                FROM hq CROSS JOIN hcents c
+              ) WHERE psim IS NOT NULL
             ) WHERE prank <= 3
           ),
           hivf AS (
@@ -2508,21 +2511,25 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
     )
     # stage 4 (r12): incremental admission -- batch (odd vec_ids)
     # near-dup-tested within-cell against the history state (even
-    # vec_ids), best match by (cosine DESC, history id ASC)
+    # vec_ids), best match by (cosine DESC, history id ASC).  NULL
+    # cosines are filtered BEFORE the rank election (r13, the operator's
+    # semantic_admit_batch guard): a NULL-element/ragged candidate must
+    # never be elected via NULLS-LAST ordering defaults.
     spark.sql(
         f"""CREATE OR REPLACE TEMP VIEW __k3sql_admit AS
             SELECT vec_id, match_id, cosine FROM (
-              SELECT b.vec_id, h.vec_id AS match_id,
-                     round({_sql_dot("eb.emb_n", "eh.emb_n")}, 6) AS cosine,
-                     row_number() OVER (PARTITION BY b.vec_id
-                       ORDER BY round({_sql_dot("eb.emb_n", "eh.emb_n")}, 6)
-                                  DESC,
-                                h.vec_id ASC) AS arank
-              FROM __k3sql_assigned b
-              JOIN __k3sql_assigned h ON b.cent_id = h.cent_id
-              JOIN __k3sql_e eb ON eb.vec_id = b.vec_id
-              JOIN __k3sql_e eh ON eh.vec_id = h.vec_id
-              WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+              SELECT vec_id, match_id, cosine,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, match_id ASC) AS arank
+              FROM (
+                SELECT b.vec_id, h.vec_id AS match_id,
+                       round({_sql_dot("eb.emb_n", "eh.emb_n")}, 6) AS cosine
+                FROM __k3sql_assigned b
+                JOIN __k3sql_assigned h ON b.cent_id = h.cent_id
+                JOIN __k3sql_e eb ON eb.vec_id = b.vec_id
+                JOIN __k3sql_e eh ON eh.vec_id = h.vec_id
+                WHERE b.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+              ) WHERE cosine IS NOT NULL
             ) WHERE arank = 1"""
     )
     # stage 5: keep-list election + the tagged union (the entry's shape)

@@ -99,6 +99,18 @@ def test_curate_rules_overridable_and_validated(spark, sf0001_dir):
         pipeline.curate_corpus(docs, rules={"max_pii": 0})  # typo must raise
 
 
+def test_curate_pairs_with_threshold_raises(spark, sf0001_dir):
+    """pairs= DEFINES the dedup semantics, so pairing it with a
+    non-default jaccard_threshold must raise instead of silently
+    ignoring the threshold (r13 ADVICE closure)."""
+    docs = load_table(spark, sf0001_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    with pytest.raises(ValueError, match="pairs="):
+        pipeline.curate_corpus(docs, pairs=pairs, jaccard_threshold=0.9)
+    # default threshold with pairs= stays fine (the pl1 entry's shape)
+    pipeline.curate_corpus(docs, pairs=pairs, jaccard_threshold=0.5)
+
+
 def test_curation_report_leakage_fold(spark, sf0001_dir):
     """pairs= folds the cross-split audit into the funnel row, its
     numbers must equal an independent recompute from the same pair
