@@ -1468,6 +1468,32 @@ _TF_CTE = f"""
           JOIN hnorm n ON n.vec_id = a.vec_id
           WHERE a.vec_id <> p.seed
         )
+      ),
+      -- the deployment-path fusion (r13): probed dense + lexical.  Same
+      -- RRF arithmetic as hfused, the dense side swapped for the
+      -- IVF-probed ranks -- the composition a billion-vector corpus
+      -- actually serves (brute dense is the small-corpus oracle path)
+      hivf_k AS (
+        SELECT query, doc_id, rank FROM hivf
+        WHERE rank <= {retrieval.HYBRID_K}
+      ),
+      hlegs_ivf AS (
+        SELECT query, doc_id, rank FROM hlex_k
+        UNION ALL
+        SELECT query, doc_id, rank FROM hivf_k
+      ),
+      hfused_ivf AS (
+        SELECT query, doc_id, sum_micro,
+               CAST(row_number() OVER (
+                 PARTITION BY query
+                 ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM (
+          SELECT query, doc_id,
+                 sum(CAST(floor({_RRF_MICRO_F!r}
+                                / ({_RRF_K_F!r} + rank)) AS BIGINT))
+                   AS sum_micro
+          FROM hlegs_ivf GROUP BY query, doc_id
+        )
       )
       SELECT 'dense' AS op, doc_id, query AS token, rank AS n,
              CAST(NULL AS BIGINT) AS m, cosine AS score
@@ -1481,6 +1507,11 @@ _TF_CTE = f"""
              CAST(NULL AS BIGINT) AS m,
              CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_F!r} AS score
       FROM hfused WHERE rank <= {retrieval.HYBRID_K}
+      UNION ALL
+      SELECT 'hybrid_ivf' AS op, doc_id, query AS token, rank AS n,
+             CAST(NULL AS BIGINT) AS m,
+             CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_F!r} AS score
+      FROM hfused_ivf WHERE rank <= {retrieval.HYBRID_K}
     )
     """,
 )
@@ -1533,7 +1564,8 @@ def tv1_text_stats(spark, sf):
     the term, per-(query, doc) BIGINT micro sums, rank on the RAW micro
     sum with a doc_id tie-break (WindowGroupLimit plan-tested: map
     tasks pre-prune to local top-k per query before the shuffle).
-    ``dense`` / ``dense_ivf`` / ``hybrid`` (r12) = hybrid lexical+dense
+    ``dense`` / ``dense_ivf`` / ``hybrid`` / ``hybrid_ivf`` (r12-r13) =
+    hybrid lexical+dense
     retrieval (operators/retrieval.py): ``dense`` is the cosine top-10
     for each named seed vector of HYBRID_QUERY_VECS (seed excluded from
     its own ranking; NULL/zero-norm seeds dropped), ``dense_ivf`` the
@@ -1542,9 +1574,11 @@ def tv1_text_stats(spark, sf):
     only, cosines exact on scored candidates), ``hybrid`` the RRF
     fusion (similarity.rrf_fuse, BIGINT micro-unit contract) of the
     checkpointed bm25_topk rank table -- ONE table feeding both its
-    output rows and the fusion -- with the checkpointed dense ranks;
-    the fused rank is oracled on the raw micro sums in both SQL
-    surfaces."""
+    output rows and the fusion -- with the checkpointed dense ranks,
+    and ``hybrid_ivf`` (r13) the SAME fusion over the checkpointed
+    IVF-probed dense ranks instead -- the deployment-path pair a
+    billion-vector corpus actually serves; every fused rank is oracled
+    on the raw micro sums in both SQL surfaces."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     tfidf = textops.tfidf_top_terms(docs, k=3).select(
@@ -1675,8 +1709,13 @@ def tv1_text_stats(spark, sf):
         F.col("cosine").alias("score"),
     )
     # the billion-vector scale path, fully oracled too: probe-bounded
-    # candidates, exact cosines on whatever it scores
-    dense_ivf = retrieval.dense_topk(emb, method="ivf").select(
+    # candidates, exact cosines on whatever it scores.  Materialized
+    # (r13) because the IVF rank table now feeds its own output rows
+    # AND the hybrid_ivf fusion -- the dense_tbl discipline
+    dense_ivf_tbl = retrieval.dense_topk(
+        emb, method="ivf"
+    ).localCheckpoint(eager=True)
+    dense_ivf = dense_ivf_tbl.select(
         F.lit("dense_ivf").alias("op"),
         "doc_id",
         F.col("query").alias("token"),
@@ -1686,6 +1725,21 @@ def tv1_text_stats(spark, sf):
     )
     hybrid = retrieval.hybrid_topk(lexical=topk_tbl, dense=dense_tbl).select(
         F.lit("hybrid").alias("op"),
+        "doc_id",
+        F.col("query").alias("token"),
+        F.col("rank").alias("n"),
+        nulll.alias("m"),
+        F.col("rrf_score").alias("score"),
+    )
+    # the deployment-path fusion (r13): probed dense + lexical ranks
+    # through the SAME rrf arithmetic -- at billion-vector scale this
+    # pair (bm25_topk + dense_topk(method='ivf')) is what actually
+    # serves; both rank tables above are checkpointed, so the fusion
+    # touches only 30-row inputs
+    hybrid_ivf = retrieval.hybrid_topk(
+        lexical=topk_tbl, dense=dense_ivf_tbl
+    ).select(
+        F.lit("hybrid_ivf").alias("op"),
         "doc_id",
         F.col("query").alias("token"),
         F.col("rank").alias("n"),
@@ -1704,6 +1758,7 @@ def tv1_text_stats(spark, sf):
         .unionByName(dense)
         .unionByName(dense_ivf)
         .unionByName(hybrid)
+        .unionByName(hybrid_ivf)
     )
 
 

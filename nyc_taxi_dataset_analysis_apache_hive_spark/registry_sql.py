@@ -551,6 +551,28 @@ def _tv1_hybrid_leg() -> str:
               JOIN hnorm n ON n.vec_id = a.vec_id
               WHERE a.vec_id != p.seed
             )
+          ),
+          -- the deployment-path fusion (r13): probed dense + lexical
+          hivf_k AS (
+            SELECT query, doc_id, rank FROM hivf WHERE rank <= {HYBRID_K}
+          ),
+          hlegs_ivf AS (
+            SELECT query, doc_id, rank FROM hlex_k
+            UNION ALL
+            SELECT query, doc_id, rank FROM hivf_k
+          ),
+          hfused_ivf AS (
+            SELECT query, doc_id, sum_micro,
+                   CAST(row_number() OVER (
+                     PARTITION BY query
+                     ORDER BY sum_micro DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM (
+              SELECT query, doc_id,
+                     sum(CAST(floor({_RRF_MICRO_SQL}
+                                    / ({_RRF_K_SQL} + rank)) AS BIGINT))
+                       AS sum_micro
+              FROM hlegs_ivf GROUP BY query, doc_id
+            )
           )
           SELECT 'dense' AS op, doc_id, query AS token, rank AS n,
                  CAST(NULL AS BIGINT) AS m, cosine AS score
@@ -559,6 +581,11 @@ def _tv1_hybrid_leg() -> str:
           SELECT 'dense_ivf' AS op, doc_id, query AS token, rank AS n,
                  CAST(NULL AS BIGINT) AS m, cosine AS score
           FROM hivf WHERE rank <= {HYBRID_K}
+          UNION ALL
+          SELECT 'hybrid_ivf' AS op, doc_id, query AS token, rank AS n,
+                 CAST(NULL AS BIGINT) AS m,
+                 CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_SQL} AS score
+          FROM hfused_ivf WHERE rank <= {HYBRID_K}
           UNION ALL
           SELECT 'hybrid' AS op, doc_id, query AS token, rank AS n,
                  CAST(NULL AS BIGINT) AS m,
