@@ -265,13 +265,25 @@ def dsir_admission_batch(
 # ---------------------------------------------------------------------------
 
 
+#: ceiling on the centroid-index size the streaming form accepts: the
+#: index is folded into a LITERAL array evaluated per row, so both the
+#: plan size and the per-row assignment cost are O(n_centroids) by
+#: construction -- the design regime is a compact index (tens to low
+#: hundreds of cells), not a trained 64k-cell IVF index.  Past this,
+#: use the batch operator (broadcast-join assignment) per micro-batch
+#: or a coarse-to-fine two-level index.
+STREAM_MAX_CENTROIDS = 256
+
+
 def _centroid_literal(centroids: DataFrame):
     """array<struct<cent_id, cent_emb>> literal from the tiny centroid
     table, ascending cent_id (n_centroids driver rows -- the same class
     of driver collect as compact_plan's literal map).  Centroids with a
     NULL embedding are dropped here: they have no direction, so they can
     never win the max-cosine assignment (their cosine is NULL in the
-    batch operator too)."""
+    batch operator too).  Raises past :data:`STREAM_MAX_CENTROIDS`:
+    the literal plan and the per-row fold are both linear in the index
+    size, so a large trained index must not ride this code path."""
     rows = sorted(
         (
             r
@@ -287,6 +299,13 @@ def _centroid_literal(centroids: DataFrame):
     if not rows:
         raise ValueError(
             "semantic admission needs at least one non-NULL centroid"
+        )
+    if len(rows) > STREAM_MAX_CENTROIDS:
+        raise ValueError(
+            f"semantic_admission_stream folds the centroid index into a "
+            f"per-row literal; {len(rows)} centroids exceed the "
+            f"{STREAM_MAX_CENTROIDS}-cell design regime -- use the batch "
+            f"operator's broadcast-join assignment for large indexes"
         )
     return F.array(
         *[
@@ -426,6 +445,12 @@ def semantic_admission_stream(
     state), where ``semantic_admit_batch`` mirrors the batch multiset.
     Verdict VALUES agree; only row multiplicity differs for duplicated
     ids (pytest-pinned).
+
+    Index-size regime: the literal-array assignment is designed for a
+    COMPACT index and raises past :data:`STREAM_MAX_CENTROIDS` cells
+    (plan size and per-row cost are both O(n_centroids)); a large
+    trained IVF index belongs on the batch operator's broadcast-join
+    path, not here.
     """
     cent_arr = _centroid_literal(centroids)
     assigned = _assigned_rows(vecs, cent_arr, vec_col, ts_col)

@@ -375,3 +375,120 @@ def test_readmitted_id_does_not_duplicate_state(spark, cents, history):
     rows = [r for r in res2.state.collect() if r["vec_id"] == 60]
     assert len(rows) == 1
     assert rows[0]["cent_id"] == 100  # the ORIGINAL admission's cell
+
+
+def test_persisted_state_lifecycle_roundtrip(spark, cents, history, tmp_path):
+    """The state table written to parquet and re-read FROM FILES must
+    drive the next batch's verdicts identically to the in-memory chain
+    (the serve-layout lifecycle discipline): batch 1 admits new vectors,
+    its state is persisted, and batch 2 -- containing a near-dup of a
+    batch-1 ADMISSION -- must reject it based on what the files say."""
+    b1 = _emb(spark, [(20, [1.0, 0.12]), (21, [1.0, -1.0])])
+    b2 = _emb(spark, [(30, [1.0, -0.98]), (31, [0.3, 1.0])])
+    r1 = similarity.semantic_admit_batch(
+        history, b1, threshold=0.9, centroids=cents
+    )
+    mem = similarity.semantic_admit_batch(
+        None, b2, threshold=0.9, centroids=cents, history_state=r1.state
+    )
+    want = {
+        (r["vec_id"], r["admitted"], r["match_id"], r["cosine"])
+        for r in mem.report.collect()
+    }
+    path = str(tmp_path / "admit_state")
+    r1.state.write.parquet(path)
+    filed = similarity.semantic_admit_batch(
+        None,
+        b2,
+        threshold=0.9,
+        centroids=cents,
+        history_state=spark.read.parquet(path),
+    )
+    got = {
+        (r["vec_id"], r["admitted"], r["match_id"], r["cosine"])
+        for r in filed.report.collect()
+    }
+    assert got == want and want
+    # 30 near-dups batch-1's ADMITTED 21 -- only state that flowed
+    # through the parquet round-trip can know that
+    verdicts = {r["vec_id"]: r for r in filed.report.collect()}
+    assert verdicts[30]["admitted"] is False and verdicts[30]["match_id"] == 21
+    # the updated state is identical through either path
+    assert sorted(
+        (r["vec_id"], r["cent_id"]) for r in filed.state.collect()
+    ) == sorted((r["vec_id"], r["cent_id"]) for r in mem.state.collect())
+
+
+@pytest.mark.scale
+def test_persisted_state_lifecycle_at_sf01(spark, tmp_path):
+    """Opt-in nightly (the sf0.1 sweep discipline): the full admission
+    state lifecycle at the bench decade -- admit a quarter-corpus batch
+    against a quarter-corpus history, persist the state to parquet,
+    admit a second batch FROM THE FILES, and require verdict-for-verdict
+    equality with the one-shot in-memory chain."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = similarity.default_centroids(emb)
+    hist = emb.filter(F.col("vec_id") % 4 == 0)
+    b1 = emb.filter(F.col("vec_id") % 4 == 1)
+    b2 = emb.filter(F.col("vec_id") % 4 == 2)
+    r1 = similarity.semantic_admit_batch(
+        hist, b1, threshold=0.35, centroids=cents
+    )
+    mem = similarity.semantic_admit_batch(
+        None, b2, threshold=0.35, centroids=cents, history_state=r1.state
+    )
+    want = {
+        (r["vec_id"], r["admitted"], r["match_id"], r["cosine"])
+        for r in mem.report.collect()
+    }
+    path = str(tmp_path / "admit_state01")
+    r1.state.write.parquet(path)
+    filed = similarity.semantic_admit_batch(
+        None,
+        b2,
+        threshold=0.35,
+        centroids=cents,
+        history_state=spark.read.parquet(path),
+    )
+    got = {
+        (r["vec_id"], r["admitted"], r["match_id"], r["cosine"])
+        for r in filed.report.collect()
+    }
+    assert got == want and len(want) == b2.count()
+
+
+def test_all_hot_cell_admission_exact_and_equijoin(spark):
+    """Adversarial cell skew (r13): EVERY vector -- 80 history + 40
+    batch -- lands in one centroid cell.  Verdicts must still equal the
+    pure-Python reference exactly, and the within-cell scoring must
+    stay an equi-join on the cell key (the shape AQE's skew split can
+    act on at scale), never a cartesian."""
+    # integer vectors hugging [3, 1, 0]: all assign to centroid 100;
+    # centroids 101/102 point away and capture nothing
+    cents = [(100, [3, 1, 0]), (101, [-3, 0, 1]), (102, [0, -3, -1])]
+    history = [(10 + i, [3, 1, (i % 3) - 1]) for i in range(80)]
+    batch = [(500 + i, [3, 1, (i % 5) - 2]) for i in range(40)]
+    cents_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in cents],
+        "cent_id long, cent_emb array<double>",
+    )
+    res = similarity.semantic_admit_batch(
+        _emb(spark, history),
+        _emb(spark, batch),
+        threshold=0.9,
+        centroids=cents_df,
+    )
+    rows = res.report.collect()
+    got = {
+        r["vec_id"]: (r["cent_id"], r["match_id"], r["cosine"], r["admitted"])
+        for r in rows
+    }
+    assert got == _ref_admit(history, batch, cents, 0.9)
+    # the hot cell is real: every verdict came from cell 100
+    assert {r["cent_id"] for r in rows} == {100}
+    # plan shape: cell-keyed equi-join, no cartesian fallback
+    plan = res.report._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "cent_id" in plan

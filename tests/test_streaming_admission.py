@@ -217,3 +217,24 @@ def test_duplicate_arrivals_collapse_to_one_verdict(spark, emb_split):
         None, dup, centroids=cents, history_state=state
     ).report.collect()
     assert len(op) == 2
+
+
+def test_centroid_literal_rejects_oversized_index(spark):
+    """The literal-array assignment is O(n_centroids) in both plan size
+    and per-row cost; past STREAM_MAX_CENTROIDS the operator must refuse
+    loudly instead of building a pathological plan (r13)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming.curation import (
+        STREAM_MAX_CENTROIDS,
+        _centroid_literal,
+    )
+
+    big = spark.createDataFrame(
+        [
+            Row(cent_id=i, cent_emb=[float(i), 1.0])
+            for i in range(STREAM_MAX_CENTROIDS + 1)
+        ]
+    )
+    with pytest.raises(ValueError, match="design regime"):
+        _centroid_literal(big)
+    # exactly at the ceiling still builds
+    _centroid_literal(big.filter(f"cent_id < {STREAM_MAX_CENTROIDS}"))
