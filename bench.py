@@ -28,6 +28,12 @@ curve -- is written to BENCH_DETAIL.json next to this script:
   100-TB story.  Plan-shape tests pin the ASYMPTOTICS (no cartesians, no
   all-pairs); this measures the CONSTANTS actually scaling ~linearly
   across 100x of data (tests/test_scale_curve.py gates the growth bound).
+* ``first_exec`` -- the one-off first-execution timings of the
+  checkpoint-heavy sweep entries (CHECKPOINT_HEAVY): their cold pass is
+  dominated by shared-checkpoint materialization, so the sweep reports
+  their WARM re-run and the cold number lands here, never against a
+  band (the r12 pl1 phantom-regression lesson).  Headline entries carry
+  the analogous ``first`` field in ``run_stats``.
 
 Each query is timed end-to-end (plan + execute + collect).
 """
@@ -71,6 +77,19 @@ HEADLINE = [
 #: expensive sf is measured last, after the JVM is thoroughly warm)
 CURVE_SFS = ["0.001", "0.01", "0.1"]
 
+#: sweep entries whose FIRST execution materializes shared checkpoints
+#: (pair tables, curated-table barriers, rank tables, assignment
+#: tables): their cold number is dominated by one-off materialization
+#: and must not be compared against warm bands (the r12 pl1-at-8.48
+#: phantom).  These are timed twice in the sweep -- the first pass is
+#: recorded separately under ``first_exec`` and the SWEEP carries the
+#: warm re-run, so BASELINE.md bands state the steady-state cost.
+CHECKPOINT_HEAVY = [
+    "pl1_curation_funnel",
+    "tv1_text_stats",
+    "k3_embedding_near_pairs",
+]
+
 
 def time_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
@@ -94,7 +113,14 @@ def median_of_runs(
         med[name] = vals[len(vals) // 2] if len(vals) % 2 else round(
             (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2, 3
         )
-        stats[name] = {"min": vals[0], "med": med[name], "max": vals[-1]}
+        stats[name] = {
+            "min": vals[0],
+            "med": med[name],
+            "max": vals[-1],
+            # first = pass-1 timing: checkpoint/codegen materialization
+            # lands here, the median excludes it by construction
+            "first": passes[0][name],
+        }
     return med, stats
 
 
@@ -116,9 +142,17 @@ def main() -> None:
     # round-over-round comparable block
     timings, run_stats = median_of_runs(spark, HEADLINE, sf_dir, n_runs)
 
-    # 2) the remaining registry entries -> full sweep (headline reused)
+    # 2) the remaining registry entries -> full sweep (headline reused).
+    # Checkpoint-heavy entries report their WARM cost in the sweep and
+    # the one-off materialization pass separately (see CHECKPOINT_HEAVY)
     rest = [n for n in registry.QUERIES if n not in timings]
     sweep = {**timings, **time_queries(spark, rest, sf_dir)}
+    first_exec: dict[str, float] = {}
+    for name in CHECKPOINT_HEAVY:
+        if name in timings:
+            continue  # headline medians already exclude the first pass
+        first_exec[name] = sweep[name]
+        sweep[name] = time_queries(spark, [name], sf_dir)[name]
 
     # 3) sec-vs-sf curve for the headline set across available decades
     scale_curve: dict[str, dict[str, float]] = {}
@@ -140,6 +174,7 @@ def main() -> None:
         "run_stats": run_stats,
         "runs": n_runs,
         "sweep": sweep,
+        "first_exec": first_exec,
         "scale_curve": scale_curve,
         "sf": sf,
     }
