@@ -118,7 +118,10 @@ def median_of_runs(
             "med": med[name],
             "max": vals[-1],
             # first = pass-1 timing: checkpoint/codegen materialization
-            # lands here, the median excludes it by construction
+            # lands here; an odd n_runs >= 3 median excludes it by
+            # construction (n_runs < 3 is the quick-look mode -- its
+            # "median" still tastes the cold pass and must not be
+            # compared against bands)
             "first": passes[0][name],
         }
     return med, stats
@@ -149,8 +152,11 @@ def main() -> None:
     sweep = {**timings, **time_queries(spark, rest, sf_dir)}
     first_exec: dict[str, float] = {}
     for name in CHECKPOINT_HEAVY:
-        if name in timings:
-            continue  # headline medians already exclude the first pass
+        if name in timings and n_runs >= 3:
+            # an odd >=3-run headline median already excludes pass 1;
+            # under the quick-look mode (n_runs < 3) the "median" still
+            # tastes the cold pass, so re-run warm for the sweep
+            continue
         first_exec[name] = sweep[name]
         sweep[name] = time_queries(spark, [name], sf_dir)[name]
 

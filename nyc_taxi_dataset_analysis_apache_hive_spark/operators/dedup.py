@@ -825,6 +825,7 @@ def partitioned_components(
     part_col: str = "cell",
     a_col: str = "id_a",
     b_col: str = "id_b",
+    max_group_edges: int = 50_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for a pair graph whose every edge is CONFINED
     to one partition key -- same label contract as
@@ -851,10 +852,26 @@ def partitioned_components(
     cluster chains cross buckets) must keep using
     :func:`connected_components`; this operator trusts the caller's
     confinement guarantee and never checks it.
+
+    Because one group = one task by construction (a grouped map cannot
+    be AQE-skew-split), a pathologically hot partition would
+    concentrate its whole edge list in one Python worker.  That failure
+    is made LOUD, not an OOM: a group larger than ``max_group_edges``
+    raises with the instruction to re-shard the index (more centroids)
+    or fall back to :func:`connected_components`.  The default bound
+    (~50M edges, a few GB of pandas) is far above any sane cell.
     """
     import pandas as pd
 
     def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_edges:
+            raise ValueError(
+                f"partitioned_components: partition "
+                f"{pdf[part_col].iloc[0]!r} holds {len(pdf)} edges "
+                f"(> max_group_edges={max_group_edges}); the confining "
+                f"key is too hot for a single-task group -- re-shard "
+                f"the index (more cells) or use connected_components"
+            )
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

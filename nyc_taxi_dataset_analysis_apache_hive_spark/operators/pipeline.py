@@ -47,7 +47,7 @@ DEFAULT_RULES: dict[str, float] = {
 def curate_corpus(
     docs: DataFrame,
     rules: dict[str, float] | None = None,
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float | None = None,
     split_weights: tuple[float, ...] = (0.98, 0.01, 0.01),
     pairs: DataFrame | None = None,
 ) -> DataFrame:
@@ -72,17 +72,21 @@ def curate_corpus(
     result feeding both this funnel and :func:`curation_report`'s
     leakage audit -- and the LSH stage is skipped.  Because the pair
     table then DEFINES the dedup semantics, passing ``pairs=`` together
-    with a non-default ``jaccard_threshold`` raises: the threshold
-    would be silently ignored, and a caller who set both almost
-    certainly built the pair table at a different threshold than the
-    one they are now asking for.
+    with ANY explicit ``jaccard_threshold`` raises (None sentinel, so
+    even an explicit 0.5 is caught): the threshold would be silently
+    ignored, and a caller who set both almost certainly built the pair
+    table at a different threshold than the one they are now asking
+    for.  ``jaccard_threshold`` defaults to 0.5 when the LSH stage
+    runs here.
     """
-    if pairs is not None and jaccard_threshold != 0.5:
+    if pairs is not None and jaccard_threshold is not None:
         raise ValueError(
             "curate_corpus: pairs= supplies the precomputed near-dup "
             "pair table, so jaccard_threshold is ignored -- build the "
             "pair table at the threshold you want instead of passing both"
         )
+    if jaccard_threshold is None:
+        jaccard_threshold = 0.5
     r = {**DEFAULT_RULES, **(rules or {})}
     unknown = set(r) - set(DEFAULT_RULES)
     if unknown:

@@ -354,9 +354,14 @@ def kmeans_train(
     combine, one row per vector on the wire -- replacing the previous
     row_number window's full sort-shuffle of all n_centroids x N
     candidate rows (the assign_to_centroids argument); NULL sims are
-    filtered before the argmax (the r12 NULL-election guard -- a NULL
-    or zero-norm vector contributes to no mean either way, so training
-    output is unchanged).  The similarity is the DOT of pre-normalized
+    filtered before the argmax (the r12 NULL-election guard).  This IS
+    a deliberate behavior change for degenerate training vectors: the
+    old row_number election (DESC = NULLS LAST) still assigned an
+    all-NULL-sim vector to the lowest cent_id, so a ZERO-NORM vector's
+    raw zeros entered that cluster's mean denominator and dragged it
+    toward the origin; now a directionless vector trains nothing --
+    the normalized_with_bucket drop policy applied to training.  The
+    similarity is the DOT of pre-normalized
     sides -- vectors normalized ONCE into the persisted training table,
     centroids once per iteration (16 rows) -- instead of a full cosine
     per candidate pair: cosine ranking is exactly dot ranking on unit
@@ -383,13 +388,16 @@ def kmeans_train(
         )
         .persist()
     )
-    # init is lazy: 16 rows, folded into iteration 1's checkpoint job
+    # init is lazy: 16 rows, folded into iteration 1's checkpoint job.
+    # v rides the sort keys so a duplicated training id with two
+    # payloads seeds ONE deterministic init (the same duplicate-id
+    # discipline as the assignment election below)
     cents = (
-        emb.orderBy("vid")
+        emb.orderBy("vid", "v")
         .limit(n_centroids)
         .select(
             F.row_number()
-            .over(Window.orderBy("vid"))
+            .over(Window.orderBy("vid", "v"))
             .cast("long")
             .alias("cent_id"),
             F.col("v").alias("cent_emb"),
@@ -674,7 +682,7 @@ def semantic_near_pairs(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    threshold: float = 0.9,
+    threshold: float | None = None,
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
     centroid_offset: int = 100,
@@ -696,7 +704,11 @@ def semantic_dedup(
     min-label loop); (4) keep-list election: the min vec_id per component
     survives.  ``assigned=`` short-circuits stage 1 and ``components=``
     short-circuits stages 2-3 (compute-once hooks; see the inline
-    comments for each).
+    comments for each).  ``threshold`` defaults to 0.9 and is a
+    stage-2 parameter, ``checkpoint_dir`` a stage-3 one: passing either
+    together with ``components=`` raises -- the label table DEFINES the
+    pair semantics, so a stated threshold would be silently ignored
+    (the curate_corpus ``pairs=`` guard, applied here).
 
     Returns (vec_id, sem_cluster, keep) for EVERY input vector; vectors
     in no near-pair are their own singleton cluster and keep themselves.
@@ -715,6 +727,18 @@ def semantic_dedup(
     all-pairs.
     """
     from . import dedup as _dedup
+
+    if components is not None and (
+        threshold is not None or checkpoint_dir is not None
+    ):
+        raise ValueError(
+            "semantic_dedup: components= supplies the precomputed "
+            "cluster labels, so threshold/checkpoint_dir (stage-2/3 "
+            "parameters) are ignored -- build the label table at the "
+            "threshold you want instead of passing both"
+        )
+    if threshold is None:
+        threshold = 0.9
 
     emb = embeddings.select("vec_id", "embedding")
     cents = default_centroids(emb, centroid_offset, n_centroids, centroids)

@@ -571,11 +571,18 @@ def _k3_trained_cents_ctes() -> str:
       WHERE vec_id >= 100 AND vec_id < 116
     ),
     assigned AS (
+      -- NULL sims filtered BEFORE the rank election (r13): the
+      -- operator's assign_to_centroids drops directionless candidates
+      -- before max_by, so a vector with only NULL cosines gets NO cell
+      -- instead of an arbitrary NULLS-LAST one
       SELECT vec_id, cent_id FROM (
-        SELECT v.vec_id, c.cent_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_K3_COS_VC} DESC, c.cent_id ASC) AS crank
-        FROM e0 v CROSS JOIN cents c
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cent_id ASC) AS crank
+        FROM (
+          SELECT v.vec_id, c.cent_id, {_K3_COS_VC} AS sim
+          FROM e0 v CROSS JOIN cents c
+        ) WHERE sim IS NOT NULL
       ) WHERE crank = 1
     ),
     cell_pairs AS (
@@ -785,8 +792,11 @@ def k3_embedding_near_pairs(spark, sf):
         (F.col("doc_id") - off).alias("doc_id"),
         (F.col("cluster_id") - off).alias("cluster_id"),
     )
+    # no threshold= with components=: the labels were computed from the
+    # 0.35 pair graph above, and semantic_dedup raises on the redundant
+    # (silently-ignorable) parameter
     sem = similarity.semantic_dedup(
-        emb, threshold=0.35, assigned=assigned_full, components=comp_fixed
+        emb, assigned=assigned_full, components=comp_fixed
     ).select(
         F.lit("semdedup").alias("op"),
         F.col("vec_id").alias("id_a"),
@@ -815,7 +825,6 @@ def k3_embedding_near_pairs(spark, sf):
     )
     sem_tr = similarity.semantic_dedup(
         emb,
-        threshold=0.35,
         centroids=trained,
         assigned=assigned_tr,
         components=comp_tr,

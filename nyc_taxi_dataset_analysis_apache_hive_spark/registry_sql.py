@@ -2573,18 +2573,23 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
     )
     # semdedup stage 1: max-cosine assignment to the 16 corpus-slice
     # centroids (raw-vector cosine, ties to the lowest cent_id -- the
-    # operator's max_by ordering struct)
+    # operator's max_by ordering struct).  NULL sims filtered BEFORE
+    # the rank election (r13, the assign_to_centroids guard): a vector
+    # with only directionless candidates gets NO cell
     spark.sql(
         f"""CREATE OR REPLACE TEMP VIEW __k3sql_assigned AS
             SELECT vec_id, cent_id FROM (
-              SELECT v.vec_id, c.cent_id,
-                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                       round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
-                       c.cent_id ASC) AS crank
-              FROM __k3sql_e v CROSS JOIN (
-                SELECT vec_id AS cent_id, emb AS cent_emb FROM __k3sql_e
-                WHERE vec_id >= 100 AND vec_id < 116
-              ) c
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY
+                       sim DESC, cent_id ASC) AS crank
+              FROM (
+                SELECT v.vec_id, c.cent_id,
+                       round({_sql_cosine("v.emb", "c.cent_emb")}, 6) AS sim
+                FROM __k3sql_e v CROSS JOIN (
+                  SELECT vec_id AS cent_id, emb AS cent_emb FROM __k3sql_e
+                  WHERE vec_id >= 100 AND vec_id < 116
+                ) c
+              ) WHERE sim IS NOT NULL
             ) WHERE crank = 1"""
     )
     # stage 2: exact near pairs WITHIN a cell only (never all-pairs)

@@ -100,15 +100,19 @@ def test_curate_rules_overridable_and_validated(spark, sf0001_dir):
 
 
 def test_curate_pairs_with_threshold_raises(spark, sf0001_dir):
-    """pairs= DEFINES the dedup semantics, so pairing it with a
-    non-default jaccard_threshold must raise instead of silently
-    ignoring the threshold (r13 ADVICE closure)."""
+    """pairs= DEFINES the dedup semantics, so pairing it with ANY
+    explicit jaccard_threshold must raise instead of silently ignoring
+    the threshold (r13 ADVICE closure; None sentinel catches an
+    explicit 0.5 too)."""
     docs = load_table(spark, sf0001_dir, "documents").select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
     with pytest.raises(ValueError, match="pairs="):
         pipeline.curate_corpus(docs, pairs=pairs, jaccard_threshold=0.9)
-    # default threshold with pairs= stays fine (the pl1 entry's shape)
-    pipeline.curate_corpus(docs, pairs=pairs, jaccard_threshold=0.5)
+    with pytest.raises(ValueError, match="pairs="):
+        # even the numeric default: the sentinel catches explicit use
+        pipeline.curate_corpus(docs, pairs=pairs, jaccard_threshold=0.5)
+    # pairs= alone stays fine (the pl1 entry's shape)
+    pipeline.curate_corpus(docs, pairs=pairs)
 
 
 def test_curation_report_leakage_fold(spark, sf0001_dir):

@@ -240,3 +240,52 @@ def test_partitioned_components_long_chain_and_isolation(spark):
     assert all(lbl[i] == 100 for i in range(100, 161))
     assert lbl[500] == lbl[501] == lbl[502] == 500
     assert len(lbl) == 64
+
+
+def test_components_with_threshold_or_ckdir_raises(spark, sf001_dir):
+    """components= supplies precomputed labels, so stating a threshold
+    or checkpoint_dir alongside must raise instead of being silently
+    ignored (the curate_corpus pairs= guard, r13)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    emb = load_table(spark, sf001_dir, "embeddings")
+    assigned = similarity.assign_to_centroids(
+        emb, similarity.default_centroids(emb)
+    ).localCheckpoint(eager=True)
+    comp = dedup.partitioned_components(
+        similarity.semantic_near_pairs(assigned, threshold=0.35)
+    )
+    with pytest.raises(ValueError, match="components="):
+        similarity.semantic_dedup(
+            emb, threshold=0.35, assigned=assigned, components=comp
+        )
+    with pytest.raises(ValueError, match="components="):
+        similarity.semantic_dedup(
+            emb, assigned=assigned, components=comp, checkpoint_dir="/tmp/x"
+        )
+    # components= alone: equal to the self-computed pipeline
+    via_hook = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            emb, assigned=assigned, components=comp
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, threshold=0.35).collect()
+    }
+    assert via_hook == direct and direct
+
+
+def test_partitioned_components_hot_group_raises(spark):
+    """A partition hotter than max_group_edges must fail LOUDLY (one
+    group = one task; a silent OOM is the alternative)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, i, i + 1) for i in range(50)], "cell long, id_a long, id_b long"
+    )
+    with pytest.raises(Exception, match="max_group_edges"):
+        dedup.partitioned_components(pairs, max_group_edges=10).collect()
+    # under the bound: fine
+    assert dedup.partitioned_components(pairs, max_group_edges=50).count() == 51
