@@ -152,10 +152,14 @@ def main() -> None:
     sweep = {**timings, **time_queries(spark, rest, sf_dir)}
     first_exec: dict[str, float] = {}
     for name in CHECKPOINT_HEAVY:
-        if name in timings and n_runs >= 3:
-            # an odd >=3-run headline median already excludes pass 1;
-            # under the quick-look mode (n_runs < 3) the "median" still
-            # tastes the cold pass, so re-run warm for the sweep
+        if name in timings:
+            # headline path: run_stats already separates the true first
+            # pass from the median; under the quick-look mode
+            # (n_runs < 3) the "median" still tastes the cold pass, so
+            # give the sweep a warm re-run
+            first_exec[name] = run_stats[name]["first"]
+            if n_runs < 3:
+                sweep[name] = time_queries(spark, [name], sf_dir)[name]
             continue
         first_exec[name] = sweep[name]
         sweep[name] = time_queries(spark, [name], sf_dir)[name]

@@ -389,11 +389,15 @@ def kmeans_train(
         .persist()
     )
     # init is lazy: 16 rows, folded into iteration 1's checkpoint job.
+    # NULL vectors are excluded from the init POOL (a NULL centroid is
+    # a dead slot that can never train -- and the SQL replays agree on
+    # the non-NULL pool, where engine NULL-ordering defaults diverge);
     # v rides the sort keys so a duplicated training id with two
     # payloads seeds ONE deterministic init (the same duplicate-id
     # discipline as the assignment election below)
     cents = (
-        emb.orderBy("vid", "v")
+        emb.filter(F.col("v").isNotNull())
+        .orderBy("vid", "v")
         .limit(n_centroids)
         .select(
             F.row_number()
@@ -704,10 +708,12 @@ def semantic_dedup(
     min-label loop); (4) keep-list election: the min vec_id per component
     survives.  ``assigned=`` short-circuits stage 1 and ``components=``
     short-circuits stages 2-3 (compute-once hooks; see the inline
-    comments for each).  ``threshold`` defaults to 0.9 and is a
-    stage-2 parameter, ``checkpoint_dir`` a stage-3 one: passing either
-    together with ``components=`` raises -- the label table DEFINES the
-    pair semantics, so a stated threshold would be silently ignored
+    comments for each).  ``threshold`` defaults to 0.9.  With
+    ``components=`` the label table DEFINES the dedup semantics and
+    the output needs nothing but it, so passing ANY other
+    configuration parameter (``centroids``/``assigned``/``threshold``/
+    ``checkpoint_dir``) alongside raises -- it would be silently
+    ignored while implying the labels came from that configuration
     (the curate_corpus ``pairs=`` guard, applied here).
 
     Returns (vec_id, sem_cluster, keep) for EVERY input vector; vectors
@@ -729,13 +735,17 @@ def semantic_dedup(
     from . import dedup as _dedup
 
     if components is not None and (
-        threshold is not None or checkpoint_dir is not None
+        threshold is not None
+        or checkpoint_dir is not None
+        or assigned is not None
+        or centroids is not None
     ):
         raise ValueError(
             "semantic_dedup: components= supplies the precomputed "
-            "cluster labels, so threshold/checkpoint_dir (stage-2/3 "
-            "parameters) are ignored -- build the label table at the "
-            "threshold you want instead of passing both"
+            "cluster labels, which makes every stage-1/2/3 parameter "
+            "(centroids/assigned/threshold/checkpoint_dir) dead -- "
+            "passing any of them alongside suggests the labels came "
+            "from THAT configuration, which nothing checks; drop them"
         )
     if threshold is None:
         threshold = 0.9

@@ -499,9 +499,9 @@ def _k3_trained_cents_ctes() -> str:
       FROM e0 WHERE vec_id < {K3_KMEANS_SAMPLE}
     )""",
         f"""tc0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+      SELECT row_number() OVER (ORDER BY vec_id, emb) AS cent_id,
              emb AS cent_emb
-      FROM (SELECT vec_id, emb FROM e0s ORDER BY vec_id
+      FROM (SELECT vec_id, emb FROM e0s ORDER BY vec_id, emb
             LIMIT {K3_KMEANS_N})
     )""",
     ]
@@ -792,12 +792,10 @@ def k3_embedding_near_pairs(spark, sf):
         (F.col("doc_id") - off).alias("doc_id"),
         (F.col("cluster_id") - off).alias("cluster_id"),
     )
-    # no threshold= with components=: the labels were computed from the
-    # 0.35 pair graph above, and semantic_dedup raises on the redundant
-    # (silently-ignorable) parameter
-    sem = similarity.semantic_dedup(
-        emb, assigned=assigned_full, components=comp_fixed
-    ).select(
+    # components= alone: the labels carry the whole dedup semantics
+    # (built from the 0.35 fixed-slice pair graph above), and
+    # semantic_dedup raises on any other parameter passed alongside
+    sem = similarity.semantic_dedup(emb, components=comp_fixed).select(
         F.lit("semdedup").alias("op"),
         F.col("vec_id").alias("id_a"),
         F.col("sem_cluster").alias("id_b"),
@@ -823,12 +821,7 @@ def k3_embedding_near_pairs(spark, sf):
         "cosine",
         F.col("admitted").alias("keep"),
     )
-    sem_tr = similarity.semantic_dedup(
-        emb,
-        centroids=trained,
-        assigned=assigned_tr,
-        components=comp_tr,
-    ).select(
+    sem_tr = similarity.semantic_dedup(emb, components=comp_tr).select(
         F.lit("semdedup_trained").alias("op"),
         F.col("vec_id").alias("id_a"),
         F.col("sem_cluster").alias("id_b"),

@@ -2499,13 +2499,19 @@ def _k3sql_train_cents(spark: SparkSession) -> None:
         K3_KMEANS_SAMPLE,
     )
 
+    # non-NULL init pool + payload tie-break: the operator's
+    # filter(v IS NOT NULL).orderBy(vid, v) spelling, exactly
     spark.sql(
         f"""CREATE OR REPLACE TEMP VIEW __k3sql_tc AS
-            SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
-                   CAST(embedding AS ARRAY<DOUBLE>) AS cent_emb
-            FROM (SELECT vec_id, embedding FROM embeddings
+            SELECT row_number() OVER (ORDER BY vec_id, cent_emb)
+                     AS cent_id,
+                   cent_emb
+            FROM (SELECT vec_id,
+                         CAST(embedding AS ARRAY<DOUBLE>) AS cent_emb
+                  FROM embeddings
                   WHERE vec_id < {K3_KMEANS_SAMPLE}
-                  ORDER BY vec_id LIMIT {K3_KMEANS_N})"""
+                    AND embedding IS NOT NULL
+                  ORDER BY vec_id, cent_emb LIMIT {K3_KMEANS_N})"""
     )
     for _ in range(K3_KMEANS_ITER):
         # pre-normalized dot (the operator's spelling): the sample's unit

@@ -256,19 +256,18 @@ def test_components_with_threshold_or_ckdir_raises(spark, sf001_dir):
         similarity.semantic_near_pairs(assigned, threshold=0.35)
     )
     with pytest.raises(ValueError, match="components="):
-        similarity.semantic_dedup(
-            emb, threshold=0.35, assigned=assigned, components=comp
-        )
+        similarity.semantic_dedup(emb, threshold=0.35, components=comp)
     with pytest.raises(ValueError, match="components="):
         similarity.semantic_dedup(
-            emb, assigned=assigned, components=comp, checkpoint_dir="/tmp/x"
+            emb, components=comp, checkpoint_dir="/tmp/x"
         )
+    with pytest.raises(ValueError, match="components="):
+        # stage-1 parameters are dead with components= too
+        similarity.semantic_dedup(emb, assigned=assigned, components=comp)
     # components= alone: equal to the self-computed pipeline
     via_hook = {
         tuple(r)
-        for r in similarity.semantic_dedup(
-            emb, assigned=assigned, components=comp
-        ).collect()
+        for r in similarity.semantic_dedup(emb, components=comp).collect()
     }
     direct = {
         tuple(r)
