@@ -288,3 +288,33 @@ def test_partitioned_components_hot_group_raises(spark):
         dedup.partitioned_components(pairs, max_group_edges=10).collect()
     # under the bound: fine
     assert dedup.partitioned_components(pairs, max_group_edges=50).count() == 51
+
+
+def test_kmeans_init_skips_null_vectors(spark):
+    """A NULL embedding inside the init prefix must not occupy a dead
+    centroid slot: the init pool is the n smallest NON-NULL ids (the
+    contract all three k3 surfaces replay, r13)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    rows = [
+        (i, None if i == 1 else [float(i), 1.0, float(i % 3)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    cents = similarity.kmeans_train(emb, n_centroids=4, n_iter=1).collect()
+    assert len(cents) == 4
+    # slot 2 holds vec_id 2's vector (id 1 is NULL and skipped), not NULL
+    by_id = {r["cent_id"]: r["cent_emb"] for r in cents}
+    assert all(v is not None for v in by_id.values())
