@@ -457,6 +457,12 @@ def kmeans_train(
             cents.join(means, "cent_id", "left")
             .select("cent_id", nxt.alias("cent_emb"))
             .coalesce(1)
+            # per-iteration eager cut, MEASURED both ways at sf0.1:
+            # cents appears twice per iteration (cross join +
+            # coalesce-join), so without the cut the plan doubles per
+            # round and one end-checkpoint ran 8.3-14.8 s vs 5-6.3 s
+            # with the cut -- the 2^n_iter plan copies cost more than
+            # n_iter scheduled checkpoint jobs
             .localCheckpoint(eager=True)
         )
     emb.unpersist()

@@ -318,3 +318,55 @@ def test_kmeans_init_skips_null_vectors(spark):
     # slot 2 holds vec_id 2's vector (id 1 is NULL and skipped), not NULL
     by_id = {r["cent_id"]: r["cent_emb"] for r in cents}
     assert all(v is not None for v in by_id.values())
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # cell
+            st.integers(min_value=0, max_value=30),   # a
+            st.integers(min_value=0, max_value=30),   # b
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_partitioned_components_matches_cc_randomized(spark, edges):
+    """Randomized parity (the playbook discipline): on ANY cell-confined
+    graph -- self-loops, duplicate edges, reversed duplicates included --
+    per-cell union-find must equal the generic label loop exactly.
+    Vertex ids are made cell-disjoint (cell * 100 + id) so the
+    confinement precondition holds by construction."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    rows = [(c, c * 100 + a, c * 100 + b) for c, a, b in edges]
+    pairs = spark.createDataFrame(rows, "cell long, id_a long, id_b long")
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            pairs, a_col="id_a", b_col="id_b"
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.partitioned_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_k3_entry_plan_shape(spark, sf001_dir):
+    """The k3 entry's executed plan: the only Python stage is the ONE
+    grouped-map union-find (FlatMapGroupsInPandas), and no cartesian
+    product anywhere (broadcast NLJs of the tiny centroid tables are the
+    allowed nested loops)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark import registry
+
+    df = registry.QUERIES["k3_embedding_near_pairs"](spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") <= 1
