@@ -7,17 +7,21 @@ kept small on purpose: round 4's full-detail line overflowed the driver's
 stdout capture and the round lost perf tracking):
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
    "queries": {name: sec, ...},            # 19 headline queries at sf
-   "runs": 3, "sf": 0.1, "detail": "BENCH_DETAIL.json"}
+   "runs": 3, "sf": 0.1, "detail": "BENCH_DETAIL.local.json"}
 
 The headline set runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and the
 reported per-query number is the MEDIAN -- the r9 lesson: single-shot
 captures under driver/judge machine load repeatedly flagged phantom
 regressions (the d3, then d6/k2 stories) that an idle re-run dissolved;
 the median of 3 passes absorbs a one-off loaded pass without hiding a
-real slowdown.  Per-query min/med/max lands in BENCH_DETAIL.json.
+real slowdown.  Per-query min/med/max lands in the detail file.
 
 The full measurement set -- the all-entry sweep and the sec-vs-sf scale
-curve -- is written to BENCH_DETAIL.json next to this script:
+curve -- is written to BENCH_DETAIL.local.json next to this script
+(UNTRACKED, r14: every driver/judge re-run used to rewrite the tracked
+BENCH_DETAIL.json and leave the repo perpetually dirty post-capture;
+now captures land untracked and committing one is a deliberate
+``cp BENCH_DETAIL.local.json BENCH_DETAIL.json`` snapshot step):
 
 * ``sweep`` -- every registry entry, so a regression in any of the
   non-headline entries shows up in the per-round file diff instead of
@@ -29,8 +33,7 @@ curve -- is written to BENCH_DETAIL.json next to this script:
   all-pairs); this measures the CONSTANTS actually scaling ~linearly
   across 100x of data (tests/test_scale_curve.py gates the growth bound).
 * ``first_exec`` -- the one-off first-execution timings of the
-  checkpoint-heavy sweep entries (CHECKPOINT_HEAVY): their cold pass is
-  dominated by shared-checkpoint materialization, so the sweep reports
+  checkpoint-heavy sweep entries (CHECKPOINT_HEAVY): the sweep reports
   their WARM re-run and the cold number lands here, never against a
   band (the r12 pl1 phantom-regression lesson).  Headline entries carry
   the analogous ``first`` field in ``run_stats``.
@@ -77,11 +80,14 @@ HEADLINE = [
 #: expensive sf is measured last, after the JVM is thoroughly warm)
 CURVE_SFS = ["0.001", "0.01", "0.1"]
 
-#: sweep entries whose FIRST execution materializes shared checkpoints
-#: (pair tables, curated-table barriers, rank tables, assignment
-#: tables): their cold number is dominated by one-off materialization
-#: and must not be compared against warm bands (the r12 pl1-at-8.48
-#: phantom).  These are timed twice in the sweep -- the first pass is
+#: sweep entries whose cold-vs-warm gap is large enough to flag phantom
+#: regressions (the r12 pl1-at-8.48 story).  Causal note (r14, corrected
+#: from the r13 wording): each invocation builds FRESH DataFrames and
+#: re-executes its eager localCheckpoints, so the warm re-run pays the
+#: checkpoint materialization AGAIN -- the cold/warm delta is
+#: first-execution overhead (codegen/JIT compilation of these entries'
+#: unusually wide plans, page-cache warmth), NOT one-off checkpoint
+#: cost.  These are timed twice in the sweep -- the first pass is
 #: recorded separately under ``first_exec`` and the SWEEP carries the
 #: warm re-run, so BASELINE.md bands state the steady-state cost.
 CHECKPOINT_HEAVY = [
@@ -176,8 +182,11 @@ def main() -> None:
         registry.QUERIES["a1_group_count"](spark, ddir).collect()  # warm dir
         scale_curve[dec] = time_queries(spark, HEADLINE, ddir)
 
+    # untracked capture target (r14): committing a snapshot is a
+    # deliberate copy to BENCH_DETAIL.json, so driver/judge re-runs
+    # stop dirtying the tree
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.local.json"
     )
     detail = {
         "queries": timings,

@@ -853,13 +853,39 @@ def partitioned_components(
     :func:`connected_components`; this operator trusts the caller's
     confinement guarantee and never checks it.
 
+    Investigated and REJECTED (r14, the pl1 question): routing the
+    curation funnel's MinHash-LSH pair graph through this fast path by
+    keying on the colliding band.  Confinement requires the key to
+    PARTITION the vertex set -- every vertex in exactly ONE group --
+    and banded MinHash places every document in ``b`` bands by
+    construction: pair (a,b) may collide only in band 1 while (b,c)
+    collides only in band 3, so one component legitimately spans bands
+    and a band-keyed grouped union-find splits it (demonstrated
+    executable in tests/test_semantic_dedup.py::
+    test_lsh_band_is_not_a_confining_key).  Centroid assignment
+    confines precisely because assignment is an argmax -- one cell per
+    vector.  The generic loop (with AUTO pointer-doubling) stays the
+    labeler for every LSH-derived graph; this is the same
+    record-the-negative-result discipline as the pointer-doubling
+    experiment above.
+
     Because one group = one task by construction (a grouped map cannot
     be AQE-skew-split), a pathologically hot partition would
-    concentrate its whole edge list in one Python worker.  That failure
-    is made LOUD, not an OOM: a group larger than ``max_group_edges``
-    raises with the instruction to re-shard the index (more centroids)
-    or fall back to :func:`connected_components`.  The default bound
-    (~50M edges, a few GB of pandas) is far above any sane cell.
+    concentrate its whole edge list in one Python worker.  A group
+    larger than ``max_group_edges`` raises with the instruction to
+    re-shard the index (more centroids) or fall back to
+    :func:`connected_components`.  Scope of that guard, precisely: it
+    bounds the union-find DICT build, not the Arrow transfer -- the
+    grouped map has already materialized the group's edge list as Arrow
+    batches plus a pandas frame when the length check runs, so a group
+    far past the bound can still OOM the worker before raising.  What
+    the guard buys is a named, actionable error for the wide band of
+    too-hot-but-allocatable groups (the default ~50M edges is a few GB
+    of pandas -- far above any sane cell, usually allocatable, never
+    sane).  A caller who cannot tolerate even the allocation should
+    pre-gate with ``pairs.groupBy(part_col).count()`` -- one cheap
+    aggregate -- before invoking this; the k3 gate does not, because
+    its cell-balance pytest bounds cell sizes upstream.
     """
     import pandas as pd
 

@@ -71,7 +71,11 @@ def rrf_fuse(
     floor), the per-(group, id) sum is exact integer arithmetic, the
     fused rank orders on the RAW micro sum (ties by id), and
     ``rrf_score`` is the micro sum divided by 1e6 -- the same integer
-    in, the same double out.
+    in, the same double out.  The micro SCALE is deliberately not a
+    parameter: :data:`RRF_MICRO` is the cross-surface contract the
+    k2/tv1 Spark-SQL texts and DuckDB oracles interpolate, so only
+    ``rrf_k`` (which those surfaces also interpolate from
+    :data:`RRF_K`) is caller-tunable here.
 
     Scale: the input rank tables are k-bounded per group by
     construction, so everything here is tiny regardless of corpus size
@@ -316,6 +320,31 @@ def vector_mean_by_key(
     )
 
 
+def _kmeans_training_table(
+    embeddings: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(vid, v, vn): the :func:`kmeans_train` training projection --
+    raw double array + unit-normalized form, computed ONCE per vector.
+    Split out so the persist-hygiene test can rebuild the identical
+    plan and ask the cache manager (structural lookup) whether a failed
+    training run left it cached."""
+    from ..functions.vectors import as_double_array, l2_norm
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+        )
+        .withColumn("_nrm", l2_norm("v"))
+        .select(
+            "vid",
+            "v",
+            F.transform(
+                "v", lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0))
+            ).alias("vn"),
+        )
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -323,6 +352,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quantize: int | None = None,
+    dead_cells: list | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) on DataFrames: (cent_id, cent_emb).
 
@@ -371,23 +401,20 @@ def kmeans_train(
     bounded SAMPLE, the FAISS index-training posture, so the persist is
     sample-sized); the centroid table is coalesced to one partition
     before each checkpoint (16 rows do not need 32 tasks).
-    """
-    from ..functions.vectors import as_double_array, dot, l2_norm
 
-    emb = (
-        embeddings.select(
-            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
-        )
-        .withColumn("_nrm", l2_norm("v"))
-        .select(
-            "vid",
-            "v",
-            F.transform(
-                "v", lambda x: x / F.nullif(F.col("_nrm"), F.lit(0.0))
-            ).alias("vn"),
-        )
-        .persist()
-    )
+    ``dead_cells`` (r14): pass a list to receive one int per iteration
+    -- the count of clusters that received NO vectors that round (their
+    centroids are carried forward unchanged, the documented Lloyd
+    behavior).  Heavily clustered data can end with fewer than
+    ``n_centroids`` EFFECTIVE cells; that is correct but silently
+    weakens the index (fewer, fatter cells), so the count is the
+    monitoring hook.  Reporting materializes each iteration's tiny
+    per-cluster mean table once (<= n_centroids rows) so the count and
+    the centroid update share one computation -- no extra corpus pass.
+    """
+    from ..functions.vectors import dot, l2_norm
+
+    emb = _kmeans_training_table(embeddings, vec_col, id_col).persist()
     # init is lazy: 16 rows, folded into iteration 1's checkpoint job.
     # NULL vectors are excluded from the init POOL (a NULL centroid is
     # a dead slot that can never train -- and the SQL replays agree on
@@ -408,64 +435,80 @@ def kmeans_train(
         )
         .coalesce(1)
     )
-    for _ in range(n_iter):
-        cents_n = (
-            cents.withColumn("_cnrm", l2_norm("cent_emb"))
-            .select(
-                "cent_id",
-                F.transform(
-                    "cent_emb",
-                    lambda x: x / F.nullif(F.col("_cnrm"), F.lit(0.0)),
-                ).alias("cn"),
+    try:
+        for _ in range(n_iter):
+            cents_n = (
+                cents.withColumn("_cnrm", l2_norm("cent_emb"))
+                .select(
+                    "cent_id",
+                    F.transform(
+                        "cent_emb",
+                        lambda x: x / F.nullif(F.col("_cnrm"), F.lit(0.0)),
+                    ).alias("cn"),
+                )
             )
-        )
-        assigned = (
-            emb.crossJoin(F.broadcast(cents_n))
-            .select(
-                "vid",
-                "v",
-                "cent_id",
-                F.round(dot("vn", "cn"), 9).alias("sim"),
+            assigned = (
+                emb.crossJoin(F.broadcast(cents_n))
+                .select(
+                    "vid",
+                    "v",
+                    "cent_id",
+                    F.round(dot("vn", "cn"), 9).alias("sim"),
+                )
+                .filter(F.col("sim").isNotNull())
+                .groupBy("vid")
+                .agg(
+                    # v rides the ordering struct so a duplicated
+                    # training id with two payloads elects ONE
+                    # deterministic row (the assign_to_centroids max_by
+                    # discipline)
+                    F.max_by(
+                        F.struct("cent_id", "v"),
+                        F.struct(
+                            F.col("sim"),
+                            (-F.col("cent_id")).alias("nc"),
+                            F.col("v"),
+                        ),
+                    ).alias("__win")
+                )
+                .select(
+                    F.col("__win.cent_id").alias("cent_id"),
+                    F.col("__win.v").alias("v"),
+                )
             )
-            .filter(F.col("sim").isNotNull())
-            .groupBy("vid")
-            .agg(
-                # v rides the ordering struct so a duplicated training id
-                # with two payloads elects ONE deterministic row (the
-                # assign_to_centroids max_by discipline)
-                F.max_by(
-                    F.struct("cent_id", "v"),
-                    F.struct(
-                        F.col("sim"),
-                        (-F.col("cent_id")).alias("nc"),
-                        F.col("v"),
-                    ),
-                ).alias("__win")
+            means = vector_mean_by_key(assigned, "cent_id", "v")
+            if dead_cells is not None:
+                # dead-cell visibility (r14): a cluster absent from the
+                # mean table received no vectors this round.  The mean
+                # table is <= n_centroids rows, so materializing it here
+                # lets the count and the join below share ONE
+                # computation of the assignment pass
+                means = means.coalesce(1).localCheckpoint(eager=True)
+                dead_cells.append(n_centroids - means.count())
+            nxt = F.coalesce("centroid", "cent_emb")
+            if quantize is not None:
+                # quantize AFTER the empty-cluster coalesce so
+                # carried-over centroids land on the same grid as
+                # recomputed means
+                nxt = F.transform(nxt, lambda x: F.round(x, quantize))
+            cents = (
+                cents.join(means, "cent_id", "left")
+                .select("cent_id", nxt.alias("cent_emb"))
+                .coalesce(1)
+                # per-iteration eager cut, MEASURED both ways at sf0.1:
+                # cents appears twice per iteration (cross join +
+                # coalesce-join), so without the cut the plan doubles
+                # per round and one end-checkpoint ran 8.3-14.8 s vs
+                # 5-6.3 s with the cut -- the 2^n_iter plan copies cost
+                # more than n_iter scheduled checkpoint jobs
+                .localCheckpoint(eager=True)
             )
-            .select(
-                F.col("__win.cent_id").alias("cent_id"),
-                F.col("__win.v").alias("v"),
-            )
-        )
-        means = vector_mean_by_key(assigned, "cent_id", "v")
-        nxt = F.coalesce("centroid", "cent_emb")
-        if quantize is not None:
-            # quantize AFTER the empty-cluster coalesce so carried-over
-            # centroids land on the same grid as recomputed means
-            nxt = F.transform(nxt, lambda x: F.round(x, quantize))
-        cents = (
-            cents.join(means, "cent_id", "left")
-            .select("cent_id", nxt.alias("cent_emb"))
-            .coalesce(1)
-            # per-iteration eager cut, MEASURED both ways at sf0.1:
-            # cents appears twice per iteration (cross join +
-            # coalesce-join), so without the cut the plan doubles per
-            # round and one end-checkpoint ran 8.3-14.8 s vs 5-6.3 s
-            # with the cut -- the 2^n_iter plan copies cost more than
-            # n_iter scheduled checkpoint jobs
-            .localCheckpoint(eager=True)
-        )
-    emb.unpersist()
+    finally:
+        # unpersist on EVERY exit path (r14): a runtime failure
+        # mid-Lloyd (poisoned vector column, executor loss surfacing as
+        # a job abort) must not leak the persisted training sample for
+        # the rest of the session
+        emb.unpersist()
     return cents
 
 

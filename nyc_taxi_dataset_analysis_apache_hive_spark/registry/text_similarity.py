@@ -480,8 +480,12 @@ def _k3_trained_cents_ctes() -> str:
     1-based rank), then per iteration (a) normalize the centroids (tcn)
     and assign every vector to its max-round-9-DOT centroid -- unit
     vectors on both sides, the operator's pre-normalized spelling --
-    with NULL sims filtered before the election and ties to the lowest
-    cent_id, (b) element-wise means per cluster
+    with NULL sims filtered before the election, ties to the lowest
+    cent_id then the greatest payload (emb DESC = the operator's max_by
+    struct tail, and the elected emb rides THROUGH the election so a
+    duplicated training vec_id contributes exactly one payload to the
+    mean -- r14), (b) element-wise means per cluster over ta{{i}}'s own
+    elected emb
     (generate_subscripts/unnest mirror posexplode; list(... ORDER BY pos)
     mirrors the array_sort re-assembly), (c) coalesce empty clusters to
     their previous centroid and quantize every element to K3_KMEANS_Q
@@ -515,13 +519,20 @@ def _k3_trained_cents_ctes() -> str:
     )"""
         )
         ctes.append(
+            # the elected emb PAYLOAD rides the election (r14, mirroring
+            # the operator's max_by over (sim, -cent_id, v)): a
+            # duplicated training vec_id with two payloads must
+            # contribute exactly the ONE elected vector to its cluster
+            # mean -- the previous re-join of e0s on vec_id pulled BOTH
+            # payloads back in.  emb DESC = the struct-max "greatest
+            # payload" tie-break.
             f"""ta{i} AS (
-      SELECT vec_id, cent_id FROM (
-        SELECT vec_id, cent_id,
+      SELECT vec_id, cent_id, emb FROM (
+        SELECT vec_id, cent_id, emb,
                row_number() OVER (PARTITION BY vec_id
-                 ORDER BY sim DESC, cent_id ASC) AS r
+                 ORDER BY sim DESC, cent_id ASC, emb DESC) AS r
         FROM (
-          SELECT v.vec_id, c.cent_id,
+          SELECT v.vec_id, c.cent_id, v.emb,
                  round(list_dot_product(v.emb_n, c.cn), 9) AS sim
           FROM e0s v CROSS JOIN tcn{i - 1} c
         ) WHERE sim IS NOT NULL
@@ -532,9 +543,9 @@ def _k3_trained_cents_ctes() -> str:
             f"""tm{i} AS (
       SELECT cent_id, list(m ORDER BY pos) AS centroid FROM (
         SELECT cent_id, pos, avg(x) AS m FROM (
-          SELECT a.cent_id, generate_subscripts(v.emb, 1) AS pos,
-                 unnest(v.emb) AS x
-          FROM ta{i} a JOIN e0s v ON a.vec_id = v.vec_id
+          SELECT a.cent_id, generate_subscripts(a.emb, 1) AS pos,
+                 unnest(a.emb) AS x
+          FROM ta{i} a
         ) GROUP BY cent_id, pos
       ) GROUP BY cent_id
     )"""

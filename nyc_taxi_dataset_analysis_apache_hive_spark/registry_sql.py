@@ -2517,11 +2517,15 @@ def _k3sql_train_cents(spark: SparkSession) -> None:
         # pre-normalized dot (the operator's spelling): the sample's unit
         # vectors come from __k3sql_e, the 16 centroids normalize inline;
         # NULL sims are filtered before the rank election
+        # v DESC completes the operator's max_by ordering struct
+        # (sim, -cent_id, v): a duplicated training vec_id whose two
+        # payloads tie on BOTH sim and cent_id still elects one
+        # deterministic row (r14, the oracle payload-carry fix)
         spark.sql(
             f"""SELECT cent_id, v FROM (
                   SELECT vec_id, cent_id, v,
                          row_number() OVER (PARTITION BY vec_id ORDER BY
-                           sim DESC, cent_id ASC) AS r
+                           sim DESC, cent_id ASC, v DESC) AS r
                   FROM (
                     SELECT t.vec_id, c.cent_id, t.emb AS v,
                            round({_sql_dot("t.emb_n", "c.cn")}, 9) AS sim

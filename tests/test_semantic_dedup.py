@@ -359,6 +359,94 @@ def test_partitioned_components_matches_cc_randomized(spark, edges):
     assert got == want
 
 
+def test_kmeans_train_unpersists_on_failure(spark):
+    """The Lloyd loop persists its training table; a job failure
+    mid-training (poisoned vector column) must still unpersist it
+    (try/finally, r14) -- the leaked cache would otherwise pin the
+    sample for the rest of the session.  The probe rebuilds the
+    identical training plan and asks the cache manager (structural
+    lookup via DataFrame.storageLevel) whether it is still cached."""
+    base = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # assert_true(vec_id < 0) raises on the FIRST evaluated row, i.e.
+    # inside iteration 1's checkpoint job -- after the persist call.
+    # No otherwise() branch: when(p, x).otherwise(x) would let
+    # SimplifyConditionals fold the poison away
+    poisoned = base.select(
+        "vec_id",
+        F.when(
+            F.assert_true(F.col("vec_id") < 0).isNull(),
+            F.col("embedding"),
+        ).alias("embedding"),
+    )
+    with pytest.raises(Exception):
+        similarity.kmeans_train(poisoned, n_centroids=2, n_iter=2)
+    lvl = similarity._kmeans_training_table(
+        poisoned, "embedding", "vec_id"
+    ).storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "training table leaked"
+
+
+def test_kmeans_dead_cell_report(spark):
+    """dead_cells= visibility (r14): a corpus whose two init vectors
+    are IDENTICAL empties cluster 2 in every iteration (all assignments
+    tie and break to the lowest cent_id), and the report must say so;
+    a corpus with genuinely distinct directions reports zero dead
+    cells.  Carried-forward centroids keep the table at n_centroids
+    rows either way (correct Lloyd behavior, now observable)."""
+    clustered = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    dead: list[int] = []
+    cents = similarity.kmeans_train(
+        clustered, n_centroids=2, n_iter=3, dead_cells=dead
+    ).collect()
+    assert dead == [1, 1, 1]
+    assert len(cents) == 2  # the dead slot is carried, not dropped
+
+    spread = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    dead2: list[int] = []
+    similarity.kmeans_train(
+        spread, n_centroids=2, n_iter=2, dead_cells=dead2
+    ).collect()
+    assert dead2 == [0, 0]
+
+
+def test_lsh_band_is_not_a_confining_key(spark):
+    """The r14 pl1 investigation's executable negative result: a
+    MinHash BAND cannot confine partitioned_components.  Docs 1-2
+    collide only in band 10, docs 2-3 only in band 20 -- one true
+    component {1,2,3}, but band-keyed union-find labels doc 2 in BOTH
+    groups with CONFLICTING labels (the vertex set is not partitioned
+    by band: every doc sits in b bands).  LSH-derived graphs must keep
+    the generic connected_components loop; see the rejection note in
+    dedup.partitioned_components' docstring."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(10, 1, 2), (20, 2, 3)], "band long, id_a long, id_b long"
+    )
+    generic = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, a_col="id_a", b_col="id_b"
+        ).collect()
+    }
+    assert generic == {1: 1, 2: 1, 3: 1}  # one chained component
+    banded = dedup.partitioned_components(pairs, part_col="band").collect()
+    labels_for_2 = {r["cluster_id"] for r in banded if r["doc_id"] == 2}
+    assert labels_for_2 == {1, 2}, (
+        "doc 2 must surface with conflicting per-band labels -- the "
+        "confinement precondition is violated, which is the point"
+    )
+
+
 def test_k3_entry_plan_shape(spark, sf001_dir):
     """The k3 entry's executed plan: the only Python stage is the ONE
     grouped-map union-find (FlatMapGroupsInPandas), and no cartesian
