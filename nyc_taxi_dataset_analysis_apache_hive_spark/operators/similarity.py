@@ -564,19 +564,47 @@ def cosine_topk_ivf(
     cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
 
     def nearest_centroids(side: DataFrame, id_col: str, emb_col: str, top: int):
+        cand = side.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            emb_col,
+            "cent_id",
+            F.round(cosine(emb_col, "cent_emb"), 6).alias("cent_sim"),
+        )
+        if top == 1:
+            # PERF (r14): the corpus-side 1-nearest election as ONE
+            # max_by aggregate with map-side partial combine -- one row
+            # per vector on the wire -- replacing the row_number
+            # window's full sort-shuffle of n_centroids x N candidate
+            # rows (the assign_to_centroids/kmeans_train shape; k2 runs
+            # this pass twice now that the trained leg assigns too).
+            # Same election: struct field comparison puts a NULL
+            # cent_sim below any value (= the window's DESC NULLS
+            # LAST), ties break to the lowest cent_id, and a vector
+            # with ONLY NULL sims still elects the lowest cent_id --
+            # degenerate vectors stay assigned-but-unscorable exactly
+            # as before (their NULL candidate cosines never rank).
+            return (
+                cand.groupBy(id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(emb_col, "cent_id"),
+                        F.struct(
+                            F.col("cent_sim"),
+                            (-F.col("cent_id")).alias("nc"),
+                        ),
+                    ).alias("__win")
+                )
+                .select(
+                    id_col,
+                    F.col(f"__win.{emb_col}").alias(emb_col),
+                    F.col("__win.cent_id").alias("cent_id"),
+                )
+            )
         w = Window.partitionBy(id_col).orderBy(
             F.col("cent_sim").desc(), F.col("cent_id").asc()
         )
-        return (
-            side.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                emb_col,
-                "cent_id",
-                F.round(cosine(emb_col, "cent_emb"), 6).alias("cent_sim"),
-            )
-            .withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= top)
+        return cand.withColumn("crank", F.row_number().over(w)).filter(
+            F.col("crank") <= top
         )
 
     assigned = nearest_centroids(emb, "vec_id", "embedding", 1).select(
@@ -1374,17 +1402,28 @@ def cosine_topk_ivfpq(
     cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
 
     def nearest(side: DataFrame, id_col: str, emb_col: str, top: int):
+        cand = side.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "cent_id",
+            F.round(cosine(emb_col, "cent_emb"), 6).alias("cent_sim"),
+        )
+        if top == 1:
+            # max_by assignment (r14): see cosine_topk_ivf -- one
+            # combined aggregate instead of the window sort-shuffle,
+            # identical election including NULLS-LAST degenerates
+            return cand.groupBy(id_col).agg(
+                F.max_by(
+                    F.col("cent_id"),
+                    F.struct(
+                        F.col("cent_sim"), (-F.col("cent_id")).alias("nc")
+                    ),
+                ).alias("cent_id")
+            )
         w = Window.partitionBy(id_col).orderBy(
             F.col("cent_sim").desc(), F.col("cent_id").asc()
         )
         return (
-            side.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                "cent_id",
-                F.round(cosine(emb_col, "cent_emb"), 6).alias("cent_sim"),
-            )
-            .withColumn("crank", F.row_number().over(w))
+            cand.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= top)
             .select(id_col, "cent_id")
         )

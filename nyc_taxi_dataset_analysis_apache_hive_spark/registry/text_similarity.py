@@ -80,6 +80,116 @@ def k1_knn_bruteforce(spark, sf):
     )
 
 
+#: trained-centroid gate parameters (the k3 ``semdedup_trained`` leg):
+#: ONE definition feeding the DataFrame leg, the DuckDB oracle's
+#: unrolled-Lloyd CTEs, and registry_sql's temp-view replay -- the
+#: bm25_constants repr-roundtrip discipline, so retuning the trained
+#: index can never desynchronize the three surfaces.
+K3_KMEANS_N = 16
+K3_KMEANS_ITER = 5
+K3_KMEANS_Q = 6
+#: training sample bound: the index trains on vec_id < K3_KMEANS_SAMPLE
+#: (a deterministic prefix both engines replay).  Training on a bounded
+#: sample IS the deployment posture -- an IVF/SemDeDup index at 100 TB
+#: is trained on a sample and ASSIGNS the full corpus (the FAISS
+#: training discipline); it also makes the training stage's data volume
+#: scale-invariant while assignment stays full-corpus.
+K3_KMEANS_SAMPLE = 500
+#: disjoint vertex-id offset so ONE connected-components loop can label
+#: the fixed-slice AND trained-centroid pair graphs together (a union
+#: of disjoint graphs has the union of their components; min-label
+#: within the offset part = offset + min original id, so subtracting
+#: the offset recovers the standalone labels exactly)
+K3_CC_OFFSET = 1 << 40
+
+def _k3_trained_cents_ctes() -> str:
+    """DuckDB replay of ``similarity.kmeans_train(n_centroids=K3_KMEANS_N,
+    n_iter=K3_KMEANS_ITER, quantize=K3_KMEANS_Q)`` as unrolled-Lloyd CTEs:
+    deterministic init (the K3_KMEANS_N smallest vec_ids, cent_id =
+    1-based rank), then per iteration (a) normalize the centroids (tcn)
+    and assign every vector to its max-round-9-DOT centroid -- unit
+    vectors on both sides, the operator's pre-normalized spelling --
+    with NULL sims filtered before the election, ties to the lowest
+    cent_id then the greatest payload (emb DESC = the operator's max_by
+    struct tail, and the elected emb rides THROUGH the election so a
+    duplicated training vec_id contributes exactly one payload to the
+    mean -- r14), (b) element-wise means per cluster over ta{{i}}'s own
+    elected emb
+    (generate_subscripts/unnest mirror posexplode; list(... ORDER BY pos)
+    mirrors the array_sort re-assembly), (c) coalesce empty clusters to
+    their previous centroid and quantize every element to K3_KMEANS_Q
+    decimals.  The quantization barrier is what makes the replay exact:
+    raw double means are summation-order-dependent at the last ulp, the
+    rounded grid is engine-independent (verified bit-identical at
+    sf0.001/0.01/0.1).  Training sees only the K3_KMEANS_SAMPLE id-prefix
+    sample (e0s), exactly as the entry's
+    ``kmeans_train(emb.filter(vec_id < SAMPLE))``; assignment downstream
+    is full-corpus.  Final view: tc{K3_KMEANS_ITER}(cent_id, cent_emb)."""
+    ctes = [
+        f"""e0s AS (
+      SELECT vec_id, emb,
+             list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n
+      FROM e0 WHERE vec_id < {K3_KMEANS_SAMPLE}
+    )""",
+        f"""tc0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id, emb) AS cent_id,
+             emb AS cent_emb
+      FROM (SELECT vec_id, emb FROM e0s ORDER BY vec_id, emb
+            LIMIT {K3_KMEANS_N})
+    )""",
+    ]
+    for i in range(1, K3_KMEANS_ITER + 1):
+        ctes.append(
+            f"""tcn{i - 1} AS (
+      SELECT cent_id,
+             list_transform(cent_emb, x -> x /
+               nullif(sqrt(list_dot_product(cent_emb, cent_emb)), 0)) AS cn
+      FROM tc{i - 1}
+    )"""
+        )
+        ctes.append(
+            # the elected emb PAYLOAD rides the election (r14, mirroring
+            # the operator's max_by over (sim, -cent_id, v)): a
+            # duplicated training vec_id with two payloads must
+            # contribute exactly the ONE elected vector to its cluster
+            # mean -- the previous re-join of e0s on vec_id pulled BOTH
+            # payloads back in.  emb DESC = the struct-max "greatest
+            # payload" tie-break.
+            f"""ta{i} AS (
+      SELECT vec_id, cent_id, emb FROM (
+        SELECT vec_id, cent_id, emb,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cent_id ASC, emb DESC) AS r
+        FROM (
+          SELECT v.vec_id, c.cent_id, v.emb,
+                 round(list_dot_product(v.emb_n, c.cn), 9) AS sim
+          FROM e0s v CROSS JOIN tcn{i - 1} c
+        ) WHERE sim IS NOT NULL
+      ) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""tm{i} AS (
+      SELECT cent_id, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cent_id, pos, avg(x) AS m FROM (
+          SELECT a.cent_id, generate_subscripts(a.emb, 1) AS pos,
+                 unnest(a.emb) AS x
+          FROM ta{i} a
+        ) GROUP BY cent_id, pos
+      ) GROUP BY cent_id
+    )"""
+        )
+        ctes.append(
+            f"""tc{i} AS (
+      SELECT c.cent_id,
+             list_transform(coalesce(m.centroid, c.cent_emb),
+                            x -> round(x, {K3_KMEANS_Q})) AS cent_emb
+      FROM tc{i - 1} c LEFT JOIN tm{i} m ON c.cent_id = m.cent_id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
 _K2_LSH_SQL = f"""
     WITH {_NORM_CTE},
     e AS (
@@ -339,6 +449,47 @@ _IVFPQ_SQL = f"""
 """
 
 
+#: IVF over the TRAINED index (r14): the same list-probing search as
+#: _K4_IVF_SQL, but the centroid table is kmeans_train's unrolled-Lloyd
+#: replay (the k3 CTE block verbatim -- ONE definition of the trained
+#: index across both entries) instead of the fixed corpus slice.  This
+#: closes the retrieval half of the 100-TB story: the deployment-path
+#: ANN probes a trained, cell-balanced index end-to-end under the
+#: driver's value gate, not just under a pytest recall gate.
+_IVF_TRAINED_SQL = f"""
+    WITH {_NORM_CTE},
+    {_k3_trained_cents_ctes()},
+    tassigned AS (
+      SELECT neighbor_id, c_emb, cent_id FROM (
+        SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e0 v CROSS JOIN tc{K3_KMEANS_ITER} c
+      ) WHERE crank = 1
+    ),
+    tprobes AS (
+      SELECT query_id, q_emb, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS_QC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM e0 WHERE vec_id < 8) q
+        CROSS JOIN tc{K3_KMEANS_ITER} c
+      ) WHERE crank <= 3
+    ),
+    tscored AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id, {_IVF_COS_PA} AS cosine
+      FROM tprobes p JOIN tassigned a USING (cent_id)
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+        AS rank
+      FROM tscored
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "k2_ann_lsh_ivf",
     f"""
@@ -349,6 +500,9 @@ _IVFPQ_SQL = f"""
       SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
       FROM ({_K4_IVF_SQL})
       UNION ALL
+      SELECT 'ivf_trained' AS method, query_id, neighbor_id, cosine, rank
+      FROM ({_IVF_TRAINED_SQL})
+      UNION ALL
       SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank
       FROM ({_PQ_SQL})
       UNION ALL
@@ -357,7 +511,7 @@ _IVFPQ_SQL = f"""
     )
     SELECT method, query_id, neighbor_id, cosine, rank FROM allm
     UNION ALL
-    -- reciprocal-rank fusion of the four method rankings (r10,
+    -- reciprocal-rank fusion of the five method rankings (r10,
     -- similarity.rrf_fuse): floor(micro/(rrf_k+rank)) contributions,
     -- exact integer sums, fused rank on the raw micro sum; constants
     -- interpolated from similarity.RRF_K/RRF_MICRO (one definition)
@@ -385,6 +539,18 @@ def k2_ann_lsh_ivf(spark, sf):
     * ``ivf`` -- IVF list-probing: corpus assigned to 16 fixed centroids
       (narrow broadcast pass), queries probe their 3 nearest lists, so
       candidate generation scans ~3/16 of the corpus via an equi-join.
+    * ``ivf_trained`` (r14) -- the SAME list-probing search over a
+      TRAINED index: ``similarity.kmeans_train`` at the shared k3 gate
+      constants (16 centroids, 5 Lloyd iterations, quantize=6 -- the
+      cross-engine replay barrier), sample-bounded training (vec_id <
+      K3_KMEANS_SAMPLE, the FAISS train-on-a-sample posture) with
+      full-corpus assignment.  The oracle replays the training as the
+      k3 entry's unrolled-Lloyd CTE block verbatim (ONE definition of
+      the trained index), so the deployment-path ANN -- balanced cells
+      instead of a skewable fixed slice -- is value-gated end-to-end,
+      completing the retrieval half of the trained-index story the k3
+      ``semdedup_trained`` leg opened for dedup.  Trained-vs-seed
+      recall stays pytest-gated (tests/test_asof_skew.py).
     * ``pq`` (r7) -- product quantization (Jegou et al., TPAMI 2011):
       vectors encoded as 16 codes over 4-dim subspaces (the FAISS
       billion-vector memory format -- the candidate scan reads a
@@ -399,14 +565,14 @@ def k2_ann_lsh_ivf(spark, sf):
       stage loses almost nothing on top, which is the composition
       property tests/test_pq.py gates).
 
-    * ``rrf`` (r10) -- reciprocal-rank fusion of the four method
+    * ``rrf`` (r10) -- reciprocal-rank fusion of the five method
       rankings (similarity.rrf_fuse, Cormack et al. 2009): the
       ensemble-retrieval combiner over approximate indexes.  Each
       (method, rank) row contributes floor(1e6/(60+rank)) micro-units;
       per-(query, neighbor) sums are exact integers, the fused rank
       orders on the raw micro sum, and ``cosine`` carries the fused
       score (micro/1e6 -- same integer, same double, both engines).
-      The four rank tables are materialized once (160 rows) so the
+      The five rank tables are materialized once (200 rows) so the
       fusion subtree never re-runs the ANN suite.
 
     IVF and PQ recall vs the k1 exact baseline are pytest-gated
@@ -419,6 +585,18 @@ def k2_ann_lsh_ivf(spark, sf):
     ivf = similarity.cosine_topk_ivf(
         emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
     )
+    # trained index at the shared k3 gate constants (r14): training is
+    # sample-bounded (SF-invariant), the per-iteration localCheckpoints
+    # leave the 16-row centroid table materialized for the probe pass
+    trained_cents = similarity.kmeans_train(
+        emb.filter(F.col("vec_id") < K3_KMEANS_SAMPLE),
+        n_centroids=K3_KMEANS_N,
+        n_iter=K3_KMEANS_ITER,
+        quantize=K3_KMEANS_Q,
+    )
+    ivf_tr = similarity.cosine_topk_ivf(
+        emb, k=5, n_queries=8, n_probe=3, centroids=trained_cents
+    )
     pq = similarity.cosine_topk_pq(emb, k=5, n_queries=8)
     ivfpq = similarity.cosine_topk_ivfpq(
         emb, k=5, n_queries=8, n_centroids=16, n_probe=3, centroid_offset=100
@@ -426,12 +604,13 @@ def k2_ann_lsh_ivf(spark, sf):
     tag = lambda df, label: df.select(  # noqa: E731
         F.lit(label).alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    # the 4 method rank tables feed the output AND the rrf ensemble:
-    # materialize once (160 rows) so the fusion subtree does not re-run
+    # the 5 method rank tables feed the output AND the rrf ensemble:
+    # materialize once (200 rows) so the fusion subtree does not re-run
     # the whole ANN suite (the tv1 shared-pass discipline)
     allm = (
         tag(lsh, "lsh")
         .unionByName(tag(ivf, "ivf"))
+        .unionByName(tag(ivf_tr, "ivf_trained"))
         .unionByName(tag(pq, "pq"))
         .unionByName(tag(ivfpq, "ivfpq"))
     ).localCheckpoint(eager=True)
@@ -450,116 +629,6 @@ _K3_COS_VC = (
     " nullif(sqrt(list_dot_product(v.emb, v.emb))"
     " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
 )
-
-#: trained-centroid gate parameters (the k3 ``semdedup_trained`` leg):
-#: ONE definition feeding the DataFrame leg, the DuckDB oracle's
-#: unrolled-Lloyd CTEs, and registry_sql's temp-view replay -- the
-#: bm25_constants repr-roundtrip discipline, so retuning the trained
-#: index can never desynchronize the three surfaces.
-K3_KMEANS_N = 16
-K3_KMEANS_ITER = 5
-K3_KMEANS_Q = 6
-#: training sample bound: the index trains on vec_id < K3_KMEANS_SAMPLE
-#: (a deterministic prefix both engines replay).  Training on a bounded
-#: sample IS the deployment posture -- an IVF/SemDeDup index at 100 TB
-#: is trained on a sample and ASSIGNS the full corpus (the FAISS
-#: training discipline); it also makes the training stage's data volume
-#: scale-invariant while assignment stays full-corpus.
-K3_KMEANS_SAMPLE = 500
-#: disjoint vertex-id offset so ONE connected-components loop can label
-#: the fixed-slice AND trained-centroid pair graphs together (a union
-#: of disjoint graphs has the union of their components; min-label
-#: within the offset part = offset + min original id, so subtracting
-#: the offset recovers the standalone labels exactly)
-K3_CC_OFFSET = 1 << 40
-
-def _k3_trained_cents_ctes() -> str:
-    """DuckDB replay of ``similarity.kmeans_train(n_centroids=K3_KMEANS_N,
-    n_iter=K3_KMEANS_ITER, quantize=K3_KMEANS_Q)`` as unrolled-Lloyd CTEs:
-    deterministic init (the K3_KMEANS_N smallest vec_ids, cent_id =
-    1-based rank), then per iteration (a) normalize the centroids (tcn)
-    and assign every vector to its max-round-9-DOT centroid -- unit
-    vectors on both sides, the operator's pre-normalized spelling --
-    with NULL sims filtered before the election, ties to the lowest
-    cent_id then the greatest payload (emb DESC = the operator's max_by
-    struct tail, and the elected emb rides THROUGH the election so a
-    duplicated training vec_id contributes exactly one payload to the
-    mean -- r14), (b) element-wise means per cluster over ta{{i}}'s own
-    elected emb
-    (generate_subscripts/unnest mirror posexplode; list(... ORDER BY pos)
-    mirrors the array_sort re-assembly), (c) coalesce empty clusters to
-    their previous centroid and quantize every element to K3_KMEANS_Q
-    decimals.  The quantization barrier is what makes the replay exact:
-    raw double means are summation-order-dependent at the last ulp, the
-    rounded grid is engine-independent (verified bit-identical at
-    sf0.001/0.01/0.1).  Training sees only the K3_KMEANS_SAMPLE id-prefix
-    sample (e0s), exactly as the entry's
-    ``kmeans_train(emb.filter(vec_id < SAMPLE))``; assignment downstream
-    is full-corpus.  Final view: tc{K3_KMEANS_ITER}(cent_id, cent_emb)."""
-    ctes = [
-        f"""e0s AS (
-      SELECT vec_id, emb,
-             list_transform(emb, x -> x / nullif(nrm, 0)) AS emb_n
-      FROM e0 WHERE vec_id < {K3_KMEANS_SAMPLE}
-    )""",
-        f"""tc0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id, emb) AS cent_id,
-             emb AS cent_emb
-      FROM (SELECT vec_id, emb FROM e0s ORDER BY vec_id, emb
-            LIMIT {K3_KMEANS_N})
-    )""",
-    ]
-    for i in range(1, K3_KMEANS_ITER + 1):
-        ctes.append(
-            f"""tcn{i - 1} AS (
-      SELECT cent_id,
-             list_transform(cent_emb, x -> x /
-               nullif(sqrt(list_dot_product(cent_emb, cent_emb)), 0)) AS cn
-      FROM tc{i - 1}
-    )"""
-        )
-        ctes.append(
-            # the elected emb PAYLOAD rides the election (r14, mirroring
-            # the operator's max_by over (sim, -cent_id, v)): a
-            # duplicated training vec_id with two payloads must
-            # contribute exactly the ONE elected vector to its cluster
-            # mean -- the previous re-join of e0s on vec_id pulled BOTH
-            # payloads back in.  emb DESC = the struct-max "greatest
-            # payload" tie-break.
-            f"""ta{i} AS (
-      SELECT vec_id, cent_id, emb FROM (
-        SELECT vec_id, cent_id, emb,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY sim DESC, cent_id ASC, emb DESC) AS r
-        FROM (
-          SELECT v.vec_id, c.cent_id, v.emb,
-                 round(list_dot_product(v.emb_n, c.cn), 9) AS sim
-          FROM e0s v CROSS JOIN tcn{i - 1} c
-        ) WHERE sim IS NOT NULL
-      ) WHERE r = 1
-    )"""
-        )
-        ctes.append(
-            f"""tm{i} AS (
-      SELECT cent_id, list(m ORDER BY pos) AS centroid FROM (
-        SELECT cent_id, pos, avg(x) AS m FROM (
-          SELECT a.cent_id, generate_subscripts(a.emb, 1) AS pos,
-                 unnest(a.emb) AS x
-          FROM ta{i} a
-        ) GROUP BY cent_id, pos
-      ) GROUP BY cent_id
-    )"""
-        )
-        ctes.append(
-            f"""tc{i} AS (
-      SELECT c.cent_id,
-             list_transform(coalesce(m.centroid, c.cent_emb),
-                            x -> round(x, {K3_KMEANS_Q})) AS cent_emb
-      FROM tc{i - 1} c LEFT JOIN tm{i} m ON c.cent_id = m.cent_id
-    )"""
-        )
-    return ",\n    ".join(ctes)
-
 
 @register(
     "k3_embedding_near_pairs",

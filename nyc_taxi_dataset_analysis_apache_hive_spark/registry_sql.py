@@ -1398,209 +1398,6 @@ SQL_QUERIES: dict[str, str] = {
           FROM scored
         ) WHERE rank <= 5
     """,
-    "k2_ann_lsh_ivf": f"""
-        WITH e0 AS (
-          SELECT vec_id, CAST(embedding AS array<double>) AS emb
-          FROM embeddings
-        ),
-        n1 AS (
-          SELECT vec_id, emb, {_sql_norm("emb")} AS nrm,
-                 concat(
-                   CASE WHEN element_at(emb, 1) >= 0 THEN '1' ELSE '0' END,
-                   CASE WHEN element_at(emb, 2) >= 0 THEN '1' ELSE '0' END,
-                   CASE WHEN element_at(emb, 3) >= 0 THEN '1' ELSE '0' END,
-                   CASE WHEN element_at(emb, 4) >= 0 THEN '1' ELSE '0' END
-                 ) AS bucket
-          FROM e0
-        ),
-        n AS (
-          SELECT vec_id, transform(emb, x -> x / nrm) AS emb_n,
-                 bucket
-          FROM n1 WHERE nrm > 0
-        ),
-        lsh_scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round({_sql_dot("q.emb_n", "c.emb_n")}, 6) AS cosine
-          FROM (SELECT * FROM n WHERE vec_id < 8) q
-          JOIN n c ON q.bucket = c.bucket
-          WHERE q.vec_id <> c.vec_id
-        ),
-        lsh AS (
-          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-          FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
-              AS rank
-            FROM lsh_scored
-          ) WHERE rank <= 5
-        ),
-        cents AS (
-          SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
-          WHERE vec_id >= 100 AND vec_id < 116
-        ),
-        assigned AS (
-          SELECT neighbor_id, c_emb, cent_id FROM (
-            SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
-                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                     round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
-                     c.cent_id ASC) AS crank
-            FROM e0 v CROSS JOIN cents c
-          ) WHERE crank = 1
-        ),
-        probes AS (
-          SELECT query_id, q_emb, cent_id FROM (
-            SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
-                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                     round({_sql_cosine("q.emb", "c.cent_emb")}, 6) DESC,
-                     c.cent_id ASC) AS crank
-            FROM (SELECT * FROM e0 WHERE vec_id < 8) q CROSS JOIN cents c
-          ) WHERE crank <= 3
-        ),
-        ivf_scored AS (
-          SELECT DISTINCT p.query_id, a.neighbor_id,
-                 round({_sql_cosine("p.q_emb", "a.c_emb")}, 6) AS cosine
-          FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-          WHERE p.query_id <> a.neighbor_id
-        ),
-        ivf AS (
-          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-          FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
-              AS rank
-            FROM ivf_scored
-          ) WHERE rank <= 5
-        ),
-        -- pq (r7): product quantization -- normalize, encode as 16
-        -- codes over 4-dim subspaces against the 32-entry corpus-slice
-        -- codebook, fixed-order ADC prune to 128 candidates, exact
-        -- re-rank on the RAW vectors (dot(a/|a|,b/|b|) differs from
-        -- dot(a,b)/(|a||b|) in the last bits)
-        pq_e AS (
-          -- zero-norm drop-out mirrored from the operator (nrm > 0)
-          SELECT vec_id, emb AS emb_raw,
-                 transform(emb, x -> x / nrm) AS emb_n
-          FROM (SELECT vec_id, emb, {_sql_norm("emb")} AS nrm FROM e0)
-          WHERE nrm > 0
-        ),
-        pq_cb AS (
-          SELECT CAST(vec_id - 200 AS INT) AS code_id, emb_n AS cb_emb
-          FROM pq_e WHERE vec_id >= 200 AND vec_id < 232
-        ),
-        pq_sdl AS (
-          SELECT v.vec_id, c.code_id, j.j,
-                 {_sql_pq_subdist("v.emb_n", "c.cb_emb")} AS d
-          FROM pq_e v CROSS JOIN pq_cb c
-          CROSS JOIN (SELECT explode(sequence(0, 15)) AS j) j
-        ),
-        pq_codes AS (
-          SELECT vec_id, j, code_id AS code FROM (
-            SELECT vec_id, j, code_id,
-                   row_number() OVER (PARTITION BY vec_id, j
-                     ORDER BY d ASC, code_id ASC) AS rn
-            FROM pq_sdl) WHERE rn = 1
-        ),
-        pq_qtab AS (
-          SELECT vec_id AS query_id, j, code_id, d FROM pq_sdl
-          WHERE vec_id < 8
-        ),
-        pq_adc AS (
-          SELECT q.query_id, c.vec_id,
-                 round({_SQL_PQ_ADC_CHAIN}, 6) AS adc
-          FROM pq_codes c
-          JOIN pq_qtab q ON q.j = c.j AND q.code_id = c.code
-          WHERE q.query_id <> c.vec_id
-          GROUP BY q.query_id, c.vec_id
-        ),
-        pq_cands AS (
-          SELECT query_id, vec_id FROM (
-            SELECT query_id, vec_id, row_number() OVER (
-              PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
-            FROM pq_adc) WHERE crank <= 128
-        ),
-        pq_scored AS (
-          SELECT ca.query_id, ca.vec_id AS neighbor_id,
-                 round({_sql_cosine("q.emb_raw", "n.emb_raw")}, 6) AS cosine
-          FROM pq_cands ca
-          JOIN pq_e q ON q.vec_id = ca.query_id
-          JOIN pq_e n ON n.vec_id = ca.vec_id
-        ),
-        pq AS (
-          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-          FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
-              AS rank
-            FROM pq_scored
-          ) WHERE rank <= 5
-        ),
-        -- ivfpq (r7): FAISS composition -- the ivf leg's routing CTEs
-        -- gate which (query, vec) pairs the pq leg's ADC scores
-        ipq_allowed AS (
-          SELECT p.query_id, a.neighbor_id AS vec_id
-          FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-        ),
-        ipq_adc AS (
-          SELECT q.query_id, c.vec_id,
-                 round({_SQL_PQ_ADC_CHAIN}, 6) AS adc
-          FROM pq_codes c
-          JOIN ipq_allowed al ON al.vec_id = c.vec_id
-          JOIN pq_qtab q ON q.query_id = al.query_id
-                 AND q.j = c.j AND q.code_id = c.code
-          WHERE q.query_id <> c.vec_id
-          GROUP BY q.query_id, c.vec_id
-        ),
-        ipq_cands AS (
-          SELECT query_id, vec_id FROM (
-            SELECT query_id, vec_id, row_number() OVER (
-              PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
-            FROM ipq_adc) WHERE crank <= 128
-        ),
-        ipq_scored AS (
-          SELECT ca.query_id, ca.vec_id AS neighbor_id,
-                 round({_sql_cosine("q.emb_raw", "n.emb_raw")}, 6) AS cosine
-          FROM ipq_cands ca
-          JOIN pq_e q ON q.vec_id = ca.query_id
-          JOIN pq_e n ON n.vec_id = ca.vec_id
-        ),
-        ipq AS (
-          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-          FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
-              AS rank
-            FROM ipq_scored
-          ) WHERE rank <= 5
-        ),
-        allm AS (
-          SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
-          UNION ALL
-          SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
-          UNION ALL
-          SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank FROM pq
-          UNION ALL
-          SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
-          FROM ipq
-        )
-        SELECT method, query_id, neighbor_id, cosine, rank FROM allm
-        UNION ALL
-        -- reciprocal-rank fusion (r10): see registry.k2 docstring;
-        -- constants interpolated from similarity.RRF_K/RRF_MICRO
-        SELECT 'rrf' AS method, query_id, neighbor_id,
-               CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_SQL} AS cosine, rank
-        FROM (
-          SELECT query_id, neighbor_id, sum_micro,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY sum_micro DESC, neighbor_id ASC)
-                   AS BIGINT) AS rank
-          FROM (
-            SELECT query_id, neighbor_id,
-                   sum(CAST(floor({_RRF_MICRO_SQL} / ({_RRF_K_SQL} + rank))
-                       AS BIGINT)) AS sum_micro
-            FROM allm GROUP BY query_id, neighbor_id
-          )
-        ) WHERE rank <= {_K2_RRF_K}
-    """,
     # k3_embedding_near_pairs is not single-STATEMENT-expressible (its
     # semdedup leg needs connected components, and Spark's recursive
     # CTEs (4.x) support only UNION ALL -- cyclic reachability cannot
@@ -2786,9 +2583,274 @@ def _d6_sql_program(spark: SparkSession) -> DataFrame:
     )
 
 
+#: k2_ann_lsh_ivf single-statement body (r14: moved out of SQL_QUERIES
+#: because the new ivf_trained leg reads the trained centroid table,
+#: which only exists after the _k3sql_train_cents temp-view loop runs
+#: -- iterative Lloyd is not single-statement-expressible without
+#: unrolled CTEs whose double per-iteration self-reference Catalyst
+#: would inline into 2^n_iter plan copies)
+_K2_SQL_STMT = f"""
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS array<double>) AS emb
+          FROM embeddings
+        ),
+        n1 AS (
+          SELECT vec_id, emb, {_sql_norm("emb")} AS nrm,
+                 concat(
+                   CASE WHEN element_at(emb, 1) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 2) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 3) >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN element_at(emb, 4) >= 0 THEN '1' ELSE '0' END
+                 ) AS bucket
+          FROM e0
+        ),
+        n AS (
+          SELECT vec_id, transform(emb, x -> x / nrm) AS emb_n,
+                 bucket
+          FROM n1 WHERE nrm > 0
+        ),
+        lsh_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_sql_dot("q.emb_n", "c.emb_n")}, 6) AS cosine
+          FROM (SELECT * FROM n WHERE vec_id < 8) q
+          JOIN n c ON q.bucket = c.bucket
+          WHERE q.vec_id <> c.vec_id
+        ),
+        lsh AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM lsh_scored
+          ) WHERE rank <= 5
+        ),
+        cents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
+          WHERE vec_id >= 100 AND vec_id < 116
+        ),
+        assigned AS (
+          SELECT neighbor_id, c_emb, cent_id FROM (
+            SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM e0 v CROSS JOIN cents c
+          ) WHERE crank = 1
+        ),
+        probes AS (
+          SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round({_sql_cosine("q.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM (SELECT * FROM e0 WHERE vec_id < 8) q CROSS JOIN cents c
+          ) WHERE crank <= 3
+        ),
+        ivf_scored AS (
+          SELECT DISTINCT p.query_id, a.neighbor_id,
+                 round({_sql_cosine("p.q_emb", "a.c_emb")}, 6) AS cosine
+          FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+          WHERE p.query_id <> a.neighbor_id
+        ),
+        ivf AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM ivf_scored
+          ) WHERE rank <= 5
+        ),
+        -- pq (r7): product quantization -- normalize, encode as 16
+        -- codes over 4-dim subspaces against the 32-entry corpus-slice
+        -- codebook, fixed-order ADC prune to 128 candidates, exact
+        -- re-rank on the RAW vectors (dot(a/|a|,b/|b|) differs from
+        -- dot(a,b)/(|a||b|) in the last bits)
+        pq_e AS (
+          -- zero-norm drop-out mirrored from the operator (nrm > 0)
+          SELECT vec_id, emb AS emb_raw,
+                 transform(emb, x -> x / nrm) AS emb_n
+          FROM (SELECT vec_id, emb, {_sql_norm("emb")} AS nrm FROM e0)
+          WHERE nrm > 0
+        ),
+        pq_cb AS (
+          SELECT CAST(vec_id - 200 AS INT) AS code_id, emb_n AS cb_emb
+          FROM pq_e WHERE vec_id >= 200 AND vec_id < 232
+        ),
+        pq_sdl AS (
+          SELECT v.vec_id, c.code_id, j.j,
+                 {_sql_pq_subdist("v.emb_n", "c.cb_emb")} AS d
+          FROM pq_e v CROSS JOIN pq_cb c
+          CROSS JOIN (SELECT explode(sequence(0, 15)) AS j) j
+        ),
+        pq_codes AS (
+          SELECT vec_id, j, code_id AS code FROM (
+            SELECT vec_id, j, code_id,
+                   row_number() OVER (PARTITION BY vec_id, j
+                     ORDER BY d ASC, code_id ASC) AS rn
+            FROM pq_sdl) WHERE rn = 1
+        ),
+        pq_qtab AS (
+          SELECT vec_id AS query_id, j, code_id, d FROM pq_sdl
+          WHERE vec_id < 8
+        ),
+        pq_adc AS (
+          SELECT q.query_id, c.vec_id,
+                 round({_SQL_PQ_ADC_CHAIN}, 6) AS adc
+          FROM pq_codes c
+          JOIN pq_qtab q ON q.j = c.j AND q.code_id = c.code
+          WHERE q.query_id <> c.vec_id
+          GROUP BY q.query_id, c.vec_id
+        ),
+        pq_cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+            FROM pq_adc) WHERE crank <= 128
+        ),
+        pq_scored AS (
+          SELECT ca.query_id, ca.vec_id AS neighbor_id,
+                 round({_sql_cosine("q.emb_raw", "n.emb_raw")}, 6) AS cosine
+          FROM pq_cands ca
+          JOIN pq_e q ON q.vec_id = ca.query_id
+          JOIN pq_e n ON n.vec_id = ca.vec_id
+        ),
+        pq AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM pq_scored
+          ) WHERE rank <= 5
+        ),
+        -- ivfpq (r7): FAISS composition -- the ivf leg's routing CTEs
+        -- gate which (query, vec) pairs the pq leg's ADC scores
+        ipq_allowed AS (
+          SELECT p.query_id, a.neighbor_id AS vec_id
+          FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        ),
+        ipq_adc AS (
+          SELECT q.query_id, c.vec_id,
+                 round({_SQL_PQ_ADC_CHAIN}, 6) AS adc
+          FROM pq_codes c
+          JOIN ipq_allowed al ON al.vec_id = c.vec_id
+          JOIN pq_qtab q ON q.query_id = al.query_id
+                 AND q.j = c.j AND q.code_id = c.code
+          WHERE q.query_id <> c.vec_id
+          GROUP BY q.query_id, c.vec_id
+        ),
+        ipq_cands AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS crank
+            FROM ipq_adc) WHERE crank <= 128
+        ),
+        ipq_scored AS (
+          SELECT ca.query_id, ca.vec_id AS neighbor_id,
+                 round({_sql_cosine("q.emb_raw", "n.emb_raw")}, 6) AS cosine
+          FROM ipq_cands ca
+          JOIN pq_e q ON q.vec_id = ca.query_id
+          JOIN pq_e n ON n.vec_id = ca.vec_id
+        ),
+        ipq AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM ipq_scored
+          ) WHERE rank <= 5
+        ),
+        -- ivf_trained (r14): the same list probing over the TRAINED
+        -- index -- __k3sql_tc, the _k3sql_train_cents temp-view Lloyd
+        -- loop at the shared k3 gate constants (ONE trained-index
+        -- definition across the k2 and k3 programs)
+        tr_assigned AS (
+          SELECT neighbor_id, c_emb, cent_id FROM (
+            SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM e0 v CROSS JOIN __k3sql_tc c
+          ) WHERE crank = 1
+        ),
+        tr_probes AS (
+          SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round({_sql_cosine("q.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM (SELECT * FROM e0 WHERE vec_id < 8) q
+            CROSS JOIN __k3sql_tc c
+          ) WHERE crank <= 3
+        ),
+        tr_scored AS (
+          SELECT DISTINCT p.query_id, a.neighbor_id,
+                 round({_sql_cosine("p.q_emb", "a.c_emb")}, 6) AS cosine
+          FROM tr_probes p JOIN tr_assigned a ON p.cent_id = a.cent_id
+          WHERE p.query_id <> a.neighbor_id
+        ),
+        tr_ivf AS (
+          SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+            FROM tr_scored
+          ) WHERE rank <= 5
+        ),
+        allm AS (
+          SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank FROM lsh
+          UNION ALL
+          SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank FROM ivf
+          UNION ALL
+          SELECT 'ivf_trained' AS method, query_id, neighbor_id, cosine, rank
+          FROM tr_ivf
+          UNION ALL
+          SELECT 'pq' AS method, query_id, neighbor_id, cosine, rank FROM pq
+          UNION ALL
+          SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine, rank
+          FROM ipq
+        )
+        SELECT method, query_id, neighbor_id, cosine, rank FROM allm
+        UNION ALL
+        -- reciprocal-rank fusion (r10): see registry.k2 docstring;
+        -- constants interpolated from similarity.RRF_K/RRF_MICRO
+        SELECT 'rrf' AS method, query_id, neighbor_id,
+               CAST(sum_micro AS DOUBLE) / {_RRF_MICRO_SQL} AS cosine, rank
+        FROM (
+          SELECT query_id, neighbor_id, sum_micro,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sum_micro DESC, neighbor_id ASC)
+                   AS BIGINT) AS rank
+          FROM (
+            SELECT query_id, neighbor_id,
+                   sum(CAST(floor({_RRF_MICRO_SQL} / ({_RRF_K_SQL} + rank))
+                       AS BIGINT)) AS sum_micro
+            FROM allm GROUP BY query_id, neighbor_id
+          )
+        ) WHERE rank <= {_K2_RRF_K}
+    """
+
+
+def _k2_sql_program(spark: SparkSession) -> DataFrame:
+    """k2_ann_lsh_ivf in declarative mode (a sequenced program since
+    r14): norm view -> the SHARED _k3sql_train_cents training loop
+    (one trained-index definition across the k2 and k3 programs) ->
+    one statement for all six legs.  Output is column- and
+    value-identical to ``registry.QUERIES['k2_ann_lsh_ivf']``
+    (gated in tests/test_sql_mode.py)."""
+    spark.sql(_K3_NORM_VIEW_SQL)
+    _k3sql_train_cents(spark)
+    return spark.sql(_K2_SQL_STMT)
+
+
 #: entries runnable in declarative mode only as statement SEQUENCES
 #: (driver-sequenced temp views + the CC fixpoint loop)
 SQL_PROGRAMS: dict = {
+    "k2_ann_lsh_ivf": _k2_sql_program,
     "k3_embedding_near_pairs": _k3_sql_program,
     "d6_dup_clusters": _d6_sql_program,
 }
