@@ -79,8 +79,9 @@ def _verdict_map(rows):
     }
 
 
-def test_stream_matches_batch_and_operator(spark, emb_split, vecs_dir):
-    history, batch, cents = emb_split
+def _three_way_verdicts(spark, history, batch, cents, vecs_dir, sink_name):
+    """The stream / batch-analog / k3-operator equality harness over one
+    centroid index: returns the three verdict maps."""
     state = similarity.assign_to_centroids(history, cents).localCheckpoint(
         eager=True
     )
@@ -92,14 +93,13 @@ def test_stream_matches_batch_and_operator(spark, emb_split, vecs_dir):
     )
     q = (
         stream.writeStream.format("memory")
-        .queryName("admit_sink")
+        .queryName(sink_name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    got = _verdict_map(spark.table("admit_sink").collect())
-
+    got = _verdict_map(spark.table(sink_name).collect())
     analog = _verdict_map(
         curation.semantic_admission_batch(
             batch, state, cents, threshold=THRESH
@@ -113,6 +113,35 @@ def test_stream_matches_batch_and_operator(spark, emb_split, vecs_dir):
             centroids=cents,
             history_state=state,
         ).report.collect()
+    )
+    return got, analog, operator
+
+
+def test_stream_matches_batch_and_operator(spark, emb_split, vecs_dir):
+    history, batch, cents = emb_split
+    got, analog, operator = _three_way_verdicts(
+        spark, history, batch, cents, vecs_dir, "admit_sink"
+    )
+    assert got and got == analog == operator
+
+
+def test_stream_matches_batch_with_trained_index(spark, emb_split, vecs_dir):
+    """The r14 gate: a kmeans_train-produced index round-trips through
+    the stream-vs-batch equality harness (previously only the fixed
+    corpus slice did).  The trained table folds through
+    _centroid_literal into the stateless stream assignment exactly like
+    the fixed slice -- the deployment posture is train offline, serve
+    the literal index in the stream."""
+    history, batch, _ = emb_split
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    trained = similarity.kmeans_train(
+        emb.filter(F.col("vec_id") < 500),
+        n_centroids=16,
+        n_iter=5,
+        quantize=6,
+    )
+    got, analog, operator = _three_way_verdicts(
+        spark, history, batch, trained, vecs_dir, "admit_sink_trained"
     )
     assert got and got == analog == operator
 
