@@ -353,6 +353,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     quantize: int | None = None,
     dead_cells: list | None = None,
+    reseed_dead: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) on DataFrames: (cent_id, cent_emb).
 
@@ -411,6 +412,20 @@ def kmeans_train(
     monitoring hook.  Reporting materializes each iteration's tiny
     per-cluster mean table once (<= n_centroids rows) so the count and
     the centroid update share one computation -- no extra corpus pass.
+    (With ``reseed_dead`` the count still states the PRE-reseed deads,
+    so the report shows how often re-seeding had to fire.)
+
+    ``reseed_dead`` (r14): instead of carrying a dead cluster's
+    centroid forward, re-seed it from the FURTHEST assigned point --
+    the standard k-means empty-cluster repair (lowest elected cosine,
+    ties to the lowest vid): the worst-served vector becomes its own
+    cell.  Deterministic and scale-safe: the furthest candidates come
+    from one ``orderBy(...).limit(n_centroids)`` (TakeOrdered -- no
+    global sort shuffle), dead slots pair with them by rank over two
+    <= n_centroids-row frames.  OFF by default: the gated trained-index
+    surfaces replay exact Lloyd (empty clusters carried) in DuckDB /
+    Spark-SQL, and re-seeding is the research-path option for corpora
+    where the dead_cells report shows a degenerating index.
     """
     from ..functions.vectors import dot, l2_norm
 
@@ -447,6 +462,19 @@ def kmeans_train(
                     ).alias("cn"),
                 )
             )
+            # the elected (vid, sim) only ride the output when re-seeding
+            # needs them, so the default path's plan stays byte-identical
+            # to the gated r13 shape
+            sel = [
+                F.col("__win.cent_id").alias("cent_id"),
+                F.col("__win.v").alias("v"),
+            ]
+            win_val = F.struct("cent_id", "v")
+            if reseed_dead:
+                sel = (
+                    [F.col("vid")] + sel + [F.col("__win.sim").alias("sim")]
+                )
+                win_val = F.struct("cent_id", "v", "sim")
             assigned = (
                 emb.crossJoin(F.broadcast(cents_n))
                 .select(
@@ -463,7 +491,7 @@ def kmeans_train(
                     # deterministic row (the assign_to_centroids max_by
                     # discipline)
                     F.max_by(
-                        F.struct("cent_id", "v"),
+                        win_val,
                         F.struct(
                             F.col("sim"),
                             (-F.col("cent_id")).alias("nc"),
@@ -471,19 +499,18 @@ def kmeans_train(
                         ),
                     ).alias("__win")
                 )
-                .select(
-                    F.col("__win.cent_id").alias("cent_id"),
-                    F.col("__win.v").alias("v"),
-                )
+                .select(*sel)
             )
             means = vector_mean_by_key(assigned, "cent_id", "v")
-            if dead_cells is not None:
-                # dead-cell visibility (r14): a cluster absent from the
-                # mean table received no vectors this round.  The mean
-                # table is <= n_centroids rows, so materializing it here
-                # lets the count and the join below share ONE
-                # computation of the assignment pass
+            if dead_cells is not None or reseed_dead:
+                # dead-cell visibility / reseed (r14): a cluster absent
+                # from the mean table received no vectors this round.
+                # The mean table is <= n_centroids rows, so
+                # materializing it here lets the count, the dead-slot
+                # anti-join, and the centroid join share ONE computation
+                # of the assignment pass
                 means = means.coalesce(1).localCheckpoint(eager=True)
+            if dead_cells is not None:
                 dead_cells.append(n_centroids - means.count())
             nxt = F.coalesce("centroid", "cent_emb")
             if quantize is not None:
@@ -491,10 +518,53 @@ def kmeans_train(
                 # carried-over centroids land on the same grid as
                 # recomputed means
                 nxt = F.transform(nxt, lambda x: F.round(x, quantize))
+            nxt_cents = cents.join(means, "cent_id", "left").select(
+                "cent_id", nxt.alias("cent_emb")
+            )
+            if reseed_dead:
+                # re-seed each dead slot from the furthest assigned
+                # point (lowest elected cosine, ties to the lowest vid)
+                # -- the standard k-means empty-cluster repair.  The
+                # candidate pool is ONE TakeOrdered limit(n_centroids)
+                # (no global sort shuffle); slots pair with candidates
+                # by rank across two <= n_centroids-row frames.
+                dead_slots = (
+                    cents.select("cent_id")
+                    .join(means.select("cent_id"), "cent_id", "left_anti")
+                    .withColumn(
+                        "__r", F.row_number().over(Window.orderBy("cent_id"))
+                    )
+                )
+                far = (
+                    assigned.select("vid", "v", "sim")
+                    .orderBy(F.col("sim").asc(), F.col("vid").asc())
+                    .limit(n_centroids)
+                    .withColumn(
+                        "__r",
+                        F.row_number().over(
+                            Window.orderBy(
+                                F.col("sim").asc(), F.col("vid").asc()
+                            )
+                        ),
+                    )
+                    .select("__r", F.col("v").alias("__reseed"))
+                )
+                reseed = F.col("__reseed")
+                if quantize is not None:
+                    # reseeded centroids land on the same grid as means
+                    reseed = F.transform(
+                        reseed, lambda x: F.round(x, quantize)
+                    )
+                nxt_cents = nxt_cents.join(
+                    dead_slots.join(far, "__r").select("cent_id", "__reseed"),
+                    "cent_id",
+                    "left",
+                ).select(
+                    "cent_id",
+                    F.coalesce(reseed, F.col("cent_emb")).alias("cent_emb"),
+                )
             cents = (
-                cents.join(means, "cent_id", "left")
-                .select("cent_id", nxt.alias("cent_emb"))
-                .coalesce(1)
+                nxt_cents.coalesce(1)
                 # per-iteration eager cut, MEASURED both ways at sf0.1:
                 # cents appears twice per iteration (cross join +
                 # coalesce-join), so without the cut the plan doubles

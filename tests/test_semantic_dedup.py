@@ -418,6 +418,93 @@ def test_kmeans_dead_cell_report(spark):
     assert dead2 == [0, 0]
 
 
+def test_kmeans_reseed_dead_revives_cluster(spark):
+    """reseed_dead=True (r14): a dead cluster (duplicate init vectors)
+    is re-seeded IN-PLACE from the FURTHEST assigned point (lowest
+    elected cosine).  Corpus: ids 0/1 duplicate [1,0] (init makes
+    cluster 2 dead on the tie-to-lowest election), id 5 points at [0,1]
+    -- the worst-served vector, which must become cluster 2's seed, so
+    cluster 2 converges exactly onto the orthogonal direction while
+    cluster 1 keeps the [1,0] family.  Contrast documented by the
+    no-reseed run on the same corpus: plain Lloyd eventually heals too,
+    but only by mean-DRIFT role swapping (cluster 1 drifts toward the
+    orthogonal vector and cluster 2 recaptures the majority family) --
+    re-seeding repairs in iteration 1 with stable roles instead."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.9, 0.1]),
+            (5, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dead: list[int] = []
+    cents = {
+        r["cent_id"]: list(r["cent_emb"])
+        for r in similarity.kmeans_train(
+            emb, n_centroids=2, n_iter=3, dead_cells=dead, reseed_dead=True
+        ).collect()
+    }
+    # iteration 1 reports the pre-reseed dead slot, later rounds are
+    # fully served (the reseeded cell captures id 5 immediately)
+    assert dead == [1, 0, 0]
+    assert len(cents) == 2
+    # cluster 2 sits exactly on the furthest point's direction; cluster
+    # 1 holds the majority family's mean
+    assert cents[2] == [0.0, 1.0]
+    assert [round(x, 6) for x in cents[1]] == [0.975, 0.025]
+    # the no-reseed contrast: same corpus, roles SWAPPED by drift --
+    # cluster 1 ends on the orthogonal singleton
+    dead_off: list[int] = []
+    cents_off = {
+        r["cent_id"]: list(r["cent_emb"])
+        for r in similarity.kmeans_train(
+            emb, n_centroids=2, n_iter=3, dead_cells=dead_off
+        ).collect()
+    }
+    assert dead_off == [1, 0, 0]
+    assert cents_off[1] == [0.0, 1.0]
+
+
+def test_kmeans_reseed_cannot_manufacture_diversity(spark):
+    """An all-identical corpus: the furthest point is the same vector,
+    the reseeded slot ties back to the lowest cent_id every round, and
+    the dead count honestly stays 1 per iteration -- re-seeding repairs
+    coverage gaps, it cannot invent directions the data lacks."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    dead: list[int] = []
+    cents = similarity.kmeans_train(
+        emb, n_centroids=2, n_iter=2, dead_cells=dead, reseed_dead=True
+    ).collect()
+    assert dead == [1, 1]
+    assert len(cents) == 2
+
+
+def test_kmeans_reseed_quantize_grid_and_determinism(spark, sf001_dir):
+    """reseed_dead composes with the quantize grid (reseeded centroids
+    land on the same 1e-6 grid) and stays run-to-run deterministic."""
+    emb = load_table(spark, sf001_dir, "embeddings")
+
+    def train():
+        return {
+            r["cent_id"]: list(r["cent_emb"])
+            for r in similarity.kmeans_train(
+                emb, n_centroids=8, n_iter=3, quantize=6, reseed_dead=True
+            ).collect()
+        }
+
+    a, b = train(), train()
+    assert a == b and len(a) == 8
+    for cent in a.values():
+        for x in cent:
+            assert x == round(x, 6)
+
+
 def test_lsh_band_is_not_a_confining_key(spark):
     """The r14 pl1 investigation's executable negative result: a
     MinHash BAND cannot confine partitioned_components.  Docs 1-2
