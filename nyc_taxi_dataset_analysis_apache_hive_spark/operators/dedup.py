@@ -1379,3 +1379,290 @@ def ngram_overlap_contamination(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring spans (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find -- and optionally cut -- maximal
+# token spans shared VERBATIM between documents.  The set-overlap family
+# above (Jaccard / MinHash / overlap_frac) is position-blind; these
+# operators recover contiguity, which is what exact-substring dedup and
+# benchmark decontamination actually care about.
+#
+# Distributed shape (the suffix-array of the paper is a single-machine
+# construction; this is the shuffle-native equivalent): every document
+# emits its word w-grams WITH their start position, boilerplate grams
+# over the document-frequency cap are dropped, the inverted index
+# self-joins on the gram (candidate hits only -- never all-pairs), and
+# each hit lands on a DIAGONAL of the (pos_a, pos_b) match matrix.  A
+# shared span of L >= w tokens is exactly a run of L-w+1 consecutive
+# hits on one diagonal, so a gaps-and-islands window per
+# (pair, pos_a - pos_b) reconstructs every MAXIMAL span with two
+# shuffles (join + window/groupBy) and no per-row Python.
+# --------------------------------------------------------------------------
+
+#: Shared-span defaults: 6-token seed windows (vocab here is small, so
+#: shorter windows admit chance collisions), spans reported at >= 12
+#: tokens (a seed window must EXTEND to count -- chance 6-gram hits are
+#: invisible), boilerplate grams dropped past 50 documents (d4's
+#: hot-print posture).
+SPAN_WINDOW = 6
+SPAN_MIN_TOKENS = 12
+SPAN_MAX_GRAM_DOCS = 50
+
+#: None-sentinel distinguishing "caller passed nothing" from an explicit
+#: value, so precomputed-input overloads can reject shadowed tuning
+#: parameters instead of silently ignoring them (the r13 dead-parameter
+#: review class: curate_corpus(pairs=) / semantic_dedup(components=)).
+_UNSET = object()
+
+
+def positional_ngrams(
+    docs: DataFrame, window: int = SPAN_WINDOW, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, g): word ``window``-grams with their 0-based start
+    position in the token stream.  Unlike :func:`_shingle_sets` the grams
+    are NOT distinct'd -- position matters, and a gram repeated inside one
+    document seeds one diagonal per occurrence.  Documents shorter than
+    ``window`` tokens emit nothing (posexplode of the guarded empty
+    array)."""
+    toks = _null_safe_text(docs, text_col).select(
+        "doc_id", tokens(text_col).alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(ngrams_from_tokens(F.col("toks"), window)).alias(
+            "pos", "g"
+        ),
+    )
+
+
+def _cold_positional_grams(
+    grams: DataFrame, max_gram_docs: int
+) -> DataFrame:
+    """Drop grams whose document frequency exceeds the cap: boilerplate
+    w-grams otherwise quadratically inflate the inverted-index self-join
+    (a gram in D documents contributes D^2 hit rows).  Distinct-doc
+    counting is a partial-aggregable groupBy; the anti-join broadcasts
+    (the hot set is small by construction)."""
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_gram_docs)
+        .select("g")
+    )
+    return grams.join(hot, on="g", how="left_anti")
+
+
+def _diagonal_runs(
+    hits: DataFrame, a_col: str, b_col: str, window: int
+) -> DataFrame:
+    """Merge gram hits into maximal spans: within one (pair, diagonal)
+    a run of consecutive ``pa`` values is one span.  Island id = pa -
+    row_number (pa is unique per diagonal: pb = pa - diff), span token
+    length = run length + window - 1.  Returns (a, b, pa0, pb0,
+    span_tokens) -- the 0-based start positions feed the scrub's
+    interval merge."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(a_col, b_col, "diff").orderBy("pa")
+    return (
+        hits.withColumn("diff", F.col("pa") - F.col("pb"))
+        .withColumn("isl", F.col("pa") - F.row_number().over(win))
+        .groupBy(a_col, b_col, "diff", "isl")
+        .agg(
+            F.min("pa").alias("pa0"),
+            F.min("pb").alias("pb0"),
+            (F.count(F.lit(1)) + F.lit(window - 1))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .drop("diff", "isl")
+    )
+
+
+def span_runs(
+    docs: DataFrame,
+    window: int = SPAN_WINDOW,
+    max_gram_docs: int = SPAN_MAX_GRAM_DOCS,
+    text_col: str = "text",
+) -> DataFrame:
+    """All maximal shared spans between document pairs (doc_a < doc_b):
+    (doc_a, doc_b, pa0, pb0, span_tokens), UNFILTERED by a minimum span
+    -- the shared precursor for :func:`shared_span_pairs` and
+    :func:`span_scrub_stats` (compute once, feed both)."""
+    cold = _cold_positional_grams(
+        positional_ngrams(docs, window, text_col), max_gram_docs
+    )
+    a = cold.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = cold.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    hits = (
+        a.join(b, on="g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
+    return _diagonal_runs(hits, "doc_a", "doc_b", window)
+
+
+def shared_span_pairs(
+    docs: DataFrame | None = None,
+    *,
+    runs: DataFrame | None = None,
+    window: int | object = _UNSET,
+    min_span: int = SPAN_MIN_TOKENS,
+    max_gram_docs: int | object = _UNSET,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-pair exact-span report: (doc_a, doc_b, n_spans,
+    max_span_tokens) for pairs sharing at least one verbatim token span
+    >= ``min_span``.  Pass ``runs=`` (a :func:`span_runs` result) to
+    reuse a precomputed span table; ``window``/``max_gram_docs`` are
+    then already baked in and passing them explicitly raises instead of
+    being silently ignored."""
+    if runs is not None:
+        if docs is not None or window is not _UNSET or max_gram_docs is not _UNSET:
+            raise ValueError(
+                "runs= already fixes docs/window/max_gram_docs; pass "
+                "either runs= or the raw inputs, not both"
+            )
+    else:
+        if docs is None:
+            raise ValueError("either docs or runs= is required")
+        w = SPAN_WINDOW if window is _UNSET else window
+        cap = SPAN_MAX_GRAM_DOCS if max_gram_docs is _UNSET else max_gram_docs
+        runs = span_runs(docs, w, cap, text_col)
+    return (
+        runs.filter(F.col("span_tokens") >= min_span)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        )
+    )
+
+
+def span_scrub_stats(
+    docs: DataFrame,
+    *,
+    runs: DataFrame | None = None,
+    window: int | object = _UNSET,
+    min_span: int = SPAN_MIN_TOKENS,
+    max_gram_docs: int | object = _UNSET,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span REMOVAL report under the keep-first policy: every span
+    >= ``min_span`` is cut from the HIGHER doc_id of its pair (the
+    keeper convention of :func:`exact_dedup_groups`), overlapping cut
+    intervals within one document merge (a token is removed once no
+    matter how many partners share it), and the report is one row per
+    affected document: (doc_id, tokens_removed, n_tokens_after).
+
+    This is the "except one occurrence" rewrite of Lee et al. sect. 4.1
+    expressed as interval algebra: cut starts/ends live in doc_b token
+    space (pb0 .. pb0 + span - 1), the merge is a second gaps-and-islands
+    (new interval when start > running max end), and both engines do the
+    whole thing in exact integers.  The rewritten TEXT itself is one
+    ``filter(tokens, ...)`` + ``array_join`` away; the stats row is what
+    the correctness gate can value-hash.
+    """
+    if runs is not None:
+        if window is not _UNSET or max_gram_docs is not _UNSET:
+            raise ValueError(
+                "runs= already fixes window/max_gram_docs; pass either "
+                "runs= or the tuning knobs, not both"
+            )
+    else:
+        w = SPAN_WINDOW if window is _UNSET else window
+        cap = SPAN_MAX_GRAM_DOCS if max_gram_docs is _UNSET else max_gram_docs
+        runs = span_runs(docs, w, cap, text_col)
+    from pyspark.sql.window import Window
+
+    cuts = runs.filter(F.col("span_tokens") >= min_span).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pb0").alias("s"),
+        (F.col("pb0") + F.col("span_tokens") - 1).alias("e"),
+    )
+    order = Window.partitionBy("doc_id").orderBy("s", "e")
+    running = order.rowsBetween(Window.unboundedPreceding, -1)
+    merged = (
+        cuts.withColumn("prev_max_e", F.max("e").over(running))
+        .withColumn(
+            "new_grp",
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_grp").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "grp")
+        .agg((F.max("e") - F.min("s") + 1).cast("long").alias("covered"))
+    )
+    lens = _null_safe_text(docs, text_col).select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(F.sum("covered").cast("long").alias("tokens_removed"))
+        .join(lens, on="doc_id")
+        .select(
+            "doc_id",
+            "tokens_removed",
+            (F.col("n_tokens") - F.col("tokens_removed"))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+    )
+
+
+def cross_corpus_span_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    window: int = SPAN_WINDOW,
+    min_span: int = SPAN_MIN_TOKENS,
+    max_gram_docs: int = SPAN_MAX_GRAM_DOCS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by VERBATIM span: (corpus_id, probe_id,
+    n_spans, max_span_tokens) for cross-side pairs sharing an exact
+    token span >= ``min_span`` -- the contiguity-aware complement of
+    :func:`ngram_overlap_contamination` (which counts set hits and
+    cannot distinguish a 50-token verbatim leak from 50 scattered
+    grams).  The document-frequency cap counts BOTH sides: a gram that
+    is boilerplate anywhere is boilerplate everywhere.  Sides never
+    self-join, so a probe set small enough to broadcast keeps the
+    corpus side shuffle-free on the hit join."""
+    grams_c = positional_ngrams(corpus, window, text_col)
+    grams_p = positional_ngrams(probes, window, text_col)
+    both = grams_c.unionByName(grams_p)
+    hot = (
+        both.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_gram_docs)
+        .select("g")
+    )
+    c = grams_c.join(hot, on="g", how="left_anti").select(
+        F.col("doc_id").alias("corpus_id"), F.col("pos").alias("pa"), "g"
+    )
+    p = grams_p.join(hot, on="g", how="left_anti").select(
+        F.col("doc_id").alias("probe_id"), F.col("pos").alias("pb"), "g"
+    )
+    hits = c.join(p, on="g").select("corpus_id", "probe_id", "pa", "pb")
+    runs = _diagonal_runs(hits, "corpus_id", "probe_id", window)
+    return (
+        runs.filter(F.col("span_tokens") >= min_span)
+        .groupBy("corpus_id", "probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        )
+    )
