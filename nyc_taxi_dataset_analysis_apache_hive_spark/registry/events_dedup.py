@@ -406,19 +406,129 @@ _D4_WINNOW_SQL = """
 """
 
 
+#: exact substring spans (r14, Lee et al. 2021 shape): positional w-gram
+#: inverted index -> diagonal gaps-and-islands -> maximal shared spans.
+#: The CTE chain mirrors dedup.span_runs 1:1 (same tokenizer, same
+#: df cap, same island arithmetic -- all exact integers).
+#: grams half of the chain (ptoks .. pcold), shared with d7's
+#: cross-corpus spans leg (which swaps the self-join for a parity-split
+#: cross join)
+_SPAN_GRAMS_CTE = f"""
+    ptoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '{TOKEN_SPLIT_REGEX}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    pgrams AS (
+      SELECT doc_id, u.pos AS pos, u.g AS g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - {dedup.SPAN_WINDOW} + 1, 0) + 1),
+                 j -> {{'pos': j,
+                        'g': array_to_string(t[j:j+{dedup.SPAN_WINDOW}-1], ' ')}}))
+                 AS u
+        FROM ptoks
+      )
+    ),
+    phot AS (
+      SELECT g FROM pgrams
+      GROUP BY g HAVING count(DISTINCT doc_id) > {dedup.SPAN_MAX_GRAM_DOCS}
+    ),
+    pcold AS (
+      SELECT doc_id, pos, g FROM pgrams
+      WHERE g NOT IN (SELECT g FROM phot)
+    )
+"""
+
+_D4_SPAN_RUNS_CTE = f"""
+    {_SPAN_GRAMS_CTE},
+    phits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM pcold a JOIN pcold b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    pruns AS (
+      SELECT doc_a, doc_b, min(pa) AS pa0, min(pb) AS pb0,
+             CAST(count(*) + {dedup.SPAN_WINDOW} - 1 AS BIGINT) AS span_tokens
+      FROM (
+        SELECT doc_a, doc_b, pa, pb,
+               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS isl
+        FROM phits
+      )
+      GROUP BY doc_a, doc_b, pa - pb, isl
+    )
+"""
+
+_D4_SPANS_SQL = f"""
+    WITH {_D4_SPAN_RUNS_CTE}
+    SELECT doc_a, doc_b,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(span_tokens) AS BIGINT) AS m
+    FROM pruns WHERE span_tokens >= {dedup.SPAN_MIN_TOKENS}
+    GROUP BY doc_a, doc_b
+"""
+
+_D4_SCRUB_SQL = f"""
+    WITH {_D4_SPAN_RUNS_CTE},
+    pcuts AS (
+      SELECT doc_b AS doc_id, pb0 AS s, pb0 + span_tokens - 1 AS e
+      FROM pruns WHERE span_tokens >= {dedup.SPAN_MIN_TOKENS}
+    ),
+    pmerged AS (
+      SELECT doc_id, grp, CAST(max(e) - min(s) + 1 AS BIGINT) AS covered
+      FROM (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS grp
+        FROM (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max_e
+          FROM pcuts
+        )
+      )
+      GROUP BY doc_id, grp
+    )
+    SELECT pm.doc_id,
+           CAST(sum(pm.covered) AS BIGINT) AS n,
+           CAST(any_value(len(pt.t)) - sum(pm.covered) AS BIGINT) AS m
+    FROM pmerged pm JOIN ptoks pt ON pm.doc_id = pt.doc_id
+    GROUP BY pm.doc_id
+"""
+
+
 @register(
     "d4_ngram_jaccard_pairs",
     f"""
-    SELECT 'ngram' AS op, doc_a, doc_b, jaccard FROM ({_D4_NGRAM_SQL})
+    SELECT 'ngram' AS op, doc_a, doc_b, jaccard,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
+    FROM ({_D4_NGRAM_SQL})
     UNION ALL
-    SELECT 'winnow' AS op, doc_a, doc_b, jaccard FROM ({_D4_WINNOW_SQL})
+    SELECT 'winnow' AS op, doc_a, doc_b, jaccard,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
+    FROM ({_D4_WINNOW_SQL})
+    UNION ALL
+    SELECT 'spans' AS op, doc_a, doc_b, CAST(NULL AS DOUBLE) AS jaccard, n, m
+    FROM ({_D4_SPANS_SQL})
+    UNION ALL
+    SELECT 'scrub' AS op, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard, n, m
+    FROM ({_D4_SCRUB_SQL})
     """,
 )
 def d4_ngram_jaccard_pairs(spark, sf):
-    """The exact near-dup pair surface, tagged and stacked:
+    """The exact near-dup pair surface, tagged and stacked (generic
+    ``n``/``m`` BIGINT payload columns per the d7 precedent; each leg's
+    docstring line names what they hold):
 
     - ``op='ngram'``: exact word-3-gram-Jaccard pairs (inverted-index
-      join, no all-pairs product); threshold 0.2.
+      join, no all-pairs product); threshold 0.2; n/m NULL.
     - ``op='winnow'`` (r6): rolling-hash winnowing fingerprints
       (Schleimer/Wilkerson/Aiken SIGMOD'03 -- the brief's "document
       fingerprinting (rolling hash)" item): 8-char-gram hashes,
@@ -426,15 +536,55 @@ def d4_ngram_jaccard_pairs(spark, sf):
       Character-level, so it is robust to tokenization differences and
       guarantees a shared print for any common substring of length >=
       k + w - 1 = 11 -- the local-sampling property shingle MinHash
-      lacks."""
+      lacks; n/m NULL.
+    - ``op='spans'`` (r14): exact substring spans (Lee et al. 2021) --
+      dedup.shared_span_pairs' maximal VERBATIM token spans >= 12 from
+      the gram-diagonal islands; n = n_spans, m = max_span_tokens,
+      jaccard NULL.  The position-aware complement of the set metrics:
+      a pair here shares contiguous text, not just vocabulary.
+    - ``op='scrub'`` (r14): dedup.span_scrub_stats' keep-first removal
+      report -- doc_a = the document that loses text (doc_b NULL),
+      n = tokens_removed after interval merge, m = n_tokens_after.
+
+    The spans/scrub legs share ONE runs table (eagerly checkpointed:
+    two consumers, same posture as d3's shared signature table)."""
     docs = _t(spark, sf, "documents")
+    nulll = F.lit(None).cast("long")
+    nulld = F.lit(None).cast("double")
     ngram = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
-        F.lit("ngram").alias("op"), "doc_a", "doc_b", "jaccard"
+        F.lit("ngram").alias("op"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        nulll.alias("n"),
+        nulll.alias("m"),
     )
     winnow = dedup.winnow_near_pairs(docs, threshold=0.35).select(
-        F.lit("winnow").alias("op"), "doc_a", "doc_b", "jaccard"
+        F.lit("winnow").alias("op"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        nulll.alias("n"),
+        nulll.alias("m"),
     )
-    return ngram.unionByName(winnow)
+    runs = dedup.span_runs(docs).localCheckpoint(eager=True)
+    spans = dedup.shared_span_pairs(runs=runs).select(
+        F.lit("spans").alias("op"),
+        "doc_a",
+        "doc_b",
+        nulld.alias("jaccard"),
+        F.col("n_spans").alias("n"),
+        F.col("max_span_tokens").alias("m"),
+    )
+    scrub = dedup.span_scrub_stats(docs, runs=runs).select(
+        F.lit("scrub").alias("op"),
+        F.col("doc_id").alias("doc_a"),
+        nulll.alias("doc_b"),
+        nulld.alias("jaccard"),
+        F.col("tokens_removed").alias("n"),
+        F.col("n_tokens_after").alias("m"),
+    )
+    return ngram.unionByName(winnow).unionByName(spans).unionByName(scrub)
 
 
 def _simhash_sql_parts() -> tuple[str, str, str]:

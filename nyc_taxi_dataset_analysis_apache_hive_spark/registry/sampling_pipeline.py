@@ -22,7 +22,13 @@ from ..operators import (
     textops,
 )
 from .base import ORACLES, register, _t
-from .events_dedup import _BAND_ROWS, _D4_NGRAM_SQL, _SIG_COLS, _TOKS_CTE
+from .events_dedup import (
+    _BAND_ROWS,
+    _D4_NGRAM_SQL,
+    _SIG_COLS,
+    _SPAN_GRAMS_CTE,
+    _TOKS_CTE,
+)
 from .text_similarity import (
     _EMAIL_PAT,
     _IP_PAT,
@@ -1830,6 +1836,38 @@ def tv1_text_stats(spark, sf):
                    / nullif(CAST(len(sh) AS DOUBLE), 0), 6) AS score
       FROM opg LEFT JOIN ohits USING (probe_id)
     )
+    UNION ALL
+    -- verbatim-span decontam (r14): maximal exact shared token spans
+    -- across the parity split (dedup.cross_corpus_span_contamination;
+    -- the grams CTE chain is d4's, shared from events_dedup)
+    SELECT 'spans' AS op, corpus_id, probe_id, n, m,
+           CAST(NULL AS DOUBLE) AS score
+    FROM (
+      WITH {_SPAN_GRAMS_CTE},
+      xhits AS (
+        SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+               c.pos AS pa, p.pos AS pb
+        FROM pcold c JOIN pcold p
+          ON c.g = p.g AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
+      ),
+      xruns AS (
+        SELECT corpus_id, probe_id,
+               CAST(count(*) + {dedup.SPAN_WINDOW} - 1 AS BIGINT)
+                 AS span_tokens
+        FROM (
+          SELECT corpus_id, probe_id, pa, pb,
+                 pa - row_number() OVER (PARTITION BY corpus_id, probe_id,
+                                         pa - pb ORDER BY pa) AS isl
+          FROM xhits
+        )
+        GROUP BY corpus_id, probe_id, pa - pb, isl
+      )
+      SELECT corpus_id, probe_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(max(span_tokens) AS BIGINT) AS m
+      FROM xruns WHERE span_tokens >= {dedup.SPAN_MIN_TOKENS}
+      GROUP BY corpus_id, probe_id
+    )
     """,
 )
 def d7_cross_corpus_decontam(spark, sf):
@@ -1846,7 +1884,14 @@ def d7_cross_corpus_decontam(spark, sf):
     over many corpus documents that no single pairwise Jaccard reaches.
     Corpus reduced to its distinct gram set first (map-side partial
     dedup), one equi-join on the gram, one groupBy(probe_id); exact
-    integer counts, so the whole leg value-hashes."""
+    integer counts, so the whole leg value-hashes.
+
+    ``spans`` (r14) = dedup.cross_corpus_span_contamination: maximal
+    VERBATIM token spans >= 12 shared across the split -- the
+    contiguity-aware check the two set metrics cannot express (a
+    50-token quoted leak and 50 scattered gram hits score alike for
+    ``overlap``; only ``spans`` tells them apart).  n = n_spans,
+    m = max_span_tokens, score NULL."""
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probes = docs.filter(F.col("doc_id") % 2 == 1)
@@ -1871,7 +1916,15 @@ def d7_cross_corpus_decontam(spark, sf):
         F.col("n_hits").alias("m"),
         F.col("overlap_frac").alias("score"),
     )
-    return mh.unionByName(ov)
+    sp = dedup.cross_corpus_span_contamination(corpus, probes).select(
+        F.lit("spans").alias("op"),
+        "corpus_id",
+        "probe_id",
+        F.col("n_spans").alias("n"),
+        F.col("max_span_tokens").alias("m"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return mh.unionByName(ov).unionByName(sp)
 
 
 #: pl1 split bounds: the funnel's (0.98, 0.01, 0.01) split, float-exact

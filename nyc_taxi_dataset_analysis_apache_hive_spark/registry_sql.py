@@ -45,6 +45,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.text import TOKEN_SPLIT_REGEX as _TOKEN_RE
+from .operators.dedup import (
+    SPAN_MAX_GRAM_DOCS as _SPAN_CAP,
+    SPAN_MIN_TOKENS as _SPAN_MIN,
+    SPAN_WINDOW as _SPAN_W,
+)
 from .session import apply_runtime_confs
 from .sources.readers import load_testdata
 
@@ -1241,7 +1247,74 @@ SQL_QUERIES: dict[str, str] = {
           FROM winv a JOIN winv b ON a.p = b.p AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
-        SELECT 'ngram' AS op, doc_a, doc_b, jaccard FROM (
+        ,ptoks AS (
+          SELECT doc_id,
+                 filter(split(lower(coalesce(text, '')), '{_TOKEN_RE}'),
+                        x -> x != '') AS t
+          FROM documents
+        ),
+        pgrams AS (
+          SELECT doc_id, pos, g
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN size(t) >= {_SPAN_W} THEN
+                     transform(sequence(1, size(t) - {_SPAN_W - 1}),
+                               i -> array_join(slice(t, i, {_SPAN_W}), ' '))
+                   ELSE CAST(array() AS array<string>) END AS gs
+            FROM ptoks
+          ) tg
+          LATERAL VIEW posexplode(gs) pe AS pos, g
+        ),
+        phot AS (
+          SELECT g FROM pgrams
+          GROUP BY g HAVING count(DISTINCT doc_id) > {_SPAN_CAP}
+        ),
+        pcold AS (
+          SELECT i.doc_id, i.pos, i.g FROM pgrams i
+          LEFT ANTI JOIN phot h ON i.g = h.g
+        ),
+        phits AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM pcold a JOIN pcold b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        pruns AS (
+          SELECT doc_a, doc_b, min(pa) AS pa0, min(pb) AS pb0,
+                 CAST(count(*) + {_SPAN_W - 1} AS BIGINT) AS span_tokens
+          FROM (
+            SELECT doc_a, doc_b, pa, pb,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS isl
+            FROM phits
+          )
+          GROUP BY doc_a, doc_b, pa - pb, isl
+        ),
+        pcuts AS (
+          SELECT doc_b AS doc_id, pb0 AS s, pb0 + span_tokens - 1 AS e
+          FROM pruns WHERE span_tokens >= {_SPAN_MIN}
+        ),
+        pmerged AS (
+          SELECT doc_id, grp, CAST(max(e) - min(s) + 1 AS BIGINT) AS covered
+          FROM (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS grp
+            FROM (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max_e
+              FROM pcuts
+            )
+          )
+          GROUP BY doc_id, grp
+        )
+        SELECT 'ngram' AS op, doc_a, doc_b, jaccard,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
+        FROM (
           SELECT doc_a, doc_b,
                  round(common / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6)
                    AS jaccard
@@ -1250,7 +1323,9 @@ SQL_QUERIES: dict[str, str] = {
           JOIN sizes zb ON common.doc_b = zb.doc_id
         ) WHERE jaccard >= 0.2D
         UNION ALL
-        SELECT 'winnow' AS op, doc_a, doc_b, jaccard FROM (
+        SELECT 'winnow' AS op, doc_a, doc_b, jaccard,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
+        FROM (
           SELECT doc_a, doc_b,
                  round(common / CAST(za.n_p + zb.n_p - common AS DOUBLE), 6)
                    AS jaccard
@@ -1258,6 +1333,19 @@ SQL_QUERIES: dict[str, str] = {
           JOIN wsizes za ON wcommon.doc_a = za.doc_id
           JOIN wsizes zb ON wcommon.doc_b = zb.doc_id
         ) WHERE jaccard >= 0.35D
+        UNION ALL
+        SELECT 'spans' AS op, doc_a, doc_b, CAST(NULL AS DOUBLE) AS jaccard,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(span_tokens) AS BIGINT) AS m
+        FROM pruns WHERE span_tokens >= {_SPAN_MIN}
+        GROUP BY doc_a, doc_b
+        UNION ALL
+        SELECT 'scrub' AS op, pm.doc_id AS doc_a,
+               CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard,
+               CAST(sum(pm.covered) AS BIGINT) AS n,
+               CAST(any_value(size(pt.t)) - sum(pm.covered) AS BIGINT) AS m
+        FROM pmerged pm JOIN ptoks pt ON pm.doc_id = pt.doc_id
+        GROUP BY pm.doc_id
     """,
     "d7_cross_corpus_decontam": f"""
         WITH {_SHINGLE_SETS_CTE},
@@ -1326,6 +1414,61 @@ SQL_QUERIES: dict[str, str] = {
                  round(coalesce(CAST(n_hits AS DOUBLE), 0D)
                        / nullif(CAST(size(sh) AS DOUBLE), 0D), 6) AS score
           FROM opg LEFT JOIN ohits ON opg.probe_id = ohits.probe_id
+        )
+        UNION ALL
+        -- verbatim-span decontam (r14): see registry.d7 docstring
+        SELECT 'spans' AS op, corpus_id, probe_id, n, m,
+               CAST(NULL AS DOUBLE) AS score
+        FROM (
+          WITH xtok AS (
+            SELECT doc_id,
+                   filter(split(lower(coalesce(text, '')), '{_TOKEN_RE}'),
+                          x -> x != '') AS t
+            FROM documents
+          ),
+          xgrams AS (
+            SELECT doc_id, pos, g
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN size(t) >= {_SPAN_W} THEN
+                       transform(sequence(1, size(t) - {_SPAN_W - 1}),
+                                 i -> array_join(slice(t, i, {_SPAN_W}), ' '))
+                     ELSE CAST(array() AS array<string>) END AS gs
+              FROM xtok
+            ) tg
+            LATERAL VIEW posexplode(gs) pe AS pos, g
+          ),
+          xhot AS (
+            SELECT g FROM xgrams
+            GROUP BY g HAVING count(DISTINCT doc_id) > {_SPAN_CAP}
+          ),
+          xcold AS (
+            SELECT i.doc_id, i.pos, i.g FROM xgrams i
+            LEFT ANTI JOIN xhot h ON i.g = h.g
+          ),
+          xhits AS (
+            SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+                   c.pos AS pa, p.pos AS pb
+            FROM xcold c JOIN xcold p
+              ON c.g = p.g AND c.doc_id % 2 = 0 AND p.doc_id % 2 = 1
+          ),
+          xruns AS (
+            SELECT corpus_id, probe_id,
+                   CAST(count(*) + {_SPAN_W - 1} AS BIGINT) AS span_tokens
+            FROM (
+              SELECT corpus_id, probe_id, pa, pb,
+                     pa - row_number() OVER (PARTITION BY corpus_id,
+                                             probe_id, pa - pb
+                                             ORDER BY pa) AS isl
+              FROM xhits
+            )
+            GROUP BY corpus_id, probe_id, pa - pb, isl
+          )
+          SELECT corpus_id, probe_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(span_tokens) AS BIGINT) AS m
+          FROM xruns WHERE span_tokens >= {_SPAN_MIN}
+          GROUP BY corpus_id, probe_id
         )
     """,
     "d5_simhash_pairs": f"""
