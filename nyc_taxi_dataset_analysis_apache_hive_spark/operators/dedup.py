@@ -1569,16 +1569,52 @@ def span_scrub_stats(
     ``filter(tokens, ...)`` + ``array_join`` away; the stats row is what
     the correctness gate can value-hash.
     """
+    runs = _resolve_runs(docs, runs, window, max_gram_docs, text_col)
+    merged = _merged_cut_intervals(runs, min_span)
+    lens = _null_safe_text(docs, text_col).select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("long")
+            .alias("tokens_removed")
+        )
+        .join(lens, on="doc_id")
+        .select(
+            "doc_id",
+            "tokens_removed",
+            (F.col("n_tokens") - F.col("tokens_removed"))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+    )
+
+
+def _resolve_runs(docs, runs, window, max_gram_docs, text_col):
+    """Shared precomputed-runs guard for the scrub operators: reject
+    shadowed tuning knobs, or derive the runs table from the raw
+    inputs."""
     if runs is not None:
         if window is not _UNSET or max_gram_docs is not _UNSET:
             raise ValueError(
                 "runs= already fixes window/max_gram_docs; pass either "
                 "runs= or the tuning knobs, not both"
             )
-    else:
-        w = SPAN_WINDOW if window is _UNSET else window
-        cap = SPAN_MAX_GRAM_DOCS if max_gram_docs is _UNSET else max_gram_docs
-        runs = span_runs(docs, w, cap, text_col)
+        return runs
+    w = SPAN_WINDOW if window is _UNSET else window
+    cap = SPAN_MAX_GRAM_DOCS if max_gram_docs is _UNSET else max_gram_docs
+    return span_runs(docs, w, cap, text_col)
+
+
+def _merged_cut_intervals(runs: DataFrame, min_span: int) -> DataFrame:
+    """(doc_id, s, e): the keep-first cut intervals, overlap-merged.
+
+    Cuts land in the HIGHER doc's token space (doc_b; 0-based inclusive
+    bounds), and the merge is gaps-and-islands over the start-ordered
+    intervals: a new island opens when the start clears the running max
+    end.  Exact integers throughout."""
     from pyspark.sql.window import Window
 
     cuts = runs.filter(F.col("span_tokens") >= min_span).select(
@@ -1588,7 +1624,7 @@ def span_scrub_stats(
     )
     order = Window.partitionBy("doc_id").orderBy("s", "e")
     running = order.rowsBetween(Window.unboundedPreceding, -1)
-    merged = (
+    return (
         cuts.withColumn("prev_max_e", F.max("e").over(running))
         .withColumn(
             "new_grp",
@@ -1605,22 +1641,52 @@ def span_scrub_stats(
             ),
         )
         .groupBy("doc_id", "grp")
-        .agg((F.max("e") - F.min("s") + 1).cast("long").alias("covered"))
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .drop("grp")
     )
-    lens = _null_safe_text(docs, text_col).select(
-        "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tokens")
+
+
+def span_scrub_text(
+    docs: DataFrame,
+    *,
+    runs: DataFrame | None = None,
+    window: int | object = _UNSET,
+    min_span: int = SPAN_MIN_TOKENS,
+    max_gram_docs: int | object = _UNSET,
+    text_col: str = "text",
+) -> DataFrame:
+    """The span rewrite itself: (doc_id, text_scrubbed, n_tokens_after)
+    for every AFFECTED document -- the token stream with all keep-first
+    cut intervals removed, space-rejoined.  Untouched documents are not
+    emitted (their text is not rewritten, so re-emitting a re-tokenized
+    copy would be a lie about what changed).
+
+    The interval test is an indexed ``filter`` lambda over the token
+    array against the doc's merged-interval array (intervals per doc are
+    few by construction -- they merged); everything stays JVM-side.
+    Tokenization is the canonical lowercase/non-alnum split, so
+    ``text_scrubbed`` is normalized text -- fingerprint it (md5) for
+    cross-engine comparison rather than diffing against the raw input.
+    """
+    runs = _resolve_runs(docs, runs, window, max_gram_docs, text_col)
+    ivs = (
+        _merged_cut_intervals(runs, min_span)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
-    return (
-        merged.groupBy("doc_id")
-        .agg(F.sum("covered").cast("long").alias("tokens_removed"))
-        .join(lens, on="doc_id")
-        .select(
-            "doc_id",
-            "tokens_removed",
-            (F.col("n_tokens") - F.col("tokens_removed"))
-            .cast("long")
-            .alias("n_tokens_after"),
-        )
+    toks = _null_safe_text(docs, text_col).select(
+        "doc_id", tokens(text_col).alias("toks")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"), lambda iv: (i >= iv.s) & (i <= iv.e)
+        ),
+    )
+    return toks.join(ivs, on="doc_id").select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_scrubbed"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
     )
 
 

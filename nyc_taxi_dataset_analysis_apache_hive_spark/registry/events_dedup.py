@@ -471,14 +471,15 @@ _D4_SPANS_SQL = f"""
     GROUP BY doc_a, doc_b
 """
 
-_D4_SCRUB_SQL = f"""
-    WITH {_D4_SPAN_RUNS_CTE},
+#: merged keep-first cut intervals (doc_id, s, e) -- shared by the
+#: scrub stats leg and the scrub_text rebuild leg
+_D4_MERGED_CTE = f""",
     pcuts AS (
       SELECT doc_b AS doc_id, pb0 AS s, pb0 + span_tokens - 1 AS e
       FROM pruns WHERE span_tokens >= {dedup.SPAN_MIN_TOKENS}
     ),
     pmerged AS (
-      SELECT doc_id, grp, CAST(max(e) - min(s) + 1 AS BIGINT) AS covered
+      SELECT doc_id, min(s) AS s, max(e) AS e
       FROM (
         SELECT doc_id, s, e,
                sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
@@ -495,11 +496,43 @@ _D4_SCRUB_SQL = f"""
       )
       GROUP BY doc_id, grp
     )
+"""
+
+_D4_SCRUB_SQL = f"""
+    WITH {_D4_SPAN_RUNS_CTE}{_D4_MERGED_CTE}
     SELECT pm.doc_id,
-           CAST(sum(pm.covered) AS BIGINT) AS n,
-           CAST(any_value(len(pt.t)) - sum(pm.covered) AS BIGINT) AS m
+           CAST(sum(pm.e - pm.s + 1) AS BIGINT) AS n,
+           CAST(any_value(len(pt.t)) - sum(pm.e - pm.s + 1) AS BIGINT) AS m
     FROM pmerged pm JOIN ptoks pt ON pm.doc_id = pt.doc_id
     GROUP BY pm.doc_id
+"""
+
+#: the rebuild: indexed list_filter against the doc's merged-interval
+#: array (DuckDB lambda index i and the interval space are both 1-based
+#: here; Spark's are both 0-based -- each engine is self-consistent and
+#: the KEPT TOKEN SEQUENCE is position-base-invariant, so the md5 of the
+#: rejoined text compares across engines)
+_D4_SCRUB_TEXT_SQL = f"""
+    WITH {_D4_SPAN_RUNS_CTE}{_D4_MERGED_CTE},
+    pivs AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
+      FROM pmerged GROUP BY doc_id
+    )
+    SELECT doc_id,
+           -- coalesce: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' -- a fully-scrubbed document
+           -- must fingerprint as the empty string on both engines
+           CAST('0x' || substr(md5(coalesce(array_to_string(kept, ' '),
+                                            '')), 1, 15)
+                AS BIGINT) AS n,
+           CAST(len(kept) AS BIGINT) AS m
+    FROM (
+      SELECT pt.doc_id,
+             list_filter(pt.t, (x, i) ->
+               len(list_filter(pivs.ivs,
+                               v -> i >= v.s AND i <= v.e)) = 0) AS kept
+      FROM ptoks pt JOIN pivs USING (doc_id)
+    )
 """
 
 
@@ -520,6 +553,11 @@ _D4_SCRUB_SQL = f"""
     SELECT 'scrub' AS op, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
            CAST(NULL AS DOUBLE) AS jaccard, n, m
     FROM ({_D4_SCRUB_SQL})
+    UNION ALL
+    SELECT 'scrub_text' AS op, doc_id AS doc_a,
+           CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard, n, m
+    FROM ({_D4_SCRUB_TEXT_SQL})
     """,
 )
 def d4_ngram_jaccard_pairs(spark, sf):
@@ -545,9 +583,16 @@ def d4_ngram_jaccard_pairs(spark, sf):
     - ``op='scrub'`` (r14): dedup.span_scrub_stats' keep-first removal
       report -- doc_a = the document that loses text (doc_b NULL),
       n = tokens_removed after interval merge, m = n_tokens_after.
+    - ``op='scrub_text'`` (r14): the REWRITE itself value-hashed --
+      dedup.span_scrub_text's rebuilt token stream fingerprinted with
+      the portable md5-prefix BIGINT (shingle_base_hash's spelling), so
+      the driver gate compares the actual scrubbed text across engines,
+      not just its length; n = text fingerprint, m = n_tokens_after
+      (must agree with the scrub leg's m -- two derivations, one truth).
 
-    The spans/scrub legs share ONE runs table (eagerly checkpointed:
-    two consumers, same posture as d3's shared signature table)."""
+    The spans/scrub/scrub_text legs share ONE runs table (eagerly
+    checkpointed: three consumers, same posture as d3's shared
+    signature table)."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     nulld = F.lit(None).cast("double")
@@ -584,7 +629,22 @@ def d4_ngram_jaccard_pairs(spark, sf):
         F.col("tokens_removed").alias("n"),
         F.col("n_tokens_after").alias("m"),
     )
-    return ngram.unionByName(winnow).unionByName(spans).unionByName(scrub)
+    stext = dedup.span_scrub_text(docs, runs=runs).select(
+        F.lit("scrub_text").alias("op"),
+        F.col("doc_id").alias("doc_a"),
+        nulll.alias("doc_b"),
+        nulld.alias("jaccard"),
+        F.conv(F.substring(F.md5("text_scrubbed"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("n"),
+        F.col("n_tokens_after").alias("m"),
+    )
+    return (
+        ngram.unionByName(winnow)
+        .unionByName(spans)
+        .unionByName(scrub)
+        .unionByName(stext)
+    )
 
 
 def _simhash_sql_parts() -> tuple[str, str, str]:

@@ -1294,7 +1294,7 @@ SQL_QUERIES: dict[str, str] = {
           FROM pruns WHERE span_tokens >= {_SPAN_MIN}
         ),
         pmerged AS (
-          SELECT doc_id, grp, CAST(max(e) - min(s) + 1 AS BIGINT) AS covered
+          SELECT doc_id, min(s) AS s, max(e) AS e
           FROM (
             SELECT doc_id, s, e,
                    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
@@ -1311,6 +1311,16 @@ SQL_QUERIES: dict[str, str] = {
             )
           )
           GROUP BY doc_id, grp
+        ),
+        pivs AS (
+          SELECT doc_id, collect_list(struct(s, e)) AS ivs
+          FROM pmerged GROUP BY doc_id
+        ),
+        pkept AS (
+          SELECT pt.doc_id,
+                 filter(pt.t, (x, i) ->
+                   NOT exists(pivs.ivs, v -> i >= v.s AND i <= v.e)) AS kept
+          FROM ptoks pt JOIN pivs ON pt.doc_id = pivs.doc_id
         )
         SELECT 'ngram' AS op, doc_a, doc_b, jaccard,
                CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
@@ -1342,10 +1352,18 @@ SQL_QUERIES: dict[str, str] = {
         UNION ALL
         SELECT 'scrub' AS op, pm.doc_id AS doc_a,
                CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard,
-               CAST(sum(pm.covered) AS BIGINT) AS n,
-               CAST(any_value(size(pt.t)) - sum(pm.covered) AS BIGINT) AS m
+               CAST(sum(pm.e - pm.s + 1) AS BIGINT) AS n,
+               CAST(any_value(size(pt.t)) - sum(pm.e - pm.s + 1) AS BIGINT)
+                 AS m
         FROM pmerged pm JOIN ptoks pt ON pm.doc_id = pt.doc_id
         GROUP BY pm.doc_id
+        UNION ALL
+        SELECT 'scrub_text' AS op, doc_id AS doc_a,
+               CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard,
+               CAST(conv(substring(md5(array_join(kept, ' ')), 1, 15), 16, 10)
+                    AS BIGINT) AS n,
+               CAST(size(kept) AS BIGINT) AS m
+        FROM pkept
     """,
     "d7_cross_corpus_decontam": f"""
         WITH {_SHINGLE_SETS_CTE},

@@ -74,6 +74,30 @@ def test_identical_docs_full_length_span(spark):
     ]
 
 
+def test_scrub_text_rebuild(spark):
+    """The rewrite drops exactly the cut intervals, keeps order, and a
+    fully-scrubbed doc rebuilds to the empty string (its fingerprint
+    must be md5('') on every engine -- the driver leg coalesces DuckDB's
+    NULL-on-empty array_to_string)."""
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = _docs(
+        spark,
+        {1: "pre " + text, 2: text + " post tail", 3: text},
+    )
+    rows = {r.doc_id: r for r in dedup.span_scrub_text(docs).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2].text_scrubbed == "post tail"
+    assert rows[2].n_tokens_after == 2
+    assert rows[3].text_scrubbed == ""
+    assert rows[3].n_tokens_after == 0
+    # n_tokens_after agrees with the stats derivation (one truth)
+    stats = {
+        r.doc_id: r.n_tokens_after
+        for r in dedup.span_scrub_stats(docs).collect()
+    }
+    assert stats == {d: r.n_tokens_after for d, r in rows.items()}
+
+
 def test_min_span_boundary(spark):
     """11 shared tokens < min_span=12 -> invisible; 12 -> reported."""
     s11 = " ".join(f"x{i}" for i in range(11))
@@ -209,6 +233,21 @@ def test_randomized_parity_vs_match_matrix_reference(spark):
     }
     assert got_pairs == expect_pairs
     assert got_scrub == expect_scrub
+
+    # and the rebuilt text equals the reference's interval-cut rebuild
+    expect_text = {}
+    for d, iv in cuts.items():
+        cut = set()
+        for s, e in iv:
+            cut.update(range(s, e + 1))
+        expect_text[d] = " ".join(
+            t for i, t in enumerate(toks[d]) if i not in cut
+        )
+    got_text = {
+        r.doc_id: r.text_scrubbed
+        for r in dedup.span_scrub_text(docs, runs=runs, min_span=MS).collect()
+    }
+    assert got_text == expect_text
 
 
 def test_span_plan_has_no_cartesian(spark, sf0001_dir):
