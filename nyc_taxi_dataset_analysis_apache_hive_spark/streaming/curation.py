@@ -489,3 +489,209 @@ def semantic_admission_batch(
     assigned = _assigned_rows(vecs, cent_arr, vec_col, ts_col=None)
     joined = _admit_join(assigned, state)
     return _admit_best_agg(joined, ["vec_id", "cent_id"], threshold)
+
+
+# ---------------------------------------------------------------------------
+# Streaming VERBATIM-SPAN decontamination (r14): the drop-zone form of
+# dedup.cross_corpus_span_contamination (d7's ``spans`` leg).  The
+# protected set's POSITIONAL gram index is built once offline
+# (:func:`protected_span_index` -- the document-frequency cap is
+# index-side by construction: a stream cannot re-count df against
+# documents it has not seen); arriving documents join it statelessly on
+# the gram, and the diagonal gaps-and-islands -- a WINDOW function in
+# the batch operator, unavailable on a stream -- becomes a
+# collect_list + array_sort + aggregate() HOF per (probe, corpus) pair
+# inside the one watermarked aggregate.  State is bounded: per pair,
+# the hit list (diff, pos) -- capped by the probe's gram count -- until
+# the watermark closes its window.
+# ---------------------------------------------------------------------------
+
+
+def protected_span_index(
+    corpus: DataFrame,
+    span_window: int | None = None,
+    max_gram_docs: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(corpus_id, pa, g): the protected set's cold positional grams --
+    materialize this once per protected set (it is the static side of
+    every span_decontam join)."""
+    from ..operators.dedup import (
+        SPAN_MAX_GRAM_DOCS,
+        SPAN_WINDOW,
+        _cold_positional_grams,
+        positional_ngrams,
+    )
+
+    w = SPAN_WINDOW if span_window is None else span_window
+    cap = SPAN_MAX_GRAM_DOCS if max_gram_docs is None else max_gram_docs
+    cold = _cold_positional_grams(positional_ngrams(corpus, w, text_col), cap)
+    return cold.select(
+        F.col("doc_id").alias("corpus_id"), F.col("pos").alias("pa"), "g"
+    )
+
+
+def _span_hit_rows(
+    docs: DataFrame,
+    span_index: DataFrame,
+    span_window: int,
+    text_col: str,
+    ts_col: str | None,
+) -> DataFrame:
+    """(probe_id[, _ts], corpus_id, diff, pb) diagonal hit rows, plus
+    one NULL-corpus HEARTBEAT row per document.
+
+    The heartbeat is a liveness requirement, not padding: hit rows come
+    out of an INNER join (the scale-correct shape -- non-matching grams,
+    the vast majority, die at the join instead of becoming aggregate
+    state), so a micro-batch of entirely CLEAN documents would otherwise
+    contribute no rows past the join, the event-time watermark would
+    never see the batch's timestamps, and the windows holding earlier
+    hits would never close.  One row per document carries ``_ts``
+    through unconditionally; its (probe, NULL-corpus) group folds to
+    n_spans = 0 and the final filter drops it."""
+    toked = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    grams = toked.select(
+        "probe_id",
+        *(["_ts"] if ts_col else []),
+        F.posexplode(ngrams_from_tokens(F.col("toks"), span_window)).alias(
+            "pb", "g"
+        ),
+    )
+    nulll = F.lit(None).cast("long")
+    hits = grams.join(span_index, on="g").select(
+        "probe_id",
+        *(["_ts"] if ts_col else []),
+        "corpus_id",
+        (F.col("pa") - F.col("pb")).cast("long").alias("diff"),
+        F.col("pb").cast("long").alias("pb"),
+    )
+    heartbeat = toked.select(
+        "probe_id",
+        *(["_ts"] if ts_col else []),
+        nulll.alias("corpus_id"),
+        nulll.alias("diff"),
+        nulll.alias("pb"),
+    )
+    return hits.unionByName(heartbeat)
+
+
+def _span_run_cols(span_window: int, min_span: int) -> list:
+    """n_spans / max_span_tokens from the sorted (diff, pb) hit array:
+    a left fold (aggregate HOF) replays the batch operator's diagonal
+    islands -- a run continues when diff repeats and pb steps by one;
+    a closing run of length L counts iff L + w - 1 >= min_span.  Pure
+    expression, so it runs inside a streaming aggregate projection."""
+    w1 = span_window - 1
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("pd"),
+        F.lit(None).cast("long").alias("pp"),
+        zero.alias("cur"),
+        zero.alias("mx"),
+        zero.alias("ns"),
+    )
+
+    def merge(acc, x):
+        cont = F.coalesce(
+            (x["diff"] == acc["pd"]) & (x["pb"] == acc["pp"] + 1),
+            F.lit(False),
+        )
+        run = F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        closed_qualifying = (
+            (~cont) & (acc["cur"] > 0) & (acc["cur"] + w1 >= min_span)
+        )
+        return F.struct(
+            x["diff"].alias("pd"),
+            x["pb"].alias("pp"),
+            run.alias("cur"),
+            F.greatest(acc["mx"], run).alias("mx"),
+            F.when(closed_qualifying, acc["ns"] + 1)
+            .otherwise(acc["ns"])
+            .alias("ns"),
+        )
+
+    def finish(acc):
+        last_qualifies = (acc["cur"] > 0) & (acc["cur"] + w1 >= min_span)
+        return F.struct(
+            F.when(last_qualifies, acc["ns"] + 1)
+            .otherwise(acc["ns"])
+            .alias("n_spans"),
+            (acc["mx"] + w1).cast("long").alias("max_run_span"),
+        )
+
+    folded = F.aggregate(F.col("hits_arr"), acc0, merge, finish)
+    return [
+        folded["n_spans"].cast("long").alias("n_spans"),
+        F.when(folded["n_spans"] > 0, folded["max_run_span"])
+        .alias("max_span_tokens"),
+    ]
+
+
+def span_decontam_stream(
+    docs: DataFrame,
+    span_index: DataFrame,
+    span_window: int | None = None,
+    min_span: int | None = None,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    agg_window: str = "1 hour",
+) -> DataFrame:
+    """Per-(probe, corpus) verbatim-span report over a document stream:
+    (probe_id, corpus_id, n_spans, max_span_tokens), pairs with at least
+    one span >= ``min_span`` only -- the streaming twin of
+    dedup.cross_corpus_span_contamination against a prebuilt
+    :func:`protected_span_index`.
+
+    Same whole-document arrival contract as :func:`decontam_stream`: a
+    doc split across triggers never forms grams across the boundary, and
+    pieces landing in different windows island independently."""
+    from ..operators.dedup import SPAN_MIN_TOKENS, SPAN_WINDOW
+
+    w = SPAN_WINDOW if span_window is None else span_window
+    ms = SPAN_MIN_TOKENS if min_span is None else min_span
+    hits = _span_hit_rows(docs, span_index, w, text_col, ts_col)
+    agg = (
+        hits.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", agg_window), "probe_id", "corpus_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("diff", "pb"))).alias(
+                "hits_arr"
+            )
+        )
+    )
+    return agg.select(
+        "probe_id", "corpus_id", *_span_run_cols(w, ms)
+    ).filter(F.col("n_spans") > 0)
+
+
+def span_decontam_batch(
+    docs: DataFrame,
+    span_index: DataFrame,
+    span_window: int | None = None,
+    min_span: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch analog: the same hit/fold expressions with no watermark or
+    window.  Equals the batch operator
+    (dedup.cross_corpus_span_contamination) whenever the operator's
+    both-sides document-frequency cap and the index-side cap agree --
+    i.e. whenever no gram is hot on the probe side alone (the
+    stream≡batch≡operator test runs on such a corpus; the cap-side
+    difference is the documented deployment trade)."""
+    from ..operators.dedup import SPAN_MIN_TOKENS, SPAN_WINDOW
+
+    w = SPAN_WINDOW if span_window is None else span_window
+    ms = SPAN_MIN_TOKENS if min_span is None else min_span
+    hits = _span_hit_rows(docs, span_index, w, text_col, ts_col=None)
+    agg = hits.groupBy("probe_id", "corpus_id").agg(
+        F.array_sort(F.collect_list(F.struct("diff", "pb"))).alias("hits_arr")
+    )
+    return agg.select(
+        "probe_id", "corpus_id", *_span_run_cols(w, ms)
+    ).filter(F.col("n_spans") > 0)

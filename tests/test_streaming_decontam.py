@@ -148,3 +148,78 @@ def test_read_docs_stream_explicit_schema_starts_on_empty_dropzone(
     # inference still throws on the empty zone -- the documented fallback
     with pytest.raises(Exception):
         curation.read_docs_stream(spark, empty)
+
+
+def test_span_stream_matches_batch_and_operator(spark, docs_split, probes_dir):
+    """The r14 verbatim-span report: the streaming fold (collect_list +
+    aggregate HOF islands) must equal both its batch analog and the
+    driver-gated operator pair for pair.  The sf0.001 parity corpus has
+    no probe-side-only hot grams, so the index-side cap and the
+    operator's both-sides cap coincide (the documented condition)."""
+    corpus, _ = docs_split
+    idx = curation.protected_span_index(corpus)
+    stream = curation.span_decontam_stream(
+        curation.read_docs_stream(spark, probes_dir), idx
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("span_decontam_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["probe_id"], r["corpus_id"]): (r["n_spans"], r["max_span_tokens"])
+        for r in spark.table("span_decontam_sink").collect()
+        if r["probe_id"] != SENTINEL_ID
+    }
+
+    probes_static = spark.read.parquet(probes_dir).filter(
+        F.col("doc_id") != SENTINEL_ID
+    )
+    batch = {
+        (r["probe_id"], r["corpus_id"]): (r["n_spans"], r["max_span_tokens"])
+        for r in curation.span_decontam_batch(probes_static, idx).collect()
+    }
+    operator = {
+        (r["probe_id"], r["corpus_id"]): (
+            r["n_spans"],
+            r["max_span_tokens"],
+        )
+        for r in dedup.cross_corpus_span_contamination(
+            corpus, probes_static
+        ).collect()
+    }
+    assert got and got == batch == operator
+
+
+def test_span_fold_handles_multi_run_and_boundary(spark):
+    """The aggregate-HOF islands: two separate diagonals on one pair
+    count as two spans, a run exactly at min_span qualifies, one below
+    does not, and a pair with only sub-threshold runs is absent."""
+    from pyspark.sql import Row
+
+    span15 = " ".join(f"r{i}" for i in range(15))
+    span12 = " ".join(f"q{i}" for i in range(12))
+    span11 = " ".join(f"u{i}" for i in range(11))
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=2, text=span15 + " mid gap words " + span12),
+            Row(doc_id=4, text="zz " + span11 + " yy"),
+        ]
+    )
+    probes = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span15 + " other stuff " + span12),
+            Row(doc_id=3, text="aa " + span11 + " bb"),
+        ]
+    )
+    idx = curation.protected_span_index(corpus)
+    rows = {
+        (r.probe_id, r.corpus_id): (r.n_spans, r.max_span_tokens)
+        for r in curation.span_decontam_batch(probes, idx).collect()
+    }
+    # doc 1 vs 2: the 15-span and the 12-span (both qualify); the
+    # 11-span pair (3, 4) is invisible at min_span=12
+    assert rows == {(1, 2): (2, 15)}
