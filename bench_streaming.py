@@ -252,6 +252,9 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
     c_grams = dedup.corpus_gram_set(
         docs.filter(F.col("doc_id") % 2 == 0), ngram_n=8
     ).localCheckpoint(eager=True)
+    span_idx = curation.protected_span_index(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    ).localCheckpoint(eager=True)
     model = sampling.dsir_fit(
         docs.withColumn("is_target", F.col("source") == "src0"), "is_target"
     ).localCheckpoint(eager=True)
@@ -277,6 +280,12 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
             lambda src: curation.dsir_admission_stream(src, model),
             docs_dir,
             "dsir_admission",
+        )
+        results["span_decontam"] = drain_and_measure_docs(
+            spark,
+            lambda src: curation.span_decontam_stream(src, span_idx),
+            docs_dir,
+            "span_decontam",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
