@@ -1489,8 +1489,15 @@ def span_runs(
 ) -> DataFrame:
     """All maximal shared spans between document pairs (doc_a < doc_b):
     (doc_a, doc_b, pa0, pb0, span_tokens), UNFILTERED by a minimum span
-    -- the shared precursor for :func:`shared_span_pairs` and
-    :func:`span_scrub_stats` (compute once, feed both)."""
+    -- the shared precursor for :func:`shared_span_pairs`,
+    :func:`span_scrub_stats` and :func:`span_scrub_text` (compute once,
+    feed all three).
+
+    Doc-id discipline (kmeans_train's convention): ``doc_id`` must be
+    unique -- the island arithmetic relies on (doc_id, pos) identifying
+    one gram occurrence, so a duplicated id interleaves two documents'
+    diagonals and miscounts their runs.  The driver tables satisfy this
+    by construction; dedupe ids first when they might not."""
     cold = _cold_positional_grams(
         positional_ngrams(docs, window, text_col), max_gram_docs
     )
