@@ -1619,16 +1619,22 @@ def _merged_cut_intervals(runs: DataFrame, min_span: int) -> DataFrame:
     """(doc_id, s, e): the keep-first cut intervals, overlap-merged.
 
     Cuts land in the HIGHER doc's token space (doc_b; 0-based inclusive
-    bounds), and the merge is gaps-and-islands over the start-ordered
-    intervals: a new island opens when the start clears the running max
-    end.  Exact integers throughout."""
+    bounds)."""
+    return _merge_intervals(
+        runs.filter(F.col("span_tokens") >= min_span).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("pb0").alias("s"),
+            (F.col("pb0") + F.col("span_tokens") - 1).alias("e"),
+        )
+    )
+
+
+def _merge_intervals(cuts: DataFrame) -> DataFrame:
+    """Overlap-merge (doc_id, s, e) intervals: gaps-and-islands over the
+    start-ordered intervals -- a new island opens when the start clears
+    the running max end.  Exact integers throughout."""
     from pyspark.sql.window import Window
 
-    cuts = runs.filter(F.col("span_tokens") >= min_span).select(
-        F.col("doc_b").alias("doc_id"),
-        F.col("pb0").alias("s"),
-        (F.col("pb0") + F.col("span_tokens") - 1).alias("e"),
-    )
     order = Window.partitionBy("doc_id").orderBy("s", "e")
     running = order.rowsBetween(Window.unboundedPreceding, -1)
     return (
@@ -1737,5 +1743,71 @@ def cross_corpus_span_contamination(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        )
+    )
+
+
+def intradoc_repetition(
+    docs: DataFrame,
+    window: int = SPAN_WINDOW,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style duplicated-n-gram fraction (Rae et al. 2021, table
+    A1: "fraction of characters in duplicate n-grams", here in tokens):
+    per document, the fraction of the token stream covered by
+    ``window``-grams that occur MORE THAN ONCE within that document --
+    the repetition signal line-level dup_line_frac misses when the
+    repeated run is not line-aligned.
+
+    NOT a self-join: a gram occurring k times in one document would
+    blow a pair join up k^2-fold (a pathological one-token document
+    squared), but coverage only needs the occurrence POSITIONS -- one
+    count window per (doc, gram) marks repeated occurrences, their
+    [pos, pos + w - 1] extents overlap-merge, and the covered length
+    divides by the token count.  Work is linear in grams; the only
+    shuffles are the (doc, gram) count and the per-doc interval merge.
+
+    Returns (doc_id, dup_span_tokens, n_tokens, dup_frac) for EVERY
+    document (a screen needs the clean ones too): zero coverage for
+    repeat-free or sub-window docs, NULL fraction for token-less ones.
+    """
+    from pyspark.sql.window import Window
+
+    grams = positional_ngrams(docs, window, text_col)
+    occ = Window.partitionBy("doc_id", "g")
+    repeated = (
+        grams.withColumn("occ", F.count(F.lit(1)).over(occ))
+        .filter(F.col("occ") >= 2)
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    covered = (
+        _merge_intervals(repeated)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("long")
+            .alias("dup_span_tokens")
+        )
+    )
+    lens = _null_safe_text(docs, text_col).select(
+        "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        lens.join(covered, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_span_tokens"), F.lit(0).cast("long")).alias(
+                "dup_span_tokens"
+            ),
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("dup_span_tokens").cast("double"), F.lit(0.0))
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
         )
     )

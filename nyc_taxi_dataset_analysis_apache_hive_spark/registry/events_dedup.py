@@ -536,6 +536,49 @@ _D4_SCRUB_TEXT_SQL = f"""
 """
 
 
+#: Gopher duplicated-n-gram coverage (r14): repeated-gram positions ->
+#: merged extents -> covered fraction of the token stream.  Mirrors
+#: dedup.intradoc_repetition (no pair join -- coverage, not pairs).
+_D4_REP_SQL = f"""
+    WITH {_SPAN_GRAMS_CTE},
+    rrep AS (
+      SELECT doc_id, pos AS s, pos + {dedup.SPAN_WINDOW} - 1 AS e
+      FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id, g) AS occ
+        FROM pgrams
+      )
+      WHERE occ >= 2
+    ),
+    rmerged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS grp
+        FROM (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max_e
+          FROM rrep
+        )
+      )
+      GROUP BY doc_id, grp
+    ),
+    rcov AS (
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup
+      FROM rmerged GROUP BY doc_id
+    )
+    SELECT pt.doc_id,
+           coalesce(rcov.dup, CAST(0 AS BIGINT)) AS n,
+           CAST(len(pt.t) AS BIGINT) AS m
+    FROM ptoks pt LEFT JOIN rcov USING (doc_id)
+"""
+
+
 @register(
     "d4_ngram_jaccard_pairs",
     f"""
@@ -558,6 +601,10 @@ _D4_SCRUB_TEXT_SQL = f"""
            CAST(NULL AS BIGINT) AS doc_b,
            CAST(NULL AS DOUBLE) AS jaccard, n, m
     FROM ({_D4_SCRUB_TEXT_SQL})
+    UNION ALL
+    SELECT 'rep' AS op, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard, n, m
+    FROM ({_D4_REP_SQL})
     """,
 )
 def d4_ngram_jaccard_pairs(spark, sf):
@@ -589,6 +636,12 @@ def d4_ngram_jaccard_pairs(spark, sf):
       the driver gate compares the actual scrubbed text across engines,
       not just its length; n = text fingerprint, m = n_tokens_after
       (must agree with the scrub leg's m -- two derivations, one truth).
+    - ``op='rep'`` (r14): Gopher duplicated-n-gram coverage
+      (dedup.intradoc_repetition) -- n = tokens covered by 6-grams
+      occurring >= 2x WITHIN the document (merged extents), m =
+      n_tokens; one row per document, zero for the clean ones.
+      Coverage, not pairs: no self-join, so a pathologically repetitive
+      document costs linear work.
 
     The spans/scrub/scrub_text legs share ONE runs table (eagerly
     checkpointed: three consumers, same posture as d3's shared
@@ -639,11 +692,20 @@ def d4_ngram_jaccard_pairs(spark, sf):
         .alias("n"),
         F.col("n_tokens_after").alias("m"),
     )
+    rep = dedup.intradoc_repetition(docs).select(
+        F.lit("rep").alias("op"),
+        F.col("doc_id").alias("doc_a"),
+        nulll.alias("doc_b"),
+        nulld.alias("jaccard"),
+        F.col("dup_span_tokens").alias("n"),
+        F.col("n_tokens").alias("m"),
+    )
     return (
         ngram.unionByName(winnow)
         .unionByName(spans)
         .unionByName(scrub)
         .unionByName(stext)
+        .unionByName(rep)
     )
 
 

@@ -1321,6 +1321,38 @@ SQL_QUERIES: dict[str, str] = {
                  filter(pt.t, (x, i) ->
                    NOT exists(pivs.ivs, v -> i >= v.s AND i <= v.e)) AS kept
           FROM ptoks pt JOIN pivs ON pt.doc_id = pivs.doc_id
+        ),
+        rrep AS (
+          SELECT doc_id, pos AS s, pos + {_SPAN_W - 1} AS e
+          FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY doc_id, g) AS occ
+            FROM pgrams
+          )
+          WHERE occ >= 2
+        ),
+        rmerged AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e
+          FROM (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS grp
+            FROM (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max_e
+              FROM rrep
+            )
+          )
+          GROUP BY doc_id, grp
+        ),
+        rcov AS (
+          SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup
+          FROM rmerged GROUP BY doc_id
         )
         SELECT 'ngram' AS op, doc_a, doc_b, jaccard,
                CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
@@ -1364,6 +1396,12 @@ SQL_QUERIES: dict[str, str] = {
                     AS BIGINT) AS n,
                CAST(size(kept) AS BIGINT) AS m
         FROM pkept
+        UNION ALL
+        SELECT 'rep' AS op, pt.doc_id AS doc_a,
+               CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard,
+               coalesce(rcov.dup, CAST(0 AS BIGINT)) AS n,
+               CAST(size(pt.t) AS BIGINT) AS m
+        FROM ptoks pt LEFT JOIN rcov ON pt.doc_id = rcov.doc_id
     """,
     "d7_cross_corpus_decontam": f"""
         WITH {_SHINGLE_SETS_CTE},

@@ -262,3 +262,62 @@ def test_span_plan_has_no_cartesian(spark, sf0001_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _ref_dup_coverage(toks: list[str], w: int) -> int:
+    """Independent reference for intradoc_repetition: token coverage of
+    w-grams occurring >= 2x, via a plain position-set union."""
+    from collections import Counter
+
+    grams = [tuple(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+    counts = Counter(grams)
+    covered: set[int] = set()
+    for i, g in enumerate(grams):
+        if counts[g] >= 2:
+            covered.update(range(i, i + w))
+    return len(covered)
+
+
+def test_intradoc_repetition_goldens(spark):
+    span = " ".join(f"z{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        {
+            1: span + " mid " + span,          # one 8-token span twice
+            2: "all unique tokens here really truly distinct words",
+            3: "a b c",                         # sub-window
+            4: None,                            # token-less
+            5: " ".join(["loop"] * 20),         # pathological self-repeat
+        },
+    )
+    rows = {r.doc_id: r for r in dedup.intradoc_repetition(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # doc 1: both occurrences of the 8-gram are covered (8 + 8 tokens)
+    assert (rows[1].dup_span_tokens, rows[1].n_tokens) == (16, 17)
+    assert rows[1].dup_frac == round(16 / 17, 6)
+    assert (rows[2].dup_span_tokens, rows[2].dup_frac) == (0, 0.0)
+    assert (rows[3].dup_span_tokens, rows[3].dup_frac) == (0, 0.0)
+    assert rows[4].n_tokens == 0 and rows[4].dup_frac is None
+    # doc 5: every token sits in a repeated 6-gram
+    assert (rows[5].dup_span_tokens, rows[5].n_tokens) == (20, 20)
+    assert rows[5].dup_frac == 1.0
+
+
+def test_intradoc_repetition_randomized_vs_reference(spark):
+    rng = random.Random(1406)
+    vocab = [f"t{i}" for i in range(4)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 35)))
+        for d in range(25)
+    }
+    W = 5
+    docs = _docs(spark, texts)
+    got = {
+        r.doc_id: (r.dup_span_tokens, r.n_tokens)
+        for r in dedup.intradoc_repetition(docs, window=W).collect()
+    }
+    want = {
+        d: (_ref_dup_coverage(t.split(), W), len(t.split()))
+        for d, t in texts.items()
+    }
+    assert got == want
