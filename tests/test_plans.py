@@ -110,6 +110,15 @@ def test_dedup_never_plans_cartesian(spark, name):
     assert "CartesianProduct" not in explain_str(_q(spark, name))
 
 
+def test_d4_has_no_row_at_a_time_python(spark):
+    """d4's six legs (r14: + spans/scrub/scrub_text/rep) may use the
+    documented Arrow-batched winnow gram hash but never row-at-a-time
+    Python; the span subtree itself is plan-pinned uncheckpointed in
+    test_span_dedup (the entry's eager runs checkpoint hides it here)."""
+    plan = explain_str(_q(spark, "d4_ngram_jaccard_pairs"))
+    assert "BatchEvalPython" not in plan
+
+
 def test_j5_multiway_legs_broadcast_dims(spark):
     """The r6 chain (region->nation->customer->orders) and star
     (lineitem + part/supplier) legs: every dim side is under the
