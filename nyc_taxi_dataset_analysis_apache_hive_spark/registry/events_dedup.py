@@ -159,9 +159,58 @@ _TOKS_CTE = f"""
 """
 
 
+def _bloom_pos_sql(fp_expr: str) -> str:
+    """DuckDB spelling of dedup.bloom_bit_positions (same md5 prefixes)."""
+    from ..operators.dedup import BLOOM_K, BLOOM_M
+
+    exprs = ", ".join(
+        f"CAST('0x' || substr(md5('bloom{i}:' || {fp_expr}), 1, 15) "
+        f"AS BIGINT) % {BLOOM_M}"
+        for i in range(BLOOM_K)
+    )
+    return f"[{exprs}]"
+
+
+_BLOOM_LEG_SQL = rf"""
+    WITH bf AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    bhist AS (SELECT DISTINCT fp FROM bf WHERE doc_id % 4 != 1),
+    bhpos AS (
+      SELECT DISTINCT p
+      FROM (SELECT unnest({_bloom_pos_sql('fp')}) AS p FROM bhist)
+    ),
+    bbatch AS (
+      SELECT doc_id, fp FROM bf WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, fp FROM bf WHERE doc_id % 4 = 2
+    ),
+    bprobe AS (
+      SELECT doc_id, unnest({_bloom_pos_sql('fp')}) AS p FROM bbatch
+    ),
+    bhits AS (
+      SELECT b.doc_id, count(h.p) AS nhit
+      FROM bprobe b LEFT JOIN bhpos h ON b.p = h.p
+      GROUP BY b.doc_id
+    ),
+    brep AS (
+      SELECT bb.doc_id,
+             CASE WHEN bb.fp IN (SELECT fp FROM bhist) THEN 'dup'
+                  WHEN bh.nhit = {dedup.BLOOM_K} THEN 'fp'
+                  ELSE 'clean' END AS cls
+      FROM bbatch bb JOIN bhits bh ON bb.doc_id = bh.doc_id
+    )
+    SELECT cls AS grp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM brep GROUP BY cls
+"""
+
+
 @register(
     "d1_dedup_groups",
-    r"""
+    rf"""
     SELECT 'exact' AS method, text AS grp,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents GROUP BY text
@@ -170,6 +219,9 @@ _TOKS_CTE = f"""
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS grp,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents GROUP BY grp
+    UNION ALL
+    SELECT 'bloom' AS method, grp, keep_id, n_copies
+    FROM ({_BLOOM_LEG_SQL})
     """,
 )
 def d1_dedup_groups(spark, sf):
@@ -177,7 +229,17 @@ def d1_dedup_groups(spark, sf):
     (md5 of normalized text -- constant-width shuffle key, the 100-TB
     variant) tagged and stacked in one slot.  Both group structures are
     value-verified: group key, deterministic keeper (min doc_id), and copy
-    count."""
+    count.
+
+    ``method='bloom'`` (r14): dedup.bloom_fingerprint_admission's class
+    partition of a batch admitted against a history through the PORTABLE
+    md5 bloom pre-screen -- history = doc_id % 4 != 1; batch = the % 4
+    == 1 slice plus the % 4 == 2 slice re-keyed (+1e6), planting exact
+    duplicates the synthetic corpus lacks at gate scale (the
+    planted-contamination precedent).  grp = the admission class
+    ('dup' / 'fp' / 'clean'), keep_id / n_copies = min id and size of
+    the class.  Every value is oracle-exact because the bloom is plain
+    md5 arithmetic, not an engine bitset."""
     docs = _t(spark, sf, "documents")
     exact = dedup.exact_dedup_groups(docs).select(
         F.lit("exact").alias("method"),
@@ -188,7 +250,26 @@ def d1_dedup_groups(spark, sf):
     fp = dedup.fingerprint_dedup_groups(docs).select(
         F.lit("fp").alias("method"), F.col("fp").alias("grp"), "keep_id", "n_copies"
     )
-    return exact.unionByName(fp)
+    hist = docs.filter(F.col("doc_id") % 4 != 1)
+    batch = docs.filter(F.col("doc_id") % 4 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 2).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    bloom = (
+        dedup.bloom_fingerprint_admission(hist, batch)
+        .select(
+            "doc_id",
+            F.when(F.col("duplicate_exact"), F.lit("dup"))
+            .when(F.col("bloom_candidate"), F.lit("fp"))
+            .otherwise(F.lit("clean"))
+            .alias("grp"),
+        )
+        .groupBy("grp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.lit("bloom").alias("method"), "grp", "keep_id", "n_copies")
+    )
+    return exact.unionByName(fp).unionByName(bloom)
 
 
 def _minhash_sql_parts() -> tuple[str, str]:

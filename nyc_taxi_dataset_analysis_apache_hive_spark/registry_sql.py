@@ -55,6 +55,19 @@ from .session import apply_runtime_confs
 from .sources.readers import load_testdata
 
 
+def _bloom_pos_sparksql(fp_expr: str) -> str:
+    """Spark-SQL spelling of operators.dedup.bloom_bit_positions (the
+    portable md5-slice bloom hash family, same literal prefixes)."""
+    from .operators.dedup import BLOOM_K, BLOOM_M
+
+    exprs = ", ".join(
+        f"CAST(conv(substring(md5(concat('bloom{i}:', {fp_expr})), 1, 15), "
+        f"16, 10) AS BIGINT) % {BLOOM_M}"
+        for i in range(BLOOM_K)
+    )
+    return f"array({exprs})"
+
+
 def _sql_dot(a: str, b: str) -> str:
     """Spark-SQL spelling of functions.vectors.dot (zip_with product fold)."""
     return (
@@ -1093,7 +1106,39 @@ SQL_QUERIES: dict[str, str] = {
         WHERE vec_id % 100 = 0
     """,
     # -- dedup + splits (the SQL-expressible scale extensions) -------------
-    "d1_dedup_groups": r"""
+    "d1_dedup_groups": rf"""
+        WITH bf AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                         '\\s+', ' '))) AS fp
+          FROM documents
+        ),
+        bhist AS (SELECT DISTINCT fp FROM bf WHERE doc_id % 4 != 1),
+        bbits AS (
+          SELECT array_sort(collect_list(p)) AS bits
+          FROM (
+            SELECT DISTINCT explode({_bloom_pos_sparksql("fp")}) AS p
+            FROM bhist
+          )
+        ),
+        bbatch AS (
+          SELECT doc_id, fp FROM bf WHERE doc_id % 4 = 1
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, fp FROM bf WHERE doc_id % 4 = 2
+        ),
+        bprobe AS (
+          SELECT doc_id, fp,
+                 forall({_bloom_pos_sparksql("fp")},
+                        p -> array_contains(bits, p)) AS cand
+          FROM bbatch CROSS JOIN bbits
+        ),
+        brep AS (
+          SELECT bp.doc_id,
+                 CASE WHEN bh.fp IS NOT NULL THEN 'dup'
+                      WHEN bp.cand THEN 'fp'
+                      ELSE 'clean' END AS cls
+          FROM bprobe bp LEFT JOIN bhist bh ON bp.fp = bh.fp
+        )
         SELECT 'exact' AS method, text AS grp,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY text
@@ -1102,6 +1147,10 @@ SQL_QUERIES: dict[str, str] = {
                md5(trim(regexp_replace(lower(text), '\\s+', ' '))) AS grp,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY grp
+        UNION ALL
+        SELECT 'bloom' AS method, cls AS grp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM brep GROUP BY cls
     """,
     "s6_hash_split": f"""
         SELECT 'split' AS op, doc_id, CAST({_s6_split_case()} AS BIGINT) AS v,

@@ -1,0 +1,122 @@
+"""Portable Bloom-filter dedup admission (dedup.bloom_fingerprint_
+admission): the no-false-negative law, forced false positives at a tiny
+geometry, prebuilt-filter reuse with the geometry guard, and position
+parity against a python md5 reference."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup
+
+
+def _docs(spark, texts: dict[int, str | None]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def _ref_positions(fp: str, k: int, m: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"bloom{i}:{fp}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def test_positions_match_python_md5_reference(spark):
+    fps = ["abc", "", "deadbeef" * 4]
+    rows = (
+        spark.createDataFrame([(f,) for f in fps], "fp string")
+        .select("fp", dedup.bloom_bit_positions(F.col("fp")).alias("pos"))
+        .collect()
+    )
+    for r in rows:
+        assert list(r.pos) == _ref_positions(r.fp, dedup.BLOOM_K, dedup.BLOOM_M)
+
+
+def test_no_false_negatives_and_classes_partition(spark):
+    rng = random.Random(7)
+    hist_texts = {i: f"history document number {i} " + " ".join(
+        rng.choice("abcdef") for _ in range(10)) for i in range(40)}
+    hist = _docs(spark, hist_texts)
+    # batch: 10 exact copies (re-keyed) + 10 novel docs
+    batch_texts = {1000 + i: hist_texts[i] for i in range(10)}
+    batch_texts.update({2000 + i: f"novel text {i} entirely fresh" for i in range(10)})
+    batch = _docs(spark, batch_texts)
+    rep = {r.doc_id: r for r in
+           dedup.bloom_fingerprint_admission(hist, batch).collect()}
+    assert len(rep) == 20
+    for i in range(10):
+        r = rep[1000 + i]
+        assert r.bloom_candidate and r.duplicate_exact and not r.admitted
+    for i in range(10):
+        r = rep[2000 + i]
+        assert not r.duplicate_exact and r.admitted
+    # classes partition: dup => candidate (no-FN law)
+    assert all(r.bloom_candidate for r in rep.values() if r.duplicate_exact)
+
+
+def test_tiny_geometry_forces_false_positives_but_never_negatives(spark):
+    """m=16, k=2: with 60 history docs virtually every bit is set, so
+    novel docs become bloom candidates (FP) -- yet the exact verify
+    still admits them, and every true duplicate stays a candidate."""
+    hist = _docs(spark, {i: f"doc {i} alpha beta" for i in range(60)})
+    batch = _docs(
+        spark,
+        {1000: "doc 3 alpha beta", 2000: "completely new text here"},
+    )
+    rep = {r.doc_id: r for r in
+           dedup.bloom_fingerprint_admission(hist, batch, k=2, m=16).collect()}
+    assert rep[1000].bloom_candidate and rep[1000].duplicate_exact
+    assert rep[2000].bloom_candidate  # saturated filter: FP
+    assert not rep[2000].duplicate_exact and rep[2000].admitted
+
+
+def test_prebuilt_bits_reuse_and_geometry_guard(spark):
+    hist = _docs(spark, {i: f"doc {i}" for i in range(20)})
+    batch = _docs(spark, {100: "doc 7", 200: "fresh"})
+    bits = dedup.bloom_filter_build(hist)
+    got = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
+        for r in dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=bits
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
+        for r in dedup.bloom_fingerprint_admission(hist, batch).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=bits, m=dedup.BLOOM_M
+        )
+
+
+def test_filter_is_mergeable_and_bounded(spark):
+    """bits is sorted/distinct and bounded by m; union of two shard
+    filters equals the filter of the union (the maintenance law)."""
+    a = _docs(spark, {i: f"shard a doc {i}" for i in range(30)})
+    b = _docs(spark, {100 + i: f"shard b doc {i}" for i in range(30)})
+    bits_a = dedup.bloom_filter_build(a).collect()[0].bits
+    bits_b = dedup.bloom_filter_build(b).collect()[0].bits
+    both = dedup.bloom_filter_build(a.unionByName(b)).collect()[0].bits
+    assert list(both) == sorted(set(bits_a) | set(bits_b))
+    assert bits_a == sorted(set(bits_a)) and len(bits_a) <= dedup.BLOOM_M
+
+
+def test_candidate_only_join_plan(spark):
+    """The exact verify must join only the candidate slice, broadcast
+    the bloom row, and never plan a cartesian on the fingerprint."""
+    hist = _docs(spark, {i: f"doc {i}" for i in range(30)})
+    batch = _docs(spark, {100: "doc 7", 200: "fresh"})
+    plan = (
+        dedup.bloom_fingerprint_admission(hist, batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "bloom_candidate" in plan
