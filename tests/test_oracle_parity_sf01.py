@@ -31,6 +31,10 @@ SCALE_SENSITIVE = [
     "k3_embedding_near_pairs",
     "j5_join_surface",  # r6 chain/star legs join the pinned set
     "d4_ngram_jaccard_pairs",  # r6 winnow leg: hot-print cap is sf-sensitive
+    # r14: the bloom leg's dup class only becomes non-degenerate at
+    # sf0.1 (the smaller decades have no cross-split exact duplicates),
+    # and the span legs' hot-gram cap + pair density shift with corpus
+    "d1_dedup_groups",
     # r7: the scrub fold's heavy-gram set and the frequent legs' phi
     # thresholds both shift with corpus size (tv1 rides a10's slot above
     # for the frequent legs; the scrub leg rides tv1)
