@@ -255,6 +255,17 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
     span_idx = curation.protected_span_index(
         docs.filter(F.col("doc_id") % 2 == 0)
     ).localCheckpoint(eager=True)
+    from nyc_taxi_dataset_analysis_apache_hive_spark.functions.text import (
+        fingerprint_md5,
+    )
+
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom_bits = dedup.bloom_filter_build(hist).localCheckpoint(eager=True)
+    hist_fps = (
+        hist.select(fingerprint_md5("text").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     model = sampling.dsir_fit(
         docs.withColumn("is_target", F.col("source") == "src0"), "is_target"
     ).localCheckpoint(eager=True)
@@ -286,6 +297,14 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
             lambda src: curation.span_decontam_stream(src, span_idx),
             docs_dir,
             "span_decontam",
+        )
+        results["bloom_admission"] = drain_and_measure_docs(
+            spark,
+            lambda src: curation.bloom_admission_stream(
+                src, bloom_bits, hist_fps
+            ),
+            docs_dir,
+            "bloom_admission",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -695,3 +695,117 @@ def span_decontam_batch(
     return agg.select(
         "probe_id", "corpus_id", *_span_run_cols(w, ms)
     ).filter(F.col("n_spans") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-prescreened exact-dedup admission (r14): the drop-zone
+# form of dedup.bloom_fingerprint_admission.  Fully STATELESS -- the
+# portable bloom row and the history fingerprint table are both static
+# sides, the probe is a broadcast cross join + forall, and only the
+# candidate slice joins the history -- so there is no watermark, no
+# state store, and append mode emits every document the trigger it
+# arrives (admission decisions should not wait for a window to close).
+# ---------------------------------------------------------------------------
+
+
+def _bloom_probe_rows(
+    docs: DataFrame,
+    bloom_bits: DataFrame,
+    history_fps: DataFrame,
+    k: int,
+    m: int,
+    text_col: str,
+    ts_col: str | None,
+) -> DataFrame:
+    from ..functions.text import fingerprint_md5
+    from ..operators.dedup import bloom_bit_positions
+
+    base = docs.select(
+        "doc_id",
+        *([F.col(ts_col).alias("ts")] if ts_col else []),
+        fingerprint_md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+    )
+    probed = base.crossJoin(F.broadcast(bloom_bits)).select(
+        "doc_id",
+        *(["ts"] if ts_col else []),
+        "fp",
+        F.forall(
+            bloom_bit_positions(F.col("fp"), k, m),
+            lambda p: F.array_contains(F.col("bits"), p),
+        ).alias("bloom_candidate"),
+    )
+    hist = history_fps.select("fp").distinct().withColumn("_dup", F.lit(True))
+    cand = probed.filter(F.col("bloom_candidate")).join(
+        F.broadcast(hist), on="fp", how="left"
+    )
+    clean = probed.filter(~F.col("bloom_candidate")).withColumn(
+        "_dup", F.lit(None).cast("boolean")
+    )
+    return cand.unionByName(clean).select(
+        "doc_id",
+        *(["ts"] if ts_col else []),
+        "fp",
+        "bloom_candidate",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("duplicate_exact"),
+        (~F.coalesce(F.col("_dup"), F.lit(False))).alias("admitted"),
+    )
+
+
+def bloom_admission_stream(
+    docs: DataFrame,
+    bloom_bits: DataFrame,
+    history_fps: DataFrame,
+    k: int | None = None,
+    m: int | None = None,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-document exact-dedup admission over a document stream:
+    (doc_id, ts, fp, bloom_candidate, duplicate_exact, admitted).
+
+    ``bloom_bits`` (one row, :func:`..operators.dedup.bloom_filter_build`)
+    and ``history_fps`` (the history's distinct fingerprints) are the
+    maintained static artifacts; ``k``/``m`` MUST be the geometry the
+    filter was built at (defaults = the module constants) -- a mismatch
+    silently breaks the no-false-negative guarantee, which is why the
+    batch operator refuses the combination outright.
+
+    The history join broadcasts here because the candidate slice is
+    tiny; at a history too large to broadcast, drop the hint and let
+    the candidates shuffle -- the bloom's job is precisely that the
+    CLEAN majority never reaches that join either way."""
+    from ..operators.dedup import BLOOM_K, BLOOM_M
+
+    return _bloom_probe_rows(
+        docs,
+        bloom_bits,
+        history_fps,
+        BLOOM_K if k is None else k,
+        BLOOM_M if m is None else m,
+        text_col,
+        ts_col,
+    )
+
+
+def bloom_admission_batch(
+    docs: DataFrame,
+    bloom_bits: DataFrame,
+    history_fps: DataFrame,
+    k: int | None = None,
+    m: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch analog: the same expressions with no ts column --
+    equality-gated against the stream AND the batch operator
+    (dedup.bloom_fingerprint_admission) in tests."""
+    from ..operators.dedup import BLOOM_K, BLOOM_M
+
+    return _bloom_probe_rows(
+        docs,
+        bloom_bits,
+        history_fps,
+        BLOOM_K if k is None else k,
+        BLOOM_M if m is None else m,
+        text_col,
+        ts_col=None,
+    )

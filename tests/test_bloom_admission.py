@@ -120,3 +120,74 @@ def test_candidate_only_join_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "bloom_candidate" in plan
+
+
+def test_bloom_stream_matches_batch_and_operator(spark, tmp_path):
+    """The stateless drop-zone form: stream == batch analog == the batch
+    operator document for document.  No watermark machinery -- admission
+    decisions emit the trigger they arrive, so no sentinel is needed."""
+    import os
+
+    import pandas as pd
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.functions.text import (
+        fingerprint_md5,
+    )
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    hist_texts = {i: f"history doc {i} words" for i in range(30)}
+    hist = _docs(spark, hist_texts)
+    batch_texts = {1000 + i: hist_texts[i] for i in range(8)}  # planted dups
+    batch_texts.update({2000 + i: f"fresh doc {i}" for i in range(8)})
+
+    out = str(tmp_path / "docs")
+    os.makedirs(out)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    items = sorted(batch_texts.items())
+    for s in range(2):
+        chunk = pd.DataFrame(
+            items[len(items) * s // 2 : len(items) * (s + 1) // 2],
+            columns=["doc_id", "text"],
+        )
+        chunk["ts"] = pd.Series(
+            [base + pd.Timedelta(hours=s)] * len(chunk), dtype="datetime64[us]"
+        ).values
+        chunk.to_parquet(os.path.join(out, f"{s:02d}.parquet"), index=False)
+
+    bits = dedup.bloom_filter_build(hist).localCheckpoint(eager=True)
+    hist_fps = (
+        hist.select(fingerprint_md5("text").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stream = curation.bloom_admission_stream(
+        curation.read_docs_stream(spark, out), bits, hist_fps
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bloom_admit_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["bloom_candidate"], r["duplicate_exact"], r["admitted"])
+        for r in spark.table("bloom_admit_sink").collect()
+    }
+
+    batch_docs = spark.read.parquet(out)
+    analog = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact, r.admitted)
+        for r in curation.bloom_admission_batch(
+            batch_docs, bits, hist_fps
+        ).collect()
+    }
+    operator = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact, r.admitted)
+        for r in dedup.bloom_fingerprint_admission(hist, batch_docs).collect()
+    }
+    assert len(got) == 16
+    assert got == analog == operator
+    assert all(dup for (_, dup, _) in [got[1000 + i] for i in range(8)])
+    assert all(adm for (_, _, adm) in [got[2000 + i] for i in range(8)])
