@@ -261,8 +261,13 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
 
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     bloom_bits = dedup.bloom_filter_build(hist).localCheckpoint(eager=True)
+    # same NULL-coalesce as bloom_filter_build: a NULL-text history doc
+    # must be IN the fingerprint set (as fp of ''), or the stream's
+    # class partition diverges from the batch operator's
     hist_fps = (
-        hist.select(fingerprint_md5("text").alias("fp"))
+        hist.select(
+            fingerprint_md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

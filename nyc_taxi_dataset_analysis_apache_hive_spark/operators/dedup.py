@@ -1522,26 +1522,32 @@ def shared_span_pairs(
     window: int | object = _UNSET,
     min_span: int = SPAN_MIN_TOKENS,
     max_gram_docs: int | object = _UNSET,
-    text_col: str = "text",
+    text_col: str | object = _UNSET,
 ) -> DataFrame:
     """Per-pair exact-span report: (doc_a, doc_b, n_spans,
     max_span_tokens) for pairs sharing at least one verbatim token span
     >= ``min_span``.  Pass ``runs=`` (a :func:`span_runs` result) to
-    reuse a precomputed span table; ``window``/``max_gram_docs`` are
-    then already baked in and passing them explicitly raises instead of
-    being silently ignored."""
+    reuse a precomputed span table; ``window``/``max_gram_docs``/
+    ``text_col`` are then already baked in and passing them explicitly
+    raises instead of being silently ignored."""
     if runs is not None:
-        if docs is not None or window is not _UNSET or max_gram_docs is not _UNSET:
+        if (
+            docs is not None
+            or window is not _UNSET
+            or max_gram_docs is not _UNSET
+            or text_col is not _UNSET
+        ):
             raise ValueError(
-                "runs= already fixes docs/window/max_gram_docs; pass "
-                "either runs= or the raw inputs, not both"
+                "runs= already fixes docs/window/max_gram_docs/text_col; "
+                "pass either runs= or the raw inputs, not both"
             )
     else:
         if docs is None:
             raise ValueError("either docs or runs= is required")
         w = SPAN_WINDOW if window is _UNSET else window
         cap = SPAN_MAX_GRAM_DOCS if max_gram_docs is _UNSET else max_gram_docs
-        runs = span_runs(docs, w, cap, text_col)
+        tc = "text" if text_col is _UNSET else text_col
+        runs = span_runs(docs, w, cap, tc)
     return (
         runs.filter(F.col("span_tokens") >= min_span)
         .groupBy("doc_a", "doc_b")
@@ -1722,10 +1728,21 @@ def cross_corpus_span_contamination(
     corpus side shuffle-free on the hit join."""
     grams_c = positional_ngrams(corpus, window, text_col)
     grams_p = positional_ngrams(probes, window, text_col)
-    both = grams_c.unionByName(grams_p)
+    # the df count tags each side before the union: corpus and probe ids
+    # come from separate keyspaces, so a bare count_distinct(doc_id)
+    # would undercount a gram shared by colliding ids and let
+    # boilerplate past the cap (when the id spaces ARE disjoint -- the
+    # driver tables -- the tagged count equals the bare one)
+    both = grams_c.select(
+        "g", F.concat(F.lit("c:"), F.col("doc_id")).alias("side_id")
+    ).unionByName(
+        grams_p.select(
+            "g", F.concat(F.lit("p:"), F.col("doc_id")).alias("side_id")
+        )
+    )
     hot = (
         both.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.count_distinct("side_id").alias("df"))
         .filter(F.col("df") > max_gram_docs)
         .select("g")
     )
@@ -1828,8 +1845,9 @@ def intradoc_repetition(
 # --------------------------------------------------------------------------
 
 #: bloom geometry: m = 2^15 bits, k = 5 hashes.  FP rate ~ (1-e^(-kn/m))^k
-#: -- ~0.2% at n = 1k history docs, ~9% at n = 8k; size the filter to the
-#: history (m ~ 10 bits/doc for ~1%) when using this beyond the gate.
+#: -- ~0.006% at n = 1k history docs, ~17% at n = 8k (kn/m = 1.22); size
+#: the filter to the history (m ~ 10 bits/doc for ~1%) when using this
+#: beyond the gate.
 BLOOM_M = 1 << 15
 BLOOM_K = 5
 

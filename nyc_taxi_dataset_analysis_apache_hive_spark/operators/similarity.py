@@ -501,6 +501,13 @@ def kmeans_train(
                 )
                 .select(*sel)
             )
+            if reseed_dead:
+                # two consumers on the reseed path (the mean table AND
+                # the furthest-point pool below) -- without a barrier
+                # the crossJoin+max_by assignment pass executes twice
+                # per iteration; the checkpoint is one sample-sized
+                # materialization instead
+                assigned = assigned.localCheckpoint(eager=True)
             means = vector_mean_by_key(assigned, "cent_id", "v")
             if dead_cells is not None or reseed_dead:
                 # dead-cell visibility / reseed (r14): a cluster absent

@@ -601,7 +601,13 @@ def _span_run_cols(span_window: int, min_span: int) -> list:
             (x["diff"] == acc["pd"]) & (x["pb"] == acc["pp"] + 1),
             F.lit(False),
         )
-        run = F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        # a heartbeat element (NULL diff -- the liveness row unioned in
+        # by _span_hit_rows) CLOSES any open run and contributes no run
+        # of its own; without this a heartbeat would fold as a length-1
+        # run and fabricate a span whenever min_span <= span_window
+        run = F.when(x["diff"].isNull(), F.lit(0).cast("long")).otherwise(
+            F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        )
         closed_qualifying = (
             (~cont) & (acc["cur"] > 0) & (acc["cur"] + w1 >= min_span)
         )
@@ -656,6 +662,13 @@ def span_decontam_stream(
     w = SPAN_WINDOW if span_window is None else span_window
     ms = SPAN_MIN_TOKENS if min_span is None else min_span
     hits = _span_hit_rows(docs, span_index, w, text_col, ts_col)
+    # NOTE: do NOT filter the heartbeat rows out here -- a deterministic
+    # filter gets pushed BELOW the EventTimeWatermark node by the
+    # optimizer, starving the watermark exactly the way the heartbeat
+    # exists to prevent (observed: the last micro-batches' pairs never
+    # flushed).  The fold itself treats NULL-diff elements as run
+    # closers that contribute nothing, and the heartbeat's
+    # (probe, NULL-corpus) group dies at the n_spans > 0 filter.
     agg = (
         hits.withWatermark("_ts", watermark)
         .groupBy(F.window("_ts", agg_window), "probe_id", "corpus_id")

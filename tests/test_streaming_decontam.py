@@ -223,3 +223,37 @@ def test_span_fold_handles_multi_run_and_boundary(spark):
     # doc 1 vs 2: the 15-span and the 12-span (both qualify); the
     # 11-span pair (3, 4) is invisible at min_span=12
     assert rows == {(1, 2): (2, 15)}
+
+
+def test_span_heartbeat_never_fabricates_runs_at_low_min_span(spark):
+    """Regression (r14 self-review): the heartbeat's NULL-diff struct
+    used to fold as a length-1 run, so min_span <= span_window made
+    every document -- clean ones included -- emit a (probe,
+    NULL-corpus) span row.  The heartbeat must advance the watermark
+    and nothing else."""
+    from pyspark.sql import Row
+
+    span = " ".join(f"h{i}" for i in range(8))
+    corpus = spark.createDataFrame([Row(doc_id=2, text="x " + span)])
+    probes = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="y " + span),
+            Row(doc_id=3, text="totally clean unrelated words entirely"),
+        ]
+    )
+    idx = curation.protected_span_index(corpus, span_window=6)
+    rows = curation.span_decontam_batch(
+        probes, idx, span_window=6, min_span=6
+    ).collect()
+    got = {(r.probe_id, r.corpus_id): (r.n_spans, r.max_span_tokens)
+           for r in rows}
+    # ONLY the genuine pair; no NULL-corpus rows, nothing for doc 3
+    assert got == {(1, 2): (1, 8)}
+    assert all(r.corpus_id is not None for r in rows)
+    op = {
+        (r.probe_id, r.corpus_id): (r.n_spans, r.max_span_tokens)
+        for r in dedup.cross_corpus_span_contamination(
+            corpus, probes, window=6, min_span=6
+        ).collect()
+    }
+    assert got == op
