@@ -505,8 +505,10 @@ def kmeans_train(
                 # two consumers on the reseed path (the mean table AND
                 # the furthest-point pool below) -- without a barrier
                 # the crossJoin+max_by assignment pass executes twice
-                # per iteration; the checkpoint is one sample-sized
-                # materialization instead
+                # per iteration.  MEASURED at sf0.1 (16 cents, 5 iters,
+                # warm): 6.7-6.8 s with the cut vs 7.9-8.6 s without
+                # (the far pool's TakeOrdered limit recomputes only part
+                # of the pass, so the saving is ~20%, not 2x)
                 assigned = assigned.localCheckpoint(eager=True)
             means = vector_mean_by_key(assigned, "cent_id", "v")
             if dead_cells is not None or reseed_dead:
