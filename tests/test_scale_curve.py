@@ -45,6 +45,9 @@ SCALE_PATHS = [
     # r6: the embedding-dedup surface (sign-bucket near-pairs + the
     # semdedup fold's cell-bounded pair search + CC) is a scale path too
     "k3_embedding_near_pairs",
+    # r14: the bloom admission leg (filter build + probe + candidate
+    # verify) must stay linear in history + batch
+    "d1_dedup_groups",
     # (r7: the boilerplate-span scrub rides tv1 and the frequent-items
     # legs ride a10 -- both already gated above)
 ]

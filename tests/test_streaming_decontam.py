@@ -257,3 +257,31 @@ def test_span_heartbeat_never_fabricates_runs_at_low_min_span(spark):
         ).collect()
     }
     assert got == op
+
+
+def test_span_fold_is_heartbeat_position_invariant(spark):
+    """Direct fold pin: the NULL-diff heartbeat element must fold to
+    nothing whether array_sort places it before or after the real hits
+    (struct NULL ordering is an engine detail the fold must not rely
+    on).  Fed both orders explicitly, bypassing array_sort."""
+    from pyspark.sql import Row
+
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming.curation import (
+        _span_run_cols,
+    )
+
+    hits = [Row(diff=3, pb=p) for p in range(10, 17)]  # one 7-window run
+    hb = Row(diff=None, pb=None)
+    for arr in ([hb] + hits, hits + [hb]):
+        df = spark.createDataFrame(
+            [(arr,)], "hits_arr array<struct<diff: long, pb: long>>"
+        )
+        r = df.select(*_span_run_cols(6, 12)).collect()[0]
+        # 7 consecutive windows at w=6 -> one 12-token span
+        assert (r.n_spans, r.max_span_tokens) == (1, 12), (arr, r)
+    # heartbeat alone folds to zero runs
+    df = spark.createDataFrame(
+        [([hb],)], "hits_arr array<struct<diff: long, pb: long>>"
+    )
+    r = df.select(*_span_run_cols(6, 12)).collect()[0]
+    assert r.n_spans == 0 and r.max_span_tokens is None
