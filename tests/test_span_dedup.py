@@ -321,3 +321,105 @@ def test_intradoc_repetition_randomized_vs_reference(spark):
         for d, t in texts.items()
     }
     assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    docs_toks=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=3),  # 4-token vocab
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_span_pairs_match_dp_reference_hypothesis(spark, docs_toks):
+    """Hypothesis-randomized parity (the partitioned_components
+    discipline): on ANY corpus over a tiny vocab -- empty docs,
+    sub-window docs, heavy internal repetition -- the gram-diagonal
+    islands must equal the O(n*m) match-matrix DP's maximal common
+    substrings, pair for pair."""
+    W, MS = 3, 4
+    texts = {
+        i: " ".join(f"t{t}" for t in toks) for i, toks in enumerate(docs_toks)
+    }
+    docs = _docs(spark, texts)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens)
+        for r in dedup.shared_span_pairs(
+            docs, window=W, min_span=MS, max_gram_docs=10**6
+        ).collect()
+    }
+    want = {}
+    ids = sorted(texts)
+    toks = {i: texts[i].split() for i in ids}
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            spans = [
+                s
+                for s in _maximal_common_spans(toks[a], toks[b])
+                if s[2] >= MS
+            ]
+            if spans:
+                want[(a, b)] = (len(spans), max(s[2] for s in spans))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    hits=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),   # diff
+            st.integers(min_value=0, max_value=20),   # pb
+        ),
+        min_size=0,
+        max_size=30,
+        unique=True,
+    ),
+    hb_count=st.integers(min_value=0, max_value=2),
+)
+def test_streaming_fold_matches_python_islands(spark, hits, hb_count):
+    """The aggregate-HOF fold vs a python islands reference over
+    arbitrary (diff, pb) hit sets, with 0-2 heartbeat elements mixed in
+    (they must fold to nothing wherever array_sort places them)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming.curation import (
+        _span_run_cols,
+    )
+
+    W, MS = 4, 5
+    # python reference: runs of consecutive pb per diff
+    runs = []
+    by_diff: dict[int, list[int]] = {}
+    for d, p in hits:
+        by_diff.setdefault(d, []).append(p)
+    for d, ps in by_diff.items():
+        ps.sort()
+        run = 1
+        for i in range(1, len(ps)):
+            if ps[i] == ps[i - 1] + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+    qual = [r + W - 1 for r in runs if r + W - 1 >= MS]
+    want = (len(qual), max(qual) if qual else None)
+
+    arr = [(d, p) for d, p in hits] + [(None, None)] * hb_count
+    df = spark.createDataFrame(
+        [(arr,)], "hits_arr array<struct<diff: long, pb: long>>"
+    )
+    # the production path array_sorts before folding
+    from pyspark.sql import functions as F
+
+    r = df.select(F.array_sort("hits_arr").alias("hits_arr")).select(
+        *_span_run_cols(W, MS)
+    ).collect()[0]
+    got = (r.n_spans, r.max_span_tokens if r.n_spans > 0 else None)
+    assert got == want, (hits, hb_count, got, want)
