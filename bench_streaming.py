@@ -255,22 +255,9 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
     span_idx = curation.protected_span_index(
         docs.filter(F.col("doc_id") % 2 == 0)
     ).localCheckpoint(eager=True)
-    from nyc_taxi_dataset_analysis_apache_hive_spark.functions.text import (
-        fingerprint_md5,
-    )
-
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     bloom_bits = dedup.bloom_filter_build(hist).localCheckpoint(eager=True)
-    # same NULL-coalesce as bloom_filter_build: a NULL-text history doc
-    # must be IN the fingerprint set (as fp of ''), or the stream's
-    # class partition diverges from the batch operator's
-    hist_fps = (
-        hist.select(
-            fingerprint_md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    hist_fps = dedup.history_fingerprints(hist).localCheckpoint(eager=True)
     model = sampling.dsir_fit(
         docs.withColumn("is_target", F.col("source") == "src0"), "is_target"
     ).localCheckpoint(eager=True)

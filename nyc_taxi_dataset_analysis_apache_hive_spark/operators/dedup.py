@@ -1635,6 +1635,32 @@ def _merged_cut_intervals(runs: DataFrame, min_span: int) -> DataFrame:
     )
 
 
+def _merge_intervals_sql(src: str, out: str) -> str:
+    """The ONE SQL spelling of :func:`_merge_intervals` (dialect-neutral:
+    windows + CASE only), shared by the d4 scrub and rep chains on both
+    the DuckDB-oracle and Spark-SQL-text surfaces -- four call sites,
+    one merge semantics.  ``src`` must provide (doc_id, s, e)."""
+    return f"""{out} AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS grp
+        FROM (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max_e
+          FROM {src}
+        )
+      )
+      GROUP BY doc_id, grp
+    )"""
+
+
 def _merge_intervals(cuts: DataFrame) -> DataFrame:
     """Overlap-merge (doc_id, s, e) intervals: gaps-and-islands over the
     start-ordered intervals -- a new island opens when the start clears
@@ -1940,31 +1966,86 @@ def bloom_fingerprint_admission(
         bloom_bits = bloom_filter_build(history, text_col, k, m).localCheckpoint(
             eager=True
         )
-    b = _null_safe_text(batch, text_col).select(
-        "doc_id", fingerprint_md5(text_col).alias("fp")
+    return bloom_admission_rows(
+        batch,
+        bloom_bits,
+        history_fingerprints(history, text_col),
+        k=k,
+        m=m,
+        text_col=text_col,
+        materialize_probe=True,
     )
-    probed = b.crossJoin(F.broadcast(bloom_bits)).select(
+
+
+def history_fingerprints(
+    history: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct normalized-text fingerprints of a history -- THE pinned
+    spelling for the admission join side.  NULL text fingerprints as ''
+    (matching :func:`bloom_filter_build`'s coalesce), so a NULL-text
+    history document is present in BOTH artifacts; deriving the table
+    any other way makes the bloom say candidate while the exact join
+    misses -- a silent class-partition divergence."""
+    return (
+        _null_safe_text(history, text_col)
+        .select(fingerprint_md5(text_col).alias("fp"))
+        .distinct()
+    )
+
+
+def bloom_admission_rows(
+    docs: DataFrame,
+    bloom_bits: DataFrame,
+    history_fps: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+    materialize_probe: bool = False,
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """The shared probe/verify row builder behind
+    :func:`bloom_fingerprint_admission` and the streaming twins
+    (streaming.curation.bloom_admission_stream/_batch): (doc_id,
+    *passthrough, fp, bloom_candidate, duplicate_exact, admitted).
+
+    One definition on purpose: the dup/fp/clean election (hash family,
+    candidate-only verify, NULL policy) must not drift between the
+    batch operator and the stream.  ``materialize_probe`` checkpoints
+    the probed rows so the candidate/clean branches share one batch
+    scan -- batch callers want it; a STREAMING caller must leave it
+    False (checkpointing a streaming frame is illegal; a micro-batch
+    recomputing its narrow probe twice is the cheap alternative).
+    ``broadcast_history`` hints the verify join -- right for a
+    per-trigger candidate trickle against a modest fp table, wrong for
+    the batch operator's possibly-huge history (leave False and let the
+    planner shuffle the candidate slice)."""
+    base = _null_safe_text(docs, text_col).select(
+        "doc_id", *passthrough, fingerprint_md5(text_col).alias("fp")
+    )
+    probed = base.crossJoin(F.broadcast(bloom_bits)).select(
         "doc_id",
+        *passthrough,
         "fp",
         F.forall(
             bloom_bit_positions(F.col("fp"), k, m),
             lambda p: F.array_contains(F.col("bits"), p),
         ).alias("bloom_candidate"),
     )
-    hist_fps = (
-        _null_safe_text(history, text_col)
-        .select(fingerprint_md5(text_col).alias("fp"))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+    if materialize_probe:
+        probed = probed.localCheckpoint(eager=True)
+    hist = history_fps.select("fp").distinct().withColumn("_dup", F.lit(True))
+    if broadcast_history:
+        hist = F.broadcast(hist)
     cand = probed.filter(F.col("bloom_candidate")).join(
-        hist_fps, on="fp", how="left"
+        hist, on="fp", how="left"
     )
     clean = probed.filter(~F.col("bloom_candidate")).withColumn(
         "_dup", F.lit(None).cast("boolean")
     )
     return cand.unionByName(clean).select(
         "doc_id",
+        *passthrough,
         "fp",
         "bloom_candidate",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("duplicate_exact"),

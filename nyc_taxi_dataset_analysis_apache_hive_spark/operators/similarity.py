@@ -511,6 +511,7 @@ def kmeans_train(
                 # of the pass, so the saving is ~20%, not 2x)
                 assigned = assigned.localCheckpoint(eager=True)
             means = vector_mean_by_key(assigned, "cent_id", "v")
+            n_live = None
             if dead_cells is not None or reseed_dead:
                 # dead-cell visibility / reseed (r14): a cluster absent
                 # from the mean table received no vectors this round.
@@ -519,8 +520,9 @@ def kmeans_train(
                 # anti-join, and the centroid join share ONE computation
                 # of the assignment pass
                 means = means.coalesce(1).localCheckpoint(eager=True)
+                n_live = means.count()
             if dead_cells is not None:
-                dead_cells.append(n_centroids - means.count())
+                dead_cells.append(n_centroids - n_live)
             nxt = F.coalesce("centroid", "cent_emb")
             if quantize is not None:
                 # quantize AFTER the empty-cluster coalesce so
@@ -530,13 +532,16 @@ def kmeans_train(
             nxt_cents = cents.join(means, "cent_id", "left").select(
                 "cent_id", nxt.alias("cent_emb")
             )
-            if reseed_dead:
+            if reseed_dead and n_live < n_centroids:
                 # re-seed each dead slot from the furthest assigned
                 # point (lowest elected cosine, ties to the lowest vid)
                 # -- the standard k-means empty-cluster repair.  The
                 # candidate pool is ONE TakeOrdered limit(n_centroids)
                 # (no global sort shuffle); slots pair with candidates
-                # by rank across two <= n_centroids-row frames.
+                # by rank across two <= n_centroids-row frames.  Gated
+                # on the means count already in hand: a healthy round
+                # (no dead cells -- the common case) skips the pool and
+                # the rank join entirely.
                 dead_slots = (
                     cents.select("cent_id")
                     .join(means.select("cent_id"), "cent_id", "left_anti")

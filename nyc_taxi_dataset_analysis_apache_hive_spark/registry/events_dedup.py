@@ -559,24 +559,7 @@ _D4_MERGED_CTE = f""",
       SELECT doc_b AS doc_id, pb0 AS s, pb0 + span_tokens - 1 AS e
       FROM pruns WHERE span_tokens >= {dedup.SPAN_MIN_TOKENS}
     ),
-    pmerged AS (
-      SELECT doc_id, min(s) AS s, max(e) AS e
-      FROM (
-        SELECT doc_id, s, e,
-               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
-                        THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY doc_id ORDER BY s, e
-                       ROWS UNBOUNDED PRECEDING) AS grp
-        FROM (
-          SELECT doc_id, s, e,
-                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING) AS prev_max_e
-          FROM pcuts
-        )
-      )
-      GROUP BY doc_id, grp
-    )
+    {dedup._merge_intervals_sql("pcuts", "pmerged")}
 """
 
 _D4_SCRUB_SQL = f"""
@@ -631,24 +614,7 @@ _D4_REP_SQL = f"""
       )
       WHERE occ >= 2
     ),
-    rmerged AS (
-      SELECT doc_id, min(s) AS s, max(e) AS e
-      FROM (
-        SELECT doc_id, s, e,
-               sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
-                        THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY doc_id ORDER BY s, e
-                       ROWS UNBOUNDED PRECEDING) AS grp
-        FROM (
-          SELECT doc_id, s, e,
-                 max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING) AS prev_max_e
-          FROM rrep
-        )
-      )
-      GROUP BY doc_id, grp
-    ),
+    {dedup._merge_intervals_sql("rrep", "rmerged")},
     rcov AS (
       SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup
       FROM rmerged GROUP BY doc_id

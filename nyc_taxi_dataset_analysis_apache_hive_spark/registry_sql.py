@@ -50,6 +50,7 @@ from .operators.dedup import (
     SPAN_MAX_GRAM_DOCS as _SPAN_CAP,
     SPAN_MIN_TOKENS as _SPAN_MIN,
     SPAN_WINDOW as _SPAN_W,
+    _merge_intervals_sql,
 )
 from .session import apply_runtime_confs
 from .sources.readers import load_testdata
@@ -1342,25 +1343,7 @@ SQL_QUERIES: dict[str, str] = {
           SELECT doc_b AS doc_id, pb0 AS s, pb0 + span_tokens - 1 AS e
           FROM pruns WHERE span_tokens >= {_SPAN_MIN}
         ),
-        pmerged AS (
-          SELECT doc_id, min(s) AS s, max(e) AS e
-          FROM (
-            SELECT doc_id, s, e,
-                   sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
-                            THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY doc_id ORDER BY s, e
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS grp
-            FROM (
-              SELECT doc_id, s, e,
-                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING) AS prev_max_e
-              FROM pcuts
-            )
-          )
-          GROUP BY doc_id, grp
-        ),
+        {_merge_intervals_sql("pcuts", "pmerged")},
         pivs AS (
           SELECT doc_id, collect_list(struct(s, e)) AS ivs
           FROM pmerged GROUP BY doc_id
@@ -1380,25 +1363,7 @@ SQL_QUERIES: dict[str, str] = {
           )
           WHERE occ >= 2
         ),
-        rmerged AS (
-          SELECT doc_id, min(s) AS s, max(e) AS e
-          FROM (
-            SELECT doc_id, s, e,
-                   sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
-                            THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY doc_id ORDER BY s, e
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS grp
-            FROM (
-              SELECT doc_id, s, e,
-                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING) AS prev_max_e
-              FROM rrep
-            )
-          )
-          GROUP BY doc_id, grp
-        ),
+        {_merge_intervals_sql("rrep", "rmerged")},
         rcov AS (
           SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup
           FROM rmerged GROUP BY doc_id

@@ -729,38 +729,26 @@ def _bloom_probe_rows(
     m: int,
     text_col: str,
     ts_col: str | None,
+    materialize_probe: bool,
 ) -> DataFrame:
-    from ..functions.text import fingerprint_md5
-    from ..operators.dedup import bloom_bit_positions
+    """Thin adapter over the ONE shared election
+    (operators.dedup.bloom_admission_rows) -- the stream and the batch
+    operator must never re-spell the dup/fp/clean classification
+    independently.  This only normalizes the ts passthrough."""
+    from ..operators.dedup import bloom_admission_rows
 
-    base = docs.select(
-        "doc_id",
-        *([F.col(ts_col).alias("ts")] if ts_col else []),
-        fingerprint_md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
-    )
-    probed = base.crossJoin(F.broadcast(bloom_bits)).select(
-        "doc_id",
-        *(["ts"] if ts_col else []),
-        "fp",
-        F.forall(
-            bloom_bit_positions(F.col("fp"), k, m),
-            lambda p: F.array_contains(F.col("bits"), p),
-        ).alias("bloom_candidate"),
-    )
-    hist = history_fps.select("fp").distinct().withColumn("_dup", F.lit(True))
-    cand = probed.filter(F.col("bloom_candidate")).join(
-        F.broadcast(hist), on="fp", how="left"
-    )
-    clean = probed.filter(~F.col("bloom_candidate")).withColumn(
-        "_dup", F.lit(None).cast("boolean")
-    )
-    return cand.unionByName(clean).select(
-        "doc_id",
-        *(["ts"] if ts_col else []),
-        "fp",
-        "bloom_candidate",
-        F.coalesce(F.col("_dup"), F.lit(False)).alias("duplicate_exact"),
-        (~F.coalesce(F.col("_dup"), F.lit(False))).alias("admitted"),
+    if ts_col:
+        docs = docs.withColumn("ts", F.col(ts_col))
+    return bloom_admission_rows(
+        docs,
+        bloom_bits,
+        history_fps,
+        k=k,
+        m=m,
+        text_col=text_col,
+        passthrough=("ts",) if ts_col else (),
+        materialize_probe=materialize_probe,
+        broadcast_history=True,
     )
 
 
@@ -777,7 +765,9 @@ def bloom_admission_stream(
     (doc_id, ts, fp, bloom_candidate, duplicate_exact, admitted).
 
     ``bloom_bits`` (one row, :func:`..operators.dedup.bloom_filter_build`)
-    and ``history_fps`` (the history's distinct fingerprints) are the
+    and ``history_fps`` (dedup.history_fingerprints -- use the helper:
+    it pins the NULL-text coalesce the filter build applies, and any
+    other spelling silently diverges the class partition) are the
     maintained static artifacts; ``k``/``m`` MUST be the geometry the
     filter was built at (defaults = the module constants) -- a mismatch
     silently breaks the no-false-negative guarantee, which is why the
@@ -797,6 +787,9 @@ def bloom_admission_stream(
         BLOOM_M if m is None else m,
         text_col,
         ts_col,
+        # streaming frames cannot checkpoint; the micro-batch's narrow
+        # probe recomputing across the two branches is the cheap trade
+        materialize_probe=False,
     )
 
 
@@ -821,4 +814,5 @@ def bloom_admission_batch(
         BLOOM_M if m is None else m,
         text_col,
         ts_col=None,
+        materialize_probe=True,
     )

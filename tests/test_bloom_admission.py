@@ -130,9 +130,6 @@ def test_bloom_stream_matches_batch_and_operator(spark, tmp_path):
 
     import pandas as pd
 
-    from nyc_taxi_dataset_analysis_apache_hive_spark.functions.text import (
-        fingerprint_md5,
-    )
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
 
     hist_texts = {i: f"history doc {i} words" for i in range(30)}
@@ -155,11 +152,7 @@ def test_bloom_stream_matches_batch_and_operator(spark, tmp_path):
         chunk.to_parquet(os.path.join(out, f"{s:02d}.parquet"), index=False)
 
     bits = dedup.bloom_filter_build(hist).localCheckpoint(eager=True)
-    hist_fps = (
-        hist.select(fingerprint_md5("text").alias("fp"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    hist_fps = dedup.history_fingerprints(hist).localCheckpoint(eager=True)
     stream = curation.bloom_admission_stream(
         curation.read_docs_stream(spark, out), bits, hist_fps
     )
@@ -191,3 +184,25 @@ def test_bloom_stream_matches_batch_and_operator(spark, tmp_path):
     assert got == analog == operator
     assert all(dup for (_, dup, _) in [got[1000 + i] for i in range(8)])
     assert all(adm for (_, _, adm) in [got[2000 + i] for i in range(8)])
+
+
+def test_null_text_history_doc_is_duplicate_on_every_surface(spark):
+    """Regression (r14 self-review): history_fingerprints pins the
+    NULL-text coalesce -- a NULL-text history doc must be in BOTH
+    artifacts (filter AND fp table), so a NULL/empty-text batch doc is
+    duplicate_exact everywhere, never bloom-candidate-but-admitted."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    hist = _docs(spark, {1: None, 2: "real doc here"})
+    batch = _docs(spark, {10: None, 11: "", 12: "novel words entirely"})
+    op = {r.doc_id: (r.bloom_candidate, r.duplicate_exact, r.admitted)
+          for r in dedup.bloom_fingerprint_admission(hist, batch).collect()}
+    bits = dedup.bloom_filter_build(hist)
+    fps = dedup.history_fingerprints(hist)
+    an = {r.doc_id: (r.bloom_candidate, r.duplicate_exact, r.admitted)
+          for r in curation.bloom_admission_batch(batch, bits, fps).collect()}
+    assert op == an
+    # NULL and '' normalize to the same fingerprint -> both duplicates
+    assert op[10] == (True, True, False)
+    assert op[11] == (True, True, False)
+    assert op[12][1] is False and op[12][2] is True
