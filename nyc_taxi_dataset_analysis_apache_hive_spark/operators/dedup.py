@@ -1871,11 +1871,33 @@ def intradoc_repetition(
 # --------------------------------------------------------------------------
 
 #: bloom geometry: m = 2^15 bits, k = 5 hashes.  FP rate ~ (1-e^(-kn/m))^k
-#: -- ~0.006% at n = 1k history docs, ~17% at n = 8k (kn/m = 1.22); size
-#: the filter to the history (m ~ 10 bits/doc for ~1%) when using this
-#: beyond the gate.
+#: -- ~0.006% at n = 1k history docs, ~17% at n = 8k (kn/m = 1.22).
+#: These DEFAULTS are gate-sized; beyond the gate, size the filter to the
+#: history with :func:`bloom_geometry` (the standard m = -n ln p / ln^2 2),
+#: or the pre-screen silently degrades to the exact join it exists to
+#: avoid (a 10M-doc history probed at m = 2^15 makes ~every doc a
+#: candidate).
 BLOOM_M = 1 << 15
 BLOOM_K = 5
+
+
+def bloom_geometry(n_docs: int, target_fp: float = 0.01) -> tuple[int, int]:
+    """(k, m) for a Bloom filter over ``n_docs`` members at ``target_fp``
+    false-positive rate: the textbook optimum m = ceil(-n ln p / ln^2 2),
+    k = round(m/n * ln 2) (clamped >= 1).  ~9.6 bits/doc and k = 7 at
+    p = 0.01 -- a 10M-doc history needs ~12 MiB of bits, still a
+    broadcastable artifact.  Feed the result to
+    :func:`bloom_filter_build`; the artifact carries its geometry, so
+    every probe surface validates against it."""
+    import math
+
+    if n_docs < 1:
+        raise ValueError("bloom_geometry needs n_docs >= 1")
+    if not (0.0 < target_fp < 1.0):
+        raise ValueError("target_fp must be in (0, 1)")
+    m = math.ceil(-n_docs * math.log(target_fp) / (math.log(2) ** 2))
+    k = max(1, round(m / n_docs * math.log(2)))
+    return k, m
 
 
 def bloom_bit_positions(fp: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
@@ -1904,10 +1926,19 @@ def bloom_filter_build(
     k: int = BLOOM_K,
     m: int = BLOOM_M,
 ) -> DataFrame:
-    """One-row (bits: sorted array<long>) bloom filter over the history's
-    normalized-text fingerprints.  Distinct positions aggregate to at
-    most ``m`` longs (256 KiB at the default geometry) -- build once,
-    broadcast everywhere; merging two filters is array_union."""
+    """One-row (bits: sorted array<long>, k, m) bloom filter over the
+    history's normalized-text fingerprints.  Distinct positions aggregate
+    to at most ``m`` longs (256 KiB at the default geometry) -- build
+    once, broadcast everywhere; merging two filters of the SAME geometry
+    is array_union (:func:`bloom_filter_update`).
+
+    The build geometry rides the artifact (r15): every probe surface
+    resolves (k, m) from these columns and raises on a declared-geometry
+    mismatch, so a filter built at :func:`bloom_geometry` sizing can
+    never be silently probed with the default hash family -- the
+    false-negative class the r14 refuse-overrides guard only half
+    closed (it protected the default-built path and made every
+    non-default prebuilt filter unusable)."""
     pos = (
         _null_safe_text(history, text_col)
         .select(
@@ -1917,7 +1948,145 @@ def bloom_filter_build(
         )
         .distinct()
     )
-    return pos.agg(F.array_sort(F.collect_list("p")).alias("bits"))
+    return pos.agg(
+        F.array_sort(F.collect_list("p")).alias("bits"),
+        F.lit(int(k)).alias("k"),
+        F.lit(int(m)).alias("m"),
+    )
+
+
+def bloom_filter_update(
+    bloom_bits: DataFrame,
+    admitted: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The filter-maintenance half of the admission lifecycle: a new
+    (bits, k, m) artifact = the old filter OR'd with the admitted
+    batch's bit positions, at the geometry THE ARTIFACT CARRIES.  Bloom
+    bits are a pure set union, so build -> admit -> update -> admit
+    round-trips bit-for-bit equal to a from-scratch build over
+    history + admitted (pytest-gated) -- the same maintained-state-
+    equals-rebuild invariant as the d3 signature state and the a10
+    sketch rollups.  The union is two one-row frames; the only
+    data-sized work is hashing the admitted batch once."""
+    k, m = _bloom_artifact_geometry(bloom_bits)
+    if k is None:
+        raise ValueError(
+            "bloom_filter_update needs a geometry-carrying artifact "
+            "(bloom_filter_build >= r15); rebuild the filter to update it"
+        )
+    new = bloom_filter_build(admitted, text_col, k, m)
+    return (
+        bloom_bits.select(F.col("bits").alias("_old"))
+        .crossJoin(new.select(F.col("bits").alias("_new")))
+        .select(
+            F.array_sort(F.array_union("_old", "_new")).alias("bits"),
+            F.lit(int(k)).alias("k"),
+            F.lit(int(m)).alias("m"),
+        )
+    )
+
+
+def bloom_pack_words(bloom_bits: DataFrame) -> DataFrame:
+    """One-row (words: array<long>, k, m): the positions artifact packed
+    into a DENSE 64-bit-word bitmap -- the PROBE representation.
+
+    The sorted-positions array stays the cross-engine VALUE artifact
+    (both engines build it bit-for-bit; merge is array_union), but
+    probing it with ``array_contains`` scans O(set bits) per hash -- at
+    gate geometry that is a 32k-long scan, at a :func:`bloom_geometry`-
+    sized deployment filter (10M docs -> ~96M bits) it is quadratic
+    death.  The packed form probes O(1) per hash: word = element_at
+    (positional access into a primitive array), bit = getbit.  Packing
+    is relational (explode -> div/mod -> bit_or per word -> one ordered
+    collect into the artifact row), so it scales linearly and never
+    single-threads through a per-row HOF over m words.
+
+    Every probe surface accepts either representation; pack once and
+    persist alongside the positions artifact when the filter is a
+    maintained deployment object."""
+    k, m = _bloom_artifact_geometry(bloom_bits)
+    if k is None:
+        raise ValueError(
+            "bloom_pack_words needs a geometry-carrying artifact "
+            "(bloom_filter_build >= r15) -- the dense word count is m/64"
+        )
+    return _pack_words(bloom_bits, k, m)
+
+
+def _pack_words(bloom_bits: DataFrame, k: int, m: int) -> DataFrame:
+    n_words = (m + 63) // 64
+    spark = bloom_bits.sparkSession
+    setw = bloom_bits.select(F.explode("bits").alias("p")).select(
+        F.expr("p div 64").alias("w"),
+        F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+    )
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"), F.lit(0).cast("long").alias("b"))
+        .unionByName(setw)
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("wb"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "wb"))),
+            lambda x: x["wb"],
+        ).alias("words"),
+        F.lit(int(k)).alias("k"),
+        F.lit(int(m)).alias("m"),
+    )
+
+
+def _bloom_artifact_geometry(
+    bloom_bits: DataFrame,
+) -> tuple[int | None, int | None]:
+    """(k, m) carried by a filter artifact, or (None, None) for a
+    legacy bits-only frame.  One-row collect -- the artifact is tiny by
+    construction, and resolving the geometry eagerly is what lets the
+    probe surfaces raise BEFORE planning a silently-false-negative
+    join."""
+    if "k" not in bloom_bits.columns or "m" not in bloom_bits.columns:
+        return None, None
+    row = bloom_bits.select("k", "m").first()
+    if row is None:
+        return None, None
+    return int(row["k"]), int(row["m"])
+
+
+def resolve_bloom_geometry(
+    bloom_bits: DataFrame | None,
+    k: int | object = _UNSET,
+    m: int | object = _UNSET,
+) -> tuple[int, int]:
+    """THE (k, m) election shared by every bloom probe surface (the
+    batch operator and both streaming twins -- one definition so the
+    surfaces cannot disagree, the r14 ADVICE item).  Explicit ``k``/``m``
+    declare the build geometry of a prebuilt filter; when the artifact
+    carries its own geometry the declaration is VALIDATED against it
+    (mismatch raises -- probing with a different hash family than the
+    build silently breaks the no-false-negative guarantee); a legacy
+    bits-only artifact trusts the declaration, defaulting to the module
+    constants."""
+    art_k, art_m = (
+        _bloom_artifact_geometry(bloom_bits)
+        if bloom_bits is not None
+        else (None, None)
+    )
+    out_k = art_k if k is _UNSET else k
+    out_m = art_m if m is _UNSET else m
+    if out_k is None:
+        out_k = BLOOM_K
+    if out_m is None:
+        out_m = BLOOM_M
+    if art_k is not None and (out_k != art_k or out_m != art_m):
+        raise ValueError(
+            f"bloom filter artifact was built at (k={art_k}, m={art_m}) "
+            f"but (k={out_k}, m={out_m}) was declared -- probing with a "
+            "different hash family than the build breaks the "
+            "no-false-negative guarantee; drop the overrides or rebuild"
+        )
+    return int(out_k), int(out_m)
 
 
 def bloom_fingerprint_admission(
@@ -1942,23 +2111,15 @@ def bloom_fingerprint_admission(
 
     Pass ``bloom_bits=`` (a :func:`bloom_filter_build` result) to reuse
     a prebuilt filter -- the deployment posture, where the filter is a
-    maintained artifact, not per-batch work.  The probe MUST hash with
-    the geometry the filter was built at, so passing ``bloom_bits=``
-    together with explicit ``k``/``m`` raises -- a mismatched geometry
-    would silently break the no-false-negative guarantee (the sentinel
-    catches even explicitly-passed defaults)."""
-    if bloom_bits is not None:
-        if k is not _UNSET or m is not _UNSET:
-            raise ValueError(
-                "bloom_bits= was built at a fixed (k, m) geometry; "
-                "passing k/m alongside it would probe with a different "
-                "hash family than the filter's -- rebuild the filter or "
-                "drop the overrides"
-            )
-    if k is _UNSET:
-        k = BLOOM_K
-    if m is _UNSET:
-        m = BLOOM_M
+    maintained artifact (:func:`bloom_filter_update`), not per-batch
+    work.  The probe MUST hash with the geometry the filter was built
+    at: the artifact carries (k, m) since r15 and the shared
+    :func:`resolve_bloom_geometry` election validates any explicit
+    ``k``/``m`` declaration against it (mismatch raises; a legacy
+    bits-only artifact trusts the declaration) -- the same rule as the
+    streaming twins, replacing the r14 refuse-overrides guard that made
+    non-default prebuilt filters unusable."""
+    k, m = resolve_bloom_geometry(bloom_bits, k, m)
     if bloom_bits is None:
         # eager checkpoint: the candidate/clean branches below both read
         # the filter row, and without a barrier each branch re-scans the
@@ -2011,7 +2172,11 @@ def bloom_admission_rows(
 
     One definition on purpose: the dup/fp/clean election (hash family,
     candidate-only verify, NULL policy) must not drift between the
-    batch operator and the stream.  ``materialize_probe`` checkpoints
+    batch operator and the stream.  ``bloom_bits`` may be either the
+    positions artifact (packed here at the resolved geometry) or a
+    prebuilt :func:`bloom_pack_words` row -- pass the packed form in a
+    stream, where the static side re-evaluates per trigger.
+    ``materialize_probe`` checkpoints
     the probed rows so the candidate/clean branches share one batch
     scan -- batch callers want it; a STREAMING caller must leave it
     False (checkpointing a streaming frame is illegal; a micro-batch
@@ -2023,13 +2188,32 @@ def bloom_admission_rows(
     base = _null_safe_text(docs, text_col).select(
         "doc_id", *passthrough, fingerprint_md5(text_col).alias("fp")
     )
-    probed = base.crossJoin(F.broadcast(bloom_bits)).select(
+    # probe the PACKED words form (r15): element_at + getbit is O(1)
+    # per hash, vs array_contains' O(set bits) linear scan -- the
+    # difference between a 512-word lookup and a 50M-long scan per
+    # position at deployment geometry.  A positions artifact is packed
+    # here at the resolved geometry (tiny relational job); pass a
+    # pre-packed bloom_pack_words artifact to skip even that.  Selecting
+    # words only also keeps the artifact's k/m columns from colliding
+    # with doc/passthrough columns.
+    words = (
+        bloom_bits if "words" in bloom_bits.columns else _pack_words(
+            bloom_bits, k, m
+        )
+    ).select("words")
+    probed = base.crossJoin(F.broadcast(words)).select(
         "doc_id",
         *passthrough,
         "fp",
         F.forall(
             bloom_bit_positions(F.col("fp"), k, m),
-            lambda p: F.array_contains(F.col("bits"), p),
+            lambda p: F.getbit(
+                F.element_at(
+                    F.col("words"), (F.floor(p / F.lit(64)) + 1).cast("int")
+                ),
+                p % 64,
+            )
+            == 1,
         ).alias("bloom_candidate"),
     )
     if materialize_probe:

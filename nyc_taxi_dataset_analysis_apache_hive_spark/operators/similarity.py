@@ -667,6 +667,13 @@ def cosine_topk_ivf(
             # with ONLY NULL sims still elects the lowest cent_id --
             # degenerate vectors stay assigned-but-unscorable exactly
             # as before (their NULL candidate cosines never rank).
+            # The PAYLOAD rides the ordering struct (r15, ADVICE): a
+            # duplicated vec_id carrying two different embeddings ties
+            # on (cent_sim, -cent_id) when both payloads score alike,
+            # and without the third key the elected c_emb is
+            # plan-dependent -- the assign_to_centroids/kmeans_train
+            # duplicated-id discipline applies wherever a payload rides
+            # an election.
             return (
                 cand.groupBy(id_col)
                 .agg(
@@ -675,6 +682,7 @@ def cosine_topk_ivf(
                         F.struct(
                             F.col("cent_sim"),
                             (-F.col("cent_id")).alias("nc"),
+                            F.col(emb_col),
                         ),
                     ).alias("__win")
                 )
@@ -1494,7 +1502,12 @@ def cosine_topk_ivfpq(
         if top == 1:
             # max_by assignment (r14): see cosine_topk_ivf -- one
             # combined aggregate instead of the window sort-shuffle,
-            # identical election including NULLS-LAST degenerates
+            # identical election including NULLS-LAST degenerates.
+            # No payload key here (r15): the elected VALUE is only
+            # cent_id, and (cent_sim, -cent_id) ties imply the same
+            # cent_id -- there is no payload whose election could be
+            # plan-dependent (contrast cosine_topk_ivf, where c_emb
+            # rides the value and therefore the ordering).
             return cand.groupBy(id_col).agg(
                 F.max_by(
                     F.col("cent_id"),

@@ -580,15 +580,25 @@ def _span_hit_rows(
     return hits.unionByName(heartbeat)
 
 
-def _span_run_cols(span_window: int, min_span: int) -> list:
+def _span_run_cols(
+    span_window: int, min_span: int, with_corpus: bool = False
+) -> list:
     """n_spans / max_span_tokens from the sorted (diff, pb) hit array:
     a left fold (aggregate HOF) replays the batch operator's diagonal
     islands -- a run continues when diff repeats and pb steps by one;
     a closing run of length L counts iff L + w - 1 >= min_span.  Pure
-    expression, so it runs inside a streaming aggregate projection."""
+    expression, so it runs inside a streaming aggregate projection.
+
+    ``with_corpus`` (r15): the quarantine surface groups by PROBE only
+    (one verdict per document needs one stateful aggregate -- a second
+    per-probe max over pair rows would chain stateful operators), so
+    hits from every corpus partner share one sorted array and the run
+    continuation additionally requires the corpus_id to repeat --
+    diagonals never splice across partners."""
     w1 = span_window - 1
     zero = F.lit(0).cast("long")
     acc0 = F.struct(
+        *([F.lit(None).cast("long").alias("pc")] if with_corpus else []),
         F.lit(None).cast("long").alias("pd"),
         F.lit(None).cast("long").alias("pp"),
         zero.alias("cur"),
@@ -597,10 +607,10 @@ def _span_run_cols(span_window: int, min_span: int) -> list:
     )
 
     def merge(acc, x):
-        cont = F.coalesce(
-            (x["diff"] == acc["pd"]) & (x["pb"] == acc["pp"] + 1),
-            F.lit(False),
-        )
+        same_key = (x["diff"] == acc["pd"]) & (x["pb"] == acc["pp"] + 1)
+        if with_corpus:
+            same_key = (x["corpus_id"] == acc["pc"]) & same_key
+        cont = F.coalesce(same_key, F.lit(False))
         # a heartbeat element (NULL diff -- the liveness row unioned in
         # by _span_hit_rows) CLOSES any open run and contributes no run
         # of its own; without this a heartbeat would fold as a length-1
@@ -612,6 +622,7 @@ def _span_run_cols(span_window: int, min_span: int) -> list:
             (~cont) & (acc["cur"] > 0) & (acc["cur"] + w1 >= min_span)
         )
         return F.struct(
+            *([x["corpus_id"].alias("pc")] if with_corpus else []),
             x["diff"].alias("pd"),
             x["pb"].alias("pp"),
             run.alias("cur"),
@@ -656,12 +667,29 @@ def span_decontam_stream(
 
     Same whole-document arrival contract as :func:`decontam_stream`: a
     doc split across triggers never forms grams across the boundary, and
-    pieces landing in different windows island independently."""
+    pieces landing in different windows island independently.
+
+    Probe-side fan-out guard (r15, ADVICE): the document-frequency cap
+    is INDEX-side only -- a stream cannot re-count df against documents
+    it has not seen, and a per-trigger probe-side count would diverge
+    from the batch operator's corpus-wide cap -- so a gram hot only
+    among ARRIVING documents still inflates the hit join.  Instead of
+    guessing, every trigger reports ``observedMetrics['span_probe_guard']``
+    (n_docs, hit_rows) in its StreamingQueryProgress: hit_rows growing
+    superlinearly in n_docs is the boilerplate-heavy-batch signature,
+    and the monitor sees it the trigger it happens instead of the join
+    silently ballooning."""
     from ..operators.dedup import SPAN_MIN_TOKENS, SPAN_WINDOW
 
     w = SPAN_WINDOW if span_window is None else span_window
     ms = SPAN_MIN_TOKENS if min_span is None else min_span
-    hits = _span_hit_rows(docs, span_index, w, text_col, ts_col)
+    hits = _span_hit_rows(docs, span_index, w, text_col, ts_col).observe(
+        "span_probe_guard",
+        # heartbeat rows are exactly one per document (NULL corpus), so
+        # the same pass counts documents and join fan-out
+        F.sum(F.col("corpus_id").isNull().cast("long")).alias("n_docs"),
+        F.sum(F.col("corpus_id").isNotNull().cast("long")).alias("hit_rows"),
+    )
     # NOTE: do NOT filter the heartbeat rows out here -- a deterministic
     # filter gets pushed BELOW the EventTimeWatermark node by the
     # optimizer, starving the watermark exactly the way the heartbeat
@@ -710,6 +738,83 @@ def span_decontam_batch(
     ).filter(F.col("n_spans") > 0)
 
 
+def span_quarantine_stream(
+    docs: DataFrame,
+    span_index: DataFrame,
+    quarantine_tokens: int | None = None,
+    span_window: int | None = None,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    agg_window: str = "1 hour",
+) -> DataFrame:
+    """Per-DOCUMENT quarantine verdicts over a document stream:
+    (probe_id, max_span_tokens), only for documents whose longest
+    verbatim span against the protected set reaches
+    ``quarantine_tokens`` -- the drop-zone posture of span decontam
+    (r15, carried from the r14 verdict): a training-data gate wants
+    "hold this document back", not a pair report, and this emits
+    exactly the rows a quarantine sink should divert.
+
+    One stateful aggregate on purpose: grouping by probe only (corpus
+    partners share one sorted hit array; the fold's run continuation
+    additionally keys on corpus_id so diagonals never splice across
+    partners) keeps append mode to a single stateful operator instead
+    of chaining a per-probe max over the pair aggregate.  The batch
+    scrub equivalence is gated in tests: on a corpus with no
+    probe-side-only hot grams and no probe-probe shared spans, the
+    quarantined set at threshold t == the documents
+    dedup.span_scrub_stats(min_span=t) would cut text from (the
+    keep-first batch decision this stream enforces online)."""
+    from ..operators.dedup import SPAN_MIN_TOKENS, SPAN_WINDOW
+
+    w = SPAN_WINDOW if span_window is None else span_window
+    qt = SPAN_MIN_TOKENS if quarantine_tokens is None else quarantine_tokens
+    hits = _span_hit_rows(docs, span_index, w, text_col, ts_col)
+    # same do-not-filter-the-heartbeat rule as span_decontam_stream
+    agg = (
+        hits.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", agg_window), "probe_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("corpus_id", "diff", "pb"))
+            ).alias("hits_arr")
+        )
+    )
+    return (
+        agg.select("probe_id", *_span_run_cols(w, qt, with_corpus=True))
+        .filter(F.col("n_spans") > 0)
+        .select("probe_id", "max_span_tokens")
+    )
+
+
+def span_quarantine_batch(
+    docs: DataFrame,
+    span_index: DataFrame,
+    quarantine_tokens: int | None = None,
+    span_window: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch analog of :func:`span_quarantine_stream`: the same
+    hit/fold expressions with no watermark or window -- the
+    stream-equality anchor."""
+    from ..operators.dedup import SPAN_MIN_TOKENS, SPAN_WINDOW
+
+    w = SPAN_WINDOW if span_window is None else span_window
+    qt = SPAN_MIN_TOKENS if quarantine_tokens is None else quarantine_tokens
+    hits = _span_hit_rows(docs, span_index, w, text_col, ts_col=None)
+    agg = hits.groupBy("probe_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("corpus_id", "diff", "pb"))
+        ).alias("hits_arr")
+    )
+    return (
+        agg.select("probe_id", *_span_run_cols(w, qt, with_corpus=True))
+        .filter(F.col("n_spans") > 0)
+        .select("probe_id", "max_span_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming Bloom-prescreened exact-dedup admission (r14): the drop-zone
 # form of dedup.bloom_fingerprint_admission.  Fully STATELESS -- the
@@ -752,6 +857,19 @@ def _bloom_probe_rows(
     )
 
 
+def _resolved_bloom_geometry(bloom_bits, k, m):
+    """None-signature adapter over the one shared election
+    (operators.dedup.resolve_bloom_geometry): the stream surfaces spell
+    unset as None, the batch operator as its _UNSET sentinel."""
+    from ..operators.dedup import _UNSET, resolve_bloom_geometry
+
+    return resolve_bloom_geometry(
+        bloom_bits,
+        _UNSET if k is None else k,
+        _UNSET if m is None else m,
+    )
+
+
 def bloom_admission_stream(
     docs: DataFrame,
     bloom_bits: DataFrame,
@@ -768,23 +886,24 @@ def bloom_admission_stream(
     and ``history_fps`` (dedup.history_fingerprints -- use the helper:
     it pins the NULL-text coalesce the filter build applies, and any
     other spelling silently diverges the class partition) are the
-    maintained static artifacts; ``k``/``m`` MUST be the geometry the
-    filter was built at (defaults = the module constants) -- a mismatch
-    silently breaks the no-false-negative guarantee, which is why the
-    batch operator refuses the combination outright.
+    maintained static artifacts; (k, m) resolve through the SAME
+    :func:`..operators.dedup.resolve_bloom_geometry` election as the
+    batch operator -- the artifact's carried geometry wins, an explicit
+    declaration is validated against it (mismatch raises at setup, not
+    as silent false negatives), and a legacy bits-only artifact trusts
+    the declaration.
 
     The history join broadcasts here because the candidate slice is
     tiny; at a history too large to broadcast, drop the hint and let
     the candidates shuffle -- the bloom's job is precisely that the
     CLEAN majority never reaches that join either way."""
-    from ..operators.dedup import BLOOM_K, BLOOM_M
-
+    rk, rm = _resolved_bloom_geometry(bloom_bits, k, m)
     return _bloom_probe_rows(
         docs,
         bloom_bits,
         history_fps,
-        BLOOM_K if k is None else k,
-        BLOOM_M if m is None else m,
+        rk,
+        rm,
         text_col,
         ts_col,
         # streaming frames cannot checkpoint; the micro-batch's narrow
@@ -804,14 +923,13 @@ def bloom_admission_batch(
     """Batch analog: the same expressions with no ts column --
     equality-gated against the stream AND the batch operator
     (dedup.bloom_fingerprint_admission) in tests."""
-    from ..operators.dedup import BLOOM_K, BLOOM_M
-
+    rk, rm = _resolved_bloom_geometry(bloom_bits, k, m)
     return _bloom_probe_rows(
         docs,
         bloom_bits,
         history_fps,
-        BLOOM_K if k is None else k,
-        BLOOM_M if m is None else m,
+        rk,
+        rm,
         text_col,
         ts_col=None,
         materialize_probe=True,

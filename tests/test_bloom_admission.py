@@ -77,24 +77,205 @@ def test_tiny_geometry_forces_false_positives_but_never_negatives(spark):
 
 
 def test_prebuilt_bits_reuse_and_geometry_guard(spark):
+    """r15 (ADVICE): the artifact carries its (k, m); a MATCHING
+    explicit declaration is accepted (it no longer raises -- the r14
+    guard made every non-default prebuilt filter unusable), a
+    MISMATCHED one raises, and a legacy bits-only artifact trusts the
+    declaration."""
     hist = _docs(spark, {i: f"doc {i}" for i in range(20)})
     batch = _docs(spark, {100: "doc 7", 200: "fresh"})
     bits = dedup.bloom_filter_build(hist)
+    want = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
+        for r in dedup.bloom_fingerprint_admission(hist, batch).collect()
+    }
     got = {
         r.doc_id: (r.bloom_candidate, r.duplicate_exact)
         for r in dedup.bloom_fingerprint_admission(
             hist, batch, bloom_bits=bits
         ).collect()
     }
-    want = {
-        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
-        for r in dedup.bloom_fingerprint_admission(hist, batch).collect()
-    }
     assert got == want
-    with pytest.raises(ValueError, match="geometry"):
+    # matching declaration: accepted, same rows
+    declared = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
+        for r in dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=bits, k=dedup.BLOOM_K, m=dedup.BLOOM_M
+        ).collect()
+    }
+    assert declared == want
+    # mismatched declaration: raises before planning the probe
+    with pytest.raises(ValueError, match="built at"):
         dedup.bloom_fingerprint_admission(
-            hist, batch, bloom_bits=bits, m=dedup.BLOOM_M
+            hist, batch, bloom_bits=bits, m=dedup.BLOOM_M * 2
         )
+    # non-default prebuilt filter: usable when its declaration matches
+    nd = dedup.bloom_filter_build(hist, k=2, m=1 << 10)
+    nd_rows = {
+        r.doc_id: r.duplicate_exact
+        for r in dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=nd
+        ).collect()
+    }
+    assert nd_rows[100] and not nd_rows[200]
+    # legacy bits-only artifact: the declaration is trusted
+    legacy = nd.select("bits")
+    lg = {
+        r.doc_id: r.duplicate_exact
+        for r in dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=legacy, k=2, m=1 << 10
+        ).collect()
+    }
+    assert lg == nd_rows
+
+
+def test_streaming_surfaces_share_the_geometry_election(spark):
+    """The stream twins resolve (k, m) through the same election: a
+    geometry-carrying artifact probed with a mismatched declaration
+    raises at setup on the BATCH-ANALOG surface too."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import curation
+
+    hist = _docs(spark, {i: f"doc {i}" for i in range(10)})
+    batch = _docs(spark, {100: "doc 7"})
+    bits = dedup.bloom_filter_build(hist, k=3, m=1 << 12)
+    fps = dedup.history_fingerprints(hist)
+    # artifact geometry wins with no declaration
+    got = {r.doc_id: r.duplicate_exact
+           for r in curation.bloom_admission_batch(batch, bits, fps).collect()}
+    assert got == {100: True}
+    with pytest.raises(ValueError, match="built at"):
+        curation.bloom_admission_batch(batch, bits, fps, k=dedup.BLOOM_K)
+
+
+def test_bloom_geometry_sizing_holds_target_fp_rate(spark):
+    """A filter sized by bloom_geometry for a 50k-doc history holds its
+    target FP rate: the measured candidate rate on an all-clean 20k
+    batch lands near p = 1% (the deployment sizing the r14 default
+    geometry could not deliver -- there the same history saturates the
+    filter and ~every clean doc becomes a candidate)."""
+    k, m = dedup.bloom_geometry(50_000, target_fp=0.01)
+    assert 6 <= k <= 8 and 450_000 <= m <= 510_000  # ~9.6 bits/doc, k=7
+    hist = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("history body "), F.col("id")).alias("text"),
+    )
+    clean = spark.range(20_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("novel body "), F.col("id")).alias("text"),
+    )
+    rep = dedup.bloom_fingerprint_admission(hist, clean, k=k, m=m)
+    agg = rep.agg(
+        F.avg(F.col("bloom_candidate").cast("double")).alias("rate"),
+        F.sum(F.col("duplicate_exact").cast("long")).alias("dups"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["n"] == 20_000 and agg["dups"] == 0
+    # binomial(20k, 0.01): mean 200, sd ~14 -- [0.004, 0.02] is ~>14 sd
+    assert 0.004 <= agg["rate"] <= 0.02, agg["rate"]
+
+
+def test_bloom_filter_update_roundtrips_to_fresh_build(spark):
+    """build -> admit -> update -> admit == a from-scratch build over
+    history + admitted, bit-for-bit (the maintained-state-equals-rebuild
+    invariant): bloom bits are a pure set union, so the updated artifact
+    and the rebuilt one agree on every bit AND on every second-batch
+    verdict."""
+    hist = _docs(spark, {i: f"old doc {i}" for i in range(30)})
+    batch1 = _docs(
+        spark,
+        {100 + i: f"wave one doc {i}" for i in range(10)}
+        | {200: "old doc 3"},  # one dup: must NOT enter the filter
+    )
+    bits1 = dedup.bloom_filter_build(hist, k=4, m=1 << 12)
+    rep1 = dedup.bloom_fingerprint_admission(
+        hist, batch1, bloom_bits=bits1
+    )
+    admitted = batch1.join(
+        rep1.filter("admitted").select("doc_id"), "doc_id"
+    )
+    bits2 = dedup.bloom_filter_update(bits1, admitted)
+    fresh = dedup.bloom_filter_build(
+        hist.unionByName(admitted), k=4, m=1 << 12
+    )
+    r2, rf = bits2.collect()[0], fresh.collect()[0]
+    assert list(r2.bits) == list(rf.bits)
+    assert (r2.k, r2.m) == (rf.k, rf.m) == (4, 1 << 12)
+    # second admission: both artifacts give identical verdicts, and the
+    # wave-one docs are now duplicates
+    batch2 = _docs(
+        spark,
+        {300: "wave one doc 4", 301: "old doc 9", 302: "brand new"},
+    )
+    hist2 = hist.unionByName(admitted)
+    v_upd = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact, r.admitted)
+        for r in dedup.bloom_fingerprint_admission(
+            hist2, batch2, bloom_bits=bits2
+        ).collect()
+    }
+    v_fresh = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact, r.admitted)
+        for r in dedup.bloom_fingerprint_admission(
+            hist2, batch2, bloom_bits=fresh
+        ).collect()
+    }
+    assert v_upd == v_fresh
+    assert v_upd[300][1] and v_upd[301][1] and v_upd[302][2]
+    # a legacy bits-only artifact cannot be updated (no carried geometry)
+    with pytest.raises(ValueError, match="geometry-carrying"):
+        dedup.bloom_filter_update(bits1.select("bits"), admitted)
+
+
+def test_packed_words_equal_positions_artifact(spark):
+    """bloom_pack_words: every set position's bit is 1 in its word,
+    every other bit 0, the array is dense (m/64 words), and probing a
+    pre-packed artifact yields the same admission rows as the positions
+    artifact (the O(1)-probe fast path is a pure re-representation)."""
+    hist = _docs(spark, {i: f"doc {i}" for i in range(25)})
+    bits = dedup.bloom_filter_build(hist, k=3, m=1 << 10)
+    packed = dedup.bloom_pack_words(bits)
+    brow, prow = bits.collect()[0], packed.collect()[0]
+    assert (prow.k, prow.m) == (3, 1 << 10)
+    assert len(prow.words) == (1 << 10) // 64
+    unpacked = sorted(
+        w * 64 + b
+        for w, word in enumerate(prow.words)
+        for b in range(64)
+        if (word >> b) & 1
+    )
+    assert unpacked == list(brow.bits)
+    batch = _docs(spark, {100: "doc 7", 200: "fresh text"})
+    via_packed = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
+        for r in dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=packed
+        ).collect()
+    }
+    via_positions = {
+        r.doc_id: (r.bloom_candidate, r.duplicate_exact)
+        for r in dedup.bloom_fingerprint_admission(
+            hist, batch, bloom_bits=bits
+        ).collect()
+    }
+    assert via_packed == via_positions
+    with pytest.raises(ValueError, match="geometry-carrying"):
+        dedup.bloom_pack_words(bits.select("bits"))
+
+
+def test_bloom_geometry_formula_and_bounds():
+    import math
+
+    for n, p in [(1_000, 0.01), (50_000, 0.001), (10, 0.5)]:
+        k, m = dedup.bloom_geometry(n, p)
+        assert m >= n  # never fewer bits than members at p < 1
+        assert k == max(1, round(m / n * math.log(2)))
+        # the sized filter's theoretical FP rate meets the target
+        fp = (1 - math.exp(-k * n / m)) ** k
+        assert fp <= p * 1.05
+    with pytest.raises(ValueError):
+        dedup.bloom_geometry(0)
+    with pytest.raises(ValueError):
+        dedup.bloom_geometry(10, 1.0)
 
 
 def test_filter_is_mergeable_and_bounded(spark):

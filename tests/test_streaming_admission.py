@@ -20,9 +20,20 @@ SENTINEL_ID = 10**9
 THRESH = 0.35
 
 
+def _load_embeddings(spark):
+    """sf0.001 embeddings, env-resolved with a skip (r15, ADVICE): the
+    same machine-layout class test_semantic_admit fixed -- fail only on
+    real breakage, skip on an absent testdata layout."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF0001_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"no sf0.001 testdata at {path}")
+    return spark.read.parquet(path)
+
+
 @pytest.fixture(scope="module")
 def emb_split(spark):
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = _load_embeddings(spark)
     history = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     cents = emb.filter(
@@ -133,7 +144,7 @@ def test_stream_matches_batch_with_trained_index(spark, emb_split, vecs_dir):
     the fixed slice -- the deployment posture is train offline, serve
     the literal index in the stream."""
     history, batch, _ = emb_split
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = _load_embeddings(spark)
     trained = similarity.kmeans_train(
         emb.filter(F.col("vec_id") < 500),
         n_centroids=16,

@@ -194,6 +194,200 @@ def test_span_stream_matches_batch_and_operator(spark, docs_split, probes_dir):
     assert got and got == batch == operator
 
 
+def _span_corpus(spark):
+    """Controlled quarantine corpus: corpus ids < probe ids (keep-first
+    cuts land on probes), probes share no >= 12-token spans among
+    THEMSELVES and no probe-side-only hot grams -- the documented
+    conditions under which the streaming index-side view equals the
+    batch scrub decision."""
+    from pyspark.sql import Row
+
+    span_a = " ".join(f"a{i}" for i in range(15))
+    span_b = " ".join(f"b{i}" for i in range(12))
+    span_c = " ".join(f"c{i}" for i in range(20))
+    span_short = " ".join(f"s{i}" for i in range(11))
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=2, text=span_a + " f2x f2y " + span_b),
+            Row(doc_id=4, text="f4x " + span_c + " f4y"),
+            Row(doc_id=6, text="f6a f6b " + span_short + " f6c"),
+        ]
+    )
+    probes = spark.createDataFrame(
+        [
+            Row(doc_id=101, text="p1x " + span_a + " p1y"),
+            Row(doc_id=103, text=span_c + " p3x p3y " + span_b),
+            Row(doc_id=105, text="p5x " + span_short + " p5y"),
+            Row(doc_id=107, text="p7a p7b p7c entirely clean words"),
+        ]
+    )
+    return corpus, probes
+
+
+def test_span_quarantine_stream_matches_batch_and_scrub_decision(
+    spark, tmp_path
+):
+    """The r15 quarantine drop-zone: stream == batch analog per document,
+    the quarantined SET equals the keep-first batch scrub decision
+    (span_scrub_stats cuts text from exactly these documents at the
+    same threshold), and max_span_tokens equals the operator pair
+    report's per-probe max."""
+    corpus, probes = _span_corpus(spark)
+    idx = curation.protected_span_index(corpus)
+
+    out = str(tmp_path / "qdocs")
+    os.makedirs(out)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = probes.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for s in range(2):
+        chunk = pdf.iloc[len(pdf) * s // 2 : len(pdf) * (s + 1) // 2].copy()
+        chunk["ts"] = pd.Series(
+            [base + pd.Timedelta(hours=s)] * len(chunk),
+            dtype="datetime64[us]",
+        ).values
+        chunk.to_parquet(os.path.join(out, f"{s:02d}.parquet"), index=False)
+    sent = pdf.iloc[[0]].copy()
+    sent["doc_id"] = SENTINEL_ID
+    sent["text"] = ""
+    sent["ts"] = pd.Series(
+        [base + pd.Timedelta(days=2)], dtype="datetime64[us]"
+    ).values
+    sent.to_parquet(os.path.join(out, "zz_sentinel.parquet"), index=False)
+
+    stream = curation.span_quarantine_stream(
+        curation.read_docs_stream(spark, out), idx, quarantine_tokens=12
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("span_quarantine_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["probe_id"]: r["max_span_tokens"]
+        for r in spark.table("span_quarantine_sink").collect()
+        if r["probe_id"] != SENTINEL_ID
+    }
+    batch = {
+        r["probe_id"]: r["max_span_tokens"]
+        for r in curation.span_quarantine_batch(
+            probes, idx, quarantine_tokens=12
+        ).collect()
+    }
+    assert got == batch == {101: 15, 103: 20}
+
+    # the batch keep-first scrub at the same threshold cuts text from
+    # exactly the quarantined documents (corpus ids < probe ids, so
+    # every cross cut lands probe-side)
+    cut_docs = {
+        r["doc_id"]
+        for r in dedup.span_scrub_stats(
+            corpus.unionByName(probes), min_span=12
+        ).collect()
+        if r["tokens_removed"] > 0 and r["doc_id"] > 100
+    }
+    assert cut_docs == set(got)
+
+    # per-probe max over the operator's pair report agrees
+    op_max = {}
+    for r in dedup.cross_corpus_span_contamination(
+        corpus, probes, min_span=12
+    ).collect():
+        op_max[r["probe_id"]] = max(
+            op_max.get(r["probe_id"], 0), r["max_span_tokens"]
+        )
+    assert op_max == got
+
+
+def test_span_quarantine_diagonals_never_splice_across_partners(spark):
+    """Adversarial splice: two corpus partners hold OVERLAPPING,
+    one-token-offset slices of the probe's text, so their hit rows land
+    on the SAME diagonal (diff) at CONSECUTIVE probe positions -- a fold
+    that ignored corpus_id would chain them into one phantom 7-token
+    run no single partner shares.  The per-partner fold must report two
+    6-token spans and quarantine nothing at threshold 7."""
+    from pyspark.sql import Row
+
+    t = [f"t{i}" for i in range(10)]
+    corpus = spark.createDataFrame(
+        [
+            # doc 2: exactly probe tokens 0..5 -> hit (diff=0, pb=0)
+            Row(doc_id=2, text=" ".join(t[0:6])),
+            # doc 4: one pad then probe tokens 1..6 -> hit (diff=0, pb=1)
+            Row(doc_id=4, text="pad " + " ".join(t[1:7])),
+        ]
+    )
+    probes = spark.createDataFrame([Row(doc_id=101, text=" ".join(t))])
+    idx = curation.protected_span_index(corpus)
+    # threshold 7 needs a 2-gram run; each partner contributes one gram
+    assert (
+        curation.span_quarantine_batch(
+            probes, idx, quarantine_tokens=7
+        ).count()
+        == 0
+    )
+    # each partner pair alone is visible at its true 6-token length
+    pairs = {
+        (r["probe_id"], r["corpus_id"]): r["max_span_tokens"]
+        for r in curation.span_decontam_batch(
+            probes, idx, min_span=6
+        ).collect()
+    }
+    assert pairs == {(101, 2): 6, (101, 4): 6}
+    # and the quarantine fold agrees at the honest threshold
+    q6 = {
+        r["probe_id"]: r["max_span_tokens"]
+        for r in curation.span_quarantine_batch(
+            probes, idx, quarantine_tokens=6
+        ).collect()
+    }
+    assert q6 == {101: 6}
+
+
+def test_span_probe_guard_reports_fanout_per_trigger(
+    spark, docs_split, probes_dir
+):
+    """The r15 probe-side guard: every trigger's StreamingQueryProgress
+    carries observedMetrics['span_probe_guard'] with n_docs (heartbeat
+    count == documents in the trigger) and hit_rows (index-join
+    fan-out) -- the loud signal a boilerplate-heavy batch inflates
+    instead of silently ballooning the join."""
+    corpus, probes = docs_split
+    idx = curation.protected_span_index(corpus)
+    stream = curation.span_decontam_stream(
+        curation.read_docs_stream(spark, probes_dir), idx
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("span_guard_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = [
+        p.observedMetrics["span_probe_guard"]
+        for p in q.recentProgress
+        if "span_probe_guard" in (p.observedMetrics or {})
+    ]
+    assert seen, "no trigger reported the span_probe_guard metrics"
+    n_probes = probes.count() + 1  # + sentinel
+    # a zero-row trigger reports NULL sums -- count it as 0
+    assert sum(m["n_docs"] or 0 for m in seen) == n_probes
+    # fan-out must equal the static hit-row count for the same corpus
+    expect_hits = (
+        curation._span_hit_rows(
+            spark.read.parquet(probes_dir), idx, dedup.SPAN_WINDOW,
+            "text", ts_col=None,
+        )
+        .filter(F.col("corpus_id").isNotNull())
+        .count()
+    )
+    assert sum(m["hit_rows"] or 0 for m in seen) == expect_hits
+
+
 def test_span_fold_handles_multi_run_and_boundary(spark):
     """The aggregate-HOF islands: two separate diagonals on one pair
     count as two spans, a run exactly at min_span qualifies, one below
