@@ -37,6 +37,25 @@ now captures land untracked and committing one is a deliberate
   their WARM re-run and the cold number lands here, never against a
   band (the r12 pl1 phantom-regression lesson).  Headline entries carry
   the analogous ``first`` field in ``run_stats``.
+* ``leg_timings`` (r15) -- per-leg breakdown of every tagged-union
+  entry (registry.LEGS): the entry function is called once (``build``
+  -- pays the shared eager checkpoints/training) and each leg is then
+  collected through a ``tag == leg`` filter, which Catalyst constant-
+  folds to that leg's subtree alone (branch pruning pinned by
+  tests/test_bench_legs.py), so the number is the leg's MARGINAL cost.
+  Entries that materialize their union at build (k2) declare an
+  explicit builder (registry.LEG_BUILDERS) whose thunks own their
+  eager work instead.  This exists because multi-leg entries carry up
+  to 13 legs behind one sweep number -- a single-leg regression could
+  hide inside a 3x-wide entry band; BASELINE.md states per-leg bands
+  for the >=1 s legs.
+
+Sweep single-shots vs medians (r15): any sweep entry whose first
+timing exceeds SWEEP_MEDIAN_THRESHOLD runs twice more and reports the
+MEDIAN of 3 -- the same r9 anti-phantom treatment the headline block
+gets.  Sub-threshold entries stay single-shot (cheap, low phantom
+risk: a loaded 0.4 s entry cannot be mistaken for a regression worth
+re-timing).
 
 Each query is timed end-to-end (plan + execute + collect).
 """
@@ -95,6 +114,48 @@ CHECKPOINT_HEAVY = [
     "tv1_text_stats",
     "k3_embedding_near_pairs",
 ]
+
+#: sweep entries slower than this (seconds, first pass) are re-run and
+#: reported as a median of 3 -- the r14 judge sweep flagged tv1 at 18.9
+#: under ambient load (band 3.9-12.5) and only a manual controlled
+#: re-time dissolved it; above ~3 s a loaded single shot is
+#: indistinguishable from a real regression, so the harness re-times
+#: structurally instead of depending on judge labor.
+SWEEP_MEDIAN_THRESHOLD = 3.0
+
+
+def time_legs(spark, sf_dir: str) -> dict[str, dict]:
+    """Per-leg breakdown of every tagged-union entry (registry.LEGS).
+
+    ``build`` = the entry function call (shared eager checkpoints /
+    training); each leg = the marginal collect of that leg's subtree
+    (tag-filter branch pruning, or the entry's LEG_BUILDERS thunks when
+    the generic filter cannot isolate a leg).  Single-shot by design:
+    these are DIAGNOSTIC attributions for locating which leg moved when
+    an entry's (median-of-3) sweep number leaves its band -- the entry
+    totals remain the banded numbers."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict] = {}
+    for name, (tag, legs) in registry.LEGS.items():
+        t0 = time.perf_counter()
+        leg_t: dict[str, float] = {}
+        if name in registry.LEG_BUILDERS:
+            thunks = registry.LEG_BUILDERS[name](spark, sf_dir)
+            build = round(time.perf_counter() - t0, 3)
+            for leg, thunk in thunks.items():
+                t1 = time.perf_counter()
+                thunk().collect()
+                leg_t[leg] = round(time.perf_counter() - t1, 3)
+        else:
+            df = registry.QUERIES[name](spark, sf_dir)
+            build = round(time.perf_counter() - t0, 3)
+            for leg in legs:
+                t1 = time.perf_counter()
+                df.filter(F.col(tag) == leg).collect()
+                leg_t[leg] = round(time.perf_counter() - t1, 3)
+        out[name] = {"build": build, "legs": leg_t}
+    return out
 
 
 def time_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
@@ -166,11 +227,24 @@ def main() -> None:
             first_exec[name] = run_stats[name]["first"]
             if n_runs < 3:
                 sweep[name] = time_queries(spark, [name], sf_dir)[name]
-            continue
-        first_exec[name] = sweep[name]
-        sweep[name] = time_queries(spark, [name], sf_dir)[name]
+        else:
+            first_exec[name] = sweep[name]
+    # slow non-headline entries: re-run twice, report the median of 3
+    # (the r9/r14 anti-phantom treatment -- the pass-1 number for a
+    # checkpoint-heavy entry is its COLD execution, which the median
+    # excludes whenever the warm re-runs are faster)
+    for name in rest:
+        if sweep[name] > SWEEP_MEDIAN_THRESHOLD:
+            more = [
+                time_queries(spark, [name], sf_dir)[name] for _ in range(2)
+            ]
+            sweep[name] = sorted([sweep[name], *more])[1]
 
-    # 3) sec-vs-sf curve for the headline set across available decades
+    # 3) per-leg breakdown of the tagged-union entries (JVM fully warm
+    # by now, so leg numbers are steady-state marginals)
+    leg_timings = time_legs(spark, sf_dir)
+
+    # 4) sec-vs-sf curve for the headline set across available decades
     scale_curve: dict[str, dict[str, float]] = {}
     for dec in CURVE_SFS:
         ddir = os.path.join(testdata_root, f"sf{dec}")
@@ -194,6 +268,7 @@ def main() -> None:
         "runs": n_runs,
         "sweep": sweep,
         "first_exec": first_exec,
+        "leg_timings": leg_timings,
         "scale_curve": scale_curve,
         "sf": sf,
     }

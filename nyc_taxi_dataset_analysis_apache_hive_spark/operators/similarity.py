@@ -354,7 +354,8 @@ def kmeans_train(
     quantize: int | None = None,
     dead_cells: list | None = None,
     reseed_dead: bool = False,
-) -> DataFrame:
+    return_report: bool = False,
+) -> DataFrame | tuple[DataFrame, dict[str, list[int]]]:
     """Spherical k-means (Lloyd) on DataFrames: (cent_id, cent_emb).
 
     Trains the centroids :func:`cosine_topk_ivf` probes, replacing its
@@ -403,17 +404,29 @@ def kmeans_train(
     sample-sized); the centroid table is coalesced to one partition
     before each checkpoint (16 rows do not need 32 tasks).
 
-    ``dead_cells`` (r14): pass a list to receive one int per iteration
-    -- the count of clusters that received NO vectors that round (their
-    centroids are carried forward unchanged, the documented Lloyd
-    behavior).  Heavily clustered data can end with fewer than
-    ``n_centroids`` EFFECTIVE cells; that is correct but silently
-    weakens the index (fewer, fatter cells), so the count is the
-    monitoring hook.  Reporting materializes each iteration's tiny
-    per-cluster mean table once (<= n_centroids rows) so the count and
-    the centroid update share one computation -- no extra corpus pass.
-    (With ``reseed_dead`` the count still states the PRE-reseed deads,
-    so the report shows how often re-seeding had to fire.)
+    ``return_report`` (r15): when True the function returns
+    ``(centroids, report)`` where ``report`` is
+    ``{"dead_cells": [int per iteration], "reseeds": [int per
+    iteration]}`` -- ``dead_cells[i]`` counts the clusters that
+    received NO vectors in iteration ``i`` (their centroids are carried
+    forward unchanged, the documented Lloyd behavior) and
+    ``reseeds[i]`` counts the slots the empty-cluster repair actually
+    re-seeded that round (always 0 with ``reseed_dead=False``).
+    Heavily clustered data can end with fewer than ``n_centroids``
+    EFFECTIVE cells; that is correct but silently weakens the index
+    (fewer, fatter cells), so the count is the monitoring hook.
+    Reporting materializes each iteration's tiny per-cluster mean table
+    once (<= n_centroids rows) so the count and the centroid update
+    share one computation -- no extra corpus pass.  (Dead counts state
+    the PRE-reseed deads, so the report shows how often re-seeding had
+    to fire.)
+
+    ``dead_cells`` (r14, DEPRECATED since r15 -- accepted for one more
+    round): the prior out-parameter spelling of the same per-iteration
+    dead counts; pass a list to have the counts appended to it.  A
+    mutable out-list is easy to misuse from wrappers that discard it
+    silently -- prefer ``return_report=True`` and read the counts from
+    the returned report.
 
     ``reseed_dead`` (r14): instead of carrying a dead cluster's
     centroid forward, re-seed it from the FURTHEST assigned point --
@@ -429,6 +442,8 @@ def kmeans_train(
     """
     from ..functions.vectors import dot, l2_norm
 
+    report: dict[str, list[int]] = {"dead_cells": [], "reseeds": []}
+    want_dead = return_report or dead_cells is not None
     emb = _kmeans_training_table(embeddings, vec_col, id_col).persist()
     # init is lazy: 16 rows, folded into iteration 1's checkpoint job.
     # NULL vectors are excluded from the init POOL (a NULL centroid is
@@ -512,7 +527,7 @@ def kmeans_train(
                 assigned = assigned.localCheckpoint(eager=True)
             means = vector_mean_by_key(assigned, "cent_id", "v")
             n_live = None
-            if dead_cells is not None or reseed_dead:
+            if want_dead or reseed_dead:
                 # dead-cell visibility / reseed (r14): a cluster absent
                 # from the mean table received no vectors this round.
                 # The mean table is <= n_centroids rows, so
@@ -521,8 +536,10 @@ def kmeans_train(
                 # of the assignment pass
                 means = means.coalesce(1).localCheckpoint(eager=True)
                 n_live = means.count()
-            if dead_cells is not None:
-                dead_cells.append(n_centroids - n_live)
+            if want_dead:
+                report["dead_cells"].append(n_centroids - n_live)
+                if dead_cells is not None:
+                    dead_cells.append(n_centroids - n_live)
             nxt = F.coalesce("centroid", "cent_emb")
             if quantize is not None:
                 # quantize AFTER the empty-cluster coalesce so
@@ -532,6 +549,7 @@ def kmeans_train(
             nxt_cents = cents.join(means, "cent_id", "left").select(
                 "cent_id", nxt.alias("cent_emb")
             )
+            n_reseeded = 0
             if reseed_dead and n_live < n_centroids:
                 # re-seed each dead slot from the furthest assigned
                 # point (lowest elected cosine, ties to the lowest vid)
@@ -569,14 +587,23 @@ def kmeans_train(
                     reseed = F.transform(
                         reseed, lambda x: F.round(x, quantize)
                     )
-                nxt_cents = nxt_cents.join(
-                    dead_slots.join(far, "__r").select("cent_id", "__reseed"),
-                    "cent_id",
-                    "left",
-                ).select(
+                paired = dead_slots.join(far, "__r").select(
+                    "cent_id", "__reseed"
+                )
+                if want_dead:
+                    # exact reseed count: a dead slot only changes if a
+                    # furthest candidate exists (fewer assigned vectors
+                    # than dead slots leaves the tail carried forward).
+                    # paired is <= n_centroids rows with two consumers
+                    # (this count + the centroid join), so cut it once.
+                    paired = paired.coalesce(1).localCheckpoint(eager=True)
+                    n_reseeded = paired.count()
+                nxt_cents = nxt_cents.join(paired, "cent_id", "left").select(
                     "cent_id",
                     F.coalesce(reseed, F.col("cent_emb")).alias("cent_emb"),
                 )
+            if want_dead:
+                report["reseeds"].append(n_reseeded)
             cents = (
                 nxt_cents.coalesce(1)
                 # per-iteration eager cut, MEASURED both ways at sf0.1:
@@ -593,6 +620,8 @@ def kmeans_train(
         # a job abort) must not leak the persisted training sample for
         # the rest of the session
         emb.unpersist()
+    if return_report:
+        return cents, report
     return cents
 
 

@@ -27,7 +27,14 @@ Cross-engine parity rules applied throughout (see SURVEY §7.4):
 # modules read earlier modules' helpers (e.g. pl1's oracle embeds d3's
 # registered oracle text), so the modules load exactly in the order the
 # monolithic registry.py declared them.
-from .base import ORACLES, QUERIES, Query, register  # noqa: F401
+from .base import (  # noqa: F401
+    LEG_BUILDERS,
+    LEGS,
+    ORACLES,
+    QUERIES,
+    Query,
+    register,
+)
 
 from . import reference_ops  # noqa: E402,F401
 from . import events_dedup  # noqa: E402,F401

@@ -17,6 +17,7 @@ from ..operators import (
 from ..streaming.events import tumbling_counts_batch
 from .base import (
     register,
+    register_legs,
     _t,
 )
 
@@ -818,5 +819,13 @@ def d5_simhash_pairs(spark, sf):
     small distance, unrelated -> large, exact dup -> 0) and the no-cartesian
     plan assertion in tests/test_plans.py."""
     return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
-
-
+# ---------------------------------------------------------------------------
+# Leg declarations (r15): tagged-union entries, for bench.py's per-leg
+# timing breakdown (pinned by tests/test_bench_legs.py).
+register_legs("d1_dedup_groups", "method", ("bloom", "exact", "fp"))
+register_legs("d3_minhash_lsh_pairs", "op", ("inc_admit", "pairs"))
+register_legs(
+    "d4_ngram_jaccard_pairs",
+    "op",
+    ("ngram", "rep", "scrub", "scrub_text", "spans", "winnow"),
+)

@@ -23,6 +23,7 @@ from ..operators import (
 )
 from .base import (
     register,
+    register_legs,
     _t,
 )
 from .events_dedup import _TOKS_SRC_CTE
@@ -818,3 +819,32 @@ def _zorder_skip_leg(spark, sf) -> DataFrame:
         F.lit("skip_and_match").alias("name"),
         F.lit(1 if ok else 0).cast("long").alias("val"),
     )
+# ---------------------------------------------------------------------------
+# Leg declarations (r15): tagged-union entries, for bench.py's per-leg
+# timing breakdown (pinned by tests/test_bench_legs.py).
+register_legs(
+    "a10_distinct_counts",
+    "op",
+    (
+        "exact_by_flag",
+        "frequent",
+        "incremental",
+        "kll_rank",
+        "ks_drift",
+        "sketch_rollup",
+        "theta_overlap",
+    ),
+)
+register_legs(
+    "j5_join_surface",
+    "op",
+    (
+        "brand_nation_counts",
+        "bucket_join_counts",
+        "bucket_join_noshuffle",
+        "chain_region_orders",
+        "outer_nation_counts",
+        "semi_big_order",
+        "zorder_skip",
+    ),
+)

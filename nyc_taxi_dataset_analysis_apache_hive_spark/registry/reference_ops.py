@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 
 from .base import (
     register,
+    register_legs,
     _t,
 )
 
@@ -764,5 +765,13 @@ def f_json_extract(spark, sf):
     return ev.groupBy(
         F.get_json_object("props", "$.k").cast("long").alias("k_val")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-
-
+# ---------------------------------------------------------------------------
+# Leg declarations (r15): tagged-union entries, for bench.py's per-leg
+# timing breakdown.  Values are pinned by tests/test_bench_legs.py
+# against the distinct tag values the entry actually produces.
+register_legs("p3_filter_compare", "op", ("dq_report", "filter", "quarantine"))
+register_legs(
+    "p456_predicate_surface", "op", ("dirty_or", "in_list", "not_in_set")
+)
+register_legs("u1_set_ops", "op", ("except", "intersect", "union"))
+register_legs("r1_rollup_cube", "op", ("cube", "rollup"))

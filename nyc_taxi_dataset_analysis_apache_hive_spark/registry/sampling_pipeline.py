@@ -21,7 +21,7 @@ from ..operators import (
     similarity,
     textops,
 )
-from .base import ORACLES, register, _t
+from .base import ORACLES, register, register_legs, _t
 from .events_dedup import (
     _BAND_ROWS,
     _D4_NGRAM_SQL,
@@ -2127,3 +2127,35 @@ def pl1_curation_funnel(spark, sf):
         report.crossJoin(bpe.bpe_roundtrip_audit(docs))
         .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
     )
+# ---------------------------------------------------------------------------
+# Leg declarations (r15): tagged-union entries, for bench.py's per-leg
+# timing breakdown (pinned by tests/test_bench_legs.py).
+register_legs("d6_dup_clusters", "op", ("cluster", "grouped_split", "leakage"))
+register_legs("s6_hash_split", "op", ("curriculum", "shard", "split"))
+register_legs(
+    "s7_stratified_rates", "op", ("cap", "dsir", "mix", "qsamp", "rate", "temp")
+)
+register_legs("s8_upsert", "op", ("scd1", "scd2"))
+register_legs("cx1_time_ops", "op", ("cohort", "range"))
+register_legs(
+    "tv1_text_stats",
+    "op",
+    (
+        "bm25",
+        "bm25_topk",
+        "chunk",
+        "dense",
+        "dense_ivf",
+        "hybrid",
+        "hybrid_ivf",
+        "lm",
+        "probe",
+        "probe_w",
+        "scrub",
+        "tfidf",
+        "vocab",
+    ),
+)
+register_legs(
+    "d7_cross_corpus_decontam", "op", ("minhash", "overlap", "spans")
+)

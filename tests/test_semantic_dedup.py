@@ -390,32 +390,38 @@ def test_kmeans_train_unpersists_on_failure(spark):
 
 
 def test_kmeans_dead_cell_report(spark):
-    """dead_cells= visibility (r14): a corpus whose two init vectors
-    are IDENTICAL empties cluster 2 in every iteration (all assignments
-    tie and break to the lowest cent_id), and the report must say so;
-    a corpus with genuinely distinct directions reports zero dead
-    cells.  Carried-forward centroids keep the table at n_centroids
-    rows either way (correct Lloyd behavior, now observable)."""
+    """return_report= visibility (r15, ex-dead_cells r14): a corpus
+    whose two init vectors are IDENTICAL empties cluster 2 in every
+    iteration (all assignments tie and break to the lowest cent_id),
+    and the report must say so; a corpus with genuinely distinct
+    directions reports zero dead cells.  Carried-forward centroids keep
+    the table at n_centroids rows either way (correct Lloyd behavior,
+    now observable).  The deprecated dead_cells= out-list is exercised
+    alongside for its one-round compatibility window and must agree
+    with the returned report."""
     clustered = spark.createDataFrame(
         [(i, [1.0, 0.0]) for i in range(4)],
         "vec_id long, embedding array<double>",
     )
     dead: list[int] = []
-    cents = similarity.kmeans_train(
-        clustered, n_centroids=2, n_iter=3, dead_cells=dead
-    ).collect()
-    assert dead == [1, 1, 1]
+    cents_df, report = similarity.kmeans_train(
+        clustered, n_centroids=2, n_iter=3, dead_cells=dead,
+        return_report=True,
+    )
+    cents = cents_df.collect()
+    assert report["dead_cells"] == [1, 1, 1]
+    assert report["reseeds"] == [0, 0, 0]  # reseed off -> never fires
+    assert dead == report["dead_cells"]  # deprecated out-list agrees
     assert len(cents) == 2  # the dead slot is carried, not dropped
 
     spread = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
         "vec_id long, embedding array<double>",
     )
-    dead2: list[int] = []
-    similarity.kmeans_train(
-        spread, n_centroids=2, n_iter=2, dead_cells=dead2
-    ).collect()
-    assert dead2 == [0, 0]
+    _, report2 = similarity.kmeans_train(
+        spread, n_centroids=2, n_iter=2, return_report=True
+    )
+    assert report2["dead_cells"] == [0, 0]
 
 
 def test_kmeans_reseed_dead_revives_cluster(spark):
@@ -440,16 +446,14 @@ def test_kmeans_reseed_dead_revives_cluster(spark):
         ],
         "vec_id long, embedding array<double>",
     )
-    dead: list[int] = []
-    cents = {
-        r["cent_id"]: list(r["cent_emb"])
-        for r in similarity.kmeans_train(
-            emb, n_centroids=2, n_iter=3, dead_cells=dead, reseed_dead=True
-        ).collect()
-    }
+    cents_df, report = similarity.kmeans_train(
+        emb, n_centroids=2, n_iter=3, reseed_dead=True, return_report=True
+    )
+    cents = {r["cent_id"]: list(r["cent_emb"]) for r in cents_df.collect()}
     # iteration 1 reports the pre-reseed dead slot, later rounds are
     # fully served (the reseeded cell captures id 5 immediately)
-    assert dead == [1, 0, 0]
+    assert report["dead_cells"] == [1, 0, 0]
+    assert report["reseeds"] == [1, 0, 0]  # the repair fired exactly once
     assert len(cents) == 2
     # cluster 2 sits exactly on the furthest point's direction; cluster
     # 1 holds the majority family's mean
@@ -457,14 +461,13 @@ def test_kmeans_reseed_dead_revives_cluster(spark):
     assert [round(x, 6) for x in cents[1]] == [0.975, 0.025]
     # the no-reseed contrast: same corpus, roles SWAPPED by drift --
     # cluster 1 ends on the orthogonal singleton
-    dead_off: list[int] = []
+    cents_off_df, report_off = similarity.kmeans_train(
+        emb, n_centroids=2, n_iter=3, return_report=True
+    )
     cents_off = {
-        r["cent_id"]: list(r["cent_emb"])
-        for r in similarity.kmeans_train(
-            emb, n_centroids=2, n_iter=3, dead_cells=dead_off
-        ).collect()
+        r["cent_id"]: list(r["cent_emb"]) for r in cents_off_df.collect()
     }
-    assert dead_off == [1, 0, 0]
+    assert report_off["dead_cells"] == [1, 0, 0]
     assert cents_off[1] == [0.0, 1.0]
 
 
@@ -477,11 +480,14 @@ def test_kmeans_reseed_cannot_manufacture_diversity(spark):
         [(i, [1.0, 0.0]) for i in range(4)],
         "vec_id long, embedding array<double>",
     )
-    dead: list[int] = []
-    cents = similarity.kmeans_train(
-        emb, n_centroids=2, n_iter=2, dead_cells=dead, reseed_dead=True
-    ).collect()
-    assert dead == [1, 1]
+    cents_df, report = similarity.kmeans_train(
+        emb, n_centroids=2, n_iter=2, reseed_dead=True, return_report=True
+    )
+    cents = cents_df.collect()
+    assert report["dead_cells"] == [1, 1]
+    # the repair fires every round (a candidate always exists) -- it
+    # just cannot invent a direction, so the slot dies again next round
+    assert report["reseeds"] == [1, 1]
     assert len(cents) == 2
 
 
