@@ -35,14 +35,29 @@ from ..functions.text import (
 )
 
 
-def _shingle_sets(docs: DataFrame, shingle_n: int, text_col: str = "text") -> DataFrame:
+def _shingle_sets(
+    docs: DataFrame | None,
+    shingle_n: int,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sh: array<string>) distinct word n-gram sets.
 
     Two projections on purpose: the token array materializes first so the
     n-gram lambda reads a concrete array instead of re-running the tokenizer
     per element (see PERF note on ngrams_from_tokens -- 23x at sf0.1).
+
+    ``toks=`` (r15): a precomputed ``(doc_id, toks)`` frame (e.g.
+    :func:`token_table`) skips the tokenize projection.  Note
+    token_table's null-safe empty array yields an EMPTY shingle set for
+    NULL text where the direct path yields NULL -- equivalent for every
+    consumer here (both explode to no index rows, and set sizes are
+    only read for docs that produced index rows).
     """
-    return docs.select("doc_id", tokens(text_col).alias("toks")).select(
+    if toks is None:
+        toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    return toks.select(
         "doc_id",
         F.array_distinct(ngrams_from_tokens(F.col("toks"), shingle_n)).alias("sh"),
     )
@@ -304,10 +319,12 @@ def cross_corpus_minhash_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via an inverted-index join.
 
@@ -330,8 +347,22 @@ def ngram_jaccard_pairs(
     bound and pairs overlapping ONLY in boilerplate fall away -- which is
     the desired behaviour.  Default None = exact (the oracle-parity path);
     AQE skew-join splitting covers moderate skew either way.
+
+    ``toks=`` (r15): a precomputed :func:`token_table` frame skips the
+    tokenize projection; ``docs`` is then already baked in and passing
+    it raises (the ``runs=`` discipline).
     """
-    sets = _shingle_sets(docs, shingle_n)
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        sets = _shingle_sets(None, shingle_n, toks=toks)
+    else:
+        if docs is None:
+            raise ValueError("either docs or toks= is required")
+        sets = _shingle_sets(docs, shingle_n)
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
     # join key is the portable 60-bit md5 hash, not the shingle string: the
     # shuffle carries 8-byte longs instead of ~20-char strings, and the
@@ -1417,18 +1448,55 @@ SPAN_MAX_GRAM_DOCS = 50
 _UNSET = object()
 
 
+def token_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, toks): the null-safe word-token arrays -- the sharable
+    tokenization base for the span family (NULL text tokenizes to an
+    empty array, the scrub-leg convention).  Exists as a named frame so
+    a caller running several token-consuming operators over one corpus
+    can materialize the tokenize pass once and feed it to each via
+    their ``toks=`` overloads.  Whether that wins is a MEASURED
+    question that flipped with consumer count: the r7 two-consumer
+    measurement (minhash signature + jaccard verify) found recompute
+    cheaper at sf0.1 on local[32] (materializing 100k string arrays
+    cost more than one extra split+filter pass), but the r15 re-run
+    with FOUR token consumers (d4's ngram index, span grams, rep
+    grams, rep lengths) measured the shared eager checkpoint at
+    9.5-10.9 s vs 10.0-11.9 s independent (5 interleaved reps, ~7%) --
+    adopted in the d4 entry.  At 100-TB scale tokenization dominates
+    CPU and sharing is the right default regardless."""
+    return _null_safe_text(docs, text_col).select(
+        "doc_id", tokens(text_col).alias("toks")
+    )
+
+
 def positional_ngrams(
-    docs: DataFrame, window: int = SPAN_WINDOW, text_col: str = "text"
+    docs: DataFrame | None = None,
+    window: int = SPAN_WINDOW,
+    text_col: str | object = _UNSET,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, pos, g): word ``window``-grams with their 0-based start
     position in the token stream.  Unlike :func:`_shingle_sets` the grams
     are NOT distinct'd -- position matters, and a gram repeated inside one
     document seeds one diagonal per occurrence.  Documents shorter than
     ``window`` tokens emit nothing (posexplode of the guarded empty
-    array)."""
-    toks = _null_safe_text(docs, text_col).select(
-        "doc_id", tokens(text_col).alias("toks")
-    )
+    array).
+
+    ``toks=`` (r15): a precomputed :func:`token_table` frame skips the
+    tokenize projection; ``text_col`` is then already baked in and
+    passing it (or ``docs``) explicitly raises instead of being
+    silently ignored (the ``runs=`` discipline)."""
+    if toks is not None:
+        if docs is not None or text_col is not _UNSET:
+            raise ValueError(
+                "toks= already fixes docs/text_col; pass either toks= "
+                "or the raw inputs, not both"
+            )
+    else:
+        if docs is None:
+            raise ValueError("either docs or toks= is required")
+        toks = token_table(docs, "text" if text_col is _UNSET else text_col)
     return toks.select(
         "doc_id",
         F.posexplode(ngrams_from_tokens(F.col("toks"), window)).alias(
@@ -1482,10 +1550,12 @@ def _diagonal_runs(
 
 
 def span_runs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     window: int = SPAN_WINDOW,
     max_gram_docs: int = SPAN_MAX_GRAM_DOCS,
-    text_col: str = "text",
+    text_col: str | object = _UNSET,
+    *,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """All maximal shared spans between document pairs (doc_a < doc_b):
     (doc_a, doc_b, pa0, pb0, span_tokens), UNFILTERED by a minimum span
@@ -1497,10 +1567,27 @@ def span_runs(
     unique -- the island arithmetic relies on (doc_id, pos) identifying
     one gram occurrence, so a duplicated id interleaves two documents'
     diagonals and miscounts their runs.  The driver tables satisfy this
-    by construction; dedupe ids first when they might not."""
-    cold = _cold_positional_grams(
-        positional_ngrams(docs, window, text_col), max_gram_docs
-    )
+    by construction; dedupe ids first when they might not.
+
+    ``grams=`` (r15): a precomputed :func:`positional_ngrams` frame
+    (built at the SAME ``window`` -- the island arithmetic reads
+    ``window`` to state span lengths, so the caller declares the grams'
+    geometry) skips the tokenize+gram pass; ``docs``/``text_col`` are
+    then already baked in and passing them raises.  The doc-frequency
+    cap still applies to the provided grams."""
+    if grams is not None:
+        if docs is not None or text_col is not _UNSET:
+            raise ValueError(
+                "grams= already fixes docs/text_col; pass either grams= "
+                "or the raw inputs, not both"
+            )
+    else:
+        if docs is None:
+            raise ValueError("either docs or grams= is required")
+        grams = positional_ngrams(
+            docs, window, "text" if text_col is _UNSET else text_col
+        )
+    cold = _cold_positional_grams(grams, max_gram_docs)
     a = cold.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
     )
@@ -1791,9 +1878,11 @@ def cross_corpus_span_contamination(
 
 
 def intradoc_repetition(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     window: int = SPAN_WINDOW,
-    text_col: str = "text",
+    text_col: str | object = _UNSET,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Gopher-style duplicated-n-gram fraction (Rae et al. 2021, table
     A1: "fraction of characters in duplicate n-grams", here in tokens):
@@ -1813,10 +1902,32 @@ def intradoc_repetition(
     Returns (doc_id, dup_span_tokens, n_tokens, dup_frac) for EVERY
     document (a screen needs the clean ones too): zero coverage for
     repeat-free or sub-window docs, NULL fraction for token-less ones.
+
+    ``toks=`` (r15): a precomputed :func:`token_table` frame feeds both
+    the gram pipeline AND the per-document token counts (one tokenize
+    pass instead of two); ``docs``/``text_col`` are then already baked
+    in and passing them raises (the ``runs=`` discipline).
     """
     from pyspark.sql.window import Window
 
-    grams = positional_ngrams(docs, window, text_col)
+    if toks is not None:
+        if docs is not None or text_col is not _UNSET:
+            raise ValueError(
+                "toks= already fixes docs/text_col; pass either toks= "
+                "or the raw inputs, not both"
+            )
+        grams = positional_ngrams(window=window, toks=toks)
+        lens = toks.select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+    else:
+        if docs is None:
+            raise ValueError("either docs or toks= is required")
+        tc = "text" if text_col is _UNSET else text_col
+        grams = positional_ngrams(docs, window, tc)
+        lens = _null_safe_text(docs, tc).select(
+            "doc_id", F.size(tokens(tc)).cast("long").alias("n_tokens")
+        )
     occ = Window.partitionBy("doc_id", "g")
     repeated = (
         grams.withColumn("occ", F.count(F.lit(1)).over(occ))
@@ -1835,9 +1946,6 @@ def intradoc_repetition(
             .cast("long")
             .alias("dup_span_tokens")
         )
-    )
-    lens = _null_safe_text(docs, text_col).select(
-        "doc_id", F.size(tokens(text_col)).cast("long").alias("n_tokens")
     )
     return (
         lens.join(covered, on="doc_id", how="left")

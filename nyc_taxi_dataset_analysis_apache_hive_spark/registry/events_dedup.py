@@ -693,11 +693,19 @@ def d4_ngram_jaccard_pairs(spark, sf):
 
     The spans/scrub/scrub_text legs share ONE runs table (eagerly
     checkpointed: three consumers, same posture as d3's shared
-    signature table)."""
+    signature table), and the word-token consumers (ngram index, span
+    grams, rep) share ONE checkpointed token_table (r15: measured
+    9.5-10.9 s vs 10.0-11.9 s independent at sf0.1 over 5 interleaved
+    reps -- the r7 two-consumer recompute-wins result flips at four
+    consumers; dedup.token_table's docstring carries both numbers).
+    winnow stays independent: its grams are character-level."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     nulld = F.lit(None).cast("double")
-    ngram = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+    tokt = dedup.token_table(docs).localCheckpoint(eager=True)
+    ngram = dedup.ngram_jaccard_pairs(
+        shingle_n=3, threshold=0.2, toks=tokt
+    ).select(
         F.lit("ngram").alias("op"),
         "doc_a",
         "doc_b",
@@ -713,7 +721,9 @@ def d4_ngram_jaccard_pairs(spark, sf):
         nulll.alias("n"),
         nulll.alias("m"),
     )
-    runs = dedup.span_runs(docs).localCheckpoint(eager=True)
+    runs = dedup.span_runs(
+        grams=dedup.positional_ngrams(toks=tokt)
+    ).localCheckpoint(eager=True)
     spans = dedup.shared_span_pairs(runs=runs).select(
         F.lit("spans").alias("op"),
         "doc_a",
@@ -740,7 +750,7 @@ def d4_ngram_jaccard_pairs(spark, sf):
         .alias("n"),
         F.col("n_tokens_after").alias("m"),
     )
-    rep = dedup.intradoc_repetition(docs).select(
+    rep = dedup.intradoc_repetition(toks=tokt).select(
         F.lit("rep").alias("op"),
         F.col("doc_id").alias("doc_a"),
         nulll.alias("doc_b"),

@@ -423,3 +423,65 @@ def test_streaming_fold_matches_python_islands(spark, hits, hb_count):
     ).collect()[0]
     got = (r.n_spans, r.max_span_tokens if r.n_spans > 0 else None)
     assert got == want, (hits, hb_count, got, want)
+
+
+def test_shared_token_table_overloads_equal_direct(spark, sf0001_dir):
+    """The r15 precomputed-input overloads (token_table -> toks=/grams=)
+    reproduce the direct-path results exactly: d4's adopted shape (one
+    checkpointed tokenize pass feeding the ngram index, the span grams,
+    and rep) must be a pure plan change, never a result change."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf0001_dir, "documents")
+    tokt = dedup.token_table(docs).localCheckpoint(eager=True)
+
+    direct_ngram = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    shared_ngram = dedup.ngram_jaccard_pairs(
+        shingle_n=3, threshold=0.2, toks=tokt
+    )
+    assert sorted(map(tuple, direct_ngram.collect())) == sorted(
+        map(tuple, shared_ngram.collect())
+    )
+
+    direct_runs = dedup.span_runs(docs)
+    shared_runs = dedup.span_runs(grams=dedup.positional_ngrams(toks=tokt))
+    assert sorted(map(tuple, direct_runs.collect())) == sorted(
+        map(tuple, shared_runs.collect())
+    )
+
+    direct_rep = dedup.intradoc_repetition(docs)
+    shared_rep = dedup.intradoc_repetition(toks=tokt)
+    assert sorted(map(tuple, direct_rep.collect())) == sorted(
+        map(tuple, shared_rep.collect())
+    )
+
+
+def test_token_overload_guard_discipline(spark):
+    """The _UNSET guard on every precomputed-input overload: passing the
+    precomputed frame ALONGSIDE the raw inputs raises instead of
+    silently ignoring one of them; passing neither raises too."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    tokt = dedup.token_table(docs)
+    grams = dedup.positional_ngrams(toks=tokt)
+    with pytest.raises(ValueError):
+        dedup.positional_ngrams(docs, toks=tokt)
+    with pytest.raises(ValueError):
+        dedup.positional_ngrams()
+    with pytest.raises(ValueError):
+        dedup.span_runs(docs, grams=grams)
+    with pytest.raises(ValueError):
+        dedup.span_runs()
+    with pytest.raises(ValueError):
+        dedup.intradoc_repetition(docs, toks=tokt)
+    with pytest.raises(ValueError):
+        dedup.intradoc_repetition()
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(docs, toks=tokt)
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs()
