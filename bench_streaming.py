@@ -298,6 +298,15 @@ def run_doc_streams(spark, sf_dir: str, n_slices: int):
             docs_dir,
             "bloom_admission",
         )
+        # r15: the quarantine emission over the same protected index --
+        # out_rows is the QUARANTINED subset (threshold'd verdicts),
+        # not every probe doc, by design
+        results["span_quarantine"] = drain_and_measure_docs(
+            spark,
+            lambda src: curation.span_quarantine_stream(src, span_idx),
+            docs_dir,
+            "span_quarantine",
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return results, int(len(probe_pdf))
