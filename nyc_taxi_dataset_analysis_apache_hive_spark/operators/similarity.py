@@ -1174,94 +1174,55 @@ def semantic_admit_batch(
     return SemanticAdmitResult(report, new_state, cell_stats)
 
 
-def cosine_topk_pq(
+#: sentinel distinguishing "not passed" from an explicit value on the
+#: precomputed-input overloads (the dedup.py `runs=`/`toks=` discipline)
+_UNSET: object = object()
+
+
+class PQEncoding(NamedTuple):
+    """Shared product-quantization artifacts (r15): ONE encode pass --
+    normalize, codebook resolution, the (vector x codebook-entry)
+    distance relation, and the per-subspace argmin codes -- serving
+    both the direct PQ search and IVFPQ.  Inside one k2 invocation the
+    two legs used to encode the corpus twice with identical parameters;
+    build this once (``pq_encode(..., checkpoint=True)`` materializes
+    the corpus-sized code table) and pass it to both via ``encoding=``.
+    Geometry (m, k_sub, dim) rides the artifact so consumers never
+    probe codes with a mismatched layout (the bloom-filter geometry
+    lesson)."""
+
+    m: int
+    k_sub: int
+    dim: int
+    #: (vec_id, emb_raw) -- the UN-normalized doubles, for the exact
+    #: re-rank (the oracle computes cosine on the raw values)
+    raw: DataFrame
+    #: (vec_id, code_id, d0..d{m-1}) -- per-subspace squared L2 to every
+    #: codebook entry; LAZY (the query distance tables re-derive from it
+    #: with a vec_id pushdown, so only the tiny query slice recomputes)
+    dcols: DataFrame
+    #: (vec_id, j, code) -- the encoded corpus, the ADC join's left side
+    codes_long: DataFrame
+
+
+def pq_encode(
     embeddings: DataFrame,
-    k: int = 5,
-    n_queries: int = 8,
     m: int = 16,
     k_sub: int = 32,
     codebook_offset: int = 200,
-    n_candidates: int = 128,
     dim: int = 64,
     codebook: DataFrame | None = None,
-    allowed_pairs: DataFrame | None = None,
     codebook_prenormalized: bool = False,
-) -> DataFrame:
-    """Product-quantization approximate top-k (Jegou/Douze/Schmid, TPAMI
-    2011): the memory-compression ANN scale path.
+    checkpoint: bool = False,
+) -> PQEncoding:
+    """Build the PQ encode artifacts (see :class:`PQEncoding`).  This is
+    the first half of the original cosine_topk_pq, extracted verbatim so
+    the single- and shared-encoding paths cannot drift; parameter
+    semantics (codebook override, prenormalized opt-out, zero-norm
+    drop-out) are documented on :func:`cosine_topk_pq`.
 
-    ``allowed_pairs``: optional (query_id, vec_id) candidate pre-filter
-    -- :func:`cosine_topk_ivfpq` passes the IVF probed-list membership
-    here, restricting ADC to the probed fraction of the corpus.
-
-    The vector is split into ``m`` subspaces; each subspace gets a
-    ``k_sub``-entry codebook (here a deterministic corpus slice starting
-    at ``codebook_offset`` -- the fixed-seed convention shared with the
-    IVF leg; a trained codebook plugs in the same way kmeans_train does
-    for IVF), and every corpus vector is ENCODED as m small codes.  At
-    100 TB this is the difference between scanning 256 bytes/vector of
-    floats and 4 bytes/vector of codes -- the candidate scan runs over a
-    ~64x smaller table that fits executor memory, which is why PQ is the
-    de-facto billion-vector format (FAISS IVFPQ).
-
-    Search is the standard two-stage ADC (asymmetric distance
-    computation) + exact re-rank:
-
-    1. each query computes its distance TABLE to every sub-codebook
-       entry (m x k_sub doubles -- broadcast);
-    2. approximate distance to a corpus vector = fixed-order sum of the
-       m table entries its codes select -- one equi-join of the code
-       table against the broadcast query tables on (subspace, code),
-       never a join on the raw vectors;
-    3. the ``n_candidates`` best ADC candidates per query are re-ranked
-       by EXACT cosine (a semi-join back to the raw vectors for the tiny
-       candidate set), so returned cosines are exact and recall is the
-       only approximation (pytest-gated vs the brute-force baseline).
-
-    Determinism pinned for the value oracle: sub-distances and ADC sums
-    round to 6 decimals with code-id / vec-id tie-breaks; the ADC sum is
-    a FIXED-ORDER chain of the m per-subspace partial sums (never a
-    float sum in row order, which engines order differently).
-
-    Vectors are L2-NORMALIZED before encoding: the target metric is
-    cosine, and on the unit sphere squared L2 is 2 - 2*cos -- monotone
-    in cosine -- so the ADC ranking approximates the right metric.
-
-    Defaults were MEASURED against the brute-force baseline on the
-    synthetic corpus (10 latent clusters, unit-norm 64-dim): coarse
-    cells produce large ADC ties that tie-break arbitrarily and kill
-    recall (m=4/k_sub=16/cand=32 gave 0.125 at sf0.1); m=16 subspaces
-    of 4 dims x 32 codes with a 128-candidate re-rank gives recall@5 =
-    0.975 (sf0.001) / 0.90 (sf0.1) while still scanning codes 16x
-    smaller than the raw vectors and re-ranking only ~6% of the corpus.
-
-    Zero-norm vectors (none in the driver tables) are FILTERED OUT
-    before encoding -- an explicit ``_nrm > 0`` filter, because the
-    alternative (NULL-element normalization) would NOT drop out: the
-    per-subspace struct-min assigns all-NULL distance rows code 0 (NULL
-    sorts first in struct ordering), letting a garbage vector rank as a
-    NULL-cosine candidate.  Filtered vectors can neither be queries nor
-    neighbours, the same exclusion the sign-LSH leg gets from NULL
-    buckets.
-
-    ``codebook``: any (code_id 0..k_sub-1, cb_emb) table replaces the
-    corpus slice -- the kmeans_train plumbing IVF uses.  Measured
-    honestly: on THIS corpus 32 full-vector k-means centroids sliced
-    per subspace give recall 0.825 at sf0.1, WORSE than the 0.90 of
-    random corpus samples, because k-means collapses onto the ~10
-    latent cluster directions and loses subspace diversity.  The fix is
-    true per-subspace training -- :func:`pq_train_codebook`, the actual
-    PQ recipe -- which restores the ordering: per-subspace-trained
-    1.0 / 0.925 >= slice 0.975 / 0.90 > full-vector 0.825
-    (sf0.001 / sf0.1, pytest-gated).
-
-    ``codebook_prenormalized``: set True for codebooks TRAINED in the
-    normalized space (pq_train_codebook) -- renormalizing such a
-    codebook would divide each code's sub-centroids by that code's own
-    concatenated norm, a different factor per code, distorting the
-    Lloyd assignment geometry (measured: 0.90 renormalized vs 0.925
-    prenormalized at sf0.1).  Leave False for raw corpus vectors.
-    """
+    ``checkpoint=True`` eagerly materializes the code table -- the
+    corpus-sized piece two consumers would otherwise recompute."""
     from ..functions.vectors import as_double_array, l2_norm
 
     dsub = dim // m
@@ -1381,6 +1342,147 @@ def cosine_topk_pq(
             )
         ).alias("x"),
     ).select("vec_id", F.col("x.j").alias("j"), F.col("x.code").alias("code"))
+    if checkpoint:
+        codes_long = codes_long.localCheckpoint(eager=True)
+    return PQEncoding(m, k_sub, dim, raw, dcols, codes_long)
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame | None = None,
+    k: int = 5,
+    n_queries: int = 8,
+    m: int | object = _UNSET,
+    k_sub: int | object = _UNSET,
+    codebook_offset: int | object = _UNSET,
+    n_candidates: int = 128,
+    dim: int | object = _UNSET,
+    codebook: DataFrame | object = _UNSET,
+    allowed_pairs: DataFrame | None = None,
+    codebook_prenormalized: bool | object = _UNSET,
+    *,
+    encoding: PQEncoding | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jegou/Douze/Schmid, TPAMI
+    2011): the memory-compression ANN scale path.
+
+    ``allowed_pairs``: optional (query_id, vec_id) candidate pre-filter
+    -- :func:`cosine_topk_ivfpq` passes the IVF probed-list membership
+    here, restricting ADC to the probed fraction of the corpus.
+
+    The vector is split into ``m`` subspaces; each subspace gets a
+    ``k_sub``-entry codebook (here a deterministic corpus slice starting
+    at ``codebook_offset`` -- the fixed-seed convention shared with the
+    IVF leg; a trained codebook plugs in the same way kmeans_train does
+    for IVF), and every corpus vector is ENCODED as m small codes.  At
+    100 TB this is the difference between scanning 256 bytes/vector of
+    floats and 4 bytes/vector of codes -- the candidate scan runs over a
+    ~64x smaller table that fits executor memory, which is why PQ is the
+    de-facto billion-vector format (FAISS IVFPQ).
+
+    Search is the standard two-stage ADC (asymmetric distance
+    computation) + exact re-rank:
+
+    1. each query computes its distance TABLE to every sub-codebook
+       entry (m x k_sub doubles -- broadcast);
+    2. approximate distance to a corpus vector = fixed-order sum of the
+       m table entries its codes select -- one equi-join of the code
+       table against the broadcast query tables on (subspace, code),
+       never a join on the raw vectors;
+    3. the ``n_candidates`` best ADC candidates per query are re-ranked
+       by EXACT cosine (a semi-join back to the raw vectors for the tiny
+       candidate set), so returned cosines are exact and recall is the
+       only approximation (pytest-gated vs the brute-force baseline).
+
+    Determinism pinned for the value oracle: sub-distances and ADC sums
+    round to 6 decimals with code-id / vec-id tie-breaks; the ADC sum is
+    a FIXED-ORDER chain of the m per-subspace partial sums (never a
+    float sum in row order, which engines order differently).
+
+    Vectors are L2-NORMALIZED before encoding: the target metric is
+    cosine, and on the unit sphere squared L2 is 2 - 2*cos -- monotone
+    in cosine -- so the ADC ranking approximates the right metric.
+
+    Defaults were MEASURED against the brute-force baseline on the
+    synthetic corpus (10 latent clusters, unit-norm 64-dim): coarse
+    cells produce large ADC ties that tie-break arbitrarily and kill
+    recall (m=4/k_sub=16/cand=32 gave 0.125 at sf0.1); m=16 subspaces
+    of 4 dims x 32 codes with a 128-candidate re-rank gives recall@5 =
+    0.975 (sf0.001) / 0.90 (sf0.1) while still scanning codes 16x
+    smaller than the raw vectors and re-ranking only ~6% of the corpus.
+
+    Zero-norm vectors (none in the driver tables) are FILTERED OUT
+    before encoding -- an explicit ``_nrm > 0`` filter, because the
+    alternative (NULL-element normalization) would NOT drop out: the
+    per-subspace struct-min assigns all-NULL distance rows code 0 (NULL
+    sorts first in struct ordering), letting a garbage vector rank as a
+    NULL-cosine candidate.  Filtered vectors can neither be queries nor
+    neighbours, the same exclusion the sign-LSH leg gets from NULL
+    buckets.
+
+    ``codebook``: any (code_id 0..k_sub-1, cb_emb) table replaces the
+    corpus slice -- the kmeans_train plumbing IVF uses.  Measured
+    honestly: on THIS corpus 32 full-vector k-means centroids sliced
+    per subspace give recall 0.825 at sf0.1, WORSE than the 0.90 of
+    random corpus samples, because k-means collapses onto the ~10
+    latent cluster directions and loses subspace diversity.  The fix is
+    true per-subspace training -- :func:`pq_train_codebook`, the actual
+    PQ recipe -- which restores the ordering: per-subspace-trained
+    1.0 / 0.925 >= slice 0.975 / 0.90 > full-vector 0.825
+    (sf0.001 / sf0.1, pytest-gated).
+
+    ``codebook_prenormalized``: set True for codebooks TRAINED in the
+    normalized space (pq_train_codebook) -- renormalizing such a
+    codebook would divide each code's sub-centroids by that code's own
+    concatenated norm, a different factor per code, distorting the
+    Lloyd assignment geometry (measured: 0.90 renormalized vs 0.925
+    prenormalized at sf0.1).  Leave False for raw corpus vectors.
+
+    ``encoding=`` (r15): a precomputed :func:`pq_encode` artifact skips
+    the normalize/codebook/distance/argmin passes -- the sharing hook
+    for callers running BOTH the direct PQ search and IVFPQ over one
+    corpus (the k2 entry encodes once, with the code table
+    checkpointed, instead of twice).  ``embeddings`` and every geometry
+    parameter are then already baked into the artifact and passing them
+    raises instead of being silently ignored (the ``runs=``
+    discipline); per-SEARCH knobs (k, n_queries, n_candidates,
+    allowed_pairs) remain caller-settable.
+    """
+    if encoding is not None:
+        if (
+            embeddings is not None
+            or m is not _UNSET
+            or k_sub is not _UNSET
+            or codebook_offset is not _UNSET
+            or dim is not _UNSET
+            or codebook is not _UNSET
+            or codebook_prenormalized is not _UNSET
+        ):
+            raise ValueError(
+                "encoding= already fixes embeddings/m/k_sub/"
+                "codebook_offset/dim/codebook/codebook_prenormalized; "
+                "pass either encoding= or the raw inputs, not both"
+            )
+        enc = encoding
+    else:
+        if embeddings is None:
+            raise ValueError("either embeddings or encoding= is required")
+        enc = pq_encode(
+            embeddings,
+            m=16 if m is _UNSET else m,
+            k_sub=32 if k_sub is _UNSET else k_sub,
+            codebook_offset=(
+                200 if codebook_offset is _UNSET else codebook_offset
+            ),
+            dim=64 if dim is _UNSET else dim,
+            codebook=None if codebook is _UNSET else codebook,
+            codebook_prenormalized=(
+                False
+                if codebook_prenormalized is _UNSET
+                else codebook_prenormalized
+            ),
+        )
+    m = enc.m
+    raw, dcols, codes_long = enc.raw, enc.dcols, enc.codes_long
 
     # query distance tables: the same relation restricted to the queries,
     # unpivoted and broadcast (n_queries * m * k_sub tiny rows)
@@ -1489,14 +1591,16 @@ def cosine_topk_ivfpq(
     n_centroids: int = 16,
     n_probe: int = 3,
     centroid_offset: int = 100,
-    m: int = 16,
-    k_sub: int = 32,
-    codebook_offset: int = 200,
+    m: int | object = _UNSET,
+    k_sub: int | object = _UNSET,
+    codebook_offset: int | object = _UNSET,
     n_candidates: int = 128,
-    dim: int = 64,
-    codebook: DataFrame | None = None,
+    dim: int | object = _UNSET,
+    codebook: DataFrame | object = _UNSET,
     centroids: DataFrame | None = None,
-    codebook_prenormalized: bool = False,
+    codebook_prenormalized: bool | object = _UNSET,
+    *,
+    encoding: PQEncoding | None = None,
 ) -> DataFrame:
     """IVF + PQ combined (the FAISS ``IVFPQ`` index, Jegou et al. TPAMI
     2011 sec. V): coarse quantizer routes, product quantizer scores.
@@ -1565,6 +1669,24 @@ def cosine_topk_ivfpq(
         n_probe,
     )
     allowed = probes.join(assigned, "cent_id").select("query_id", "vec_id")
+    if encoding is not None:
+        # shared-encode path (r15): the PQ stage reuses the SAME encode
+        # artifacts as the direct PQ leg (cosine_topk_pq validates that
+        # no conflicting geometry was passed alongside); only the IVF
+        # routing above is ivfpq-specific work.
+        return cosine_topk_pq(
+            k=k,
+            n_queries=n_queries,
+            m=m,
+            k_sub=k_sub,
+            codebook_offset=codebook_offset,
+            n_candidates=n_candidates,
+            dim=dim,
+            codebook=codebook,
+            allowed_pairs=allowed,
+            codebook_prenormalized=codebook_prenormalized,
+            encoding=encoding,
+        )
     return cosine_topk_pq(
         embeddings,
         k=k,

@@ -649,8 +649,24 @@ def _k2_method_thunks(spark, sf):
             "ivf_trained",
         )
 
+    # shared PQ encode (r15): pq and ivfpq used to encode the corpus
+    # twice with identical parameters; one pq_encode(checkpoint=True)
+    # now serves both (geometry rides the artifact).  Lazily built so
+    # the FIRST consumer pays it -- in entry/leg order that is the pq
+    # leg, and ivfpq's number becomes its true marginal (IVF routing +
+    # the restricted ADC join).
+    enc_box: dict = {}
+
+    def _enc():
+        if "e" not in enc_box:
+            enc_box["e"] = similarity.pq_encode(emb, checkpoint=True)
+        return enc_box["e"]
+
     def pq():
-        return tag(similarity.cosine_topk_pq(emb, k=5, n_queries=8), "pq")
+        return tag(
+            similarity.cosine_topk_pq(k=5, n_queries=8, encoding=_enc()),
+            "pq",
+        )
 
     def ivfpq():
         return tag(
@@ -661,6 +677,7 @@ def _k2_method_thunks(spark, sf):
                 n_centroids=16,
                 n_probe=3,
                 centroid_offset=100,
+                encoding=_enc(),
             ),
             "ivfpq",
         )

@@ -183,3 +183,58 @@ def test_ivfpq_neighbors_lie_in_probed_lists(spark, sf0001_dir):
     for r in got:
         probed = set(nearest(r["query_id"], 3))
         assert nearest(r["neighbor_id"], 1)[0] in probed, r
+
+
+def test_shared_encoding_equals_standalone(spark, sf0001_dir):
+    """The r15 shared-encode path (pq_encode -> encoding=) reproduces the
+    standalone results exactly, for BOTH consumers -- one encode pass
+    serving pq and ivfpq is a plan change, never a result change."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    enc = similarity.pq_encode(emb, checkpoint=True)
+    a = sorted(
+        map(tuple, similarity.cosine_topk_pq(emb, k=5, n_queries=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_pq(
+                k=5, n_queries=8, encoding=enc
+            ).collect(),
+        )
+    )
+    assert a == b
+    c = sorted(
+        map(
+            tuple, similarity.cosine_topk_ivfpq(emb, k=5, n_queries=8).collect()
+        )
+    )
+    d = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_ivfpq(
+                emb, k=5, n_queries=8, encoding=enc
+            ).collect(),
+        )
+    )
+    assert c == d
+
+
+def test_encoding_overload_guard_discipline(spark, sf0001_dir):
+    """encoding= fixes embeddings and every geometry parameter: passing
+    any of them alongside raises (the _UNSET discipline); passing
+    neither embeddings nor encoding raises too.  Geometry riding the
+    artifact means a consumer can never probe codes with a mismatched
+    (m, k_sub, dim) layout."""
+    import pytest
+
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    enc = similarity.pq_encode(emb)
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_pq(emb, encoding=enc)
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_pq(k=5, n_queries=8, m=16, encoding=enc)
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_pq(codebook=None, encoding=enc)
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_pq()
+    assert enc.m == 16 and enc.k_sub == 32 and enc.dim == 64
