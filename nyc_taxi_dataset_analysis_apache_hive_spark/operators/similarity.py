@@ -22,6 +22,10 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine, sign_bucket
 
+#: sentinel distinguishing "not passed" from an explicit value on the
+#: precomputed-input overloads (the dedup.py `runs=`/`toks=` discipline)
+_UNSET: object = object()
+
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
@@ -649,14 +653,103 @@ def default_centroids(
     )
 
 
+class IVFIndex(NamedTuple):
+    """Shared IVF routing artifacts (r15): the centroid table AND the
+    full-corpus 1-nearest assignment -- the pass every IVF-routed
+    consumer repeats.  Build once (``ivf_assign(..., checkpoint=True)``
+    materializes the assignment) and pass to several searches via
+    ``index=``.  ``cents`` rides along so probe-side routing can never
+    use a different centroid set than the assignment did.
+
+    MEASURED at gate scale (r15, sf0.1, 3 interleaved reps): sharing
+    one checkpointed assignment between the k2 ivf and ivfpq legs ran
+    7.5-8.6 s vs 7.2-8.0 s unshared -- materializing 2k
+    payload-carrying rows plus the extra stage costs MORE than the
+    ~0.5 s recompute it saves, so the k2 entry deliberately does NOT
+    use this (the persist_shingles recompute-by-default posture).  At
+    deployment scale the assignment is a full corpus scan +
+    map-side-combined shuffle, and paying it once is the right
+    default -- that is what this artifact is for."""
+
+    cents: DataFrame
+    #: (vec_id, embedding, cent_id) -- payload-riding election (the
+    #: cosine_topk_ivf spelling: degenerate vectors stay assigned to the
+    #: lowest cent_id with NULL-scoring payloads; duplicated ids elect
+    #: one deterministic payload)
+    assigned: DataFrame
+
+
+def _ivf_corpus_assign(cents: DataFrame, emb: DataFrame) -> DataFrame:
+    """The corpus-side 1-nearest election.
+
+    PERF (r14): ONE max_by aggregate with map-side partial combine --
+    one row per vector on the wire -- replacing the row_number window's
+    full sort-shuffle of n_centroids x N candidate rows (the
+    assign_to_centroids/kmeans_train shape).  Same election: struct
+    field comparison puts a NULL cent_sim below any value (= the
+    window's DESC NULLS LAST), ties break to the lowest cent_id, and a
+    vector with ONLY NULL sims still elects the lowest cent_id --
+    degenerate vectors stay assigned-but-unscorable (their NULL
+    candidate cosines never rank).  The PAYLOAD rides the ordering
+    struct (r15, ADVICE): a duplicated vec_id carrying two different
+    embeddings ties on (cent_sim, -cent_id) when both payloads score
+    alike, and without the third key the elected c_emb would be
+    plan-dependent -- the duplicated-id discipline applies wherever a
+    payload rides an election."""
+    cand = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine("embedding", "cent_emb"), 6).alias("cent_sim"),
+    )
+    return (
+        cand.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "cent_id"),
+                F.struct(
+                    F.col("cent_sim"),
+                    (-F.col("cent_id")).alias("nc"),
+                    F.col("embedding"),
+                ),
+            ).alias("__win")
+        )
+        .select(
+            "vec_id",
+            F.col("__win.embedding").alias("embedding"),
+            F.col("__win.cent_id").alias("cent_id"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroid_offset: int = 100,
+    centroids: DataFrame | None = None,
+    checkpoint: bool = False,
+) -> IVFIndex:
+    """Build the shared IVF routing artifact (see :class:`IVFIndex`).
+    ``checkpoint=True`` eagerly materializes the corpus assignment --
+    the full-scan piece two consumers would otherwise recompute."""
+    emb = embeddings.select("vec_id", "embedding")
+    cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
+    assigned = _ivf_corpus_assign(cents, emb)
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=True)
+    return IVFIndex(cents, assigned)
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     k: int = 5,
     n_queries: int = 8,
-    n_centroids: int = 16,
+    n_centroids: int | object = _UNSET,
     n_probe: int = 3,
-    centroid_offset: int = 100,
-    centroids: DataFrame | None = None,
+    centroid_offset: int | object = _UNSET,
+    centroids: DataFrame | object = _UNSET,
+    *,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the list-probing scale path.
 
@@ -672,55 +765,44 @@ def cosine_topk_ivf(
 
     Probed-list recall vs the exact baseline is pytest-gated; returned
     cosines are exact for the scored candidates.
+
+    ``index=`` (r15): a precomputed :func:`ivf_assign` artifact skips
+    the centroid resolution AND the full-corpus assignment -- the
+    sharing hook for callers running several IVF-routed searches over
+    one corpus (the k2 entry assigns once for ivf + ivfpq).  The
+    centroid parameters are then already baked in and passing them
+    raises (the ``runs=`` discipline); per-SEARCH knobs (k, n_queries,
+    n_probe) remain caller-settable, and the probe side still routes
+    against ``index.cents`` so assignment and probing can never use
+    different centroid sets.
     """
     emb = embeddings.select("vec_id", "embedding")
-    cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
+    if index is not None:
+        if (
+            n_centroids is not _UNSET
+            or centroid_offset is not _UNSET
+            or centroids is not _UNSET
+        ):
+            raise ValueError(
+                "index= already fixes n_centroids/centroid_offset/"
+                "centroids; pass either index= or the raw inputs, not both"
+            )
+        cents = index.cents
+    else:
+        cents = default_centroids(
+            emb,
+            100 if centroid_offset is _UNSET else centroid_offset,
+            16 if n_centroids is _UNSET else n_centroids,
+            None if centroids is _UNSET else centroids,
+        )
 
-    def nearest_centroids(side: DataFrame, id_col: str, emb_col: str, top: int):
+    def probe_centroids(side: DataFrame, id_col: str, emb_col: str, top: int):
         cand = side.crossJoin(F.broadcast(cents)).select(
             id_col,
             emb_col,
             "cent_id",
             F.round(cosine(emb_col, "cent_emb"), 6).alias("cent_sim"),
         )
-        if top == 1:
-            # PERF (r14): the corpus-side 1-nearest election as ONE
-            # max_by aggregate with map-side partial combine -- one row
-            # per vector on the wire -- replacing the row_number
-            # window's full sort-shuffle of n_centroids x N candidate
-            # rows (the assign_to_centroids/kmeans_train shape; k2 runs
-            # this pass twice now that the trained leg assigns too).
-            # Same election: struct field comparison puts a NULL
-            # cent_sim below any value (= the window's DESC NULLS
-            # LAST), ties break to the lowest cent_id, and a vector
-            # with ONLY NULL sims still elects the lowest cent_id --
-            # degenerate vectors stay assigned-but-unscorable exactly
-            # as before (their NULL candidate cosines never rank).
-            # The PAYLOAD rides the ordering struct (r15, ADVICE): a
-            # duplicated vec_id carrying two different embeddings ties
-            # on (cent_sim, -cent_id) when both payloads score alike,
-            # and without the third key the elected c_emb is
-            # plan-dependent -- the assign_to_centroids/kmeans_train
-            # duplicated-id discipline applies wherever a payload rides
-            # an election.
-            return (
-                cand.groupBy(id_col)
-                .agg(
-                    F.max_by(
-                        F.struct(emb_col, "cent_id"),
-                        F.struct(
-                            F.col("cent_sim"),
-                            (-F.col("cent_id")).alias("nc"),
-                            F.col(emb_col),
-                        ),
-                    ).alias("__win")
-                )
-                .select(
-                    id_col,
-                    F.col(f"__win.{emb_col}").alias(emb_col),
-                    F.col("__win.cent_id").alias("cent_id"),
-                )
-            )
         w = Window.partitionBy(id_col).orderBy(
             F.col("cent_sim").desc(), F.col("cent_id").asc()
         )
@@ -728,12 +810,17 @@ def cosine_topk_ivf(
             F.col("crank") <= top
         )
 
-    assigned = nearest_centroids(emb, "vec_id", "embedding", 1).select(
+    corpus_assigned = (
+        index.assigned
+        if index is not None
+        else _ivf_corpus_assign(cents, emb)
+    )
+    assigned = corpus_assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         "cent_id",
     )
-    probes = nearest_centroids(
+    probes = probe_centroids(
         emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         ),
@@ -1174,11 +1261,6 @@ def semantic_admit_batch(
     return SemanticAdmitResult(report, new_state, cell_stats)
 
 
-#: sentinel distinguishing "not passed" from an explicit value on the
-#: precomputed-input overloads (the dedup.py `runs=`/`toks=` discipline)
-_UNSET: object = object()
-
-
 class PQEncoding(NamedTuple):
     """Shared product-quantization artifacts (r15): ONE encode pass --
     normalize, codebook resolution, the (vector x codebook-entry)
@@ -1588,19 +1670,20 @@ def cosine_topk_ivfpq(
     embeddings: DataFrame,
     k: int = 5,
     n_queries: int = 8,
-    n_centroids: int = 16,
+    n_centroids: int | object = _UNSET,
     n_probe: int = 3,
-    centroid_offset: int = 100,
+    centroid_offset: int | object = _UNSET,
     m: int | object = _UNSET,
     k_sub: int | object = _UNSET,
     codebook_offset: int | object = _UNSET,
     n_candidates: int = 128,
     dim: int | object = _UNSET,
     codebook: DataFrame | object = _UNSET,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | object = _UNSET,
     codebook_prenormalized: bool | object = _UNSET,
     *,
     encoding: PQEncoding | None = None,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """IVF + PQ combined (the FAISS ``IVFPQ`` index, Jegou et al. TPAMI
     2011 sec. V): coarse quantizer routes, product quantizer scores.
@@ -1624,7 +1707,24 @@ def cosine_topk_ivfpq(
     brute-force baseline alongside ivf and pq).
     """
     emb = embeddings.select("vec_id", "embedding")
-    cents = default_centroids(emb, centroid_offset, n_centroids, centroids)
+    if index is not None:
+        if (
+            n_centroids is not _UNSET
+            or centroid_offset is not _UNSET
+            or centroids is not _UNSET
+        ):
+            raise ValueError(
+                "index= already fixes n_centroids/centroid_offset/"
+                "centroids; pass either index= or the raw inputs, not both"
+            )
+        cents = index.cents
+    else:
+        cents = default_centroids(
+            emb,
+            100 if centroid_offset is _UNSET else centroid_offset,
+            16 if n_centroids is _UNSET else n_centroids,
+            None if centroids is _UNSET else centroids,
+        )
 
     def nearest(side: DataFrame, id_col: str, emb_col: str, top: int):
         cand = side.crossJoin(F.broadcast(cents)).select(
@@ -1658,7 +1758,16 @@ def cosine_topk_ivfpq(
             .select(id_col, "cent_id")
         )
 
-    assigned = nearest(emb, "vec_id", "embedding", 1)
+    # shared-routing path (r15): project (vec_id, cent_id) from the
+    # payload-riding shared assignment -- the elected cent_id is
+    # identical to the local no-payload election (the payload key only
+    # breaks ties that already fix cent_id), so this is a plan change,
+    # never a result change (pinned in tests/test_pq.py).
+    assigned = (
+        index.assigned.select("vec_id", "cent_id")
+        if index is not None
+        else nearest(emb, "vec_id", "embedding", 1)
+    )
     probes = nearest(
         emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),

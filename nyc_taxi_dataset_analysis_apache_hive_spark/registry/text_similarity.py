@@ -613,6 +613,14 @@ def _k2_method_thunks(spark, sf):
             "rank",
         )
 
+    # IVF routing stays UNSHARED here (r15 measured negative result):
+    # sharing one checkpointed ivf_assign between the ivf and ivfpq
+    # legs ran 7.5-8.6 s vs 7.2-8.0 s unshared over 3 interleaved reps
+    # at sf0.1 -- materializing 2k payload-carrying assignment rows
+    # plus the extra stage costs more than the ~0.5 s recompute it
+    # saves at gate scale.  The `index=` overload exists for deployment
+    # (where the assignment is a full corpus scan worth paying once);
+    # the persist_shingles recompute-by-default posture applies.
     def lsh():
         return tag(
             similarity.cosine_topk_lsh(emb, k=5, n_queries=8, n_bits=4), "lsh"

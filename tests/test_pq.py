@@ -238,3 +238,53 @@ def test_encoding_overload_guard_discipline(spark, sf0001_dir):
     with pytest.raises(ValueError):
         similarity.cosine_topk_pq()
     assert enc.m == 16 and enc.k_sub == 32 and enc.dim == 64
+
+
+def test_shared_ivf_index_equals_standalone(spark, sf0001_dir):
+    """The r15 shared IVF routing (ivf_assign -> index=) reproduces the
+    standalone results exactly for BOTH consumers -- including ivfpq,
+    whose local election omits the payload key (the payload only breaks
+    ties that already fix cent_id, so projecting (vec_id, cent_id) from
+    the payload-riding shared assignment elects identical cells)."""
+    emb = load_table(spark, sf0001_dir, "embeddings")
+    idx = similarity.ivf_assign(
+        emb, n_centroids=16, centroid_offset=100, checkpoint=True
+    )
+    a = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_ivf(
+                emb, k=5, n_queries=8, n_centroids=16, n_probe=3,
+                centroid_offset=100,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_ivf(
+                emb, k=5, n_queries=8, n_probe=3, index=idx
+            ).collect(),
+        )
+    )
+    assert a == b
+    c = sorted(
+        map(
+            tuple, similarity.cosine_topk_ivfpq(emb, k=5, n_queries=8).collect()
+        )
+    )
+    d = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_ivfpq(
+                emb, k=5, n_queries=8, index=idx
+            ).collect(),
+        )
+    )
+    assert c == d
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_ivf(emb, n_centroids=16, index=idx)
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_ivfpq(emb, centroids=None, index=idx)
