@@ -15,6 +15,29 @@ and the output keys bins by (shard, bin_in_shard) so no global coordination
 or driver-side state exists.  Cross-shard packing efficiency loss is the
 usual trade: with budget B and mean doc length L, expected waste per bin is
 O(L/B) regardless of shard count.
+
+r15 adds the two CLOSED-FORM layouts alongside the greedy packer -- both
+pure window arithmetic over the same shards, JVM-side end to end, and
+therefore value-hashable against a DuckDB oracle (the s9 registry entry),
+which the greedy fold structurally cannot be (its bin state threads
+through a Python scan; it is gated in-plane via :func:`packing_audit`
+instead):
+
+* **concat-and-chunk** (:func:`pack_concat`): concatenate each shard's
+  token stream in doc_id order and cut fixed ``context_len`` chunks,
+  documents CROSSING chunk boundaries -- the GPT-2/3 pretraining layout
+  (Brown et al. 2020 sec. 2.2: documents are packed into full-context
+  sequences), near-zero padding, measured boundary-crossing cost.
+* **length-bucketed bins** (:func:`pack_bucketed`): lengths round up to
+  powers of two; a bin holds ``floor(context_len / bucket_len)``
+  same-bucket documents -- a NO-SPLIT packing (the T5/instruction-tuning
+  constraint, like :func:`pack_sequences`) whose per-bin capacity bound
+  is arithmetic, not a packer invariant, at the cost of measured padding.
+
+:func:`layout_stats` reports both layouts' economics per shard (padding,
+crossings, truncations) -- the comparison that decides which layout a
+run uses, with the greedy packer's :func:`packing_stats` fill-rate as
+the third column of that decision.
 """
 
 from __future__ import annotations
@@ -268,3 +291,293 @@ def packing_audit(
             "n_pack_bin_gap_viol"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form layouts (r15): window-expressible packings that value-hash
+# against the DuckDB oracle.  Both consume the same (doc_id, n_tokens,
+# shard) projection; `counts=` shares an existing tokenize pass.
+# ---------------------------------------------------------------------------
+
+#: gate-sized context window (tokens per training sequence) for the
+#: closed-form layouts; deployment values are 2048/4096/8192 -- every
+#: expression is parametric (the BLOOM_M gate-sizing convention).
+DEFAULT_CONTEXT_LEN = 256
+
+#: gate-sized shard fan-out for the closed-form layouts.  At deployment
+#: this is the output-file count (thousands): the per-shard windows are
+#: the ONLY sorts anywhere, so n_shards is the parallelism knob.
+DEFAULT_PACK_SHARDS = 8
+
+#: raise-if-both sentinel of the precomputed-input overloads (the
+#: dedup.py ``runs=``/``toks=`` discipline)
+_UNSET = object()
+
+
+def doc_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens): the whitespace-token counts the closed-form
+    layouts consume -- NULL text counts 0 (token_count_ws's policy).
+    Zero-token documents are RETAINED here and excluded by each layout
+    explicitly (a document contributing no tokens has no place in a
+    token stream; keeping the exclusion in the layout keeps this frame
+    reusable as a generic count table)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(text_col).alias("n_tokens"),
+    )
+
+
+def _sharded_counts(
+    docs: DataFrame | None,
+    text_col: str | object,
+    counts: DataFrame | None,
+    n_shards: int,
+) -> DataFrame:
+    """Shared front half of both closed-form layouts: positive token
+    counts tagged with their deterministic shard (the module's one
+    ``_shard_col`` hash, so greedy and closed-form layouts of the same
+    corpus agree on shard membership).  Resolves the ``counts=``
+    precomputed-input overload (raise-if-both)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if counts is not None:
+        if docs is not None or text_col is not _UNSET:
+            raise ValueError(
+                "counts= already fixes docs/text_col; pass either "
+                "counts= or the raw inputs, not both"
+            )
+    else:
+        if docs is None:
+            raise ValueError("either docs or counts= is required")
+        counts = doc_token_counts(
+            docs, "text" if text_col is _UNSET else text_col
+        )
+    return counts.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _shard_col("doc_id", n_shards).cast("long").alias("shard"),
+    )
+
+
+def pack_concat(
+    docs: DataFrame | None = None,
+    context_len: int = DEFAULT_CONTEXT_LEN,
+    n_shards: int = DEFAULT_PACK_SHARDS,
+    text_col: str | object = _UNSET,
+    *,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Concat-and-chunk placements: where each document's tokens land
+    when the shard's documents are concatenated in doc_id order and the
+    stream is cut into ``context_len``-token chunks.
+
+    Returns one row per token-bearing document::
+
+        (doc_id, shard, n_tokens,
+         start_offset,   -- 0-based token offset in the shard stream
+         start_chunk,    -- start_offset div context_len
+         end_chunk,      -- chunk of the LAST token
+         chunk_offset)   -- start_offset % context_len
+
+    ``end_chunk > start_chunk`` means the document crosses one or more
+    sequence boundaries -- the layout's only cost (the crossing document
+    trains against an attention reset mid-text), traded for near-zero
+    padding (only each shard stream's final chunk pads).
+    :func:`layout_stats` reports both.
+
+    The exclusive running sum is ONE window per shard (rows unbounded
+    preceding .. -1), ordered by doc_id -- deterministic given unique
+    ids (the driver tables' contract; the span_runs unique-id discipline
+    applies: a duplicated id would give two documents one offset).
+    Zero-token documents are excluded -- they would otherwise alias
+    their successor's offset.
+
+    ``counts=``: a precomputed :func:`doc_token_counts`-shaped frame
+    ((doc_id, n_tokens)) skips the tokenize pass -- the sharing hook for
+    pipelines that already tokenized (d4's token_table, t1's profile);
+    ``docs``/``text_col`` are then baked in and passing them raises
+    (the ``runs=`` discipline)."""
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    sc = _sharded_counts(docs, text_col, counts, n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = F.lit(int(context_len))
+    placed = sc.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    # `div`, not `/`: float division truncated back to long is exact
+    # only while the offset fits a double's 53-bit mantissa -- a
+    # deployment shard stream (~1e12 tokens) is fine today, but the
+    # integral form costs nothing and can never round x.99999... across
+    # a chunk edge.
+    return placed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {int(context_len)}").alias("start_chunk"),
+        F.expr(
+            f"(start_offset + n_tokens - 1) div {int(context_len)}"
+        ).alias("end_chunk"),
+        (F.col("start_offset") % L).cast("long").alias("chunk_offset"),
+    )
+
+
+def _bucket_len(n, context_len: int):
+    """Smallest power of two >= n, capped at ``context_len``.
+
+    Integer-corrected: the float log2 only PROPOSES an exponent; the
+    actual power-of-two comparison decides, so a 1-ulp log error can
+    never mis-bucket (pow(2, int) is IEEE-exact through 2^52 and the
+    exact integral double casts to the same long in both engines).  The
+    cap keeps capacity >= 1 when context_len is not itself a power of
+    two (a 300-token cap would otherwise bucket a 200-token doc at 256
+    but a 257-token doc at 512 > cap)."""
+    p = F.floor(F.log2(n.cast("double"))).cast("int")
+    lo = F.pow(F.lit(2.0), p).cast("long")
+    pow2 = F.when(lo >= n, lo).otherwise(F.pow(F.lit(2.0), p + 1).cast("long"))
+    return F.least(pow2, F.lit(int(context_len)).cast("long"))
+
+
+def pack_bucketed(
+    docs: DataFrame | None = None,
+    context_len: int = DEFAULT_CONTEXT_LEN,
+    n_shards: int = DEFAULT_PACK_SHARDS,
+    text_col: str | object = _UNSET,
+    *,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Length-bucketed no-split bins: documents never cross sequence
+    boundaries (:func:`pack_sequences`' constraint), but unlike the
+    greedy fold the assignment is CLOSED-FORM -- two windows, no Python
+    -- so it replays bit-for-bit on any engine and value-hashes against
+    the oracle.  The trade is padding: greedy first-fit mixes lengths
+    within a bin, bucketing pads each document to a power of two.
+
+    Layout: a document of ``n`` tokens (truncated to ``context_len`` --
+    ``truncated`` flags it; contrast pack_sequences' oversize-bin rule)
+    occupies a bucket ``bucket_len = min(2^ceil(log2 n), context_len)``;
+    a bin holds ``capacity = context_len div bucket_len`` same-bucket
+    documents, filled in doc_id order.  ``capacity * bucket_len <=
+    context_len`` always -- no bin ever exceeds the context window, by
+    arithmetic.
+
+    Returns one row per token-bearing document::
+
+        (doc_id, shard, n_tokens,
+         bucket_len,   -- the rounded slot size
+         bin_id,       -- 0-based bin within the shard, dense across buckets
+         bin_slot,     -- 0-based slot within the bin
+         truncated)    -- 1 when n_tokens > context_len
+
+    ``bin_id`` is dense PER SHARD (dense_rank over (bucket_len,
+    bin_seq)) so a writer emits shard files of consecutively-numbered
+    sequences; both windows ride ONE shard exchange (row_number within
+    bucket, dense_rank across buckets) -- still no global sort.
+
+    ``counts=``: same precomputed-input overload as :func:`pack_concat`.
+    """
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    sc = _sharded_counts(docs, text_col, counts, n_shards)
+    L = int(context_len)
+    b = sc.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.lit(L).cast("long")).alias("n_eff"),
+        (F.col("n_tokens") > L).cast("long").alias("truncated"),
+    ).withColumn("bucket_len", _bucket_len(F.col("n_eff"), L))
+    wslot = Window.partitionBy("shard", "bucket_len").orderBy("doc_id")
+    slotted = (
+        b.withColumn("slot", (F.row_number().over(wslot) - 1).cast("long"))
+        .withColumn("cap", F.expr(f"{L} div bucket_len"))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "truncated",
+            "bucket_len",
+            F.expr("slot div cap").alias("bin_seq"),
+            (F.col("slot") % F.col("cap")).cast("long").alias("bin_slot"),
+        )
+    )
+    wbin = Window.partitionBy("shard").orderBy("bucket_len", "bin_seq")
+    return slotted.withColumn(
+        "bin_id", (F.dense_rank().over(wbin) - 1).cast("long")
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "bucket_len",
+        "bin_id",
+        "bin_slot",
+        "truncated",
+    )
+
+
+def layout_stats(
+    concat: DataFrame,
+    bucketed: DataFrame,
+    context_len: int = DEFAULT_CONTEXT_LEN,
+) -> DataFrame:
+    """Per-shard layout economics for both closed-form packings -- the
+    number that decides which layout a run uses (alongside
+    :func:`packing_stats`' greedy fill rate)::
+
+        (op, shard, n_docs, n_seqs, pad_tokens, n_flagged)
+
+    * ``op='concat'``: ``n_seqs`` = chunks the shard stream cuts into,
+      ``pad_tokens`` = the final chunk's tail padding (the layout's ONLY
+      padding), ``n_flagged`` = boundary-crossing documents.
+    * ``op='bucket'``: ``n_seqs`` = bins, ``pad_tokens`` = L*bins minus
+      the tokens actually stored (bucket rounding + unfilled tail
+      slots; tokens a truncation DROPPED are lost, not padding --
+      ``n_flagged`` counts the truncations).
+
+    Pure group-bys over the placement frames; pass the frames you
+    materialized -- stats never recompute a layout.  ``context_len``
+    MUST match the one the layouts were built at (it is only used for
+    the padding arithmetic; a mismatch miscounts pads silently, so
+    registry callers thread one constant through all three calls)."""
+    L = F.lit(int(context_len)).cast("long")
+    c = concat.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("_tok"),
+        F.sum(
+            (F.col("end_chunk") > F.col("start_chunk")).cast("long")
+        ).alias("n_flagged"),
+    )
+    nseq = F.expr(f"(_tok + {int(context_len) - 1}) div {int(context_len)}")
+    c = c.select(
+        F.lit("concat").alias("op"),
+        "shard",
+        "n_docs",
+        nseq.alias("n_seqs"),
+        (nseq * L - F.col("_tok")).cast("long").alias("pad_tokens"),
+        "n_flagged",
+    )
+    bt = bucketed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.least(F.col("n_tokens"), L)).alias("_eff"),
+        (F.max("bin_id") + 1).cast("long").alias("n_seqs"),
+        F.sum("truncated").alias("n_flagged"),
+    )
+    b = bt.select(
+        F.lit("bucket").alias("op"),
+        "shard",
+        "n_docs",
+        "n_seqs",
+        (F.col("n_seqs") * L - F.col("_eff")).cast("long").alias("pad_tokens"),
+        "n_flagged",
+    )
+    return c.unionByName(b)

@@ -268,12 +268,72 @@ def d6_dup_clusters(spark, sf):
 #: before the multiply keeps it off decimal arithmetic (the oracle rule).
 _S6_N_SHARDS = sampling.DEFAULT_N_SHARDS
 
+#: s6 pack-leg geometry (r15), gate-sized: context 64 tokens makes BOTH
+#: flag paths non-degenerate on the driver corpus (max doc = 99 ws
+#: tokens -> real truncations in the bucket leg AND real chunk-boundary
+#: crossers in the concat leg; at 256 neither fires below sf1).
+#: Deployment values are 2048-8192 -- every expression is parametric.
+_S6_PACK_CTX = 64
+
 
 @register(
     "s6_hash_split",
     f"""
+    WITH pk_sc AS (
+      SELECT doc_id, n_tokens,
+             CAST('0x' || substr(md5('pack-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % {_S6_N_SHARDS} AS shard
+      FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                      string_split_regex(lower(coalesce(text, '')),
+                                         '{TOKEN_SPLIT_REGEX}'),
+                      x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+      ) WHERE n_tokens > 0
+    ),
+    pk_concat AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM pk_sc
+    ),
+    pk_bl AS (
+      SELECT doc_id, shard, n_tokens, truncated,
+             least(CASE WHEN CAST(power(2, p) AS BIGINT) >= n_eff
+                        THEN CAST(power(2, p) AS BIGINT)
+                        ELSE CAST(power(2, p + 1) AS BIGINT) END,
+                   {_S6_PACK_CTX}) AS bucket_len
+      FROM (
+        SELECT *, CAST(floor(log2(CAST(n_eff AS DOUBLE))) AS INTEGER) AS p
+        FROM (
+          SELECT doc_id, shard, n_tokens,
+                 least(n_tokens, {_S6_PACK_CTX}) AS n_eff,
+                 CAST(n_tokens > {_S6_PACK_CTX} AS BIGINT) AS truncated
+          FROM pk_sc
+        )
+      )
+    ),
+    pk_binid AS (
+      SELECT doc_id, shard, n_tokens, truncated, bucket_len, bin_seq,
+             bin_slot,
+             dense_rank() OVER (PARTITION BY shard
+                                ORDER BY bucket_len, bin_seq) - 1 AS bin_id
+      FROM (
+        SELECT *, slot // cap AS bin_seq, slot % cap AS bin_slot
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY shard, bucket_len
+                                       ORDER BY doc_id) - 1 AS slot,
+                 {_S6_PACK_CTX} // bucket_len AS cap
+          FROM pk_bl
+        )
+      )
+    )
     SELECT 'split' AS op, doc_id, CAST({_SPLIT_CASE} AS BIGINT) AS v,
-           CAST(NULL AS BIGINT) AS pos
+           CAST(NULL AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS v2,
+           CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4
     FROM (
       SELECT doc_id,
              CAST(CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
@@ -285,7 +345,9 @@ _S6_N_SHARDS = sampling.DEFAULT_N_SHARDS
            CAST(floor(u * CAST({float(_S6_N_SHARDS)!r} AS DOUBLE)) AS BIGINT) AS v,
            CAST(row_number() OVER (
                   PARTITION BY floor(u * CAST({float(_S6_N_SHARDS)!r} AS DOUBLE))
-                  ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+                  ORDER BY u, doc_id) - 1 AS BIGINT) AS pos,
+           CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3,
+           CAST(NULL AS BIGINT) AS v4
     FROM (
       SELECT doc_id,
              CAST(CAST('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
@@ -295,7 +357,9 @@ _S6_N_SHARDS = sampling.DEFAULT_N_SHARDS
     UNION ALL
     SELECT 'curriculum' AS op, doc_id,
            CAST((rn * {int(_S6_N_SHARDS)}) // total AS BIGINT) AS v,
-           rn AS pos
+           rn AS pos,
+           CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3,
+           CAST(NULL AS BIGINT) AS v4
     FROM (
       SELECT doc_id,
              CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST,
@@ -304,6 +368,36 @@ _S6_N_SHARDS = sampling.DEFAULT_N_SHARDS
              count(*) OVER () AS total
       FROM documents
     )
+    UNION ALL
+    SELECT 'pack_concat' AS op, doc_id, shard AS v, start_offset AS pos,
+           n_tokens AS v2, CAST(NULL AS BIGINT) AS v3,
+           CAST(NULL AS BIGINT) AS v4
+    FROM pk_concat
+    UNION ALL
+    SELECT 'pack_bucket' AS op, doc_id, shard AS v, bin_id AS pos,
+           bucket_len AS v2, bin_slot AS v3, truncated AS v4
+    FROM pk_binid
+    UNION ALL
+    SELECT 'pack_stats_concat' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           shard AS v,
+           CAST((sum(n_tokens) + {_S6_PACK_CTX - 1}) // {_S6_PACK_CTX}
+                AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS v2,
+           CAST((sum(n_tokens) + {_S6_PACK_CTX - 1}) // {_S6_PACK_CTX}
+                  * {_S6_PACK_CTX} - sum(n_tokens) AS BIGINT) AS v3,
+           CAST(sum(CAST((start_offset + n_tokens - 1) // {_S6_PACK_CTX}
+                    > start_offset // {_S6_PACK_CTX} AS BIGINT)) AS BIGINT)
+             AS v4
+    FROM pk_concat GROUP BY shard
+    UNION ALL
+    SELECT 'pack_stats_bucket' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           shard AS v,
+           CAST(max(bin_id) + 1 AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS v2,
+           CAST((max(bin_id) + 1) * {_S6_PACK_CTX}
+             - sum(least(n_tokens, {_S6_PACK_CTX})) AS BIGINT) AS v3,
+           CAST(sum(truncated) AS BIGINT) AS v4
+    FROM pk_binid GROUP BY shard
     """,
 )
 def s6_hash_split(spark, sf):
@@ -328,7 +422,30 @@ def s6_hash_split(spark, sf):
       range exchange + broadcast offsets instead of the single-task sort
       a bare global window would plan; the oracle replays it with
       DuckDB's one-partition window, proving the distributed rank equals
-      the naive definition."""
+      the naive definition.
+    * ``op='pack_concat'`` / ``op='pack_bucket'`` (r15): the closed-form
+      sequence-packing layouts (operators/packing.py) -- the
+      VALUE-HASHED counterparts of pl1's in-plane-audited greedy packer
+      (a greedy fold cannot be oracled; a window layout can, row for
+      row).  pack_concat is the GPT concat-and-chunk stream (``v`` =
+      shard, ``pos`` = start_offset in the shard's token stream, ``v2``
+      = token count; the chunk columns are pure arithmetic on pos so
+      hashing pos pins them); pack_bucket is the length-bucketed
+      no-split layout (``v`` = shard, ``pos`` = bin, ``v2`` = bucket,
+      ``v3`` = slot, ``v4`` = truncated).
+    * ``op='pack_stats_concat'`` / ``op='pack_stats_bucket'`` (r15):
+      layout economics per shard (``pos`` = sequences, ``v2`` = docs,
+      ``v3`` = pad tokens, ``v4`` = flagged docs: crossers /
+      truncations) -- measured at this gate geometry (_S6_PACK_CTX=64,
+      live truncation AND crossing on the driver corpus): concat pads
+      <2%, bucket ~40%, the reason pretraining concats and fine-tuning
+      buckets.  ONE eagerly-checkpointed token-count table feeds all
+      four pack legs (the d4 token_table discipline); each layout is
+      then window arithmetic on (doc_id, n_tokens, shard) only.
+
+    The three r9 legs carry NULL v2..v4 (schema union with the pack
+    legs)."""
+    nul = F.lit(None).cast("long")
     docs = _t(spark, sf, "documents").select("doc_id")
     split = sampling.hash_split(
         docs, id_col="doc_id", weights=(0.8, 0.1, 0.1), salt="split-v1"
@@ -336,7 +453,10 @@ def s6_hash_split(spark, sf):
         F.lit("split").alias("op"),
         "doc_id",
         F.col("split_id").cast("long").alias("v"),
-        F.lit(None).cast("long").alias("pos"),
+        nul.alias("pos"),
+        nul.alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
     )
     shard = sampling.shuffle_shards(
         docs, id_col="doc_id", n_shards=_S6_N_SHARDS, salt="shard-v1"
@@ -345,6 +465,9 @@ def s6_hash_split(spark, sf):
         "doc_id",
         F.col("shard_id").cast("long").alias("v"),
         F.col("shard_pos").alias("pos"),
+        nul.alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
     )
     curriculum = sampling.curriculum_shards(
         _t(spark, sf, "documents").select("doc_id", "n_chars"),
@@ -355,8 +478,55 @@ def s6_hash_split(spark, sf):
         "doc_id",
         F.col("shard_id").cast("long").alias("v"),
         F.col("rank").alias("pos"),
+        nul.alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
     )
-    return split.unionByName(shard).unionByName(curriculum)
+    counts = packing.doc_token_counts(
+        _t(spark, sf, "documents")
+    ).localCheckpoint(eager=True)
+    pc = packing.pack_concat(
+        context_len=_S6_PACK_CTX, n_shards=_S6_N_SHARDS, counts=counts
+    )
+    pb = packing.pack_bucketed(
+        context_len=_S6_PACK_CTX, n_shards=_S6_N_SHARDS, counts=counts
+    )
+    pack_concat = pc.select(
+        F.lit("pack_concat").alias("op"),
+        "doc_id",
+        F.col("shard").alias("v"),
+        F.col("start_offset").alias("pos"),
+        F.col("n_tokens").alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
+    )
+    pack_bucket = pb.select(
+        F.lit("pack_bucket").alias("op"),
+        "doc_id",
+        F.col("shard").alias("v"),
+        F.col("bin_id").alias("pos"),
+        F.col("bucket_len").alias("v2"),
+        F.col("bin_slot").alias("v3"),
+        F.col("truncated").alias("v4"),
+    )
+    pack_stats = packing.layout_stats(
+        pc, pb, context_len=_S6_PACK_CTX
+    ).select(
+        F.concat(F.lit("pack_stats_"), F.col("op")).alias("op"),
+        nul.alias("doc_id"),
+        F.col("shard").alias("v"),
+        F.col("n_seqs").alias("pos"),
+        F.col("n_docs").cast("long").alias("v2"),
+        F.col("pad_tokens").alias("v3"),
+        F.col("n_flagged").cast("long").alias("v4"),
+    )
+    return (
+        split.unionByName(shard)
+        .unionByName(curriculum)
+        .unionByName(pack_concat)
+        .unionByName(pack_bucket)
+        .unionByName(pack_stats)
+    )
 
 
 #: s7 per-stratum target rates + the absolute tolerance the gate asserts.
@@ -2127,11 +2297,25 @@ def pl1_curation_funnel(spark, sf):
         report.crossJoin(bpe.bpe_roundtrip_audit(docs))
         .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
     )
+
+
 # ---------------------------------------------------------------------------
 # Leg declarations (r15): tagged-union entries, for bench.py's per-leg
 # timing breakdown (pinned by tests/test_bench_legs.py).
 register_legs("d6_dup_clusters", "op", ("cluster", "grouped_split", "leakage"))
-register_legs("s6_hash_split", "op", ("curriculum", "shard", "split"))
+register_legs(
+    "s6_hash_split",
+    "op",
+    (
+        "curriculum",
+        "pack_bucket",
+        "pack_concat",
+        "pack_stats_bucket",
+        "pack_stats_concat",
+        "shard",
+        "split",
+    ),
+)
 register_legs(
     "s7_stratified_rates", "op", ("cap", "dsir", "mix", "qsamp", "rate", "temp")
 )
@@ -2159,3 +2343,4 @@ register_legs(
 register_legs(
     "d7_cross_corpus_decontam", "op", ("minhash", "overlap", "spans")
 )
+

@@ -199,6 +199,15 @@ def _s6_shard_count() -> str:
     return str(int(DEFAULT_N_SHARDS))
 
 
+def _s6_pack_ctx() -> int:
+    """The s6 pack legs' gate-sized context length -- read from the ONE
+    registry constant so the three surfaces cannot drift (the
+    _s6_split_case single-definition rule)."""
+    from .registry.sampling_pipeline import _S6_PACK_CTX
+
+    return int(_S6_PACK_CTX)
+
+
 def _s6_split_case() -> str:
     """CASE arm embedding sampling.hash_split's OWN float-exact boundaries
     (one definition in sampling.cumulative_split_bounds) as repr literals,
@@ -1154,8 +1163,65 @@ SQL_QUERIES: dict[str, str] = {
         FROM brep GROUP BY cls
     """,
     "s6_hash_split": f"""
+        WITH pk_sc AS (
+          SELECT doc_id, n_tokens,
+                 CAST(conv(substr(md5(concat('pack-v1', ':',
+                                             CAST(doc_id AS STRING))), 1, 15),
+                           16, 10) AS BIGINT) % {_s6_shard_count()} AS shard
+          FROM (
+            SELECT doc_id,
+                   CAST(size(filter(split(lower(coalesce(text, '')),
+                                          '[^a-z0-9]+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+            FROM documents
+          ) WHERE n_tokens > 0
+        ),
+        pk_concat AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+          FROM pk_sc
+        ),
+        pk_bl AS (
+          SELECT doc_id, shard, n_tokens, truncated,
+                 least(CASE WHEN CAST(power(2, p) AS BIGINT) >= n_eff
+                            THEN CAST(power(2, p) AS BIGINT)
+                            ELSE CAST(power(2, p + 1) AS BIGINT) END,
+                       CAST({_s6_pack_ctx()} AS BIGINT)) AS bucket_len
+          FROM (
+            SELECT *, CAST(floor(log2(CAST(n_eff AS DOUBLE))) AS INT) AS p
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                     least(n_tokens, CAST({_s6_pack_ctx()} AS BIGINT))
+                       AS n_eff,
+                     CAST(n_tokens > {_s6_pack_ctx()} AS BIGINT) AS truncated
+              FROM pk_sc
+            )
+          )
+        ),
+        pk_binid AS (
+          SELECT doc_id, shard, n_tokens, truncated, bucket_len, bin_seq,
+                 bin_slot,
+                 CAST(dense_rank() OVER (PARTITION BY shard
+                                         ORDER BY bucket_len, bin_seq) - 1
+                      AS BIGINT) AS bin_id
+          FROM (
+            SELECT *, slot div cap AS bin_seq,
+                   CAST(slot % cap AS BIGINT) AS bin_slot
+            FROM (
+              SELECT *, CAST(row_number() OVER (
+                          PARTITION BY shard, bucket_len
+                          ORDER BY doc_id) - 1 AS BIGINT) AS slot,
+                     {_s6_pack_ctx()} div bucket_len AS cap
+              FROM pk_bl
+            )
+          )
+        )
         SELECT 'split' AS op, doc_id, CAST({_s6_split_case()} AS BIGINT) AS v,
-               CAST(NULL AS BIGINT) AS pos
+               CAST(NULL AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS v2,
+               CAST(NULL AS BIGINT) AS v3, CAST(NULL AS BIGINT) AS v4
         FROM (
           SELECT doc_id,
                  CAST(conv(substr(md5(concat('split-v1', ':',
@@ -1168,7 +1234,9 @@ SQL_QUERIES: dict[str, str] = {
         SELECT 'shard' AS op, doc_id,
                CAST(floor(u * {_s6_shard_n()}) AS BIGINT) AS v,
                CAST(row_number() OVER (PARTITION BY floor(u * {_s6_shard_n()})
-                                       ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+                                       ORDER BY u, doc_id) - 1 AS BIGINT) AS pos,
+               CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3,
+               CAST(NULL AS BIGINT) AS v4
         FROM (
           SELECT doc_id,
                  CAST(conv(substr(md5(concat('shard-v1', ':',
@@ -1184,7 +1252,9 @@ SQL_QUERIES: dict[str, str] = {
         -- equality gate proves the two agree
         SELECT 'curriculum' AS op, doc_id,
                CAST((rn * {_s6_shard_count()}) div total AS BIGINT) AS v,
-               rn AS pos
+               rn AS pos,
+               CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3,
+               CAST(NULL AS BIGINT) AS v4
         FROM (
           SELECT doc_id,
                  CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST,
@@ -1193,6 +1263,38 @@ SQL_QUERIES: dict[str, str] = {
                  count(*) OVER () AS total
           FROM documents
         )
+        UNION ALL
+        -- closed-form packing legs (r15): see registry.s6 docstring --
+        -- the same window arithmetic as the DataFrame operators, as text
+        SELECT 'pack_concat' AS op, doc_id, shard AS v, start_offset AS pos,
+               n_tokens AS v2, CAST(NULL AS BIGINT) AS v3,
+               CAST(NULL AS BIGINT) AS v4
+        FROM pk_concat
+        UNION ALL
+        SELECT 'pack_bucket' AS op, doc_id, shard AS v, bin_id AS pos,
+               bucket_len AS v2, bin_slot AS v3, truncated AS v4
+        FROM pk_binid
+        UNION ALL
+        SELECT 'pack_stats_concat' AS op, CAST(NULL AS BIGINT) AS doc_id,
+               shard AS v,
+               (sum(n_tokens) + {_s6_pack_ctx() - 1}) div {_s6_pack_ctx()}
+                 AS pos,
+               count(*) AS v2,
+               (sum(n_tokens) + {_s6_pack_ctx() - 1}) div {_s6_pack_ctx()}
+                 * {_s6_pack_ctx()} - sum(n_tokens) AS v3,
+               sum(CAST((start_offset + n_tokens - 1) div {_s6_pack_ctx()}
+                        > start_offset div {_s6_pack_ctx()} AS BIGINT)) AS v4
+        FROM pk_concat GROUP BY shard
+        UNION ALL
+        SELECT 'pack_stats_bucket' AS op, CAST(NULL AS BIGINT) AS doc_id,
+               shard AS v,
+               max(bin_id) + 1 AS pos,
+               count(*) AS v2,
+               (max(bin_id) + 1) * {_s6_pack_ctx()}
+                 - sum(least(n_tokens, CAST({_s6_pack_ctx()} AS BIGINT)))
+                 AS v3,
+               sum(truncated) AS v4
+        FROM pk_binid GROUP BY shard
     """,
     # -- dedup scale paths as SQL text (shared shingle CTE) ----------------
     "d3_minhash_lsh_pairs": f"""
