@@ -29,7 +29,7 @@ estimate-of-union by construction (asserted in tests, not assumed).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -519,4 +519,148 @@ def ks_drift(
         (F.abs(F.col("ks_sketch") - F.col("ks")) <= F.lit(tolerance)).alias(
             "approx_ok"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (r15): mergeable FREQUENCY estimates -- the counter
+# counterpart of the HLL/theta/KLL cardinality-and-rank family above.
+# Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 55).  Unlike the
+# estimate-only DataSketches columns, these counters hash with the
+# repo's portable md5 family, so TWO ENGINES BUILD THE SAME SKETCH
+# bit-for-bit -- the estimate itself value-hashes against the DuckDB
+# oracle (the bloom-filter portability argument applied to counting).
+# ---------------------------------------------------------------------------
+
+#: gate-sized CMS geometry: depth 4 rows x width 256 counters = <= 1024
+#: longs.  Error bound: est <= true + e*N/width with prob 1-e^-depth
+#: (~98%); at deployment size width ~ e/eps for the target additive
+#: error and keep depth ~ ln(1/delta) -- the table stays kilobytes at
+#: ANY corpus size, which is the whole point.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+class CMSketch(NamedTuple):
+    """Geometry-carrying CMS artifact (the IVFIndex/PQEncoding/bloom
+    convention: the build parameters ride the artifact so no consumer
+    can probe with a mismatched hash family).  ``counters`` is the
+    SPARSE (r, b, cnt) table -- absent cells are zero -- bounded at
+    depth x width rows regardless of input size, so it broadcasts
+    everywhere and parquet-persists as the maintained rollup state."""
+
+    depth: int
+    width: int
+    counters: DataFrame
+
+
+def _cms_bucket(key, r: int, width: int):
+    """Row ``r``'s bucket for a key: 60-bit md5 prefix of 'cms{r}:key'
+    mod width -- the one portable hash family (sampling._md5_uniform's
+    construction), a different salt per row."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{r}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> CMSketch:
+    """One pass, one hash-aggregate: every row contributes +1 to its
+    bucket in each of ``depth`` rows.  The explode emits depth
+    candidates per input row, but map-side partial aggregation collapses
+    each task's contribution to <= depth*width rows before the exchange
+    -- the shuffle carries sketch-sized data no matter how many events
+    scanned (the sketch_rollup scale argument).
+
+    NULL keys have no draw and are EXCLUDED (the shuffle_shards NULL
+    policy): a NULL contributes to no counter and estimates nothing,
+    rather than silently colliding on a 'null' string bucket."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"cms geometry must be >= 1, got ({depth}, {width})")
+    key = F.col(key_col)
+    cells = (
+        df.filter(key.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(key, r, width).alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return CMSketch(depth, width, cells)
+
+
+def cms_merge(a: CMSketch, b: CMSketch) -> CMSketch:
+    """Counter addition -- the never-rescan-history maintenance step
+    (merge(build(X), build(Y)) == build(X+Y) EXACTLY, counter for
+    counter, since counts are linear; pytest-gated like the HLL
+    incremental leg's in-band law, but here with full equality).
+    Geometry must match: adding counters hashed by different families
+    is silent garbage, so a mismatch raises (the bloom rule)."""
+    if (a.depth, a.width) != (b.depth, b.width):
+        raise ValueError(
+            f"cms geometry mismatch: ({a.depth}, {a.width}) vs "
+            f"({b.depth}, {b.width}) -- merging differently-hashed "
+            "counters is meaningless; rebuild at one geometry"
+        )
+    merged = (
+        a.counters.unionByName(b.counters)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return CMSketch(a.depth, a.width, merged)
+
+
+def cms_estimate(sketch: CMSketch, keys: DataFrame, key_col: str) -> DataFrame:
+    """(key_col, est): the classic point estimate -- min over rows of
+    the key's counter, an OVERESTIMATE by construction (collisions only
+    add; est >= true always, pytest-gated) with additive error
+    e*N/width at confidence 1-e^-depth.
+
+    Plan shape: the probe explodes depth cells per key and LEFT-joins
+    the broadcast counter table (absent cell = 0 -- a never-seen key
+    estimates 0, it does not vanish); one min-aggregate back to keys.
+    The corpus never re-scans -- at 100 TB the question "how often does
+    this token/URL/fingerprint occur" is answered from kilobytes."""
+    key = F.col(key_col)
+    probe = keys.filter(key.isNotNull()).select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(key, r, sketch.width).alias("b"),
+                    )
+                    for r in range(sketch.depth)
+                ]
+            )
+        ).alias("x"),
+    )
+    return (
+        probe.select(key_col, "x.r", "x.b")
+        .join(F.broadcast(sketch.counters), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

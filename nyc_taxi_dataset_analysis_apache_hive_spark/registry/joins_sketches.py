@@ -142,6 +142,12 @@ def x2_salted_join_agg(spark, sf):
     )
 
 
+#: CMS geometry interpolated into the a10 oracle and the Spark-SQL text
+#: (one definition: operators.sketches) -- plus the e literal both
+#: engines fold for the in-plane bound.
+_CMS_D = int(sketches.CMS_DEPTH)
+_CMS_W = int(sketches.CMS_WIDTH)
+
 @register(
     "a10_distinct_counts",
     f"""
@@ -256,6 +262,75 @@ def x2_salted_join_agg(spark, sf):
       FROM kfr a JOIN kfr b ON a.v = b.v AND a.g < b.g
       GROUP BY a.g, b.g
     )
+    UNION ALL
+    -- portable Count-Min (r15): both engines build the SAME md5-hashed
+    -- counters, so the estimate value-hashes; the e*N/width guarantee
+    -- is gated in-plane on the Spark side (oracle expects true)
+    SELECT 'cms' AS op, concat('etype:', t.k) AS key,
+           t.n_exact, t.est AS n_part, true AS approx_ok
+    FROM (
+      WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events
+                  WHERE event_type IS NOT NULL),
+      rr AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+      cms AS (
+        SELECT r, CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || k), 1, 15) AS BIGINT) % {_CMS_W} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ev CROSS JOIN rr GROUP BY 1, 2
+      ),
+      hot AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+        FROM ev GROUP BY k
+        HAVING count(*) > (SELECT count(*) FROM ev) * 0.05
+      ),
+      probe AS (
+        SELECT hot.k, rr.r,
+               CAST('0x' || substr(md5('cms' || CAST(rr.r AS VARCHAR)
+                    || ':' || hot.k), 1, 15) AS BIGINT) % {_CMS_W} AS b
+        FROM hot CROSS JOIN rr
+      ),
+      est AS (
+        SELECT probe.k, CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+        FROM probe LEFT JOIN cms ON probe.r = cms.r AND probe.b = cms.b
+        GROUP BY probe.k
+      )
+      SELECT hot.k, hot.n_exact, est.est FROM hot JOIN est USING (k)
+    ) t
+    UNION ALL
+    SELECT 'cms' AS op, concat('token:', t.k) AS key,
+           t.n_exact, t.est AS n_part, true AS approx_ok
+    FROM (
+      WITH w AS (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+                 x -> x <> '')) AS k
+        FROM documents
+      ),
+      rr AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+      cms AS (
+        SELECT r, CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || k), 1, 15) AS BIGINT) % {_CMS_W} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM w CROSS JOIN rr GROUP BY 1, 2
+      ),
+      hot AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+        FROM w GROUP BY k
+        HAVING count(*) > (SELECT count(*) FROM w) * 0.02
+      ),
+      probe AS (
+        SELECT hot.k, rr.r,
+               CAST('0x' || substr(md5('cms' || CAST(rr.r AS VARCHAR)
+                    || ':' || hot.k), 1, 15) AS BIGINT) % {_CMS_W} AS b
+        FROM hot CROSS JOIN rr
+      ),
+      est AS (
+        SELECT probe.k, CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+        FROM probe LEFT JOIN cms ON probe.r = cms.r AND probe.b = cms.b
+        GROUP BY probe.k
+      )
+      SELECT hot.k, hot.n_exact, est.est FROM hot JOIN est USING (k)
+    ) t
     """,
 )
 def a10_distinct_counts(spark, sf):
@@ -516,8 +591,56 @@ def a10_distinct_counts(spark, sf):
         F.col("n_grid").alias("n_part"),
         "approx_ok",
     )
+    # cms legs (r15): portable Count-Min frequency estimates
+    # (sketches.cms_build/cms_estimate) over the SAME two key streams as
+    # the frequent legs -- the natural pairing: Misra-Gries finds the
+    # heavy keys exactly, the CMS answers "how often does ANY key occur"
+    # from depth x width counters that never re-scan the corpus.  Both
+    # engines hash with the md5 family, so the counters -- and therefore
+    # the ESTIMATE ITSELF -- are bit-identical and n_part value-hashes
+    # (the bloom-filter portability argument applied to counting; the
+    # DataSketches legs above can only gate in-plane).  approx_ok gates
+    # the textbook guarantee in-plane: exact <= est <= exact + e*N/width
+    # (Cormode-Muthukrishnan; at width 256 the etype stream is
+    # collision-free and est == exact, the token stream (~4k distinct)
+    # genuinely collides and the bound does real work).
+    cms_legs = []
+    for tag, src_df, col, phi in (
+        ("etype", ev, "event_type", 0.05),
+        (
+            "token",
+            docs_all.select(F.explode(tokens("text")).alias("tok")),
+            "tok",
+            0.02,
+        ),
+    ):
+        nn = src_df.filter(F.col(col).isNotNull())
+        sk = sketches.cms_build(nn, col)
+        exact_k = nn.groupBy(col).agg(F.count(F.lit(1)).alias("cx"))
+        total = nn.agg(F.count(F.lit(1)).alias("n_tot"))
+        hot = exact_k.crossJoin(F.broadcast(total)).filter(
+            F.col("cx") > F.col("n_tot") * phi
+        )
+        est = sketches.cms_estimate(sk, hot.select(col), col)
+        bound = F.ceil(
+            F.lit(2.718281828459045) * F.col("n_tot")
+            / F.lit(float(sketches.CMS_WIDTH))
+        ).cast("long")
+        cms_legs.append(
+            hot.join(est, col).select(
+                F.lit("cms").alias("op"),
+                F.concat(F.lit(tag + ":"), F.col(col)).alias("key"),
+                F.col("cx").cast("long").alias("n_exact"),
+                F.col("est").cast("long").alias("n_part"),
+                (
+                    (F.col("est") >= F.col("cx"))
+                    & (F.col("est") <= F.col("cx") + bound)
+                ).alias("approx_ok"),
+            )
+        )
+
     out = exact_leg.unionByName(rollup_leg)
-    for leg in theta_legs + kll_legs + [inc_leg, ks_leg] + hh_legs:
+    for leg in theta_legs + kll_legs + [inc_leg, ks_leg] + hh_legs + cms_legs:
         out = out.unionByName(leg)
     return out
 
@@ -826,6 +949,7 @@ register_legs(
     "a10_distinct_counts",
     "op",
     (
+        "cms",
         "exact_by_flag",
         "frequent",
         "incremental",

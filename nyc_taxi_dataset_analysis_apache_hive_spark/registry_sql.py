@@ -288,6 +288,73 @@ _A10_KS_LEG = f"""
         )
 """
 
+
+def _a10_cms_legs() -> str:
+    """a10's portable Count-Min legs (r15) as Spark SQL: the same
+    md5-salted counters as operators.sketches.cms_build, geometry read
+    from the ONE definition so the surfaces cannot drift."""
+    from .operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    out = []
+    for tag, stream, phi in (
+        (
+            "etype",
+            """SELECT CAST(event_type AS STRING) AS k FROM events
+                   WHERE event_type IS NOT NULL""",
+            "0.05D",
+        ),
+        (
+            "token",
+            """SELECT explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                         x -> x != '')) AS k
+                   FROM documents""",
+            "0.02D",
+        ),
+    ):
+        out.append(f"""
+        UNION ALL
+        -- portable Count-Min (r15): see registry.a10 docstring
+        SELECT 'cms' AS op, concat('{tag}:', t.k) AS key,
+               t.n_exact, t.est AS n_part,
+               (t.est >= t.n_exact
+                AND t.est <= t.n_exact
+                      + CAST(ceil(2.718281828459045D * t.n_tot
+                                  / {float(CMS_WIDTH)!r}D) AS BIGINT))
+                 AS approx_ok
+        FROM (
+          WITH ev AS ({stream}),
+          rr AS (SELECT explode(sequence(0, {CMS_DEPTH - 1})) AS r),
+          cms AS (
+            SELECT r, CAST(conv(substr(md5(concat('cms', CAST(r AS STRING),
+                        ':', k)), 1, 15), 16, 10) AS BIGINT)
+                        % {CMS_WIDTH} AS b,
+                   count(*) AS cnt
+            FROM ev CROSS JOIN rr GROUP BY 1, 2
+          ),
+          tot AS (SELECT count(*) AS n_tot FROM ev),
+          hot AS (
+            SELECT k, count(*) AS n_exact
+            FROM ev CROSS JOIN tot GROUP BY k, n_tot
+            HAVING count(*) > n_tot * {phi}
+          ),
+          probe AS (
+            SELECT hot.k, rr.r,
+                   CAST(conv(substr(md5(concat('cms', CAST(rr.r AS STRING),
+                        ':', hot.k)), 1, 15), 16, 10) AS BIGINT)
+                        % {CMS_WIDTH} AS b
+            FROM hot CROSS JOIN rr
+          ),
+          est AS (
+            SELECT probe.k, min(coalesce(cms.cnt, 0)) AS est
+            FROM probe LEFT JOIN cms ON probe.r = cms.r AND probe.b = cms.b
+            GROUP BY probe.k
+          )
+          SELECT hot.k, hot.n_exact, est.est, tot.n_tot
+          FROM hot JOIN est ON hot.k = est.k CROSS JOIN tot
+        ) t""")
+    return "".join(out)
+
+
 def _tv1_bm25_leg() -> str:
     """tv1's Okapi BM25 leg (r9): Spark-SQL spelling of
     textops.bm25_scores with the k1/b-derived float constants and the
@@ -915,7 +982,7 @@ SQL_QUERIES: dict[str, str] = {
           FROM w GROUP BY key
           HAVING count(*) > (SELECT count(*) FROM w) * 0.02D
         ) t
-    """ + _A10_KS_LEG,
+    """ + _A10_KS_LEG + _a10_cms_legs(),
     "a9_percentile": """
         SELECT round(ps[0], 4) AS p25,
                round(ps[1], 4) AS p50,
