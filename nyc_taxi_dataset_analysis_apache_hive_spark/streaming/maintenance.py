@@ -147,14 +147,33 @@ def fold_batch_into_hll(
       subtle case where the replayed batch happens to be the OLDEST
       RETAINED version, which the retained window alone cannot tell
       apart from a genuine floor."""
+    delta = sketches.sketch_rollup(batch_df, time_col, key_col, grain)
+    _fold_versioned_state(
+        delta, batch_id, state_path, merge_hll_rollup, keep_versions
+    )
+
+
+def _fold_versioned_state(
+    delta: DataFrame,
+    batch_id: int,
+    state_path: str,
+    merge_fn,
+    keep_versions: int,
+) -> None:
+    """THE versioned-ledger fold (r15: extracted from the HLL fold so
+    the CMS maintenance stream cannot re-implement -- and drift from --
+    the exactly-once discipline): read the newest state strictly below
+    ``batch_id``, ``merge_fn(prev, delta)``, commit to ``v=<batch_id>``,
+    prune.  All the floor-marker/replay safety documented on
+    :func:`fold_batch_into_hll` lives here.  ``merge_fn`` must be the
+    sketch family's associative merge over two state DataFrames."""
     if keep_versions < 2:
         raise ValueError(
             f"keep_versions={keep_versions} < 2: v=<batch_id-1> must "
             "survive pruning or a replay of the newest batch rebuilds "
             "its state from nothing"
         )
-    spark = batch_df.sparkSession
-    delta = sketches.sketch_rollup(batch_df, time_col, key_col, grain)
+    spark = delta.sparkSession
     prev = read_sketch_state(spark, state_path, before=batch_id)
     ledger = _versions(spark, state_path)
     # "No predecessor state" is only ever legitimate for the ledger's
@@ -190,7 +209,7 @@ def fold_batch_into_hll(
         # the data write, so a crash between the two never yields data
         # whose floor is unknown
         _write_ledger_floor(spark, state_path, batch_id)
-    merged = delta if prev is None else merge_hll_rollup(prev, delta)
+    merged = delta if prev is None else merge_fn(prev, delta)
     merged.write.mode("overwrite").parquet(_vdir(state_path, batch_id))
     for v in _versions(spark, state_path)[:-keep_versions]:
         # belt-and-braces: whatever the list slicing says, the direct
@@ -213,6 +232,108 @@ def hll_maintenance_stream(
         events.writeStream.foreachBatch(
             lambda df, bid: fold_batch_into_hll(
                 df, bid, state_path, time_col, key_col, grain
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min maintenance (r15): the same versioned ledger folding the
+# portable CMS counters (operators/sketches.py cms_build/cms_merge).
+# Because counter merge is EXACT (linearity, not estimate algebra), the
+# maintained state equals a from-scratch batch build cell for cell --
+# the stream-vs-batch gate is full equality, not an in-band check.
+# ---------------------------------------------------------------------------
+
+
+def fold_batch_into_cms(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str = "event_type",
+    depth: int | None = None,
+    width: int | None = None,
+    keep_versions: int = 3,
+) -> None:
+    """One CMS maintenance step through :func:`_fold_versioned_state`.
+
+    On-disk state is the counter table WITH its geometry columns
+    ``(r, b, cnt, depth, width)`` -- the bloom-artifact lesson applied
+    to persisted state: attaching a fold at a different (depth, width)
+    than the ledger was built with would silently sum counters from two
+    different hash families, so the merge validates the columns and
+    raises instead."""
+    d = sketches.CMS_DEPTH if depth is None else depth
+    w = sketches.CMS_WIDTH if width is None else width
+    from pyspark.sql import functions as F
+
+    delta = (
+        sketches.cms_build(batch_df, key_col, d, w)
+        .counters.withColumn("depth", F.lit(int(d)))
+        .withColumn("width", F.lit(int(w)))
+    )
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        g = prev.select("depth", "width").distinct().collect()
+        geos = {(r["depth"], r["width"]) for r in g}
+        if geos and geos != {(int(d), int(w))}:
+            raise RuntimeError(
+                f"cms state at {state_path} was built at "
+                f"{sorted(geos)} but this fold hashes at "
+                f"({d}, {w}) -- summing counters across hash families "
+                "is silent corruption; rebuild the ledger or match the "
+                "geometry"
+            )
+        return (
+            prev.unionByName(cur)
+            .groupBy("r", "b", "depth", "width")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select("r", "b", "cnt", "depth", "width")
+        )
+
+    _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
+
+
+def read_cms_state(spark: SparkSession, state_path: str):
+    """The maintained counters as a :class:`..operators.sketches.CMSketch`
+    (geometry read back from the state columns), or None for an empty
+    ledger -- ready for :func:`..operators.sketches.cms_estimate`."""
+    df = read_sketch_state(spark, state_path)
+    if df is None:
+        return None
+    geo = df.select("depth", "width").distinct().collect()
+    if len(geo) != 1:
+        raise RuntimeError(
+            f"cms state at {state_path} carries {len(geo)} distinct "
+            "geometries -- a corrupt ledger; rebuild it"
+        )
+    return sketches.CMSketch(
+        int(geo[0]["depth"]),
+        int(geo[0]["width"]),
+        df.select("r", "b", "cnt"),
+    )
+
+
+def cms_maintenance_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    depth: int | None = None,
+    width: int | None = None,
+):
+    """writeStream wiring for :func:`fold_batch_into_cms` (the
+    hll_maintenance_stream shape): the returned ``DataStreamWriter``
+    just needs ``.trigger(...).start()``.  After draining, frequency
+    questions ("how often did this event type / token / fingerprint
+    occur, ever") answer from kilobytes of counters that trail the
+    stream by one trigger -- without rescanning a byte of history."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: fold_batch_into_cms(
+                df, bid, state_path, key_col, depth, width
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -466,6 +466,79 @@ def test_hll_maintenance_raises_past_pruned_window(spark, events_dir, tmp_path):
     assert mnt._versions(spark, state) == [2, 3]
 
 
+def test_cms_maintenance_stream_equals_batch_build(
+    spark, events_dir, tmp_path
+):
+    """CMS maintenance (r15): after draining, the ledger's counters equal
+    a from-scratch cms_build over everything streamed CELL FOR CELL --
+    counter linearity makes the stream-vs-batch gate full equality (the
+    HLL twin above can only gate estimates in-band)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import (
+        sketches as sk2,
+    )
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "cms_state")
+    stream = sev.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        mnt.cms_maintenance_stream(stream, state, str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = mnt.read_cms_state(spark, state)
+    assert got is not None
+    assert (got.depth, got.width) == (sk2.CMS_DEPTH, sk2.CMS_WIDTH)
+    want = sk2.cms_build(spark.read.parquet(events_dir), "event_type")
+    assert sorted(map(tuple, got.counters.collect())) == sorted(
+        map(tuple, want.counters.collect())
+    )
+    # and the maintained artifact serves point estimates directly
+    est = sk2.cms_estimate(
+        got,
+        spark.read.parquet(events_dir).select("event_type").distinct(),
+        "event_type",
+    )
+    exact = (
+        spark.read.parquet(events_dir)
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .count()
+    )
+    j = est.join(exact, "event_type").collect()
+    assert j and all(r["est"] >= r["count"] for r in j)
+
+
+def test_cms_maintenance_replay_idempotent_and_geometry_guard(
+    spark, events_dir, tmp_path
+):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    state = str(tmp_path / "cms_replay")
+    ev = spark.read.parquet(events_dir)
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    mnt.fold_batch_into_cms(half_a, 0, state)
+    mnt.fold_batch_into_cms(half_b, 1, state)
+
+    def snap():
+        s = mnt.read_cms_state(spark, state)
+        return sorted(map(tuple, s.counters.collect()))
+
+    before = snap()
+    mnt.fold_batch_into_cms(half_b, 1, state)  # at-least-once replay
+    assert snap() == before
+    assert mnt._versions(spark, state) == [0, 1]
+    # attaching a fold at a different hash geometry must refuse, not sum
+    with pytest.raises(RuntimeError, match="hash famil"):
+        mnt.fold_batch_into_cms(half_b, 2, state, width=64)
+
+
 def test_hll_maintenance_ledger_over_file_uri(spark, events_dir, tmp_path):
     """The ledger walk/prune goes through the Hadoop FileSystem API, so
     ``state_path`` may be any URI the session's Hadoop conf resolves.
