@@ -601,9 +601,11 @@ def a10_distinct_counts(spark, sf):
     # (the bloom-filter portability argument applied to counting; the
     # DataSketches legs above can only gate in-plane).  approx_ok gates
     # the textbook guarantee in-plane: exact <= est <= exact + e*N/width
-    # (Cormode-Muthukrishnan; at width 256 the etype stream is
-    # collision-free and est == exact, the token stream (~4k distinct)
-    # genuinely collides and the bound does real work).
+    # (Cormode-Muthukrishnan).  MEASURED: the synthetic corpus has a
+    # 31-token vocabulary and 5 event types, so at width 256 neither
+    # stream collides and est == exact at every sf -- the collision
+    # path (est > exact, never <) is exercised where it can actually
+    # fire, at width=2 in tests/test_cms.py.
     cms_legs = []
     for tag, src_df, col, phi in (
         ("etype", ev, "event_type", 0.05),

@@ -304,7 +304,12 @@ def read_cms_state(spark: SparkSession, state_path: str):
     if df is None:
         return None
     geo = df.select("depth", "width").distinct().collect()
-    if len(geo) != 1:
+    if not geo:
+        # a committed-but-empty ledger (every batch so far carried only
+        # NULL keys, which have no draw) has no geometry to read -- that
+        # is "no usable state", not corruption
+        return None
+    if len(geo) > 1:
         raise RuntimeError(
             f"cms state at {state_path} carries {len(geo)} distinct "
             "geometries -- a corrupt ledger; rebuild it"

@@ -537,6 +537,12 @@ def test_cms_maintenance_replay_idempotent_and_geometry_guard(
     # attaching a fold at a different hash geometry must refuse, not sum
     with pytest.raises(RuntimeError, match="hash famil"):
         mnt.fold_batch_into_cms(half_b, 2, state, width=64)
+    # a committed-but-empty ledger (only NULL-key batches) reads as
+    # "no usable state", never as corruption
+    empty_state = str(tmp_path / "cms_empty")
+    nulls = ev.withColumn("event_type", F.lit(None).cast("string"))
+    mnt.fold_batch_into_cms(nulls, 0, empty_state)
+    assert mnt.read_cms_state(spark, empty_state) is None
 
 
 def test_hll_maintenance_ledger_over_file_uri(spark, events_dir, tmp_path):
