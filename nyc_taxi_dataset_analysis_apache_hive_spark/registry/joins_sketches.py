@@ -559,6 +559,7 @@ def a10_distinct_counts(spark, sf):
     # cardinality) in tests/test_heavy_hitters.py.
     docs_all = _t(spark, sf, "documents")
     hh_legs = []
+    cms_legs = []
     for tag, src_df, col, phi in (
         ("etype", ev, "event_type", 0.05),
         (
@@ -568,13 +569,61 @@ def a10_distinct_counts(spark, sf):
             0.02,
         ),
     ):
+        # ONE heavy-hitter pass feeds BOTH the frequent leg and the cms
+        # leg's hot-key/exact/total frame (r15 review: the cms leg was
+        # rebuilding exact_k/total/hot with two extra full aggregations
+        # -- the d4 token_table sharing discipline applies here too).
+        # Eagerly checkpointed because it now has two consumers and the
+        # MG candidate pass is an Arrow stage worth running once; the
+        # output is <= a few dozen rows.
+        hh = sketches.heavy_hitters(src_df, col, phi=phi).localCheckpoint(
+            eager=True
+        )
         hh_legs.append(
-            sketches.heavy_hitters(src_df, col, phi=phi).select(
+            hh.select(
                 F.lit("frequent").alias("op"),
                 F.concat(F.lit(tag + ":"), F.col("key")).alias("key"),
                 F.col("cnt").alias("n_exact"),
                 F.col("n_total").alias("n_part"),
                 F.lit(True).alias("approx_ok"),
+            )
+        )
+        # cms leg (r15): portable Count-Min frequency estimates
+        # (sketches.cms_build/cms_estimate) probed at the SAME heavy
+        # keys -- the natural pairing: Misra-Gries finds the heavy keys
+        # exactly, the CMS answers "how often does ANY key occur" from
+        # depth x width counters that never re-scan the corpus.  Both
+        # engines hash with the md5 family, so the counters -- and
+        # therefore the ESTIMATE ITSELF -- are bit-identical and n_part
+        # value-hashes (the bloom-filter portability argument applied
+        # to counting; the DataSketches legs above can only gate
+        # in-plane).  approx_ok gates the textbook guarantee in-plane:
+        # exact <= est <= exact + e*N/width (Cormode-Muthukrishnan).
+        # MEASURED: the synthetic corpus has a 31-token vocabulary and
+        # 5 event types, so at width 256 neither stream collides and
+        # est == exact at every sf -- the collision path (est > exact,
+        # never <) is exercised where it can actually fire, at width=2
+        # in tests/test_cms.py.  The counter build is the one remaining
+        # stream scan here (unavoidable: the sketch summarizes the
+        # whole stream, not just the hot keys).
+        sk = sketches.cms_build(src_df, col)
+        est = sketches.cms_estimate(
+            sk, hh.select(F.col("key").alias(col)), col
+        )
+        bound = F.ceil(
+            F.lit(2.718281828459045) * F.col("n_total")
+            / F.lit(float(sketches.CMS_WIDTH))
+        ).cast("long")
+        cms_legs.append(
+            hh.join(est, hh["key"] == est[col]).select(
+                F.lit("cms").alias("op"),
+                F.concat(F.lit(tag + ":"), hh["key"]).alias("key"),
+                F.col("cnt").cast("long").alias("n_exact"),
+                F.col("est").cast("long").alias("n_part"),
+                (
+                    (F.col("est") >= F.col("cnt"))
+                    & (F.col("est") <= F.col("cnt") + bound)
+                ).alias("approx_ok"),
             )
         )
 
@@ -591,56 +640,6 @@ def a10_distinct_counts(spark, sf):
         F.col("n_grid").alias("n_part"),
         "approx_ok",
     )
-    # cms legs (r15): portable Count-Min frequency estimates
-    # (sketches.cms_build/cms_estimate) over the SAME two key streams as
-    # the frequent legs -- the natural pairing: Misra-Gries finds the
-    # heavy keys exactly, the CMS answers "how often does ANY key occur"
-    # from depth x width counters that never re-scan the corpus.  Both
-    # engines hash with the md5 family, so the counters -- and therefore
-    # the ESTIMATE ITSELF -- are bit-identical and n_part value-hashes
-    # (the bloom-filter portability argument applied to counting; the
-    # DataSketches legs above can only gate in-plane).  approx_ok gates
-    # the textbook guarantee in-plane: exact <= est <= exact + e*N/width
-    # (Cormode-Muthukrishnan).  MEASURED: the synthetic corpus has a
-    # 31-token vocabulary and 5 event types, so at width 256 neither
-    # stream collides and est == exact at every sf -- the collision
-    # path (est > exact, never <) is exercised where it can actually
-    # fire, at width=2 in tests/test_cms.py.
-    cms_legs = []
-    for tag, src_df, col, phi in (
-        ("etype", ev, "event_type", 0.05),
-        (
-            "token",
-            docs_all.select(F.explode(tokens("text")).alias("tok")),
-            "tok",
-            0.02,
-        ),
-    ):
-        nn = src_df.filter(F.col(col).isNotNull())
-        sk = sketches.cms_build(nn, col)
-        exact_k = nn.groupBy(col).agg(F.count(F.lit(1)).alias("cx"))
-        total = nn.agg(F.count(F.lit(1)).alias("n_tot"))
-        hot = exact_k.crossJoin(F.broadcast(total)).filter(
-            F.col("cx") > F.col("n_tot") * phi
-        )
-        est = sketches.cms_estimate(sk, hot.select(col), col)
-        bound = F.ceil(
-            F.lit(2.718281828459045) * F.col("n_tot")
-            / F.lit(float(sketches.CMS_WIDTH))
-        ).cast("long")
-        cms_legs.append(
-            hot.join(est, col).select(
-                F.lit("cms").alias("op"),
-                F.concat(F.lit(tag + ":"), F.col(col)).alias("key"),
-                F.col("cx").cast("long").alias("n_exact"),
-                F.col("est").cast("long").alias("n_part"),
-                (
-                    (F.col("est") >= F.col("cx"))
-                    & (F.col("est") <= F.col("cx") + bound)
-                ).alias("approx_ok"),
-            )
-        )
-
     out = exact_leg.unionByName(rollup_leg)
     for leg in theta_legs + kll_legs + [inc_leg, ks_leg] + hh_legs + cms_legs:
         out = out.unionByName(leg)

@@ -286,11 +286,20 @@ def fold_batch_into_cms(
                 "is silent corruption; rebuild the ledger or match the "
                 "geometry"
             )
-        return (
-            prev.unionByName(cur)
-            .groupBy("r", "b", "depth", "width")
-            .agg(F.sum("cnt").alias("cnt"))
-            .select("r", "b", "cnt", "depth", "width")
+        # delegate the counter-addition law to the ONE tested spelling
+        # (sketches.cms_merge) -- re-implementing union+sum here would
+        # be exactly the definition drift the _fold_versioned_state
+        # extraction exists to prevent (r15 review)
+        summed = sketches.cms_merge(
+            sketches.CMSketch(int(d), int(w), prev.select("r", "b", "cnt")),
+            sketches.CMSketch(int(d), int(w), cur.select("r", "b", "cnt")),
+        ).counters
+        return summed.select(
+            "r",
+            "b",
+            "cnt",
+            F.lit(int(d)).alias("depth"),
+            F.lit(int(w)).alias("width"),
         )
 
     _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
