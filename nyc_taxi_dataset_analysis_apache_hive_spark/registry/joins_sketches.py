@@ -569,16 +569,19 @@ def a10_distinct_counts(spark, sf):
             0.02,
         ),
     ):
-        # ONE heavy-hitter pass feeds BOTH the frequent leg and the cms
-        # leg's hot-key/exact/total frame (r15 review: the cms leg was
-        # rebuilding exact_k/total/hot with two extra full aggregations
-        # -- the d4 token_table sharing discipline applies here too).
-        # Eagerly checkpointed because it now has two consumers and the
-        # MG candidate pass is an Arrow stage worth running once; the
-        # output is <= a few dozen rows.
-        hh = sketches.heavy_hitters(src_df, col, phi=phi).localCheckpoint(
-            eager=True
-        )
+        # ONE heavy-hitter definition feeds BOTH the frequent leg and
+        # the cms leg's hot-key/exact/total frame (r15 review: the cms
+        # leg was rebuilding exact_k/total/hot with two extra full
+        # aggregations -- the code-sharing half of the d4 token_table
+        # discipline).  Deliberately NOT checkpointed: MEASURED at
+        # sf0.1, an eager cut serialized the two MG Arrow passes at
+        # build and cost the entry 7.5 s vs 5.3-6.1 s lazy (the two
+        # consumers' recomputed subtrees run as concurrent stages of
+        # one job on the underutilized local[32] -- the same verdict as
+        # the theta shx subtree above, and the persist_shingles
+        # recompute-by-default posture).  On a saturated cluster the
+        # duplicate MG pass is real cost: persist() there.
+        hh = sketches.heavy_hitters(src_df, col, phi=phi)
         hh_legs.append(
             hh.select(
                 F.lit("frequent").alias("op"),
