@@ -143,6 +143,137 @@ def cosine_topk_bruteforce(
     return _ranked_topk(scored, k)
 
 
+#: semi-hard band width (cosine units) for contrastive_mining -- ONE
+#: definition feeding the DataFrame leg, the DuckDB oracle, and the
+#: Spark-SQL text (the bm25_constants repr-roundtrip discipline)
+MINING_MARGIN = 0.3
+
+
+def contrastive_mining(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 8,
+    margin: float = MINING_MARGIN,
+) -> DataFrame:
+    """Triplet mining over a labeled embedding corpus -- the selection
+    stage of contrastive/metric-learning training data: (op, query_id,
+    neighbor_id, cosine, rank), three tagged legs per anchor (the first
+    ``n_queries`` vectors, the k1 convention):
+
+    * ``op='hard_neg'``: the k highest-cosine DIFFERENT-label
+      candidates -- the "batch hard" negatives of Hermans et al. 2017
+      (In Defense of the Triplet Loss, arXiv:1703.07737): the
+      impostors the model most confuses with the anchor.
+    * ``op='hard_pos'``: the single LOWEST-cosine same-label candidate
+      -- the batch-hard positive, the in-class example the model most
+      needs pulled in.
+    * ``op='semi_hard'``: different-label candidates in the band
+      ``[hard_pos_cosine - margin, hard_pos_cosine)`` -- the semi-hard
+      negatives of Schroff et al. 2015 (FaceNet, CVPR): farther than
+      the positive but within the margin, the regime that trains
+      stably where hardest-only mining collapses.  Anchored at the
+      batch-hard positive (the Hermans batch-hard framing of the
+      FaceNet band); top-k by cosine, possibly EMPTY for an anchor
+      whose negatives all sit outside the band -- that is information
+      ("this anchor has no semi-hard work left"), not a bug.
+
+    NULL-label policy (explicit, the mix_domains convention): labels
+    are the supervision, so an anchor with a NULL label mines nothing
+    and NULL-label candidates join no leg -- silently treating NULL as
+    its own class would mine "negatives" from unlabeled data.
+    NULL/zero-norm embeddings are dropped by the shared normalization
+    rule (no direction -> neither anchor nor candidate).
+
+    Scale shape: identical to :func:`cosine_topk_bruteforce` -- the
+    anchor set broadcasts, the corpus streams through map-side dot
+    products, ranking windows on the k-bounded per-anchor groups, and
+    the ``pcos`` band anchor is an n_queries-row broadcast.  The corpus
+    is never shuffled; at deployment the anchor set is the micro-batch
+    of new training examples, the corpus the candidate pool.
+
+    All three legs value-hash against the DuckDB oracle (exact cosines
+    rounded to 6, ties to the lowest neighbor_id), gated through the k1
+    registry entry."""
+    from ..functions.vectors import as_double_array, dot, l2_norm
+
+    step1 = embeddings.select(
+        "vec_id",
+        "label",
+        as_double_array("embedding").alias("emb"),
+        l2_norm("embedding").alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    normed = step1.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "emb", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0))
+        ).alias("emb_n"),
+    )
+    queries = normed.filter(
+        (F.col("vec_id") < n_queries) & F.col("label").isNotNull()
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb_n").alias("q_emb"),
+    )
+    corpus = normed.filter(F.col("label").isNotNull()).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("emb_n").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
+        )
+    )
+    neg = scored.filter(F.col("q_label") != F.col("n_label"))
+    pos = scored.filter(F.col("q_label") == F.col("n_label"))
+    w_desc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    w_asc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id").asc()
+    )
+    hard_neg = neg.withColumn("rank", F.row_number().over(w_desc)).filter(
+        F.col("rank") <= k
+    )
+    hard_pos = pos.withColumn("rank", F.row_number().over(w_asc)).filter(
+        F.col("rank") <= 1
+    )
+    pcos = hard_pos.select("query_id", F.col("cosine").alias("pcos"))
+    semi = (
+        neg.join(F.broadcast(pcos), "query_id")
+        .filter(
+            (F.col("cosine") < F.col("pcos"))
+            & (F.col("cosine") >= F.col("pcos") - F.lit(float(margin)))
+        )
+        .withColumn("rank", F.row_number().over(w_desc))
+        .filter(F.col("rank") <= k)
+    )
+
+    def leg(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("op"),
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return (
+        leg(hard_neg, "hard_neg")
+        .unionByName(leg(hard_pos, "hard_pos"))
+        .unionByName(leg(semi, "semi_hard"))
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, k: int = 5, n_queries: int = 8, n_bits: int = 4
 ) -> DataFrame:

@@ -53,33 +53,92 @@ _NORM_CTE = """e0 AS (
     )"""
 
 
+#: semi-hard band width repr-roundtripped from its ONE definition
+_MINING_MARGIN_F = float(similarity.MINING_MARGIN)
+
+
 @register(
     "k1_knn_bruteforce",
     f"""
-    WITH {_NORM_CTE},
+    WITH el0 AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
     e AS (
-      SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb_n
-      FROM e0 WHERE nrm > 0
+      SELECT vec_id, label, list_transform(emb, x -> x / nrm) AS emb_n
+      FROM el0 WHERE nrm > 0
     ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      SELECT q.vec_id AS query_id, q.label AS ql,
+             c.vec_id AS neighbor_id, c.label AS nl,
              {_COS} AS cosine
       FROM (SELECT * FROM e WHERE vec_id < 8) q
       CROSS JOIN e c
       WHERE c.vec_id <> q.vec_id
+    ),
+    sup AS (SELECT * FROM scored WHERE ql IS NOT NULL AND nl IS NOT NULL),
+    hpos_r AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine ASC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM sup WHERE nl = ql
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (
+    SELECT 'knn' AS op, query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
       FROM scored
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'hard_neg' AS op, query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM sup WHERE nl <> ql
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'hard_pos' AS op, query_id, neighbor_id, cosine, rank
+    FROM hpos_r WHERE rank <= 1
+    UNION ALL
+    SELECT 'semi_hard' AS op, query_id, neighbor_id, cosine, rank FROM (
+      SELECT s.query_id, s.neighbor_id, s.cosine, CAST(row_number() OVER (
+        PARTITION BY s.query_id
+        ORDER BY s.cosine DESC, s.neighbor_id ASC) AS BIGINT) AS rank
+      FROM sup s
+      JOIN (SELECT query_id, cosine AS pcos FROM hpos_r WHERE rank <= 1) p
+        USING (query_id)
+      WHERE s.nl <> s.ql AND s.cosine < p.pcos
+        AND s.cosine >= p.pcos - {_MINING_MARGIN_F!r}
     ) WHERE rank <= 5
     """,
 )
 def k1_knn_bruteforce(spark, sf):
-    """Brute-force cosine top-5 for query vectors (vec_id < 8): the exact
-    ANN baseline.  Query side broadcast; corpus never shuffled."""
-    return similarity.cosine_topk_bruteforce(
-        _t(spark, sf, "embeddings"), k=5, n_queries=8
+    """Brute-force cosine surface over the embeddings table, four tagged
+    legs (query vectors = vec_id < 8, the fixed-anchor convention):
+
+    * ``op='knn'``: exact top-5 cosine neighbours -- the ANN baseline
+      every k2 recall gate measures against.  Query side broadcast;
+      corpus never shuffled.
+    * ``op='hard_neg'`` / ``op='hard_pos'`` / ``op='semi_hard'`` (r15):
+      similarity.contrastive_mining -- batch-hard triplet mining
+      (Hermans et al. 2017) + the FaceNet semi-hard band (Schroff et
+      al. 2015) over the labeled corpus, the selection stage of
+      contrastive-training data.  Same scored-pair shape as knn with
+      the label columns riding, so the oracle replays all four legs
+      from ONE scored CTE; the semi-hard band anchors at the hard
+      positive's cosine minus MINING_MARGIN (repr-roundtripped from
+      its one definition)."""
+    emb = _t(spark, sf, "embeddings")
+    knn = similarity.cosine_topk_bruteforce(emb, k=5, n_queries=8).select(
+        F.lit("knn").alias("op"),
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+    return knn.unionByName(
+        similarity.contrastive_mining(emb, k=5, n_queries=8)
     )
 
 
@@ -1287,6 +1346,11 @@ register_legs(
     "k3_embedding_near_pairs",
     "op",
     ("admit", "near_pairs", "semdedup", "semdedup_trained"),
+)
+register_legs(
+    "k1_knn_bruteforce",
+    "op",
+    ("hard_neg", "hard_pos", "knn", "semi_hard"),
 )
 # m1_media_catalog is deliberately NOT declared: its kind column is
 # derived from doc_id inside ONE scan+aggregate (not a stacked union),

@@ -355,6 +355,81 @@ def _a10_cms_legs() -> str:
     return "".join(out)
 
 
+def _k1_sql_text() -> str:
+    """k1's four legs as one Spark-SQL statement: the knn baseline plus
+    the r15 contrastive-mining legs, the semi-hard margin
+    repr-roundtripped from similarity.MINING_MARGIN (one definition)."""
+    from .operators.similarity import MINING_MARGIN
+
+    return f"""
+        WITH e0 AS (
+          SELECT vec_id, label, CAST(embedding AS array<double>) AS emb
+          FROM embeddings
+        ),
+        e1 AS (
+          SELECT vec_id, label, emb,
+                 sqrt(aggregate(transform(emb, x -> x * x),
+                                0.0D, (acc, x) -> acc + x)) AS nrm
+          FROM e0
+        ),
+        e AS (
+          SELECT vec_id, label, transform(emb, x -> x / nrm) AS emb_n
+          FROM e1 WHERE nrm > 0
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.label AS ql,
+                 c.vec_id AS neighbor_id, c.label AS nl,
+                 round(aggregate(zip_with(q.emb_n, c.emb_n, (x, y) -> x * y),
+                                 0.0D, (acc, x) -> acc + x), 6) AS cosine
+          FROM (SELECT * FROM e WHERE vec_id < 8) q
+          CROSS JOIN e c
+          WHERE q.vec_id <> c.vec_id
+        ),
+        sup AS (
+          SELECT * FROM scored WHERE ql IS NOT NULL AND nl IS NOT NULL
+        ),
+        hpos_r AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM sup WHERE nl = ql
+        )
+        SELECT 'knn' AS op, query_id, neighbor_id, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cosine, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        UNION ALL
+        SELECT 'hard_neg' AS op, query_id, neighbor_id, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cosine, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM sup WHERE nl <> ql
+        ) WHERE rank <= 5
+        UNION ALL
+        SELECT 'hard_pos' AS op, query_id, neighbor_id, cosine, rank
+        FROM hpos_r WHERE rank <= 1
+        UNION ALL
+        SELECT 'semi_hard' AS op, query_id, neighbor_id, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT s.query_id, s.neighbor_id, s.cosine, row_number() OVER (
+            PARTITION BY s.query_id
+            ORDER BY s.cosine DESC, s.neighbor_id ASC) AS rank
+          FROM sup s
+          JOIN (SELECT query_id, cosine AS pcos FROM hpos_r
+                WHERE rank <= 1) p
+            ON s.query_id = p.query_id
+          WHERE s.nl <> s.ql AND s.cosine < p.pcos
+            AND s.cosine >= p.pcos - {float(MINING_MARGIN)!r}D
+        ) WHERE rank <= 5
+    """
+
+
 def _tv1_bm25_leg() -> str:
     """tv1's Okapi BM25 leg (r9): Spark-SQL spelling of
     textops.bm25_scores with the k1/b-derived float constants and the
@@ -1750,36 +1825,7 @@ SQL_QUERIES: dict[str, str] = {
         ) WHERE hamming <= 3
     """,
     # -- similarity search (normalize -> bucket/cross -> fold dot) ---------
-    "k1_knn_bruteforce": """
-        WITH e0 AS (
-          SELECT vec_id, CAST(embedding AS array<double>) AS emb
-          FROM embeddings
-        ),
-        e1 AS (
-          SELECT vec_id, emb,
-                 sqrt(aggregate(transform(emb, x -> x * x),
-                                0.0D, (acc, x) -> acc + x)) AS nrm
-          FROM e0
-        ),
-        e AS (
-          SELECT vec_id, transform(emb, x -> x / nrm) AS emb_n
-          FROM e1 WHERE nrm > 0
-        ),
-        scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round(aggregate(zip_with(q.emb_n, c.emb_n, (x, y) -> x * y),
-                                 0.0D, (acc, x) -> acc + x), 6) AS cosine
-          FROM (SELECT * FROM e WHERE vec_id < 8) q
-          CROSS JOIN e c
-          WHERE q.vec_id <> c.vec_id
-        )
-        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-        FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-          FROM scored
-        ) WHERE rank <= 5
-    """,
+    "k1_knn_bruteforce": _k1_sql_text(),
     # k3_embedding_near_pairs is not single-STATEMENT-expressible (its
     # semdedup leg needs connected components, and Spark's recursive
     # CTEs (4.x) support only UNION ALL -- cyclic reachability cannot

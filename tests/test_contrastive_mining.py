@@ -1,0 +1,121 @@
+"""Contrastive-mining gates (r15): python recompute of all three legs,
+the semi-hard band law, NULL-label policy, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import similarity
+from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 5
+NQ = 8
+
+
+def _vectors(spark):
+    rows = load_table(spark, SF, "embeddings").collect()
+    out = {}
+    for r in rows:
+        if r["embedding"] is None:
+            continue
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 0:
+            out[r["vec_id"]] = ([x / n for x in v], r["label"])
+    return out
+
+
+def _cos(a, b):
+    return round(sum(x * y for x, y in zip(a, b)), 6)
+
+
+def _python_mining(vecs, margin):
+    out = {"hard_neg": set(), "hard_pos": set(), "semi_hard": set()}
+    for qid in range(NQ):
+        if qid not in vecs or vecs[qid][1] is None:
+            continue
+        qv, ql = vecs[qid]
+        scored = [
+            (_cos(qv, cv), nid, nl)
+            for nid, (cv, nl) in vecs.items()
+            if nid != qid and nl is not None
+        ]
+        neg = sorted(
+            ((c, n) for c, n, nl in scored if nl != ql),
+            key=lambda t: (-t[0], t[1]),
+        )
+        pos = sorted(
+            ((c, n) for c, n, nl in scored if nl == ql),
+            key=lambda t: (t[0], t[1]),
+        )
+        for rank, (c, n) in enumerate(neg[:K], 1):
+            out["hard_neg"].add((qid, n, c, rank))
+        if pos:
+            pc = pos[0][0]
+            out["hard_pos"].add((qid, pos[0][1], pc, 1))
+            band = [(c, n) for c, n in neg if pc - margin <= c < pc]
+            for rank, (c, n) in enumerate(band[:K], 1):
+                out["semi_hard"].add((qid, n, c, rank))
+    return out
+
+
+def test_mining_matches_python_recompute(spark):
+    vecs = _vectors(spark)
+    want = _python_mining(vecs, similarity.MINING_MARGIN)
+    rows = similarity.contrastive_mining(
+        load_table(spark, SF, "embeddings"), k=K, n_queries=NQ
+    ).collect()
+    got: dict[str, set] = {"hard_neg": set(), "hard_pos": set(), "semi_hard": set()}
+    for r in rows:
+        got[r["op"]].add(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        )
+    assert got == want
+    assert got["semi_hard"], "driver corpus must exercise the band"
+
+
+def test_semi_hard_band_law(spark):
+    """Every semi-hard row sits strictly below its anchor's hard-positive
+    cosine and within the margin -- the FaceNet band, checked against
+    the emitted hard_pos rows themselves."""
+    df = similarity.contrastive_mining(load_table(spark, SF, "embeddings"))
+    rows = df.collect()
+    pcos = {
+        r["query_id"]: r["cosine"] for r in rows if r["op"] == "hard_pos"
+    }
+    semi = [r for r in rows if r["op"] == "semi_hard"]
+    assert semi
+    for r in semi:
+        p = pcos[r["query_id"]]
+        assert p - similarity.MINING_MARGIN <= r["cosine"] < p
+
+
+def test_null_label_policy(spark):
+    """A NULL-label anchor mines nothing; NULL-label candidates join no
+    leg -- labels are the supervision, not a default class."""
+    emb = load_table(spark, SF, "embeddings")
+    nulled = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") == 3, F.lit(None).cast("int")).otherwise(
+            F.col("label")
+        ),
+    )
+    rows = similarity.contrastive_mining(nulled).collect()
+    assert all(r["query_id"] != 3 for r in rows)
+    assert all(r["neighbor_id"] != 3 for r in rows)
+    all_null = similarity.contrastive_mining(
+        emb.withColumn("label", F.lit(None).cast("int"))
+    )
+    assert all_null.count() == 0
+
+
+def test_mining_plan_broadcasts_and_never_sort_merges(spark):
+    """The anchor set and the pcos band anchor are both broadcast-sized;
+    the corpus must stream, never shuffle into a sort-merge join."""
+    df = similarity.contrastive_mining(load_table(spark, SF, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
