@@ -194,21 +194,9 @@ def contrastive_mining(
     All three legs value-hash against the DuckDB oracle (exact cosines
     rounded to 6, ties to the lowest neighbor_id), gated through the k1
     registry entry."""
-    from ..functions.vectors import as_double_array, dot, l2_norm
+    from ..functions.vectors import dot
 
-    step1 = embeddings.select(
-        "vec_id",
-        "label",
-        as_double_array("embedding").alias("emb"),
-        l2_norm("embedding").alias("nrm"),
-    ).filter(F.col("nrm") > 0)
-    normed = step1.select(
-        "vec_id",
-        "label",
-        F.transform(
-            "emb", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0))
-        ).alias("emb_n"),
-    )
+    normed = _normalized_cols(embeddings, extra_cols=("label",))
     queries = normed.filter(
         (F.col("vec_id") < n_queries) & F.col("label").isNotNull()
     ).select(
@@ -233,6 +221,17 @@ def contrastive_mining(
             F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
         )
     )
+    # ONE scoring pass for all four consumers (hard_neg, hard_pos,
+    # semi's neg side, semi's pcos anchor): a LAZY cut -- the first
+    # collect pays it, the union's other branches read the checkpoint
+    # instead of re-running the normalize + broadcast-crossJoin fold.
+    # MEASURED at sf0.1 (4 warm reps each way): 1.3-1.9 s checkpointed
+    # vs 1.6-1.8 s recomputed -- a wash locally (the branches run as
+    # concurrent stages of one job, the a10 hh lesson), adopted anyway
+    # because at deployment scale the corpus scoring pass is the
+    # dominant cost and paying it once is the right default (eager
+    # would serialize it ahead of the job; lazy keeps it inside).
+    scored = scored.localCheckpoint(eager=False)
     neg = scored.filter(F.col("q_label") != F.col("n_label"))
     pos = scored.filter(F.col("q_label") == F.col("n_label"))
     w_desc = Window.partitionBy("query_id").orderBy(
@@ -327,20 +326,41 @@ def normalized_with_bucket(embeddings: DataFrame, n_bits: int = 4) -> DataFrame:
     NULL-element lists the normalize-by-zero produces, see
     tests/test_adversarial_corpus.py).
     """
+    return _normalized_cols(embeddings, with_bucket=True, n_bits=n_bits)
+
+
+def _normalized_cols(
+    embeddings: DataFrame,
+    extra_cols: tuple = (),
+    with_bucket: bool = False,
+    n_bits: int = 4,
+) -> DataFrame:
+    """THE normalization projection (r15: extracted so contrastive_mining
+    could not copy it): the zero-norm/NULL drop rule, the two-projection
+    norm materialization, and the nullif multiply-referenced-expression
+    workaround live HERE and only here.  ``extra_cols`` carry payload
+    columns (e.g. ``label``) through; ``with_bucket`` adds the sign-LSH
+    bucket for the callers that route on it."""
     from ..functions.vectors import as_double_array, l2_norm
 
     step1 = embeddings.select(
         "vec_id",
+        *extra_cols,
         as_double_array("embedding").alias("emb"),
         l2_norm("embedding").alias("nrm"),
-        sign_bucket("embedding", n_bits).alias("bucket"),
+        *(
+            [sign_bucket("embedding", n_bits).alias("bucket")]
+            if with_bucket
+            else []
+        ),
     ).filter(F.col("nrm") > 0)
     return step1.select(
         "vec_id",
+        *extra_cols,
         F.transform(
             "emb", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0))
         ).alias("emb_n"),
-        "bucket",
+        *(["bucket"] if with_bucket else []),
     )
 
 

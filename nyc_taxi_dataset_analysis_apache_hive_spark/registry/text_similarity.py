@@ -45,8 +45,12 @@ _RRF_MICRO_F = float(similarity.RRF_MICRO)
 #: fused top-k depth of the k2 ``rrf`` leg (the same k the ANN legs use)
 K2_RRF_K = 5
 
+#: label rides along since r15 (the k1 mining legs read it; the other
+#: consumers ignore it) so ONE normalization CTE serves every embedding
+#: oracle -- forking it per-entry is how a NULL-guard change would
+#: silently miss a surface.
 _NORM_CTE = """e0 AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                AS nrm
       FROM embeddings WHERE embedding IS NOT NULL
@@ -60,15 +64,10 @@ _MINING_MARGIN_F = float(similarity.MINING_MARGIN)
 @register(
     "k1_knn_bruteforce",
     f"""
-    WITH el0 AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-               AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
-    ),
+    WITH {_NORM_CTE},
     e AS (
       SELECT vec_id, label, list_transform(emb, x -> x / nrm) AS emb_n
-      FROM el0 WHERE nrm > 0
+      FROM e0 WHERE nrm > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, q.label AS ql,
