@@ -2153,13 +2153,25 @@ def _bloom_artifact_geometry(
     legacy bits-only frame.  One-row collect -- the artifact is tiny by
     construction, and resolving the geometry eagerly is what lets the
     probe surfaces raise BEFORE planning a silently-false-negative
-    join."""
+    join.
+
+    The resolved pair is MEMOIZED on the DataFrame object (r16): a
+    foreachBatch stream holds ONE static artifact frame and calls a
+    probe surface per trigger, and without the cache every trigger paid
+    a driver round-trip to re-read two constants off an immutable row.
+    The cache key is the artifact OBJECT -- a rebuilt/updated filter is
+    a new DataFrame, so staleness cannot occur."""
     if "k" not in bloom_bits.columns or "m" not in bloom_bits.columns:
         return None, None
+    cached = getattr(bloom_bits, "_bloom_geometry_cache", None)
+    if cached is not None:
+        return cached
     row = bloom_bits.select("k", "m").first()
     if row is None:
         return None, None
-    return int(row["k"]), int(row["m"])
+    geo = (int(row["k"]), int(row["m"]))
+    bloom_bits._bloom_geometry_cache = geo
+    return geo
 
 
 def resolve_bloom_geometry(

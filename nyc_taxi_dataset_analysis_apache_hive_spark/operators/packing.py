@@ -356,7 +356,16 @@ def _sharded_counts(
         counts = doc_token_counts(
             docs, "text" if text_col is _UNSET else text_col
         )
-    return counts.filter(F.col("n_tokens") > 0).select(
+    # doc_id IS NOT NULL mirrors the n_tokens > 0 exclusion (r16,
+    # ADVICE): the layouts' contract is unique NON-NULL ids, but a
+    # violating NULL id used to flow through to a NULL shard whose
+    # per-shard orderBy('doc_id') then DIVERGES between engines (Spark
+    # sorts NULLS FIRST, DuckDB NULLS LAST) -- silently breaking the
+    # value-hash.  Dropping the row degrades a contract violation to
+    # the same row-drop on both engines.
+    return counts.filter(
+        (F.col("n_tokens") > 0) & F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         _shard_col("doc_id", n_shards).cast("long").alias("shard"),

@@ -642,7 +642,18 @@ def cms_estimate(sketch: CMSketch, keys: DataFrame, key_col: str) -> DataFrame:
     the broadcast counter table (absent cell = 0 -- a never-seen key
     estimates 0, it does not vanish); one min-aggregate back to keys.
     The corpus never re-scans -- at 100 TB the question "how often does
-    this token/URL/fingerprint occur" is answered from kilobytes."""
+    this token/URL/fingerprint occur" is answered from kilobytes.
+
+    The sketch's internal columns are re-aliased with a reserved
+    ``__cms_`` prefix before the probe join, so a caller whose key
+    column happens to be named ``r``/``b``/``cnt`` (token tables love
+    one-letter names) cannot collide with them; only a ``__cms_*`` key
+    column is rejected outright."""
+    if key_col.startswith("__cms_"):
+        raise ValueError(
+            f"key column {key_col!r} collides with the sketch's reserved "
+            "__cms_ internal prefix; rename the probe column"
+        )
     key = F.col(key_col)
     probe = keys.filter(key.isNotNull()).select(
         key_col,
@@ -650,17 +661,22 @@ def cms_estimate(sketch: CMSketch, keys: DataFrame, key_col: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(r).alias("r"),
-                        _cms_bucket(key, r, sketch.width).alias("b"),
+                        F.lit(r).alias("__cms_r"),
+                        _cms_bucket(key, r, sketch.width).alias("__cms_b"),
                     )
                     for r in range(sketch.depth)
                 ]
             )
-        ).alias("x"),
+        ).alias("__cms_x"),
+    )
+    counters = sketch.counters.select(
+        F.col("r").alias("__cms_r"),
+        F.col("b").alias("__cms_b"),
+        F.col("cnt").alias("__cms_cnt"),
     )
     return (
-        probe.select(key_col, "x.r", "x.b")
-        .join(F.broadcast(sketch.counters), ["r", "b"], "left")
+        probe.select(key_col, "__cms_x.__cms_r", "__cms_x.__cms_b")
+        .join(F.broadcast(counters), ["__cms_r", "__cms_b"], "left")
         .groupBy(key_col)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .agg(F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias("est"))
     )

@@ -602,6 +602,16 @@ def a10_distinct_counts(spark, sf):
         # to counting; the DataSketches legs above can only gate
         # in-plane).  approx_ok gates the textbook guarantee in-plane:
         # exact <= est <= exact + e*N/width (Cormode-Muthukrishnan).
+        # PROBABILISTIC, not absolute (r16, ADVICE): the upper bound
+        # holds per key with probability ~1 - e^-depth (~98% at depth
+        # 4) -- on a collision-heavy corpus a key can LEGITIMATELY
+        # exceed it while the sketch is in-spec.  That flips approx_ok
+        # to false IDENTICALLY on both engines (both replay the same
+        # comparison on the same md5 counters), so the driver's
+        # value-hash still passes -- the flag is data, not an assert.
+        # A deployment monitor alerting on this column should gate on
+        # the violation FRACTION <= e^-depth, never on any single key;
+        # size the width first (sketches.cms_geometry).
         # MEASURED: the synthetic corpus has a 31-token vocabulary and
         # 5 event types, so at width 256 neither stream collides and
         # est == exact at every sf -- the collision path (est > exact,

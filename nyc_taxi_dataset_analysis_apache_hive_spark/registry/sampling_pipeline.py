@@ -39,8 +39,6 @@ from .text_similarity import (
 )
 
 
-
-
 # embed hash_split's OWN float-exact cumulative bounds (one definition in
 # sampling.cumulative_split_bounds) so Spark and the oracle compare u
 # against bit-identical literals (shared by d6's grouped_split leg and s6)
@@ -290,7 +288,7 @@ _S6_PACK_CTX = 64
                                          '{TOKEN_SPLIT_REGEX}'),
                       x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
-      ) WHERE n_tokens > 0
+      ) WHERE n_tokens > 0 AND doc_id IS NOT NULL
     ),
     pk_concat AS (
       SELECT doc_id, shard, n_tokens,
@@ -2343,4 +2341,3 @@ register_legs(
 register_legs(
     "d7_cross_corpus_decontam", "op", ("minhash", "overlap", "spans")
 )
-

@@ -1316,7 +1316,7 @@ SQL_QUERIES: dict[str, str] = {
                                           '[^a-z0-9]+'),
                                     x -> x != '')) AS BIGINT) AS n_tokens
             FROM documents
-          ) WHERE n_tokens > 0
+          ) WHERE n_tokens > 0 AND doc_id IS NOT NULL
         ),
         pk_concat AS (
           SELECT doc_id, shard, n_tokens,
