@@ -535,11 +535,41 @@ def ks_drift(
 
 #: gate-sized CMS geometry: depth 4 rows x width 256 counters = <= 1024
 #: longs.  Error bound: est <= true + e*N/width with prob 1-e^-depth
-#: (~98%); at deployment size width ~ e/eps for the target additive
-#: error and keep depth ~ ln(1/delta) -- the table stays kilobytes at
-#: ANY corpus size, which is the whole point.
+#: (~98%).  These DEFAULTS are gate-sized; beyond the gate, size the
+#: sketch to the target error with :func:`cms_geometry` (width =
+#: ceil(e/eps), depth = ceil(ln(1/delta))) -- at 100-TB event counts a
+#: width-256 estimate is off by millions (additive e*N/256), while the
+#: sized table STAYS kilobytes-to-megabytes at any corpus size, which
+#: is the whole point.  The bloom_geometry lesson applied to the second
+#: sketch family.
 CMS_DEPTH = 4
 CMS_WIDTH = 256
+
+
+def cms_geometry(
+    target_eps: float, target_delta: float = 0.02
+) -> tuple[int, int]:
+    """(depth, width) sized so every point estimate satisfies
+    est <= true + ``target_eps``*N with probability >= 1 -
+    ``target_delta`` (Cormode & Muthukrishnan 2005, Theorem 1): width =
+    ceil(e/eps), depth = ceil(ln(1/delta)), both clamped >= 1.
+
+    The deployment sizing step -- the gate-width default silently
+    degrades exactly the way an unsized Bloom filter does (the
+    :func:`..dedup.bloom_geometry` class): at eps = 1e-6 the table is
+    ~2.7M counters per row x 7 rows at delta = 1e-3 -- ~150 MiB of
+    longs, still a broadcastable artifact summarizing ANY corpus size.
+    Feed the result to :func:`cms_build`; the artifact carries its
+    geometry, so merge and the maintained ledger validate against it."""
+    import math
+
+    if not (0.0 < target_eps < 1.0):
+        raise ValueError("target_eps must be in (0, 1)")
+    if not (0.0 < target_delta < 1.0):
+        raise ValueError("target_delta must be in (0, 1)")
+    width = max(1, math.ceil(math.e / target_eps))
+    depth = max(1, math.ceil(math.log(1.0 / target_delta)))
+    return depth, width
 
 
 class CMSketch(NamedTuple):
@@ -586,7 +616,12 @@ def cms_build(
 
     NULL keys have no draw and are EXCLUDED (the shuffle_shards NULL
     policy): a NULL contributes to no counter and estimates nothing,
-    rather than silently colliding on a 'null' string bucket."""
+    rather than silently colliding on a 'null' string bucket.
+
+    The default geometry is GATE-sized; a deployment sketch should be
+    sized with :func:`cms_geometry` for its target additive error
+    (pytest-gated at deployment width in tests/test_cms.py) -- the
+    bloom_fingerprint_admission sizing rule applied to counting."""
     if depth < 1 or width < 1:
         raise ValueError(f"cms geometry must be >= 1, got ({depth}, {width})")
     key = F.col(key_col)

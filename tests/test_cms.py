@@ -125,3 +125,58 @@ def test_unseen_key_estimates_collision_mass_only(spark):
     probe = spark.createDataFrame([("zzz-unseen",)], "k string")
     est = sketches.cms_estimate(sk, probe, "k").first()["est"]
     assert 0 <= est <= 2  # bounded by the stream size; 0 unless collided
+
+
+def test_geometry_formula():
+    """width = ceil(e/eps), depth = ceil(ln(1/delta)) -- the
+    Cormode-Muthukrishnan Theorem 1 sizing, clamped >= 1."""
+    import math
+
+    d, w = sketches.cms_geometry(0.001, 0.01)
+    assert w == math.ceil(math.e / 0.001) == 2719
+    assert d == math.ceil(math.log(100)) == 5
+    # clamps and argument validation
+    assert sketches.cms_geometry(0.9999, 0.9999) == (1, 3)
+    with pytest.raises(ValueError, match="target_eps"):
+        sketches.cms_geometry(0.0)
+    with pytest.raises(ValueError, match="target_delta"):
+        sketches.cms_geometry(0.01, 1.0)
+
+
+def test_deployment_width_bound_and_merge_law(spark):
+    """A cms_geometry-sized sketch (deployment width, >= 2^16 counters
+    per row) on a planted heavy-hitter corpus: every key's estimate
+    honors the additive bound est <= exact + eps*N -- at this width the
+    slack is < 1 count, so the estimates are EXACT -- and the linear
+    merge law holds cell for cell at the deployment geometry too (the
+    gate-width default would smear the hot key's mass over 256 buckets
+    instead)."""
+    eps, delta = 1.0 / 40000, 0.01
+    depth, width = sketches.cms_geometry(eps, delta)
+    assert width >= (1 << 16)
+    # planted corpus: one hot key (2000 draws) over a 500-key tail
+    rows = [("hot",)] * 2000 + [(f"tail-{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    sk = sketches.cms_build(df, "k", depth=depth, width=width)
+    exact = _exact(df, "k")
+    n_total = sum(exact.values())
+    est = {
+        r["k"]: r["est"]
+        for r in sketches.cms_estimate(
+            sk, df.select("k").distinct(), "k"
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert c <= est[k] <= c + eps * n_total
+    assert eps * n_total < 1  # => every estimate above was exact
+    # merge law at the deployment geometry
+    h1 = df.filter(F.length("k") % 2 == 0)
+    h2 = df.filter(F.length("k") % 2 == 1)
+    merged = sketches.cms_merge(
+        sketches.cms_build(h1, "k", depth=depth, width=width),
+        sketches.cms_build(h2, "k", depth=depth, width=width),
+    )
+    assert sorted(map(tuple, merged.counters.collect())) == sorted(
+        map(tuple, sk.counters.collect())
+    )
