@@ -154,6 +154,10 @@ def contrastive_mining(
     k: int = 5,
     n_queries: int = 8,
     margin: float = MINING_MARGIN,
+    *,
+    index: IVFIndex | None = None,
+    n_probe: int = 3,
+    tag_suffix: str = "",
 ) -> DataFrame:
     """Triplet mining over a labeled embedding corpus -- the selection
     stage of contrastive/metric-learning training data: (op, query_id,
@@ -184,14 +188,35 @@ def contrastive_mining(
     NULL/zero-norm embeddings are dropped by the shared normalization
     rule (no direction -> neither anchor nor candidate).
 
-    Scale shape: identical to :func:`cosine_topk_bruteforce` -- the
-    anchor set broadcasts, the corpus streams through map-side dot
+    Scale shape (brute): identical to :func:`cosine_topk_bruteforce` --
+    the anchor set broadcasts, the corpus streams through map-side dot
     products, ranking windows on the k-bounded per-anchor groups, and
     the ``pcos`` band anchor is an n_queries-row broadcast.  The corpus
     is never shuffled; at deployment the anchor set is the micro-batch
-    of new training examples, the corpus the candidate pool.
+    of new training examples, the corpus the candidate pool.  This is
+    right ONLY while the anchor set is bounded: with every document as
+    an anchor the scored relation is |anchors| x |corpus| -- the
+    quadratic object itself -- and "scaling" it by raising n_queries
+    (or a bigger cache for the shared pass, see below) just grows that
+    object.  Full-corpus-anchor mining goes through ``index=``.
 
-    All three legs value-hash against the DuckDB oracle (exact cosines
+    ``index=`` (r16, the routed variant): a precomputed
+    :func:`ivf_assign` artifact routes each anchor to its ``n_probe``
+    nearest centroid cells (the :func:`cosine_topk_ivf` probe spelling
+    verbatim) and mines only those cells' members -- candidate
+    generation is an equi-join on cent_id scanning ~n_probe/n_centroids
+    of the corpus per anchor, so total work is ~|anchors| x |corpus| x
+    n_probe/n_centroids with NO broadcast of the full scored relation.
+    Semantics shift exactly as IVF search shifts: all three legs mine
+    the hardest examples AMONG THE PROBED CELLS.  hard_neg recall vs
+    the brute leg is pytest-gated (the k2 ivf-vs-knn gate pattern);
+    hard_pos is the least-similar IN-CELL positive -- the usual
+    deployment framing (FaceNet mines within the mini-batch/cell, not
+    globally), since the globally-easiest positive usually lives in a
+    far cell by definition.  ``tag_suffix`` tags the emitted op names
+    (the k1 entry stacks brute + routed legs as ``*_ivf``).
+
+    All legs value-hash against the DuckDB oracle (exact cosines
     rounded to 6, ties to the lowest neighbor_id), gated through the k1
     registry entry."""
     from ..functions.vectors import dot
@@ -209,29 +234,80 @@ def contrastive_mining(
         F.col("label").alias("n_label"),
         F.col("emb_n").alias("c_emb"),
     )
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_label",
-            "neighbor_id",
-            "n_label",
-            F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
+    if index is None:
+        scored = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "q_label",
+                "neighbor_id",
+                "n_label",
+                F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
+            )
         )
-    )
+    else:
+        if n_probe < 1:
+            raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+        # anchor routing probes with the RAW embeddings against
+        # index.cents -- the cosine_topk_ivf spelling verbatim, so
+        # mining and search route a given query to the SAME cells.
+        # Probes are ranked per-anchor BEFORE the label join (ranking
+        # is per-partition, so unlabeled anchors dropping later cannot
+        # change any other anchor's cells).
+        qcand = (
+            embeddings.select("vec_id", "embedding")
+            .filter(F.col("vec_id") < n_queries)
+            .crossJoin(F.broadcast(index.cents))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "cent_id",
+                F.round(cosine("embedding", "cent_emb"), 6).alias(
+                    "cent_sim"
+                ),
+            )
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.col("cent_sim").desc(), F.col("cent_id").asc()
+        )
+        probes = (
+            qcand.withColumn("crank", F.row_number().over(w_probe))
+            .filter(F.col("crank") <= n_probe)
+            .select("query_id", "cent_id")
+        )
+        routed_q = probes.join(queries, "query_id")
+        cand = index.assigned.select(
+            F.col("vec_id").alias("neighbor_id"), "cent_id"
+        ).join(corpus, "neighbor_id")
+        scored = (
+            F.broadcast(routed_q)
+            .join(cand, "cent_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "q_label",
+                "neighbor_id",
+                "n_label",
+                F.round(dot("q_emb", "c_emb"), 6).alias("cosine"),
+            )
+            .distinct()
+        )
     # ONE scoring pass for all four consumers (hard_neg, hard_pos,
-    # semi's neg side, semi's pcos anchor): a LAZY cut -- the first
-    # collect pays it, the union's other branches read the checkpoint
-    # instead of re-running the normalize + broadcast-crossJoin fold.
-    # MEASURED at sf0.1 (4 warm reps each way): 1.3-1.9 s checkpointed
-    # vs 1.6-1.8 s recomputed -- a wash locally (the branches run as
-    # concurrent stages of one job, the a10 hh lesson), adopted anyway
-    # because at deployment scale the corpus scoring pass is the
-    # dominant cost and paying it once is the right default (eager
-    # would serialize it ahead of the job; lazy keeps it inside).
-    scored = scored.localCheckpoint(eager=False)
+    # semi's neg side, semi's pcos anchor): persist(), NOT a local
+    # checkpoint (r16, ADVICE) -- local checkpoints live on executors
+    # with no lineage fallback, so an executor loss mid-query fails the
+    # whole job; a persisted relation recomputes gracefully.  MEASURED
+    # at sf0.1 (4 warm reps each way, r15): 1.3-1.9 s cut vs 1.6-1.8 s
+    # recomputed -- a wash locally (the branches run as concurrent
+    # stages of one job, the a10 hh lesson), adopted because at
+    # deployment scale the corpus scoring pass is the dominant cost and
+    # paying it once is the right default.  MEMORY SHAPE: the cache
+    # pins |queries| x |corpus| scored rows on the brute path -- fine
+    # for a bounded anchor set, the quadratic object itself at
+    # full-corpus anchors.  The answer there is the routed ``index=``
+    # variant (cell-bounded scored relation), never a bigger cache.
+    scored = scored.persist()
     neg = scored.filter(F.col("q_label") != F.col("n_label"))
     pos = scored.filter(F.col("q_label") == F.col("n_label"))
     w_desc = Window.partitionBy("query_id").orderBy(
@@ -259,7 +335,7 @@ def contrastive_mining(
 
     def leg(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
-            F.lit(tag).alias("op"),
+            F.lit(tag + tag_suffix).alias("op"),
             "query_id",
             "neighbor_id",
             "cosine",

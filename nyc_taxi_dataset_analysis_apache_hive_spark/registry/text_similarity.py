@@ -60,6 +60,22 @@ _NORM_CTE = """e0 AS (
 #: semi-hard band width repr-roundtripped from its ONE definition
 _MINING_MARGIN_F = float(similarity.MINING_MARGIN)
 
+#: raw-embedding cosine spellings shared by every IVF routing CTE (the
+#: k2 ivf leg, the k2 ivfpq router, and the k1 routed-mining legs since
+#: r16) -- defined ABOVE the k1 entry because its oracle f-string
+#: interpolates them at registration time.
+_IVF_COS_VC = (
+    "round(list_dot_product(v.emb, c.cent_emb) /"
+    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
+    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
+)
+_IVF_COS_QC = _IVF_COS_VC.replace("v.emb", "q.emb")
+_IVF_COS_PA = (
+    "round(list_dot_product(p.q_emb, a.c_emb) /"
+    " nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))"
+    " * sqrt(list_dot_product(a.c_emb, a.c_emb)), 0), 6)"
+)
+
 
 @register(
     "k1_knn_bruteforce",
@@ -84,6 +100,44 @@ _MINING_MARGIN_F = float(similarity.MINING_MARGIN)
                PARTITION BY query_id
                ORDER BY cosine ASC, neighbor_id ASC) AS BIGINT) AS rank
       FROM sup WHERE nl = ql
+    ),
+    mcents AS (
+      SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
+      WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    massigned AS (
+      SELECT neighbor_id, cent_id FROM (
+        SELECT v.vec_id AS neighbor_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_IVF_COS_VC} DESC, c.cent_id ASC) AS crank
+        FROM e0 v CROSS JOIN mcents c
+      ) WHERE crank = 1
+    ),
+    mprobes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS_QC} DESC, c.cent_id ASC) AS crank
+        FROM (SELECT * FROM e0 WHERE vec_id < 8) q CROSS JOIN mcents c
+      ) WHERE crank <= 3
+    ),
+    rsup AS (
+      SELECT DISTINCT p.query_id, qe.label AS ql, a.neighbor_id,
+             ce.label AS nl,
+             round(list_dot_product(qe.emb_n, ce.emb_n), 6) AS cosine
+      FROM mprobes p
+      JOIN massigned a USING (cent_id)
+      JOIN e qe ON qe.vec_id = p.query_id
+      JOIN e ce ON ce.vec_id = a.neighbor_id
+      WHERE p.query_id <> a.neighbor_id
+        AND qe.label IS NOT NULL AND ce.label IS NOT NULL
+    ),
+    rhpos_r AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine ASC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM rsup WHERE nl = ql
     )
     SELECT 'knn' AS op, query_id, neighbor_id, cosine, rank FROM (
       SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
@@ -110,11 +164,32 @@ _MINING_MARGIN_F = float(similarity.MINING_MARGIN)
       WHERE s.nl <> s.ql AND s.cosine < p.pcos
         AND s.cosine >= p.pcos - {_MINING_MARGIN_F!r}
     ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'hard_neg_ivf' AS op, query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM rsup WHERE nl <> ql
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'hard_pos_ivf' AS op, query_id, neighbor_id, cosine, rank
+    FROM rhpos_r WHERE rank <= 1
+    UNION ALL
+    SELECT 'semi_hard_ivf' AS op, query_id, neighbor_id, cosine, rank FROM (
+      SELECT s.query_id, s.neighbor_id, s.cosine, CAST(row_number() OVER (
+        PARTITION BY s.query_id
+        ORDER BY s.cosine DESC, s.neighbor_id ASC) AS BIGINT) AS rank
+      FROM rsup s
+      JOIN (SELECT query_id, cosine AS pcos FROM rhpos_r WHERE rank <= 1) p
+        USING (query_id)
+      WHERE s.nl <> s.ql AND s.cosine < p.pcos
+        AND s.cosine >= p.pcos - {_MINING_MARGIN_F!r}
+    ) WHERE rank <= 5
     """,
 )
 def k1_knn_bruteforce(spark, sf):
-    """Brute-force cosine surface over the embeddings table, four tagged
-    legs (query vectors = vec_id < 8, the fixed-anchor convention):
+    """Brute-force cosine surface over the embeddings table, seven
+    tagged legs (query vectors = vec_id < 8, the fixed-anchor
+    convention):
 
     * ``op='knn'``: exact top-5 cosine neighbours -- the ANN baseline
       every k2 recall gate measures against.  Query side broadcast;
@@ -127,7 +202,21 @@ def k1_knn_bruteforce(spark, sf):
       the label columns riding, so the oracle replays all four legs
       from ONE scored CTE; the semi-hard band anchors at the hard
       positive's cosine minus MINING_MARGIN (repr-roundtripped from
-      its one definition)."""
+      its one definition).
+    * ``op='hard_neg_ivf'`` / ``op='hard_pos_ivf'`` /
+      ``op='semi_hard_ivf'`` (r16): the ROUTED mining legs -- anchors
+      probe their 3 nearest of the 16 fixed centroids through a
+      precomputed ivf_assign index and mine only those cells' members,
+      the deployment path when EVERY document is an anchor (the brute
+      pass's scored relation is the quadratic object there; see the
+      operator docstring).  The oracle replays the routing with the
+      k2 ivf leg's CTE spellings verbatim (ONE routing definition) and
+      the mining windows over the routed candidate set; hard_neg
+      recall vs the brute leg is additionally pytest-gated
+      (tests/test_contrastive_mining.py).  The index is built
+      per-invocation here (recompute-by-default at gate scale, the k2
+      measured posture -- ``index=`` exists so a deployment builds it
+      once)."""
     emb = _t(spark, sf, "embeddings")
     knn = similarity.cosine_topk_bruteforce(emb, k=5, n_queries=8).select(
         F.lit("knn").alias("op"),
@@ -136,9 +225,17 @@ def k1_knn_bruteforce(spark, sf):
         "cosine",
         "rank",
     )
+    routed = similarity.contrastive_mining(
+        emb,
+        k=5,
+        n_queries=8,
+        index=similarity.ivf_assign(emb, n_centroids=16, centroid_offset=100),
+        n_probe=3,
+        tag_suffix="_ivf",
+    )
     return knn.unionByName(
         similarity.contrastive_mining(emb, k=5, n_queries=8)
-    )
+    ).unionByName(routed)
 
 
 #: trained-centroid gate parameters (the k3 ``semdedup_trained`` leg):
@@ -274,18 +371,6 @@ _K2_LSH_SQL = f"""
       FROM scored
     ) WHERE rank <= 5
 """
-
-_IVF_COS_VC = (
-    "round(list_dot_product(v.emb, c.cent_emb) /"
-    " nullif(sqrt(list_dot_product(v.emb, v.emb))"
-    " * sqrt(list_dot_product(c.cent_emb, c.cent_emb)), 0), 6)"
-)
-_IVF_COS_QC = _IVF_COS_VC.replace("v.emb", "q.emb")
-_IVF_COS_PA = (
-    "round(list_dot_product(p.q_emb, a.c_emb) /"
-    " nullif(sqrt(list_dot_product(p.q_emb, p.q_emb))"
-    " * sqrt(list_dot_product(a.c_emb, a.c_emb)), 0), 6)"
-)
 
 _K4_IVF_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
@@ -1349,7 +1434,15 @@ register_legs(
 register_legs(
     "k1_knn_bruteforce",
     "op",
-    ("hard_neg", "hard_pos", "knn", "semi_hard"),
+    (
+        "hard_neg",
+        "hard_neg_ivf",
+        "hard_pos",
+        "hard_pos_ivf",
+        "knn",
+        "semi_hard",
+        "semi_hard_ivf",
+    ),
 )
 # m1_media_catalog is deliberately NOT declared: its kind column is
 # derived from doc_id inside ONE scan+aggregate (not a stacked union),

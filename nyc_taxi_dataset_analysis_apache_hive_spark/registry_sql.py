@@ -356,9 +356,11 @@ def _a10_cms_legs() -> str:
 
 
 def _k1_sql_text() -> str:
-    """k1's four legs as one Spark-SQL statement: the knn baseline plus
-    the r15 contrastive-mining legs, the semi-hard margin
-    repr-roundtripped from similarity.MINING_MARGIN (one definition)."""
+    """k1's seven legs as one Spark-SQL statement: the knn baseline,
+    the r15 contrastive-mining legs, and the r16 ROUTED mining legs
+    (the k2 ivf routing CTE spellings verbatim -- fixed 16-centroid
+    slice, 3-probe anchors); the semi-hard margin repr-roundtripped
+    from similarity.MINING_MARGIN (one definition)."""
     from .operators.similarity import MINING_MARGIN
 
     return f"""
@@ -394,6 +396,46 @@ def _k1_sql_text() -> str:
                    PARTITION BY query_id
                    ORDER BY cosine ASC, neighbor_id ASC) AS BIGINT) AS rank
           FROM sup WHERE nl = ql
+        ),
+        mcents AS (
+          SELECT vec_id AS cent_id, emb AS cent_emb FROM e0
+          WHERE vec_id >= 100 AND vec_id < 116
+        ),
+        massigned AS (
+          SELECT neighbor_id, cent_id FROM (
+            SELECT v.vec_id AS neighbor_id, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round({_sql_cosine("v.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM e0 v CROSS JOIN mcents c
+          ) WHERE crank = 1
+        ),
+        mprobes AS (
+          SELECT query_id, cent_id FROM (
+            SELECT q.vec_id AS query_id, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round({_sql_cosine("q.emb", "c.cent_emb")}, 6) DESC,
+                     c.cent_id ASC) AS crank
+            FROM (SELECT * FROM e0 WHERE vec_id < 8) q CROSS JOIN mcents c
+          ) WHERE crank <= 3
+        ),
+        rsup AS (
+          SELECT DISTINCT p.query_id, qe.label AS ql, a.neighbor_id,
+                 ce.label AS nl,
+                 round({_sql_dot("qe.emb_n", "ce.emb_n")}, 6) AS cosine
+          FROM mprobes p
+          JOIN massigned a ON p.cent_id = a.cent_id
+          JOIN e qe ON qe.vec_id = p.query_id
+          JOIN e ce ON ce.vec_id = a.neighbor_id
+          WHERE p.query_id <> a.neighbor_id
+            AND qe.label IS NOT NULL AND ce.label IS NOT NULL
+        ),
+        rhpos_r AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM rsup WHERE nl = ql
         )
         SELECT 'knn' AS op, query_id, neighbor_id, cosine,
                CAST(rank AS BIGINT) AS rank
@@ -422,6 +464,31 @@ def _k1_sql_text() -> str:
             ORDER BY s.cosine DESC, s.neighbor_id ASC) AS rank
           FROM sup s
           JOIN (SELECT query_id, cosine AS pcos FROM hpos_r
+                WHERE rank <= 1) p
+            ON s.query_id = p.query_id
+          WHERE s.nl <> s.ql AND s.cosine < p.pcos
+            AND s.cosine >= p.pcos - {float(MINING_MARGIN)!r}D
+        ) WHERE rank <= 5
+        UNION ALL
+        SELECT 'hard_neg_ivf' AS op, query_id, neighbor_id, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cosine, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM rsup WHERE nl <> ql
+        ) WHERE rank <= 5
+        UNION ALL
+        SELECT 'hard_pos_ivf' AS op, query_id, neighbor_id, cosine, rank
+        FROM rhpos_r WHERE rank <= 1
+        UNION ALL
+        SELECT 'semi_hard_ivf' AS op, query_id, neighbor_id, cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT s.query_id, s.neighbor_id, s.cosine, row_number() OVER (
+            PARTITION BY s.query_id
+            ORDER BY s.cosine DESC, s.neighbor_id ASC) AS rank
+          FROM rsup s
+          JOIN (SELECT query_id, cosine AS pcos FROM rhpos_r
                 WHERE rank <= 1) p
             ON s.query_id = p.query_id
           WHERE s.nl <> s.ql AND s.cosine < p.pcos
