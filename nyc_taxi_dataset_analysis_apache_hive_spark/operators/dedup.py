@@ -2146,6 +2146,24 @@ def _pack_words(bloom_bits: DataFrame, k: int, m: int) -> DataFrame:
     )
 
 
+def save_bloom_filter(bloom_bits: DataFrame, path: str) -> None:
+    """Persist a bloom artifact -- either representation (the sorted
+    positions row from :func:`bloom_filter_build` / the packed words
+    row from :func:`bloom_pack_words`) -- as one parquet row.  The
+    filter is maintained deployment state (:func:`bloom_filter_update`
+    folds batches into it), so a restart reads it back instead of
+    re-hashing the history; geometry rides the row, so every probe
+    surface still validates against it after the round-trip
+    (pytest-gated in tests/test_artifact_persistence.py)."""
+    bloom_bits.write.mode("overwrite").parquet(path)
+
+
+def load_bloom_filter(spark, path: str) -> DataFrame:
+    """Read back a :func:`save_bloom_filter` artifact, probe-ready for
+    :func:`bloom_admission_rows` / the streaming twins."""
+    return spark.read.parquet(path)
+
+
 def _bloom_artifact_geometry(
     bloom_bits: DataFrame,
 ) -> tuple[int | None, int | None]:

@@ -967,6 +967,28 @@ def ivf_assign(
     return IVFIndex(cents, assigned)
 
 
+def save_ivf_index(index: IVFIndex, path: str) -> None:
+    """Persist an :class:`IVFIndex` as two parquet tables
+    (``{path}/cents``, ``{path}/assigned``) -- the index is maintained
+    deployment state (a full corpus scan to rebuild), so a restart
+    should read it back instead of re-assigning.  Round-trip equality
+    (save -> load -> probe == fresh index) is pytest-gated in
+    tests/test_artifact_persistence.py, the maintained-state ==
+    rebuild discipline the CMS/HLL ledgers already follow."""
+    index.cents.write.mode("overwrite").parquet(f"{path}/cents")
+    index.assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    """Read back a :func:`save_ivf_index` artifact.  The centroid table
+    rides the artifact, so probe-side routing after a restart uses
+    exactly the centroid set the assignment was built with."""
+    return IVFIndex(
+        spark.read.parquet(f"{path}/cents"),
+        spark.read.parquet(f"{path}/assigned"),
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     k: int = 5,
@@ -1654,6 +1676,41 @@ def pq_encode(
     if checkpoint:
         codes_long = codes_long.localCheckpoint(eager=True)
     return PQEncoding(m, k_sub, dim, raw, dcols, codes_long)
+
+
+def save_pq_encoding(enc: PQEncoding, path: str) -> None:
+    """Persist a :class:`PQEncoding` as parquet (``{path}/meta`` one
+    geometry row, ``{path}/raw``, ``{path}/dcols``, ``{path}/codes``)
+    -- the corpus encode is the expensive pass, so a restart reads the
+    codes back instead of re-encoding.  ``dcols`` is persisted too:
+    it is the query-side distance-table source (the searches re-derive
+    the tiny query slice from it with a vec_id pushdown), and without
+    it a reload could silently re-derive distances from a DIFFERENT
+    codebook than the codes were encoded with.  Round-trip equality is
+    pytest-gated in tests/test_artifact_persistence.py."""
+    spark = enc.raw.sparkSession
+    spark.createDataFrame(
+        [(int(enc.m), int(enc.k_sub), int(enc.dim))],
+        "m int, k_sub int, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    enc.raw.write.mode("overwrite").parquet(f"{path}/raw")
+    enc.dcols.write.mode("overwrite").parquet(f"{path}/dcols")
+    enc.codes_long.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_encoding(spark, path: str) -> PQEncoding:
+    """Read back a :func:`save_pq_encoding` artifact; geometry rides
+    the meta row (the bloom-artifact rule), so a consumer can never
+    probe reloaded codes with a mismatched layout."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    return PQEncoding(
+        int(meta["m"]),
+        int(meta["k_sub"]),
+        int(meta["dim"]),
+        spark.read.parquet(f"{path}/raw"),
+        spark.read.parquet(f"{path}/dcols"),
+        spark.read.parquet(f"{path}/codes"),
+    )
 
 
 def cosine_topk_pq(
