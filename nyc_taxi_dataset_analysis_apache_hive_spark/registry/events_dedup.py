@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import TOKEN_SPLIT_REGEX
 from ..operators import (
+    anomaly,
     dedup,
     incremental,
 )
@@ -27,18 +28,143 @@ from .base import (
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Windowed event stats + time-series anomaly monitor (e1, r16): the
+# tumbling-window agg plus rolling/global z-scores on per-type daily
+# counts -- see operators/anomaly.py for the cross-engine exactness
+# design (integer window sums -> one shared double expression).
+# ---------------------------------------------------------------------------
+
+#: the two window shapes as shared SQL fragments (identical text in both
+#: engines); the z expression itself comes from anomaly.z_expr()
+_E1_ROLL_W = (
+    "(PARTITION BY key ORDER BY day "
+    "ROWS BETWEEN {d} PRECEDING AND 1 PRECEDING)"
+).format(d=anomaly.ROLLING_DAYS)
+_E1_GLOB_W = "(PARTITION BY key)"
+
+#: shared-verbatim CTE block (valid in Spark SQL and DuckDB alike) --
+#: interpolated into the oracle AND the SQL-mode twin
+_E1_CTES = f"""
+    daily AS (
+      -- CAST: DuckDB date_trunc('day') yields DATE, Spark TIMESTAMP;
+      -- the cast makes both engines emit TIMESTAMP (no-op in Spark)
+      SELECT event_type AS key,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rsums AS (
+      SELECT key, day, n,
+             sum(n) OVER {_E1_ROLL_W} AS sum_n,
+             sum(n * n) OVER {_E1_ROLL_W} AS sum_sq,
+             count(*) OVER {_E1_ROLL_W} AS c
+      FROM daily
+    ),
+    rolling AS (
+      SELECT key, day, n, round({anomaly.z_expr()}, 6) AS score
+      FROM rsums WHERE c = {anomaly.ROLLING_DAYS}
+    ),
+    gsums AS (
+      SELECT key, day, n,
+             sum(n) OVER {_E1_GLOB_W} AS sum_n,
+             sum(n * n) OVER {_E1_GLOB_W} AS sum_sq,
+             count(*) OVER {_E1_GLOB_W} AS c
+      FROM daily
+    ),
+    ghist AS (
+      SELECT key, day, n, round({anomaly.z_expr()}, 6) AS score
+      FROM gsums
+    )
+"""
+
+#: the three anomaly legs in e1's column names, shared by both SQL
+#: surfaces
+_E1_ANOMALY_SELECTS = f"""
+    SELECT 'daily' AS op, day AS window_start, key AS event_type,
+           n AS n_events, CAST(NULL AS DOUBLE) AS sum_value,
+           CAST(NULL AS BIGINT) AS flag
+    FROM daily
+    UNION ALL
+    SELECT 'zscore' AS op, day AS window_start, key AS event_type,
+           n AS n_events, score AS sum_value, {anomaly.FLAG_EXPR} AS flag
+    FROM rolling
+    UNION ALL
+    SELECT 'global' AS op, day AS window_start, key AS event_type,
+           n AS n_events, score AS sum_value, {anomaly.FLAG_EXPR} AS flag
+    FROM ghist
+"""
+
+
 @register(
     "e1_tumbling_window_counts",
-    """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    f"""
+    WITH {_E1_CTES}
+    SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value, CAST(NULL AS BIGINT) AS flag
     FROM events GROUP BY window_start, event_type
+    UNION ALL
+    {_E1_ANOMALY_SELECTS}
     """,
 )
 def e1_tumbling_window_counts(spark, sf):
-    """Tumbling-window agg, batch analog of the streaming operator (the
-    stream variant with watermark runs in tests/test_streaming.py)."""
-    return tumbling_counts_batch(_t(spark, sf, "events"), "1 hour")
+    """Windowed event stats, tagged and stacked (u1/r1 precedent, one
+    driver slot).  ``tumbling`` = the hourly tumbling-window agg, batch
+    analog of the streaming operator (the stream variant with watermark
+    runs in tests/test_streaming.py).  The r16 anomaly legs put the
+    data-quality monitor a continuous ingest runs on the same surface:
+    ``daily`` = the per-(event_type, day) count series (the one
+    data-sized aggregate; everything downstream is keys x days sized);
+    ``zscore`` = each day scored against its trailing 7-day window
+    (self excluded, full windows only -- the continuous-monitor view);
+    ``global`` = each day against the type's whole history (the
+    retrospective-outlier view).  flag = |z| > 2 on the 6-dp-rounded
+    score (sum_value carries the score for the anomaly legs).  Mean/std
+    re-derived from exact integer window sums through one shared
+    expression so both engines produce bit-identical doubles
+    (operators/anomaly.py)."""
+    ev = _t(spark, sf, "events")
+    nulld = F.lit(None).cast("double")
+    nulll = F.lit(None).cast("long")
+    tumb = tumbling_counts_batch(ev, "1 hour").select(
+        F.lit("tumbling").alias("op"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+        nulll.alias("flag"),
+    )
+    daily = anomaly.daily_counts(ev)
+    daily_leg = daily.select(
+        F.lit("daily").alias("op"),
+        F.col("day").alias("window_start"),
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        nulld.alias("sum_value"),
+        nulll.alias("flag"),
+    )
+    roll_leg = anomaly.rolling_zscores(daily).select(
+        F.lit("zscore").alias("op"),
+        F.col("day").alias("window_start"),
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.col("score").alias("sum_value"),
+        "flag",
+    )
+    glob_leg = anomaly.global_zscores(daily).select(
+        F.lit("global").alias("op"),
+        F.col("day").alias("window_start"),
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.col("score").alias("sum_value"),
+        "flag",
+    )
+    return (
+        tumb.unionByName(daily_leg)
+        .unionByName(roll_leg)
+        .unionByName(glob_leg)
+    )
 
 
 @register(
@@ -832,6 +958,11 @@ def d5_simhash_pairs(spark, sf):
 # ---------------------------------------------------------------------------
 # Leg declarations (r15): tagged-union entries, for bench.py's per-leg
 # timing breakdown (pinned by tests/test_bench_legs.py).
+register_legs(
+    "e1_tumbling_window_counts",
+    "op",
+    ("daily", "global", "tumbling", "zscore"),
+)
 register_legs("d1_dedup_groups", "method", ("bloom", "exact", "fp"))
 register_legs("d3_minhash_lsh_pairs", "op", ("inc_admit", "pairs"))
 register_legs(

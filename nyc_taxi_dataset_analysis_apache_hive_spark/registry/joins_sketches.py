@@ -18,6 +18,7 @@ from ..functions.text import (
 from ..operators import (
     asof,
     incremental,
+    linkage,
     sketches,
     skew,
 )
@@ -660,6 +661,136 @@ def a10_distinct_counts(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy entity resolution (x3): dictionary-level blocked edit-distance
+# linkage over part names -- see operators/linkage.py for the design.
+# ---------------------------------------------------------------------------
+
+#: one definition of the linkage gate constants, embedded into every
+#: surface (the _SPLIT_BOUNDS precedent)
+_X3_MAX_DIST = 3
+
+#: shared DuckDB/Spark-SQL CTE block (both engines accept this text
+#: verbatim: split_part with -1, levenshtein, windowed row_number are
+#: identical surfaces) -- ONE spelling so the oracle and the Spark-SQL
+#: twin cannot drift
+_X3_CTES = f"""
+    dict AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_records
+      FROM part WHERE p_name IS NOT NULL AND p_name <> ''
+      GROUP BY p_name
+    ),
+    cand AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             a.n_records AS cnt_a, b.n_records AS cnt_b
+      FROM dict a JOIN dict b
+        ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+       AND a.name < b.name
+      UNION
+      SELECT a.name, b.name, a.n_records, b.n_records
+      FROM dict a JOIN dict b
+        ON split_part(a.name, ' ', -1) = split_part(b.name, ' ', -1)
+       AND a.name < b.name
+    ),
+    pairs AS (
+      SELECT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+             CAST(cnt_a * cnt_b AS BIGINT) AS pair_mass
+      FROM cand WHERE levenshtein(name_a, name_b) <= {_X3_MAX_DIST}
+    ),
+    sym AS (
+      SELECT name_a AS name, name_b AS other, lev FROM pairs
+      UNION ALL
+      SELECT name_b AS name, name_a AS other, lev FROM pairs
+    ),
+    best AS (
+      SELECT name, other, lev FROM (
+        SELECT name, other, lev,
+               row_number() OVER (
+                 PARTITION BY name ORDER BY lev ASC, other ASC) AS rn
+        FROM sym
+      ) ranked WHERE rn = 1
+    ),
+    symc AS (
+      SELECT name, other, lev FROM sym
+      UNION ALL
+      SELECT name AS name, name AS other, CAST(0 AS BIGINT) AS lev
+      FROM dict
+    ),
+    canon AS (
+      SELECT name, other AS canon, other_records FROM (
+        SELECT s.name, s.other, d.n_records AS other_records,
+               row_number() OVER (
+                 PARTITION BY s.name
+                 ORDER BY d.n_records DESC, s.other ASC) AS rn
+        FROM symc s JOIN dict d ON d.name = s.other
+      ) ranked WHERE rn = 1
+    )
+"""
+
+#: the three fuzzy legs in j5's (op, key, name, val) schema -- the pair
+#: rides as 'left>right' in the name column, the edit distance in key,
+#: the record mass in val.  Shared-verbatim SQL (both engines accept the
+#: text), interpolated into BOTH j5 SQL surfaces; the j5 DataFrame
+#: builds the same rows from operators/linkage.py.
+X3_LEG_SELECTS = """
+    SELECT 'fuzzy_pairs' AS op, lev AS key,
+           name_a || '>' || name_b AS name, pair_mass AS val
+    FROM pairs
+    UNION ALL
+    SELECT 'fuzzy_best' AS op, lev AS key,
+           name || '>' || other AS name, CAST(NULL AS BIGINT) AS val
+    FROM best
+    UNION ALL
+    SELECT 'fuzzy_canon' AS op, CAST(NULL AS BIGINT) AS key,
+           name || '>' || canon AS name,
+           CAST(other_records AS BIGINT) AS val
+    FROM canon
+"""
+
+
+def _j5_fuzzy_legs(spark, sf) -> DataFrame:
+    """Fuzzy entity resolution over the part-name column (the blocked
+    similarity-join member of the join surface): ``fuzzy_pairs`` =
+    dictionary-level near-variant pairs from two-pass blocking (shared
+    first token OR shared last token) + levenshtein <= 3, weighted by
+    the record-pair mass they stand for; ``fuzzy_best`` = each name's
+    single best fuzzy neighbor (min lev, name tiebreak);
+    ``fuzzy_canon`` = merge-into-the-heaviest-variant canonicalization.
+    The fuzzy stage runs over the DISTINCT-name dictionary (SF-invariant
+    64 names here; sublinear vs records in any real entity column),
+    never over records -- see operators/linkage.py's 100 TB note.  Both
+    engines score with their built-in integer-exact levenshtein, so all
+    three legs value-hash."""
+    part = _t(spark, sf, "part")
+    d = linkage.name_dictionary(part, "p_name", "p_partkey")
+    p = linkage.blocked_pairs(d, max_dist=_X3_MAX_DIST)
+    b = linkage.best_match(p)
+    c = linkage.canonical_map(p, d)
+    nullv = F.lit(None).cast("long")
+    arrow = F.lit(">")
+    pairs_leg = p.select(
+        F.lit("fuzzy_pairs").alias("op"),
+        F.col("lev").alias("key"),
+        F.concat("name_a", arrow, "name_b").alias("name"),
+        F.col("pair_mass").alias("val"),
+    )
+    best_leg = b.select(
+        F.lit("fuzzy_best").alias("op"),
+        F.col("lev").alias("key"),
+        F.concat("name", arrow, "match").alias("name"),
+        nullv.alias("val"),
+    )
+    canon_leg = c.select(
+        F.lit("fuzzy_canon").alias("op"),
+        nullv.alias("key"),
+        F.concat("name", arrow, "canon").alias("name"),
+        F.col("canon_records").alias("val"),
+    )
+    return pairs_leg.unionByName(best_leg).unionByName(canon_leg)
+
+
+
+# ---------------------------------------------------------------------------
 # Join-family breadth (Spark exposes the full family; J1 was the only
 # reference-mandated join -- these are the free extensions SURVEY §2.3 notes)
 # ---------------------------------------------------------------------------
@@ -667,7 +798,8 @@ def a10_distinct_counts(spark, sf):
 
 @register(
     "j5_join_surface",
-    """
+    f"""
+    WITH {_X3_CTES}
     SELECT 'semi_big_order' AS op, CAST(c_custkey AS BIGINT) AS key,
            c_name AS name, CAST(NULL AS BIGINT) AS val
     FROM customer c
@@ -712,6 +844,8 @@ def a10_distinct_counts(spark, sf):
     UNION ALL
     SELECT 'zorder_skip' AS op, CAST(NULL AS BIGINT) AS key,
            'skip_and_match' AS name, CAST(1 AS BIGINT) AS val
+    UNION ALL
+    {X3_LEG_SELECTS}
     """,
 )
 def j5_join_surface(spark, sf):
@@ -750,7 +884,12 @@ def j5_join_surface(spark, sf):
     pruned read returns exactly the full scan's answer on the box (see
     _zorder_skip_leg) -- the oracle expects val=1, so a layout
     regression (no skipping) or a pruning bug (wrong rows) turns the
-    driver row red."""
+    driver row red.
+
+    ``fuzzy_pairs`` / ``fuzzy_best`` / ``fuzzy_canon`` (r16) add the
+    blocked SIMILARITY join to the surface: dictionary-level fuzzy
+    entity resolution over part names (see _j5_fuzzy_legs and
+    operators/linkage.py)."""
     c = _t(spark, sf, "customer")
     big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
     o = _t(spark, sf, "orders")
@@ -806,6 +945,7 @@ def j5_join_surface(spark, sf):
     )
     bucket_counts, bucket_ok = _bucketed_join_leg(spark, sf)
     zorder_ok = _zorder_skip_leg(spark, sf)
+    fuzzy = _j5_fuzzy_legs(spark, sf)
     return (
         semi.unionByName(anti)
         .unionByName(outer)
@@ -814,6 +954,7 @@ def j5_join_surface(spark, sf):
         .unionByName(bucket_counts)
         .unionByName(bucket_ok)
         .unionByName(zorder_ok)
+        .unionByName(fuzzy)
     )
 
 
@@ -956,6 +1097,8 @@ def _zorder_skip_leg(spark, sf) -> DataFrame:
         F.lit("skip_and_match").alias("name"),
         F.lit(1 if ok else 0).cast("long").alias("val"),
     )
+
+
 # ---------------------------------------------------------------------------
 # Leg declarations (r15): tagged-union entries, for bench.py's per-leg
 # timing breakdown (pinned by tests/test_bench_legs.py).
@@ -981,6 +1124,9 @@ register_legs(
         "bucket_join_counts",
         "bucket_join_noshuffle",
         "chain_region_orders",
+        "fuzzy_best",
+        "fuzzy_canon",
+        "fuzzy_pairs",
         "outer_nation_counts",
         "semi_big_order",
         "zorder_skip",

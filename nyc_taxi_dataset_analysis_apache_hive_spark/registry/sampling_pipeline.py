@@ -7,6 +7,7 @@ order preserved by the package __init__; see its docstring).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import TOKEN_SPLIT_REGEX
 from ..operators import (
@@ -1933,7 +1934,156 @@ def tv1_text_stats(spark, sf):
         .unionByName(dense_ivf)
         .unionByName(hybrid)
         .unionByName(hybrid_ivf)
+        .unionByName(_tv1_colloc_legs(spark, sf))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (r16): PMI / NPMI over adjacent-token bigrams,
+# folded into tv1 as the colloc / colloc_pmi / colloc_npmi legs (the
+# 50-entry driver budget; COVERAGE.md).  A bigram rides tv1's token
+# column as the two-word phrase string.
+# ---------------------------------------------------------------------------
+
+#: ranking depth shared by all three legs (one definition, every surface)
+_TV2_TOP_K = 20
+
+#: engine-NEUTRAL collocation scoring CTEs: count tables, the shared
+#: textops.PMI_EXPR doubles, and the three rankings.  Both engines get
+#: this text verbatim; only the ``cuni``/``cbg`` extraction CTEs are
+#: engine-specific (DuckDB list_zip vs Spark's indexed transform).
+_TV1_COLLOC_SCORE_CTES = f"""
+    cucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM cuni GROUP BY w),
+    cutot AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM cuni),
+    cbcnt AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM cbg GROUP BY 1, 2
+    ),
+    cbtot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cbg),
+    cjoined AS (
+      SELECT b.w1, b.w2, b.c_ab, ua.c AS ac, ub.c AS bc, nu, nb
+      FROM cbcnt b
+      JOIN cucnt ua ON ua.w = b.w1
+      JOIN cucnt ub ON ub.w = b.w2
+      CROSS JOIN cutot CROSS JOIN cbtot
+    ),
+    cscored AS (
+      SELECT w1, w2, c_ab,
+             round({textops.PMI_EXPR}, 6) AS pmi,
+             round({textops.NPMI_EXPR}, 6) AS npmi
+      FROM cjoined
+    ),
+    cfreq AS (
+      SELECT w1, w2, c_ab, CAST(row_number() OVER (
+               ORDER BY c_ab DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+      FROM cscored
+    ),
+    cpmir AS (
+      SELECT w1, w2, c_ab, pmi, CAST(row_number() OVER (
+               ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+      FROM cscored WHERE c_ab >= {textops.COLLOCATION_MIN_COUNT}
+    ),
+    cnpmir AS (
+      SELECT w1, w2, c_ab, npmi, CAST(row_number() OVER (
+               ORDER BY npmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+      FROM cscored WHERE c_ab >= {textops.COLLOCATION_MIN_COUNT}
+    )
+"""
+
+#: the three collocation legs in tv1's (op, doc_id, token, n, m, score)
+#: schema -- shared verbatim by both SQL surfaces
+_TV1_COLLOC_SELECTS = f"""
+    SELECT 'colloc' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           w1 || ' ' || w2 AS token, c_ab AS n, rank AS m,
+           CAST(NULL AS DOUBLE) AS score
+    FROM cfreq WHERE rank <= {_TV2_TOP_K}
+    UNION ALL
+    SELECT 'colloc_pmi' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           w1 || ' ' || w2 AS token, c_ab AS n, rank AS m, pmi AS score
+    FROM cpmir WHERE rank <= {_TV2_TOP_K}
+    UNION ALL
+    SELECT 'colloc_npmi' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           w1 || ' ' || w2 AS token, c_ab AS n, rank AS m, npmi AS score
+    FROM cnpmir WHERE rank <= {_TV2_TOP_K}
+"""
+
+#: DuckDB bigram/unigram extraction (reuses _TF_CTE's ``toks``)
+_TV1_COLLOC_DUCK_CTES = f"""
+    cuni AS (SELECT unnest(t) AS w FROM toks),
+    cbg AS (
+      SELECT z[1] AS w1, z[2] AS w2 FROM (
+        SELECT unnest(list_zip(t[1:len(t) - 1], t[2:])) AS z
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    {_TV1_COLLOC_SCORE_CTES}
+"""
+
+
+def _tv1_colloc_legs(spark, sf):
+    """Collocation mining over the document corpus (tv1's phrase legs):
+    ``colloc`` = top bigrams by raw count; ``colloc_pmi`` /
+    ``colloc_npmi`` = top bigrams by (normalized) pointwise mutual
+    information among those with count >= COLLOCATION_MIN_COUNT (PMI
+    maxes out on hapax pairs without the floor).  The double arithmetic
+    is ONE shared expression (textops.PMI_EXPR) evaluated verbatim by
+    Spark and DuckDB over exact integer counts, then rounded to 6 dp --
+    so all three legs value-hash.  The phrase-mining step a
+    tokenizer/vocab pipeline runs before merging multiword units; count
+    tables are vocabulary-sized (SF-invariant ~900 bigrams here), so
+    the scoring join broadcasts at any corpus scale
+    (operators/textops.collocation_scores)."""
+    docs = _t(spark, sf, "documents")
+    scored = textops.collocation_scores(docs)
+    w_freq = Window.orderBy(
+        F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    w_pmi = Window.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    w_npmi = Window.orderBy(
+        F.col("npmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    filt = scored.filter(F.col("c_ab") >= textops.COLLOCATION_MIN_COUNT)
+    nulld = F.lit(None).cast("double")
+    nulli = F.lit(None).cast("long")
+    phrase = F.concat("w1", F.lit(" "), "w2").alias("token")
+
+    def leg(src, op, rank_w, score_col):
+        return (
+            src.withColumn("m", F.row_number().over(rank_w).cast("long"))
+            .filter(F.col("m") <= _TV2_TOP_K)
+            .select(
+                F.lit(op).alias("op"),
+                nulli.alias("doc_id"),
+                phrase,
+                F.col("c_ab").alias("n"),
+                "m",
+                score_col.alias("score"),
+            )
+        )
+
+    return (
+        leg(scored, "colloc", w_freq, nulld)
+        .unionByName(leg(filt, "colloc_pmi", w_pmi, F.col("pmi")))
+        .unionByName(leg(filt, "colloc_npmi", w_npmi, F.col("npmi")))
+    )
+
+
+# tv1 is registered ABOVE this fragment block (module execution order),
+# so the collocation legs are folded into its ALREADY-REGISTERED oracle
+# here: the DuckDB CTEs append to the WITH list (after ``toks`` exists)
+# and the shared leg selects append to the top-level union.
+_tv1_oracle = ORACLES["tv1_text_stats"]
+_tv1_cut = _tv1_oracle.index("SELECT 'tfidf' AS op,")
+ORACLES["tv1_text_stats"] = (
+    _tv1_oracle[:_tv1_cut].rstrip()  # ...the last CTE's closing paren
+    + ",\n"
+    + _TV1_COLLOC_DUCK_CTES
+    + "\n    "
+    + _tv1_oracle[_tv1_cut:]
+    + "\n    UNION ALL\n"
+    + _TV1_COLLOC_SELECTS
+)
 
 
 @register(
@@ -2326,6 +2476,9 @@ register_legs(
         "bm25",
         "bm25_topk",
         "chunk",
+        "colloc",
+        "colloc_npmi",
+        "colloc_pmi",
         "dense",
         "dense_ivf",
         "hybrid",

@@ -2627,11 +2627,9 @@ SQL_QUERIES: dict[str, str] = {
         FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
     """,
     # -- streaming batch analogs / event ops -------------------------------
-    "e1_tumbling_window_counts": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n_events, round(sum(value), 2) AS sum_value
-        FROM events GROUP BY window_start, event_type
-    """,
+    # e1 (r16): reassigned below from the shared-verbatim CTE fragments
+    # (the anomaly legs' text is valid in both engines).
+    "e1_tumbling_window_counts": "",
     "e2_sessionize": """
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
@@ -2662,6 +2660,77 @@ SQL_QUERIES: dict[str, str] = {
         ) WHERE rn = 1
     """,
 }
+
+# j5 fuzzy legs (r16): the linkage CTE block is valid Spark SQL verbatim
+# (split_part with negative index, levenshtein, windowed row_number are
+# identical surfaces in both engines), so the twin prepends the shared
+# CTEs and appends the shared leg selects -- one spelling, no drift.
+from .registry.joins_sketches import (  # noqa: E402
+    X3_LEG_SELECTS as _X3_LEGS,
+    _X3_CTES,
+)
+
+SQL_QUERIES["j5_join_surface"] = (
+    f"WITH {_X3_CTES} "
+    + SQL_QUERIES["j5_join_surface"]
+    + f" UNION ALL {_X3_LEGS}"
+)
+
+# e1 (r16): tumbling leg + the anomaly legs from the shared CTE block
+# (valid Spark SQL verbatim: date_trunc, windowed integer sums, the
+# shared z expression).
+from .registry.events_dedup import (  # noqa: E402
+    _E1_ANOMALY_SELECTS,
+    _E1_CTES,
+)
+
+SQL_QUERIES["e1_tumbling_window_counts"] = f"""
+    WITH {_E1_CTES}
+    SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value, CAST(NULL AS BIGINT) AS flag
+    FROM events GROUP BY window_start, event_type
+    UNION ALL
+    {_E1_ANOMALY_SELECTS}
+"""
+
+# tv1 colloc legs (r16): bigram extraction differs by engine (Spark's
+# indexed transform lambda vs DuckDB's list_zip) but the scoring CTEs
+# and leg selects are the ONE shared spelling from sampling_pipeline
+# (textops.PMI_EXPR doubles evaluated verbatim).  The twin gets its own
+# token-array CTE (its tok CTE explodes directly) plus the Spark bigram
+# spelling, then the shared tail.
+from .operators.textops import BIGRAM_EXPR as _BG_EXPR  # noqa: E402
+from .registry.sampling_pipeline import (  # noqa: E402
+    _TV1_COLLOC_SCORE_CTES,
+    _TV1_COLLOC_SELECTS,
+)
+
+_TV1_SQLMODE_COLLOC_CTES = f"""
+    ctoks AS (
+      SELECT filter(split(lower(text), '{_TOKEN_RE}'), x -> x <> '') AS t
+      FROM documents
+    ),
+    cuni AS (SELECT explode(t) AS w FROM ctoks),
+    cbg AS (
+      SELECT z.w1 AS w1, z.w2 AS w2 FROM (
+        SELECT {_BG_EXPR} AS z FROM ctoks WHERE size(t) >= 2
+      )
+    ),
+    {_TV1_COLLOC_SCORE_CTES}
+"""
+
+_tv1_twin = SQL_QUERIES["tv1_text_stats"]
+_tv1_twin_cut = _tv1_twin.index("SELECT 'tfidf' AS op,")
+SQL_QUERIES["tv1_text_stats"] = (
+    _tv1_twin[:_tv1_twin_cut].rstrip()  # the last CTE's closing paren
+    + ",\n"
+    + _TV1_SQLMODE_COLLOC_CTES
+    + "\n    "
+    + _tv1_twin[_tv1_twin_cut:]
+    + "\n    UNION ALL\n"
+    + _TV1_COLLOC_SELECTS
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Time-series anomaly operator (operators/anomaly.py) semantics.
+
+Cross-engine value parity for the e4 entry rides the auto-parametrized
+oracle gates; these pin the operator contract on a hand-built series:
+the leave-self-out baseline, the full-window warmup cut, the exact
+integer zero-variance guard, and the hand-computed z value.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import anomaly
+
+
+def _day(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1 + i)
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    # key "a": 7 flat days at 10, then a spike of 100, then 10
+    # key "b": constant 5 -> zero variance everywhere
+    rows = [("a", _day(i), 10) for i in range(7)]
+    rows += [("a", _day(7), 100), ("a", _day(8), 10)]
+    rows += [("b", _day(i), 5) for i in range(9)]
+    return spark.createDataFrame(rows, "key string, day timestamp, n long")
+
+
+def test_rolling_warmup_days_absent(daily):
+    out = anomaly.rolling_zscores(daily).filter(F.col("key") == "a")
+    days = sorted(r["day"].day for r in out.collect())
+    # 7-day trailing window -> first scored day is day 8 (index 7)
+    assert days == [8, 9]
+
+
+def test_rolling_zero_variance_is_null_not_inf(daily):
+    out = anomaly.rolling_zscores(daily)
+    spike = out.filter((F.col("key") == "a") & (F.col("n") == 100)).first()
+    # baseline is 7 flat days -> zero variance -> NULL score, NULL flag
+    assert spike["score"] is None and spike["flag"] is None
+    b = out.filter(F.col("key") == "b").collect()
+    assert all(r["score"] is None for r in b)
+
+
+def test_rolling_leaves_self_out(daily):
+    # day 9 (n=10) scores against [10]*6 + [100]: the spike is IN the
+    # baseline (so variance > 0), the day itself is NOT
+    out = anomaly.rolling_zscores(daily)
+    r = out.filter((F.col("key") == "a") & (F.col("n") == 10)).first()
+    base = [10] * 6 + [100]
+    m = sum(base) / 7
+    s = math.sqrt(sum((x - m) ** 2 for x in base) / 6)
+    assert r["score"] == pytest.approx(round((10 - m) / s, 6), abs=1e-6)
+    assert r["flag"] == 0
+
+
+def test_global_scores_every_day_and_flags_spike(daily):
+    out = anomaly.global_zscores(daily).filter(F.col("key") == "a")
+    rows = {r["n"]: r for r in out.collect()}
+    assert out.count() == 9
+    series = [10] * 7 + [100, 10]
+    m = sum(series) / 9
+    s = math.sqrt(sum((x - m) ** 2 for x in series) / 8)
+    assert rows[100]["score"] == pytest.approx(round((100 - m) / s, 6))
+    assert rows[100]["flag"] == 1
+    assert rows[10]["flag"] == 0
+
+
+def test_global_single_day_key_is_null(spark):
+    one = spark.createDataFrame(
+        [("x", _day(0), 3)], "key string, day timestamp, n long"
+    )
+    r = anomaly.global_zscores(one).first()
+    assert r["score"] is None and r["flag"] is None
+
+
+def test_daily_counts_shape(spark, sf0001_dir):
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf0001_dir, "events")
+    d = anomaly.daily_counts(ev)
+    assert d.columns == ["key", "day", "n"]
+    total = d.agg(F.sum("n")).first()[0]
+    assert total == ev.count()

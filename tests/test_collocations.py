@@ -1,0 +1,104 @@
+"""Collocation mining (textops.bigram_table / collocation_scores).
+
+Cross-engine value parity for the tv2 entry rides the oracle gates;
+these pin the operator contract: bigrams never cross document
+boundaries, counts are occurrence-level (not document-level), and PMI
+actually ranks an exclusive pair above a promiscuous one.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # "neural network" always co-occur (exclusive pair);
+    # "the cat" / "the dog": "the" is promiscuous -> lower PMI.
+    rows = [
+        (0, "neural network models"),
+        (1, "a neural network"),
+        (2, "the cat sat"),
+        (3, "the dog ran"),
+        (4, "the cat and the dog"),
+        (5, "one"),  # single token: no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigrams_stay_inside_documents(docs):
+    bg = textops.bigram_table(docs)
+    got = {(r["w1"], r["w2"]) for r in bg.collect()}
+    # last token of doc 2 ("sat") never pairs with first of doc 3 ("the")
+    assert ("sat", "the") not in got
+    assert ("neural", "network") in got
+    assert ("models", "a") not in got
+
+
+def test_bigram_counts_are_occurrence_level(docs):
+    bg = textops.bigram_table(docs)
+    c = (
+        bg.groupBy("w1", "w2").count()
+        .filter((F.col("w1") == "neural") & (F.col("w2") == "network"))
+        .first()["count"]
+    )
+    assert c == 2
+
+
+def test_pmi_value_and_ordering(docs):
+    scored = {(r["w1"], r["w2"]): r for r in
+              textops.collocation_scores(docs).collect()}
+    nn = scored[("neural", "network")]
+    cat = scored[("the", "cat")]
+    # hand-computed: P(ab)=c_ab/nb, P(a)=c_a/nu
+    nu, nb = 18, 12  # 18 tokens total, 12 bigram slots
+    pmi = math.log((2 / nb) / ((2 / nu) * (2 / nu)))
+    assert nn["pmi"] == pytest.approx(round(pmi, 6), abs=1e-6)
+    # the exclusive pair beats the promiscuous-left pair
+    assert nn["pmi"] > cat["pmi"]
+    # npmi is pmi / -ln P(ab).  NOTE: with unigram probs over corpus
+    # tokens and bigram probs over bigram slots (different denominators)
+    # the textbook [-1, 1] bound can be exceeded on tiny corpora where
+    # P(ab) > P(a); the estimator is still monotone in association,
+    # which is what the ranking leg uses.
+    assert nn["npmi"] == pytest.approx(
+        round(pmi / -math.log(2 / nb), 6), abs=1e-6
+    )
+    assert nn["npmi"] > cat["npmi"]
+
+
+def test_single_token_docs_contribute_unigrams_only(docs):
+    # "one" appears in unigram totals but yields no bigram rows
+    bg = textops.bigram_table(docs)
+    assert bg.filter((F.col("w1") == "one") | (F.col("w2") == "one")).count() == 0
+
+
+def test_tv1_colloc_leg_shapes(spark, sf0001_dir):
+    from nyc_taxi_dataset_analysis_apache_hive_spark import registry
+    from nyc_taxi_dataset_analysis_apache_hive_spark.registry.sampling_pipeline import (
+        _TV2_TOP_K,
+    )
+
+    df = registry.QUERIES["tv1_text_stats"](spark, sf0001_dir).filter(
+        F.col("op").startswith("colloc")
+    )
+    by_op = {r["op"]: r["count"] for r in df.groupBy("op").count().collect()}
+    assert by_op == {"colloc": _TV2_TOP_K, "colloc_pmi": _TV2_TOP_K,
+                     "colloc_npmi": _TV2_TOP_K}
+    # pmi/npmi legs respect the min-count floor
+    low = df.filter(
+        F.col("op").isin("colloc_pmi", "colloc_npmi")
+        & (F.col("n") < textops.COLLOCATION_MIN_COUNT)
+    )
+    assert low.count() == 0
+    # ranks (riding tv1's m column) are 1..k with no gaps per leg
+    for op in ("colloc", "colloc_pmi", "colloc_npmi"):
+        ranks = sorted(
+            r["m"] for r in df.filter(F.col("op") == op).collect()
+        )
+        assert ranks == list(range(1, _TV2_TOP_K + 1))

@@ -1,0 +1,128 @@
+"""Fuzzy entity resolution (operators/linkage.py) semantics + plan shape.
+
+Cross-engine value parity for the x3 entry rides the auto-parametrized
+oracle gates (test_oracle_parity*.py) and the SQL-mode twin equality
+(test_sql_mode.py); these tests pin the operator-level CONTRACT on a
+hand-built corpus where every answer is checkable by eye, plus the
+no-cartesian plan shape the 100 TB posture depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.operators import linkage
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    # "cold widget" dominates; "colt widget" is its typo (lev 2);
+    # "old bolt" is isolated from both blocks' neighborhoods except via
+    # the widget/bolt last-token split; NULL/empty rows must drop.
+    rows = (
+        [("cold widget", i) for i in range(5)]
+        + [("colt widget", 100), ("old bolt", 200), ("cold bolt", 300)]
+        + [(None, 900), ("", 901)]
+    )
+    return spark.createDataFrame(rows, "name string, rid long")
+
+
+@pytest.fixture(scope="module")
+def dictionary(records):
+    return linkage.name_dictionary(records, "name", "rid")
+
+
+def test_dictionary_drops_null_and_empty(dictionary):
+    d = {r["name"]: (r["n_records"], r["min_id"]) for r in dictionary.collect()}
+    assert d == {
+        "cold widget": (5, 0),
+        "colt widget": (1, 100),
+        "old bolt": (1, 200),
+        "cold bolt": (1, 300),
+    }
+
+
+def test_blocked_pairs_block_and_threshold(dictionary):
+    pairs = linkage.blocked_pairs(dictionary, max_dist=3)
+    got = {
+        (r["name_a"], r["name_b"]): (r["lev"], r["pair_mass"])
+        for r in pairs.collect()
+    }
+    # cold/colt widget share the last token, lev 1; cold widget/cold bolt
+    # share the first token but lev("widget","bolt")-ish = 5 > 3 -> cut;
+    # old bolt/cold bolt share the last token, lev 1.
+    assert got == {
+        ("cold widget", "colt widget"): (1, 5),
+        ("cold bolt", "old bolt"): (1, 1),
+    }
+
+
+def test_multi_pass_blocking_scores_shared_key_pairs_once(dictionary):
+    # cold widget / colt widget share BOTH the first and last token with
+    # max_dist high enough to keep everything: the distinct() must keep
+    # exactly one row per unordered pair
+    pairs = linkage.blocked_pairs(dictionary, max_dist=99)
+    counted = (
+        pairs.groupBy("name_a", "name_b").count().filter(F.col("count") > 1)
+    )
+    assert counted.count() == 0
+
+
+def test_best_match_min_lev_name_tiebreak(spark):
+    dictionary = linkage.name_dictionary(
+        spark.createDataFrame(
+            [("aa x", 1), ("ab x", 2), ("ba x", 3)], "name string, rid long"
+        ),
+        "name",
+        "rid",
+    )
+    pairs = linkage.blocked_pairs(dictionary, max_dist=2)
+    best = {r["name"]: (r["match"], r["lev"]) for r in
+            linkage.best_match(pairs).collect()}
+    # all three pairwise lev are 1 ("aa x"/"ab x") or 2; ties at equal
+    # lev break on match name ascending
+    assert best["ab x"] == ("aa x", 1)
+    assert best["aa x"] == ("ab x", 1)
+    assert best["ba x"][1] <= 2
+
+
+def test_canonical_map_folds_typo_into_heaviest(dictionary):
+    pairs = linkage.blocked_pairs(dictionary, max_dist=3)
+    canon = {r["name"]: (r["canon"], r["canon_records"]) for r in
+             linkage.canonical_map(pairs, dictionary).collect()}
+    # the typo folds into the 5-record dominant spelling
+    assert canon["colt widget"] == ("cold widget", 5)
+    # the dominant spelling is its own canon
+    assert canon["cold widget"] == ("cold widget", 5)
+    # equal-mass neighbors (1 vs 1) break on name ascending
+    assert canon["old bolt"] == ("cold bolt", 1)
+    # every dictionary name gets a canon row (isolated names included)
+    assert set(canon) == {"cold widget", "colt widget", "old bolt",
+                          "cold bolt"}
+
+
+def test_blocked_pairs_plan_has_no_cartesian(dictionary):
+    plan = linkage.blocked_pairs(dictionary)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_j5_fuzzy_legs_on_testdata(spark, sf0001_dir):
+    from nyc_taxi_dataset_analysis_apache_hive_spark import registry
+
+    df = registry.QUERIES["j5_join_surface"](spark, sf0001_dir).filter(
+        F.col("op").startswith("fuzzy_")
+    )
+    by_op = {r["op"]: r["count"] for r in df.groupBy("op").count().collect()}
+    n_names = 62  # distinct part names at sf0.001
+    # every name canonicalizes (to itself or a neighbor)
+    assert by_op["fuzzy_canon"] == n_names
+    # best only covers names with at least one candidate
+    assert 0 < by_op["fuzzy_best"] <= n_names
+    assert by_op["fuzzy_pairs"] > 0
+    # canon is total and idempotent-shaped: every canon target is a name
+    canon = df.filter(F.col("op") == "fuzzy_canon").collect()
+    names = {r["name"].split(">")[0] for r in canon}
+    targets = {r["name"].split(">")[1] for r in canon}
+    assert targets <= names
