@@ -151,6 +151,56 @@ def stateful_v2_result(spark, events_dir: str) -> dict:
             spark.conf.set(conf, prev)
 
 
+def run_anomaly_maintenance(spark, events_dir: str) -> dict:
+    """The anomaly-monitor maintenance stream (r16): foreachBatch folds
+    each micro-batch into the versioned per-(key, day) count ledger, so
+    the drain uses the stream's own writer (no memory sink).  Stats come
+    from the same recentProgress reduction; ``out_rows`` is the number
+    of monitor verdicts the post-drain rolling-z pass produces over the
+    maintained series (the deployment read path)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import anomaly
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        events as sev,
+        maintenance as mnt,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_anmnt_")
+    try:
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        src = sev.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        t0 = time.monotonic()
+        q = (
+            mnt.anomaly_maintenance_stream(src, state, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.monotonic() - t0
+        prog = [
+            p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
+        ]
+        trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
+        in_rows = sum(p["numInputRows"] for p in prog)
+        q.stop()
+        series = mnt.read_sketch_state(spark, state)
+        out_rows = (
+            anomaly.rolling_zscores(series).count() if series is not None else 0
+        )
+        return {
+            "wall_sec": round(wall, 3),
+            "batches": len(trig_ms),
+            "rows_per_sec": round(in_rows / (sum(trig_ms) / 1000.0), 1)
+            if trig_ms
+            else None,
+            "median_batch_ms": trig_ms[len(trig_ms) // 2] if trig_ms else None,
+            "max_batch_ms": trig_ms[-1] if trig_ms else None,
+            "out_rows": out_rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_bench(spark, sf_dir: str, n_slices: int):
     from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
@@ -178,6 +228,16 @@ def run_bench(spark, sf_dir: str, n_slices: int):
         results["stateful_totals_v2"] = stateful_v2_result(
             spark, events_dir
         )
+        # keeps reporting if the maintenance section fails (the
+        # doc-stream posture below)
+        try:
+            results["anomaly_maintenance"] = run_anomaly_maintenance(
+                spark, events_dir
+            )
+        except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
+            results["anomaly_maintenance"] = {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

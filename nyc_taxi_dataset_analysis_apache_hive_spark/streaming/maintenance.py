@@ -353,3 +353,67 @@ def cms_maintenance_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def fold_batch_into_daily_counts(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    keep_versions: int = 3,
+) -> None:
+    """One anomaly-monitor maintenance step through
+    :func:`_fold_versioned_state` (r16): the maintained state is the
+    per-(key, day) count SERIES that :mod:`..operators.anomaly` scores.
+
+    delta = the batch's own daily counts; merge = union + per-(key, day)
+    sum -- counts are additive across batches, so the maintained series
+    equals a batch :func:`..operators.anomaly.daily_counts` over
+    everything ever streamed (equality-gated in
+    tests/test_streaming_anomaly.py), and the z-score monitor
+    (``rolling_zscores``/``global_zscores`` over ``read_sketch_state``)
+    answers from a keys x days table that trails the stream by one
+    trigger, never rescanning raw history.  State is kilobytes at any
+    corpus scale: the series grows with (keys x days), not rows.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import anomaly
+
+    delta = anomaly.daily_counts(batch_df, key_col, ts_col)
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(cur)
+            .groupBy("key", "day")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
+
+
+def anomaly_maintenance_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """writeStream wiring for :func:`fold_batch_into_daily_counts` (the
+    hll/cms maintenance shape): the returned ``DataStreamWriter`` just
+    needs ``.trigger(...).start()``.  After draining, the continuous
+    ingest monitor is two tiny window passes over the maintained series:
+
+        daily = read_sketch_state(spark, state_path)
+        flags = anomaly.rolling_zscores(daily)   # |z| > 2 trailing-7d
+    """
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: fold_batch_into_daily_counts(
+                df, bid, state_path, key_col, ts_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
