@@ -86,6 +86,8 @@ def blocked_pairs(
     n_records_b`` -- the number of record-level pairs this dictionary
     pair represents.
     """
+    import re
+
     left = dictionary.select(
         F.col("name").alias("name_a"), F.col("n_records").alias("cnt_a")
     )
@@ -94,8 +96,10 @@ def blocked_pairs(
     )
     passes = None
     for key in block_keys:
-        ka = F.expr(key.replace("name", "name_a"))
-        kb = F.expr(key.replace("name", "name_b"))
+        # rewrite ONLY the whole identifier `name` (word-bounded): a key
+        # like upper(surname) must not become upper(sur(name_a))
+        ka = F.expr(re.sub(r"\bname\b", "name_a", key))
+        kb = F.expr(re.sub(r"\bname\b", "name_b", key))
         p = left.join(
             right, (ka == kb) & (F.col("name_a") < F.col("name_b"))
         ).select("name_a", "name_b", "cnt_a", "cnt_b")

@@ -417,3 +417,74 @@ def anomaly_maintenance_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def fold_batch_into_name_dictionary(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    name_col: str,
+    id_col: str,
+    keep_versions: int = 3,
+) -> None:
+    """One entity-dictionary maintenance step through
+    :func:`_fold_versioned_state` (r16): the maintained state is the
+    ``(name, n_records, min_id)`` dictionary that
+    :mod:`..operators.linkage` resolves over.
+
+    delta = the batch's own dictionary; merge = union + per-name
+    (sum counts, min witness id) -- both associative and commutative,
+    so the maintained dictionary equals a batch
+    :func:`..operators.linkage.name_dictionary` over everything ever
+    streamed (equality-gated in tests/test_streaming_linkage.py).  The
+    deployment read path is the batch operators over the maintained
+    state::
+
+        d = read_sketch_state(spark, state_path)
+        canon = linkage.canonical_map(linkage.blocked_pairs(d), d)
+
+    so every new batch of records can be canonicalized against the
+    full corpus's name mass without rescanning a record of history.
+    State is vocabulary-sized at any corpus scale (the linkage
+    module's whole premise).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import linkage
+
+    delta = linkage.name_dictionary(batch_df, name_col, id_col)
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(cur)
+            .groupBy("name")
+            .agg(
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.min("min_id").alias("min_id"),
+            )
+        )
+
+    _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
+
+
+def linkage_maintenance_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    name_col: str,
+    id_col: str,
+):
+    """writeStream wiring for :func:`fold_batch_into_name_dictionary`
+    (the hll/cms/anomaly maintenance shape): the returned
+    ``DataStreamWriter`` just needs ``.trigger(...).start()``.
+    Trigger-overhead-bound like every ledger fold -- the per-batch work
+    is one vocabulary-sized aggregate."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: fold_batch_into_name_dictionary(
+                df, bid, state_path, name_col, id_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
