@@ -309,8 +309,12 @@ def main() -> None:
         "detail": os.path.basename(detail_path),
         # violations only (empty lists on a clean capture) -- the full
         # {sec, band} records live in the detail file; the compact line
-        # stays small (the r4 stdout-overflow lesson)
-        "out_of_band": sorted(
+        # stays small (the r4 stdout-overflow lesson).  A skipped check
+        # (sf != 0.1) is NAMED here too, so an empty list always means
+        # "banded and clean", never "not checked" (r16 review).
+        "out_of_band": ["(band check skipped: sf != 0.1)"]
+        if not at_band_sf
+        else sorted(
             [*out_of_band["entries"], *out_of_band["legs"]]
             + [f"{n}.build" for n in out_of_band["builds"]]
         ),

@@ -83,13 +83,14 @@ def drain_and_measure(
     return _drain_stats(spark, q, name, t0)
 
 
-def _drain_stats(spark, q, name: str, t0: float) -> dict:
-    """Shared progress-report reduction for every measured stream."""
+def _progress_stats(q, t0: float) -> dict:
+    """THE progress-report reduction every measured stream shares --
+    memory-sink and foreachBatch drains alike; the caller supplies
+    ``out_rows`` from wherever its output lives.  Stops the query."""
     wall = time.monotonic() - t0
     prog = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
     trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
     in_rows = sum(p["numInputRows"] for p in prog)
-    out_rows = spark.table(f"bench_{name}").count()
     q.stop()
     return {
         "wall_sec": round(wall, 3),
@@ -99,8 +100,14 @@ def _drain_stats(spark, q, name: str, t0: float) -> dict:
         else None,
         "median_batch_ms": trig_ms[len(trig_ms) // 2] if trig_ms else None,
         "max_batch_ms": trig_ms[-1] if trig_ms else None,
-        "out_rows": out_rows,
     }
+
+
+def _drain_stats(spark, q, name: str, t0: float) -> dict:
+    """Memory-sink flavor: the shared reduction + the sink row count."""
+    stats = _progress_stats(q, t0)
+    stats["out_rows"] = spark.table(f"bench_{name}").count()
+    return stats
 
 
 def main() -> None:
@@ -176,27 +183,12 @@ def run_anomaly_maintenance(spark, events_dir: str) -> dict:
             .start()
         )
         q.awaitTermination(600)
-        wall = time.monotonic() - t0
-        prog = [
-            p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
-        ]
-        trig_ms = sorted(p["durationMs"]["triggerExecution"] for p in prog)
-        in_rows = sum(p["numInputRows"] for p in prog)
-        q.stop()
+        stats = _progress_stats(q, t0)
         series = mnt.read_sketch_state(spark, state)
-        out_rows = (
+        stats["out_rows"] = (
             anomaly.rolling_zscores(series).count() if series is not None else 0
         )
-        return {
-            "wall_sec": round(wall, 3),
-            "batches": len(trig_ms),
-            "rows_per_sec": round(in_rows / (sum(trig_ms) / 1000.0), 1)
-            if trig_ms
-            else None,
-            "median_batch_ms": trig_ms[len(trig_ms) // 2] if trig_ms else None,
-            "max_batch_ms": trig_ms[-1] if trig_ms else None,
-            "out_rows": out_rows,
-        }
+        return stats
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -15,7 +15,21 @@ window sums (sum n, sum n^2) through ONE shared double expression
 (``z_expr``) that Spark and DuckDB evaluate verbatim, so the score is
 bit-identical before its 6-dp round.  The zero-variance guard is an
 integer identity (c * sum_sq == sum_n^2  <=>  variance == 0), decided
-in exact arithmetic rather than on a float epsilon.
+in exact arithmetic rather than on a float epsilon.  The square and
+both guard multiplies run in DECIMAL(38,0) (r16): Spark's non-ANSI
+BIGINT multiply wraps silently past 2^63 while DuckDB promotes to
+HUGEINT, so pure-BIGINT arithmetic would diverge (and corrupt the
+guard) once daily counts reach ~4e8 per key -- DECIMAL(38,0) keeps
+both engines exact to ~1e18-row days.
+
+Zero-count days (r16): a count aggregate produces NO row for a day
+with zero events -- and a silent ingest outage is the canonical
+anomaly this monitor exists to catch.  ``densify_daily`` fills each
+key's [first day, last day] calendar with explicit zero rows, so an
+outage day gets a row (and a z-score), and the ROWS-based trailing
+window really is the trailing 7 CALENDAR days rather than the last 7
+observed days silently spanning the gap.  The scorers densify by
+default.
 """
 
 from __future__ import annotations
@@ -36,9 +50,14 @@ def z_expr(n: str = "n", sum_n: str = "sum_n", sum_sq: str = "sum_sq",
     """The shared z-score SQL expression over exact integer sums.
 
     ``(n - sum_n/c) / sqrt((sum_sq - sum_n^2/c) / (c - 1))`` with a
-    NULL result when the window variance is exactly zero (integer
+    NULL result when the window variance is exactly zero (exact
     identity test).  Sample (n-1) variance.  Valid SQL in both Spark
-    and DuckDB -- embed verbatim in both surfaces.
+    and DuckDB -- embed verbatim in both surfaces.  The guard multiplies
+    run in DECIMAL(38,0): BIGINT would silently wrap in Spark (and
+    promote in DuckDB) once sum_n^2 passes 2^63 -- see the module
+    docstring.  ``sum_sq`` is expected in DECIMAL(38,0) already
+    (SUM_SQ_EXPR); the double math loses nothing observable (counts are
+    exact in a double far past any daily volume).
     """
     mean = f"CAST({sum_n} AS DOUBLE) / {c}"
     var = (
@@ -46,9 +65,40 @@ def z_expr(n: str = "n", sum_n: str = "sum_n", sum_sq: str = "sum_sq",
         f" * CAST({sum_n} AS DOUBLE) / {c}) / ({c} - 1)"
     )
     return (
-        f"CASE WHEN {c} * {sum_sq} = {sum_n} * {sum_n}"
+        f"CASE WHEN CAST({c} AS DECIMAL(38,0)) * {sum_sq}"
+        f" = CAST({sum_n} AS DECIMAL(38,0)) * {sum_n}"
         f" THEN CAST(NULL AS DOUBLE)"
         f" ELSE (CAST({n} AS DOUBLE) - {mean}) / sqrt({var}) END"
+    )
+
+
+#: the overflow-safe square for the window sum -- ONE spelling for the
+#: DataFrame scorers and both SQL surfaces
+SUM_SQ_EXPR = "CAST(n AS DECIMAL(38,0)) * n"
+
+
+def densify_daily(daily: DataFrame) -> DataFrame:
+    """Fill each key's [first day, last day] calendar with explicit
+    zero-count rows.
+
+    A count aggregate emits no row for a zero-event day, so without
+    this the monitor can never flag an outage (no row to score) and the
+    trailing ROWS window silently spans the gap.  The grid is
+    (keys x days)-sized -- nothing here touches raw events.
+    """
+    spans = daily.groupBy("key").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return grid.join(daily, ["key", "day"], "left").select(
+        "key",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
     )
 
 
@@ -79,16 +129,23 @@ def daily_counts(
 
 
 def rolling_zscores(
-    daily: DataFrame, window_days: int = ROLLING_DAYS
+    daily: DataFrame, window_days: int = ROLLING_DAYS, densify: bool = True
 ) -> DataFrame:
-    """Score each day against its TRAILING ``window_days`` days (the
-    current day excluded -- an anomalous day must not dilute its own
-    baseline).  Only full windows score: the first ``window_days`` days
-    per key are warmup and are absent from the output.
+    """Score each day against its TRAILING ``window_days`` CALENDAR days
+    (the current day excluded -- an anomalous day must not dilute its
+    own baseline).  Only full windows score: the first ``window_days``
+    days per key are warmup and are absent from the output.
+
+    ``densify`` (default on) zero-fills missing days first
+    (:func:`densify_daily`) so an outage day is scored -- and flagged --
+    rather than invisible; pass False only when the input series is
+    already dense by construction.
 
     Output: ``(key, day, n, score, flag)`` with score = round(z, 6) and
     flag decided on the rounded score (|z| > 2).
     """
+    if densify:
+        daily = densify_daily(daily)
     w = (
         Window.partitionBy("key")
         .orderBy("day")
@@ -99,7 +156,7 @@ def rolling_zscores(
         "day",
         "n",
         F.sum("n").over(w).alias("sum_n"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("sum_sq"),
+        F.sum(F.expr(SUM_SQ_EXPR)).over(w).alias("sum_sq"),
         F.count(F.lit(1)).over(w).alias("c"),
     ).filter(F.col("c") == window_days)
     return (
@@ -109,21 +166,24 @@ def rolling_zscores(
     )
 
 
-def global_zscores(daily: DataFrame) -> DataFrame:
+def global_zscores(daily: DataFrame, densify: bool = True) -> DataFrame:
     """Score each day against the key's FULL history (the day itself
     included -- the retrospective outlier view, vs the rolling monitor's
     leave-self-out trailing view).  Keys with one day (or zero variance)
-    yield NULL scores via the integer guard.
+    yield NULL scores via the exact guard.  ``densify`` as in
+    :func:`rolling_zscores`.
 
     Output: ``(key, day, n, score, flag)``.
     """
+    if densify:
+        daily = densify_daily(daily)
     w = Window.partitionBy("key")
     sums = daily.select(
         "key",
         "day",
         "n",
         F.sum("n").over(w).alias("sum_n"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("sum_sq"),
+        F.sum(F.expr(SUM_SQ_EXPR)).over(w).alias("sum_sq"),
         F.count(F.lit(1)).over(w).alias("c"),
     )
     return (

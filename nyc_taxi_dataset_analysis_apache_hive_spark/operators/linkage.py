@@ -85,8 +85,20 @@ def blocked_pairs(
     name_b`` (each unordered pair once) and ``pair_mass = n_records_a *
     n_records_b`` -- the number of record-level pairs this dictionary
     pair represents.
+
+    Block-key contract: each key is a SQL expression over the column
+    identifier ``name`` (rewritten word-bounded to name_a/name_b per
+    join side).  The rewrite is textual, so a key whose STRING LITERALS
+    contain the word ``name`` (e.g. ``coalesce(name, 'no name')``) is
+    unsupported -- spell such constants without the word.
     """
     import re
+
+    if not block_keys:
+        raise ValueError(
+            "block_keys must be non-empty: blocking is what keeps the "
+            "pair stage off the all-pairs product"
+        )
 
     left = dictionary.select(
         F.col("name").alias("name_a"), F.col("n_records").alias("cnt_a")

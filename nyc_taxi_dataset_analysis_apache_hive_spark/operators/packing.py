@@ -110,10 +110,20 @@ def pack_sequences(
     # pack as 0-token docs (still atomic rows) so they cannot corrupt
     # later offsets in the shard.  (token_count_ws itself needs no
     # guard: since r9 it coalesces NULL text to 0 internally.)
-    sized = docs.select(
-        F.col(id_col),
-        F.greatest(F.coalesce(raw_n, F.lit(0)), F.lit(0)).alias("n_tokens"),
-    ).withColumn("shard", _shard_col(id_col, n_shards))
+    # NULL ids drop (r16): md5(NULL) -> NULL shard would pack them into
+    # a phantom shard; the closed-form layouts drop them too, so the
+    # two layout families keep the SAME row membership on a
+    # contract-violating corpus.
+    sized = (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.greatest(F.coalesce(raw_n, F.lit(0)), F.lit(0)).alias(
+                "n_tokens"
+            ),
+        )
+        .withColumn("shard", _shard_col(id_col, n_shards))
+    )
 
     # output id column keeps the input's type (ids are not always longs)
     id_field = StructField(id_col, docs.schema[id_col].dataType)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import CacheScope, maybe_persist
 from ..functions.vectors import cosine, sign_bucket
 
 #: sentinel distinguishing "not passed" from an explicit value on the
@@ -158,6 +159,7 @@ def contrastive_mining(
     index: IVFIndex | None = None,
     n_probe: int = 3,
     tag_suffix: str = "",
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Triplet mining over a labeled embedding corpus -- the selection
     stage of contrastive/metric-learning training data: (op, query_id,
@@ -307,7 +309,10 @@ def contrastive_mining(
     # for a bounded anchor set, the quadratic object itself at
     # full-corpus anchors.  The answer there is the routed ``index=``
     # variant (cell-bounded scored relation), never a bigger cache.
-    scored = scored.persist()
+    # Cache LIFETIME follows the house rule (caching.py): pass a
+    # CacheScope to unpersist after the terminal action; no scope =
+    # session-lifetime persist (the bench/driver-sweep posture).
+    scored = maybe_persist(scored, True, cache)
     neg = scored.filter(F.col("q_label") != F.col("n_label"))
     pos = scored.filter(F.col("q_label") == F.col("n_label"))
     w_desc = Window.partitionBy("query_id").orderBy(

@@ -43,10 +43,18 @@ _E1_ROLL_W = (
 ).format(d=anomaly.ROLLING_DAYS)
 _E1_GLOB_W = "(PARTITION BY key)"
 
-#: shared-verbatim CTE block (valid in Spark SQL and DuckDB alike) --
-#: interpolated into the oracle AND the SQL-mode twin
-_E1_CTES = f"""
-    daily AS (
+def _e1_ctes(seq_expr: str) -> str:
+    """The anomaly CTE block, parameterized ONLY on the calendar-grid
+    generator (the one spelling the engines do not share: Spark
+    ``explode(sequence(...))`` vs DuckDB ``unnest(generate_series(...))``
+    -- see _E1_SEQ_SPARK/_E1_SEQ_DUCK).  ``daily0`` is the OBSERVED
+    count series (the daily leg); ``daily`` zero-fills each key's
+    [first, last] calendar so an outage day gets a row and a score
+    (operators/anomaly.densify_daily -- the r16 review's outage-blind
+    finding); the window squares run in DECIMAL(38,0)
+    (anomaly.SUM_SQ_EXPR) so nothing wraps at deployment volumes."""
+    return f"""
+    daily0 AS (
       -- CAST: DuckDB date_trunc('day') yields DATE, Spark TIMESTAMP;
       -- the cast makes both engines emit TIMESTAMP (no-op in Spark)
       SELECT event_type AS key,
@@ -54,10 +62,17 @@ _E1_CTES = f"""
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
     ),
+    dspan AS (SELECT key, min(day) AS d0, max(day) AS d1
+              FROM daily0 GROUP BY key),
+    dgrid AS (SELECT key, {seq_expr} AS day FROM dspan),
+    daily AS (
+      SELECT g.key, g.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM dgrid g LEFT JOIN daily0 d ON d.key = g.key AND d.day = g.day
+    ),
     rsums AS (
       SELECT key, day, n,
              sum(n) OVER {_E1_ROLL_W} AS sum_n,
-             sum(n * n) OVER {_E1_ROLL_W} AS sum_sq,
+             sum({anomaly.SUM_SQ_EXPR}) OVER {_E1_ROLL_W} AS sum_sq,
              count(*) OVER {_E1_ROLL_W} AS c
       FROM daily
     ),
@@ -68,7 +83,7 @@ _E1_CTES = f"""
     gsums AS (
       SELECT key, day, n,
              sum(n) OVER {_E1_GLOB_W} AS sum_n,
-             sum(n * n) OVER {_E1_GLOB_W} AS sum_sq,
+             sum({anomaly.SUM_SQ_EXPR}) OVER {_E1_GLOB_W} AS sum_sq,
              count(*) OVER {_E1_GLOB_W} AS c
       FROM daily
     ),
@@ -78,13 +93,17 @@ _E1_CTES = f"""
     )
 """
 
+
+_E1_SEQ_SPARK = "explode(sequence(d0, d1, interval 1 day))"
+_E1_SEQ_DUCK = "unnest(generate_series(d0, d1, INTERVAL 1 DAY))"
+
 #: the three anomaly legs in e1's column names, shared by both SQL
 #: surfaces
 _E1_ANOMALY_SELECTS = f"""
     SELECT 'daily' AS op, day AS window_start, key AS event_type,
            n AS n_events, CAST(NULL AS DOUBLE) AS sum_value,
            CAST(NULL AS BIGINT) AS flag
-    FROM daily
+    FROM daily0
     UNION ALL
     SELECT 'zscore' AS op, day AS window_start, key AS event_type,
            n AS n_events, score AS sum_value, {anomaly.FLAG_EXPR} AS flag
@@ -99,7 +118,7 @@ _E1_ANOMALY_SELECTS = f"""
 @register(
     "e1_tumbling_window_counts",
     f"""
-    WITH {_E1_CTES}
+    WITH {_e1_ctes(_E1_SEQ_DUCK)}
     SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start,
            event_type, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS sum_value, CAST(NULL AS BIGINT) AS flag

@@ -2676,16 +2676,18 @@ SQL_QUERIES["j5_join_surface"] = (
     + f" UNION ALL {_X3_LEGS}"
 )
 
-# e1 (r16): tumbling leg + the anomaly legs from the shared CTE block
-# (valid Spark SQL verbatim: date_trunc, windowed integer sums, the
-# shared z expression).
+# e1 (r16): tumbling leg + the anomaly legs from the shared CTE
+# template -- one spelling except the calendar-grid generator, where
+# the engines genuinely differ (Spark explode(sequence) vs DuckDB
+# unnest(generate_series)).
 from .registry.events_dedup import (  # noqa: E402
     _E1_ANOMALY_SELECTS,
-    _E1_CTES,
+    _E1_SEQ_SPARK,
+    _e1_ctes,
 )
 
 SQL_QUERIES["e1_tumbling_window_counts"] = f"""
-    WITH {_E1_CTES}
+    WITH {_e1_ctes(_E1_SEQ_SPARK)}
     SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start,
            event_type, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS sum_value, CAST(NULL AS BIGINT) AS flag

@@ -87,3 +87,49 @@ def test_daily_counts_shape(spark, sf0001_dir):
     assert d.columns == ["key", "day", "n"]
     total = d.agg(F.sum("n")).first()[0]
     assert total == ev.count()
+
+
+def test_outage_days_are_scored_and_flagged(spark):
+    # 7 jittered days (variance > 0), then a 3-day OUTAGE (no rows at
+    # all -- the count aggregate emits nothing), then resume.  The
+    # densified monitor must materialize the missing days as n=0 and
+    # flag them; without densification they would be invisible and the
+    # trailing window would silently span the gap (the r16 review
+    # finding this test pins).
+    counts = [50, 52, 48, 51, 49, 50, 53]
+    rows = [("a", _day(i), c) for i, c in enumerate(counts)]
+    rows.append(("a", _day(10), 50))
+    daily = spark.createDataFrame(rows, "key string, day timestamp, n long")
+    out = anomaly.rolling_zscores(daily)
+    by_day = {r["day"].day: r for r in out.collect()}
+    # the gap days 8..10 (index 7..9) exist as rows with n=0
+    for d in (8, 9, 10):
+        assert d in by_day, f"outage day {d} missing from monitor output"
+        assert by_day[d]["n"] == 0
+    # the first outage day scores against the jittered baseline:
+    # hugely negative z, flagged
+    assert by_day[8]["score"] < -2
+    assert by_day[8]["flag"] == 1
+
+
+def test_flat_baseline_outage_yields_null_not_flag(spark):
+    # a perfectly flat baseline has zero variance: the exact guard
+    # yields NULL (no z is computable), never a division blow-up
+    rows = [("a", _day(i), 50) for i in range(7)]
+    rows.append(("a", _day(9), 50))
+    daily = spark.createDataFrame(rows, "key string, day timestamp, n long")
+    out = anomaly.rolling_zscores(daily)
+    gap = {r["day"].day: r for r in out.filter(F.col("n") == 0).collect()}
+    assert set(gap) == {8, 9}  # both outage days zero-filled
+    # day 8 scores against the flat-50 window: zero variance -> NULL
+    assert gap[8]["score"] is None and gap[8]["flag"] is None
+    # day 9's window now CONTAINS the day-8 zero (variance > 0), so the
+    # continued outage is scored and flagged
+    assert gap[9]["score"] < -2 and gap[9]["flag"] == 1
+
+
+def test_densify_is_noop_on_contiguous_series(daily):
+    dense = anomaly.densify_daily(daily)
+    assert sorted(map(tuple, dense.collect())) == sorted(
+        map(tuple, daily.collect())
+    )
