@@ -2177,8 +2177,14 @@ def _bloom_artifact_geometry(
     foreachBatch stream holds ONE static artifact frame and calls a
     probe surface per trigger, and without the cache every trigger paid
     a driver round-trip to re-read two constants off an immutable row.
-    The cache key is the artifact OBJECT -- a rebuilt/updated filter is
-    a new DataFrame, so staleness cannot occur."""
+    The cache key is the artifact OBJECT, so the rebuild contract is:
+    a rebuilt/updated filter must be handed around as the NEW DataFrame
+    the builder returned (a fresh object, fresh memo).  Overwriting a
+    loaded artifact's backing path while still probing through the OLD
+    DataFrame is outside the contract -- Spark's own file-listing
+    snapshot makes any read through such a handle undefined (stale
+    listings or FileNotFound), with or without this memo -- and is the
+    one way to observe a stale (k, m) here."""
     if "k" not in bloom_bits.columns or "m" not in bloom_bits.columns:
         return None, None
     cached = getattr(bloom_bits, "_bloom_geometry_cache", None)

@@ -1191,9 +1191,14 @@ def collocation_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     utot = uni.agg(F.count(F.lit(1)).alias("nu"))
     bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     btot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    # explicit broadcast on the unigram side: both count tables are
+    # vocabulary-bounded, but after an aggregate Spark's size estimate
+    # is a guess -- at corpus scale a flipped estimate would turn these
+    # into shuffle joins of two tiny tables.  (Locked here; the 0-SMJ
+    # plan shape is what the r16 capture showed at gate scale too.)
     scored = (
-        bcnt.join(ucnt.selectExpr("w AS w1", "c AS ac"), "w1")
-        .join(ucnt.selectExpr("w AS w2", "c AS bc"), "w2")
+        bcnt.join(F.broadcast(ucnt.selectExpr("w AS w1", "c AS ac")), "w1")
+        .join(F.broadcast(ucnt.selectExpr("w AS w2", "c AS bc")), "w2")
         .crossJoin(F.broadcast(utot))
         .crossJoin(F.broadcast(btot))
     )

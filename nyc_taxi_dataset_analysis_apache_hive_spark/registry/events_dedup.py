@@ -154,7 +154,13 @@ def e1_tumbling_window_counts(spark, sf):
         "sum_value",
         nulll.alias("flag"),
     )
-    daily = anomaly.daily_counts(ev)
+    # ONE events scan for the whole anomaly family: the daily series
+    # feeds five consumers (the daily leg, both scorers' span/grid/join
+    # sides) and is keys x days tiny, so an eager localCheckpoint (the
+    # d4 token_table discipline) collapses what would otherwise plan as
+    # four parquet scans of events into one -- recompute-on-loss is
+    # irrelevant at this size (the kmeans centroid-frame argument).
+    daily = anomaly.daily_counts(ev).localCheckpoint(eager=True)
     daily_leg = daily.select(
         F.lit("daily").alias("op"),
         F.col("day").alias("window_start"),

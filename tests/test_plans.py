@@ -315,3 +315,50 @@ def test_bm25_has_no_corpus_sized_join_side(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:1200]
     # the df window partitions by token -- never an empty PARTITION BY
     assert "windowspecdefinition(token" in plan
+
+
+def test_collocation_scoring_joins_broadcast(spark):
+    """The PMI scoring joins (bigram counts x unigram counts x the two
+    1-row totals) must never shuffle: every join side is
+    vocabulary-bounded or scalar, and the broadcasts are locked
+    explicitly in collocation_scores (r16) so a flipped post-aggregate
+    size estimate cannot turn tiny-table joins into SortMergeJoins at
+    corpus scale."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import textops
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = explain_str(textops.collocation_scores(docs))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_anomaly_monitor_is_series_sized_after_one_aggregate(spark):
+    """The monitor's only data-sized stage is the daily-count hash
+    aggregate; the densify grid join and both scoring windows operate on
+    the (keys x days) series with broadcast joins only.  On the raw
+    operator path the series' multiple consumers each show a scan in the
+    INITIAL plan (ReuseExchange dedups identical aggregates at runtime);
+    the e1 ENTRY eagerly checkpoints the series, so the whole four-leg
+    union plans exactly ONE parquet scan of events -- pinned here."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import anomaly
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = explain_str(anomaly.rolling_zscores(anomaly.daily_counts(ev)))
+    assert "SortMergeJoin" not in plan
+    entry_plan = explain_str(_q(spark, "e1_tumbling_window_counts"))
+    assert "SortMergeJoin" not in entry_plan
+    # formatted explain prints each scan twice (tree node + detail
+    # section); one numbered tree node = one actual scan (the tumbling
+    # leg -- every anomaly leg reads the checkpointed series)
+    assert len(re.findall(r"\(\d+\) Scan parquet", entry_plan)) == 1
+
+
+def test_fuzzy_linkage_no_cartesian_on_registry_surface(spark):
+    """The j5 fuzzy legs' blocked self-joins must plan as equi-joins
+    (multi-pass blocking exists precisely to avoid the all-pairs
+    product)."""
+    df = _q(spark, "j5_join_surface")
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
