@@ -95,10 +95,21 @@ def densify_daily(daily: DataFrame) -> DataFrame:
             F.sequence("d0", "d1", F.expr("interval 1 day"))
         ).alias("day"),
     )
-    return grid.join(daily, ["key", "day"], "left").select(
-        "key",
-        "day",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    # null-safe key equality: a NULL key is a legitimate series (the
+    # adversarial corpus carries NULL event_type), and a plain equi-join
+    # would zero-fill its every day while dropping its real counts --
+    # consistently on both engines, so only semantics (not the value
+    # hash) would catch it
+    joined = grid.alias("g").join(
+        daily.alias("d"),
+        F.col("g.key").eqNullSafe(F.col("d.key"))
+        & (F.col("g.day") == F.col("d.day")),
+        "left",
+    )
+    return joined.select(
+        F.col("g.key").alias("key"),
+        F.col("g.day").alias("day"),
+        F.coalesce("d.n", F.lit(0)).cast("long").alias("n"),
     )
 
 

@@ -66,8 +66,11 @@ def _e1_ctes(seq_expr: str) -> str:
               FROM daily0 GROUP BY key),
     dgrid AS (SELECT key, {seq_expr} AS day FROM dspan),
     daily AS (
+      -- IS NOT DISTINCT FROM: a NULL key is a legitimate series; plain
+      -- equality would zero-fill it while dropping its real counts
       SELECT g.key, g.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
-      FROM dgrid g LEFT JOIN daily0 d ON d.key = g.key AND d.day = g.day
+      FROM dgrid g LEFT JOIN daily0 d
+        ON d.key IS NOT DISTINCT FROM g.key AND d.day = g.day
     ),
     rsums AS (
       SELECT key, day, n,
