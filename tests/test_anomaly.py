@@ -133,3 +133,58 @@ def test_densify_is_noop_on_contiguous_series(daily):
     assert sorted(map(tuple, dense.collect())) == sorted(
         map(tuple, daily.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-randomized parity: random sparse series (gaps included)
+# against a plain-Python densify + trailing-window replay.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _python_rolling(obs, window=7):
+    """obs: {day_index: count}.  Replays densify + leave-self-out
+    trailing window + the exact-variance guard + 6-dp round + flag."""
+    lo, hi = min(obs), max(obs)
+    series = [(i, obs.get(i, 0)) for i in range(lo, hi + 1)]
+    out = {}
+    for pos in range(window, len(series)):
+        idx, n = series[pos]
+        base = [c for _, c in series[pos - window : pos]]
+        m = sum(base) / window
+        var = sum((x - m) ** 2 for x in base) / (window - 1)
+        if var == 0:
+            out[idx] = (n, None, None)
+        else:
+            z = round((n - m) / math.sqrt(var), 6)
+            out[idx] = (n, z, 1 if abs(z) > 2 else 0)
+    return out
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=1, max_value=100),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_hypothesis_rolling_matches_python(spark, obs):
+    rows = [("k", _day(i), c) for i, c in obs.items()]
+    daily = spark.createDataFrame(rows, "key string, day timestamp, n long")
+    got = {
+        r["day"].day - 1: (r["n"], r["score"], r["flag"])
+        for r in anomaly.rolling_zscores(daily).collect()
+    }
+    want = _python_rolling(obs)
+    assert set(got) == set(want)
+    for k, (n, z, flag) in want.items():
+        gn, gz, gf = got[k]
+        assert gn == n and gf == flag
+        if z is None:
+            assert gz is None
+        else:
+            assert gz == pytest.approx(z, abs=2e-6)

@@ -102,3 +102,61 @@ def test_tv1_colloc_leg_shapes(spark, sf0001_dir):
             r["m"] for r in df.filter(F.col("op") == op).collect()
         )
         assert ranks == list(range(1, _TV2_TOP_K + 1))
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-randomized parity (the pack-layouts discipline): arbitrary
+# tiny corpora against a plain-Python PMI recompute.  derandomize=True
+# keeps CI deterministic.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]  # tiny alphabet -> real collisions
+
+
+def _python_collocations(texts):
+    """Reference PMI/NPMI over whitespace corpora (already lowercase
+    alnum, so the shared tokenizer is a plain split)."""
+    from collections import Counter
+
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    nu, nb = sum(uni.values()), sum(bg.values())
+    out = {}
+    for (w1, w2), c_ab in bg.items():
+        pab = c_ab / nb
+        pmi = math.log(pab / ((uni[w1] / nu) * (uni[w2] / nu)))
+        out[(w1, w2)] = (c_ab, round(pmi, 6), round(pmi / -math.log(pab), 6))
+    return out
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hypothesis_collocations_match_python(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi"], r["npmi"])
+        for r in textops.collocation_scores(docs).collect()
+    }
+    want = _python_collocations(texts)
+    assert set(got) == set(want)
+    for k, (c_ab, pmi, npmi) in want.items():
+        gc, gp, gn = got[k]
+        assert gc == c_ab
+        assert gp == pytest.approx(pmi, abs=2e-6)
+        assert gn == pytest.approx(npmi, abs=2e-6)

@@ -126,3 +126,91 @@ def test_j5_fuzzy_legs_on_testdata(spark, sf0001_dir):
     names = {r["name"].split(">")[0] for r in canon}
     targets = {r["name"].split(">")[1] for r in canon}
     assert targets <= names
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-randomized parity (the pack-layouts discipline): random
+# name corpora from a colliding alphabet against a brute-force Python
+# linkage replay.  derandomize=True keeps CI deterministic.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ADJ = ["cold", "colt", "old", "bold", "small"]
+_NOUN = ["bolt", "bold", "widget", "ring"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _python_linkage(names, max_dist=3):
+    from collections import Counter
+
+    cnt = Counter(names)
+    dic = sorted(cnt)
+    pairs = {}
+    for i, a in enumerate(dic):
+        for b in dic[i + 1 :]:
+            blocked = (
+                a.split()[0] == b.split()[0] or a.split()[-1] == b.split()[-1]
+            )
+            if blocked and _lev(a, b) <= max_dist:
+                pairs[(a, b)] = (_lev(a, b), cnt[a] * cnt[b])
+    sym = {}
+    for (a, b), (lev, _) in pairs.items():
+        sym.setdefault(a, []).append((lev, b))
+        sym.setdefault(b, []).append((lev, a))
+    best = {n: min(v)[::-1] for n, v in sym.items()}
+    canon = {}
+    for n in dic:
+        cands = [(cnt[n], n)] + [
+            (cnt[o], o) for (lev, o) in sym.get(n, [])
+        ]
+        # max records, ties by name ascending
+        target = sorted(cands, key=lambda t: (-t[0], t[1]))[0]
+        canon[n] = (target[1], target[0])
+    return pairs, best, canon
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    names=st.lists(
+        st.tuples(st.sampled_from(_ADJ), st.sampled_from(_NOUN)).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_hypothesis_linkage_matches_python(spark, names):
+    records = spark.createDataFrame(
+        [(n, i) for i, n in enumerate(names)], "name string, rid long"
+    )
+    d = linkage.name_dictionary(records, "name", "rid")
+    p = linkage.blocked_pairs(d, max_dist=3)
+    want_pairs, want_best, want_canon = _python_linkage(names)
+    got_pairs = {
+        (r["name_a"], r["name_b"]): (r["lev"], r["pair_mass"])
+        for r in p.collect()
+    }
+    assert got_pairs == want_pairs
+    got_best = {
+        r["name"]: (r["match"], r["lev"])
+        for r in linkage.best_match(p).collect()
+    }
+    assert got_best == want_best
+    got_canon = {
+        r["name"]: (r["canon"], r["canon_records"])
+        for r in linkage.canonical_map(p, d).collect()
+    }
+    assert got_canon == want_canon
