@@ -30,6 +30,12 @@ outage day gets a row (and a z-score), and the ROWS-based trailing
 window really is the trailing 7 CALENDAR days rather than the last 7
 observed days silently spanning the gap.  The scorers densify by
 default.
+
+Reference parity note: the reference
+(Surabhi_Srinath_NYC_Taxi_Assignment_FInal.txt) is a batch HiveQL
+script with no monitoring surface -- this module is part of the
+beyond-the-reference training-data-pipeline extensions, like
+dedup/similarity/packing.
 """
 
 from __future__ import annotations

@@ -1129,7 +1129,9 @@ def bm25_constants(
 
 #: PMI is unstable below this bigram count (a hapax pair maxes the
 #: score by construction); the pmi/npmi rankings filter on it.  ONE
-#: definition, embedded into every SQL surface.
+#: definition, embedded into every SQL surface.  (Collocation mining is
+#: beyond-the-reference extension surface -- the reference HiveQL
+#: script has no text processing at all.)
 COLLOCATION_MIN_COUNT = 5
 
 #: the bigram -> struct(w1, w2) extraction as a Spark SQL expression --

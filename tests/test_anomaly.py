@@ -1,9 +1,10 @@
 """Time-series anomaly operator (operators/anomaly.py) semantics.
 
-Cross-engine value parity for the e4 entry rides the auto-parametrized
-oracle gates; these pin the operator contract on a hand-built series:
-the leave-self-out baseline, the full-window warmup cut, the exact
-integer zero-variance guard, and the hand-computed z value.
+Cross-engine value parity for e1's anomaly legs rides the
+auto-parametrized oracle gates; these pin the operator contract on a
+hand-built series: the leave-self-out baseline, the full-window warmup
+cut, the exact zero-variance guard, outage-day densification, and the
+hand-computed z values (plus a hypothesis python-replay sweep).
 """
 
 from __future__ import annotations
