@@ -193,6 +193,56 @@ def run_anomaly_maintenance(spark, events_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_linkage_maintenance(spark, sf_dir: str, n_slices: int) -> dict:
+    """The entity-dictionary maintenance stream (r16): the part table as
+    a parquet drop zone, each micro-batch's (name, count, witness-id)
+    dictionary folded into the versioned ledger; ``out_rows`` is the
+    canonicalization read path's row count over the maintained state
+    (every dictionary name gets a canon verdict)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import linkage
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    pdf = load_table(spark, sf_dir, "part").toPandas()
+    tmp = tempfile.mkdtemp(prefix="bench_lkmnt_")
+    try:
+        parts_dir = os.path.join(tmp, "part")
+        os.makedirs(parts_dir)
+        n = len(pdf)
+        for i in range(n_slices):
+            pdf.iloc[n * i // n_slices : n * (i + 1) // n_slices].to_parquet(
+                os.path.join(parts_dir, f"{i:03d}.parquet"), index=False
+            )
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        src = (
+            spark.readStream.schema(spark.read.parquet(parts_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(parts_dir)
+        )
+        t0 = time.monotonic()
+        q = (
+            mnt.linkage_maintenance_stream(
+                src, state, ckpt, "p_name", "p_partkey"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        stats = _progress_stats(q, t0)
+        d = mnt.read_sketch_state(spark, state)
+        stats["out_rows"] = (
+            linkage.canonical_map(linkage.blocked_pairs(d), d).count()
+            if d is not None
+            else 0
+        )
+        return stats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_bench(spark, sf_dir: str, n_slices: int):
     from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
@@ -245,6 +295,14 @@ def run_bench(spark, sf_dir: str, n_slices: int):
         results.update(run_vec_streams(spark, sf_dir, n_slices))
     except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
         results["vec_streams"] = {"error": f"{type(exc).__name__}: {exc}"}
+    try:
+        results["linkage_maintenance"] = run_linkage_maintenance(
+            spark, sf_dir, n_slices
+        )
+    except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
+        results["linkage_maintenance"] = {
+            "error": f"{type(exc).__name__}: {exc}"
+        }
 
     print(
         json.dumps(
