@@ -44,10 +44,12 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     "o3_topk_multi_sort": (0.21, 0.56),
     "a9_percentile": (1.87, 5.34),
     "s3_etl_clean_derive": (0.41, 1.48),
-    # re-centered r16: the three anomaly legs joined the tumbling agg
-    # (4-leg tagged union; ~0.3-0.9 s of extra window jobs over the
-    # keys x days series -- SF-invariant scheduling, not data)
-    "e1_tumbling_window_counts": (0.5, 2.0),
+    # re-centered r16: the four anomaly legs joined the tumbling agg
+    # (5-leg tagged union; each leg a sub-0.2 s window job over ONE
+    # checkpointed keys x days series -- SF-invariant scheduling, not
+    # data; 5-leg controlled capture 1.5-1.8 warm, [0.6 x min,
+    # 1.5 x max] convention)
+    "e1_tumbling_window_counts": (0.5, 2.6),
     "e2_sessionize": (1.2, 3.77),
     "a10_distinct_counts": (2.0, 12.11),
     "d3_minhash_lsh_pairs": (1.78, 10.74),

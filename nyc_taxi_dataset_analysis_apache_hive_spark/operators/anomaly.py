@@ -208,3 +208,45 @@ def global_zscores(daily: DataFrame, densify: bool = True) -> DataFrame:
         .withColumn("flag", F.expr(FLAG_EXPR))
         .select("key", "day", "n", "score", "flag")
     )
+
+
+#: engine-portable day-of-week from a UTC-midnight day timestamp: whole
+#: days since the (Thursday) Unix epoch, mod 7 -- 0=Thursday.  Pure
+#: integer arithmetic, so no cross-engine weekday-numbering convention
+#: (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday) can leak
+#: into the value hash.  The integer-division spelling differs per
+#: engine (Spark ``div`` vs DuckDB ``//``); epoch seconds are positive
+#: for any modern dataset, so plain ``%`` is safe in both.
+DOW_EXPR_SPARK = (
+    "CAST((CAST(unix_timestamp(day) AS BIGINT) div 86400) % 7 AS INT)"
+)
+DOW_EXPR_DUCK = "CAST((CAST(epoch(day) AS BIGINT) // 86400) % 7 AS INT)"
+
+
+def weekday_zscores(daily: DataFrame, densify: bool = True) -> DataFrame:
+    """Seasonality-aware retrospective view: score each day against the
+    key's FULL history OF THE SAME WEEKDAY (self included, the
+    global_zscores convention) -- the monitor that does not page anyone
+    because Sunday is always quiet.  Keys with one sample of a weekday
+    (or zero variance across them) yield NULL via the exact guard.
+    ``densify`` as in :func:`rolling_zscores`.
+
+    Output: ``(key, day, n, score, flag)``.
+    """
+    if densify:
+        daily = densify_daily(daily)
+    daily = daily.withColumn("dow", F.expr(DOW_EXPR_SPARK))
+    w = Window.partitionBy("key", "dow")
+    sums = daily.select(
+        "key",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("sum_n"),
+        F.sum(F.expr(SUM_SQ_EXPR)).over(w).alias("sum_sq"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    return (
+        sums.withColumn("score", F.round(F.expr(z_expr()), 6))
+        .withColumn("flag", F.expr(FLAG_EXPR))
+        .select("key", "day", "n", "score", "flag")
+    )

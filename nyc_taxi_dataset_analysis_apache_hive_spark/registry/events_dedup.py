@@ -43,12 +43,13 @@ _E1_ROLL_W = (
 ).format(d=anomaly.ROLLING_DAYS)
 _E1_GLOB_W = "(PARTITION BY key)"
 
-def _e1_ctes(seq_expr: str) -> str:
-    """The anomaly CTE block, parameterized ONLY on the calendar-grid
-    generator (the one spelling the engines do not share: Spark
+def _e1_ctes(seq_expr: str, dow_expr: str) -> str:
+    """The anomaly CTE block, parameterized ONLY on the two spellings
+    the engines do not share: the calendar-grid generator (Spark
     ``explode(sequence(...))`` vs DuckDB ``unnest(generate_series(...))``
-    -- see _E1_SEQ_SPARK/_E1_SEQ_DUCK).  ``daily0`` is the OBSERVED
-    count series (the daily leg); ``daily`` zero-fills each key's
+    -- _E1_SEQ_SPARK/_E1_SEQ_DUCK) and the integer-division day-of-week
+    (anomaly.DOW_EXPR_SPARK/_DUCK).  ``daily0`` is the OBSERVED count
+    series (the daily leg); ``daily`` zero-fills each key's
     [first, last] calendar so an outage day gets a row and a score
     (operators/anomaly.densify_daily -- the r16 review's outage-blind
     finding); the window squares run in DECIMAL(38,0)
@@ -93,6 +94,18 @@ def _e1_ctes(seq_expr: str) -> str:
     ghist AS (
       SELECT key, day, n, round({anomaly.z_expr()}, 6) AS score
       FROM gsums
+    ),
+    wsums AS (
+      SELECT key, day, n,
+             sum(n) OVER (PARTITION BY key, dow) AS sum_n,
+             sum({anomaly.SUM_SQ_EXPR}) OVER (PARTITION BY key, dow)
+               AS sum_sq,
+             count(*) OVER (PARTITION BY key, dow) AS c
+      FROM (SELECT key, day, n, {dow_expr} AS dow FROM daily) dowd
+    ),
+    whist AS (
+      SELECT key, day, n, round({anomaly.z_expr()}, 6) AS score
+      FROM wsums
     )
 """
 
@@ -115,13 +128,17 @@ _E1_ANOMALY_SELECTS = f"""
     SELECT 'global' AS op, day AS window_start, key AS event_type,
            n AS n_events, score AS sum_value, {anomaly.FLAG_EXPR} AS flag
     FROM ghist
+    UNION ALL
+    SELECT 'weekday' AS op, day AS window_start, key AS event_type,
+           n AS n_events, score AS sum_value, {anomaly.FLAG_EXPR} AS flag
+    FROM whist
 """
 
 
 @register(
     "e1_tumbling_window_counts",
     f"""
-    WITH {_e1_ctes(_E1_SEQ_DUCK)}
+    WITH {_e1_ctes(_E1_SEQ_DUCK, anomaly.DOW_EXPR_DUCK)}
     SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start,
            event_type, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS sum_value, CAST(NULL AS BIGINT) AS flag
@@ -141,7 +158,10 @@ def e1_tumbling_window_counts(spark, sf):
     ``zscore`` = each day scored against its trailing 7-day window
     (self excluded, full windows only -- the continuous-monitor view);
     ``global`` = each day against the type's whole history (the
-    retrospective-outlier view).  flag = |z| > 2 on the 6-dp-rounded
+    retrospective-outlier view); ``weekday`` (r16) = each day against
+    the type's full SAME-WEEKDAY history (integer-arithmetic dow, so no
+    cross-engine weekday-numbering convention leaks into the hash) --
+    the seasonality-aware view.  flag = |z| > 2 on the 6-dp-rounded
     score (sum_value carries the score for the anomaly legs).  Mean/std
     re-derived from exact integer window sums through one shared
     expression so both engines produce bit-identical doubles
@@ -188,10 +208,19 @@ def e1_tumbling_window_counts(spark, sf):
         F.col("score").alias("sum_value"),
         "flag",
     )
+    week_leg = anomaly.weekday_zscores(daily).select(
+        F.lit("weekday").alias("op"),
+        F.col("day").alias("window_start"),
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.col("score").alias("sum_value"),
+        "flag",
+    )
     return (
         tumb.unionByName(daily_leg)
         .unionByName(roll_leg)
         .unionByName(glob_leg)
+        .unionByName(week_leg)
     )
 
 
@@ -989,7 +1018,7 @@ def d5_simhash_pairs(spark, sf):
 register_legs(
     "e1_tumbling_window_counts",
     "op",
-    ("daily", "global", "tumbling", "zscore"),
+    ("daily", "global", "tumbling", "weekday", "zscore"),
 )
 register_legs("d1_dedup_groups", "method", ("bloom", "exact", "fp"))
 register_legs("d3_minhash_lsh_pairs", "op", ("inc_admit", "pairs"))

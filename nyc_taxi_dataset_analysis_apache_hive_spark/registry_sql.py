@@ -2680,6 +2680,7 @@ SQL_QUERIES["j5_join_surface"] = (
 # template -- one spelling except the calendar-grid generator, where
 # the engines genuinely differ (Spark explode(sequence) vs DuckDB
 # unnest(generate_series)).
+from .operators.anomaly import DOW_EXPR_SPARK as _E1_DOW_SPARK  # noqa: E402
 from .registry.events_dedup import (  # noqa: E402
     _E1_ANOMALY_SELECTS,
     _E1_SEQ_SPARK,
@@ -2687,7 +2688,7 @@ from .registry.events_dedup import (  # noqa: E402
 )
 
 SQL_QUERIES["e1_tumbling_window_counts"] = f"""
-    WITH {_e1_ctes(_E1_SEQ_SPARK)}
+    WITH {_e1_ctes(_E1_SEQ_SPARK, _E1_DOW_SPARK)}
     SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start,
            event_type, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS sum_value, CAST(NULL AS BIGINT) AS flag

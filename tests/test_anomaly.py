@@ -189,3 +189,37 @@ def test_hypothesis_rolling_matches_python(spark, obs):
             assert gz is None
         else:
             assert gz == pytest.approx(z, abs=2e-6)
+
+
+def test_weekday_view_absorbs_seasonality_global_flags_it(spark):
+    # 28 days: busy weekdays (~100, jittered) and quiet "Sundays"
+    # (every 7th day, ~20, jittered).  The retrospective global view
+    # flags the quiet days as outliers; the weekday view scores each
+    # day against its OWN weekday's history and stays calm -- the
+    # seasonality-aware monitor that does not page anyone because
+    # Sunday is always quiet.
+    rows = []
+    for i in range(28):
+        if i % 7 == 3:
+            n = 20 + (i % 3)       # quiet day, small jitter
+        else:
+            n = 100 + (i * 7) % 5  # busy day, small jitter
+        rows.append(("a", _day(i), n))
+    daily = spark.createDataFrame(rows, "key string, day timestamp, n long")
+    glob = {r["day"].day: r for r in anomaly.global_zscores(daily).collect()}
+    week = {r["day"].day: r for r in anomaly.weekday_zscores(daily).collect()}
+    quiet_days = [1 + i for i in range(28) if i % 7 == 3]
+    assert all(glob[d]["flag"] == 1 for d in quiet_days)
+    assert all(week[d]["flag"] == 0 for d in quiet_days)
+    # and the busy days are unflagged in both views
+    busy = [1 + i for i in range(28) if i % 7 != 3]
+    assert all(glob[d]["flag"] == 0 for d in busy)
+    assert all(week[d]["flag"] == 0 for d in busy)
+
+
+def test_weekday_single_sample_is_null(spark):
+    # fewer than two samples of a weekday -> exact guard -> NULL
+    rows = [("a", _day(i), 10 + i) for i in range(5)]  # < one full week
+    daily = spark.createDataFrame(rows, "key string, day timestamp, n long")
+    out = anomaly.weekday_zscores(daily).collect()
+    assert all(r["score"] is None for r in out)
