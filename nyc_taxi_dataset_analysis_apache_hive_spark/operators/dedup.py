@@ -21,6 +21,7 @@ oracle can reproduce signatures exactly (md5 is identical everywhere).
 
 from __future__ import annotations
 
+import weakref
 from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -2164,6 +2165,16 @@ def load_bloom_filter(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: memoized (k, m) per artifact DataFrame (r17: a WeakKeyDictionary
+#: keyed by the frame object, replacing the r16 attribute write into
+#: the DataFrame -- same identity-keyed contract, but nothing is
+#: grafted onto a library object and an unreferenced artifact's entry
+#: is collected with it)
+_BLOOM_GEOMETRY_CACHE: "weakref.WeakKeyDictionary[DataFrame, tuple[int, int]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _bloom_artifact_geometry(
     bloom_bits: DataFrame,
 ) -> tuple[int | None, int | None]:
@@ -2173,7 +2184,9 @@ def _bloom_artifact_geometry(
     probe surfaces raise BEFORE planning a silently-false-negative
     join.
 
-    The resolved pair is MEMOIZED on the DataFrame object (r16): a
+    The resolved pair is MEMOIZED per DataFrame object (r16; held in a
+    module-level WeakKeyDictionary since r17 so no attribute is written
+    into the DataFrame and the entry dies with the frame): a
     foreachBatch stream holds ONE static artifact frame and calls a
     probe surface per trigger, and without the cache every trigger paid
     a driver round-trip to re-read two constants off an immutable row.
@@ -2187,14 +2200,14 @@ def _bloom_artifact_geometry(
     one way to observe a stale (k, m) here."""
     if "k" not in bloom_bits.columns or "m" not in bloom_bits.columns:
         return None, None
-    cached = getattr(bloom_bits, "_bloom_geometry_cache", None)
+    cached = _BLOOM_GEOMETRY_CACHE.get(bloom_bits)
     if cached is not None:
         return cached
     row = bloom_bits.select("k", "m").first()
     if row is None:
         return None, None
     geo = (int(row["k"]), int(row["m"]))
-    bloom_bits._bloom_geometry_cache = geo
+    _BLOOM_GEOMETRY_CACHE[bloom_bits] = geo
     return geo
 
 
