@@ -214,3 +214,154 @@ def test_hypothesis_linkage_matches_python(spark, names):
         for r in linkage.canonical_map(p, d).collect()
     }
     assert got_canon == want_canon
+
+
+# ---------------------------------------------------------------------------
+# r17 hardening: hot-block cap, callable block keys, apply_canonical
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_block_dictionary(spark):
+    # 500 names share the first token "hot" (distinct last tokens, so
+    # no pair forms via the last-token pass) plus one small real block
+    rows = [(f"hot v{i:03d}", i) for i in range(500)] + [
+        ("cold widget", 900),
+        ("colt widget", 901),
+    ]
+    return linkage.name_dictionary(
+        spark.createDataFrame(rows, "name string, rid long"), "name", "rid"
+    )
+
+
+def test_max_block_drops_hot_block_and_bounds_pairs(hot_block_dictionary):
+    # uncapped, the hot first-token block alone contributes
+    # C(500, 2) = 124,750 candidate rows; capped, only the small
+    # widget block survives the pair stage
+    pairs = linkage.blocked_pairs(
+        hot_block_dictionary, max_dist=99, max_block=10
+    ).collect()
+    got = {(r["name_a"], r["name_b"]) for r in pairs}
+    assert got == {("cold widget", "colt widget")}
+
+
+def test_dropped_blocks_names_the_hot_block(hot_block_dictionary):
+    dropped = linkage.dropped_blocks(
+        hot_block_dictionary, max_block=10
+    ).collect()
+    assert [(r["key_idx"], r["block"], r["n_names"]) for r in dropped] == [
+        (0, "hot", 500)
+    ]
+
+
+def test_dropped_blocks_empty_below_cap(dictionary):
+    assert linkage.dropped_blocks(dictionary, max_block=10).count() == 0
+
+
+def test_max_block_none_is_exact(dictionary):
+    base = set(
+        map(tuple, linkage.blocked_pairs(dictionary, max_dist=3).collect())
+    )
+    capped = set(
+        map(
+            tuple,
+            linkage.blocked_pairs(
+                dictionary, max_dist=3, max_block=1000
+            ).collect(),
+        )
+    )
+    assert base == capped
+
+
+def test_callable_block_keys_match_string_keys(dictionary):
+    # the callable form of the default keys; the second key's fallback
+    # literal contains the word "name", which the r16 textual rewrite
+    # could not express -- the column form has no such restriction
+    keys = (
+        lambda c: F.split(c, " ").getItem(0),
+        lambda c: F.coalesce(
+            F.element_at(F.split(c, " "), -1), F.lit("no name")
+        ),
+    )
+    got = set(
+        map(
+            tuple,
+            linkage.blocked_pairs(
+                dictionary, max_dist=3, block_keys=keys
+            ).collect(),
+        )
+    )
+    want = set(
+        map(tuple, linkage.blocked_pairs(dictionary, max_dist=3).collect())
+    )
+    assert got == want
+
+
+def test_string_block_key_with_name_in_literal(dictionary):
+    # string keys are evaluated against the dictionary frame directly
+    # (no rewrite), so a literal containing "name" is now legal too
+    got = set(
+        map(
+            tuple,
+            linkage.blocked_pairs(
+                dictionary,
+                max_dist=3,
+                block_keys=(
+                    "coalesce(split_part(name, ' ', 1), 'the name')",
+                    "split_part(name, ' ', -1)",
+                ),
+            ).collect(),
+        )
+    )
+    want = set(
+        map(tuple, linkage.blocked_pairs(dictionary, max_dist=3).collect())
+    )
+    assert got == want
+
+
+def test_apply_canonical_end_to_end(spark, records, dictionary):
+    pairs = linkage.blocked_pairs(dictionary, max_dist=3)
+    cmap = linkage.canonical_map(pairs, dictionary)
+    out = linkage.apply_canonical(records, cmap, "name")
+    assert out.columns == records.columns
+    assert out.count() == records.count()
+    got = {r["rid"]: r["name"] for r in out.collect()}
+    # the typo folds into the dominant spelling; equal-mass neighbor
+    # folds by name-ascending tie-break; dominants stay themselves
+    assert got[100] == "cold widget"  # was "colt widget"
+    assert got[200] == "cold bolt"  # was "old bolt"
+    assert got[0] == "cold widget"
+    assert got[300] == "cold bolt"
+    # NULL/empty names have no map row and must survive unchanged
+    assert got[900] is None
+    assert got[901] == ""
+
+
+def test_apply_canonical_rejects_reserved_prefix(spark, dictionary):
+    cmap = linkage.canonical_map(
+        linkage.blocked_pairs(dictionary, max_dist=3), dictionary
+    )
+    bad = spark.createDataFrame(
+        [("x", 1)], "name string, __link_name long"
+    )
+    with pytest.raises(ValueError, match="__link_"):
+        linkage.apply_canonical(bad, cmap, "name")
+
+
+def test_apply_canonical_plan_is_broadcast(records, dictionary):
+    cmap = linkage.canonical_map(
+        linkage.blocked_pairs(dictionary, max_dist=3), dictionary
+    )
+    plan = (
+        linkage.apply_canonical(records, cmap, "name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the RECORDS-side join (the only data-sized one; LeftOuter) must
+    # be broadcast -- joins inside the vocabulary-sized canon-map build
+    # are free to shuffle, so the pin targets the outer join line only
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftOuter" in ln
+        for ln in plan.splitlines()
+    ), plan[:2000]
