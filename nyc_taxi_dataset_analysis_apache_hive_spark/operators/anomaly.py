@@ -1,5 +1,6 @@
-"""Time-series anomaly detection over an event stream: rolling and
-global z-scores on per-key daily counts.
+"""Time-series anomaly detection over an event stream: rolling,
+global, same-weekday, and robust (median/MAD) scores on per-key daily
+counts.
 
 The data-quality monitor a 100 TB ingest pipeline runs continuously:
 collapse the stream to a per-(key, day) count series (one hash
@@ -206,6 +207,131 @@ def global_zscores(daily: DataFrame, densify: bool = True) -> DataFrame:
     return (
         sums.withColumn("score", F.round(F.expr(z_expr()), 6))
         .withColumn("flag", F.expr(FLAG_EXPR))
+        .select("key", "day", "n", "score", "flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) scoring (r17): the z-score's fatal weakness is
+# that one huge spike inflates the very sigma the next day is scored
+# against, so a spike-then-outage sequence leaves the outage UNDER the
+# 2-sigma line (pytest-gated miss in tests/test_anomaly.py).  The
+# median and the median absolute deviation have a 50% breakdown point:
+# no minority of spikes moves them.  Scored as the Iglewicz-Hoaglin
+# modified z-score M = 0.6745 * (n - median) / MAD, flagged at the
+# conventional |M| > 3.5 (Iglewicz & Hoaglin, "How to Detect and
+# Handle Outliers", ASQC 1993).
+#
+# Cross-engine exactness (the z_expr discipline, rank-based instead of
+# sum-based): engine median()/percentile aggregates interpolate in
+# engine-specific float paths, so the medians here are derived from
+# EXACT INTEGER rank picks instead -- row_number the values, pick the
+# two middle ranks lo = floor((c+1)/2) and hi = floor((c+2)/2), and
+# carry their SUM (m2 = n_lo + n_hi = 2*median; odd c picks the same
+# row twice).  Deviations stay integral on the doubled scale
+# (dev2 = |2n - m2| = 2*|n - median|), and their median-of-two-ranks
+# sum md4 = 4*MAD is again an exact integer.  The only float op is the
+# final shared expression both engines evaluate verbatim.  The
+# zero-MAD guard (md4 = 0 -> NULL) is an exact integer identity.  All
+# intermediates are <= 4x a daily count (no squares, unlike the z
+# path), so BIGINT holds to ~2e18-row days without the DECIMAL(38,0)
+# escalation SUM_SQ_EXPR needs.
+# ---------------------------------------------------------------------------
+
+#: the MAD-to-sigma consistency constant for the modified z-score
+#: (1/Phi^-1(0.75); Iglewicz & Hoaglin 1993)
+MAD_CONSISTENCY = 0.6745
+
+#: |M| above this flags the day (the conventional modified-z cutoff)
+ROBUST_FLAG_THRESHOLD = 3.5
+
+#: the two middle ranks of a c-sized partition (equal when c is odd);
+#: / 2.0 yields DOUBLE in both engines, floor+CAST is exact for any
+#: day count
+_RANK_LO = "CAST(floor((c + 1) / 2.0) AS BIGINT)"
+_RANK_HI = "CAST(floor((c + 2) / 2.0) AS BIGINT)"
+
+#: absolute deviation on the doubled-integer scale
+DEV2_EXPR = "abs(2 * n - m2)"
+
+
+def med2_pick(val: str, rn: str = "rn") -> str:
+    """Doubled-median window expression: the sum of ``val`` at the two
+    middle ranks of the key's partition (``= 2 * median(val)``).
+    Requires ``rn`` (row_number ordered by ``val``) and ``c``
+    (partition count) as plain columns -- window functions cannot nest,
+    so the ranking is a separate layer.  Valid verbatim in Spark SQL
+    and DuckDB.
+    """
+    return (
+        f"sum(CASE WHEN {rn} = {_RANK_LO} THEN {val} ELSE 0 END)"
+        f" OVER (PARTITION BY key)"
+        f" + sum(CASE WHEN {rn} = {_RANK_HI} THEN {val} ELSE 0 END)"
+        f" OVER (PARTITION BY key)"
+    )
+
+
+#: the shared modified-z expression over the exact integer medians:
+#: M = 0.6745 * (n - m2/2) / (md4/4) = 0.6745 * (4n - 2*m2) / md4.
+#: Both engines evaluate this text verbatim; the double conversion is
+#: exact for counts below 2^53 (the z_expr argument).
+ROBUST_SCORE_EXPR = (
+    f"CASE WHEN md4 = 0 THEN CAST(NULL AS DOUBLE)"
+    f" ELSE round({MAD_CONSISTENCY!r} *"
+    f" (4.0 * CAST(n AS DOUBLE) - 2.0 * CAST(m2 AS DOUBLE))"
+    f" / CAST(md4 AS DOUBLE), 6) END"
+)
+
+#: flag from the ROUNDED modified z (the FLAG_EXPR convention)
+ROBUST_FLAG_EXPR = (
+    f"CASE WHEN score IS NULL THEN CAST(NULL AS BIGINT)"
+    f" WHEN abs(score) > {ROBUST_FLAG_THRESHOLD!r} THEN CAST(1 AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def robust_zscores(daily: DataFrame, densify: bool = True) -> DataFrame:
+    """Score each day against the key's FULL history with the
+    median/MAD modified z-score (self included, the global_zscores
+    convention) -- the spike-immune retrospective view: a handful of
+    extreme days cannot inflate the baseline they and their neighbors
+    are judged against, so a spike-then-outage sequence flags BOTH
+    (the classic z misses the outage; pytest-gated).  Keys whose MAD is
+    exactly zero (at least half the days share the median count --
+    including any single-day key) yield NULL via the exact integer
+    guard.  ``densify`` as in :func:`rolling_zscores`.
+
+    Output: ``(key, day, n, score, flag)`` with score = round(M, 6)
+    and flag = |M| > 3.5 decided on the rounded score.
+    """
+    if densify:
+        daily = densify_daily(daily)
+    ranked = daily.selectExpr(
+        "key",
+        "day",
+        "n",
+        "row_number() OVER (PARTITION BY key ORDER BY n, day) AS rn",
+        "count(*) OVER (PARTITION BY key) AS c",
+    )
+    med = ranked.selectExpr(
+        "key", "day", "n", "c", f"{med2_pick('n')} AS m2"
+    )
+    dev = med.selectExpr(
+        "key",
+        "day",
+        "n",
+        "c",
+        "m2",
+        f"{DEV2_EXPR} AS dev2",
+        f"row_number() OVER (PARTITION BY key ORDER BY {DEV2_EXPR}, day)"
+        " AS rn2",
+    )
+    mad = dev.selectExpr(
+        "key", "day", "n", "m2", f"{med2_pick('dev2', 'rn2')} AS md4"
+    )
+    return (
+        mad.withColumn("score", F.expr(ROBUST_SCORE_EXPR))
+        .withColumn("flag", F.expr(ROBUST_FLAG_EXPR))
         .select("key", "day", "n", "score", "flag")
     )
 

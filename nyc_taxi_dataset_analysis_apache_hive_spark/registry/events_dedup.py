@@ -106,6 +106,29 @@ def _e1_ctes(seq_expr: str, dow_expr: str) -> str:
     whist AS (
       SELECT key, day, n, round({anomaly.z_expr()}, 6) AS score
       FROM wsums
+    ),
+    rrank AS (
+      SELECT key, day, n,
+             row_number() OVER (PARTITION BY key ORDER BY n, day) AS rn,
+             count(*) OVER (PARTITION BY key) AS c
+      FROM daily
+    ),
+    rmed AS (
+      SELECT key, day, n, c, {anomaly.med2_pick("n")} AS m2 FROM rrank
+    ),
+    rdev AS (
+      SELECT key, day, n, c, m2, {anomaly.DEV2_EXPR} AS dev2,
+             row_number() OVER (
+               PARTITION BY key ORDER BY {anomaly.DEV2_EXPR}, day) AS rn2
+      FROM rmed
+    ),
+    rmad AS (
+      SELECT key, day, n, m2,
+             {anomaly.med2_pick("dev2", "rn2")} AS md4
+      FROM rdev
+    ),
+    robust AS (
+      SELECT key, day, n, {anomaly.ROBUST_SCORE_EXPR} AS score FROM rmad
     )
 """
 
@@ -132,6 +155,11 @@ _E1_ANOMALY_SELECTS = f"""
     SELECT 'weekday' AS op, day AS window_start, key AS event_type,
            n AS n_events, score AS sum_value, {anomaly.FLAG_EXPR} AS flag
     FROM whist
+    UNION ALL
+    SELECT 'robust' AS op, day AS window_start, key AS event_type,
+           n AS n_events, score AS sum_value,
+           {anomaly.ROBUST_FLAG_EXPR} AS flag
+    FROM robust
 """
 
 
@@ -161,11 +189,15 @@ def e1_tumbling_window_counts(spark, sf):
     retrospective-outlier view); ``weekday`` (r16) = each day against
     the type's full SAME-WEEKDAY history (integer-arithmetic dow, so no
     cross-engine weekday-numbering convention leaks into the hash) --
-    the seasonality-aware view.  flag = |z| > 2 on the 6-dp-rounded
-    score (sum_value carries the score for the anomaly legs).  Mean/std
-    re-derived from exact integer window sums through one shared
-    expression so both engines produce bit-identical doubles
-    (operators/anomaly.py)."""
+    the seasonality-aware view; ``robust`` (r17) = each day against the
+    type's full history by the median/MAD modified z-score (exact
+    rank-picked integer medians; flag = |M| > 3.5) -- the spike-immune
+    view that still flags an outage after a spike has inflated the
+    classic sigma (pytest-gated miss in tests/test_anomaly.py).
+    flag = |z| > 2 on the 6-dp-rounded score for the z legs (sum_value
+    carries the score for all anomaly legs).  Mean/std re-derived from
+    exact integer window sums through one shared expression so both
+    engines produce bit-identical doubles (operators/anomaly.py)."""
     ev = _t(spark, sf, "events")
     nulld = F.lit(None).cast("double")
     nulll = F.lit(None).cast("long")
@@ -178,7 +210,7 @@ def e1_tumbling_window_counts(spark, sf):
         nulll.alias("flag"),
     )
     # ONE events scan for the whole anomaly family: the daily series
-    # feeds five consumers (the daily leg, both scorers' span/grid/join
+    # feeds every scorer leg (each densifies it through span/grid/join
     # sides) and is keys x days tiny, so an eager localCheckpoint (the
     # d4 token_table discipline) collapses what would otherwise plan as
     # four parquet scans of events into one -- recompute-on-loss is
@@ -216,11 +248,20 @@ def e1_tumbling_window_counts(spark, sf):
         F.col("score").alias("sum_value"),
         "flag",
     )
+    robust_leg = anomaly.robust_zscores(daily).select(
+        F.lit("robust").alias("op"),
+        F.col("day").alias("window_start"),
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.col("score").alias("sum_value"),
+        "flag",
+    )
     return (
         tumb.unionByName(daily_leg)
         .unionByName(roll_leg)
         .unionByName(glob_leg)
         .unionByName(week_leg)
+        .unionByName(robust_leg)
     )
 
 

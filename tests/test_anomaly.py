@@ -223,3 +223,118 @@ def test_weekday_single_sample_is_null(spark):
     daily = spark.createDataFrame(rows, "key string, day timestamp, n long")
     out = anomaly.weekday_zscores(daily).collect()
     assert all(r["score"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# r17: robust (median/MAD) scorer -- the spike-then-outage blind spot
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spike_then_outage(spark):
+    # 17 jittered baseline days (~100), a 100000x spike on day 17, an
+    # OUTAGE on day 18 (no row; densify materializes n=0), resume on
+    # day 19.  The spike sits inside both z baselines for day 18: it
+    # inflates the trailing-7 sigma AND the full-history sigma, so the
+    # outage lands far under both 2-sigma lines.
+    cycle = [95, 97, 99, 101, 103, 105]
+    rows = [("a", _day(i), cycle[i % 6]) for i in range(17)]
+    rows += [("a", _day(17), 100000), ("a", _day(19), 100)]
+    return spark.createDataFrame(rows, "key string, day timestamp, n long")
+
+
+def test_classic_z_legs_miss_the_post_spike_outage(spike_then_outage):
+    # the documented blind spot: both variance-based views score the
+    # outage day and MISS it (spike-inflated sigma), which is exactly
+    # why the robust leg exists
+    roll = {
+        r["day"].day: r
+        for r in anomaly.rolling_zscores(spike_then_outage).collect()
+    }
+    assert roll[19]["n"] == 0  # day index 18 -> Jan 19
+    assert roll[19]["flag"] == 0, roll[19]
+    glob = {
+        r["day"].day: r
+        for r in anomaly.global_zscores(spike_then_outage).collect()
+    }
+    assert glob[19]["n"] == 0
+    assert glob[19]["flag"] == 0, glob[19]
+
+
+def test_robust_flags_both_spike_and_outage(spike_then_outage):
+    out = {
+        r["day"].day: r
+        for r in anomaly.robust_zscores(spike_then_outage).collect()
+    }
+    # hand-derived exact medians over the 20 densified counts:
+    # sorted ranks 10/11 are 99 and 100 -> m2 = 199 (median 99.5);
+    # sorted |2n - m2| ranks 10/11 are 5 and 7 -> md4 = 12 (MAD 3)
+    assert out[19]["n"] == 0
+    assert out[19]["score"] == pytest.approx(
+        round(0.6745 * (4 * 0 - 2 * 199) / 12, 6), abs=2e-6
+    )
+    assert out[19]["flag"] == 1
+    assert out[18]["n"] == 100000
+    assert out[18]["flag"] == 1
+    # an ordinary baseline day stays unflagged (M(105) ~ 1.24)
+    assert out[6]["flag"] == 0
+
+
+def test_robust_zero_mad_is_null(spark):
+    # >= half the days at the median -> MAD exactly 0 -> NULL via the
+    # integer guard (a spike never forces a division blow-up)
+    rows = [("a", _day(i), 50) for i in range(6)] + [("a", _day(6), 9999)]
+    out = anomaly.robust_zscores(
+        spark.createDataFrame(rows, "key string, day timestamp, n long")
+    )
+    assert all(
+        r["score"] is None and r["flag"] is None for r in out.collect()
+    )
+
+
+def test_robust_single_day_key_is_null(spark):
+    one = spark.createDataFrame(
+        [("x", _day(0), 3)], "key string, day timestamp, n long"
+    )
+    r = anomaly.robust_zscores(one).first()
+    assert r["score"] is None and r["flag"] is None
+
+
+def _robust_python(series):
+    """Rank-based median/MAD replay of robust_zscores on one dense key."""
+    c = len(series)
+    svals = sorted(series)
+    m2 = svals[(c + 1) // 2 - 1] + svals[(c + 2) // 2 - 1]
+    dev2 = sorted(abs(2 * n - m2) for n in series)
+    md4 = dev2[(c + 1) // 2 - 1] + dev2[(c + 2) // 2 - 1]
+    return [
+        None if md4 == 0 else 0.6745 * (4 * n - 2 * m2) / md4
+        for n in series
+    ]
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    obs=st.lists(st.integers(min_value=0, max_value=1000), min_size=1,
+                 max_size=15)
+)
+def test_hypothesis_robust_matches_python(spark, obs):
+    daily = spark.createDataFrame(
+        [("k", _day(i), n) for i, n in enumerate(obs)],
+        "key string, day timestamp, n long",
+    )
+    got = {
+        r["day"].day: r["score"]
+        for r in anomaly.robust_zscores(daily).collect()
+    }
+    want = _robust_python(obs)
+    for i, w in enumerate(want):
+        g = got[1 + i]
+        if w is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(w, abs=2e-6)
