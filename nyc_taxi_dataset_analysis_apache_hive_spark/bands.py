@@ -24,6 +24,14 @@ Conventions (unchanged from BASELINE.md):
   is the machine being faster (the judge's r15 a1/o3 reading), never
   flagged.
 
+* A band WIDENED UNDER LOAD is provisional (r17 convention): it
+  carries a "re-tighten at next idle capture" obligation in its
+  comment, and the next round's idle capture re-sets it by
+  [0.6x min, 1.5x max] over the warm passes -- so the ratchet
+  self-reverses instead of permanently hiding a genuine regression
+  inside a load-inflated top edge (the e1 r16->r17 cycle is the
+  worked example).
+
 Entries/legs without a band (sub-second tail) are simply absent here;
 ``tests/test_bands.py`` pins every banded name to an existing registry
 entry/leg so a rename cannot silently orphan a band.
@@ -44,14 +52,14 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     "o3_topk_multi_sort": (0.21, 0.56),
     "a9_percentile": (1.87, 5.34),
     "s3_etl_clean_derive": (0.41, 1.48),
-    # re-centered r16: the four anomaly legs joined the tumbling agg
-    # (5-leg tagged union; each leg a sub-0.2 s window job over ONE
-    # checkpointed keys x days series -- SF-invariant scheduling, not
-    # data).  Captures: 0.83 idle (4 legs), 1.4-1.8 controlled warm
-    # (5 legs), 2.84 under ambient load -- the top edge covers the
-    # LOADED capture (the house rule: bands absorb load so a loaded
-    # round does not phantom-flag; cf. e2's 1.2-3.77 for similar work)
-    "e1_tumbling_window_counts": (0.5, 3.5),
+    # re-tightened r17 from a fresh IDLE capture (the r16 band's 3.5
+    # top was widened under ambient load and carried the implicit
+    # "re-tighten at next idle capture" marker -- see the module
+    # docstring convention below): warm passes 1.93/1.55/1.60 s with
+    # all SIX legs (robust joined r17; per-leg marginals 0.12-0.29 s
+    # over the ONE checkpointed keys x days series), rule
+    # [0.6 x min, 1.5 x max] = [0.93, 2.89]
+    "e1_tumbling_window_counts": (0.9, 2.9),
     "e2_sessionize": (1.2, 3.77),
     "a10_distinct_counts": (2.0, 12.11),
     "d3_minhash_lsh_pairs": (1.78, 10.74),

@@ -1059,7 +1059,7 @@ def d5_simhash_pairs(spark, sf):
 register_legs(
     "e1_tumbling_window_counts",
     "op",
-    ("daily", "global", "tumbling", "weekday", "zscore"),
+    ("daily", "global", "robust", "tumbling", "weekday", "zscore"),
 )
 register_legs("d1_dedup_groups", "method", ("bloom", "exact", "fp"))
 register_legs("d3_minhash_lsh_pairs", "op", ("inc_admit", "pairs"))
