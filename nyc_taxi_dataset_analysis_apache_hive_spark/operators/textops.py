@@ -1157,6 +1157,28 @@ PMI_EXPR = (
 NPMI_EXPR = f"({PMI_EXPR}) / (-ln(CAST(c_ab AS DOUBLE) / nb))"
 
 
+#: forward co-occurrence window (tokens to the right) for the windowed
+#: collocation variant -- the standard collocation setting beyond
+#: adjacency (a +-k symmetric window is this directional table plus its
+#: swap, so the directional table is the primitive; word2vec-style
+#: skip-gram co-occurrence uses exactly this shape).  ONE definition,
+#: embedded into every SQL surface.
+COLLOCATION_WINDOW = 3
+
+
+def window_pair_expr(window: int) -> str:
+    """The (w1, w2) forward-window pair extraction as a Spark SQL
+    expression over a token-array column ``t`` -- one row per
+    (position, offset<=window) slot, the windowed generalization of
+    BIGRAM_EXPR (window=1 is exactly the bigram table).  Shared
+    verbatim by the DataFrame operator and the SQL-mode twin."""
+    return (
+        "explode(flatten(transform(slice(t, 1, size(t) - 1),"
+        f" (x, i) -> transform(slice(t, i + 2, {int(window)}),"
+        " y -> named_struct('w1', x, 'w2', y)))))"
+    )
+
+
 def bigram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adjacent-token bigrams, one row per occurrence: ``(w1, w2)``.
 
@@ -1168,6 +1190,28 @@ def bigram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.select(tokens(text_col).alias("t"))
         .filter(F.size("t") >= 2)
         .select(F.expr(BIGRAM_EXPR).alias("z"))
+        .select("z.w1", "z.w2")
+    )
+
+
+def window_pair_table(
+    docs: DataFrame,
+    window: int = COLLOCATION_WINDOW,
+    text_col: str = "text",
+) -> DataFrame:
+    """Forward-window co-occurrence pairs, one row per (position,
+    offset) slot: ``(w1, w2)`` with w2 at most ``window`` tokens to the
+    right of w1, never crossing a document boundary.
+
+    Linear in corpus tokens x window (the explode IS the scan, no
+    join); ``window=1`` degenerates to :func:`bigram_table`.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    return (
+        docs.select(tokens(text_col).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.expr(window_pair_expr(window)).alias("z"))
         .select("z.w1", "z.w2")
     )
 
@@ -1187,12 +1231,43 @@ def collocation_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     at every sf), so the scoring join is a broadcast over tiny
     relations no matter the corpus size.
     """
-    bg = bigram_table(docs, text_col)
+    return _score_pair_table(docs, bigram_table(docs, text_col), text_col)
+
+
+def windowed_collocation_scores(
+    docs: DataFrame,
+    window: int = COLLOCATION_WINDOW,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed collocation statistics: ``(w1, w2, c_ab, pmi, npmi)``
+    with c_ab counting (w1, w2) co-occurrences where w2 follows w1
+    within ``window`` tokens (the standard +-k collocation setting;
+    Bouma 2009 computes the same PMI estimator over windowed slots).
+
+    P(ab) is over window-pair slots, P(a) over corpus tokens -- the
+    same estimator family as :func:`collocation_scores`, which this
+    reduces to at ``window=1``.  Same scale shape: the pair stream is
+    window x corpus-tokens (still one explode, no join) and the count
+    tables stay vocabulary-sized, so the scoring join broadcasts at
+    any corpus scale.
+    """
+    return _score_pair_table(
+        docs, window_pair_table(docs, window, text_col), text_col
+    )
+
+
+def _score_pair_table(
+    docs: DataFrame, pairs: DataFrame, text_col: str
+) -> DataFrame:
+    """Shared PMI/NPMI scoring stage over any (w1, w2) pair stream:
+    two hash aggregates (pair counts, unigram counts) + two scalar
+    totals, then the one shared double expression (PMI_EXPR) both
+    engines evaluate verbatim."""
     uni = docs.select(F.explode(tokens(text_col)).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     utot = uni.agg(F.count(F.lit(1)).alias("nu"))
-    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    btot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    btot = pairs.agg(F.count(F.lit(1)).alias("nb"))
     # explicit broadcast on the unigram side: both count tables are
     # vocabulary-bounded, but after an aggregate Spark's size estimate
     # is a guess -- at corpus scale a flipped estimate would turn these

@@ -1989,6 +1989,34 @@ _TV1_COLLOC_SCORE_CTES = f"""
     )
 """
 
+#: the WINDOWED scoring CTEs (r17, verdict task 7): same shared
+#: PMI_EXPR doubles over the forward +-COLLOCATION_WINDOW pair stream
+#: ``cwin``, reusing the unigram count CTEs (cucnt/cutot) from the
+#: adjacent-bigram block above.  Engine-neutral; only the ``cwin``
+#: extraction differs per engine.
+_TV1_COLLOC_WIN_SCORE_CTES = f"""
+    cwbcnt AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM cwin GROUP BY 1, 2
+    ),
+    cwbtot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cwin),
+    cwjoined AS (
+      SELECT b.w1, b.w2, b.c_ab, ua.c AS ac, ub.c AS bc, nu, nb
+      FROM cwbcnt b
+      JOIN cucnt ua ON ua.w = b.w1
+      JOIN cucnt ub ON ub.w = b.w2
+      CROSS JOIN cutot CROSS JOIN cwbtot
+    ),
+    cwscored AS (
+      SELECT w1, w2, c_ab, round({textops.PMI_EXPR}, 6) AS pmi
+      FROM cwjoined
+    ),
+    cwpmir AS (
+      SELECT w1, w2, c_ab, pmi, CAST(row_number() OVER (
+               ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+      FROM cwscored WHERE c_ab >= {textops.COLLOCATION_MIN_COUNT}
+    )
+"""
+
 #: the three collocation legs in tv1's (op, doc_id, token, n, m, score)
 #: schema -- shared verbatim by both SQL surfaces
 _TV1_COLLOC_SELECTS = f"""
@@ -2004,6 +2032,10 @@ _TV1_COLLOC_SELECTS = f"""
     SELECT 'colloc_npmi' AS op, CAST(NULL AS BIGINT) AS doc_id,
            w1 || ' ' || w2 AS token, c_ab AS n, rank AS m, npmi AS score
     FROM cnpmir WHERE rank <= {_TV2_TOP_K}
+    UNION ALL
+    SELECT 'colloc_win' AS op, CAST(NULL AS BIGINT) AS doc_id,
+           w1 || ' ' || w2 AS token, c_ab AS n, rank AS m, pmi AS score
+    FROM cwpmir WHERE rank <= {_TV2_TOP_K}
 """
 
 #: DuckDB bigram/unigram extraction (reuses _TF_CTE's ``toks``)
@@ -2015,7 +2047,19 @@ _TV1_COLLOC_DUCK_CTES = f"""
         FROM toks WHERE len(t) >= 2
       )
     ),
-    {_TV1_COLLOC_SCORE_CTES}
+    cwin AS (
+      SELECT t[i] AS w1, t[i + d] AS w2
+      FROM (
+        SELECT t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+      CROSS JOIN (
+        SELECT unnest(range(1, {textops.COLLOCATION_WINDOW} + 1)) AS d
+      )
+      WHERE i + d <= len(t)
+    ),
+    {_TV1_COLLOC_SCORE_CTES},
+    {_TV1_COLLOC_WIN_SCORE_CTES}
 """
 
 
@@ -2033,7 +2077,14 @@ def _tv1_colloc_legs(spark, sf):
     the scoring join broadcasts at any corpus scale
     (operators/textops.collocation_scores)."""
     docs = _t(spark, sf, "documents")
-    scored = textops.collocation_scores(docs)
+    # ONE corpus pass per pair stream: the scored tables are
+    # vocabulary-sized (~900 bigrams at every sf), but their upstream
+    # is two corpus-sized hash aggregates each -- without the barrier
+    # the union re-runs that upstream once per ranking leg (the r16
+    # shape paid it 3x; with the windowed leg it would be 4x).
+    # Checkpointing the tiny scored relations makes every leg a
+    # row_number over a cached ~900-row table instead.
+    scored = textops.collocation_scores(docs).localCheckpoint(eager=True)
     w_freq = Window.orderBy(
         F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()
     )
@@ -2062,10 +2113,21 @@ def _tv1_colloc_legs(spark, sf):
             )
         )
 
+    # colloc_win (r17, verdict task 7): the same PMI ranking over the
+    # forward +-COLLOCATION_WINDOW pair stream -- the standard
+    # collocation setting beyond adjacency.  Pair stream is window x
+    # tokens (one explode, no join); count tables stay
+    # vocabulary-sized, so nothing about the broadcast plan changes.
+    wfilt = (
+        textops.windowed_collocation_scores(docs)
+        .localCheckpoint(eager=True)
+        .filter(F.col("c_ab") >= textops.COLLOCATION_MIN_COUNT)
+    )
     return (
         leg(scored, "colloc", w_freq, nulld)
         .unionByName(leg(filt, "colloc_pmi", w_pmi, F.col("pmi")))
         .unionByName(leg(filt, "colloc_npmi", w_npmi, F.col("npmi")))
+        .unionByName(leg(wfilt, "colloc_win", w_pmi, F.col("pmi")))
     )
 
 
@@ -2479,6 +2541,7 @@ register_legs(
         "colloc",
         "colloc_npmi",
         "colloc_pmi",
+        "colloc_win",
         "dense",
         "dense_ivf",
         "hybrid",

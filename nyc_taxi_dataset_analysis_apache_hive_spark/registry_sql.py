@@ -2704,9 +2704,14 @@ SQL_QUERIES["e1_tumbling_window_counts"] = f"""
 # token-array CTE (its tok CTE explodes directly) plus the Spark bigram
 # spelling, then the shared tail.
 from .operators.textops import BIGRAM_EXPR as _BG_EXPR  # noqa: E402
+from .operators.textops import (  # noqa: E402
+    COLLOCATION_WINDOW as _CW,
+    window_pair_expr as _win_expr,
+)
 from .registry.sampling_pipeline import (  # noqa: E402
     _TV1_COLLOC_SCORE_CTES,
     _TV1_COLLOC_SELECTS,
+    _TV1_COLLOC_WIN_SCORE_CTES,
 )
 
 _TV1_SQLMODE_COLLOC_CTES = f"""
@@ -2720,7 +2725,13 @@ _TV1_SQLMODE_COLLOC_CTES = f"""
         SELECT {_BG_EXPR} AS z FROM ctoks WHERE size(t) >= 2
       )
     ),
-    {_TV1_COLLOC_SCORE_CTES}
+    cwin AS (
+      SELECT z.w1 AS w1, z.w2 AS w2 FROM (
+        SELECT {_win_expr(_CW)} AS z FROM ctoks WHERE size(t) >= 2
+      )
+    ),
+    {_TV1_COLLOC_SCORE_CTES},
+    {_TV1_COLLOC_WIN_SCORE_CTES}
 """
 
 _tv1_twin = SQL_QUERIES["tv1_text_stats"]

@@ -72,6 +72,42 @@ def test_pmi_value_and_ordering(docs):
     assert nn["npmi"] > cat["npmi"]
 
 
+def test_window_pairs_reduce_to_bigrams_at_window_1(docs):
+    bg = sorted(map(tuple, textops.bigram_table(docs).collect()))
+    win1 = sorted(map(tuple, textops.window_pair_table(docs, 1).collect()))
+    assert bg == win1
+
+
+def test_window_pairs_respect_window_and_doc_boundary(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f")], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, textops.window_pair_table(docs, 2).collect())
+    )
+    # window=2: (a,b),(a,c),(b,c),(b,d),(c,d) + (e,f); never (d,e)
+    assert got == sorted(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("e", "f")]
+    )
+
+
+def test_window_pair_table_rejects_window_zero(docs):
+    with pytest.raises(ValueError):
+        textops.window_pair_table(docs, 0)
+
+
+def test_windowed_pmi_uses_window_slot_total(spark):
+    # 1 doc "a b c", window 2 -> pairs (a,b),(a,c),(b,c): nb=3, nu=3
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): r["pmi"]
+        for r in textops.windowed_collocation_scores(docs, 2).collect()
+    }
+    want = round(math.log((1 / 3) / ((1 / 3) * (1 / 3))), 6)
+    assert got == {("a", "b"): want, ("a", "c"): want, ("b", "c"): want}
+
+
 def test_single_token_docs_contribute_unigrams_only(docs):
     # "one" appears in unigram totals but yields no bigram rows
     bg = textops.bigram_table(docs)
@@ -89,15 +125,15 @@ def test_tv1_colloc_leg_shapes(spark, sf0001_dir):
     )
     by_op = {r["op"]: r["count"] for r in df.groupBy("op").count().collect()}
     assert by_op == {"colloc": _TV2_TOP_K, "colloc_pmi": _TV2_TOP_K,
-                     "colloc_npmi": _TV2_TOP_K}
+                     "colloc_npmi": _TV2_TOP_K, "colloc_win": _TV2_TOP_K}
     # pmi/npmi legs respect the min-count floor
     low = df.filter(
-        F.col("op").isin("colloc_pmi", "colloc_npmi")
+        F.col("op").isin("colloc_pmi", "colloc_npmi", "colloc_win")
         & (F.col("n") < textops.COLLOCATION_MIN_COUNT)
     )
     assert low.count() == 0
     # ranks (riding tv1's m column) are 1..k with no gaps per leg
-    for op in ("colloc", "colloc_pmi", "colloc_npmi"):
+    for op in ("colloc", "colloc_pmi", "colloc_npmi", "colloc_win"):
         ranks = sorted(
             r["m"] for r in df.filter(F.col("op") == op).collect()
         )
@@ -160,3 +196,50 @@ def test_hypothesis_collocations_match_python(spark, texts):
         assert gc == c_ab
         assert gp == pytest.approx(pmi, abs=2e-6)
         assert gn == pytest.approx(npmi, abs=2e-6)
+
+
+def _python_windowed(texts, window):
+    """Reference windowed PMI over whitespace corpora."""
+    from collections import Counter
+
+    uni, pairs = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        for i, w in enumerate(toks):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                pairs[(w, toks[j])] += 1
+    nu, nb = sum(uni.values()), sum(pairs.values())
+    out = {}
+    for (w1, w2), c_ab in pairs.items():
+        pmi = math.log(
+            (c_ab / nb) / ((uni[w1] / nu) * (uni[w2] / nu))
+        )
+        out[(w1, w2)] = (c_ab, round(pmi, 6))
+    return out
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    window=st.integers(min_value=1, max_value=4),
+)
+def test_hypothesis_windowed_match_python(spark, texts, window):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+        for r in textops.windowed_collocation_scores(docs, window).collect()
+    }
+    want = _python_windowed(texts, window)
+    assert set(got) == set(want)
+    for k, (c_ab, pmi) in want.items():
+        assert got[k][0] == c_ab
+        assert got[k][1] == pytest.approx(pmi, abs=2e-6)
