@@ -15,6 +15,7 @@ from ..operators import (
     bpe,
     cohorts,
     dedup,
+    graph,
     packing,
     pipeline,
     retrieval,
@@ -145,8 +146,19 @@ _TV1_LEX_GROUPED = f"""
       UNION
       SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b
     ),
-    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    {graph.graph_sql_ctes()}
     SELECT 'cluster' AS op, doc_id, cluster_id AS v FROM comp
+    UNION ALL
+    -- graph analytics over the SAME pair graph (r17,
+    -- operators/graph.py): exact micro-unit PageRank (canonical-member
+    -- ranking) + per-vertex triangle counts (clique-vs-chain density)
+    SELECT 'pagerank' AS op, v AS doc_id, pr AS v
+    FROM gpr{graph.PAGERANK_ITERS}
+    UNION ALL
+    SELECT 'triangles' AS op, verts.v AS doc_id,
+           coalesce(gtcnt.n_tri, CAST(0 AS BIGINT)) AS v
+    FROM verts LEFT JOIN gtcnt ON gtcnt.v = verts.v
     UNION ALL
     -- leakage-safe split (r7): the split draw hashes the CLUSTER
     -- representative (min reachable id; singletons hash their own id),
@@ -214,7 +226,13 @@ def d6_dup_clusters(spark, sf):
     keys are exactly the train/eval leakage grouped_split prevents by
     construction, and the oracle replays every count (deterministic
     pairs x deterministic md5 splits).  Example columns and the
-    NULL-member policy are pytest-gated (test_split_leakage)."""
+    NULL-member policy are pytest-gated (test_split_leakage).
+    ``pagerank`` / ``triangles`` (r17, operators/graph.py) = graph
+    analytics over the same pair graph: fixed-iteration PageRank in
+    exact BIGINT micro-units (oracle replays the unrolled chain through
+    the shared PR_SHARE/PR_UPDATE expressions) and per-vertex triangle
+    counts via the degree-ordered orientation (every triangle counted
+    once at its (deg, id)-minimal apex; exact integers)."""
     docs = _t(spark, sf, "documents")
     # the pair list (tiny) feeds BOTH the CC legs and the r10 leakage
     # audit: materialize it once, or the whole gram-join pair pipeline
@@ -250,7 +268,32 @@ def d6_dup_clusters(spark, sf):
         .alias("doc_id"),
         F.col("n_pairs").cast("long").alias("v"),
     )
-    return cluster.unionByName(grouped).unionByName(leak)
+    # graph analytics over the SAME checkpointed pair graph (r17,
+    # operators/graph.py): ``pagerank`` = exact BIGINT-micro-unit
+    # PageRank (the canonical-member ranking signal -- a principled
+    # alternative to min-id keeper election), ``triangles`` =
+    # per-vertex triangle counts via the degree-ordered orientation
+    # (hub-proof O(sqrt E) wedge bound), the clique-vs-chain density
+    # signal.  The edge list is vertex-bounded here; checkpoint it so
+    # the pagerank iterations and the two triangle joins share one
+    # materialization instead of re-deriving it per consumer.
+    edges = graph.symmetric_edges(pairs).localCheckpoint(eager=True)
+    prank = graph.pagerank(edges).select(
+        F.lit("pagerank").alias("op"),
+        F.col("v").cast("long").alias("doc_id"),
+        F.col("pr").cast("long").alias("v"),
+    )
+    tri = graph.triangle_counts(edges).select(
+        F.lit("triangles").alias("op"),
+        F.col("v").cast("long").alias("doc_id"),
+        F.col("n_tri").cast("long").alias("v"),
+    )
+    return (
+        cluster.unionByName(grouped)
+        .unionByName(leak)
+        .unionByName(prank)
+        .unionByName(tri)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2512,7 +2555,11 @@ def pl1_curation_funnel(spark, sf):
 # ---------------------------------------------------------------------------
 # Leg declarations (r15): tagged-union entries, for bench.py's per-leg
 # timing breakdown (pinned by tests/test_bench_legs.py).
-register_legs("d6_dup_clusters", "op", ("cluster", "grouped_split", "leakage"))
+register_legs(
+    "d6_dup_clusters",
+    "op",
+    ("cluster", "grouped_split", "leakage", "pagerank", "triangles"),
+)
 register_legs(
     "s6_hash_split",
     "op",

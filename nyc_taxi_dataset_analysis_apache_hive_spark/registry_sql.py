@@ -3087,12 +3087,19 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
     )
 
 
+from .operators.graph import (  # noqa: E402
+    PAGERANK_ITERS as _PAGERANK_ITERS,
+    graph_sql_ctes as _graph_ctes,
+)
+
+
 def _d6_sql_program(spark: SparkSession) -> DataFrame:
     """d6_dup_clusters in declarative mode: the d4 ngram-Jaccard pair
     SQL (threshold 0.2, the same shared shingle CTE) feeds the
     :func:`_sql_cc_loop` fixpoint; the ``grouped_split`` leg then hashes
     the cluster representative with s6's exact split-case spelling
-    (repr-roundtripped float bounds)."""
+    (repr-roundtripped float bounds); the r17 ``pagerank``/``triangles``
+    legs embed the shared graph CTE chain over the same pair view."""
     spark.sql(
         f"""CREATE OR REPLACE TEMP VIEW __d6sql_pairs AS
             WITH {_SHINGLE_SETS_CTE},
@@ -3131,8 +3138,24 @@ def _d6_sql_program(spark: SparkSession) -> DataFrame:
               FROM documents
             )"""
     return spark.sql(
-        f"""SELECT 'cluster' AS op, id AS doc_id, lbl AS v
+        f"""WITH edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM __d6sql_pairs
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM __d6sql_pairs
+            ),
+            verts AS (SELECT DISTINCT a AS v FROM edges),
+            {_graph_ctes()}
+            SELECT 'cluster' AS op, id AS doc_id, lbl AS v
             FROM __d6sql_cc_lbl
+            UNION ALL
+            -- graph analytics over the same pair graph (r17): the
+            -- shared engine-neutral CTE chain from operators/graph.py
+            SELECT 'pagerank' AS op, v AS doc_id, pr AS v
+            FROM gpr{_PAGERANK_ITERS}
+            UNION ALL
+            SELECT 'triangles' AS op, verts.v AS doc_id,
+                   coalesce(gtcnt.n_tri, CAST(0 AS BIGINT)) AS v
+            FROM verts LEFT JOIN gtcnt ON gtcnt.v = verts.v
             UNION ALL
             SELECT 'grouped_split' AS op, doc_id,
                    CAST({_s6_split_case()} AS BIGINT) AS v
