@@ -243,6 +243,60 @@ def run_linkage_maintenance(spark, sf_dir: str, n_slices: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_graph_maintenance(spark, sf_dir: str, n_slices: int) -> dict:
+    """The dup-pair-graph maintenance stream (r17): the d3 MinHash-LSH
+    pair table as a parquet drop zone, each micro-batch's symmetric
+    edges folded into the versioned ledger as a distinct edge set;
+    ``out_rows`` is the graph read path's row count over the maintained
+    state (every vertex gets a PageRank and a triangle count)."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import dedup, graph
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = (
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_grmnt_")
+    try:
+        pairs_dir = os.path.join(tmp, "pairs")
+        os.makedirs(pairs_dir)
+        n = len(pdf)
+        for i in range(n_slices):
+            pdf.iloc[n * i // n_slices : n * (i + 1) // n_slices].to_parquet(
+                os.path.join(pairs_dir, f"{i:03d}.parquet"), index=False
+            )
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        src = (
+            spark.readStream.schema(spark.read.parquet(pairs_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pairs_dir)
+        )
+        t0 = time.monotonic()
+        q = (
+            mnt.graph_maintenance_stream(src, state, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        stats = _progress_stats(q, t0)
+        e = mnt.read_sketch_state(spark, state)
+        stats["out_rows"] = (
+            (graph.pagerank(e).count() + graph.triangle_counts(e).count())
+            if e is not None
+            else 0
+        )
+        stats["n_pairs"] = int(n)
+        return stats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_bench(spark, sf_dir: str, n_slices: int):
     from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
@@ -301,6 +355,14 @@ def run_bench(spark, sf_dir: str, n_slices: int):
         )
     except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
         results["linkage_maintenance"] = {
+            "error": f"{type(exc).__name__}: {exc}"
+        }
+    try:
+        results["graph_maintenance"] = run_graph_maintenance(
+            spark, sf_dir, n_slices
+        )
+    except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
+        results["graph_maintenance"] = {
             "error": f"{type(exc).__name__}: {exc}"
         }
 

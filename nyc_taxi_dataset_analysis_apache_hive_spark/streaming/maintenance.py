@@ -467,6 +467,71 @@ def fold_batch_into_name_dictionary(
     _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
 
 
+def fold_batch_into_edge_set(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    keep_versions: int = 3,
+) -> None:
+    """One dup-pair-graph maintenance step through
+    :func:`_fold_versioned_state` (r17): the maintained state is the
+    SYMMETRIC DISTINCT edge set ``(a, b)`` that
+    :mod:`..operators.graph` scores (PageRank canonical-member ranking,
+    triangle clique-vs-chain density).
+
+    delta = the batch's own symmetric edges
+    (:func:`..operators.graph.symmetric_edges` -- both directions,
+    self-loops dropped, distinct); merge = union + DISTINCT.  Set union
+    is associative, commutative, and idempotent PER EDGE, so the
+    maintained graph equals a batch ``symmetric_edges`` over every pair
+    ever streamed (equality-gated in tests/test_streaming_graph.py) --
+    and re-delivered pairs (the admission paths re-emit a near-dup pair
+    whenever its doc re-appears) collapse for free.  The deployment
+    read path is the batch operators over the maintained state::
+
+        e = read_sketch_state(spark, state_path)
+        rank = graph.pagerank(e)          # canonical-member election
+        dens = graph.triangle_counts(e)   # clique-vs-chain density
+
+    so the graph analytics never rescan pair history.  State is
+    edge-set-sized at any corpus scale: near-dup pair graphs grow with
+    the duplicate mass, not the corpus (the d6 premise).
+    """
+    from ..operators import graph
+
+    delta = graph.symmetric_edges(batch_df, a_col, b_col)
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return prev.unionByName(cur).distinct()
+
+    _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
+
+
+def graph_maintenance_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+):
+    """writeStream wiring for :func:`fold_batch_into_edge_set` (the
+    hll/cms/anomaly/linkage maintenance shape): the returned
+    ``DataStreamWriter`` just needs ``.trigger(...).start()``.  The
+    per-batch work is one edge-set-sized distinct -- trigger-overhead-
+    bound like every ledger fold."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: fold_batch_into_edge_set(
+                df, bid, state_path, a_col, b_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def linkage_maintenance_stream(
     stream: DataFrame,
     state_path: str,

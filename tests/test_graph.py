@@ -179,6 +179,29 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
 
 
 # ---------------------------------------------------------------------------
+# degenerate graphs
+# ---------------------------------------------------------------------------
+
+
+def test_empty_pair_table_yields_empty_everything(spark):
+    e = _edges(spark, [])
+    assert e.count() == 0
+    assert graph.pagerank(e).count() == 0
+    assert graph.triangle_counts(e).count() == 0
+
+
+def test_single_edge_graph(spark):
+    # K2: deg=1 both sides; pr stays at SCALE (share=1e6, update =
+    # 150000 + floor(0.85e6) = 1e6); no triangles but both get 0 rows
+    e = _edges(spark, [(7, 9)])
+    assert {r["v"]: r["pr"] for r in graph.pagerank(e).collect()} == {
+        7: graph.PAGERANK_SCALE, 9: graph.PAGERANK_SCALE
+    }
+    assert {r["v"]: r["n_tri"] for r in graph.triangle_counts(e).collect()} \
+        == {7: 0, 9: 0}
+
+
+# ---------------------------------------------------------------------------
 # plan shape
 # ---------------------------------------------------------------------------
 
