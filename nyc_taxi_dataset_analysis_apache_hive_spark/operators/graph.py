@@ -54,8 +54,8 @@ from pyspark.sql import DataFrame, functions as F
 #: PageRank fixed-point geometry: micro-unit scale (the bm25 micro-sum
 #: convention), damping factor, and the per-node base mass
 #: (1 - damping) * SCALE.  BASE is a literal, not a float product --
-#: 0.15 * 1e6 rounds DOWN through binary floats (149999.99...), and the
-#: two SQL surfaces must embed the same integer.
+#: (1 - 0.85) * 1e6 evaluates to 150000.00000000003 in binary floats,
+#: and the two SQL surfaces must embed the same exact integer.
 PAGERANK_SCALE = 1_000_000
 PAGERANK_DAMPING = 0.85
 PAGERANK_BASE = 150_000

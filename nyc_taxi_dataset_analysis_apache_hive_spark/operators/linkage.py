@@ -50,10 +50,10 @@ from pyspark.sql import functions as F
 #: identifier ``name`` (shared verbatim with the SQL-mode twin), or a
 #: Column callable applied to the name column (r17 -- no textual
 #: rewrite, so string literals in the key are unrestricted)
-BlockKey = "str | Callable[[Column], Column]"
+BlockKey = str | Callable[[Column], Column]
 
 
-def _block_key_col(key: str | Callable[[Column], Column]) -> Column:
+def _block_key_col(key: BlockKey) -> Column:
     """Resolve one blocking key to a Column over the dictionary.
 
     String keys are SQL over the identifier ``name`` -- evaluated
@@ -103,7 +103,7 @@ DEFAULT_BLOCK_KEYS: tuple[str, ...] = (
 def blocked_pairs(
     dictionary: DataFrame,
     max_dist: int = 3,
-    block_keys: tuple[str | Callable[[Column], Column], ...] = DEFAULT_BLOCK_KEYS,
+    block_keys: tuple[BlockKey, ...] = DEFAULT_BLOCK_KEYS,
     max_block: int | None = None,
 ) -> DataFrame:
     """Candidate near-variant pairs from multi-pass blocking.
@@ -152,8 +152,14 @@ def blocked_pairs(
             "n_records",
         )
         if max_block is not None:
+            # NULL keys are excluded from the frequency aggregate: they
+            # never form pairs (NULL-unsafe equi-join below), and the
+            # left_anti join could not remove them anyway (same
+            # NULL-unsafe equality) -- counting them would make the cap
+            # claim drops that lose zero recall (review r17)
             hot = (
-                keyed.groupBy("bk")
+                keyed.filter(F.col("bk").isNotNull())
+                .groupBy("bk")
                 .agg(F.count(F.lit(1)).alias("bf"))
                 .filter(F.col("bf") > max_block)
                 .select("bk")
@@ -193,7 +199,7 @@ def blocked_pairs(
 def dropped_blocks(
     dictionary: DataFrame,
     max_block: int,
-    block_keys: tuple[str | Callable[[Column], Column], ...] = DEFAULT_BLOCK_KEYS,
+    block_keys: tuple[BlockKey, ...] = DEFAULT_BLOCK_KEYS,
 ) -> DataFrame:
     """Name every block :func:`blocked_pairs` would drop at this
     ``max_block`` -- the observability half of the cap (no-silent-caps
@@ -203,7 +209,10 @@ def dropped_blocks(
     blocking key, the hot key value, and how many dictionary names
     share it.  Same frequency aggregate as the cap itself, so the two
     cannot disagree; empty means the cap dropped nothing.  ``block`` is
-    cast to string so heterogeneous key types union cleanly.
+    cast to string so heterogeneous key types union cleanly.  NULL
+    keys are excluded exactly as the cap excludes them (a NULL block
+    never pairs, so "dropping" it loses nothing -- reporting it would
+    overstate the dropped mass).
     """
     if not block_keys:
         raise ValueError("block_keys must be non-empty")
@@ -211,6 +220,7 @@ def dropped_blocks(
     for i, key in enumerate(block_keys):
         hot = (
             dictionary.select(_block_key_col(key).alias("bk"))
+            .filter(F.col("bk").isNotNull())
             .groupBy("bk")
             .agg(F.count(F.lit(1)).cast("long").alias("n_names"))
             .filter(F.col("n_names") > max_block)
@@ -351,7 +361,7 @@ def linkage_report(
     name_col: str,
     id_col: str,
     max_dist: int = 3,
-    block_keys: tuple[str | Callable[[Column], Column], ...] = DEFAULT_BLOCK_KEYS,
+    block_keys: tuple[BlockKey, ...] = DEFAULT_BLOCK_KEYS,
     max_block: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Convenience bundle: (pairs, best, canon) over one dictionary."""

@@ -1216,7 +1216,28 @@ def window_pair_table(
     )
 
 
-def collocation_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-sized unigram count table ``(w, c)`` over the shared
+    tokenizer -- the sharable input to every collocation scorer.  Its
+    sum IS the corpus token total, so scorers derive the P(a)
+    denominator from this table instead of paying a second corpus
+    pass; callers scoring several pair streams (the tv1 bigram +
+    windowed legs) compute it once, checkpoint, and pass it to each
+    scorer (r17 review: the DataFrame path was re-running the corpus
+    unigram aggregate per scorer while the SQL surfaces shared one
+    CTE)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def collocation_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    unigrams: DataFrame | None = None,
+) -> DataFrame:
     """Bigram collocation statistics: ``(w1, w2, c_ab, pmi, npmi)``.
 
     pmi = ln(P(ab) / (P(a) P(b))) with P(ab) over bigram slots and
@@ -1229,15 +1250,19 @@ def collocation_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     unigram counts) + two scalar totals broadcast via cross join -- the
     count tables are vocabulary-sized (SF-invariant here: ~900 bigrams
     at every sf), so the scoring join is a broadcast over tiny
-    relations no matter the corpus size.
+    relations no matter the corpus size.  ``unigrams``: a precomputed
+    :func:`unigram_counts` table to share across scorers.
     """
-    return _score_pair_table(docs, bigram_table(docs, text_col), text_col)
+    return _score_pair_table(
+        docs, bigram_table(docs, text_col), text_col, unigrams
+    )
 
 
 def windowed_collocation_scores(
     docs: DataFrame,
     window: int = COLLOCATION_WINDOW,
     text_col: str = "text",
+    unigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Windowed collocation statistics: ``(w1, w2, c_ab, pmi, npmi)``
     with c_ab counting (w1, w2) co-occurrences where w2 follows w1
@@ -1249,25 +1274,29 @@ def windowed_collocation_scores(
     reduces to at ``window=1``.  Same scale shape: the pair stream is
     window x corpus-tokens (still one explode, no join) and the count
     tables stay vocabulary-sized, so the scoring join broadcasts at
-    any corpus scale.
+    any corpus scale.  ``unigrams``: a precomputed
+    :func:`unigram_counts` table to share across scorers.
     """
     return _score_pair_table(
-        docs, window_pair_table(docs, window, text_col), text_col
+        docs, window_pair_table(docs, window, text_col), text_col, unigrams
     )
 
 
 def _score_pair_table(
-    docs: DataFrame, pairs: DataFrame, text_col: str
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    unigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Shared PMI/NPMI scoring stage over any (w1, w2) pair stream:
-    two hash aggregates (pair counts, unigram counts) + two scalar
-    totals, then the one shared double expression (PMI_EXPR) both
-    engines evaluate verbatim."""
-    uni = docs.select(F.explode(tokens(text_col)).alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    utot = uni.agg(F.count(F.lit(1)).alias("nu"))
+    two hash aggregates (pair counts, unigram counts), the totals
+    derived from the count tables themselves (sum of a vocabulary-sized
+    table, never a second corpus pass), then the one shared double
+    expression (PMI_EXPR) both engines evaluate verbatim."""
+    ucnt = unigram_counts(docs, text_col) if unigrams is None else unigrams
+    utot = ucnt.agg(F.sum("c").cast("long").alias("nu"))
     bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    btot = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    btot = bcnt.agg(F.sum("c_ab").cast("long").alias("nb"))
     # explicit broadcast on the unigram side: both count tables are
     # vocabulary-bounded, but after an aggregate Spark's size estimate
     # is a guess -- at corpus scale a flipped estimate would turn these

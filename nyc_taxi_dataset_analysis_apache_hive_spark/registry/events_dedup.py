@@ -136,8 +136,8 @@ def _e1_ctes(seq_expr: str, dow_expr: str) -> str:
 _E1_SEQ_SPARK = "explode(sequence(d0, d1, interval 1 day))"
 _E1_SEQ_DUCK = "unnest(generate_series(d0, d1, INTERVAL 1 DAY))"
 
-#: the three anomaly legs in e1's column names, shared by both SQL
-#: surfaces
+#: the five anomaly legs (daily/zscore/global/weekday/robust) in e1's
+#: column names, shared by both SQL surfaces
 _E1_ANOMALY_SELECTS = f"""
     SELECT 'daily' AS op, day AS window_start, key AS event_type,
            n AS n_events, CAST(NULL AS DOUBLE) AS sum_value,

@@ -2127,7 +2127,14 @@ def _tv1_colloc_legs(spark, sf):
     # shape paid it 3x; with the windowed leg it would be 4x).
     # Checkpointing the tiny scored relations makes every leg a
     # row_number over a cached ~900-row table instead.
-    scored = textops.collocation_scores(docs).localCheckpoint(eager=True)
+    # ONE corpus unigram pass shared by the bigram and windowed scorers
+    # (r17 review: the SQL surfaces already shared the cucnt CTE; the
+    # DataFrame path now checkpoints the vocabulary-sized count table
+    # and hands it to both, so each scorer adds only its own pair scan)
+    ucnt = textops.unigram_counts(docs).localCheckpoint(eager=True)
+    scored = textops.collocation_scores(
+        docs, unigrams=ucnt
+    ).localCheckpoint(eager=True)
     w_freq = Window.orderBy(
         F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()
     )
@@ -2160,9 +2167,10 @@ def _tv1_colloc_legs(spark, sf):
     # forward +-COLLOCATION_WINDOW pair stream -- the standard
     # collocation setting beyond adjacency.  Pair stream is window x
     # tokens (one explode, no join); count tables stay
-    # vocabulary-sized, so nothing about the broadcast plan changes.
+    # vocabulary-sized, so nothing about the broadcast plan changes;
+    # the unigram side reuses the checkpointed ucnt above.
     wfilt = (
-        textops.windowed_collocation_scores(docs)
+        textops.windowed_collocation_scores(docs, unigrams=ucnt)
         .localCheckpoint(eager=True)
         .filter(F.col("c_ab") >= textops.COLLOCATION_MIN_COUNT)
     )

@@ -258,6 +258,25 @@ def test_dropped_blocks_empty_below_cap(dictionary):
     assert linkage.dropped_blocks(dictionary, max_block=10).count() == 0
 
 
+def test_null_block_key_is_not_reported_dropped(hot_block_dictionary):
+    # a key that is NULL for every hot name: NULL keys never pair (the
+    # equi-join is NULL-unsafe), so the audit must NOT claim the NULL
+    # "block" as dropped recall (r17 review) -- and the capped pair
+    # stage must behave as if the pass simply skipped those names
+    null_key = (
+        "CASE WHEN name LIKE 'hot %' THEN NULL"
+        " ELSE split_part(name, ' ', 1) END",
+    )
+    dropped = linkage.dropped_blocks(
+        hot_block_dictionary, max_block=10, block_keys=null_key
+    )
+    assert dropped.count() == 0
+    pairs = linkage.blocked_pairs(
+        hot_block_dictionary, max_dist=99, block_keys=null_key, max_block=10
+    ).collect()
+    assert {(r["name_a"], r["name_b"]) for r in pairs} == set()
+
+
 def test_max_block_none_is_exact(dictionary):
     base = set(
         map(tuple, linkage.blocked_pairs(dictionary, max_dist=3).collect())
