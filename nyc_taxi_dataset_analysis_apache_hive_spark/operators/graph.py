@@ -214,6 +214,44 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank_keepers(
+    ranks: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Elect each cluster's canonical member by PageRank: the
+    user-facing verb of this module (the docstring's "principled
+    alternative to min-id keeper election", made runnable).
+
+    ``ranks`` = ``(v, pr)`` from :func:`pagerank`; ``components`` =
+    the per-vertex cluster map (e.g. connected components over the
+    same pair graph).  Output: ``(cluster_id, keeper, pr)`` -- the
+    max-``pr`` member per cluster, ties broken by min id, so the
+    election is deterministic in exact integers on every engine.
+
+    Scale: one equi-join + one window partitioned by cluster --
+    partitions are cluster-sized (bounded by the dup-cluster cap any
+    sane pipeline enforces upstream), never a global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pr").desc(), F.col("keeper").asc()
+    )
+    return (
+        components.select(
+            F.col(id_col).alias("keeper"),
+            F.col(cluster_col).alias("cluster_id"),
+        )
+        .join(ranks, F.col("keeper") == F.col("v"))
+        .select("cluster_id", "keeper", "pr")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "keeper", "pr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared SQL surface: the same computation as engine-neutral CTE text,
 # assuming CTEs/relations ``edges(a, b)`` (symmetric, distinct) and
@@ -269,3 +307,24 @@ def graph_sql_ctes(iters: int = PAGERANK_ITERS) -> str:
     )"""
         )
     return ",\n    ".join(ctes)
+
+
+def pr_keeper_sql(
+    comp: str,
+    id_col: str,
+    cluster_col: str,
+    iters: int = PAGERANK_ITERS,
+) -> str:
+    """The :func:`pagerank_keepers` election as engine-neutral SQL over
+    a components relation ``comp(id_col, cluster_col)`` and the
+    ``gpr{iters}`` CTE from :func:`graph_sql_ctes`: one row per
+    cluster, ``(doc_id, cluster_id)`` = the max-pr member (ties -> min
+    id).  Parameterized on relation/column names because the two SQL
+    surfaces spell their components relation differently; the election
+    itself is this ONE text."""
+    return f"""SELECT doc_id, cluster_id FROM (
+      SELECT {comp}.{id_col} AS doc_id, {comp}.{cluster_col} AS cluster_id,
+             row_number() OVER (PARTITION BY {comp}.{cluster_col}
+                                ORDER BY p.pr DESC, {comp}.{id_col}) AS rn
+      FROM {comp} JOIN gpr{iters} p ON p.v = {comp}.{id_col}
+    ) WHERE rn = 1"""

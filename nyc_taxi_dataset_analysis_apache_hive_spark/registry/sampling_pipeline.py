@@ -160,6 +160,11 @@ _TV1_LEX_GROUPED = f"""
            coalesce(gtcnt.n_tri, CAST(0 AS BIGINT)) AS v
     FROM verts LEFT JOIN gtcnt ON gtcnt.v = verts.v
     UNION ALL
+    -- canonical-member election (r17): each cluster's max-PageRank
+    -- member, the keeper verb the module's ranking exists for
+    SELECT 'pr_keeper' AS op, doc_id, cluster_id AS v
+    FROM ({graph.pr_keeper_sql('comp', 'doc_id', 'cluster_id')})
+    UNION ALL
     -- leakage-safe split (r7): the split draw hashes the CLUSTER
     -- representative (min reachable id; singletons hash their own id),
     -- so near-dup cluster members always share a split
@@ -232,7 +237,10 @@ def d6_dup_clusters(spark, sf):
     exact BIGINT micro-units (oracle replays the unrolled chain through
     the shared PR_SHARE/PR_UPDATE expressions) and per-vertex triangle
     counts via the degree-ordered orientation (every triangle counted
-    once at its (deg, id)-minimal apex; exact integers)."""
+    once at its (deg, id)-minimal apex; exact integers).
+    ``pr_keeper`` (r17) = the canonical-member election: each
+    cluster's max-PageRank member, ties -> min id (pr_keeper_sql, the
+    one shared election text)."""
     docs = _t(spark, sf, "documents")
     # the pair list (tiny) feeds BOTH the CC legs and the r10 leakage
     # audit: materialize it once, or the whole gram-join pair pipeline
@@ -288,11 +296,21 @@ def d6_dup_clusters(spark, sf):
         F.col("v").cast("long").alias("doc_id"),
         F.col("n_tri").cast("long").alias("v"),
     )
+    # canonical-member election (r17): each cluster's max-PageRank
+    # member (ties -> min id) -- the keeper verb.  Rank table is
+    # recomputed off the checkpointed edges (vertex-sized; cheaper
+    # than materializing prank's union projection twice).
+    keeper = graph.pagerank_keepers(graph.pagerank(edges), comps).select(
+        F.lit("pr_keeper").alias("op"),
+        F.col("keeper").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("v"),
+    )
     return (
         cluster.unionByName(grouped)
         .unionByName(leak)
         .unionByName(prank)
         .unionByName(tri)
+        .unionByName(keeper)
     )
 
 
@@ -2566,7 +2584,14 @@ def pl1_curation_funnel(spark, sf):
 register_legs(
     "d6_dup_clusters",
     "op",
-    ("cluster", "grouped_split", "leakage", "pagerank", "triangles"),
+    (
+        "cluster",
+        "grouped_split",
+        "leakage",
+        "pagerank",
+        "pr_keeper",
+        "triangles",
+    ),
 )
 register_legs(
     "s6_hash_split",

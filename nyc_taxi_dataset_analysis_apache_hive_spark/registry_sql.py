@@ -3090,6 +3090,7 @@ def _k3_sql_program(spark: SparkSession) -> DataFrame:
 from .operators.graph import (  # noqa: E402
     PAGERANK_ITERS as _PAGERANK_ITERS,
     graph_sql_ctes as _graph_ctes,
+    pr_keeper_sql as _pr_keeper_sql,
 )
 
 
@@ -3156,6 +3157,9 @@ def _d6_sql_program(spark: SparkSession) -> DataFrame:
             SELECT 'triangles' AS op, verts.v AS doc_id,
                    coalesce(gtcnt.n_tri, CAST(0 AS BIGINT)) AS v
             FROM verts LEFT JOIN gtcnt ON gtcnt.v = verts.v
+            UNION ALL
+            SELECT 'pr_keeper' AS op, doc_id, cluster_id AS v
+            FROM ({_pr_keeper_sql('__d6sql_cc_lbl', 'id', 'lbl')})
             UNION ALL
             SELECT 'grouped_split' AS op, doc_id,
                    CAST({_s6_split_case()} AS BIGINT) AS v

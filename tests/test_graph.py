@@ -178,6 +178,22 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
     )
 
 
+def test_pagerank_keepers_elect_max_pr_min_id(spark):
+    # two clusters: a star {0..4} hub 0 (hub gets the highest pr) and
+    # a triangle {10,11,12} (symmetric -> identical pr, tie -> min id)
+    pairs = [(0, i) for i in range(1, 5)] + [(10, 11), (10, 12), (11, 12)]
+    edges = _edges(spark, pairs)
+    comps = spark.createDataFrame(
+        [(v, 0) for v in range(5)] + [(v, 10) for v in (10, 11, 12)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["cluster_id"]: r["keeper"]
+        for r in graph.pagerank_keepers(graph.pagerank(edges), comps).collect()
+    }
+    assert got == {0: 0, 10: 10}
+
+
 # ---------------------------------------------------------------------------
 # degenerate graphs
 # ---------------------------------------------------------------------------
