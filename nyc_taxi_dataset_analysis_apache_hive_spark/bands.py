@@ -72,7 +72,14 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     "k2_ann_lsh_ivf": (6.0, 17.5),
     "t1_text_profile": (0.98, 3.9),
     # sweep-only
-    "tv1_text_stats": (3.9, 12.5),
+    # re-centered r17 from fresh idle captures (16.6 / 17.7 s medians,
+    # load avg 0.04): the colloc_win leg added a corpus-sized windowed
+    # pair explode+aggregate to the entry's checkpoint builds, and the
+    # r17 machine runs every entry ~1.3x the r16 driver's numbers (the
+    # uniform inflation is visible across d4/a10/k2 in the same
+    # captures).  Per-leg marginals all small (colloc_win 0.12 s);
+    # the growth is the shared build.  Rule [0.6 x min, 1.5 x max]
+    "tv1_text_stats": (9.9, 26.5),
     "pl1_curation_funnel": (2.8, 7.6),
     "k3_embedding_near_pairs": (5.9, 17.0),
     # re-centered r16: the three fuzzy-linkage legs joined the surface
@@ -103,7 +110,10 @@ LEG_BANDS: dict[tuple[str, str], tuple[float, float]] = {
     ("s7_stratified_rates", "dsir"): (1.4, 8.6),
     ("s8_upsert", "scd2"): (0.9, 5.6),
     ("s8_upsert", "scd1"): (0.5, 3.2),
-    ("k3_embedding_near_pairs", "near_pairs"): (0.7, 4.6),
+    # top nudged r17: the leg measured 4.607 idle on the ~1.3x-slower
+    # r17 machine (0.15% over the old 4.6 top); 1.5x the measurement,
+    # deliberately tighter than the 2.5x leg convention would allow
+    ("k3_embedding_near_pairs", "near_pairs"): (0.7, 6.9),
     ("k3_embedding_near_pairs", "admit"): (0.6, 3.8),
 }
 
