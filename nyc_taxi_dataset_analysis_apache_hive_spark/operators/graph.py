@@ -230,6 +230,15 @@ def pagerank_keepers(
     max-``pr`` member per cluster, ties broken by min id, so the
     election is deterministic in exact integers on every engine.
 
+    The ranks join is LEFT (r17 review): a components map may cover
+    members outside the ranked graph (singleton clusters; a full
+    per-document map), and an inner join would silently elect nobody
+    for those clusters -- exactly the keeper a keep-list pipeline must
+    not lose.  Unranked members sort after ranked ones (NULLS LAST,
+    spelled explicitly on both engines), so such a cluster elects its
+    min-id member with ``pr`` NULL -- min-id election as the
+    degenerate case, which is the status quo it replaces.
+
     Scale: one equi-join + one window partitioned by cluster --
     partitions are cluster-sized (bounded by the dup-cluster cap any
     sane pipeline enforces upstream), never a global sort.
@@ -237,14 +246,14 @@ def pagerank_keepers(
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("pr").desc(), F.col("keeper").asc()
+        F.col("pr").desc_nulls_last(), F.col("keeper").asc()
     )
     return (
         components.select(
             F.col(id_col).alias("keeper"),
             F.col(cluster_col).alias("cluster_id"),
         )
-        .join(ranks, F.col("keeper") == F.col("v"))
+        .join(ranks, F.col("keeper") == F.col("v"), "left")
         .select("cluster_id", "keeper", "pr")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -319,12 +328,15 @@ def pr_keeper_sql(
     a components relation ``comp(id_col, cluster_col)`` and the
     ``gpr{iters}`` CTE from :func:`graph_sql_ctes`: one row per
     cluster, ``(doc_id, cluster_id)`` = the max-pr member (ties -> min
-    id).  Parameterized on relation/column names because the two SQL
-    surfaces spell their components relation differently; the election
-    itself is this ONE text."""
+    id; LEFT join + explicit NULLS LAST so unranked members elect by
+    min id, mirroring the DataFrame operator).  Parameterized on
+    relation/column names because the two SQL surfaces spell their
+    components relation differently; the election itself is this ONE
+    text."""
     return f"""SELECT doc_id, cluster_id FROM (
       SELECT {comp}.{id_col} AS doc_id, {comp}.{cluster_col} AS cluster_id,
              row_number() OVER (PARTITION BY {comp}.{cluster_col}
-                                ORDER BY p.pr DESC, {comp}.{id_col}) AS rn
-      FROM {comp} JOIN gpr{iters} p ON p.v = {comp}.{id_col}
+                                ORDER BY p.pr DESC NULLS LAST,
+                                         {comp}.{id_col}) AS rn
+      FROM {comp} LEFT JOIN gpr{iters} p ON p.v = {comp}.{id_col}
     ) WHERE rn = 1"""

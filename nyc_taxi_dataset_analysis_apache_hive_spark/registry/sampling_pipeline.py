@@ -286,7 +286,12 @@ def d6_dup_clusters(spark, sf):
     # the pagerank iterations and the two triangle joins share one
     # materialization instead of re-deriving it per consumer.
     edges = graph.symmetric_edges(pairs).localCheckpoint(eager=True)
-    prank = graph.pagerank(edges).select(
+    # the vertex-sized (v, pr) table feeds BOTH the pagerank leg and
+    # the keeper election: checkpoint it so the 5-iteration join chain
+    # runs once per entry invocation, not once per consumer (r17
+    # review -- the tv1 unigram-sharing discipline applied here too)
+    ranks = graph.pagerank(edges).localCheckpoint(eager=True)
+    prank = ranks.select(
         F.lit("pagerank").alias("op"),
         F.col("v").cast("long").alias("doc_id"),
         F.col("pr").cast("long").alias("v"),
@@ -297,10 +302,9 @@ def d6_dup_clusters(spark, sf):
         F.col("n_tri").cast("long").alias("v"),
     )
     # canonical-member election (r17): each cluster's max-PageRank
-    # member (ties -> min id) -- the keeper verb.  Rank table is
-    # recomputed off the checkpointed edges (vertex-sized; cheaper
-    # than materializing prank's union projection twice).
-    keeper = graph.pagerank_keepers(graph.pagerank(edges), comps).select(
+    # member (ties -> min id) -- the keeper verb, over the shared
+    # checkpointed rank table.
+    keeper = graph.pagerank_keepers(ranks, comps).select(
         F.lit("pr_keeper").alias("op"),
         F.col("keeper").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("v"),

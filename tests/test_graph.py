@@ -194,6 +194,23 @@ def test_pagerank_keepers_elect_max_pr_min_id(spark):
     assert got == {0: 0, 10: 10}
 
 
+def test_pagerank_keepers_keep_unranked_singleton_clusters(spark):
+    # a components map wider than the ranked graph: singleton cluster
+    # {99} has no edges, so no pr row -- it must still elect its sole
+    # member (min-id election as the degenerate case), never vanish
+    edges = _edges(spark, [(1, 2)])
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (99, 99)], "doc_id long, cluster_id long"
+    )
+    rows = {
+        r["cluster_id"]: (r["keeper"], r["pr"])
+        for r in graph.pagerank_keepers(graph.pagerank(edges), comps).collect()
+    }
+    assert set(rows) == {1, 99}
+    assert rows[99] == (99, None)
+    assert rows[1][0] == 1 and rows[1][1] is not None
+
+
 # ---------------------------------------------------------------------------
 # degenerate graphs
 # ---------------------------------------------------------------------------
