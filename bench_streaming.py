@@ -297,6 +297,55 @@ def run_graph_maintenance(spark, sf_dir: str, n_slices: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_pca_maintenance(spark, sf_dir: str, n_slices: int) -> dict:
+    """The PCA-moments maintenance stream (r17): the embeddings table
+    as a parquet drop zone, each micro-batch's (n, sum, X^T X) partials
+    folded into the versioned ledger; ``out_rows`` is the maintained
+    vector count and ``model_k`` confirms the read path fits a model
+    from the kilobyte-sized state."""
+    from nyc_taxi_dataset_analysis_apache_hive_spark.operators import pca
+    from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
+    from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import (
+        maintenance as mnt,
+    )
+
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    tmp = tempfile.mkdtemp(prefix="bench_pcamnt_")
+    try:
+        vecs_dir = os.path.join(tmp, "embeddings")
+        os.makedirs(vecs_dir)
+        n = len(pdf)
+        for i in range(n_slices):
+            pdf.iloc[n * i // n_slices : n * (i + 1) // n_slices].to_parquet(
+                os.path.join(vecs_dir, f"{i:03d}.parquet"), index=False
+            )
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        src = (
+            spark.readStream.schema(spark.read.parquet(vecs_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vecs_dir)
+        )
+        t0 = time.monotonic()
+        q = (
+            mnt.pca_maintenance_stream(src, state, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        stats = _progress_stats(q, t0)
+        got = mnt.read_moments_state(spark, state)
+        if got is not None:
+            model = pca.model_from_moments(got[0], got[1], got[2], k=8)
+            stats["out_rows"] = got[0]
+            stats["model_k"] = model["k"]
+        else:
+            stats["out_rows"] = 0
+        return stats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_bench(spark, sf_dir: str, n_slices: int):
     from nyc_taxi_dataset_analysis_apache_hive_spark.sources.readers import load_table
     from nyc_taxi_dataset_analysis_apache_hive_spark.streaming import events as sev
@@ -363,6 +412,14 @@ def run_bench(spark, sf_dir: str, n_slices: int):
         )
     except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
         results["graph_maintenance"] = {
+            "error": f"{type(exc).__name__}: {exc}"
+        }
+    try:
+        results["pca_maintenance"] = run_pca_maintenance(
+            spark, sf_dir, n_slices
+        )
+    except Exception as exc:  # noqa: BLE001 -- bench keeps reporting
+        results["pca_maintenance"] = {
             "error": f"{type(exc).__name__}: {exc}"
         }
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame, Row, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 #: embedding dimensionality cap for the literal-matrix projection: the
 #: plan embeds k*d + 2*d literal doubles; past this, ship the model as
@@ -97,35 +97,20 @@ def embedding_moments(
     )
 
 
-def pca_fit(
-    embeddings: DataFrame, k: int, vec_col: str = "embedding"
-) -> dict:
-    """Fit a k-component PCA model from one moments pass.
-
-    Returns ``{"k", "dims", "n", "mean", "components", "eigvals",
-    "explained_variance_ratio"}`` -- ``components`` is a k x d list of
-    lists (rows = components, descending eigenvalue), plain Python so
-    the model is a serializable artifact.
-
-    The collect here is PARTITION-COUNT-sized partials (O(1) in data);
-    the eigensolve is a d x d ``numpy.linalg.eigh`` on the driver.
-    """
+def model_from_moments(n: int, s, ss, k: int) -> dict:
+    """The model math shared by :func:`pca_fit` and the maintained-
+    state read path (streaming/maintenance.py): moments in, fitted
+    model dict out.  ``s`` = length-d sum vector, ``ss`` = d x d (or
+    flattened d*d) second-moment matrix."""
     import numpy as np
 
-    parts = embedding_moments(embeddings, vec_col).collect()
-    if not parts:
-        raise ValueError("pca_fit: no non-NULL vectors to fit on")
-    d = len(parts[0]["s"])
-    n = sum(p["n"] for p in parts)
+    s = np.asarray(s, dtype=np.float64)
+    d = s.shape[0]
+    ss = np.asarray(ss, dtype=np.float64).reshape(d, d)
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
     if n < 2:
-        raise ValueError(f"pca_fit: need >= 2 vectors, got {n}")
-    s = np.zeros(d)
-    ss = np.zeros((d, d))
-    for p in parts:
-        s += np.asarray(p["s"])
-        ss += np.asarray(p["ss"]).reshape(d, d)
+        raise ValueError(f"PCA needs >= 2 vectors, got {n}")
     mean = s / n
     # unbiased covariance from raw moments; symmetrize against float
     # asymmetry before eigh (eigh reads the lower triangle, but the
@@ -154,6 +139,35 @@ def pca_fit(
             (vals / total).tolist() if total > 0 else [0.0] * k
         ),
     }
+
+
+def pca_fit(
+    embeddings: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict:
+    """Fit a k-component PCA model from one moments pass.
+
+    Returns ``{"k", "dims", "n", "mean", "components", "eigvals",
+    "explained_variance_ratio"}`` -- ``components`` is a k x d list of
+    lists (rows = components, descending eigenvalue), plain Python so
+    the model is a serializable artifact.
+
+    The collect here is PARTITION-COUNT-sized partials (O(1) in data);
+    the eigensolve is a d x d ``numpy.linalg.eigh`` on the driver
+    (:func:`model_from_moments`).
+    """
+    import numpy as np
+
+    parts = embedding_moments(embeddings, vec_col).collect()
+    if not parts:
+        raise ValueError("pca_fit: no non-NULL vectors to fit on")
+    d = len(parts[0]["s"])
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        ss += np.asarray(p["ss"]).reshape(d, d)
+    return model_from_moments(n, s, ss, k)
 
 
 def _lit_array(values) -> str:
@@ -211,19 +225,23 @@ def pca_project(
 def save_pca_model(model: dict, spark, path: str) -> None:
     """Persist the model as a one-row parquet artifact (the PQ-meta
     posture: geometry rides the row, so a reload can never pair with a
-    mismatched projection)."""
-    row = Row(
-        k=model["k"],
-        dims=model["dims"],
-        n=model["n"],
-        mean=model["mean"],
-        components=[list(c) for c in model["components"]],
-        eigvals=model["eigvals"],
-        explained_variance_ratio=model["explained_variance_ratio"],
-    )
-    spark.createDataFrame([row]).coalesce(1).write.mode("overwrite").parquet(
-        path
-    )
+    mismatched projection).  Built as a pure-JVM literal frame --
+    ``createDataFrame([row])`` is python-RDD-backed and pays a worker
+    pool spin-up per action (the maintenance-fold lesson)."""
+    comps = "array(" + ", ".join(
+        _lit_array(c) for c in model["components"]
+    ) + ")"
+    spark.range(1).select(
+        F.lit(model["k"]).cast("int").alias("k"),
+        F.lit(model["dims"]).cast("int").alias("dims"),
+        F.lit(model["n"]).cast("long").alias("n"),
+        F.expr(_lit_array(model["mean"])).alias("mean"),
+        F.expr(comps).alias("components"),
+        F.expr(_lit_array(model["eigvals"])).alias("eigvals"),
+        F.expr(_lit_array(model["explained_variance_ratio"])).alias(
+            "explained_variance_ratio"
+        ),
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_pca_model(spark, path: str) -> dict:

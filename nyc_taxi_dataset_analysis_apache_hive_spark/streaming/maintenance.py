@@ -467,6 +467,139 @@ def fold_batch_into_name_dictionary(
     _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
 
 
+def fold_batch_into_moments(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    vec_col: str = "embedding",
+    keep_versions: int = 3,
+) -> None:
+    """One embedding-moments maintenance step through
+    :func:`_fold_versioned_state` (r17): the maintained state is the
+    single ``(n, s, ss)`` moment row that
+    :func:`..operators.pca.model_from_moments` fits from.
+
+    Moments are EXACTLY additive across batches (count, sum vector,
+    second-moment matrix), so a continuous-ingest pipeline keeps its
+    PCA/whitening model fresh by folding each micro-batch's partials
+    and re-deriving the model from kilobytes of state -- never
+    rescanning a vector of history.  delta = the batch's own partials
+    reduced to one row; merge = driver-side numpy add of the two
+    one-row states (the bloom-geometry one-row-collect posture -- a
+    cluster-side merge of two singleton frames was measured 15x slower
+    than the whole fold's real work, all of it crossJoin task
+    scheduling).  Float addition is associative only up to rounding,
+    so the maintained ≡ batch gate is allclose at double precision
+    (tests/test_streaming_pca.py), not the integer families' exact
+    equality -- stated, not hidden.
+
+    The deployment read path::
+
+        n, s, ss = read_moments_state(spark, state_path)
+        model = pca.model_from_moments(n, s, ss, k)
+    """
+    from ..operators import pca
+
+    parts = pca.embedding_moments(batch_df, vec_col)
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return _merge_moment_rows(prev, cur)
+
+    delta = _reduce_moment_partials(parts)
+    if delta is None:
+        # an all-NULL (or empty) micro-batch adds nothing; fold a zero
+        # delta is impossible without knowing d, so skip the version --
+        # a replay of this batch skips identically (idempotent)
+        return
+    _fold_versioned_state(delta, batch_id, state_path, merge, keep_versions)
+
+
+def _moment_row_frame(spark: SparkSession, n: int, s, ss) -> DataFrame:
+    """ONE (n, s, ss) row as a pure-JVM literal frame.
+
+    ``spark.createDataFrame([row])`` would be the obvious spelling, but
+    a parallelized local list is a PYTHON-backed RDD: every action on
+    it spins up the full python worker pool just to unpickle one row --
+    measured ~6 s per fold step on local[32].  ``range(1).select``
+    with literal expressions stays JVM-side end to end (``repr`` on
+    doubles round-trips exactly, the repo's float-literal rule)."""
+    from pyspark.sql import functions as F
+
+    def arr(vals):
+        return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.expr(arr(s)).alias("s"),
+        F.expr(arr(ss)).alias("ss"),
+    )
+
+
+def _reduce_moment_partials(parts: DataFrame) -> DataFrame | None:
+    """Partition-count partials -> ONE (n, s, ss) row (None if no
+    vectors).  The collect is O(num_partitions) -- the bloom-geometry
+    posture -- and the reduce is numpy on kilobytes."""
+    import numpy as np
+
+    rows = parts.collect()
+    if not rows:
+        return None
+    n = int(sum(r["n"] for r in rows))
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0)
+    return _moment_row_frame(parts.sparkSession, n, s, ss)
+
+
+def _merge_moment_rows(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Elementwise add of two ONE-ROW moment frames, driver-side.
+
+    Each side is kilobytes, so two one-row collects + a numpy add is
+    the right plan; the obvious cluster-side spelling (crossJoin of
+    the two singletons + zip_with) was measured at ~6 s of pure task
+    scheduling -- the 32-slice local relations fan the nested-loop
+    join into 1024 empty tasks."""
+    import numpy as np
+
+    p = prev.collect()[0]
+    c = cur.collect()[0]
+    s = np.asarray(p["s"]) + np.asarray(c["s"])
+    ss = np.asarray(p["ss"]) + np.asarray(c["ss"])
+    return _moment_row_frame(
+        prev.sparkSession, int(p["n"]) + int(c["n"]), s, ss
+    )
+
+
+def read_moments_state(spark: SparkSession, state_path: str):
+    """The maintained ``(n, s, ss)`` row (None if nothing committed):
+    feed it to :func:`..operators.pca.model_from_moments`."""
+    state = read_sketch_state(spark, state_path)
+    if state is None:
+        return None
+    r = state.collect()[0]
+    return int(r["n"]), list(r["s"]), list(r["ss"])
+
+
+def pca_maintenance_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+):
+    """writeStream wiring for :func:`fold_batch_into_moments` (the
+    ledger maintenance shape): the returned ``DataStreamWriter`` just
+    needs ``.trigger(...).start()``.  Per-batch work is one Arrow pass
+    over the batch + a kilobyte-sized merge."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: fold_batch_into_moments(
+                df, bid, state_path, vec_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def fold_batch_into_edge_set(
     batch_df: DataFrame,
     batch_id: int,
