@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.localrel import inline_rows
 from .similarity import RRF_K, normalized_with_bucket, rrf_fuse
 from .textops import BM25_B, BM25_K1, BM25_TOPK_QUERIES, bm25_topk
 
@@ -125,8 +126,10 @@ def dense_topk(
     if method not in ("brute", "ivf"):
         raise ValueError(f"dense_topk: unknown method {method!r}")
     spark = embeddings.sparkSession
-    qmap = spark.createDataFrame(
-        sorted(query_vecs.items()), "query string, vec_id long"
+    # JVM literal, not createDataFrame (functions/localrel.py): the
+    # named-seed map rides inside tv1's dense legs' jobs
+    qmap = inline_rows(
+        spark, ("query", "vec_id"), sorted(query_vecs.items())
     )
     from ..functions.vectors import dot
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import CacheScope, maybe_persist
+from ..functions.localrel import inline_rows
 from ..functions.text import (
     STOPWORDS,
     fingerprint_md5,
@@ -1083,9 +1084,13 @@ def bm25_topk(
         per_term = term_scores.filter(F.col("token").isin(universe))
     else:
         per_term = bm25_term_scores(docs, universe, k1, b, text_col)
-    qt = docs.sparkSession.createDataFrame(
+    # JVM literal, not createDataFrame: a python-backed local relation
+    # would put a 32-task python stage inside every tv1 build job
+    # (functions/localrel.py, the r17 lesson)
+    qt = inline_rows(
+        docs.sparkSession,
+        ("query", "token"),
         [(q, t) for q, ts in sorted(queries.items()) for t in sorted(set(ts))],
-        "query string, token string",
     )
     pair = (
         per_term.join(F.broadcast(qt), "token")

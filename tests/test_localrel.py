@@ -1,0 +1,54 @@
+"""functions/localrel.inline_rows: the pure-JVM tiny-relation builder
+(literal escaping, type rendering, shape errors, and the no-python
+plan guarantee)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_dataset_analysis_apache_hive_spark.functions.localrel import (
+    inline_rows,
+)
+
+
+def test_types_and_values_round_trip(spark):
+    df = inline_rows(
+        spark,
+        ("s", "i", "f", "b", "z"),
+        [("a", 1, 1.5, True, None), ("b", -2, -0.25, False, None)],
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("a", 1, 1.5, True, None), ("b", -2, -0.25, False, None)]
+    assert dict(df.dtypes) == {
+        "s": "string", "i": "bigint", "f": "double", "b": "boolean",
+        "z": "void",
+    }
+
+
+def test_string_escaping(spark):
+    tricky = ["it's", "back\\slash", "two''quotes", "per%cent_under"]
+    df = inline_rows(spark, ("v",), [(t,) for t in tricky])
+    assert sorted(r["v"] for r in df.collect()) == sorted(tricky)
+
+
+def test_float_literals_round_trip_exactly(spark):
+    vals = [0.1, 1e-300, 123456789.123456789, float(2**53 - 1)]
+    got = [r["f"] for r in inline_rows(
+        spark, ("f",), [(v,) for v in vals]).collect()]
+    assert got == vals
+
+
+def test_shape_and_type_errors(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        inline_rows(spark, ("a",), [])
+    with pytest.raises(ValueError, match="match cols"):
+        inline_rows(spark, ("a", "b"), [(1,)])
+    with pytest.raises(TypeError, match="unsupported"):
+        inline_rows(spark, ("a",), [([1, 2],)])
+
+
+def test_plan_is_jvm_only(spark):
+    df = inline_rows(spark, ("q", "t"), [("q1", "x"), ("q2", "y")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for op in ("BatchEvalPython", "ArrowEvalPython", "Scan ExistingRDD"):
+        assert op not in plan
