@@ -77,3 +77,43 @@ def maybe_persist(
     if cache is not None:
         return cache.persist(df)
     return df.persist()
+
+
+def run_overlapped(*thunks):
+    """Run independent eager Spark actions from a small thread pool so
+    their jobs overlap (optimization guide §2.6: the scheduler happily
+    runs several jobs at once; actions are only sequential because
+    driver code calls them sequentially).  Each ``thunk`` is a nullary
+    callable performing its own action (a ``localCheckpoint(eager=True)``,
+    an iterative training loop, ...); returns their results in call
+    order.  Results are identical to running the thunks sequentially --
+    only wall-clock changes -- so this is ONLY for thunks with no data
+    dependency on each other.  The first thunk exception propagates.
+
+    Used by the multi-leg entries whose shared-artifact builds used to
+    pay one scheduling round-trip per eager checkpoint in sequence
+    (tv1/k3/d6): a multi-leg build's independent artifacts now
+    materialize concurrently, which also back-fills the straggler tail
+    of each job with the next job's tasks at ANY core count.
+    """
+    import os
+
+    if len(thunks) == 1 or os.environ.get("SPARK_GRAFT_NO_OVERLAP") == "1":
+        # kill switch (also the knob for saturated clusters where
+        # back-filling buys nothing): sequential, same results
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
+def checkpoint_overlapped(*dfs: DataFrame) -> list[DataFrame]:
+    """``localCheckpoint(eager=True)`` several INDEPENDENT DataFrames
+    with their materialization jobs overlapped (see
+    :func:`run_overlapped`); returns the checkpointed frames in call
+    order."""
+    return run_overlapped(
+        *[lambda d=d: d.localCheckpoint(eager=True) for d in dfs]
+    )

@@ -13,8 +13,10 @@ zero python in the plan.  (Found r17 via the PCA maintenance fold --
 its per-trigger one-row state frame was paying the whole spin-up.)
 
 Only scalar types a literal can spell are supported: str, int, float,
-bool, None.  Anything bigger-than-driver-tiny does not belong in a
-literal plan at all -- read it from storage instead.
+bool, None -- plus lists of float/None (spelled ``array(...)`` with
+double elements; r17, for the driver-trained centroid tables).
+Anything bigger-than-driver-tiny does not belong in a literal plan at
+all -- read it from storage instead.
 """
 
 from __future__ import annotations
@@ -35,6 +37,22 @@ def _sql_literal(v) -> str:
     if isinstance(v, str):
         escaped = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{escaped}'"
+    if isinstance(v, list):
+        # array<double> literal: float/None elements only.  A NULL
+        # element needs an explicit CAST so the array stays typed even
+        # when every element is NULL.
+        if not v:
+            raise TypeError(
+                "inline_rows: empty list literals carry no element type"
+            )
+        if not all(x is None or isinstance(x, float) for x in v):
+            raise TypeError(
+                "inline_rows: list literals must hold float/None elements"
+            )
+        elems = ", ".join(
+            "CAST(NULL AS DOUBLE)" if x is None else f"{x!r}D" for x in v
+        )
+        return f"array({elems})"
     raise TypeError(f"inline_rows: unsupported literal type {type(v).__name__}")
 
 

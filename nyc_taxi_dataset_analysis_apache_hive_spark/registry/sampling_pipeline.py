@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import caching
 from ..functions.text import TOKEN_SPLIT_REGEX
 from ..operators import (
     asof,
@@ -249,7 +250,27 @@ def d6_dup_clusters(spark, sf):
     pairs = dedup.ngram_jaccard_pairs(
         docs, shingle_n=3, threshold=0.2
     ).localCheckpoint(eager=True)
-    comps = dedup.connected_components(pairs)
+
+    # the CC label loop (eager, O(diameter) checkpoint+probe rounds) and
+    # the graph chain (edges checkpoint -> 5-iteration pagerank
+    # checkpoint) are INDEPENDENT consumers of the materialized pair
+    # table: run them overlapped (r17, caching.run_overlapped -- guide
+    # §2.6) instead of serializing two multi-job chains.
+    def _cc():
+        return dedup.connected_components(pairs)
+
+    def _graph_chain():
+        # the edge list is vertex-bounded; checkpoint it so the pagerank
+        # iterations and the two triangle joins share one
+        # materialization instead of re-deriving it per consumer.  The
+        # vertex-sized (v, pr) table feeds BOTH the pagerank leg and the
+        # keeper election: checkpoint it so the 5-iteration join chain
+        # runs once per entry invocation, not once per consumer (r17
+        # review -- the tv1 unigram-sharing discipline applied here too)
+        e = graph.symmetric_edges(pairs).localCheckpoint(eager=True)
+        return e, graph.pagerank(e).localCheckpoint(eager=True)
+
+    comps, (edges, ranks) = caching.run_overlapped(_cc, _graph_chain)
     cluster = comps.select(
         F.lit("cluster").alias("op"),
         "doc_id",
@@ -277,20 +298,12 @@ def d6_dup_clusters(spark, sf):
         F.col("n_pairs").cast("long").alias("v"),
     )
     # graph analytics over the SAME checkpointed pair graph (r17,
-    # operators/graph.py): ``pagerank`` = exact BIGINT-micro-unit
-    # PageRank (the canonical-member ranking signal -- a principled
-    # alternative to min-id keeper election), ``triangles`` =
-    # per-vertex triangle counts via the degree-ordered orientation
-    # (hub-proof O(sqrt E) wedge bound), the clique-vs-chain density
-    # signal.  The edge list is vertex-bounded here; checkpoint it so
-    # the pagerank iterations and the two triangle joins share one
-    # materialization instead of re-deriving it per consumer.
-    edges = graph.symmetric_edges(pairs).localCheckpoint(eager=True)
-    # the vertex-sized (v, pr) table feeds BOTH the pagerank leg and
-    # the keeper election: checkpoint it so the 5-iteration join chain
-    # runs once per entry invocation, not once per consumer (r17
-    # review -- the tv1 unigram-sharing discipline applied here too)
-    ranks = graph.pagerank(edges).localCheckpoint(eager=True)
+    # operators/graph.py, built in the overlapped batch above):
+    # ``pagerank`` = exact BIGINT-micro-unit PageRank (the
+    # canonical-member ranking signal -- a principled alternative to
+    # min-id keeper election), ``triangles`` = per-vertex triangle
+    # counts via the degree-ordered orientation (hub-proof O(sqrt E)
+    # wedge bound), the clique-vs-chain density signal.
     prank = ranks.select(
         F.lit("pagerank").alias("op"),
         F.col("v").cast("long").alias("doc_id"),
@@ -1856,8 +1869,24 @@ def tv1_text_stats(spark, sf):
     )
     # ONE training pass: the weights row feeds two union branches (probe
     # scoring + the probe_w rows); materialize the 1-row frame so the
-    # feature-scan + normal-equation aggregate does not run twice
-    w = textops.linear_probe_weights(docs).localCheckpoint(eager=True)
+    # feature-scan + normal-equation aggregate does not run twice.
+    # The four INDEPENDENT build artifacts (probe weights, the shared
+    # bm25 term-score relation, and the two dense rank tables) are
+    # materialized with their jobs overlapped (r17, caching.
+    # checkpoint_overlapped -- guide §2.6): they used to run as four
+    # sequential checkpoint jobs, each paying its own scheduling
+    # round-trip while the cluster sat idle in the tail of the last.
+    union_terms = sorted(
+        set(textops.BM25_QUERY_TERMS)
+        | {t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts}
+    )
+    emb = _t(spark, sf, "embeddings")
+    w, shared_ts, dense_tbl, dense_ivf_tbl = caching.checkpoint_overlapped(
+        textops.linear_probe_weights(docs),
+        textops.bm25_term_scores(docs, union_terms),
+        retrieval.dense_topk(emb),
+        retrieval.dense_topk(emb, method="ivf"),
+    )
     probe = textops.linear_probe_scores(docs, weights=w).select(
         F.lit("probe").alias("op"),
         "doc_id",
@@ -1894,19 +1923,11 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.lit(None).cast("double").alias("score"),
     )
-    # ONE term-scoring pass feeds BOTH bm25 legs: the shared relation is
-    # computed over the union of the scoring terms and every retrieval
-    # query's terms, materialized (it is tiny: matched (doc, term) rows
-    # only) so neither leg re-tokenizes the corpus -- without the
-    # checkpoint each leg's subtree would scan+explode documents twice
-    # (measured +2.3 s on the tv1 fold at sf0.1)
-    union_terms = sorted(
-        set(textops.BM25_QUERY_TERMS)
-        | {t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts}
-    )
-    shared_ts = textops.bm25_term_scores(docs, union_terms).localCheckpoint(
-        eager=True
-    )
+    # ONE term-scoring pass feeds BOTH bm25 legs: the shared relation
+    # (materialized above) is computed over the union of the scoring
+    # terms and every retrieval query's terms -- without the checkpoint
+    # each leg's subtree would scan+explode documents twice (measured
+    # +2.3 s on the tv1 fold at sf0.1)
     bm25 = textops.bm25_scores(
         docs,
         query_terms=list(textops.BM25_QUERY_TERMS),
@@ -1935,11 +1956,10 @@ def tv1_text_stats(spark, sf):
         F.col("score").alias("score"),
     )
     # hybrid retrieval (r12, operators/retrieval.py): the dense rank
-    # table is likewise materialized once (30 rows) because it feeds
-    # its own output rows AND the fusion -- without the checkpoint the
-    # embeddings scan would run twice
-    emb = _t(spark, sf, "embeddings")
-    dense_tbl = retrieval.dense_topk(emb).localCheckpoint(eager=True)
+    # table is likewise materialized once (30 rows, in the overlapped
+    # build batch above) because it feeds its own output rows AND the
+    # fusion -- without the checkpoint the embeddings scan would run
+    # twice
     dense = dense_tbl.select(
         F.lit("dense").alias("op"),
         "doc_id",
@@ -1950,11 +1970,9 @@ def tv1_text_stats(spark, sf):
     )
     # the billion-vector scale path, fully oracled too: probe-bounded
     # candidates, exact cosines on whatever it scores.  Materialized
-    # (r13) because the IVF rank table now feeds its own output rows
-    # AND the hybrid_ivf fusion -- the dense_tbl discipline
-    dense_ivf_tbl = retrieval.dense_topk(
-        emb, method="ivf"
-    ).localCheckpoint(eager=True)
+    # (r13, overlapped build batch) because the IVF rank table feeds its
+    # own output rows AND the hybrid_ivf fusion -- the dense_tbl
+    # discipline
     dense_ivf = dense_ivf_tbl.select(
         F.lit("dense_ivf").alias("op"),
         "doc_id",

@@ -6,10 +6,12 @@ order preserved by the package __init__; see its docstring).
 
 from __future__ import annotations
 
+import threading
 from functools import reduce
 
 from pyspark.sql import functions as F
 
+from .. import caching
 from ..functions.text import (
     BPE_TOKEN_REGEX,
     STOPWORDS,
@@ -729,8 +731,12 @@ def k2_ann_lsh_ivf(spark, sf):
     thunks = _k2_method_thunks(spark, sf)
     # the 5 method rank tables feed the output AND the rrf ensemble:
     # materialize once (200 rows) so the fusion subtree does not re-run
-    # the whole ANN suite (the tv1 shared-pass discipline)
-    tables = [t() for t in thunks.values()]
+    # the whole ANN suite (the tv1 shared-pass discipline).  Thunk CALLS
+    # run overlapped (r17, guide §2.6): each owns its eager work
+    # (ivf_trained's driver-side training collect, pq's shared encode
+    # checkpoint -- lock-guarded in _k2_method_thunks), which used to
+    # serialize ahead of the union job
+    tables = caching.run_overlapped(*thunks.values())
     allm = reduce(
         lambda a, b: a.unionByName(b), tables
     ).localCheckpoint(eager=True)
@@ -807,11 +813,18 @@ def _k2_method_thunks(spark, sf):
     # leg, and ivfpq's number becomes its true marginal (IVF routing +
     # the restricted ADC join).
     enc_box: dict = {}
+    enc_lock = threading.Lock()
 
     def _enc():
-        if "e" not in enc_box:
-            enc_box["e"] = similarity.pq_encode(emb, checkpoint=True)
-        return enc_box["e"]
+        # lock-guarded: the entry calls the pq and ivfpq thunks
+        # overlapped (r17), and an unguarded check-then-set would encode
+        # the corpus twice under that concurrency; bench.py's per-leg
+        # path still calls sequentially (pq first), so leg attribution
+        # is unchanged
+        with enc_lock:
+            if "e" not in enc_box:
+                enc_box["e"] = similarity.pq_encode(emb, checkpoint=True)
+            return enc_box["e"]
 
     def pq():
         return tag(
@@ -1085,23 +1098,25 @@ def k3_embedding_near_pairs(spark, sf):
     # and without the checkpoint each consumer would re-run the
     # broadcast-argmax corpus pass
     cents = similarity.default_centroids(emb)
-    assigned_full = similarity.assign_to_centroids(
-        emb, cents
-    ).localCheckpoint(eager=True)
     # trained-centroid index (r13): kmeans_train on the deterministic
     # id-prefix SAMPLE (the FAISS posture -- train bounded, assign
     # full); quantize=6 is the cross-engine replay barrier (see
-    # kmeans_train's docstring); per-iteration localCheckpoints leave
-    # the 16-row table materialized
+    # kmeans_train's docstring).  Since r17 the bounded sample trains
+    # driver-side (one collect, no per-iteration checkpoint jobs) and
+    # the 16-row table is a JVM literal.
     trained = similarity.kmeans_train(
         emb.filter(F.col("vec_id") < K3_KMEANS_SAMPLE),
         n_centroids=K3_KMEANS_N,
         n_iter=K3_KMEANS_ITER,
         quantize=K3_KMEANS_Q,
     )
-    assigned_tr = similarity.assign_to_centroids(
-        emb, trained
-    ).localCheckpoint(eager=True)
+    # the two full-corpus assignment passes are independent: overlap
+    # their checkpoint jobs (r17, guide §2.6) instead of paying two
+    # sequential scheduling round-trips
+    assigned_full, assigned_tr = caching.checkpoint_overlapped(
+        similarity.assign_to_centroids(emb, cents),
+        similarity.assign_to_centroids(emb, trained),
+    )
     # ONE pass labels BOTH semdedup pair graphs: the trained graph's
     # vertex ids AND cells are offset into a disjoint space (see
     # K3_CC_OFFSET), then partitioned_components runs per-cell

@@ -43,8 +43,26 @@ def test_shape_and_type_errors(spark):
         inline_rows(spark, ("a",), [])
     with pytest.raises(ValueError, match="match cols"):
         inline_rows(spark, ("a", "b"), [(1,)])
-    with pytest.raises(TypeError, match="unsupported"):
+    # lists are supported since r17 (driver-trained centroid tables) but
+    # only with float/None elements; anything else still raises
+    with pytest.raises(TypeError, match="float/None"):
         inline_rows(spark, ("a",), [([1, 2],)])
+    with pytest.raises(TypeError, match="no element type"):
+        inline_rows(spark, ("a",), [([],)])
+    with pytest.raises(TypeError, match="unsupported"):
+        inline_rows(spark, ("a",), [({"k": 1},)])
+
+
+def test_array_literals_round_trip(spark):
+    """float/None list literals land as array<double> rows, JVM-only
+    (the r17 centroid-table spelling)."""
+    df = inline_rows(
+        spark, ("cent_id", "cent_emb"), [(1, [0.5, None]), (2, [1.25, -2.0])]
+    )
+    rows = {r["cent_id"]: r["cent_emb"] for r in df.collect()}
+    assert rows == {1: [0.5, None], 2: [1.25, -2.0]}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
 
 
 def test_plan_is_jvm_only(spark):
