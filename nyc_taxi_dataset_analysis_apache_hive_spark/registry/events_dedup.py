@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import caching
 from ..functions.text import TOKEN_SPLIT_REGEX
 from ..operators import (
     anomaly,
@@ -926,7 +927,23 @@ def d4_ngram_jaccard_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
     nulld = F.lit(None).cast("double")
-    tokt = dedup.token_table(docs).localCheckpoint(eager=True)
+
+    # two INDEPENDENT eager build chains (r17, guide §2.6): the word-token
+    # chain (token_table checkpoint -> positional-gram runs checkpoint)
+    # and winnow's own chain (character-gram prints checkpoint ->
+    # df-capped inverted-index checkpoint, inside winnow_near_pairs) used
+    # to run as four sequential jobs; overlapping the chains halves the
+    # entry's build wall-clock without touching any plan
+    def _tok_chain():
+        tt = dedup.token_table(docs).localCheckpoint(eager=True)
+        rr = dedup.span_runs(
+            grams=dedup.positional_ngrams(toks=tt)
+        ).localCheckpoint(eager=True)
+        return tt, rr
+
+    (tokt, runs), winnow_pairs = caching.run_overlapped(
+        _tok_chain, lambda: dedup.winnow_near_pairs(docs, threshold=0.35)
+    )
     ngram = dedup.ngram_jaccard_pairs(
         shingle_n=3, threshold=0.2, toks=tokt
     ).select(
@@ -937,7 +954,7 @@ def d4_ngram_jaccard_pairs(spark, sf):
         nulll.alias("n"),
         nulll.alias("m"),
     )
-    winnow = dedup.winnow_near_pairs(docs, threshold=0.35).select(
+    winnow = winnow_pairs.select(
         F.lit("winnow").alias("op"),
         "doc_a",
         "doc_b",
@@ -945,9 +962,6 @@ def d4_ngram_jaccard_pairs(spark, sf):
         nulll.alias("n"),
         nulll.alias("m"),
     )
-    runs = dedup.span_runs(
-        grams=dedup.positional_ngrams(toks=tokt)
-    ).localCheckpoint(eager=True)
     spans = dedup.shared_span_pairs(runs=runs).select(
         F.lit("spans").alias("op"),
         "doc_a",

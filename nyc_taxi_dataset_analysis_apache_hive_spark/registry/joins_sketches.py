@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import caching
 from ..functions.text import (
     TOKEN_SPLIT_REGEX,
     ngrams_from_tokens,
@@ -943,9 +944,15 @@ def j5_join_surface(spark, sf):
             F.col("n_items").cast("long").alias("val"),
         )
     )
-    bucket_counts, bucket_ok = _bucketed_join_leg(spark, sf)
-    zorder_ok = _zorder_skip_leg(spark, sf)
-    fuzzy = _j5_fuzzy_legs(spark, sf)
+    # the three eager physical-layout/linkage legs are independent of
+    # each other (distinct catalog tables / temp dirs / dictionary
+    # checkpoints): build them overlapped (r17, guide §2.6) instead of
+    # serializing two table writes and a checkpoint chain
+    (bucket_counts, bucket_ok), zorder_ok, fuzzy = caching.run_overlapped(
+        lambda: _bucketed_join_leg(spark, sf),
+        lambda: _zorder_skip_leg(spark, sf),
+        lambda: _j5_fuzzy_legs(spark, sf),
+    )
     return (
         semi.unionByName(anti)
         .unionByName(outer)

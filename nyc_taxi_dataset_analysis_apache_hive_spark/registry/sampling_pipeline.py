@@ -2589,15 +2589,23 @@ def pl1_curation_funnel(spark, sf):
     pair-table discipline), so the two can never disagree about what a
     near-dup pair is."""
     docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, jaccard_threshold=0.5
-    ).localCheckpoint(eager=True)
-    curated = pipeline.curate_corpus(docs, pairs=pairs)
-    report = pipeline.curation_report(curated, pairs=pairs)
-    return (
-        report.crossJoin(bpe.bpe_roundtrip_audit(docs))
-        .crossJoin(packing.packing_audit(docs, budget=256, n_shards=8))
+
+    # the curation chain (pair-table checkpoint -> connected-components
+    # loop -> report) and the two stage audits (BPE training, packing)
+    # are independent eager builds: overlap them (r17, guide §2.6)
+    def _curation():
+        pairs = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5
+        ).localCheckpoint(eager=True)
+        curated = pipeline.curate_corpus(docs, pairs=pairs)
+        return pipeline.curation_report(curated, pairs=pairs)
+
+    report, bpe_audit, pack_audit = caching.run_overlapped(
+        _curation,
+        lambda: bpe.bpe_roundtrip_audit(docs),
+        lambda: packing.packing_audit(docs, budget=256, n_shards=8),
     )
+    return report.crossJoin(bpe_audit).crossJoin(pack_audit)
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,50 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _enable_py4j_nodelay(spark: SparkSession) -> None:
+    """Set TCP_NODELAY on the py4j gateway sockets (current and future).
+
+    Every Column/DataFrame construction is a py4j round-trip over a
+    loopback TCP socket that py4j leaves Nagle-enabled; on this kernel a
+    trivial gateway call measures 667 us with Nagle vs 522 us without
+    (raw loopback RTT 62 us), and a complex multi-leg entry makes ~10k
+    such calls per construction (r17 cProfile capture in
+    OPTIMIZATION_r17.md).  Disabling Nagle on a local request/response
+    RPC socket is unconditionally right -- Spark's own Netty RPC does
+    the same -- so patch the existing client connections and the
+    connection factory for ones not yet opened.  Driver-side only; no
+    effect on any query plan or result."""
+    try:
+        import socket as _socket
+
+        import py4j.clientserver as _cs
+
+        def _nodelay(sock) -> None:
+            try:
+                sock.setsockopt(
+                    _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                )
+            except Exception:
+                pass
+
+        if not getattr(_cs, "_spark_graft_nodelay", False):
+            _orig = _cs.ClientServerConnection.connect_to_java_server
+
+            def _patched(self):
+                _orig(self)
+                _nodelay(self.socket)
+
+            _cs.ClientServerConnection.connect_to_java_server = _patched
+            _cs._spark_graft_nodelay = True
+        gw = spark.sparkContext._gateway
+        for conn in list(getattr(gw._gateway_client, "deque", [])):
+            _nodelay(conn.socket)
+    except Exception:
+        # best-effort: an unexpected py4j internals change (or a
+        # connect-client session with no gateway) just keeps Nagle
+        pass
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable semantics confs on an existing session."""
     for k, v in RUNTIME_CONFS.items():
@@ -60,6 +104,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-runtime-settable on some builds; the factory path covers it.
             pass
+    _enable_py4j_nodelay(spark)
     return spark
 
 
