@@ -2,11 +2,14 @@
 
 Until r15 the per-entry and per-leg bands lived only in BASELINE.md
 prose, so verifying a capture meant hand-carrying ~35 numbers from the
-markdown tables into arithmetic.  This module is the same tables as
-data, plus the comparison ``out_of_band`` that bench.py runs on its own
+markdown tables into arithmetic.  This module is the bands as data,
+plus the comparison ``out_of_band`` that bench.py runs on its own
 capture -- the bench JSON now NAMES any entry/leg/build outside its
 band, so the driver and the judge read violations off the artifact
-instead of re-deriving them.
+instead of re-deriving them.  Since the r17 optimization re-basing this
+module is the AUTHORITATIVE source of the current band values (each
+re-set edge annotated inline); BASELINE.md keeps the capture
+narratives and the historical tables.
 
 Conventions (unchanged from BASELINE.md):
 
@@ -32,6 +35,26 @@ Conventions (unchanged from BASELINE.md):
   inside a load-inflated top edge (the e1 r16->r17 cycle is the
   worked example).
 
+r17 OPTIMIZATION re-basing (see OPTIMIZATION_r17.md): every band below
+was re-derived from TWO end-of-round idle captures on the r17 machine
+(headline totals 56.6 / 55.3 s -- this machine runs the suite ~1.9x
+slower than the r16 driver's, with bursty hypervisor steal documented
+in the methodology section).  Policy, stated so the next round can
+apply it mechanically:
+
+* entries whose builds were OPTIMIZED this round (k2/k3/d4/d6/j5/tv1/
+  pl1) are fully re-centered by [0.6x warm-min, 1.5x warm-max] -- the
+  old band no longer describes the entry;
+* untouched entries only ever WIDEN (slower machine honesty) or extend
+  the low edge (which never flags) -- a top is never tightened on
+  machine luck, so a stall burst cannot be confused with a regression
+  it would previously have hidden;
+* legs re-center only where the underlying operator changed
+  (k2.ivf_trained -- driver-side training); other legs widen-only from
+  the final standing capture;
+* the five BUILD envelopes re-base on the final capture (the builds
+  are exactly what this round restructured).
+
 Entries/legs without a band (sub-second tail) are simply absent here;
 ``tests/test_bands.py`` pins every banded name to an existing registry
 entry/leg so a rename cannot silently orphan a band.
@@ -40,95 +63,96 @@ entry/leg so a rename cannot silently orphan a band.
 from __future__ import annotations
 
 #: entry -> (low, high) seconds at sf0.1, median-of-3 warm.
-#: Source: BASELINE.md headline + sweep band tables.
+#: Source: the r17 end-of-round idle captures (see module docstring).
 ENTRY_BANDS: dict[str, tuple[float, float]] = {
     # headline
-    "a1_group_count": (0.25, 0.75),
-    "a3_two_key_count": (0.43, 1.21),
-    "w1_pct_share": (0.39, 1.21),
-    "p456_predicate_surface": (0.77, 2.27),
-    "p7_derived_duration_join": (0.97, 2.72),
-    "f9_case_segmentation": (0.36, 1.04),
-    "o3_topk_multi_sort": (0.21, 0.56),
-    "a9_percentile": (1.87, 5.34),
-    "s3_etl_clean_derive": (0.41, 1.48),
-    # re-tightened r17 from a fresh IDLE capture (the r16 band's 3.5
-    # top was widened under ambient load and carried the implicit
-    # "re-tighten at next idle capture" marker -- see the module
-    # docstring convention below): warm passes 1.93/1.55/1.60 s with
-    # all SIX legs (robust joined r17; per-leg marginals 0.12-0.29 s
-    # over the ONE checkpointed keys x days series), rule
-    # [0.6 x min, 1.5 x max] = [0.93, 2.89]
-    "e1_tumbling_window_counts": (0.9, 2.9),
-    "e2_sessionize": (1.2, 3.77),
-    "a10_distinct_counts": (2.0, 12.11),
+    "a1_group_count": (0.2, 0.75),
+    "a3_two_key_count": (0.19, 1.21),
+    "w1_pct_share": (0.15, 1.21),
+    "p456_predicate_surface": (0.38, 2.27),
+    "p7_derived_duration_join": (0.48, 2.72),
+    "f9_case_segmentation": (0.23, 1.04),
+    "o3_topk_multi_sort": (0.11, 0.56),
+    # top widened r17 (this machine; warm max 3.73)
+    "a9_percentile": (1.65, 5.59),
+    "s3_etl_clean_derive": (0.27, 1.86),
+    # top widened r17 (this machine; warm max 2.69 with all six legs)
+    "e1_tumbling_window_counts": (0.9, 4.04),
+    "e2_sessionize": (0.81, 3.77),
+    # top widened r17 (this machine; warm max 8.66 -- the entry had
+    # flagged at 13.9 on the round-start idle capture purely from the
+    # machine factor; the NODELAY construction win pulled it back under)
+    "a10_distinct_counts": (2.0, 12.99),
     "d3_minhash_lsh_pairs": (1.78, 10.74),
-    "d4_ngram_jaccard_pairs": (5.34, 15.17),
-    "d5_simhash_pairs": (3.11, 9.55),
-    "d6_dup_clusters": (3.51, 11.6),
-    # re-centered r16: three routed-mining legs joined the r15-banded
-    # 4-leg entry (attribution in BASELINE.md's k1 row)
-    "k1_knn_bruteforce": (1.2, 4.4),
-    "k2_ann_lsh_ivf": (6.0, 17.5),
-    "t1_text_profile": (0.98, 3.9),
+    # re-centered r17 (optimized: overlapped build chains; warm 7.96-9.12)
+    "d4_ngram_jaccard_pairs": (4.78, 13.69),
+    "d5_simhash_pairs": (2.14, 9.55),
+    # re-centered r17 (optimized: CC loop overlapped with the graph
+    # chain; warm 6.62-7.93)
+    "d6_dup_clusters": (3.97, 11.9),
+    # top widened r17 (this machine; warm max 4.6, min 2.28 -- the
+    # seven-leg entry is construction-bound and noise-sensitive)
+    "k1_knn_bruteforce": (1.2, 6.9),
+    # re-centered r17 (optimized: driver-side training + overlapped
+    # method thunks; warm 7.11-10.31)
+    "k2_ann_lsh_ivf": (4.26, 15.47),
+    "t1_text_profile": (0.98, 4.26),
     # sweep-only
-    # re-centered r17 from fresh idle captures (16.6 / 17.7 s medians,
-    # load avg 0.04): the colloc_win leg added a corpus-sized windowed
-    # pair explode+aggregate to the entry's checkpoint builds, and the
-    # r17 machine runs every entry ~1.3x the r16 driver's numbers (the
-    # uniform inflation is visible across d4/a10/k2 in the same
-    # captures).  Per-leg marginals all small (colloc_win 0.12 s);
-    # the growth is the shared build.  Rule [0.6 x min, 1.5 x max]
-    "tv1_text_stats": (9.9, 26.5),
-    "pl1_curation_funnel": (2.8, 7.6),
-    "k3_embedding_near_pairs": (5.9, 17.0),
-    # re-centered r16: the three fuzzy-linkage legs joined the surface
-    # (10-leg union; dictionary-sized joins, ~0.5-1 s of scheduling)
-    "j5_join_surface": (5.2, 9.8),
-    "d7_cross_corpus_decontam": (1.4, 4.5),
+    # re-centered r17 (optimized: overlapped build batch; warm
+    # 13.31-15.74 -- supersedes the r17-partial re-centering)
+    "tv1_text_stats": (7.99, 23.61),
+    # re-centered r17 (optimized: curation chain overlapped with the
+    # BPE/packing audits; warm 6.25-6.81)
+    "pl1_curation_funnel": (3.75, 10.21),
+    # re-centered r17 (optimized: driver-side training + overlapped
+    # assignment checkpoints; warm 8.89-9.19)
+    "k3_embedding_near_pairs": (5.33, 13.78),
+    # re-centered r17 (optimized: overlapped layout writes; warm
+    # 4.66-4.73)
+    "j5_join_surface": (2.8, 7.09),
+    # top widened r17 (this machine; warm max 4.72)
+    "d7_cross_corpus_decontam": (1.4, 7.08),
     "s7_stratified_rates": (2.4, 9.7),
-    "d1_dedup_groups": (1.8, 6.5),
-    "s8_upsert": (1.4, 4.5),
+    "d1_dedup_groups": (1.4, 6.5),
+    # top widened r17 (this machine; warm max 3.78)
+    "s8_upsert": (1.4, 5.67),
     "cx1_time_ops": (0.4, 2.2),
     "s6_hash_split": (0.9, 3.5),
 }
 
 #: (entry, leg) -> (low, high) seconds; >=1 s legs only.
-#: Source: BASELINE.md per-leg band table ([0.4x, 2.5x] of capture).
+#: [0.4x, 2.5x] of the r17 final standing capture (widen-only for
+#: unchanged operators; see module docstring).
 LEG_BANDS: dict[tuple[str, str], tuple[float, float]] = {
-    ("d4_ngram_jaccard_pairs", "ngram"): (1.2, 7.4),
+    ("d4_ngram_jaccard_pairs", "ngram"): (1.2, 9.07),
     ("tv1_text_stats", "scrub"): (1.2, 7.8),
-    ("tv1_text_stats", "lm"): (0.7, 4.6),
-    ("k2_ann_lsh_ivf", "ivf_trained"): (1.4, 8.9),
-    ("k2_ann_lsh_ivf", "pq"): (1.4, 8.5),
-    ("k2_ann_lsh_ivf", "ivfpq"): (1.9, 12.2),
-    ("k2_ann_lsh_ivf", "ivf"): (0.4, 2.8),
-    ("d7_cross_corpus_decontam", "spans"): (0.9, 5.3),
-    ("d7_cross_corpus_decontam", "overlap"): (0.5, 3.4),
-    ("a10_distinct_counts", "exact_by_flag"): (1.0, 6.1),
-    ("a10_distinct_counts", "cms"): (0.6, 3.8),
-    ("s7_stratified_rates", "dsir"): (1.4, 8.6),
-    ("s8_upsert", "scd2"): (0.9, 5.6),
-    ("s8_upsert", "scd1"): (0.5, 3.2),
-    # top nudged r17: the leg measured 4.607 idle on the ~1.3x-slower
-    # r17 machine (0.15% over the old 4.6 top); 1.5x the measurement,
-    # deliberately tighter than the 2.5x leg convention would allow
-    ("k3_embedding_near_pairs", "near_pairs"): (0.7, 6.9),
-    ("k3_embedding_near_pairs", "admit"): (0.6, 3.8),
+    ("tv1_text_stats", "lm"): (0.51, 4.6),
+    # re-centered r17: the trained index now trains driver-side (one
+    # bounded collect); capture 1.74
+    ("k2_ann_lsh_ivf", "ivf_trained"): (0.7, 4.36),
+    ("k2_ann_lsh_ivf", "pq"): (1.4, 10.7),
+    ("k2_ann_lsh_ivf", "ivfpq"): (0.83, 12.2),
+    ("k2_ann_lsh_ivf", "ivf"): (0.4, 3.93),
+    ("d7_cross_corpus_decontam", "spans"): (0.9, 6.05),
+    ("d7_cross_corpus_decontam", "overlap"): (0.5, 5.09),
+    ("a10_distinct_counts", "exact_by_flag"): (0.84, 6.1),
+    ("a10_distinct_counts", "cms"): (0.6, 4.4),
+    ("s7_stratified_rates", "dsir"): (1.4, 9.38),
+    ("s8_upsert", "scd2"): (0.89, 5.6),
+    ("s8_upsert", "scd1"): (0.5, 4.17),
+    ("k3_embedding_near_pairs", "near_pairs"): (0.63, 6.9),
+    ("k3_embedding_near_pairs", "admit"): (0.45, 3.8),
 }
 
 #: entry -> (low, high) seconds for the shared-artifact build phase.
-#: [0.4x, 2.5x] of the r15 standing capture (BASELINE.md).
+#: [0.4x, 2.5x] of the r17 final capture -- all five builds are exactly
+#: what this round's overlap/driver-side-training work restructured.
 BUILD_BANDS: dict[str, tuple[float, float]] = {
-    "k3_embedding_near_pairs": (3.8, 23.5),
-    "tv1_text_stats": (3.2, 19.7),
-    "d4_ngram_jaccard_pairs": (2.5, 15.8),
-    "d6_dup_clusters": (2.0, 12.7),
-    # re-based r16 on the 5.2 s standing build (the bucketed/zorder
-    # table WRITES happen at entry-call time, so a cold page cache can
-    # spike a single-shot build far above the warm number -- 17.2 s
-    # observed once this round, 5.2 s on the controlled re-time)
-    "j5_join_surface": (2.1, 13.0),
+    "k3_embedding_near_pairs": (2.1, 13.15),
+    "tv1_text_stats": (3.54, 22.14),
+    "d4_ngram_jaccard_pairs": (1.34, 8.4),
+    "d6_dup_clusters": (2.55, 15.91),
+    "j5_join_surface": (0.96, 6.01),
 }
 
 
