@@ -49,10 +49,16 @@ def _sql_literal(v) -> str:
             raise TypeError(
                 "inline_rows: list literals must hold float/None elements"
             )
-        elems = ", ".join(
-            "CAST(NULL AS DOUBLE)" if x is None else f"{x!r}D" for x in v
-        )
-        return f"array({elems})"
+        def _dbl(x) -> str:
+            if x is None:
+                return "CAST(NULL AS DOUBLE)"
+            if x != x:  # NaN: repr() would spell invalid SQL ("nanD")
+                return "CAST('NaN' AS DOUBLE)"
+            if x in (float("inf"), float("-inf")):
+                return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+            return f"{x!r}D"
+
+        return f"array({', '.join(_dbl(x) for x in v)})"
     raise TypeError(f"inline_rows: unsupported literal type {type(v).__name__}")
 
 

@@ -55,12 +55,23 @@ def test_shape_and_type_errors(spark):
 
 def test_array_literals_round_trip(spark):
     """float/None list literals land as array<double> rows, JVM-only
-    (the r17 centroid-table spelling)."""
+    (the r17 centroid-table spelling); NaN/±inf spell as typed CASTs
+    (their repr would be invalid SQL)."""
+    import math
+
     df = inline_rows(
-        spark, ("cent_id", "cent_emb"), [(1, [0.5, None]), (2, [1.25, -2.0])]
+        spark,
+        ("cent_id", "cent_emb"),
+        [
+            (1, [0.5, None]),
+            (2, [1.25, -2.0]),
+            (3, [float("nan"), float("inf"), float("-inf")]),
+        ],
     )
     rows = {r["cent_id"]: r["cent_emb"] for r in df.collect()}
-    assert rows == {1: [0.5, None], 2: [1.25, -2.0]}
+    assert rows[1] == [0.5, None] and rows[2] == [1.25, -2.0]
+    assert math.isnan(rows[3][0])
+    assert rows[3][1] == float("inf") and rows[3][2] == float("-inf")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in plan
 
