@@ -242,13 +242,23 @@ def main() -> None:
     # slow non-headline entries: re-run twice, report the median of 3
     # (the r9/r14 anti-phantom treatment -- the pass-1 number for a
     # checkpoint-heavy entry is its COLD execution, which the median
-    # excludes whenever the warm re-runs are faster)
+    # excludes whenever the warm re-runs are faster).  The per-entry
+    # MIN is kept alongside (r17): the band check flags on the min of
+    # the passes, because a steal burst on this round's machine was
+    # observed inflating warm medians past the cold first execution
+    # while a genuine regression is slow in EVERY pass (bands.py
+    # out_of_band docstring).
+    sweep_mins: dict[str, float] = {
+        name: run_stats[name]["min"] for name in timings
+    }
     for name in rest:
         if sweep[name] > SWEEP_MEDIAN_THRESHOLD:
             more = [
                 time_queries(spark, [name], sf_dir)[name] for _ in range(2)
             ]
-            sweep[name] = sorted([sweep[name], *more])[1]
+            passes = sorted([sweep[name], *more])
+            sweep[name] = passes[1]
+            sweep_mins[name] = passes[0]
 
     # 3) per-leg breakdown of the tagged-union entries (JVM fully warm
     # by now, so leg numbers are steady-state marginals)
@@ -273,7 +283,7 @@ def main() -> None:
     # sf0.1 numbers -- a quick-look run at another sf skips the check).
     at_band_sf = sf == 0.1
     out_of_band = (
-        bands.out_of_band(sweep, leg_timings)
+        bands.out_of_band(sweep, leg_timings, mins=sweep_mins)
         if at_band_sf
         else {"entries": {}, "legs": {}, "builds": {}, "skipped": "sf != 0.1"}
     )
@@ -289,6 +299,7 @@ def main() -> None:
         "run_stats": run_stats,
         "runs": n_runs,
         "sweep": sweep,
+        "sweep_mins": sweep_mins,
         "first_exec": first_exec,
         "leg_timings": leg_timings,
         "scale_curve": scale_curve,

@@ -60,6 +60,27 @@ def test_out_of_band_flags_slow_side_only():
     viol = bands.out_of_band({"a1_group_count": hi + 1.0})
     assert viol["entries"]["a1_group_count"] == {
         "sec": hi + 1.0,
+        "min": hi + 1.0,
+        "band": [lo, hi],
+    }
+
+
+def test_out_of_band_min_statistic_shields_bursts():
+    """mins= (r17): when an entry ran multiple passes, the band check
+    flags on the MIN -- a steal burst inflating the median while one
+    pass stayed in-band is load, not a regression; a min above the top
+    still flags (a real regression is slow in every pass)."""
+    name = "a1_group_count"
+    lo, hi = bands.ENTRY_BANDS[name]
+    # burst shape: median over the top, one quiet pass inside -> clean
+    clean = bands.out_of_band({name: hi * 3}, mins={name: hi * 0.9})
+    assert not clean["entries"]
+    # genuine regression: every pass over the top -> flagged, record
+    # carries both the reported median and the confirming min
+    viol = bands.out_of_band({name: hi * 3}, mins={name: hi * 2})
+    assert viol["entries"][name] == {
+        "sec": hi * 3,
+        "min": hi * 2,
         "band": [lo, hi],
     }
 
