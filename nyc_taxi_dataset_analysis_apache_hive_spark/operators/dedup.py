@@ -654,8 +654,7 @@ def connected_components(
         )
     if checkpoint_dir is None:
         return _propagate_min_labels(
-            pairs, a_col, b_col, max_iter,
-            lambda df: df.localCheckpoint(eager=True),
+            pairs, a_col, b_col, max_iter, _lazy_local_ckpt,
             on_nonconvergence, shortcut,
         )
 
@@ -726,6 +725,18 @@ def connected_components(
 #: before it, so they never pay the extra join; anything still
 #: unconverged is diameter > ~6 -- exactly doubling's territory
 _SHORTCUT_AUTO_AT = 6
+
+
+def _lazy_local_ckpt(df: DataFrame) -> DataFrame:
+    """The local-checkpoint spelling of the CC loop's lineage cut,
+    NON-eager (r18, guide §2.6 job-count discipline): the loop's own
+    1-row convergence probe is the next action on every frame this
+    wraps, so it both materializes the checkpoint AND reads the label
+    sum in ONE job -- the eager spelling paid a separate count() job
+    per round (2 jobs/round -> 1; ~4-10 scheduling round-trips saved
+    per clustering call).  The RELIABLE checkpoint()'s wrapper stays
+    eager: its directory-diff bookkeeping brackets the write."""
+    return df.localCheckpoint(eager=False)
 
 
 def _propagate_min_labels(

@@ -481,21 +481,20 @@ def ks_drift(
     sk = df.groupBy(group_col).agg(
         F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("_sk")
     )
+    # the grid array is built as ONE parsed SQL expression instead of
+    # per-literal Column calls (r18, guide §7 driver altitude): a
+    # 50-point grid cost ~2.4k py4j round-trips (~1.2 s on a 500 µs/RTT
+    # gateway) as F.struct/F.lit chains; one expr() string is a single
+    # round-trip and folds to the identical literals (CAST(repr AS
+    # DOUBLE) == F.lit(float), both the nearest double)
+    grid_items = ", ".join(
+        f"named_struct('v', CAST({float(v)!r} AS DOUBLE), 'r', "
+        f"kll_sketch_get_rank_double(_sk, CAST({float(v)!r} AS DOUBLE)))"
+        for v in grid
+    )
     ranks = sk.select(
         group_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(float(v)).alias("v"),
-                        F.kll_sketch_get_rank_double(
-                            "_sk", F.lit(float(v))
-                        ).alias("r"),
-                    )
-                    for v in grid
-                ]
-            )
-        ).alias("x"),
+        F.explode(F.expr(f"array({grid_items})")).alias("x"),
     ).select(group_col, F.col("x.v").alias("v"), F.col("x.r").alias("_r"))
     a, b = ranks.alias("a"), ranks.alias("b")
     sketch_ks = (

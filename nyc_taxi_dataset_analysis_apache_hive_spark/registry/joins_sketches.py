@@ -404,16 +404,39 @@ def a10_distinct_counts(spark, sf):
     )
 
     ev = _t(spark, sf, "events")
-    est = sketches.distinct_by_period(
-        sketches.sketch_rollup(ev, "ts", "user_id", grain="day")
-    )
-    exact_day = ev.groupBy(F.date_trunc("day", "ts").alias("period")).agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
+    # ONE events-by-day aggregate feeds the sketch_rollup leg (estimate
+    # AND its exact gate -- previously a join of two separate day
+    # shuffles), the KLL leg's per-day sketches and exact counts, and
+    # the incremental leg's exact side (r18, guide §2.4 shared
+    # exchange): the three consumers' identical groupBy(day) subtrees
+    # dedupe through ReuseExchange, so events is scanned+shuffled once
+    # on the day key instead of three times.  Sketch values are
+    # unchanged: HLL registers max-merge (order-free), and the KLL
+    # column is the same kll_sketch_agg_double over the same rows --
+    # mixing in countDistinct only adds Catalyst's Expand around the
+    # partial aggregation (the exact_by_flag posture: one scan + Expand
+    # beats N scans at 100 TB).
+    day_agg = ev.groupBy(F.date_trunc("day", "ts").alias("period")).agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"),
+        F.kll_sketch_agg_double(
+            F.col("value").cast("double"), F.lit(200)
+        ).alias("ksk"),
+        F.count("value").alias("n_val"),
+        F.count(F.when(F.col("value") <= 35.0, 1)).alias("n_le"),
+    ).localCheckpoint(eager=True)
+    exact_day = day_agg.select("period", "n_exact")
     ok_day = F.abs(F.col("n_distinct_est") - F.col("n_exact")) <= F.greatest(
         0.05 * F.col("n_exact"), F.lit(2)
     )
-    rollup_leg = est.join(exact_day, "period").select(
+    # the NOT NULL filter preserves the old est-JOIN-exact_day
+    # semantics exactly: a NULL-ts row's NULL period group never
+    # matched itself across that join, so it never reached the leg
+    rollup_leg = day_agg.filter(F.col("period").isNotNull()).select(
+        "period",
+        "n_exact",
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+    ).select(
         F.lit("sketch_rollup").alias("op"),
         F.date_format("period", "yyyy-MM-dd").alias("key"),
         "n_exact",
@@ -489,13 +512,17 @@ def a10_distinct_counts(spark, sf):
         )
 
     # KLL leg: per-day quantile sketches merged to answer an exact-count
-    # question (n) and a rank question (#values <= 35) -- gated in-plane
+    # question (n) and a rank question (#values <= 35) -- gated in-plane.
+    # Sketches AND the exact side both read the shared day_agg (r18):
+    # the per-day KLL column is quantile_rollup's sketch verbatim, and
+    # the exact counts are sums of the per-day counts instead of a
+    # second full events scan.
     kll = sketches.rank_over_range(
-        sketches.quantile_rollup(ev, "ts", "value", grain="day"), 35.0
+        day_agg.select("period", F.col("ksk").alias("sketch")), 35.0
     )
-    ev_exact = ev.agg(
-        F.count("value").alias("x_n"),
-        F.count(F.when(F.col("value") <= 35.0, 1)).alias("x_le"),
+    ev_exact = day_agg.agg(
+        F.sum("n_val").alias("x_n"),
+        F.sum("n_le").alias("x_le"),
     )
     kboth = ev_exact.crossJoin(kll)
     kll_legs = [

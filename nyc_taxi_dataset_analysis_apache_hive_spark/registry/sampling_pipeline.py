@@ -266,8 +266,12 @@ def d6_dup_clusters(spark, sf):
         # vertex-sized (v, pr) table feeds BOTH the pagerank leg and the
         # keeper election: checkpoint it so the 5-iteration join chain
         # runs once per entry invocation, not once per consumer (r17
-        # review -- the tv1 unigram-sharing discipline applied here too)
-        e = graph.symmetric_edges(pairs).localCheckpoint(eager=True)
+        # review -- the tv1 unigram-sharing discipline applied here too).
+        # The edge checkpoint is NON-eager (r18): the pagerank
+        # checkpoint is the chain's next action and materializes both
+        # in ONE job instead of paying a separate scheduling round-trip
+        # for the vertex-bounded edge list first.
+        e = graph.symmetric_edges(pairs).localCheckpoint(eager=False)
         return e, graph.pagerank(e).localCheckpoint(eager=True)
 
     comps, (edges, ranks) = caching.run_overlapped(_cc, _graph_chain)
