@@ -7,7 +7,8 @@ kept small on purpose: round 4's full-detail line overflowed the driver's
 stdout capture and the round lost perf tracking):
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
    "queries": {name: sec, ...},            # 19 headline queries at sf
-   "runs": 3, "sf": 0.1, "detail": "BENCH_DETAIL.local.json"}
+   "runs": 3, "sf": 0.1, "detail": "BENCH_DETAIL.local.json",
+   "probe": {"py4j_rtt_us": ..., "trivial_job_sec": ...}}  # r18: machine calibration
 
 The headline set runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and the
 reported per-query number is the MEDIAN -- the r9 lesson: single-shot
@@ -168,6 +169,32 @@ def time_legs(spark, sf_dir: str) -> dict[str, dict]:
     return out
 
 
+def machine_probe(spark) -> dict:
+    """Fixed-cost machine-calibration probe (r18): the py4j gateway RTT
+    and a trivial 32-task JVM job, emitted with every capture so
+    cross-machine PERF comparisons can be normalized instead of
+    hand-argued (the r17 lesson: an undocumented ~1.9x machine delta
+    burned that round's entire headline comparison).  Additions-only --
+    nothing here touches the timed query paths or their methodology."""
+    jvm = spark._jvm
+    rtts = []
+    for _ in range(200):
+        t0 = time.perf_counter()
+        jvm.java.lang.System.nanoTime()
+        rtts.append((time.perf_counter() - t0) * 1e6)
+    rtts.sort()
+    jobs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.sparkContext.parallelize(range(32), 32).count()
+        jobs.append(time.perf_counter() - t0)
+    jobs.sort()
+    return {
+        "py4j_rtt_us": round(rtts[len(rtts) // 2], 1),
+        "trivial_job_sec": round(jobs[len(jobs) // 2], 4),
+    }
+
+
 def time_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -215,6 +242,10 @@ def main() -> None:
     # Warm the JVM/codegen once so per-query numbers measure the queries,
     # not session startup.
     registry.QUERIES["a1_group_count"](spark, sf_dir).collect()
+
+    # machine-calibration probe (r18): runs warm, before any timed
+    # block, so it can never perturb a query's number
+    probe = machine_probe(spark)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -304,6 +335,7 @@ def main() -> None:
         "leg_timings": leg_timings,
         "scale_curve": scale_curve,
         "out_of_band": out_of_band,
+        "probe": probe,
         "sf": sf,
     }
     with open(detail_path, "w") as f:
@@ -318,15 +350,25 @@ def main() -> None:
         "runs": n_runs,
         "sf": sf,
         "detail": os.path.basename(detail_path),
+        # two fixed-cost calibration numbers (see machine_probe): lets
+        # the next round normalize this capture against another machine
+        "probe": probe,
         # violations only (empty lists on a clean capture) -- the full
         # {sec, band} records live in the detail file; the compact line
         # stays small (the r4 stdout-overflow lesson).  A skipped check
         # (sf != 0.1) is NAMED here too, so an empty list always means
         # "banded and clean", never "not checked" (r16 review).
+        # soft entries (r18: median >1.5x top while the min stayed
+        # in-band -- burst-vs-regression ambiguity, re-time idle) are
+        # suffixed so a hard flag never hides behind one
         "out_of_band": ["(band check skipped: sf != 0.1)"]
         if not at_band_sf
         else sorted(
-            [*out_of_band["entries"], *out_of_band["legs"]]
+            [
+                f"{n} (soft)" if rec.get("soft") else n
+                for n, rec in out_of_band["entries"].items()
+            ]
+            + [*out_of_band["legs"]]
             + [f"{n}.build" for n in out_of_band["builds"]]
         ),
     }

@@ -197,6 +197,22 @@ def out_of_band(
                 "min": check,
                 "band": list(band),
             }
+        elif band and name in mins and sec > 1.5 * band[1]:
+            # SOFT flag (r18, ADVICE): the min-of-passes statistic plus
+            # the r17-widened tops doubly loosen the gate -- an
+            # INTERMITTENT real regression (slow in 2 of 3 passes,
+            # e.g. cache- or plan-dependent) leaves one quiet pass
+            # in-band and would never flag.  A median far above the
+            # top (>1.5x) with an in-band min is surfaced as
+            # burst-vs-regression AMBIGUITY to re-time idle, not
+            # suppressed; it is labelled soft so the self-check stays
+            # hard only where the evidence is.
+            viol["entries"][name] = {
+                "sec": sec,
+                "min": check,
+                "band": list(band),
+                "soft": True,
+            }
     for name, rec in (leg_timings or {}).items():
         bband = BUILD_BANDS.get(name)
         if bband and rec.get("build", 0.0) > bband[1]:

@@ -95,6 +95,14 @@ def run_overlapped(*thunks):
     (tv1/k3/d6): a multi-leg build's independent artifacts now
     materialize concurrently, which also back-fills the straggler tail
     of each job with the next job's tasks at ANY core count.
+
+    CONSTRAINT (r18, ADVICE): overlapped thunks must not mutate
+    SparkContext-GLOBAL state -- ``setCheckpointDir`` (so no
+    ``connected_components(checkpoint_dir=...)`` / ``_checkpoint_subdir``
+    users), ``conf.set``, catalog names they don't own.  Every current
+    call site uses ``localCheckpoint`` or distinct catalog names; the
+    set-and-restore pattern those helpers use is only safe run
+    SEQUENTIALLY.  Job groups/descriptions are fine (thread-local).
     """
     import os
 

@@ -602,7 +602,14 @@ KMEANS_DRIVER_MAX_ROWS = int(
 def _jround(x: float | None, scale: int) -> float | None:
     """Spark's F.round on DOUBLE, exactly: BigDecimal.valueOf(d) parses
     Double.toString (the shortest decimal representation == Python
-    ``repr``), then setScale(scale, HALF_UP).  NaN/inf pass through."""
+    ``repr``), then setScale(scale, HALF_UP).  NaN/inf pass through.
+
+    The quantize runs under a context sized to the value (r18, ADVICE):
+    the default 28-digit context raises InvalidOperation once the
+    result needs more digits (|x| >= ~1e22 at scale 6), where Java's
+    BigDecimal.setScale is unbounded -- a large-magnitude corpus must
+    round, not crash."""
+    import decimal
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -611,9 +618,23 @@ def _jround(x: float | None, scale: int) -> float | None:
     x = float(x)
     if math.isnan(x) or math.isinf(x):
         return x
-    return float(
-        Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
-    )
+    d = Decimal(repr(x))
+    with decimal.localcontext() as ctx:
+        # result digits <= integer digits (adjusted()+1) + scale; +4 slack
+        ctx.prec = max(28, d.adjusted() + 1 + max(scale, 0) + 4)
+        return float(
+            d.quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+        )
+
+
+def _vid_key(vid) -> tuple:
+    """Sort key replicating Spark's ASC NULLS FIRST on the training id
+    (r18, ADVICE): NULL ids sort BEFORE every value -- the distributed
+    loop's orderBy("vid", ...) default -- and all NULL ids tie (callers
+    break the tie on the next key, exactly where Spark does).  The old
+    ``(vid is None, vid)`` spelling sorted NULLs LAST and broke the
+    driver/distributed parity contract on NULL-id corpora."""
+    return (0, 0) if vid is None else (1, vid)
 
 
 def _dbl_key(x: float | None) -> tuple:
@@ -703,7 +724,7 @@ def _lloyd_local(
     # init: non-NULL vectors ordered by (vid, v), first n_centroids
     pool = sorted(
         ((vid, v) for vid, v, _vn in data if v is not None),
-        key=lambda t: ((t[0] is None, t[0]), _arr_key(t[1])),
+        key=lambda t: (_vid_key(t[0]), _arr_key(t[1])),
     )[:n_centroids]
     cents: list[tuple[int, list]] = [
         (i + 1, list(v)) for i, (_vid, v) in enumerate(pool)
@@ -746,7 +767,7 @@ def _lloyd_local(
         # member dims honored: avg by (key, pos) only sees rows that
         # HAVE the position)
         groups: dict[int, list] = {}
-        for vid in sorted(elected, key=lambda x: (x is None, x)):
+        for vid in sorted(elected, key=_vid_key):
             _full, cid, v, _sim = elected[vid]
             groups.setdefault(cid, []).append(v)
         means: dict[int, list] = {}
@@ -778,7 +799,7 @@ def _lloyd_local(
             dead = sorted(cid for cid, _ in cents if cid not in means)
             far = sorted(
                 elected.items(),
-                key=lambda t: (_dbl_key(t[1][3]), (t[0] is None, t[0])),
+                key=lambda t: (_dbl_key(t[1][3]), _vid_key(t[0])),
             )[:n_centroids]
             for slot, (_vid, info) in zip(dead, far):
                 v = info[2]

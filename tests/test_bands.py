@@ -72,9 +72,17 @@ def test_out_of_band_min_statistic_shields_bursts():
     still flags (a real regression is slow in every pass)."""
     name = "a1_group_count"
     lo, hi = bands.ENTRY_BANDS[name]
-    # burst shape: median over the top, one quiet pass inside -> clean
-    clean = bands.out_of_band({name: hi * 3}, mins={name: hi * 0.9})
+    # mild burst shape: median just over the top, quiet pass inside ->
+    # clean (no hard flag, not ambiguous enough for the soft one)
+    clean = bands.out_of_band({name: hi * 1.2}, mins={name: hi * 0.9})
     assert not clean["entries"]
+    # heavy burst shape: median far (>1.5x) over the top while the min
+    # stayed inside -> surfaced as a SOFT flag (r18, ADVICE: an
+    # intermittent real regression must not hide behind the min), but
+    # still distinguishable from a hard violation
+    soft = bands.out_of_band({name: hi * 3}, mins={name: hi * 0.9})
+    assert soft["entries"][name]["soft"] is True
+    assert soft["entries"][name]["sec"] == hi * 3
     # genuine regression: every pass over the top -> flagged, record
     # carries both the reported median and the confirming min
     viol = bands.out_of_band({name: hi * 3}, mins={name: hi * 2})

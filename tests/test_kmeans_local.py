@@ -56,11 +56,69 @@ def test_gate_constants_parity(monkeypatch, spark, sf001_dir):
 
 
 def test_unquantized_parity(monkeypatch, spark, sf001_dir):
-    """No quantize barrier: the raw-mean doubles must still agree (the
-    summation orders coincide after the deterministic vid-order sum)."""
+    """No quantize barrier: best-effort parity (r18, ADVICE).  The
+    distributed F.avg's partial-sum order is partition-layout
+    dependent, so quantize=None agreement is only guaranteed to the
+    last ulp -- every DECLARED query trains quantized (K3_KMEANS_Q),
+    where the barrier absorbs exactly this.  Elections and shapes must
+    still match exactly; mean elements compare at 1e-12 relative."""
+    import math
+
     emb = load_table(spark, sf001_dir, "embeddings")
     local, dist = _train_both(monkeypatch, emb, n_centroids=8, n_iter=3)
-    assert local == dist and len(local) == 8
+    assert sorted(local) == sorted(dist) and len(local) == 8
+    for cid, lv in local.items():
+        dv = dist[cid]
+        assert (lv is None) == (dv is None) and len(lv) == len(dv)
+        for a, b in zip(lv, dv):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_null_id_parity(monkeypatch, spark):
+    """A NULL training id sorts FIRST (Spark ASC NULLS FIRST) in the
+    init pool, the mean order and the reseed tie-break -- both paths
+    (r18, ADVICE: the old local key sorted NULLs last)."""
+    emb = spark.createDataFrame(
+        [
+            (None, [0.9, 0.1]),
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.6, 0.4]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    local, dist = _train_both(
+        monkeypatch, emb, n_centroids=2, n_iter=3, quantize=6
+    )
+    assert local == dist and len(local) == 2
+    # and with reseed on, the NULL id participates in the far-point
+    # tie-break identically
+    def run(rows):
+        df, rep = similarity.kmeans_train(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            n_centroids=3, n_iter=2, quantize=6,
+            reseed_dead=True, return_report=True,
+        )
+        return {r["cent_id"]: list(r["cent_emb"]) for r in df.collect()}, rep
+
+    rows = [(None, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [1.0, 0.0])]
+    local2, repl = run(rows)
+    monkeypatch.setattr(similarity, "KMEANS_DRIVER_MAX_ROWS", 0)
+    dist2, repd = run(rows)
+    assert local2 == dist2 and repl == repd
+
+
+def test_jround_large_magnitude():
+    """|x| >= ~1e22 must round like BigDecimal.setScale, not raise
+    (r18, ADVICE: Decimal.quantize under the default 28-digit context
+    raised InvalidOperation there)."""
+    assert similarity._jround(1e22, 6) == 1e22
+    assert similarity._jround(-1.23e25, 9) == -1.23e25
+    assert similarity._jround(1e300, 9) == 1e300
+    assert similarity._jround(1.5, 6) == 1.5
+    assert similarity._jround(2.5e-6, 6) == 3e-6  # HALF_UP, not banker's
 
 
 def test_reseed_and_report_parity(monkeypatch, spark):
