@@ -283,13 +283,34 @@ def minhash_lsh_pairs(
     )
 
 
+def _two_sided_toks(corpus, probes, corpus_toks, probe_toks) -> None:
+    """Validate the two-sided ``*_toks=`` overload: each side takes the
+    raw frame or its token table, never both, and the two token tables
+    come together (a half-shared pass is a smell, not a feature)."""
+    if (corpus_toks is None) != (probe_toks is None):
+        raise ValueError(
+            "corpus_toks= and probe_toks= come together; pass both "
+            "sides of the shared tokenize or neither"
+        )
+    if corpus_toks is not None and (corpus is not None or probes is not None):
+        raise ValueError(
+            "corpus_toks=/probe_toks= already fix the sides; pass "
+            "either the token tables or the raw frames, not both"
+        )
+    if corpus_toks is None and (corpus is None or probes is None):
+        raise ValueError("either corpus+probes or both *_toks= are required")
+
+
 def cross_corpus_minhash_pairs(
-    corpus: DataFrame,
-    probes: DataFrame,
+    corpus: DataFrame | None = None,
+    probes: DataFrame | None = None,
     n_hashes: int = 16,
     n_bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    *,
+    corpus_toks: DataFrame | None = None,
+    probe_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination: near-duplicate pairs ACROSS two corpora (e.g. does
     any training document match an eval/benchmark document?).
@@ -304,9 +325,13 @@ def cross_corpus_minhash_pairs(
     training corpus -- its band table broadcasts, so the corpus is never
     shuffled; with a large probe side Catalyst falls back to a shuffled
     equi-join on (band, bucket), still never an all-pairs product.
+
+    ``corpus_toks=`` / ``probe_toks=`` (r18): precomputed token-table
+    slices (the d7 shared tokenize) skip both sides' tokenize passes.
     """
-    c_sets = _shingle_sets(corpus, shingle_n)
-    p_sets = _shingle_sets(probes, shingle_n)
+    _two_sided_toks(corpus, probes, corpus_toks, probe_toks)
+    c_sets = _shingle_sets(corpus, shingle_n, toks=corpus_toks)
+    p_sets = _shingle_sets(probes, shingle_n, toks=probe_toks)
     c_buckets = minhash_band_buckets(
         _signatures_from_sets(c_sets, n_hashes), n_hashes, n_bands
     )
@@ -1222,10 +1247,12 @@ def _winnow_near_pairs_body(
 
 
 def boilerplate_scrub(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     ngram_n: int = 5,
     min_docs: int = 3,
     text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Remove word n-gram spans that repeat across >= ``min_docs`` distinct
     documents; per-doc scrub report ``(doc_id, n_tokens, n_kept,
@@ -1271,10 +1298,22 @@ def boilerplate_scrub(
     # NULL text coalesces to '' BEFORE tokenizing: split(NULL) is a NULL
     # array, and Spark's size(NULL) = -1 would leak into n_tokens while
     # the DuckDB oracle's len(NULL) stays NULL -- the same null-edge
-    # discipline as winnow_prints
-    toks = docs.select(
-        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("ws")
-    )
+    # discipline as winnow_prints.  toks= (r18): a precomputed
+    # token_table frame (identical null-safe convention) skips the
+    # tokenize; both the gram pass and the rebuild then read the shared
+    # materialization instead of re-running the split twice.
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        toks = toks.select("doc_id", F.col("toks").alias("ws"))
+    else:
+        toks = docs.select(
+            "doc_id",
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+        )
     starts_seq = F.when(
         F.size("ws") >= ngram_n,
         F.sequence(F.lit(1), F.size("ws") - (ngram_n - 1)),
@@ -1337,7 +1376,11 @@ def _null_safe_text(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def corpus_gram_set(
-    corpus: DataFrame, ngram_n: int = 8, text_col: str = "text"
+    corpus: DataFrame | None = None,
+    ngram_n: int = 8,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus's DISTINCT word n-grams as a one-column frame ``(g)``
     -- the static side of every decontamination join (batch:
@@ -1345,20 +1388,32 @@ def corpus_gram_set(
     ``streaming.curation.decontam_stream``).  One hash-aggregate with
     map-side partial dedup; at scale this is the table a deployment
     materializes once per protected set and re-reads per batch/trigger.
+    ``toks=`` (r18): a precomputed token table skips the tokenize.
     """
-    return (
-        _shingle_sets(_null_safe_text(corpus, text_col), ngram_n, text_col)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
+    if toks is not None and corpus is not None:
+        raise ValueError(
+            "toks= already fixes corpus; pass either toks= or corpus, "
+            "not both"
+        )
+    sets = (
+        _shingle_sets(None, ngram_n, toks=toks)
+        if toks is not None
+        else _shingle_sets(
+            _null_safe_text(corpus, text_col), ngram_n, text_col
+        )
     )
+    return sets.select(F.explode("sh").alias("g")).distinct()
 
 
 def ngram_overlap_contamination(
-    corpus: DataFrame,
-    probes: DataFrame,
+    corpus: DataFrame | None = None,
+    probes: DataFrame | None = None,
     ngram_n: int = 8,
     threshold: float = 0.2,
     text_col: str = "text",
+    *,
+    corpus_toks: DataFrame | None = None,
+    probe_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Direct n-gram-collision decontamination: for every probe (eval)
     document, the fraction of its distinct word n-grams that occur
@@ -1387,10 +1442,20 @@ def ngram_overlap_contamination(
     Returns (probe_id, n_grams, n_hits, overlap_frac, contaminated) --
     overlap_frac is an exact integer ratio (NULL when the probe has no
     n-grams), rounded to 6 decimals; contaminated = frac >= threshold.
+
+    ``corpus_toks=`` / ``probe_toks=`` (r18): precomputed token-table
+    slices (the d7 shared tokenize) skip both sides' tokenize passes
+    (the direct path null-safes text to '' first, exactly
+    token_table's convention, so the gram sets are identical).
     """
-    c_grams = corpus_gram_set(corpus, ngram_n, text_col)
-    p_grams = _shingle_sets(
-        _null_safe_text(probes, text_col), ngram_n, text_col
+    _two_sided_toks(corpus, probes, corpus_toks, probe_toks)
+    c_grams = corpus_gram_set(corpus, ngram_n, text_col, toks=corpus_toks)
+    p_grams = (
+        _shingle_sets(None, ngram_n, toks=probe_toks)
+        if probe_toks is not None
+        else _shingle_sets(
+            _null_safe_text(probes, text_col), ngram_n, text_col
+        )
     ).select(F.col("doc_id").alias("probe_id"), "sh")
     hits = (
         p_grams.select("probe_id", F.explode("sh").alias("g"))
@@ -1460,7 +1525,9 @@ SPAN_MAX_GRAM_DOCS = 50
 _UNSET = object()
 
 
-def token_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def token_table(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, toks): the null-safe word-token arrays -- the sharable
     tokenization base for the span family (NULL text tokenizes to an
     empty array, the scrub-leg convention).  Exists as a named frame so
@@ -1475,9 +1542,13 @@ def token_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     grams, rep lengths) measured the shared eager checkpoint at
     9.5-10.9 s vs 10.0-11.9 s independent (5 interleaved reps, ~7%) --
     adopted in the d4 entry.  At 100-TB scale tokenization dominates
-    CPU and sharing is the right default regardless."""
+    CPU and sharing is the right default regardless.
+
+    ``keep=`` (r18): extra payload columns carried alongside the token
+    array (e.g. ``("source",)`` for the tv1 probe legs whose label
+    rides the shared checkpoint)."""
     return _null_safe_text(docs, text_col).select(
-        "doc_id", tokens(text_col).alias("toks")
+        "doc_id", *keep, tokens(text_col).alias("toks")
     )
 
 
@@ -1835,12 +1906,15 @@ def span_scrub_text(
 
 
 def cross_corpus_span_contamination(
-    corpus: DataFrame,
-    probes: DataFrame,
+    corpus: DataFrame | None = None,
+    probes: DataFrame | None = None,
     window: int = SPAN_WINDOW,
     min_span: int = SPAN_MIN_TOKENS,
     max_gram_docs: int = SPAN_MAX_GRAM_DOCS,
     text_col: str = "text",
+    *,
+    corpus_toks: DataFrame | None = None,
+    probe_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination by VERBATIM span: (corpus_id, probe_id,
     n_spans, max_span_tokens) for cross-side pairs sharing an exact
@@ -1850,9 +1924,17 @@ def cross_corpus_span_contamination(
     grams).  The document-frequency cap counts BOTH sides: a gram that
     is boilerplate anywhere is boilerplate everywhere.  Sides never
     self-join, so a probe set small enough to broadcast keeps the
-    corpus side shuffle-free on the hit join."""
-    grams_c = positional_ngrams(corpus, window, text_col)
-    grams_p = positional_ngrams(probes, window, text_col)
+    corpus side shuffle-free on the hit join.
+
+    ``corpus_toks=`` / ``probe_toks=`` (r18): precomputed token-table
+    slices (the d7 shared tokenize) skip both sides' tokenize passes."""
+    _two_sided_toks(corpus, probes, corpus_toks, probe_toks)
+    if corpus_toks is not None:
+        grams_c = positional_ngrams(window=window, toks=corpus_toks)
+        grams_p = positional_ngrams(window=window, toks=probe_toks)
+    else:
+        grams_c = positional_ngrams(corpus, window, text_col)
+        grams_p = positional_ngrams(probes, window, text_col)
     # the df count tags each side before the union: corpus and probe ids
     # come from separate keyspaces, so a bare count_distinct(doc_id)
     # would undercount a gram shared by colliding ids and let

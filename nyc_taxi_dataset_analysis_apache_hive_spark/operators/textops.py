@@ -141,8 +141,46 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
 
 
+def term_frequencies(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, token, tf): per-document term counts -- the sharable
+    stage-1 aggregate of :func:`vocabulary` AND the tf relation of
+    :func:`tfidf_top_terms` (identical grouping, one spelling).  A
+    caller running both over one corpus computes this once (persisted),
+    then feeds ``tfidf_top_terms(tf=...)`` and ``vocabulary(per_doc=
+    ...)`` -- one tokenize+explode+aggregate instead of two (the tv1
+    r18 shared pass).
+
+    ``toks=``: a precomputed :func:`~..operators.dedup.token_table`
+    frame skips the tokenize projection (equivalent rows: NULL text
+    tokenizes to NULL in the direct path and to an empty array in the
+    token table -- explode drops the document either way)."""
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        tok = toks.select("doc_id", F.explode("toks").alias("token"))
+    else:
+        tok = docs.select(
+            F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+        )
+    return tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
 def vocabulary(
-    docs: DataFrame, min_count: int = 1, text_col: str = "text"
+    docs: DataFrame | None = None,
+    min_count: int = 1,
+    text_col: str = "text",
+    *,
+    per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus vocabulary: (token, count, doc_freq) sorted by count desc.
 
@@ -153,13 +191,27 @@ def vocabulary(
     would shuffle; stage 2 re-aggregates by token alone (tiny).  This is
     the upstream stats pass for stop-token lists and the ``max_doc_freq``
     heavy-hitter cap in dedup.ngram_jaccard_pairs.
+
+    ``per_doc=`` (r18): a precomputed :func:`term_frequencies` relation
+    (doc_id, token, tf) replaces stage 1 outright -- the tv1 entry
+    shares ONE persisted tf frame between this and tfidf_top_terms.
     """
-    tok = docs.select(
-        F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
-    )
-    per_doc = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("n_in_doc")
-    )
+    if per_doc is not None:
+        if docs is not None:
+            raise ValueError(
+                "per_doc= already fixes docs; pass either per_doc= or "
+                "docs, not both"
+            )
+        per_doc = per_doc.select(
+            "doc_id", "token", F.col("tf").alias("n_in_doc")
+        )
+    else:
+        tok = docs.select(
+            F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+        )
+        per_doc = tok.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("n_in_doc")
+        )
     return (
         per_doc.groupBy("token")
         .agg(
@@ -172,10 +224,13 @@ def vocabulary(
 
 
 def tfidf_top_terms(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     k: int = 5,
     persist_tf: bool = True,
     cache: CacheScope | None = None,
+    *,
+    toks: DataFrame | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF:
     (doc_id, token, tf, tfidf, rank).
@@ -196,15 +251,27 @@ def tfidf_top_terms(
     smaller than the corpus text.  Pass a :class:`~..caching.CacheScope`
     as ``cache`` to unpersist it when the caller's scope exits; without a
     scope the cache lives for the session.
+
+    ``toks=`` / ``tf=`` (r18): a precomputed token table skips the
+    tokenize projection; a precomputed (persisted) :func:`
+    term_frequencies` relation replaces the tf subtree entirely (the
+    caller then owns its persistence -- ``persist_tf``/``cache`` are
+    ignored).  The corpus size N comes from whichever of toks/docs is
+    given (both are one row per document).
     """
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = maybe_persist(
-        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
-        persist_tf,
-        cache,
-    )
+    if toks is not None and docs is not None:
+        raise ValueError(
+            "toks= already fixes docs; pass either toks= or docs, not both"
+        )
+    base = toks if toks is not None else docs
+    if base is None:
+        raise ValueError("either docs or toks= is required")
+    if tf is None:
+        tf = maybe_persist(
+            term_frequencies(docs, toks=toks), persist_tf, cache
+        )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
-    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    total = base.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(total))
@@ -516,7 +583,12 @@ def _micro6(col: Column) -> Column:
     return F.floor(col * 1000000.0 + 1e-9).cast("long")
 
 
-def ngram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def ngram_lm_scores(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """Bigram language-model scoring: train on the corpus, score every
     document -- the CCNet-style "perplexity as a quality signal" stage
     (Wenzek et al. 2020 use a KenLM 5-gram; the distributed shape --
@@ -553,11 +625,22 @@ def ngram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (doc_id, n_tokens, n_transitions, avg_logprob); documents
     with fewer than 2 tokens have n_transitions = 0 and NULL score.
+
+    ``toks=`` (r18): a precomputed token table skips the tokenize
+    projection (same null-safe coalesce-to-empty convention).
     """
-    toked = docs.select(
-        F.col("doc_id"),
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
-    )
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        toked = toks.select("doc_id", F.col("toks").alias("t"))
+    else:
+        toked = docs.select(
+            F.col("doc_id"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+        )
     trans = toked.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
@@ -627,16 +710,30 @@ def ngram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 PROBE_LABEL_SOURCE = "src0"
 
 
-def _probe_features(docs: DataFrame, text_col: str) -> DataFrame:
+def _probe_features(
+    docs: DataFrame | None,
+    text_col: str,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """Per-document (x1, x2, y) for the linear probe, each feature
     truncated to the 1e-4 grid (:func:`_trunc4`) so it is representable
     EXACTLY as DECIMAL(14,4) -- the precondition for the exact-decimal
-    normal-equation sums in :func:`linear_probe_scores`."""
-    toked = docs.select(
-        "doc_id",
-        "source",
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
-    )
+    normal-equation sums in :func:`linear_probe_scores`.  ``toks``: a
+    precomputed token table CARRYING ``source`` (token_table's ``keep=``
+    -- the label column rides the checkpoint) skips the tokenize."""
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        toked = toks.select("doc_id", "source", "toks")
+    else:
+        toked = docs.select(
+            "doc_id",
+            "source",
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+        )
     n_tok = F.size("toks").cast("long")
     n_tok_d = n_tok.cast("double")
     sw_ratio = F.coalesce(
@@ -657,9 +754,11 @@ def _probe_features(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def linear_probe_scores(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     weights: DataFrame | None = None,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Closed-form linear quality probe: least-squares fit of a
     source-membership label on two text features, trained AND applied in
@@ -684,9 +783,11 @@ def linear_probe_scores(
     weights exposed via :func:`linear_probe_weights`.  Pass ``weights``
     (a (w0, w1, w2) one-row frame) to score with an already-fitted
     probe -- the registry does this so training runs once for both the
-    score and weight surfaces.
+    score and weight surfaces.  ``toks=`` (r18): a precomputed token
+    table carrying ``source`` skips the tokenize (see
+    :func:`_probe_features`).
     """
-    feats = _probe_features(docs, text_col)
+    feats = _probe_features(docs, text_col, toks=toks)
     w = _probe_weights_row(feats) if weights is None else weights
     return feats.crossJoin(F.broadcast(w)).select(
         "doc_id",
@@ -741,17 +842,25 @@ def _probe_weights_row(feats: DataFrame) -> DataFrame:
     return sums.select(w0.alias("w0"), w1.alias("w1"), w2.alias("w2"))
 
 
-def linear_probe_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def linear_probe_weights(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """The fitted probe weights as one (w0, w1, w2) row -- the training
-    half of :func:`linear_probe_scores`, exposed for inspection."""
-    return _probe_weights_row(_probe_features(docs, text_col))
+    half of :func:`linear_probe_scores`, exposed for inspection.
+    ``toks=``: see :func:`_probe_features`."""
+    return _probe_weights_row(_probe_features(docs, text_col, toks=toks))
 
 
 def chunk_documents(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     chunk_tokens: int = 32,
     stride: int = 24,
     text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Sliding-window document chunking: the embedding/RAG-pipeline
     primitive that splits long documents into overlapping token windows
@@ -772,10 +881,18 @@ def chunk_documents(
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    toked = docs.select(
-        "doc_id",
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
-    )
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        toked = toks.select("doc_id", F.col("toks").alias("t"))
+    else:
+        toked = docs.select(
+            "doc_id",
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+        )
     starts = toked.select(
         "doc_id",
         "t",
@@ -940,11 +1057,13 @@ def _validate_term_scores(
 
 
 def bm25_term_scores(
-    docs: DataFrame,
-    query_terms,
+    docs: DataFrame | None = None,
+    query_terms=None,
     k1: float = BM25_K1,
     b: float = BM25_B,
     text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """The shared BM25 core: (doc_id, dl, token, s_micro) per matched
     (document, query term), with ``s_micro`` the BIGINT micro-unit
@@ -961,12 +1080,24 @@ def bm25_term_scores(
     the corpus is tokenized exactly twice total instead of twice per
     term set.  Value-identical to per-set runs: df is per-token
     (independent of which other tokens the filter kept) and (N, avgdl)
-    are corpus-level."""
+    are corpus-level.  ``toks=`` (r18): a precomputed token table
+    skips the tokenize projection (same null-safe convention)."""
+    if query_terms is None:
+        raise ValueError("query_terms is required")
     terms = sorted(set(query_terms))
     c1, c2, c3 = bm25_constants(k1, b)
-    toked = docs.select(
-        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t")
-    )
+    if toks is not None:
+        if docs is not None:
+            raise ValueError(
+                "toks= already fixes docs; pass either toks= or docs, "
+                "not both"
+            )
+        toked = toks.select("doc_id", F.col("toks").alias("t"))
+    else:
+        toked = docs.select(
+            "doc_id",
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+        )
     stats = toked.select(F.size("t").cast("long").alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1184,25 +1315,42 @@ def window_pair_expr(window: int) -> str:
     )
 
 
-def bigram_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_table(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """Adjacent-token bigrams, one row per occurrence: ``(w1, w2)``.
 
     Shared tokenizer (functions.text.tokens); docs with fewer than two
     tokens contribute nothing.  Linear in corpus tokens -- the explode
-    is the scan itself, no join.
+    is the scan itself, no join.  ``toks=`` (r18): a precomputed token
+    table skips the tokenize (equivalent: NULL text's NULL array and
+    the table's empty array both fail ``size >= 2``).
     """
+    if toks is not None and docs is not None:
+        raise ValueError(
+            "toks= already fixes docs; pass either toks= or docs, not both"
+        )
+    t = (
+        toks.select(F.col("toks").alias("t"))
+        if toks is not None
+        else docs.select(tokens(text_col).alias("t"))
+    )
     return (
-        docs.select(tokens(text_col).alias("t"))
-        .filter(F.size("t") >= 2)
+        t.filter(F.size("t") >= 2)
         .select(F.expr(BIGRAM_EXPR).alias("z"))
         .select("z.w1", "z.w2")
     )
 
 
 def window_pair_table(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     window: int = COLLOCATION_WINDOW,
     text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Forward-window co-occurrence pairs, one row per (position,
     offset) slot: ``(w1, w2)`` with w2 at most ``window`` tokens to the
@@ -1213,15 +1361,28 @@ def window_pair_table(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if toks is not None and docs is not None:
+        raise ValueError(
+            "toks= already fixes docs; pass either toks= or docs, not both"
+        )
+    t = (
+        toks.select(F.col("toks").alias("t"))
+        if toks is not None
+        else docs.select(tokens(text_col).alias("t"))
+    )
     return (
-        docs.select(tokens(text_col).alias("t"))
-        .filter(F.size("t") >= 2)
+        t.filter(F.size("t") >= 2)
         .select(F.expr(window_pair_expr(window)).alias("z"))
         .select("z.w1", "z.w2")
     )
 
 
-def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_counts(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    *,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """Vocabulary-sized unigram count table ``(w, c)`` over the shared
     tokenizer -- the sharable input to every collocation scorer.  Its
     sum IS the corpus token total, so scorers derive the P(a)
@@ -1230,18 +1391,29 @@ def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     windowed legs) compute it once, checkpoint, and pass it to each
     scorer (r17 review: the DataFrame path was re-running the corpus
     unigram aggregate per scorer while the SQL surfaces shared one
-    CTE)."""
+    CTE).  ``toks=`` (r18): a precomputed token table skips the
+    tokenize projection."""
+    if toks is not None and docs is not None:
+        raise ValueError(
+            "toks= already fixes docs; pass either toks= or docs, not both"
+        )
+    w = (
+        toks.select(F.explode("toks").alias("w"))
+        if toks is not None
+        else docs.select(F.explode(tokens(text_col)).alias("w"))
+    )
     return (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
+        w.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
 def collocation_scores(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     unigrams: DataFrame | None = None,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram collocation statistics: ``(w1, w2, c_ab, pmi, npmi)``.
 
@@ -1259,15 +1431,21 @@ def collocation_scores(
     :func:`unigram_counts` table to share across scorers.
     """
     return _score_pair_table(
-        docs, bigram_table(docs, text_col), text_col, unigrams
+        docs,
+        bigram_table(docs, text_col, toks=toks),
+        text_col,
+        unigrams,
+        toks=toks,
     )
 
 
 def windowed_collocation_scores(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     window: int = COLLOCATION_WINDOW,
     text_col: str = "text",
     unigrams: DataFrame | None = None,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Windowed collocation statistics: ``(w1, w2, c_ab, pmi, npmi)``
     with c_ab counting (w1, w2) co-occurrences where w2 follows w1
@@ -1283,22 +1461,32 @@ def windowed_collocation_scores(
     :func:`unigram_counts` table to share across scorers.
     """
     return _score_pair_table(
-        docs, window_pair_table(docs, window, text_col), text_col, unigrams
+        docs,
+        window_pair_table(docs, window, text_col, toks=toks),
+        text_col,
+        unigrams,
+        toks=toks,
     )
 
 
 def _score_pair_table(
-    docs: DataFrame,
+    docs: DataFrame | None,
     pairs: DataFrame,
     text_col: str,
     unigrams: DataFrame | None = None,
+    *,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Shared PMI/NPMI scoring stage over any (w1, w2) pair stream:
     two hash aggregates (pair counts, unigram counts), the totals
     derived from the count tables themselves (sum of a vocabulary-sized
     table, never a second corpus pass), then the one shared double
     expression (PMI_EXPR) both engines evaluate verbatim."""
-    ucnt = unigram_counts(docs, text_col) if unigrams is None else unigrams
+    ucnt = (
+        unigram_counts(docs, text_col, toks=toks)
+        if unigrams is None
+        else unigrams
+    )
     utot = ucnt.agg(F.sum("c").cast("long").alias("nu"))
     bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     btot = bcnt.agg(F.sum("c_ab").cast("long").alias("nb"))

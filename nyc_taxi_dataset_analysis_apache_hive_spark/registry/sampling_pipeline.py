@@ -1838,7 +1838,50 @@ def tv1_text_stats(spark, sf):
     on the raw micro sums in both SQL surfaces."""
     docs = _t(spark, sf, "documents")
     nulll = F.lit(None).cast("long")
-    tfidf = textops.tfidf_top_terms(docs, k=3).select(
+    # ONE corpus tokenize (r18, guide §2.4/§6 one-scan discipline; the
+    # d4 token_table pattern at tv1 scale): every word-token leg below
+    # -- tfidf, vocab, scrub, lm, probe (train + score), chunk, the
+    # bm25 shared pass, and the four collocation legs -- used to run
+    # its own scan+split of the documents table inside the one union
+    # job (12 tokenize passes).  The checkpointed token table (carrying
+    # ``source`` for the probe label) replaces all of them; at 100-TB
+    # scale tokenization dominates CPU and runs once instead of 12x.
+    # The independent dense-retrieval builds (embeddings table, not
+    # documents) overlap with the token chain (guide §2.6).
+    union_terms = sorted(
+        set(textops.BM25_QUERY_TERMS)
+        | {t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts}
+    )
+    emb = _t(spark, sf, "embeddings")
+
+    def _tok_chain():
+        tt = dedup.token_table(docs, keep=("source",)).localCheckpoint(
+            eager=True
+        )
+        # probe weights + the shared bm25 term relation both read the
+        # checkpointed tokens; their two (now tiny) jobs overlap too
+        w, shared_ts = caching.checkpoint_overlapped(
+            textops.linear_probe_weights(toks=tt),
+            textops.bm25_term_scores(query_terms=union_terms, toks=tt),
+        )
+        return tt, w, shared_ts
+
+    (tt, w, shared_ts), dense_tbl, dense_ivf_tbl = caching.run_overlapped(
+        _tok_chain,
+        lambda: retrieval.dense_topk(emb).localCheckpoint(eager=True),
+        lambda: retrieval.dense_topk(emb, method="ivf").localCheckpoint(
+            eager=True
+        ),
+    )
+    # ONE (doc_id, token, tf) aggregate feeds BOTH the tfidf leg (its
+    # tf relation) and the vocab leg (its stage-1 per-doc counts) --
+    # identical grouping, previously computed twice (textops.
+    # term_frequencies); persisted exactly as tfidf_top_terms always
+    # persisted its private copy.
+    tf = caching.maybe_persist(
+        textops.term_frequencies(toks=tt), True, None
+    )
+    tfidf = textops.tfidf_top_terms(k=3, toks=tt, tf=tf).select(
         F.lit("tfidf").alias("op"),
         "doc_id",
         "token",
@@ -1846,7 +1889,7 @@ def tv1_text_stats(spark, sf):
         F.col("rank").alias("m"),
         F.col("tfidf").alias("score"),
     )
-    vocab = textops.vocabulary(docs, min_count=20).select(
+    vocab = textops.vocabulary(min_count=20, per_doc=tf).select(
         F.lit("vocab").alias("op"),
         nulll.alias("doc_id"),
         "token",
@@ -1854,7 +1897,7 @@ def tv1_text_stats(spark, sf):
         F.col("doc_freq").alias("m"),
         F.lit(None).cast("double").alias("score"),
     )
-    scrub = dedup.boilerplate_scrub(docs, ngram_n=5, min_docs=3).select(
+    scrub = dedup.boilerplate_scrub(ngram_n=5, min_docs=3, toks=tt).select(
         F.lit("scrub").alias("op"),
         "doc_id",
         F.col("scrub_fp").alias("token"),
@@ -1863,7 +1906,7 @@ def tv1_text_stats(spark, sf):
         F.lit(None).cast("double").alias("score"),
     )
     nulls = F.lit(None).cast("string")
-    lm = textops.ngram_lm_scores(docs).select(
+    lm = textops.ngram_lm_scores(toks=tt).select(
         F.lit("lm").alias("op"),
         "doc_id",
         nulls.alias("token"),
@@ -1871,27 +1914,9 @@ def tv1_text_stats(spark, sf):
         F.col("n_transitions").alias("m"),
         F.col("avg_logprob").alias("score"),
     )
-    # ONE training pass: the weights row feeds two union branches (probe
-    # scoring + the probe_w rows); materialize the 1-row frame so the
-    # feature-scan + normal-equation aggregate does not run twice.
-    # The four INDEPENDENT build artifacts (probe weights, the shared
-    # bm25 term-score relation, and the two dense rank tables) are
-    # materialized with their jobs overlapped (r17, caching.
-    # checkpoint_overlapped -- guide §2.6): they used to run as four
-    # sequential checkpoint jobs, each paying its own scheduling
-    # round-trip while the cluster sat idle in the tail of the last.
-    union_terms = sorted(
-        set(textops.BM25_QUERY_TERMS)
-        | {t for ts in textops.BM25_TOPK_QUERIES.values() for t in ts}
-    )
-    emb = _t(spark, sf, "embeddings")
-    w, shared_ts, dense_tbl, dense_ivf_tbl = caching.checkpoint_overlapped(
-        textops.linear_probe_weights(docs),
-        textops.bm25_term_scores(docs, union_terms),
-        retrieval.dense_topk(emb),
-        retrieval.dense_topk(emb, method="ivf"),
-    )
-    probe = textops.linear_probe_scores(docs, weights=w).select(
+    # the weights row (trained once, in the overlapped build above)
+    # feeds two union branches: probe scoring + the probe_w rows
+    probe = textops.linear_probe_scores(weights=w, toks=tt).select(
         F.lit("probe").alias("op"),
         "doc_id",
         nulls.alias("token"),
@@ -1919,7 +1944,9 @@ def tv1_text_stats(spark, sf):
         nulll.alias("m"),
         F.col("s.score").alias("score"),
     )
-    chunk = textops.chunk_documents(docs, chunk_tokens=32, stride=24).select(
+    chunk = textops.chunk_documents(
+        chunk_tokens=32, stride=24, toks=tt
+    ).select(
         F.lit("chunk").alias("op"),
         "doc_id",
         F.col("chunk_fp").alias("token"),
@@ -2021,7 +2048,7 @@ def tv1_text_stats(spark, sf):
         .unionByName(dense_ivf)
         .unionByName(hybrid)
         .unionByName(hybrid_ivf)
-        .unionByName(_tv1_colloc_legs(spark, sf))
+        .unionByName(_tv1_colloc_legs(spark, sf, toks=tt))
     )
 
 
@@ -2150,7 +2177,7 @@ _TV1_COLLOC_DUCK_CTES = f"""
 """
 
 
-def _tv1_colloc_legs(spark, sf):
+def _tv1_colloc_legs(spark, sf, toks=None):
     """Collocation mining over the document corpus (tv1's phrase legs):
     ``colloc`` = top bigrams by raw count; ``colloc_pmi`` /
     ``colloc_npmi`` = top bigrams by (normalized) pointwise mutual
@@ -2162,8 +2189,10 @@ def _tv1_colloc_legs(spark, sf):
     tokenizer/vocab pipeline runs before merging multiword units; count
     tables are vocabulary-sized (SF-invariant ~900 bigrams here), so
     the scoring join broadcasts at any corpus scale
-    (operators/textops.collocation_scores)."""
-    docs = _t(spark, sf, "documents")
+    (operators/textops.collocation_scores).  ``toks``: tv1's shared
+    checkpointed token table (r18) -- the three pair/unigram corpus
+    passes read it instead of re-tokenizing the documents scan."""
+    docs = None if toks is not None else _t(spark, sf, "documents")
     # ONE corpus pass per pair stream: the scored tables are
     # vocabulary-sized (~900 bigrams at every sf), but their upstream
     # is two corpus-sized hash aggregates each -- without the barrier
@@ -2175,9 +2204,11 @@ def _tv1_colloc_legs(spark, sf):
     # (r17 review: the SQL surfaces already shared the cucnt CTE; the
     # DataFrame path now checkpoints the vocabulary-sized count table
     # and hands it to both, so each scorer adds only its own pair scan)
-    ucnt = textops.unigram_counts(docs).localCheckpoint(eager=True)
+    ucnt = textops.unigram_counts(docs, toks=toks).localCheckpoint(
+        eager=True
+    )
     scored = textops.collocation_scores(
-        docs, unigrams=ucnt
+        docs, unigrams=ucnt, toks=toks
     ).localCheckpoint(eager=True)
     w_freq = Window.orderBy(
         F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()
@@ -2214,7 +2245,7 @@ def _tv1_colloc_legs(spark, sf):
     # vocabulary-sized, so nothing about the broadcast plan changes;
     # the unigram side reuses the checkpointed ucnt above.
     wfilt = (
-        textops.windowed_collocation_scores(docs, unigrams=ucnt)
+        textops.windowed_collocation_scores(docs, unigrams=ucnt, toks=toks)
         .localCheckpoint(eager=True)
         .filter(F.col("c_ab") >= textops.COLLOCATION_MIN_COUNT)
     )
@@ -2368,11 +2399,20 @@ def d7_cross_corpus_decontam(spark, sf):
     ``overlap``; only ``spans`` tells them apart).  n = n_spans,
     m = max_span_tokens, score NULL."""
     docs = _t(spark, sf, "documents")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    # ONE corpus tokenize (r18, the tv1/d4 token_table discipline):
+    # the three legs each tokenized BOTH sides independently -- the
+    # minhash 3-gram shingles, the overlap 8-gram sets, and the span
+    # 6-gram positional index made six scan+split passes over the
+    # documents inside one union job.  The checkpointed token table is
+    # built once and sliced into the even/odd sides; every gram pass
+    # reads the materialized arrays (the gram ORDERS differ per leg, so
+    # tokens -- not grams -- are the sharable base).
+    tt = dedup.token_table(docs).localCheckpoint(eager=True)
+    c_toks = tt.filter(F.col("doc_id") % 2 == 0)
+    p_toks = tt.filter(F.col("doc_id") % 2 == 1)
     nulll = F.lit(None).cast("long")
     mh = dedup.cross_corpus_minhash_pairs(
-        corpus=corpus, probes=probes, jaccard_threshold=0.5
+        jaccard_threshold=0.5, corpus_toks=c_toks, probe_toks=p_toks
     ).select(
         F.lit("minhash").alias("op"),
         "corpus_id",
@@ -2382,7 +2422,7 @@ def d7_cross_corpus_decontam(spark, sf):
         F.col("jaccard").alias("score"),
     )
     ov = dedup.ngram_overlap_contamination(
-        corpus, probes, ngram_n=8, threshold=0.2
+        ngram_n=8, threshold=0.2, corpus_toks=c_toks, probe_toks=p_toks
     ).select(
         F.lit("overlap").alias("op"),
         nulll.alias("corpus_id"),
@@ -2391,7 +2431,9 @@ def d7_cross_corpus_decontam(spark, sf):
         F.col("n_hits").alias("m"),
         F.col("overlap_frac").alias("score"),
     )
-    sp = dedup.cross_corpus_span_contamination(corpus, probes).select(
+    sp = dedup.cross_corpus_span_contamination(
+        corpus_toks=c_toks, probe_toks=p_toks
+    ).select(
         F.lit("spans").alias("op"),
         "corpus_id",
         "probe_id",

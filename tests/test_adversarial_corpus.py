@@ -36,6 +36,9 @@ from nyc_taxi_dataset_analysis_apache_hive_spark import registry, registry_sql
 from nyc_taxi_dataset_analysis_apache_hive_spark.schema import TESTDATA_TABLES
 from tests.parity import canon, compare, duckdb_conn
 
+#: opt-in heavy suite (driver default-run budget): run via `pytest -m scale`
+pytestmark = pytest.mark.scale
+
 #: (doc_id, text, lang, source, n_chars) appended to documents.
 ADV_DOCS = [
     (9000001, None, "en", "src1", None),  # NULL text

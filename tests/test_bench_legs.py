@@ -8,9 +8,13 @@ call pays each entry's eager checkpoints/training once)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_dataset_analysis_apache_hive_spark import registry
+
+#: opt-in heavy suite (driver default-run budget): run via `pytest -m scale`
+pytestmark = pytest.mark.scale
 
 
 def test_legs_declared_only_for_registered_entries():

@@ -235,6 +235,7 @@ def test_empty_trainable_corpus_returns_empty(spark):
     assert cents.count() == 0
 
 
+@pytest.mark.scale
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     vecs=st.lists(

@@ -182,6 +182,7 @@ def _python_linkage(names, max_dist=3):
     return pairs, best, canon
 
 
+@pytest.mark.scale
 @settings(max_examples=6, deadline=None, derandomize=True)
 @given(
     names=st.lists(

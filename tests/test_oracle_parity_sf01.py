@@ -18,6 +18,9 @@ import __spark_entry__ as entry_mod
 from nyc_taxi_dataset_analysis_apache_hive_spark import registry_sql
 from tests.parity import canon, compare, duckdb_conn
 
+#: opt-in heavy suite (driver default-run budget): run via `pytest -m scale`
+pytestmark = pytest.mark.scale
+
 SF01 = "/root/testdata/sf0.1"
 
 #: the scale-sensitive set: every round-6 fold + the two r6 fixes' hosts

@@ -26,6 +26,9 @@ import pytest
 
 from nyc_taxi_dataset_analysis_apache_hive_spark import registry
 
+#: opt-in heavy suite (driver default-run budget): run via `pytest -m scale`
+pytestmark = pytest.mark.scale
+
 #: the entries whose 100-TB story depends on bucketed candidate generation
 #: (LSH bands / shingle inverted index / simhash pigeonhole chunks / label
 #: propagation / IVF lists / fused single-scan featurizer)

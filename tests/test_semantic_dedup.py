@@ -324,6 +324,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.scale
 @settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     edges=st.lists(

@@ -76,6 +76,7 @@ def test_sql_cc_loop_auto_doubling_on_chain(spark):
     assert got == {i: 0 for i in range(201)}
 
 
+@pytest.mark.scale
 def test_sql_cc_loop_matches_union_find_on_random_graphs(spark):
     """Three seeded random multigraphs (self-loops, duplicate and
     reversed edges included): the SQL temp-view fixpoint, the DataFrame
