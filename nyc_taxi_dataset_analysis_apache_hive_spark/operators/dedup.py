@@ -151,8 +151,14 @@ def _signatures_from_sets(sets: DataFrame, n_hashes: int) -> DataFrame:
     between the signature and verify passes."""
     sh = sets.select("doc_id", F.explode("sh").alias("s"))
     rows = sh.select("doc_id", minhash_reduced_hash(F.col("s")).alias("h"))
+    # expr-string spelling (r18, guide §7 construction altitude): the
+    # Column-algebra form paid ~6 py4j round-trips per permutation
+    # (~100 for 16 hashes) at ~0.5-0.7 ms each on this gateway; one
+    # parsed string per aggregate is 2.  Identical expression -- SQL
+    # integer literals type exactly like F.lit ints (INT <= 2^31-1,
+    # BIGINT above), so a*h+b stays the same BIGINT arithmetic.
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return rows.groupBy("doc_id").agg(*aggs)
@@ -164,20 +170,24 @@ def minhash_band_buckets(
     """LSH banding: rows (doc_id, band, bucket), bucket = '|'-joined band
     signature components -- n_bands rows per doc via one explode."""
     rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"sig_{j}").cast("string")
-                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("bucket"),
+    # expr-string spelling (r18, guide §7): the nested
+    # array(struct(concat_ws(cast...))) Column build was ~50 py4j
+    # round-trips per call (and this is called once per side per
+    # consumer -- d3, d7, the incremental admit leg); one parsed
+    # string is 2.  named_struct/int literals type identically.
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('band', {b}, 'bucket', concat_ws('|', {cols}))".format(
+                b=b,
+                cols=", ".join(
+                    f"cast(sig_{j} as string)"
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ),
             )
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     return signatures.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")

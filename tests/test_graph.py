@@ -148,6 +148,7 @@ def _py_triangles(sym):
     return dict(cnt)
 
 
+@pytest.mark.scale
 @pytest.mark.parametrize("n,p,seed", [(8, 0.5, 1), (20, 0.2, 2),
                                       (30, 0.12, 3)])
 def test_randomized_graphs_match_python(spark, n, p, seed):

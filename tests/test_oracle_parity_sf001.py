@@ -8,6 +8,9 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.parity import compare, duckdb_conn
 
+#: opt-in heavy suite (driver default-run budget): run via `pytest -m scale`
+pytestmark = pytest.mark.scale
+
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 

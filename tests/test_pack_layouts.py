@@ -296,6 +296,7 @@ from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
+@pytest.mark.scale
 @settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     counts=st.lists(

@@ -327,6 +327,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.scale
 @settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     docs_toks=st.lists(

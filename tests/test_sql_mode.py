@@ -14,8 +14,31 @@ from nyc_taxi_dataset_analysis_apache_hive_spark import registry, registry_sql
 from tests.parity import canon
 
 
+#: the multi-leg giants: >5 s apiece even at sf0.001, ~80 s of the
+#: default run between them.  Their usage-mode parity still runs -- in
+#: the nightly `-m scale` lane (alongside the sf0.1 and adversarial
+#: replays of the same entries); the default lane keeps every other
+#: entry's SQL-text twin.
+_SQL_MODE_HEAVY = {
+    "k3_embedding_near_pairs",
+    "k2_ann_lsh_ivf",
+    "tv1_text_stats",
+    "d6_dup_clusters",
+    "a10_distinct_counts",
+    "d4_ngram_jaccard_pairs",
+    "j5_join_surface",
+}
+
+
 @pytest.mark.parametrize(
-    "name", sorted(registry_sql.SQL_QUERIES) + sorted(registry_sql.SQL_PROGRAMS)
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.scale)
+        if n in _SQL_MODE_HEAVY
+        else n
+        for n in sorted(registry_sql.SQL_QUERIES)
+        + sorted(registry_sql.SQL_PROGRAMS)
+    ],
 )
 def test_sql_mode_matches_dataframe_mode(spark, sf0001_dir, name):
     sql_schema, sql_rows = canon(registry_sql.run_sql(spark, sf0001_dir, name))
@@ -59,6 +82,7 @@ def test_declarative_exclusion_list_is_pinned():
     assert len(registry_sql.SQL_QUERIES) >= 25
 
 
+@pytest.mark.scale
 def test_sql_cc_loop_auto_doubling_on_chain(spark):
     """The SQL-program CC fixpoint mirrors the DataFrame loop's auto
     pointer-doubling: a diameter-200 chain converges inside the default

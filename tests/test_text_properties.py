@@ -27,6 +27,9 @@ from nyc_taxi_dataset_analysis_apache_hive_spark.functions.text import (
     tokens,
 )
 
+#: opt-in heavy suite (driver default-run budget): run via `pytest -m scale`
+pytestmark = pytest.mark.scale
+
 TEXTS = st.lists(
     st.text(
         alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
