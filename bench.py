@@ -176,11 +176,17 @@ def machine_probe(spark) -> dict:
     hand-argued (the r17 lesson: an undocumented ~1.9x machine delta
     burned that round's entire headline comparison).  Additions-only --
     nothing here touches the timed query paths or their methodology."""
-    jvm = spark._jvm
+    # resolve the reflection chain ONCE: timing the uncached
+    # ``jvm.java.lang.System.nanoTime()`` walk re-pays the java->lang->
+    # System attribute lookups per call (measured 3.1/4.3/5.9 ms medians
+    # on one idle session -- unstable AND ~12x a bare round trip); the
+    # cached target's call is a stable ~0.24 ms = the actual gateway RTT
+    # this probe exists to report
+    jvm_system = spark._jvm.java.lang.System
     rtts = []
     for _ in range(200):
         t0 = time.perf_counter()
-        jvm.java.lang.System.nanoTime()
+        jvm_system.nanoTime()
         rtts.append((time.perf_counter() - t0) * 1e6)
     rtts.sort()
     jobs = []

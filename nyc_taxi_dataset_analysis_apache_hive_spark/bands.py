@@ -58,6 +58,17 @@ apply it mechanically:
 Entries/legs without a band (sub-second tail) are simply absent here;
 ``tests/test_bands.py`` pins every banded name to an existing registry
 entry/leg so a rename cannot silently orphan a band.
+
+r18 maintenance (see OPTIMIZATION_r18.md): every r17 PROVISIONAL
+(load-widened) top was revisited from three end-of-round captures
+(headlines 54.0 / 60.0 / 61.8 s; the second hit a steal burst the new
+bench probe documents at 7.7 ms RTT / 1.29 s trivial-job vs 0.24 ms /
+0.4 s idle).  Rule applied monotonically: where the [0.6x warm-min,
+1.5x warm-max] formula over the burst-free captures TIGHTENS an edge
+it was applied; where it would widen, the standing value was kept and
+the annotation renewed -- a top is never widened on burst evidence.
+Entries optimized this round (tv1, d7, d6, pl1, a10, d3) re-centered
+under the same monotone rule.
 """
 
 from __future__ import annotations
@@ -73,37 +84,46 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     "p7_derived_duration_join": (0.48, 2.72),
     "f9_case_segmentation": (0.23, 1.04),
     "o3_topk_multi_sort": (0.11, 0.56),
-    # top widened r17 (this machine; warm max 3.73)
+    # r17-widened top RENEWED r18: closing captures' warm meds
+    # 2.85-3.79 give a 1.5x-max formula top of 5.69 ~= the standing
+    # 5.59 -- the widened edge is simply this machine's honest band
     "a9_percentile": (1.65, 5.59),
     "s3_etl_clean_derive": (0.27, 1.86),
-    # top widened r17 (this machine; warm max 2.69 with all six legs)
-    "e1_tumbling_window_counts": (0.9, 4.04),
+    # r17-widened top RE-TIGHTENED r18 per the provisional-band
+    # promise: closing captures warm 1.58-2.15
+    "e1_tumbling_window_counts": (0.9, 3.22),
     "e2_sessionize": (0.81, 3.77),
-    # top widened r17 (this machine; warm max 8.66 -- the entry had
-    # flagged at 13.9 on the round-start idle capture purely from the
-    # machine factor; the NODELAY construction win pulled it back under)
+    # r18: optimized (shared events-by-day aggregate, 92->78 scans,
+    # 64->60 jobs) -- closing captures warm 7.01-9.14; top kept at the
+    # r17 value (1.5x the burstiest warm med lands at 13.7, and a top
+    # is never widened on burst evidence), annotation renewed
     "a10_distinct_counts": (2.0, 12.99),
-    "d3_minhash_lsh_pairs": (1.78, 10.74),
+    # re-centered r18 (optimized: expr-string construction, 5.8k->
+    # 3.2k RTTs; closing captures warm 2.35-3.24)
+    "d3_minhash_lsh_pairs": (1.41, 4.86),
     # re-centered r17 (optimized: overlapped build chains; warm 7.96-9.12)
     "d4_ngram_jaccard_pairs": (4.78, 13.69),
     "d5_simhash_pairs": (2.14, 9.55),
-    # re-centered r17 (optimized: CC loop overlapped with the graph
-    # chain; warm 6.62-7.93)
-    "d6_dup_clusters": (3.97, 11.9),
-    # top widened r17 (this machine; warm max 4.6, min 2.28 -- the
-    # seven-leg entry is construction-bound and noise-sensitive)
-    "k1_knn_bruteforce": (1.2, 6.9),
+    # re-centered r17; r18 CC-probe fusion (60->57 jobs) -- closing
+    # captures warm 6.46-8.11, formula top 12.2 ~= standing 11.9, kept
+    "d6_dup_clusters": (3.88, 11.9),
+    # r17-widened top RE-TIGHTENED r18: closing captures warm
+    # 2.42-3.15 (the 4.7 med in the burst capture is covered by the
+    # flag-on-min statistic); core-count A/B confirmed no 32-thread
+    # pathology (OPTIMIZATION_r18.md change 7)
+    "k1_knn_bruteforce": (1.2, 4.73),
     # re-centered r17 (optimized: driver-side training + overlapped
     # method thunks; warm 7.11-10.31)
     "k2_ann_lsh_ivf": (4.26, 15.47),
     "t1_text_profile": (0.98, 4.26),
     # sweep-only
-    # re-centered r17 (optimized: overlapped build batch; warm
-    # 13.31-15.74 -- supersedes the r17-partial re-centering)
-    "tv1_text_stats": (7.99, 23.61),
-    # re-centered r17 (optimized: curation chain overlapped with the
-    # BPE/packing audits; warm 6.25-6.81)
-    "pl1_curation_funnel": (3.75, 10.21),
+    # re-centered r18 (optimized: ONE shared tokenize feeds all 12
+    # word-token legs, 26->0 parquet scans; closing captures warm
+    # 10.45-13.72)
+    "tv1_text_stats": (6.27, 20.59),
+    # re-centered r18 (CC-probe fusion rides the d3 pair chain;
+    # closing captures warm 6.10-6.45)
+    "pl1_curation_funnel": (3.66, 9.68),
     # re-centered r17 (optimized: driver-side training + overlapped
     # assignment checkpoints; warm 8.89-9.19).  Top held at the r13
     # 17.0 rather than 1.5x warm: a post-re-centering confirmation run
@@ -116,12 +136,15 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     # this entry is known for (12.77 observed in the same burst window
     # as k3's; the r16 j5 build story) -- min-checking plus this edge
     "j5_join_surface": (2.8, 14.0),
-    # top widened r17 (this machine; warm max 4.72)
-    "d7_cross_corpus_decontam": (1.4, 7.08),
+    # re-centered r18 (optimized: shared tokenize across all six
+    # gram passes, 26->0 parquet scans; closing captures warm
+    # 3.72-3.97)
+    "d7_cross_corpus_decontam": (1.4, 5.96),
     "s7_stratified_rates": (2.4, 9.7),
     "d1_dedup_groups": (1.4, 6.5),
-    # top widened r17 (this machine; warm max 3.78)
-    "s8_upsert": (1.4, 5.67),
+    # r17-widened top RE-TIGHTENED r18: closing captures warm
+    # 3.16-3.59
+    "s8_upsert": (1.4, 5.39),
     "cx1_time_ops": (0.4, 2.2),
     "s6_hash_split": (0.9, 3.5),
 }
@@ -131,16 +154,19 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
 #: unchanged operators; see module docstring).
 LEG_BANDS: dict[tuple[str, str], tuple[float, float]] = {
     ("d4_ngram_jaccard_pairs", "ngram"): (1.2, 9.07),
-    ("tv1_text_stats", "scrub"): (1.2, 7.8),
-    ("tv1_text_stats", "lm"): (0.51, 4.6),
+    # re-centered r18 (both legs read the shared token checkpoint)
+    ("tv1_text_stats", "scrub"): (1.12, 6.98),
+    ("tv1_text_stats", "lm"): (0.51, 3.2),
     # re-centered r17: the trained index now trains driver-side (one
     # bounded collect); capture 1.74
     ("k2_ann_lsh_ivf", "ivf_trained"): (0.7, 4.36),
     ("k2_ann_lsh_ivf", "pq"): (1.4, 10.7),
     ("k2_ann_lsh_ivf", "ivfpq"): (0.83, 12.2),
     ("k2_ann_lsh_ivf", "ivf"): (0.4, 3.93),
+    # spans renewed r18 (obs 2.50, formula ~= standing); overlap
+    # re-centered (shared-tokenize path, obs 1.61)
     ("d7_cross_corpus_decontam", "spans"): (0.9, 6.05),
-    ("d7_cross_corpus_decontam", "overlap"): (0.5, 5.09),
+    ("d7_cross_corpus_decontam", "overlap"): (0.64, 4.02),
     ("a10_distinct_counts", "exact_by_flag"): (0.84, 6.1),
     ("a10_distinct_counts", "cms"): (0.6, 4.4),
     ("s7_stratified_rates", "dsir"): (1.4, 9.38),
@@ -155,8 +181,12 @@ LEG_BANDS: dict[tuple[str, str], tuple[float, float]] = {
 #: what this round's overlap/driver-side-training work restructured.
 BUILD_BANDS: dict[str, tuple[float, float]] = {
     "k3_embedding_near_pairs": (2.1, 13.15),
-    "tv1_text_stats": (3.54, 22.14),
+    # re-centered r18 (build = token checkpoint + overlapped probe/
+    # bm25/dense batch; closing captures 6.51-7.33)
+    "tv1_text_stats": (2.93, 18.33),
     "d4_ngram_jaccard_pairs": (1.34, 8.4),
+    # renewed r18 (CC fusion moved the probe INTO the build jobs;
+    # closing captures 6.87 -- inside the standing envelope)
     "d6_dup_clusters": (2.55, 15.91),
     "j5_join_surface": (0.96, 6.01),
 }
