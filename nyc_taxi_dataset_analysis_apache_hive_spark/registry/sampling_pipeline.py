@@ -2207,9 +2207,13 @@ def _tv1_colloc_legs(spark, sf, toks=None):
     ucnt = textops.unigram_counts(docs, toks=toks).localCheckpoint(
         eager=True
     )
-    scored = textops.collocation_scores(
-        docs, unigrams=ucnt, toks=toks
-    ).localCheckpoint(eager=True)
+    # the bigram and windowed scorers both hang off the checkpointed
+    # ucnt but not off each other: their two materialization jobs
+    # overlap (r18, guide §2.6)
+    scored, wscored = caching.checkpoint_overlapped(
+        textops.collocation_scores(docs, unigrams=ucnt, toks=toks),
+        textops.windowed_collocation_scores(docs, unigrams=ucnt, toks=toks),
+    )
     w_freq = Window.orderBy(
         F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()
     )
@@ -2243,12 +2247,9 @@ def _tv1_colloc_legs(spark, sf, toks=None):
     # collocation setting beyond adjacency.  Pair stream is window x
     # tokens (one explode, no join); count tables stay
     # vocabulary-sized, so nothing about the broadcast plan changes;
-    # the unigram side reuses the checkpointed ucnt above.
-    wfilt = (
-        textops.windowed_collocation_scores(docs, unigrams=ucnt, toks=toks)
-        .localCheckpoint(eager=True)
-        .filter(F.col("c_ab") >= textops.COLLOCATION_MIN_COUNT)
-    )
+    # the unigram side reuses the checkpointed ucnt above (checkpoint
+    # overlapped with the bigram scorer's, see the batch above).
+    wfilt = wscored.filter(F.col("c_ab") >= textops.COLLOCATION_MIN_COUNT)
     return (
         leg(scored, "colloc", w_freq, nulld)
         .unionByName(leg(filt, "colloc_pmi", w_pmi, F.col("pmi")))
