@@ -1858,15 +1858,47 @@ def tv1_text_stats(spark, sf):
         tt = dedup.token_table(docs, keep=("source",)).localCheckpoint(
             eager=True
         )
-        # probe weights + the shared bm25 term relation both read the
-        # checkpointed tokens; their two (now tiny) jobs overlap too
-        w, shared_ts = caching.checkpoint_overlapped(
-            textops.linear_probe_weights(toks=tt),
-            textops.bm25_term_scores(query_terms=union_terms, toks=tt),
-        )
-        return tt, w, shared_ts
 
-    (tt, w, shared_ts), dense_tbl, dense_ivf_tbl = caching.run_overlapped(
+        # everything downstream of the token checkpoint forks into two
+        # independent chains (r18): the LEXICAL chain (probe weights ||
+        # bm25 term relation, then the topk rank table off the term
+        # relation) and the COLLOCATION chain (unigram counts, then the
+        # bigram || windowed scorers) -- overlapped so the build's
+        # sequential depth is the longest chain, not the sum
+        def _lex_chain():
+            w_, ts_ = caching.checkpoint_overlapped(
+                textops.linear_probe_weights(toks=tt),
+                textops.bm25_term_scores(query_terms=union_terms, toks=tt),
+            )
+            # ONE bm25_topk rank table feeds BOTH the bm25_topk output
+            # rows and the hybrid legs' lexical side: materialize it
+            # (30 rows) so the fusion subtrees never recompute the
+            # lexical retrieval
+            tk_ = textops.bm25_topk(docs, term_scores=ts_).localCheckpoint(
+                eager=True
+            )
+            return w_, ts_, tk_
+
+        def _colloc_chain():
+            ucnt_ = textops.unigram_counts(toks=tt).localCheckpoint(
+                eager=True
+            )
+            sc_, wsc_ = caching.checkpoint_overlapped(
+                textops.collocation_scores(unigrams=ucnt_, toks=tt),
+                textops.windowed_collocation_scores(
+                    unigrams=ucnt_, toks=tt
+                ),
+            )
+            return sc_, wsc_
+
+        lex, coll = caching.run_overlapped(_lex_chain, _colloc_chain)
+        return (tt,) + lex + coll
+
+    (
+        (tt, w, shared_ts, topk_tbl, colloc_scored, colloc_wscored),
+        dense_tbl,
+        dense_ivf_tbl,
+    ) = caching.run_overlapped(
         _tok_chain,
         lambda: retrieval.dense_topk(emb).localCheckpoint(eager=True),
         lambda: retrieval.dense_topk(emb, method="ivf").localCheckpoint(
@@ -1971,13 +2003,7 @@ def tv1_text_stats(spark, sf):
         F.col("n_tokens").alias("m"),
         F.col("score").alias("score"),
     )
-    # ONE bm25_topk rank table feeds BOTH the bm25_topk output rows and
-    # the hybrid leg's lexical side (the shared_ts discipline one level
-    # up): materialize it (30 rows -- 3 queries x top-10) so the hybrid
-    # fusion subtree never recomputes the lexical retrieval
-    topk_tbl = textops.bm25_topk(docs, term_scores=shared_ts).localCheckpoint(
-        eager=True
-    )
+    # topk_tbl was materialized in the overlapped lexical chain above
     topk = topk_tbl.select(
         F.lit("bm25_topk").alias("op"),
         "doc_id",
@@ -2048,7 +2074,11 @@ def tv1_text_stats(spark, sf):
         .unionByName(dense_ivf)
         .unionByName(hybrid)
         .unionByName(hybrid_ivf)
-        .unionByName(_tv1_colloc_legs(spark, sf, toks=tt))
+        .unionByName(
+            _tv1_colloc_legs(
+                spark, sf, scored_tables=(colloc_scored, colloc_wscored)
+            )
+        )
     )
 
 
@@ -2177,7 +2207,7 @@ _TV1_COLLOC_DUCK_CTES = f"""
 """
 
 
-def _tv1_colloc_legs(spark, sf, toks=None):
+def _tv1_colloc_legs(spark, sf, toks=None, scored_tables=None):
     """Collocation mining over the document corpus (tv1's phrase legs):
     ``colloc`` = top bigrams by raw count; ``colloc_pmi`` /
     ``colloc_npmi`` = top bigrams by (normalized) pointwise mutual
@@ -2191,8 +2221,15 @@ def _tv1_colloc_legs(spark, sf, toks=None):
     the scoring join broadcasts at any corpus scale
     (operators/textops.collocation_scores).  ``toks``: tv1's shared
     checkpointed token table (r18) -- the three pair/unigram corpus
-    passes read it instead of re-tokenizing the documents scan."""
-    docs = None if toks is not None else _t(spark, sf, "documents")
+    passes read it instead of re-tokenizing the documents scan.
+    ``scored_tables``: the two checkpointed scored relations (bigram,
+    windowed) prebuilt in tv1's overlapped build batch; when given,
+    this function does no corpus work at all."""
+    docs = (
+        None
+        if toks is not None or scored_tables is not None
+        else _t(spark, sf, "documents")
+    )
     # ONE corpus pass per pair stream: the scored tables are
     # vocabulary-sized (~900 bigrams at every sf), but their upstream
     # is two corpus-sized hash aggregates each -- without the barrier
@@ -2204,16 +2241,21 @@ def _tv1_colloc_legs(spark, sf, toks=None):
     # (r17 review: the SQL surfaces already shared the cucnt CTE; the
     # DataFrame path now checkpoints the vocabulary-sized count table
     # and hands it to both, so each scorer adds only its own pair scan)
-    ucnt = textops.unigram_counts(docs, toks=toks).localCheckpoint(
-        eager=True
-    )
-    # the bigram and windowed scorers both hang off the checkpointed
-    # ucnt but not off each other: their two materialization jobs
-    # overlap (r18, guide §2.6)
-    scored, wscored = caching.checkpoint_overlapped(
-        textops.collocation_scores(docs, unigrams=ucnt, toks=toks),
-        textops.windowed_collocation_scores(docs, unigrams=ucnt, toks=toks),
-    )
+    if scored_tables is not None:
+        scored, wscored = scored_tables
+    else:
+        ucnt = textops.unigram_counts(docs, toks=toks).localCheckpoint(
+            eager=True
+        )
+        # the bigram and windowed scorers both hang off the
+        # checkpointed ucnt but not off each other: their two
+        # materialization jobs overlap (r18, guide §2.6)
+        scored, wscored = caching.checkpoint_overlapped(
+            textops.collocation_scores(docs, unigrams=ucnt, toks=toks),
+            textops.windowed_collocation_scores(
+                docs, unigrams=ucnt, toks=toks
+            ),
+        )
     w_freq = Window.orderBy(
         F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()
     )
