@@ -118,9 +118,9 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     "t1_text_profile": (0.98, 4.26),
     # sweep-only
     # re-centered r18 (optimized: ONE shared tokenize feeds all 12
-    # word-token legs, 26->0 parquet scans; closing captures warm
-    # 10.45-13.72)
-    "tv1_text_stats": (6.27, 20.59),
+    # word-token legs, 26->0 parquet scans, then the build forked into
+    # overlapped lexical/colloc chains; final clean captures 8.36-12.57)
+    "tv1_text_stats": (5.02, 18.86),
     # re-centered r18 (CC-probe fusion rides the d3 pair chain;
     # closing captures warm 6.10-6.45)
     "pl1_curation_funnel": (3.66, 9.68),
