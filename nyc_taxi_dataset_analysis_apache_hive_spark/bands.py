@@ -93,8 +93,9 @@ ENTRY_BANDS: dict[str, tuple[float, float]] = {
     # promise: closing captures warm 1.58-2.15
     "e1_tumbling_window_counts": (0.9, 3.22),
     "e2_sessionize": (0.81, 3.77),
-    # r18: optimized (shared events-by-day aggregate, 92->78 scans,
-    # 64->60 jobs) -- closing captures warm 7.01-9.14; top kept at the
+    # r18: optimized (shared events-by-day aggregate, persist()ed so
+    # the one events pass materializes inside the union job; paired
+    # A/B -10%) -- closing captures warm 7.01-9.14; top kept at the
     # r17 value (1.5x the burstiest warm med lands at 13.7, and a top
     # is never widened on burst evidence), annotation renewed
     "a10_distinct_counts": (2.0, 12.99),

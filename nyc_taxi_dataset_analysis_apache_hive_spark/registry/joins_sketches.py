@@ -408,14 +408,19 @@ def a10_distinct_counts(spark, sf):
     # AND its exact gate -- previously a join of two separate day
     # shuffles), the KLL leg's per-day sketches and exact counts, and
     # the incremental leg's exact side (r18, guide §2.4 shared
-    # exchange): the three consumers' identical groupBy(day) subtrees
-    # dedupe through ReuseExchange, so events is scanned+shuffled once
-    # on the day key instead of three times.  Sketch values are
-    # unchanged: HLL registers max-merge (order-free), and the KLL
-    # column is the same kll_sketch_agg_double over the same rows --
-    # mixing in countDistinct only adds Catalyst's Expand around the
-    # partial aggregation (the exact_by_flag posture: one scan + Expand
-    # beats N scans at 100 TB).
+    # exchange): events is scanned+shuffled once on the day key
+    # instead of three times.  Sketch values are unchanged: HLL
+    # registers max-merge (order-free), and the KLL column is the same
+    # kll_sketch_agg_double over the same rows -- mixing in
+    # countDistinct only adds Catalyst's Expand around the partial
+    # aggregation (the exact_by_flag posture: one scan + Expand beats
+    # N scans at 100 TB).  persist(), NOT an eager localCheckpoint
+    # (r18 follow-up): the checkpoint's barrier job cost ~+0.7 s warm
+    # / +2 s cold at sf0.1 in order-alternating paired A/Bs -- the
+    # lazy cache materializes INSIDE the one union job on first touch
+    # and the other consumers read it there, so the scan sharing keeps
+    # its 100-TB story without the extra scheduling round-trip (the
+    # tfidf tf posture).
     day_agg = ev.groupBy(F.date_trunc("day", "ts").alias("period")).agg(
         F.countDistinct("user_id").alias("n_exact"),
         F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"),
@@ -424,7 +429,7 @@ def a10_distinct_counts(spark, sf):
         ).alias("ksk"),
         F.count("value").alias("n_val"),
         F.count(F.when(F.col("value") <= 35.0, 1)).alias("n_le"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     exact_day = day_agg.select("period", "n_exact")
     ok_day = F.abs(F.col("n_distinct_est") - F.col("n_exact")) <= F.greatest(
         0.05 * F.col("n_exact"), F.lit(2)
